@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipelines.{CustomerSalesReport, ProductPerformance, SupplierPerformance}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator family from SURVEY.md §2 is a named query
+  * with a DuckDB-equivalent oracle SQL over the same fixture parquet.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    SupplierPerformance(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_supplier_performance" -> ((s, dir) => SupplierPerformance(s, dir)),
+    "q_customer_sales_report" -> ((s, dir) => CustomerSalesReport(s, dir)),
+    "q_product_performance" -> ((s, dir) => ProductPerformance(s, dir)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_supplier_performance" -> SupplierPerformance.oracle,
+    "q_customer_sales_report" -> CustomerSalesReport.oracle,
+    "q_product_performance" -> ProductPerformance.oracle,
+  )
 }

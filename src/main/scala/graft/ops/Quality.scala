@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Raised by the PK-uniqueness gate (reference DuplicateException,
+  * transform_utils.py:79–81).
+  */
+final class DuplicateKeyException(msg: String) extends RuntimeException(msg)
+
+/** Data-quality gates (reference transform_utils.py:83–92) and null-repair
+  * (reference supplier_performance_task.py:138–152).
+  */
+object Quality {
+
+  /** Key groups that occur more than once, with their multiplicity
+    * (reference A1/F3 — groupBy keys → count → filter cnt > 1).
+    * Map-side partial aggregation keeps the shuffle proportional to the
+    * number of *distinct* keys, not rows, so this scales to 100 TB.
+    */
+  def duplicates(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** Fail-fast PK gate. Uses `isEmpty` (first-row short-circuit), NOT the
+    * reference's full `count()` action (transform_utils.py:90) — at scale a
+    * full count over a duplicate-free table is a wasted pass.
+    */
+  def requireUnique(df: DataFrame, keys: Seq[String]): Unit = {
+    if (!duplicates(df, keys).isEmpty)
+      throw new DuplicateKeyException(
+        s"duplicate primary key values for (${keys.mkString(", ")})")
+  }
+
+  /** Null-repair after an outer join: string columns get a marker value
+    * (reference `when isNull → 'No sales'`, supplier_performance_task.py:
+    * 139–143), numeric columns get zero-fill (reference fillna :148–152).
+    * Implemented with coalesce so it works for DECIMAL columns too
+    * (DataFrameNaFunctions.fill skips decimals).
+    */
+  def nullRepair(df: DataFrame,
+                 stringFills: Map[String, String],
+                 zeroFills: Seq[String]): DataFrame = {
+    val repaired: Seq[Column] = df.columns.toIndexedSeq.map { c =>
+      if (stringFills.contains(c)) coalesce(col(c), lit(stringFills(c))).as(c)
+      else if (zeroFills.contains(c))
+        coalesce(col(c), lit(0).cast(df.schema(c).dataType)).as(c)
+      else col(c)
+    }
+    df.select(repaired: _*)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.retail.Retail
+
+/** Customer sales report mart (reference customer_sales_report_task.py:
+  * 12–159): keep Delivered/Shipped sales → join products → join customers →
+  * derive date/price/amount columns → global percent_rank loyalty tier →
+  * per-customer top-performer flag → 16-column report.
+  *
+  * Deliberate divergences from the reference (documented, SURVEY §2.13):
+  *  - SALE_DATE keeps the real sale date instead of being overwritten with
+  *    `date_sub(current_date(), 1)` (defect #2); the snapshot date lives in
+  *    DAY_DT, pinned to `asOf` for determinism.
+  *  - The TOP_PERFORMER window adds a SALE_ID tie-break (defect #5 made the
+  *    flag nondeterministic under equal sale amounts).
+  *
+  * Scale notes:
+  *  - W1 is a GLOBAL percent_rank — a single-partition exchange, the one
+  *    operator here that does not scale horizontally. Kept for reference
+  *    parity; `LoyaltyTiers.byApproxThresholds` is the 100 TB path
+  *    (percentile_approx thresholds + broadcast join, no global sort).
+  *  - percent_rank uses RANK internally, so ties share a value and the tier
+  *    assignment is deterministic without a total order.
+  */
+object CustomerSalesReport {
+
+  val asOf = "2024-06-01"
+
+  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val sales = Retail.sales(spark, sfDir)
+      .filter(col("ORDER_STATUS").isin("Delivered", "Shipped")) // F1
+    val products = Retail.products(spark, sfDir)
+    val customers = Retail.customers(spark, sfDir)
+
+    val joined = sales
+      .join(broadcast(products), Seq("PRODUCT_ID"), "left") // J1
+      .join(customers, Seq("CUSTOMER_ID"), "left") // J2
+
+    // Exact decimal arithmetic: DISCOUNT is a percent with 2 fractional
+    // digits, so (1 - DISCOUNT*0.01) is exact at scale 4 and the product is
+    // exact at scale 6 — multiplication only, no decimal division/rounding.
+    val derived = joined
+      .withColumn("DAY_DT", to_date(lit(asOf)))
+      .withColumn("SALE_MONTH", month(col("SALE_DATE")))
+      .withColumn("SALE_YEAR", year(col("SALE_DATE")))
+      .withColumn("PRICE", col("SELLING_PRICE")) // already scale-2 decimal
+      .withColumn("SALE_AMOUNT",
+        (col("QUANTITY") * col("SELLING_PRICE") *
+          (lit(1) - col("DISCOUNT") * lit(0.01).cast(DecimalType(3, 2))))
+          .cast(DecimalType(25, 6)))
+      .withColumn("LOAD_TSTMP", to_timestamp(lit(s"$asOf 00:00:00")))
+
+    // W1: global percent_rank → loyalty tier.
+    val wGlobal = Window.orderBy(col("SALE_AMOUNT").desc)
+    val tiered = derived
+      .withColumn("pr", percent_rank().over(wGlobal))
+      .withColumn("LOYALTY_TIER",
+        when(col("pr") <= 0.2, "Gold")
+          .when(col("pr") <= 0.5, "Silver")
+          .otherwise("Bronze"))
+
+    // W2: per-customer top sale flag (tie-break added for determinism).
+    val wCust = Window.partitionBy("CUSTOMER_ID")
+      .orderBy(col("SALE_AMOUNT").desc, col("SALE_ID").asc)
+    val flagged = tiered
+      .withColumn("rn", row_number().over(wCust))
+      .withColumn("TOP_PERFORMER", col("rn") === 1)
+      .drop("pr", "rn") // P6
+
+    flagged.select(
+      col("SALE_ID"), col("DAY_DT"), col("CUSTOMER_ID"),
+      col("NAME").as("CUSTOMER_NAME"), // P4
+      col("CITY"), col("PRODUCT_ID"), col("PRODUCT_NAME"), col("CATEGORY"),
+      col("SALE_DATE"), col("SALE_MONTH"), col("SALE_YEAR"),
+      col("QUANTITY"), col("PRICE"), col("SALE_AMOUNT"),
+      col("LOYALTY_TIER"), col("TOP_PERFORMER"), col("LOAD_TSTMP"))
+      .orderBy("SALE_ID")
+  }
+
+  val oracle: String =
+    s"""WITH ${Retail.sql.entities},
+       |fil AS (SELECT * FROM sales
+       |        WHERE ORDER_STATUS IN ('Delivered','Shipped')),
+       |joined AS (
+       |  SELECT f.*, p.PRODUCT_NAME, p.CATEGORY, p.SELLING_PRICE,
+       |         c.NAME, c.CITY
+       |  FROM fil f
+       |  LEFT JOIN products p USING (PRODUCT_ID)
+       |  LEFT JOIN customers c USING (CUSTOMER_ID)),
+       |derived AS (
+       |  SELECT *, DATE '$asOf' AS DAY_DT,
+       |         CAST(month(SALE_DATE) AS INT) AS SALE_MONTH,
+       |         CAST(year(SALE_DATE) AS INT) AS SALE_YEAR,
+       |         SELLING_PRICE AS PRICE,
+       |         CAST(QUANTITY * SELLING_PRICE *
+       |              (1 - DISCOUNT * CAST(0.01 AS DECIMAL(3,2)))
+       |              AS DECIMAL(25,6)) AS SALE_AMOUNT,
+       |         TIMESTAMP '$asOf 00:00:00' AS LOAD_TSTMP
+       |  FROM joined),
+       |tiered AS (
+       |  SELECT *, percent_rank() OVER (ORDER BY SALE_AMOUNT DESC) AS pr,
+       |         row_number() OVER (PARTITION BY CUSTOMER_ID
+       |           ORDER BY SALE_AMOUNT DESC, SALE_ID ASC) AS rn
+       |  FROM derived)
+       |SELECT SALE_ID, DAY_DT, CUSTOMER_ID, NAME AS CUSTOMER_NAME, CITY,
+       |       PRODUCT_ID, PRODUCT_NAME, CATEGORY, SALE_DATE, SALE_MONTH,
+       |       SALE_YEAR, QUANTITY, PRICE, SALE_AMOUNT,
+       |       CASE WHEN pr <= 0.2 THEN 'Gold'
+       |            WHEN pr <= 0.5 THEN 'Silver' ELSE 'Bronze' END AS LOYALTY_TIER,
+       |       rn = 1 AS TOP_PERFORMER, LOAD_TSTMP
+       |FROM tiered ORDER BY SALE_ID""".stripMargin
+}
