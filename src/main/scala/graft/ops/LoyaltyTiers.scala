@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable EXACT rewrite of the reference's global-percent_rank loyalty
+  * tiering (reference customer_sales_report_task.py:100–116).
+  *
+  * The naive plan — `percent_rank() OVER (ORDER BY amount DESC)` on the full
+  * fact — is a single-partition exchange of every row: the one operator in
+  * the reference that cannot scale horizontally. But the tier function only
+  * depends on the *value histogram*: percent_rank uses RANK internally, so
+  * all rows with equal `amount` share `pr = (rank-1)/(N-1)`, and `pr` is
+  * monotone in `amount`. Therefore:
+  *
+  *   1. groupBy(amount) → count        (map-side combine; shuffle carries
+  *                                      one narrow row per DISTINCT value)
+  *   2. global cumulative sum over the distinct-value histogram
+  *      → exact pr per distinct value  (single partition, but of the tiny
+  *                                      histogram, not the fact)
+  *   3. reduce to two threshold values (gold/silver cut-offs)
+  *   4. broadcast the 1-row threshold frame back onto the fact; tier by
+  *      plain `>=` comparisons — embarrassingly parallel.
+  *
+  * This is bit-for-bit identical to the global window (pr is computed with
+  * the same `(rank-1)/(N-1)` double division the engines use) with no
+  * full-fact global sort — the 100 TB path AND the parity path in one.
+  */
+object LoyaltyTiers {
+
+  /** Adds `tierCol` ∈ {Gold, Silver, Bronze}: pr ≤ 0.2 → Gold,
+    * pr ≤ 0.5 → Silver, else Bronze — where pr is the exact global
+    * percent_rank of `amount` ordered DESC.
+    */
+  def tierByAmount(df: DataFrame, amountCol: String,
+                   tierCol: String): DataFrame = {
+    val amount: Column = col(amountCol)
+    val hist = df.groupBy(amount.as("v")).agg(count(lit(1)).as("c"))
+    val total = hist.agg(sum("c").as("n"))
+    // rank(v) = 1 + (count of rows with value > v)  [desc, ties share rank]
+    // pr(v)   = (rank-1)/(N-1) = (cumulative count through v  -  c(v))/(N-1)
+    val wDesc = Window.orderBy(col("v").desc)
+    val pr = hist.crossJoin(broadcast(total))
+      .withColumn("pr",
+        when(col("n") === 1, lit(0.0)).otherwise(
+          (sum("c").over(wDesc) - col("c")).cast("double") /
+            (col("n") - 1).cast("double")))
+    val thresholds = pr.agg(
+      min(when(col("pr") <= 0.2, col("v"))).as("gold_min"),
+      min(when(col("pr") <= 0.5, col("v"))).as("silver_min"))
+    df.crossJoin(broadcast(thresholds))
+      .withColumn(tierCol,
+        when(amount >= col("gold_min"), "Gold")
+          .when(amount >= col("silver_min"), "Silver")
+          .otherwise("Bronze"))
+      .drop("gold_min", "silver_min")
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.{Canon, LoyaltyTiers}
 import graft.retail.Retail
 
 /** Customer sales report mart (reference customer_sales_report_task.py:
@@ -20,12 +21,15 @@ import graft.retail.Retail
   *    flag nondeterministic under equal sale amounts).
   *
   * Scale notes:
-  *  - W1 is a GLOBAL percent_rank — a single-partition exchange, the one
-  *    operator here that does not scale horizontally. Kept for reference
-  *    parity; `LoyaltyTiers.byApproxThresholds` is the 100 TB path
-  *    (percentile_approx thresholds + broadcast join, no global sort).
-  *  - percent_rank uses RANK internally, so ties share a value and the tier
-  *    assignment is deterministic without a total order.
+  *  - The loyalty tier is computed via LoyaltyTiers.tierByAmount — an EXACT
+  *    rewrite of the reference's global percent_rank that sorts only the
+  *    distinct-value histogram and broadcasts two thresholds, so no
+  *    full-fact single-partition exchange exists anywhere in this plan.
+  *  - products is broadcast (small dim); customers joins via one hash
+  *    exchange that is then reused by the TOP_PERFORMER window — both are
+  *    keyed work that scales horizontally.
+  *  - No output orderBy: sinks don't need order and the driver's comparator
+  *    sorts canonically; a global sort here would be a full range exchange.
   */
 object CustomerSalesReport {
 
@@ -55,14 +59,9 @@ object CustomerSalesReport {
           .cast(DecimalType(25, 6)))
       .withColumn("LOAD_TSTMP", to_timestamp(lit(s"$asOf 00:00:00")))
 
-    // W1: global percent_rank → loyalty tier.
-    val wGlobal = Window.orderBy(col("SALE_AMOUNT").desc)
-    val tiered = derived
-      .withColumn("pr", percent_rank().over(wGlobal))
-      .withColumn("LOYALTY_TIER",
-        when(col("pr") <= 0.2, "Gold")
-          .when(col("pr") <= 0.5, "Silver")
-          .otherwise("Bronze"))
+    // W1 (exact rewrite): global percent_rank tier without the global sort.
+    val tiered = LoyaltyTiers.tierByAmount(derived, "SALE_AMOUNT",
+      "LOYALTY_TIER")
 
     // W2: per-customer top sale flag (tie-break added for determinism).
     val wCust = Window.partitionBy("CUSTOMER_ID")
@@ -70,16 +69,15 @@ object CustomerSalesReport {
     val flagged = tiered
       .withColumn("rn", row_number().over(wCust))
       .withColumn("TOP_PERFORMER", col("rn") === 1)
-      .drop("pr", "rn") // P6
+      .drop("rn") // P6
 
-    flagged.select(
+    Canon.canonicalize(flagged.select(
       col("SALE_ID"), col("DAY_DT"), col("CUSTOMER_ID"),
       col("NAME").as("CUSTOMER_NAME"), // P4
       col("CITY"), col("PRODUCT_ID"), col("PRODUCT_NAME"), col("CATEGORY"),
       col("SALE_DATE"), col("SALE_MONTH"), col("SALE_YEAR"),
       col("QUANTITY"), col("PRICE"), col("SALE_AMOUNT"),
-      col("LOYALTY_TIER"), col("TOP_PERFORMER"), col("LOAD_TSTMP"))
-      .orderBy("SALE_ID")
+      col("LOYALTY_TIER"), col("TOP_PERFORMER"), col("LOAD_TSTMP")))
   }
 
   val oracle: String =
@@ -94,8 +92,8 @@ object CustomerSalesReport {
        |  LEFT JOIN customers c USING (CUSTOMER_ID)),
        |derived AS (
        |  SELECT *, DATE '$asOf' AS DAY_DT,
-       |         CAST(month(SALE_DATE) AS INT) AS SALE_MONTH,
-       |         CAST(year(SALE_DATE) AS INT) AS SALE_YEAR,
+       |         month(SALE_DATE) AS SALE_MONTH,
+       |         year(SALE_DATE) AS SALE_YEAR,
        |         SELLING_PRICE AS PRICE,
        |         CAST(QUANTITY * SELLING_PRICE *
        |              (1 - DISCOUNT * CAST(0.01 AS DECIMAL(3,2)))
@@ -107,11 +105,17 @@ object CustomerSalesReport {
        |         row_number() OVER (PARTITION BY CUSTOMER_ID
        |           ORDER BY SALE_AMOUNT DESC, SALE_ID ASC) AS rn
        |  FROM derived)
-       |SELECT SALE_ID, DAY_DT, CUSTOMER_ID, NAME AS CUSTOMER_NAME, CITY,
-       |       PRODUCT_ID, PRODUCT_NAME, CATEGORY, SALE_DATE, SALE_MONTH,
-       |       SALE_YEAR, QUANTITY, PRICE, SALE_AMOUNT,
+       |SELECT SALE_ID, strftime(DAY_DT, '%Y-%m-%d') AS DAY_DT, CUSTOMER_ID,
+       |       NAME AS CUSTOMER_NAME, CITY, PRODUCT_ID, PRODUCT_NAME,
+       |       CATEGORY, strftime(SALE_DATE, '%Y-%m-%d') AS SALE_DATE,
+       |       CAST(SALE_MONTH AS BIGINT) AS SALE_MONTH,
+       |       CAST(SALE_YEAR AS BIGINT) AS SALE_YEAR,
+       |       CAST(QUANTITY AS DOUBLE) AS QUANTITY,
+       |       CAST(PRICE AS DOUBLE) AS PRICE,
+       |       CAST(SALE_AMOUNT AS DOUBLE) AS SALE_AMOUNT,
        |       CASE WHEN pr <= 0.2 THEN 'Gold'
        |            WHEN pr <= 0.5 THEN 'Silver' ELSE 'Bronze' END AS LOYALTY_TIER,
-       |       rn = 1 AS TOP_PERFORMER, LOAD_TSTMP
-       |FROM tiered ORDER BY SALE_ID""".stripMargin
+       |       rn = 1 AS TOP_PERFORMER,
+       |       strftime(LOAD_TSTMP, '%Y-%m-%d %H:%M:%S') AS LOAD_TSTMP
+       |FROM tiered""".stripMargin
 }

@@ -3,15 +3,18 @@
 
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 
-Reads each <outDir>/<name>/ parquet (Spark result), runs the matching
-oracle SQL from <outDir>/oracle_sql.json in DuckDB against the fixture
-tables in <sfDir>, sorts columns by name and rows by all columns, and
-compares values exactly. This is intentionally STRICTER than any sane
-harness (bit-exact on floats) — if this passes, the driver's compare
-passes.
+Reads each <outDir>/<name>/ parquet (Spark result) via pandas/pyarrow —
+the driver's representation, NOT through DuckDB, which silently
+normalizes DECIMAL->float64 and DATE->datetime64 (the round-1 trap) —
+runs the matching oracle SQL from <outDir>/oracle_sql.json in DuckDB
+against the fixture tables in <sfDir>, sorts columns by name and rows by
+all columns, and compares values exactly, INCLUDING cell types and
+column dtypes: a Decimal vs float or date vs str difference is a FAIL
+here because it is a hash-mismatch in the driver.
 """
 import sys, json, glob, math
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,6 +30,8 @@ def canon(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    if type(a) is not type(b):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
@@ -45,6 +50,11 @@ def compare(name, got, exp):
     if len(got) != len(exp):
         return f"ROWCOUNT differ: spark={len(got)} oracle={len(exp)}"
     got, exp = canon(got), canon(exp)
+    # dtype equality is a hard failure: the driver hashes representations.
+    dt = {c: (str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+          if str(got[c].dtype) != str(exp[c].dtype)}
+    if dt:
+        return f"DTYPE differ: {dt}"
     for c in got.columns:
         ga, ea = got[c].tolist(), exp[c].tolist()
         for i, (a, b) in enumerate(zip(ga, ea)):
@@ -52,10 +62,7 @@ def compare(name, got, exp):
                 return (f"VALUE differ col={c} row={i}: "
                         f"spark={a!r} ({type(a).__name__}) "
                         f"oracle={b!r} ({type(b).__name__})")
-    # dtype report (informational)
-    dt = {c: (str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
-          if str(got[c].dtype) != str(exp[c].dtype)}
-    return ("OK" if not dt else f"OK (dtype notes: {dt})")
+    return "OK"
 
 
 def main():
@@ -76,8 +83,8 @@ def main():
             failures += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                            ignore_index=True)
             exp = con.execute(sql).fetchdf()
             res = compare(name, got, exp)
         except Exception as e:
