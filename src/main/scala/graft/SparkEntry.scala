@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.pipelines.{CustomerSalesReport, ProductPerformance, SupplierPerformance}
+import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
+  ProductPerformance, SupplierPerformance}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator family from SURVEY.md §2 is a named query
@@ -16,9 +17,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // analytic marts (reference report tasks)
     "q_supplier_performance" -> ((s, dir) => SupplierPerformance(s, dir)),
     "q_customer_sales_report" -> ((s, dir) => CustomerSalesReport(s, dir)),
     "q_product_performance" -> ((s, dir) => ProductPerformance(s, dir)),
+    // ingestion pipelines (REST/OAuth/CSV sources + gate + double-write)
+    "q_ingest_suppliers" -> ((s, dir) => Ingestion.suppliers(s, dir)),
+    "q_ingest_products" -> ((s, dir) => Ingestion.products(s, dir)),
+    "q_ingest_customers" -> ((s, dir) => Ingestion.customers(s, dir)),
+    "q_ingest_sales" -> ((s, dir) => Ingestion.sales(s, dir)),
+    // io micro-queries
+    "q_jdbc_roundtrip" -> ((s, dir) => JdbcRoundTrip(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +36,10 @@ object SparkEntry {
     "q_supplier_performance" -> SupplierPerformance.oracle,
     "q_customer_sales_report" -> CustomerSalesReport.oracle,
     "q_product_performance" -> ProductPerformance.oracle,
+    "q_ingest_suppliers" -> Ingestion.suppliersOracle,
+    "q_ingest_products" -> Ingestion.productsOracle,
+    "q_ingest_customers" -> Ingestion.customersOracle,
+    "q_ingest_sales" -> Ingestion.salesOracle,
+    "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
   )
 }

@@ -1,0 +1,50 @@
+package graft.io
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC source/sink (reference S4/S5, transform_utils.py:95–129: every
+  * reference pipeline starts and ends in Postgres).
+  *
+  * Scale posture vs the reference:
+  *  - reference reads a whole table through ONE connection/partition
+  *    (no partitionColumn — transform_utils.py:123–127); `read` here takes
+  *    optional (partitionColumn, lowerBound, upperBound, numPartitions) so
+  *    executors scan ranges in parallel.
+  *  - writes batch through `batchsize` rather than row-at-a-time.
+  *
+  * The harness has no Postgres; tests and the q_ingest_customers query run
+  * against embedded Derby (a real JDBC engine on the Spark classpath), and
+  * the URL/driver are parameters so a Postgres profile is config-only.
+  */
+object Jdbc {
+
+  def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
+
+  private def props(extra: Map[String, String]): Properties = {
+    val p = new Properties()
+    extra.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  def read(spark: SparkSession, url: String, table: String,
+           partitionColumn: Option[String] = None,
+           bounds: Option[(Long, Long)] = None,
+           numPartitions: Int = 8,
+           options: Map[String, String] = Map.empty): DataFrame =
+    (partitionColumn, bounds) match {
+      case (Some(colName), Some((lo, hi))) =>
+        spark.read.jdbc(url, table, colName, lo, hi, numPartitions,
+          props(options))
+      case _ =>
+        spark.read.jdbc(url, table, props(options))
+    }
+
+  def write(df: DataFrame, url: String, table: String, mode: SaveMode,
+            batchSize: Int = 10000,
+            options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(mode)
+      .options(options + ("batchsize" -> batchSize.toString))
+      .jdbc(url, table, props(Map.empty))
+}

@@ -1,0 +1,38 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Non-parquet sources (SURVEY §2.1).
+  *
+  * All readers take a DECLARED schema: the reference infers CSV/JSON schemas
+  * (ingestion_task.py:232, :26) which is nondeterministic across feeds and
+  * forces a full extra pass at scale — a 100 TB CSV scan just to guess
+  * types. Explicit `StructType` makes reads single-pass and stable.
+  */
+object Sources {
+
+  /** CSV with header + declared schema (reference S3,
+    * ingestion_task.py:222–232 reads `gs://.../sales_{yyyymmdd}.csv` with
+    * header=True, inferSchema=True — inference deliberately replaced).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+
+  /** JSON-records source with declared schema — the landing format of the
+    * REST extract (reference S1, transform_utils.py:62–75 returns a list of
+    * dicts fed to createDataFrame).
+    */
+  def jsonRecords(spark: SparkSession, json: Seq[String],
+                  schema: StructType): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema).json(spark.createDataset(json))
+  }
+
+  /** In-memory rows + explicit StructType (reference S6, dag.py:63–82). */
+  def inMemory(spark: SparkSession, rows: Seq[Row],
+               schema: StructType): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+}
