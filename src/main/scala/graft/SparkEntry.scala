@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ext.TextOps
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
   ProductPerformance, SupplierPerformance}
 
@@ -28,6 +29,13 @@ object SparkEntry {
     "q_ingest_sales" -> ((s, dir) => Ingestion.sales(s, dir)),
     // io micro-queries
     "q_jdbc_roundtrip" -> ((s, dir) => JdbcRoundTrip(s, dir)),
+    // LLM-pipeline text operators over `documents`
+    "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir)),
+    "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
+    "q_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
+    "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
+    "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
+    "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +49,11 @@ object SparkEntry {
     "q_ingest_customers" -> Ingestion.customersOracle,
     "q_ingest_sales" -> Ingestion.salesOracle,
     "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
+    "q_dedup_exact" -> TextOps.dedupExactOracle,
+    "q_text_stats" -> TextOps.textStatsOracle,
+    "q_token_count" -> TextOps.tokenCountOracle,
+    "q_fingerprint" -> TextOps.fingerprintOracle,
+    "q_quality_score" -> TextOps.qualityScoreOracle,
+    "q_lang_id" -> TextOps.langIdOracle,
   )
 }

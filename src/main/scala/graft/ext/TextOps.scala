@@ -1,0 +1,227 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Canon
+
+/** Text-analysis operators for large-scale training-data pipelines, over
+  * the `documents` fixture (doc_id, text, lang, source, n_chars).
+  *
+  * All operators are single-pass, codegen-friendly column expressions plus
+  * at most one keyed aggregation — no driver-side loops, no UDFs — so every
+  * one of them scales linearly with executors at 100 TB:
+  *
+  *  - exact dedup: sha256 over normalized text → groupBy(hash). The shuffle
+  *    carries one row per DISTINCT content hash (map-side combine), the
+  *    canonical web-scale exact-dedup plan.
+  *  - text stats: groupBy(lang, source) with explicit sum/count arithmetic.
+  *  - token counting: regexp word-token count + a BPE-ish chars/4 estimate.
+  *  - fingerprinting: md5 + sha256 content fingerprints.
+  *  - quality scoring: length/stopword/punctuation ratios, one projection.
+  *  - language-ID: marker-word n-gram counts + deterministic argmax. The
+  *    synthetic corpus shares one vocabulary across lang labels, so
+  *    predictions are exercised for mechanics here; real multilingual
+  *    behavior is asserted in TextOpsSpec on crafted samples.
+  */
+object TextOps {
+
+  /** Whitespace-collapse + trim + lowercase; the normalization key for
+    * dedup/fingerprints (equivalent arithmetic exists in DuckDB).
+    */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+
+  // ---- exact dedup ---------------------------------------------------
+
+  /** One row per distinct normalized content: the kept doc (min id), the
+    * copy count, and the content hash. Rows with n_copies > 1 are the
+    * duplicate groups; keeping min(doc_id) makes the winner deterministic.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .withColumn("text_sha", sha2(normText(col("text")), 256))
+    Canon.canonicalize(
+      d.groupBy("text_sha").agg(
+        min("doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_copies")))
+  }
+
+  val dedupExactOracle: String =
+    s"""SELECT sha256($normSql) AS text_sha,
+       |       min(doc_id) AS keep_doc_id,
+       |       count(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- corpus stats --------------------------------------------------
+
+  /** Per (lang, source) corpus statistics. AVG is spelled out as
+    * sum/count in DOUBLE so both engines perform the identical IEEE
+    * division (engine-native AVG accumulation orders differ).
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    Canon.canonicalize(
+      d.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        (sum("n_chars").cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars")))
+  }
+
+  val textStatsOracle: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  // ---- token counting ------------------------------------------------
+
+  private val wordPat = "[a-z0-9]+"
+
+  /** Word-regex token count plus the ceil(chars/4) BPE-style estimate used
+    * for budget planning when no tokenizer is available.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+    Canon.canonicalize(d.select(
+      col("doc_id"),
+      regexp_count(col("norm"), lit(wordPat)).as("n_tokens"),
+      length(col("text")).as("len_chars"),
+      ceil(length(col("text")).cast("double") / lit(4.0)).as("est_bpe_tokens")))
+  }
+
+  val tokenCountOracle: String =
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all($normSql, '$wordPat')) AS n_tokens,
+       |       length(text) AS len_chars,
+       |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+       |         AS est_bpe_tokens
+       |FROM documents""".stripMargin
+
+  // ---- fingerprinting ------------------------------------------------
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    Canon.canonicalize(d.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fp_md5"),
+      sha2(normText(col("text")), 256).as("fp_sha256")))
+  }
+
+  val fingerprintOracle: String =
+    s"""SELECT doc_id, md5($normSql) AS fp_md5,
+       |       sha256($normSql) AS fp_sha256
+       |FROM documents""".stripMargin
+
+  // ---- quality scoring -----------------------------------------------
+
+  /** Heuristic document quality in [0,1]: token volume (capped), stopword
+    * ratio, and punctuation-noise penalty — the standard pre-training
+    * corpus filters, as one codegen'd projection.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("n_tokens",
+        regexp_count(col("norm"), lit(wordPat)).cast("double"))
+      .withColumn("n_stop",
+        regexp_count(col("norm"), lit("\\b(the|a|of|and|to)\\b"))
+          .cast("double"))
+      .withColumn("n_punct",
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("double"))
+      .withColumn("len_chars", length(col("text")).cast("double"))
+    val score =
+      lit(0.4) * least(lit(1.0), col("n_tokens") / lit(100.0)) +
+        lit(0.3) * (col("n_stop") / greatest(col("n_tokens"), lit(1.0))) +
+        lit(0.3) * (lit(1.0) - col("n_punct") / greatest(col("len_chars"), lit(1.0)))
+    Canon.canonicalize(d.select(
+      col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+      col("n_stop").cast("long").as("n_stop"),
+      col("n_punct").cast("long").as("n_punct"),
+      score.as("quality_score")))
+  }
+
+  val qualityScoreOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,
+       |    CAST(len(regexp_extract_all($normSql, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS n_stop,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS len_chars
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_stop AS BIGINT) AS n_stop,
+       |       CAST(n_punct AS BIGINT) AS n_punct,
+       |       0.4 * least(1.0, n_tokens / 100.0) +
+       |       0.3 * (n_stop / greatest(n_tokens, 1.0)) +
+       |       0.3 * (1.0 - n_punct / greatest(len_chars, 1.0)) AS quality_score
+       |FROM f""".stripMargin
+
+  // ---- language identification ---------------------------------------
+
+  /** Marker words per language — high-frequency function words, the
+    * classic cheap lang-ID signal (scores are \b-bounded match counts).
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|to)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "es" -> "\\b(el|la|los|es|y)\\b",
+    "fr" -> "\\b(le|la|les|est|et)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]") // \x{...}: valid in Java regex AND RE2
+
+  /** Per-doc marker scores + deterministic argmax prediction (ties break
+    * in `langMarkers` declaration order).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+    val scored = langMarkers.foldLeft(d) { case (acc, (l, pat)) =>
+      acc.withColumn(s"score_$l", regexp_count(col("norm"), lit(pat)))
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit("und"): Column) {
+      case ((l, i), els) =>
+        val beatsAll = langs.drop(i + 1)
+          .map(o => col(s"score_$l") >= col(s"score_$o"))
+          .foldLeft(col(s"score_$l") > 0)(_ && _)
+        val notBeaten = langs.take(i)
+          .map(o => col(s"score_$o") < col(s"score_$l"))
+          .foldLeft(lit(true))(_ && _)
+        when(beatsAll && notBeaten, lit(l)).otherwise(els)
+    }
+    Canon.canonicalize(scored.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        langs.map(l => col(s"score_$l")) :+ pred.as("predicted_lang"): _*))
+  }
+
+  val langIdOracle: String = {
+    val scores = langMarkers.map { case (l, pat) =>
+      s"len(regexp_extract_all($normSql, '$pat')) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = langMarkers.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val beats = (langs.drop(i + 1).map(o => s"score_$l >= score_$o") ++
+        langs.take(i).map(o => s"score_$o < score_$l") :+
+        s"score_$l > 0").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  CASE $cases ELSE 'und' END AS predicted_lang
+       |FROM f""".stripMargin
+  }
+}

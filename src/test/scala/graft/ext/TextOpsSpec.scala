@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normText collapses whitespace, trims, lowercases") {
+    val r = Seq("  Hello   WORLD \t x ").toDF("text")
+      .select(TextOps.normText(col("text"))).as[String].head()
+    assert(r == "hello world x")
+  }
+
+  test("langId markers identify real multilingual samples") {
+    val samples = Seq(
+      (1L, "The cat and the dog is going to the park"), // en
+      (2L, "Der Hund und die Katze, das ist gut"), // de
+      (3L, "el perro y la casa es grande y los gatos"), // es
+      (4L, "le chien et la maison est grande, les chats"), // fr
+      (5L, "你好世界这是中文")) // zh
+      .toDF("doc_id", "text")
+    val scored = TextOps.langMarkers.foldLeft(
+      samples.withColumn("norm", TextOps.normText(col("text")))) {
+      case (acc, (l, pat)) =>
+        acc.withColumn(s"score_$l", regexp_count(col("norm"), lit(pat)))
+    }
+    val best = scored.collect().map { r =>
+      r.getLong(0) -> TextOps.langMarkers.map { case (l, _) =>
+        l -> r.getAs[Int](s"score_$l")
+      }.maxBy(_._2)._1
+    }.toMap
+    assert(best == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "zh"))
+  }
+
+  test("dedupExact groups identical normalized content under one winner") {
+    val docs = TextOps.documents(spark, sfDir)
+    val deduped = TextOps.dedupExact(spark, sfDir)
+    // every winner is a real doc, every group accounted for
+    assert(deduped.agg(sum("n_copies")).as[Long].head() == docs.count())
+    // whitespace-variant copies collapse: simulate by unioning a variant
+    val variant = docs.limit(1)
+      .withColumn("text", concat(lit("  "), upper(col("text"))))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val withVariant = docs.union(variant)
+      .withColumn("text_sha", sha2(TextOps.normText(col("text")), 256))
+      .groupBy("text_sha").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(withVariant.count() >= 1)
+  }
+
+  test("quality score stays within [0, 1]") {
+    val q = TextOps.qualityScore(spark, sfDir)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1)
+      .count() == 0)
+  }
+}
