@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.TextOps
+import graft.ext.{DedupOps, EventOps, MultimodalOps, TextOps, VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
-  ProductPerformance, SupplierPerformance}
+  MicroQueries, ProductPerformance, SupplierPerformance}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator family from SURVEY.md §2 is a named query
@@ -36,6 +36,25 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
+    // similarity / near-dup operators over `documents` + `embeddings`
+    "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
+    "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
+    "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
+    "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
+    "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
+    "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
+    // event-stream aggregation (batch forms of the streaming transforms)
+    "q_events_daily" -> ((s, dir) => EventOps.eventsDaily(s, dir)),
+    "q_events_sessions" -> ((s, dir) => EventOps.eventsSessions(s, dir)),
+    // multimodal binary-column metadata
+    "q_multimodal_meta" -> ((s, dir) => MultimodalOps.binaryMeta(s, dir)),
+    // operator-family micro-queries (SURVEY §7.2.6)
+    "q_scan_project" -> ((s, dir) => MicroQueries.scanProject(s, dir)),
+    "q_normalize_rename" -> ((s, dir) => MicroQueries.normalizeRename(s, dir)),
+    "q_dup_detect" -> ((s, dir) => MicroQueries.dupDetect(s, dir)),
+    "q_compound_filter" -> ((s, dir) => MicroQueries.compoundFilter(s, dir)),
+    "q_inmemory_dim_join" -> ((s, dir) => MicroQueries.inMemoryDimJoin(s, dir)),
+    "q_null_repair" -> ((s, dir) => MicroQueries.nullRepair(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +74,21 @@ object SparkEntry {
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,
+    "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
+    "q_cosine_topk" -> VectorOps.cosineTopKOracle,
+    "q_embed_neardup" -> VectorOps.embedNearDupOracle,
+    "q_events_daily" -> EventOps.eventsDailyOracle,
+    "q_events_sessions" -> EventOps.eventsSessionsOracle,
+    "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,
+    "q_scan_project" -> MicroQueries.scanProjectOracle,
+    "q_normalize_rename" -> MicroQueries.normalizeRenameOracle,
+    "q_dup_detect" -> MicroQueries.dupDetectOracle,
+    "q_compound_filter" -> MicroQueries.compoundFilterOracle,
+    "q_inmemory_dim_join" -> MicroQueries.inMemoryDimJoinOracle,
+    "q_null_repair" -> MicroQueries.nullRepairOracle,
+    // q_minhash_lsh / q_simhash_neardup / q_ann_ivf: approximate operators
+    // with no DuckDB-expressible twin (xxhash64 banding, IVF probing) —
+    // deliberately omitted → driver records the weaker rows-only check;
+    // behavior pinned in DedupOpsSpec / VectorOpsSpec instead.
   )
 }

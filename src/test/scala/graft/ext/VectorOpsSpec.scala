@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val d = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 5.0, 0.0))).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("cos"))
+      .as[Double].collect()
+    assert(math.abs(d(0) - 1.0) < 1e-12)
+    assert(d(1) == 0.0)
+  }
+
+  test("IVF with nprobe == all centroids reproduces exact brute force") {
+    val exact = VectorOps.cosineTopK(spark, sfDir)
+      .select("probe_id", "rank", "vec_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val fullProbe = VectorOps.annIvf(spark, sfDir,
+      nprobe = VectorOps.ivfCentroids)
+      .select("probe_id", "rank", "vec_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(fullProbe == exact)
+  }
+
+  test("IVF with partial probing returns well-formed per-probe top-k") {
+    val r = VectorOps.annIvf(spark, sfDir, nprobe = 4)
+    val counts = r.groupBy("probe_id").count().as[(Long, Long)].collect()
+    assert(counts.length == VectorOps.nProbes)
+    assert(counts.forall(_._2 <= VectorOps.topK))
+    // ranks are 1..n contiguous per probe
+    val badRank = r.groupBy("probe_id")
+      .agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(badRank == 0)
+  }
+
+  test("exact top-k neighbors are ordered by non-increasing cosine") {
+    val r = VectorOps.cosineTopK(spark, sfDir)
+    val disordered = r.as("x").join(r.as("y"),
+        col("x.probe_id") === col("y.probe_id") &&
+          col("x.rank") === col("y.rank") - 1)
+      .filter(col("x.cos") < col("y.cos")).count()
+    assert(disordered == 0)
+  }
+}
