@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipelines.{CustomerSalesReport, Ingestion, ProductPerformance,
+  SupplierPerformance}
+
+/** Daily pipeline runner (reference §2.12: the Airflow DAG chain
+  * `[suppliers >> products >> customers >> sales] >> supplier_performance
+  * >> product_performance >> customer_sales_report`,
+  * ingestion_dag.py:13–30) — sequential, fail-fast: any task failure
+  * (including the dup-gate's DuplicateKeyException) aborts the run with a
+  * nonzero exit, the scheduler's retry signal.
+  *
+  * `runMain graft.Runner [sfDir]`. One shared SparkSession across tasks —
+  * the reference creates and tears one down per task
+  * (transform_utils.py:12–32), paying JVM+session startup seven times.
+  */
+object Runner {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tasks: Seq[(String, () => Long)] = Seq(
+      "ingest_suppliers" -> (() => Ingestion.suppliers(spark, sfDir).count()),
+      "ingest_products" -> (() => Ingestion.products(spark, sfDir).count()),
+      "ingest_customers" -> (() => Ingestion.customers(spark, sfDir).count()),
+      "ingest_sales" -> (() => Ingestion.sales(spark, sfDir).count()),
+      "supplier_performance" ->
+        (() => SupplierPerformance(spark, sfDir).count()),
+      "product_performance" ->
+        (() => ProductPerformance(spark, sfDir).count()),
+      "customer_sales_report" ->
+        (() => CustomerSalesReport(spark, sfDir).count()))
+
+    try {
+      tasks.foreach { case (name, run) =>
+        val t0 = System.nanoTime()
+        val rows = run()
+        println(f"[runner] $name ok rows=$rows " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[runner] FAILED: $e")
+        spark.stop()
+        sys.exit(1)
+    }
+    spark.stop()
+  }
+}

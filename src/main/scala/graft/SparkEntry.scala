@@ -55,6 +55,7 @@ object SparkEntry {
     "q_compound_filter" -> ((s, dir) => MicroQueries.compoundFilter(s, dir)),
     "q_inmemory_dim_join" -> ((s, dir) => MicroQueries.inMemoryDimJoin(s, dir)),
     "q_null_repair" -> ((s, dir) => MicroQueries.nullRepair(s, dir)),
+    "q_date_and_round" -> ((s, dir) => MicroQueries.dateAndRound(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_compound_filter" -> MicroQueries.compoundFilterOracle,
     "q_inmemory_dim_join" -> MicroQueries.inMemoryDimJoinOracle,
     "q_null_repair" -> MicroQueries.nullRepairOracle,
+    "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     // q_minhash_lsh / q_simhash_neardup / q_ann_ivf: approximate operators
     // with no DuckDB-expressible twin (xxhash64 banding, IVF probing) —
     // deliberately omitted → driver records the weaker rows-only check;

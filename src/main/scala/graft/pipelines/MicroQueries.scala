@@ -131,4 +131,36 @@ object MicroQueries {
        |       CAST(coalesce(CASE WHEN SALE_ID % 11 = 0 THEN NULL
        |                     ELSE QUANTITY END, 0) AS DOUBLE) AS QUANTITY
        |FROM sales""".stripMargin
+
+  /** §2.9 date/scalar family: date_sub/add_months-style derives pinned to
+    * the asOf snapshot (reference customer_sales_report_task.py:91–97 uses
+    * current_date; pinned for determinism per SURVEY §7.4.1), plus
+    * round(col, 2) through DECIMAL, where HALF_UP agrees across engines
+    * (double-round ties do not — SURVEY §7.4.2).
+    */
+  def dateAndRound(spark: SparkSession, sfDir: String): DataFrame = {
+    val asOf = "2024-06-01"
+    val s = Retail.sales(spark, sfDir)
+    Canon.canonicalize(s.select(
+      col("SALE_ID"),
+      to_date(lit(asOf)).as("DAY_DT"),
+      date_sub(to_date(lit(asOf)), 1).as("YESTERDAY"),
+      month(col("SALE_DATE")).as("SALE_MONTH"),
+      year(col("SALE_DATE")).as("SALE_YEAR"),
+      datediff(to_date(lit(asOf)), col("SALE_DATE")).as("AGE_DAYS"),
+      round((col("QUANTITY") * lit(7)).cast(DecimalType(12, 3)) / lit(3), 2)
+        .as("ROUNDED_AMT")))
+  }
+
+  val dateAndRoundOracle: String =
+    s"""WITH ${Retail.sql.sales}
+       |SELECT SALE_ID,
+       |       strftime(DATE '2024-06-01', '%Y-%m-%d') AS DAY_DT,
+       |       strftime(DATE '2024-06-01' - INTERVAL 1 DAY, '%Y-%m-%d') AS YESTERDAY,
+       |       CAST(month(SALE_DATE) AS BIGINT) AS SALE_MONTH,
+       |       CAST(year(SALE_DATE) AS BIGINT) AS SALE_YEAR,
+       |       CAST(date_diff('day', SALE_DATE, DATE '2024-06-01') AS BIGINT) AS AGE_DAYS,
+       |       CAST(round(CAST(QUANTITY * 7 AS DECIMAL(12,3)) / 3, 2)
+       |            AS DOUBLE) AS ROUNDED_AMT
+       |FROM sales""".stripMargin
 }
