@@ -49,8 +49,15 @@ object VectorOps {
   private def fold(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Bit-exact mirrored by `cosSql`. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Bit-exact mirrored by `cosSql` and by `cosineViaFold` (the
+    * composed-builtins form, kept as the differential reference — the
+    * native expression is codegen'd, the fold chain runs interpreted).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Higher-order-function formulation; same IEEE operation order. */
+  def cosineViaFold(a: Column, b: Column): Column = {
     val dot = fold(zip_with(a, b, (x, y) => x * y))
     val na = fold(transform(a, x => x * x))
     val nb = fold(transform(b, x => x * x))

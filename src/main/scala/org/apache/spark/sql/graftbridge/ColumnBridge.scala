@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst-Expression bridge. Spark 4 scopes these conversions
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils), so a
+  * library defining native expressions needs one shim inside the sql
+  * package tree — this object is the only code outside `graft.*`.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -7,6 +7,21 @@ import graft.SparkSpec
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native cosine expression is bit-identical to the fold formulation") {
+    val e = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 50)
+      .select(
+        VectorOps.cosine(col("a.v"), col("b.v")).as("native"),
+        VectorOps.cosineViaFold(col("a.v"), col("b.v")).as("fold"))
+    // bitwise equality, not approximate: both must run the same IEEE ops
+    val diff = pairs.filter(col("native") =!= col("fold")).count()
+    assert(diff == 0)
+    assert(pairs.count() > 100)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val d = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
