@@ -37,6 +37,9 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
+    "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
+    "q_tfidf" -> ((s, dir) => TextOps.tfIdf(s, dir)),
+    "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
@@ -76,6 +79,9 @@ object SparkEntry {
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
+    "q_top_tokens" -> TextOps.topTokensOracle,
+    "q_tfidf" -> TextOps.tfIdfOracle,
+    "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,

@@ -98,8 +98,11 @@ object DedupOps {
       .select("lang", "source", "id_a", "id_b", "jaccard"))
   }
 
-  val jaccardBlockedOracle: String =
-    s"""WITH d AS (
+  /** Shared CTE chain ending in `jpairs` — used by the jaccard oracle and
+    * the clustering oracle.
+    */
+  private val jaccardBlockedCte: String =
+    s"""d AS (
        |  SELECT doc_id, lang, source, $shinglesSql AS sh
        |  FROM (SELECT doc_id, lang, source,
        |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
@@ -109,10 +112,71 @@ object DedupOps {
        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS n_common,
        |         len(a.sh) AS na, len(b.sh) AS nb
        |  FROM d a JOIN d b
-       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-       |SELECT lang, source, id_a, id_b,
-       |       n_common / (na + nb - n_common) AS jaccard
-       |FROM p WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
+       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+       |jpairs AS (
+       |  SELECT lang, source, id_a, id_b,
+       |         n_common / (na + nb - n_common) AS jaccard
+       |  FROM p
+       |  WHERE n_common / (na + nb - n_common) >= $jaccardThreshold)""".stripMargin
+
+  val jaccardBlockedOracle: String =
+    s"""WITH $jaccardBlockedCte
+       |SELECT lang, source, id_a, id_b, jaccard FROM jpairs""".stripMargin
+
+  // ---- duplicate clustering -------------------------------------------
+
+  /** Connected components over the near-duplicate pair graph: every doc in
+    * a component labels itself with the component's min doc_id — the
+    * "keep one per duplicate cluster" step that follows pair detection in
+    * a corpus dedup pipeline.
+    *
+    * Implementation: iterative min-label propagation to a fixpoint. Each
+    * round is one keyed join + aggregate (both scale-out); rounds needed =
+    * graph diameter, and near-dup components are tiny cliques in practice
+    * (diameter ≤ 2–3). At pathological diameters the alternating
+    * large-star/small-star variant bounds rounds at O(log n); not needed
+    * for duplicate cliques. Oracle: recursive-CTE transitive closure.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = jaccardBlocked(spark, sfDir)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist()
+    // undirected edge list, both directions
+    val edges = pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist()
+    var labels = edges.select(col("id_a").as("id"))
+      .distinct().withColumn("label", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id"))
+        .agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    Canon.canonicalize(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+  }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $jaccardBlockedCte,
+       |edges AS (
+       |  SELECT id_a, id_b FROM jpairs
+       |  UNION ALL SELECT id_b, id_a FROM jpairs),
+       |reach(id, root) AS (
+       |  SELECT DISTINCT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.root FROM edges e JOIN reach r ON e.id_b = r.id)
+       |SELECT id AS doc_id, min(root) AS cluster_id
+       |FROM reach GROUP BY id""".stripMargin
 
   // ---- MinHash + LSH --------------------------------------------------
 

@@ -168,6 +168,102 @@ object TextOps {
        |       0.3 * (1.0 - n_punct / greatest(len_chars, 1.0)) AS quality_score
        |FROM f""".stripMargin
 
+  // ---- vocabulary statistics -----------------------------------------
+
+  val topTokensK = 10
+
+  /** Heavy hitters: top-K tokens per lang by DOCUMENT frequency. The
+    * shuffle is keyed on (lang, token) with map-side combine, so hot
+    * tokens cost one partial count per partition, not a skewed exchange —
+    * the canonical vocabulary-building pass.
+    */
+  def topTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(normText(col("text")), " ")).as("toks"))
+    val df = d.select(col("lang"), col("doc_id"),
+        explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("doc_freq").desc, col("token").asc)
+    Canon.canonicalize(df
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topTokensK)
+      .select("lang", "rank", "token", "doc_freq"))
+  }
+
+  val topTokensOracle: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT lang, doc_id, t.token
+       |  FROM documents,
+       |       unnest(string_split($normSql, ' ')) AS t(token)
+       |  WHERE t.token <> ''),
+       |freq AS (
+       |  SELECT lang, token, count(*) AS doc_freq
+       |  FROM toks GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY doc_freq DESC, token ASC) AS rank
+       |  FROM freq)
+       |SELECT lang, rank, token, doc_freq FROM ranked
+       |WHERE rank <= $topTokensK""".stripMargin
+
+  val tfIdfK = 5
+
+  /** Per-doc top-K tokens by tf·idf. idf is the RATIONAL surrogate
+    * (N+1)/(df+1) rather than its logarithm: ln() is not bit-reproducible
+    * across libm implementations, and ranking by tf·(N+1)/(df+1) orders
+    * within a document identically to tf·ln((N+1)/(df+1)) whenever idf>1
+    * comparisons agree — the monotone-transform trade that keeps the
+    * differential oracle exact.
+    */
+  def tfIdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        split(normText(col("text")), " ").as("toks"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist() // feeds df-count aggregation AND the scoring join
+    val docFreq = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val n = d.select(countDistinct("doc_id").as("n"))
+    val scored = tf.join(docFreq, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n") + 1).cast("double") /
+          (col("df") + 1).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    Canon.canonicalize(scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= tfIdfK)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf"))
+  }
+
+  val tfIdfOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t.token, count(*) AS tf
+       |  FROM documents,
+       |       unnest(string_split($normSql, ' ')) AS t(token)
+       |  WHERE t.token <> ''
+       |  GROUP BY 1, 2),
+       |docfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, docfreq.df,
+       |         CAST(tf.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)
+       |           / CAST(docfreq.df + 1 AS DOUBLE) AS tfidf
+       |  FROM tf JOIN docfreq USING (token) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY tfidf DESC, token ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, token, tf, df, tfidf FROM ranked
+       |WHERE rank <= $tfIdfK""".stripMargin
+
   // ---- language identification ---------------------------------------
 
   /** Marker words per language — high-frequency function words, the
