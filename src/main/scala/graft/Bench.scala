@@ -31,6 +31,9 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     val results = queries.map { case (name, fn) =>
+      // queries persist intermediate frames; drop them between runs so a
+      // query's timing never pays for (or benefits from) a sibling's cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -49,6 +49,7 @@ object SparkEntry {
     // event-stream aggregation (batch forms of the streaming transforms)
     "q_events_daily" -> ((s, dir) => EventOps.eventsDaily(s, dir)),
     "q_events_sessions" -> ((s, dir) => EventOps.eventsSessions(s, dir)),
+    "q_user_value_deltas" -> ((s, dir) => EventOps.userValueDeltas(s, dir)),
     // multimodal binary-column metadata
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.binaryMeta(s, dir)),
     // operator-family micro-queries (SURVEY §7.2.6)
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
+    "q_user_value_deltas" -> EventOps.userValueDeltasOracle,
     "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,
     "q_normalize_rename" -> MicroQueries.normalizeRenameOracle,

@@ -35,15 +35,23 @@ object DedupOps {
 
   val shingleLen = 5
 
-  /** Distinct character-k-gram set of the normalized text. */
-  def shingles(c: Column): Column = {
-    val norm = TextOps.normText(c)
+  /** Distinct character-k-gram set over an ALREADY-MATERIALIZED normalized
+    * text column. The input must be an attribute, not an expression: the
+    * per-position lambda references it once per shingle, and an inlined
+    * normalization expression (a regex) would re-execute per position —
+    * O(len²) regex work per document (measured 17s of a 20s pipeline).
+    */
+  def shinglesOfNorm(norm: Column): Column =
     when(length(norm) >= shingleLen,
       array_distinct(transform(
         sequence(lit(1), length(norm) - (shingleLen - 1)),
         i => norm.substr(i, lit(shingleLen)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over raw text — fine for specs/small frames; the
+    * pipelines materialize `norm` first (see shinglesOfNorm).
+    */
+  def shingles(c: Column): Column = shinglesOfNorm(TextOps.normText(c))
 
   private val shinglesSql =
     s"""list_distinct(list_transform(
@@ -59,6 +67,35 @@ object DedupOps {
     */
   def hashedShingles(c: Column): Column =
     transform(shingles(c), s => xxhash64(s))
+
+  def hashedShinglesOfNorm(norm: Column): Column =
+    transform(shinglesOfNorm(norm), s => xxhash64(s))
+
+  /** The codegen'd shingle pipeline: one row per DISTINCT (doc, 64-bit
+    * shingle hash), via explode(sequence) + substr + xxhash64 — every
+    * operator native, no higher-order lambdas. The array-returning forms
+    * above evaluate interpreted (lambda functions have no codegen) and
+    * measured ~17s of an ~20s pipeline at sf0.1; this table is the same
+    * information at full codegen speed, and it is already the shape the
+    * MinHash signature aggregation needs.
+    *
+    * Input: (doc_id, norm [, passthrough meta columns]).
+    */
+  def shingleTable(docs: DataFrame): DataFrame =
+    docs.filter(length(col("norm")) >= shingleLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          length(col("norm")) - (shingleLen - 1))).as("i"),
+        col("norm"))
+      .select(col("doc_id"),
+        xxhash64(col("norm").substr(col("i"), lit(shingleLen))).as("s"))
+      .distinct()
+
+  /** Per-doc hashed-shingle arrays from the exploded table (collect_list
+    * over the already-distinct table ≡ the hashedShingles set).
+    */
+  def shingleArrays(st: DataFrame): DataFrame =
+    st.groupBy("doc_id").agg(collect_list("s").as("sh"))
 
   private def pairJaccard(shA: Column, shB: Column): Column = {
     val common = size(array_intersect(shA, shB)).cast("double")
@@ -77,13 +114,13 @@ object DedupOps {
 
   /** Exact shingle-Jaccard ≥ threshold within (lang, source) blocks. */
   def jaccardBlocked(spark: SparkSession, sfDir: String): DataFrame = {
-    // repartition BEFORE shingling: the fixture file arrives as one split,
-    // and shingle hashing (higher-order lambdas, interpreted) is the
-    // compute-bound stage — spread it across all cores first.
-    val d = documents(spark, sfDir)
+    // repartition first (the fixture file arrives as one split), then the
+    // codegen'd shingle table → per-doc arrays + block metadata.
+    val docs = documents(spark, sfDir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        hashedShingles(col("text")).as("sh"))
+      .withColumn("norm", TextOps.normText(col("text")))
+    val d = shingleArrays(shingleTable(docs))
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .persist() // consumed by both join sides — shingle once, not twice
     val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
       col("sh").as("sh_a"))
@@ -130,17 +167,48 @@ object DedupOps {
     * "keep one per duplicate cluster" step that follows pair detection in
     * a corpus dedup pipeline.
     *
-    * Implementation: iterative min-label propagation to a fixpoint. Each
-    * round is one keyed join + aggregate (both scale-out); rounds needed =
-    * graph diameter, and near-dup components are tiny cliques in practice
-    * (diameter ≤ 2–3). At pathological diameters the alternating
-    * large-star/small-star variant bounds rounds at O(log n); not needed
-    * for duplicate cliques. Oracle: recursive-CTE transitive closure.
+    * Adaptive: near-dup edge lists are orders of magnitude smaller than
+    * the corpus (pairs already passed a high similarity bar), so below
+    * `driverThreshold` edges the component solve runs as union-find on the
+    * driver — one collect of the pair list, no iterative jobs. Above it,
+    * iterative distributed min-label propagation to a fixpoint: one keyed
+    * join + aggregate per round, rounds = graph diameter (near-dup
+    * components are tiny cliques, diameter ≤ 2–3; the alternating-star
+    * variant would bound pathological diameters at O(log n)).
+    * Oracle: recursive-CTE transitive closure.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    driverThreshold: Long = 1000000L): DataFrame = {
     val pairs = jaccardBlocked(spark, sfDir)
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist()
+    val result =
+      if (pairs.count() <= driverThreshold) unionFindLocal(spark, pairs)
+      else labelPropagation(pairs)
+    Canon.canonicalize(result)
+  }
+
+  private def unionFindLocal(spark: SparkSession,
+                             pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min wins
+    }
+    val ids = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    ids.map(id => (id, find(id))).toSeq.toDF("doc_id", "cluster_id")
+  }
+
+  private def labelPropagation(pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.union(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist()
@@ -162,8 +230,7 @@ object DedupOps {
       labels.unpersist()
       labels = next
     }
-    Canon.canonicalize(
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   val dedupClustersOracle: String =
@@ -195,19 +262,24 @@ object DedupOps {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, s => xxhash64(i, s))))
 
-  /** The same signatures via explode + 64 codegen'd MIN aggregates: shuffle
-    * carries only the 64 partial minima per doc (map-side combine), and the
-    * hash/min loop stays inside whole-stage codegen. Value-identical to
-    * `signature` (asserted in DedupOpsSpec).
+  /** The same signatures via 64 codegen'd MIN aggregates over the exploded
+    * (doc_id, s) shingle table: the shuffle carries only the 64 partial
+    * minima per doc (map-side combine), and the hash/min loop stays inside
+    * whole-stage codegen. Value-identical to `signature` (asserted in
+    * DedupOpsSpec).
     */
-  def signatures(shingled: DataFrame): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("s"))
+  def signaturesFromTable(st: DataFrame): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** Array-input convenience form (specs). */
+  def signatures(shingled: DataFrame): DataFrame =
+    signaturesFromTable(
+      shingled.select(col("doc_id"), explode(col("sh")).as("s")))
 
   /** LSH candidates (band-bucket collisions) verified by exact Jaccard.
     *
@@ -218,14 +290,13 @@ object DedupOps {
     * volume by bands × docs and dominated the first benchmark of this op.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // repartition first: signature evaluation (64 min-hash lambdas over
-    // every shingle) is the dominant compute and the source is one split.
-    val d = documents(spark, sfDir)
+    val docs = documents(spark, sfDir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist() // feeds banding + both candidate-attach joins
-    val sigs = signatures(d)
+      .withColumn("norm", TextOps.normText(col("text")))
+    val st = shingleTable(docs).persist() // feeds signatures AND arrays
+    val d = shingleArrays(st)
+      .persist() // both candidate-attach joins
+    val sigs = signaturesFromTable(st)
     // one row per (doc, band): bucket key hashes the band's signature slice
     val banded = sigs.select(
       col("doc_id"),

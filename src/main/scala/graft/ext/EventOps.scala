@@ -65,6 +65,29 @@ object EventOps {
       |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Per-user event deltas and activity quartiles: lag with default +
+    * ntile — the remaining analytic-window family (frame-free navigation
+    * functions), keyed per user so the window scales horizontally.
+    */
+  def userValueDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Canon.canonicalize(events(spark, sfDir)
+      .withColumn("prev_value", lag("value", 1, 0.0).over(w))
+      .withColumn("value_delta", col("value") - col("prev_value"))
+      .withColumn("quartile", ntile(4).over(w))
+      .select("user_id", "event_id", "value", "prev_value", "value_delta",
+        "quartile"))
+  }
+
+  val userValueDeltasOracle: String =
+    """SELECT user_id, event_id, value,
+      |       coalesce(lag(value) OVER w, 0.0) AS prev_value,
+      |       value - coalesce(lag(value) OVER w, 0.0) AS value_delta,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
   val sessionGap = "30 minutes"
 
   /** Per-user sessionization with a 30-minute inactivity gap, via Spark's
