@@ -156,17 +156,22 @@ object Ingestion {
     // synthetic lineitem), so feed synthesis keeps the deterministic first
     // record per id — a keyed shuffle, no global sort.
     val csvPath = workDir(sfDir, "sales/feed")
-    val entity = Retail.sales(spark, sfDir)
-    val wDedup = org.apache.spark.sql.expressions.Window
-      .partitionBy("SALE_ID")
-      .orderBy(entity.columns.filter(_ != "SALE_ID")
-        .toIndexedSeq.map(col(_).asc): _*)
-    entity
-      .withColumn("feed_rn", row_number().over(wDedup))
-      .filter(col("feed_rn") === 1).drop("feed_rn")
-      .select(salesCsvSchema.fields.toIndexedSeq.map(f =>
-        col(f.name.toUpperCase.replace(' ', '_')).as(f.name)): _*)
-      .write.mode("overwrite").option("header", true).csv(csvPath)
+    // Feed synthesis is test-input preparation, not the pipeline under
+    // measurement; it is deterministic per sfDir, so an existing feed is
+    // reused (delete target/ingest to regenerate).
+    if (!new File(s"$csvPath/_SUCCESS").exists()) {
+      val entity = Retail.sales(spark, sfDir)
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy("SALE_ID")
+        .orderBy(entity.columns.filter(_ != "SALE_ID")
+          .toIndexedSeq.map(col(_).asc): _*)
+      entity
+        .withColumn("feed_rn", row_number().over(wDedup))
+        .filter(col("feed_rn") === 1).drop("feed_rn")
+        .select(salesCsvSchema.fields.toIndexedSeq.map(f =>
+          col(f.name.toUpperCase.replace(' ', '_')).as(f.name)): _*)
+        .write.mode("overwrite").option("header", true).csv(csvPath)
+    }
     val extracted = Sources.csv(spark, csvPath, salesCsvSchema)
     conform(extracted, Map.empty,
       Seq("SALE_ID", "CUSTOMER_ID", "PRODUCT_ID", "SUPPLIER_ID", "SALE_DATE",

@@ -82,11 +82,19 @@ object EventStream {
       }
   }
 
-  /** Convenience: file-source stream over a fixture directory (used by the
-    * spec with a real `readStream`; swap for kafka in production).
+  /** Convenience: file-source stream over the events fixture (a real
+    * `readStream`; swap for kafka in production). Applies the same
+    * nanos→timestamp conversion as the batch reader so the two pipelines
+    * see identical schemas.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-source streams take a directory; the fixture is one file in the
+    // scale-factor dir, selected by glob
     spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .parquet(path)
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }

@@ -92,4 +92,24 @@ class EventStreamSpec extends SparkSpec {
   private implicit class MapOps[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
   }
+
+  test("file-source stream over the fixture equals the batch aggregation") {
+    import spark.implicits._
+    val q = EventStream
+      .dailyCounts(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("fixture_daily")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fixture_daily")
+        .groupBy("day_start", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+        .select("event_type", "n_events")
+        .as[(String, Long)].collect().groupMapReduce(_._1)(_._2)(_ + _)
+      val batch = graft.ext.EventOps.eventsDaily(spark, sfDir)
+        .select("event_type", "n_events")
+        .as[(String, Long)].collect().groupMapReduce(_._1)(_._2)(_ + _)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
