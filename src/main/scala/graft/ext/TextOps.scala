@@ -111,18 +111,40 @@ object TextOps {
 
   // ---- fingerprinting ------------------------------------------------
 
+  /** Polynomial rolling hash of a normalized-text column:
+    * h = fold(h·31 + codepoint) mod (2³¹−1). The per-character recurrence
+    * is the building block of rolling-window fingerprints (Rabin–Karp
+    * style); modulus and base chosen so every intermediate fits a 64-bit
+    * integer identically in both engines. ASCII-safe (the corpus is);
+    * codepoint semantics beyond ASCII differ per engine.
+    */
+  def rollingHash(norm: Column): Column =
+    aggregate(
+      // java-regex split("") keeps a trailing "" at limit -1; drop it
+      filter(split(norm, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % lit(2147483647L))
+
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
     Canon.canonicalize(d.select(
       col("doc_id"),
-      md5(normText(col("text"))).as("fp_md5"),
-      sha2(normText(col("text")), 256).as("fp_sha256")))
+      md5(col("norm")).as("fp_md5"),
+      sha2(col("norm"), 256).as("fp_sha256"),
+      rollingHash(col("norm")).as("fp_rolling")))
   }
 
   val fingerprintOracle: String =
-    s"""SELECT doc_id, md5($normSql) AS fp_md5,
-       |       sha256($normSql) AS fp_sha256
-       |FROM documents""".stripMargin
+    s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+       |SELECT doc_id, md5(norm) AS fp_md5,
+       |       sha256(norm) AS fp_sha256,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(norm, ''),
+       |                          ch -> CAST(ord(ch) AS BIGINT))),
+       |         (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_rolling
+       |FROM n""".stripMargin
 
   // ---- quality scoring -----------------------------------------------
 
