@@ -362,6 +362,27 @@ object DedupOps {
 
   val simhashMaxHamming = 8
 
+  /** Salt factor for skewed block self-joins. A block key with few
+    * distinct values (5 langs, 10 labels) caps join parallelism at that
+    * count and the largest block's quadratic work lands on ONE task. The
+    * standard fix: the left side gets a deterministic salt from its id,
+    * the right side is replicated across all salts, and the join keys on
+    * (block, salt) — each pair still matches exactly once (on the left
+    * row's salt), parallelism multiplies by `saltFactor`, and the
+    * replication cost is saltFactor × the narrow right side.
+    */
+  val saltFactor = 8
+
+  private[ext] def saltedBlockSelfJoin(left: DataFrame, right: DataFrame,
+                                       blockCol: String,
+                                       leftId: String): DataFrame = {
+    val salted = left.withColumn("salt",
+      pmod(xxhash64(col(leftId)), lit(saltFactor.toLong)))
+    val replicated = right.withColumn("salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    salted.join(replicated, Seq(blockCol, "salt")).drop("salt")
+  }
+
   /** Lang-blocked near-dup pairs at Hamming distance ≤ 8 of 64 bits. */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
@@ -375,11 +396,12 @@ object DedupOps {
       col("sig").as("sig_a"))
     val b = d.select(col("lang"), col("doc_id").as("id_b"),
       col("sig").as("sig_b"))
-    Canon.canonicalize(a.join(b, Seq("lang"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= simhashMaxHamming)
-      .select("lang", "id_a", "id_b", "hamming"))
+    Canon.canonicalize(
+      saltedBlockSelfJoin(a, b, "lang", "id_a")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= simhashMaxHamming)
+        .select("lang", "id_a", "id_b", "hamming"))
   }
 }

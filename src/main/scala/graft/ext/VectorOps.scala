@@ -111,18 +111,22 @@ object VectorOps {
 
   val nearDupThreshold = 0.4
 
-  /** Label-blocked embedding near-duplicate pairs (cos ≥ threshold). */
+  /** Label-blocked embedding near-duplicate pairs (cos ≥ threshold).
+    * The self-join is salted (DedupOps.saltedBlockSelfJoin): 10 labels
+    * would otherwise cap the quadratic scoring at 10 tasks.
+    */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .persist() // both self-join sides
     val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
-    Canon.canonicalize(a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= nearDupThreshold)
-      .select("label", "id_a", "id_b", "cos"))
+    Canon.canonicalize(
+      DedupOps.saltedBlockSelfJoin(a, b, "label", "id_a")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= nearDupThreshold)
+        .select("label", "id_a", "id_b", "cos"))
   }
 
   val embedNearDupOracle: String =
