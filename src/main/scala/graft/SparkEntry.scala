@@ -60,6 +60,7 @@ object SparkEntry {
     "q_inmemory_dim_join" -> ((s, dir) => MicroQueries.inMemoryDimJoin(s, dir)),
     "q_null_repair" -> ((s, dir) => MicroQueries.nullRepair(s, dir)),
     "q_date_and_round" -> ((s, dir) => MicroQueries.dateAndRound(s, dir)),
+    "q_topk_native" -> ((s, dir) => MicroQueries.topkNative(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_inmemory_dim_join" -> MicroQueries.inMemoryDimJoinOracle,
     "q_null_repair" -> MicroQueries.nullRepairOracle,
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
+    "q_topk_native" -> MicroQueries.topkNativeOracle,
     // q_minhash_lsh / q_simhash_neardup / q_ann_ivf: approximate operators
     // with no DuckDB-expressible twin (xxhash64 banding, IVF probing) —
     // deliberately omitted → driver records the weaker rows-only check;

@@ -132,6 +132,29 @@ object MicroQueries {
        |                     ELSE QUANTITY END, 0) AS DOUBLE) AS QUANTITY
        |FROM sales""".stripMargin
 
+  /** W2/W3-style top-k through the NATIVE TopKPerKey operator (custom
+    * logical node + strategy + bounded-heap exec — graft.plans): same
+    * result as `row_number().over(...) <= k` with no per-group sort.
+    */
+  def topkNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val sales = Retail.sales(spark, sfDir)
+      .select("CUSTOMER_ID", "SALE_ID", "QUANTITY")
+    Canon.canonicalize(graft.plans.TopK.perKey(sales,
+      Seq("CUSTOMER_ID"),
+      Seq("QUANTITY" -> graft.plans.TopK.Desc,
+        "SALE_ID" -> graft.plans.TopK.Asc), k = 3))
+  }
+
+  val topkNativeOracle: String =
+    s"""WITH ${Retail.sql.sales},
+       |ranked AS (
+       |  SELECT CUSTOMER_ID, SALE_ID, QUANTITY,
+       |         row_number() OVER (PARTITION BY CUSTOMER_ID
+       |           ORDER BY QUANTITY DESC, SALE_ID ASC) AS rn
+       |  FROM sales)
+       |SELECT CUSTOMER_ID, SALE_ID, CAST(QUANTITY AS DOUBLE) AS QUANTITY
+       |FROM ranked WHERE rn <= 3""".stripMargin
+
   /** §2.9 date/scalar family: date_sub/add_months-style derives pinned to
     * the asOf snapshot (reference customer_sales_report_task.py:91–97 uses
     * current_date; pinned for determinism per SURVEY §7.4.1), plus

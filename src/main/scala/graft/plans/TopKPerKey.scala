@@ -1,0 +1,128 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
+  UnaryExecNode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native per-key top-k: the whole-operator custom-plan path (SURVEY §7.3
+  * preference (c) — logical node + strategy + physical exec).
+  *
+  * Why: the composable form — `row_number().over(partitionBy(key)
+  * .orderBy(...)) <= k` — SORTS every partition's full group, O(n log n)
+  * per key, and materializes rank for rows that are immediately discarded.
+  * This operator keeps a bounded k-heap per key inside one pass over the
+  * keyed exchange: O(n log k), no sort, no rank column, ~k rows retained
+  * per key in memory instead of the group.
+  *
+  * Physical contract: requiredChildDistribution clusters by the key, so
+  * Catalyst inserts (or reuses) the hash exchange; within a partition a
+  * hash map of bounded heaps retains the top rows under the given
+  * ordering. Deterministic when the ordering is total (give a tie-break,
+  * as all query sites here do).
+  */
+case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+                      child: LogicalPlan) extends UnaryNode {
+  require(k > 0 && keys.nonEmpty)
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): TopKPerKey = copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, keys, order, child) =>
+      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
+                          order: Seq[SortOrder], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .create(sortOrder, childOutput)
+      // head of each heap = the WORST retained row (reverse ordering)
+      val heaps = mutable.HashMap.empty[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          new java.util.PriorityQueue[InternalRow](kk + 1,
+            ordering.reversed()))
+        if (heap.size < kk) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        val rows = new Array[InternalRow](h.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // best-first order
+        rows.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): TopKPerKeyExec = copy(child = newChild)
+}
+
+object TopK {
+
+  /** Sort direction for `perKey`'s ordering spec. */
+  sealed trait Dir
+  case object Asc extends Dir
+  case object Desc extends Dir
+
+  /** Top-k rows per key under the given ordering — the sort-free
+    * replacement for `row_number().over(...) <= k`. Key/order columns are
+    * resolved by name against the input's analyzed output (a hand-built
+    * logical node bypasses the Column-resolution path, so unresolved
+    * attributes must not reach it). Registers the planning strategy
+    * idempotently on the frame's session — works on vanilla sessions, no
+    * extensions config needed.
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String],
+             order: Seq[(String, Dir)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val child = ColumnBridge.logicalPlan(df)
+    def attr(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${child.output.map(_.name)}"))
+    val sortOrders = order.map { case (name, dir) =>
+      SortOrder(attr(name), dir match {
+        case Asc => org.apache.spark.sql.catalyst.expressions.Ascending
+        case Desc => org.apache.spark.sql.catalyst.expressions.Descending
+      })
+    }
+    ColumnBridge.ofRows(spark,
+      TopKPerKey(k, keyCols.map(attr), sortOrders, child))
+  }
+}

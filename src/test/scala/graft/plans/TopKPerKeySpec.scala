@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.retail.Retail
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native top-k equals window row_number <= k under a total order") {
+    val sales = Retail.sales(spark, sfDir)
+      .select("CUSTOMER_ID", "SALE_ID", "QUANTITY")
+    val viaWindow = sales
+      .withColumn("rn", row_number().over(Window.partitionBy("CUSTOMER_ID")
+        .orderBy(col("QUANTITY").desc, col("SALE_ID").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    val viaNative = TopK.perKey(sales,
+        Seq("CUSTOMER_ID"),
+        Seq("QUANTITY" -> TopK.Desc, "SALE_ID" -> TopK.Asc), k = 3)
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    assert(viaNative == viaWindow)
+  }
+
+  test("k larger than every group returns all rows") {
+    val sales = Retail.sales(spark, sfDir).select("CUSTOMER_ID", "SALE_ID")
+    val all = TopK.perKey(sales, Seq("CUSTOMER_ID"),
+      Seq("SALE_ID" -> TopK.Asc), k = 1000000)
+    assert(all.count() == sales.count())
+  }
+
+  test("plan contains the custom exec and a key exchange, no sort") {
+    val sales = Retail.sales(spark, sfDir)
+      .select("CUSTOMER_ID", "SALE_ID", "QUANTITY")
+    val df = TopK.perKey(sales, Seq("CUSTOMER_ID"),
+      Seq("QUANTITY" -> TopK.Desc, "SALE_ID" -> TopK.Asc), k = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(1500))
+    assert(!plan.contains("Sort "), s"unexpected sort:\n${plan.take(1500)}")
+  }
+}
