@@ -81,6 +81,7 @@ object SparkEntry {
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
+    "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
@@ -98,9 +99,8 @@ object SparkEntry {
     "q_null_repair" -> MicroQueries.nullRepairOracle,
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     "q_topk_native" -> MicroQueries.topkNativeOracle,
-    // q_minhash_lsh / q_simhash_neardup / q_ann_ivf: approximate operators
-    // with no DuckDB-expressible twin (xxhash64 banding, IVF probing) —
-    // deliberately omitted → driver records the weaker rows-only check;
-    // behavior pinned in DedupOpsSpec / VectorOpsSpec instead.
+    // q_simhash_neardup / q_ann_ivf: oracles pending the DuckDB-twin hash
+    // rework (in progress this round); behavior pinned in DedupOpsSpec /
+    // VectorOpsSpec meanwhile.
   )
 }

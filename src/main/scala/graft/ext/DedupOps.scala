@@ -21,12 +21,27 @@ import graft.ops.Canon
   *    pairs arise only inside equal band-buckets (shuffle keyed on
   *    (band, bucket)), then exact Jaccard verifies the candidates. With
   *    64 hashes in 16 bands of 4 rows the s-curve crosses ~50% candidate
-  *    probability near J ≈ 0.5. Approximate recall → no SQL oracle
-  *    (rows-only check); DedupOpsSpec pins candidate/verify behavior.
+  *    probability near J ≈ 0.5. The whole pipeline is built on the
+  *    arithmetic hash family below — deterministic integer arithmetic that
+  *    DuckDB reproduces exactly — so the LSH output, though approximate as
+  *    a RECALL statement, is a deterministic function of the input with a
+  *    full SQL oracle (`minhashLshOracle`).
   *  - `simhashNearDup` reduces every doc to a 64-bit signature; near-dups
   *    are pairs at small Hamming distance (bit_count(xor)). Blocked by
   *    lang here; at corpus scale the standard trick is sorting by rotated
-  *    signatures. xxhash64 has no DuckDB twin → rows-only + spec.
+  *    signatures.
+  *
+  * Hash family: every hash is integer arithmetic mod P = 2³¹−1 (prime).
+  *  - shingle/token hash: polynomial fold  h = Σ c_j·31^j mod P  over
+  *    codepoints (unrolled per-char substr/ascii — fully codegen'd);
+  *  - MinHash family:     h_i(x) = (a_i·x + b_i) mod P  (universal affine
+  *    family; a_i, b_i derived from fixed public mixing constants);
+  *  - band buckets:       polynomial combine of the band's signature
+  *    slice, seeded with the band index.
+  * All intermediates stay below 2⁶² so 64-bit arithmetic is exact and
+  * IDENTICAL in Spark and DuckDB — that twin-executability is why this
+  * family replaces xxhash64 (same collision quality class for dedup
+  * purposes, but DuckDB has no xxhash64).
   */
 object DedupOps {
 
@@ -60,24 +75,76 @@ object DedupOps {
 
   val jaccardThreshold = 0.3
 
-  /** Shingle set hashed to 64-bit longs: set-intersection CARDINALITY is
-    * preserved (injective up to 64-bit collisions, ~1e-14 per pair) while
-    * the per-pair intersect runs over longs instead of short strings —
-    * roughly an order of magnitude cheaper in the quadratic hot loop.
+  // ---- the DuckDB-twin arithmetic hash family -------------------------
+
+  /** 2³¹−1, prime. All hashes in this file are mod P. */
+  val P = 2147483647L
+
+  /** Affine MinHash family constants, derived from two public mixing
+    * primes (Knuth's 2654435761, xxHash's 2246822519) — fixed, seedless,
+    * distinct and nonzero for all 64 rows because P is prime.
+    */
+  private[ext] def aCoef(i: Int): Long = {
+    val a = ((i + 1) * 2654435761L) % P; if (a == 0L) 1L else a
+  }
+  private[ext] def bCoef(i: Int): Long = ((i + 1) * 2246822519L) % P
+
+  /** Variable-length polynomial string hash (interpreted lambda fold —
+    * spec/reference use only; hot paths use the unrolled forms below).
+    */
+  private[ext] def polyHash(s: Column, base: Int): Column =
+    aggregate(filter(split(s, ""), ch => ch =!= ""), lit(0L),
+      (acc, ch) => (acc * base + ascii(ch)) % P)
+
+  /** 62-bit string hash: two independent polynomial folds (base 31 / 37)
+    * packed as h31·2³¹ + h37. 31 bits alone would collide at ~|set|²/P per
+    * pair — visible against the STRING-set jaccard oracle; 62 bits puts
+    * collisions back at the xxhash64-negligible level while staying exact
+    * 64-bit arithmetic in both engines.
+    */
+  private[ext] def polyHash62(s: Column): Column =
+    polyHash(s, 31) * lit(1L << 31) + polyHash(s, 37)
+
+  /** Unrolled 62-bit hash of the `shingleLen` chars of `norm` starting at
+    * 1-based position `pos`: substr/ascii/arithmetic only — codegen'd.
+    */
+  private def shingleHashAt(norm: Column, pos: Column): Column = {
+    def fold(base: Int): Column =
+      (0 until shingleLen).foldLeft(lit(0L): Column) { (acc, j) =>
+        (acc * base + ascii(norm.substr(pos + lit(j), lit(1)))) % P
+      }
+    fold(31) * lit(1L << 31) + fold(37)
+  }
+
+  /** The identical computation in DuckDB SQL (generated from the same
+    * constants — the twin-ness is by construction, not by transcription).
+    */
+  private def shingleHashSql(norm: String, pos: String): String = {
+    def fold(base: Int): String =
+      (0 until shingleLen).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"(($acc * $base + ord(substr($norm, $pos + $j, 1))) % $P)"
+      }
+    s"(${fold(31)} * ${1L << 31} + ${fold(37)})"
+  }
+
+  /** Shingle set hashed to 62-bit longs: set-intersection CARDINALITY is
+    * preserved (collisions ~1e-12 per pair) while the per-pair intersect
+    * runs over longs instead of short strings — roughly an order of
+    * magnitude cheaper in the quadratic hot loop.
     */
   def hashedShingles(c: Column): Column =
-    transform(shingles(c), s => xxhash64(s))
+    transform(shingles(c), s => polyHash62(s))
 
   def hashedShinglesOfNorm(norm: Column): Column =
-    transform(shinglesOfNorm(norm), s => xxhash64(s))
+    transform(shinglesOfNorm(norm), s => polyHash62(s))
 
-  /** The codegen'd shingle pipeline: one row per DISTINCT (doc, 64-bit
-    * shingle hash), via explode(sequence) + substr + xxhash64 — every
-    * operator native, no higher-order lambdas. The array-returning forms
-    * above evaluate interpreted (lambda functions have no codegen) and
-    * measured ~17s of an ~20s pipeline at sf0.1; this table is the same
-    * information at full codegen speed, and it is already the shape the
-    * MinHash signature aggregation needs.
+  /** The codegen'd shingle pipeline: one row per DISTINCT (doc, shingle
+    * hash), via explode(sequence) + per-char substr/ascii arithmetic —
+    * every operator native, no higher-order lambdas. The array-returning
+    * forms above evaluate interpreted (lambda functions have no codegen)
+    * and measured ~17s of an ~20s pipeline at sf0.1; this table is the
+    * same information at full codegen speed, and it is already the shape
+    * the MinHash signature aggregation needs.
     *
     * Input: (doc_id, norm [, passthrough meta columns]).
     */
@@ -88,7 +155,7 @@ object DedupOps {
           length(col("norm")) - (shingleLen - 1))).as("i"),
         col("norm"))
       .select(col("doc_id"),
-        xxhash64(col("norm").substr(col("i"), lit(shingleLen))).as("s"))
+        shingleHashAt(col("norm"), col("i")).as("s"))
       .distinct()
 
   /** Per-doc hashed-shingle arrays from the exploded table (collect_list
@@ -252,15 +319,26 @@ object DedupOps {
   val rowsPerBand: Int = numHashes / numBands
   val maxBucketSize = 64
 
-  /** 64-hash MinHash signature as a column expression: h_i(s) =
-    * xxhash64(i, s); sig_i = min over the shingle set. Reference semantics
-    * for specs; the pipeline uses `signatures` below — higher-order
-    * lambdas run interpreted, and 64 × |shingles| interpreted evals per
-    * doc dominated the first benchmark of this op.
+  /** The affine row hash h_i(x) = (a_i·(s mod P) + b_i) mod P. `s` is the
+    * 62-bit shingle hash; the mod-P reduction keeps a_i·x below 2⁶²
+    * (and since 2³¹ ≡ 1 mod P, it folds the two polynomial halves as
+    * h31 + h37 — still a well-mixed 31-bit value).
+    */
+  private def rowHash(i: Int, s: Column): Column =
+    ((s % P) * aCoef(i) + bCoef(i)) % P
+
+  private def rowHashSql(i: Int, s: String): String =
+    s"((($s % $P) * ${aCoef(i)} + ${bCoef(i)}) % $P)"
+
+  /** 64-hash MinHash signature as a column expression: sig_i = min of
+    * h_i over the shingle set. Reference semantics for specs; the
+    * pipeline uses `signaturesFromTable` below — higher-order lambdas run
+    * interpreted, and 64 × |shingles| interpreted evals per doc dominated
+    * the first benchmark of this op.
     */
   def signature(sh: Column): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => rowHash(i, s)))): _*)
 
   /** The same signatures via 64 codegen'd MIN aggregates over the exploded
     * (doc_id, s) shingle table: the shuffle carries only the 64 partial
@@ -270,7 +348,7 @@ object DedupOps {
     */
   def signaturesFromTable(st: DataFrame): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      min(rowHash(i, col("s"))).as(s"h$i"))
     st.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -280,6 +358,25 @@ object DedupOps {
   def signatures(shingled: DataFrame): DataFrame =
     signaturesFromTable(
       shingled.select(col("doc_id"), explode(col("sh")).as("s")))
+
+  /** Polynomial combine of a band's signature slice into one bucket key,
+    * seeded with the band index. Bucket collisions across distinct slices
+    * are possible (~2⁻³¹) but harmless: they only ADD candidate pairs,
+    * every candidate is exact-verified, and the oracle reproduces the
+    * identical collisions.
+    */
+  private val bandMix = 1000003L
+
+  private def bucketExpr(sig: Column, band: Column): Column =
+    (0 until rowsPerBand).foldLeft(band.cast("long")) { (acc, j) =>
+      (acc * bandMix +
+        element_at(sig, band * lit(rowsPerBand) + lit(j + 1))) % P
+    }
+
+  private def bucketSql(band: Int): String =
+    (0 until rowsPerBand).foldLeft(s"CAST($band AS BIGINT)") { (acc, j) =>
+      s"(($acc * $bandMix + h${band * rowsPerBand + j}) % $P)"
+    }
 
   /** LSH candidates (band-bucket collisions) verified by exact Jaccard.
     *
@@ -303,9 +400,7 @@ object DedupOps {
       explode(sequence(lit(0), lit(numBands - 1))).as("band"),
       col("sig"))
       .select(col("doc_id"), col("band"),
-        xxhash64(col("band"),
-          slice(col("sig"), col("band") * lit(rowsPerBand) + lit(1),
-            lit(rowsPerBand))).as("bucket"))
+        bucketExpr(col("sig"), col("band")).as("bucket"))
       .persist() // fan-out: bucket-size filter + both self-join sides
       // (without these persists the 64-hash signature lambda — the
       // dominant cost — re-evaluates once per consuming subtree)
@@ -332,6 +427,54 @@ object DedupOps {
       .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard"))
+  }
+
+  /** Full DuckDB oracle for `minhashLsh`: the ENTIRE pipeline — shingle
+    * hashing, 64 affine minima, banding, the mega-bucket cap, candidate
+    * self-join, and exact-Jaccard verification — re-expressed in SQL,
+    * generated from the same constants as the Spark plan. The operator is
+    * approximate only as a recall statement; as a function of the input it
+    * is deterministic, so the driver can hash-compare it like any exact
+    * query.
+    */
+  val minhashLshOracle: String = {
+    val minAggs = (0 until numHashes)
+      .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
+    val bandedUnion = (0 until numBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bucketSql(b)} AS bucket FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH nd AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |d AS (SELECT doc_id, norm FROM nd WHERE length(norm) >= $shingleLen),
+       |st AS (
+       |  SELECT DISTINCT doc_id, ${shingleHashSql("norm", "i")} AS s
+       |  FROM d, UNNEST(range(1, length(norm) - ${shingleLen - 2})) AS t(i)),
+       |sh AS (SELECT doc_id, list(s) AS sh FROM st GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, $minAggs
+       |  FROM st GROUP BY doc_id),
+       |banded AS (
+       |  $bandedUnion),
+       |kept AS (
+       |  SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  HAVING count(*) <= $maxBucketSize),
+       |kb AS (SELECT b.doc_id, b.band, b.bucket
+       |       FROM banded b JOIN kept k
+       |         ON b.band = k.band AND b.bucket = k.bucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM kb x JOIN kb y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |       AND x.doc_id < y.doc_id),
+       |ws AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
+       |         len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
+       |              JOIN sh sb ON c.id_b = sb.doc_id)
+       |SELECT id_a, id_b, n_common / (na + nb - n_common) AS jaccard
+       |FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
   }
 
   // ---- SimHash --------------------------------------------------------

@@ -19,7 +19,7 @@ class DedupOpsSpec extends SparkSpec {
     val d = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog",
       "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss").toDF("text")
-      .select(DedupOps.signature(DedupOps.shingles(col("text"))).as("sig"))
+      .select(DedupOps.signature(DedupOps.hashedShingles(col("text"))).as("sig"))
       .as[Seq[Long]].collect()
     assert(d(0) == d(1))
     assert(d(0) != d(2))
