@@ -46,6 +46,9 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
+    // full-probe twin: provably ≡ brute force → shares the exact oracle
+    "q_ann_ivf_fullprobe" ->
+      ((s, dir) => VectorOps.annIvf(s, dir, nprobe = VectorOps.ivfCentroids)),
     // event-stream aggregation (batch forms of the streaming transforms)
     "q_events_daily" -> ((s, dir) => EventOps.eventsDaily(s, dir)),
     "q_events_sessions" -> ((s, dir) => EventOps.eventsSessions(s, dir)),
@@ -82,10 +85,12 @@ object SparkEntry {
     "q_lang_id" -> TextOps.langIdOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
+    "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
+    "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
@@ -99,8 +104,8 @@ object SparkEntry {
     "q_null_repair" -> MicroQueries.nullRepairOracle,
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     "q_topk_native" -> MicroQueries.topkNativeOracle,
-    // q_simhash_neardup / q_ann_ivf: oracles pending the DuckDB-twin hash
-    // rework (in progress this round); behavior pinned in DedupOpsSpec /
-    // VectorOpsSpec meanwhile.
+    // q_ann_ivf: nprobe < C recall is data-dependent — the exactness story
+    // is its full-probe twin q_ann_ivf_fullprobe (== brute force, oracle
+    // below) plus the recall spec in VectorOpsSpec.
   )
 }

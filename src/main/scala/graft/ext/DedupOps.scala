@@ -479,6 +479,28 @@ object DedupOps {
 
   // ---- SimHash --------------------------------------------------------
 
+  /** The 62-bit token hash of the twin family as a composed-builtins
+    * column (interpreted — reference/spec use only; the pipeline uses the
+    * native [[graft.functions.SimHash64]] expression, asserted
+    * bit-identical in DedupOpsSpec).
+    */
+  private[ext] def tokenHash62(t: Column): Column = {
+    import graft.functions.{SimHash64 => SH}
+    ((polyHash(t, 31) * SH.A31 + SH.B31) % P) * lit(1L << 31) +
+      ((polyHash(t, 37) * SH.A37 + SH.B37) % P)
+  }
+
+  private def tokenHash62Sql(tok: String): String = {
+    import graft.functions.{SimHash64 => SH}
+    def fold(base: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(string_split($tok, ''), c -> c <> ''),
+         |                     c -> CAST(ord(c) AS BIGINT))),
+         |    (acc, c) -> (acc * $base + c) % $P)""".stripMargin
+    s"""((${SH.A31} * ${fold(31)} + ${SH.B31}) % $P) * ${1L << 31}
+       | + ((${SH.A37} * ${fold(37)} + ${SH.B37}) % $P)""".stripMargin
+  }
+
   /** Per-bit (+1 / −1) vote totals over token hashes: one fold over the
     * token array with a 64-counter array accumulator (bit masks are Scala
     * literals — `shiftright` takes only literal shift amounts).
@@ -488,7 +510,7 @@ object DedupOps {
       tokens,
       array_repeat(lit(0L), 64),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h = tokenHash62(t)
         val bits = array((0 until 64).map(i =>
           when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
             .otherwise(lit(-1L))): _*)
@@ -526,14 +548,17 @@ object DedupOps {
     salted.join(replicated, Seq(blockCol, "salt")).drop("salt")
   }
 
-  /** Lang-blocked near-dup pairs at Hamming distance ≤ 8 of 64 bits. */
+  /** Lang-blocked near-dup pairs at Hamming distance ≤ 8 of 64 bits.
+    * Signatures come from the native fused-loop [[graft.functions
+    * .SimHash64]] expression (the interpreted vote fold above was this
+    * query's per-doc hot loop).
+    */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
-      .repartition(col("doc_id")) // one-split source; vote fold is the cost
+      .repartition(col("doc_id")) // one-split source; signature is the cost
       .withColumn("norm", TextOps.normText(col("text")))
-      .withColumn("votes", simhashVotes(split(col("norm"), " ")))
       .select(col("doc_id"), col("lang"),
-        simhashFromVotes(col("votes")).as("sig"))
+        graft.functions.SimHash64(split(col("norm"), " ")).as("sig"))
       .persist() // both self-join sides
     val a = d.select(col("lang"), col("doc_id").as("id_a"),
       col("sig").as("sig_a"))
@@ -547,4 +572,38 @@ object DedupOps {
         .filter(col("hamming") <= simhashMaxHamming)
         .select("lang", "id_a", "id_b", "hamming"))
   }
+
+  /** Full DuckDB oracle for `simhashNearDup`: token hashing, the 64-bit
+    * vote/signature construction, and the Hamming pair filter re-expressed
+    * in SQL over the same twin hash family. Like the LSH oracle, generated
+    * from the same constants as the Spark plan.
+    */
+  val simhashNearDupOracle: String =
+    s"""WITH nd AS (
+       |  SELECT doc_id, lang,
+       |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS tok
+       |  FROM nd),
+       |th AS (
+       |  SELECT doc_id, lang, ${tokenHash62Sql("tok")} AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, lang, i,
+       |         sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1
+       |                  THEN 1 ELSE -1 END) AS v
+       |  FROM th, UNNEST(range(0, 64)) AS t(i)
+       |  GROUP BY doc_id, lang, i),
+       |sigs AS (
+       |  SELECT doc_id, lang,
+       |         sum(CASE WHEN v > 0
+       |                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+       |                  ELSE 0 END) AS sig
+       |  FROM votes GROUP BY doc_id, lang)
+       |SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b
+       |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
 }

@@ -57,6 +57,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native simhash64 expression is bit-identical to the composed fold") {
+    val df = Seq("the quick brown fox", "pack my box with five dozen jugs",
+      "a", "", "alpha beta gamma delta epsilon zeta")
+      .toDF("text").withColumn("toks", split(col("text"), " "))
+    val native = df.select(graft.functions.SimHash64(col("toks")).as("sig"))
+      .as[Long].collect().toSeq
+    val composed = df
+      .withColumn("votes", DedupOps.simhashVotes(col("toks")))
+      .select(DedupOps.simhashFromVotes(col("votes")).as("sig"))
+      .as[Long].collect().toSeq
+    assert(native == composed)
+  }
+
   test("simhash: identical token streams at distance 0, perturbed nearby") {
     val sigs = Seq(
       "alpha beta gamma delta epsilon zeta eta theta",
