@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
 import graft.ops.Canon
@@ -142,19 +143,70 @@ object VectorOps {
        |WHERE cos >= $nearDupThreshold""".stripMargin
 
   val ivfCentroids = 16
+  val ivfIters = 3
+
+  /** Trained coarse-quantizer centroids: deterministic spherical k-means.
+    * Seed = the first `c` vectors by vec_id (seedless, reproducible), then
+    * `iters` Lloyd rounds: assign every vector to its nearest centroid by
+    * cosine, recompute each centroid as the element-wise mean of its
+    * members. The mean is summed through DECIMAL so the result is
+    * independent of partial-aggregation order — bit-reproducible across
+    * runs and cluster layouts (double sums are not). Empty clusters keep
+    * their previous centroid.
+    *
+    * The per-round collect is C rows (16 × dim doubles) — the standard
+    * k-means driver sync point, NOT a driver-side compute loop: at 100 TB
+    * the assignment/mean passes stay fully distributed and only the tiny
+    * centroid table round-trips.
+    */
+  private[ext] def trainedCentroids(e: DataFrame, c: Int = ivfCentroids,
+                                    iters: Int = ivfIters): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    var round = 0
+    while (round < iters) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("cv"), col("v")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("cent_id"), col("v"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("x").cast(DecimalType(30, 15))) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean_v"))
+      val next = cents.select(col("cent_id"), col("cv").as("prev"))
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("mean_v"), col("prev")).as("cv"))
+      val rows = next.as[(Long, Seq[Double])].collect().sortBy(_._1)
+      cents = spark.createDataset(rows).toDF("cent_id", "cv")
+      round += 1
+    }
+    cents
+  }
 
   /** IVF-style ANN: bucket every vector under its nearest coarse centroid
-    * (deterministic centroid seed: the first `ivfCentroids` vectors), then
-    * search only the `nprobe` buckets nearest each probe. Approximate →
-    * no SQL oracle (driver does the rows-only check); VectorOpsSpec proves
-    * nprobe == ivfCentroids reproduces exact brute force.
+    * (k-means-trained, see `trainedCentroids`), then search only the
+    * `nprobe` buckets nearest each probe. nprobe < C recall is
+    * data-dependent → the driver-visible exactness story is the
+    * `q_ann_ivf_fullprobe` twin (nprobe == C ≡ brute force, proved in
+    * VectorOpsSpec and hash-checked against the brute-force oracle) plus
+    * a recall@k floor asserted in VectorOpsSpec.
     */
   def annIvf(spark: SparkSession, sfDir: String, nprobe: Int = 4): DataFrame = {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .persist() // assignment pass + probe set + centroid seed
-    val centroids = e.filter(col("vec_id") < ivfCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .persist() // assignment pass + probe set + centroid training
+    val centroids = trainedCentroids(e)
 
     // one O(N·C) assignment pass — centroids broadcast
     val wAssign = Window.partitionBy("vec_id")

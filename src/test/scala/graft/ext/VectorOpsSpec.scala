@@ -43,6 +43,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(fullProbe == exact)
   }
 
+  test("trained IVF recall@10 floors: 0.84 at nprobe=4, 0.9 at nprobe=8") {
+    // The fixture embeddings are ISOTROPIC random vectors (within-label
+    // mean cosine ≈ cross-label ≈ 0): there is no cluster structure for
+    // k-means to exploit, so nprobe=4/16 recall plateaus near 0.87 for ANY
+    // coarse quantizer (verified against an independent numpy model of the
+    // same algorithm — Spark matches it exactly). The floors assert the
+    // trained quantizer stays on that curve; on clustered real data the
+    // same code recalls higher, and exactness is separately pinned by the
+    // full-probe ≡ brute-force equivalence below.
+    val exact = VectorOps.cosineTopK(spark, sfDir)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    for ((nprobe, floor) <- Seq(4 -> 0.84, 8 -> 0.9)) {
+      val approx = VectorOps.annIvf(spark, sfDir, nprobe = nprobe)
+        .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+      val recall = approx.intersect(exact).size.toDouble / exact.size
+      info(f"recall@${VectorOps.topK} nprobe=$nprobe = $recall%.3f")
+      assert(recall >= floor, f"recall@10 $recall%.3f below $floor at nprobe=$nprobe")
+    }
+  }
+
+  test("k-means training is deterministic across invocations") {
+    val e = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
+    val c1 = VectorOps.trainedCentroids(e)
+      .as[(Long, Seq[Double])].collect().toMap
+    val c2 = VectorOps.trainedCentroids(e)
+      .as[(Long, Seq[Double])].collect().toMap
+    e.unpersist()
+    assert(c1 == c2) // bit-exact: decimal sums are order-free
+  }
+
   test("IVF with partial probing returns well-formed per-probe top-k") {
     val r = VectorOps.annIvf(spark, sfDir, nprobe = 4)
     val counts = r.groupBy("probe_id").count().as[(Long, Long)].collect()
