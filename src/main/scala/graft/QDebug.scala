@@ -2,9 +2,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratch main for stage-level timing experiments. Not part of the
-  * driver contract.
-  */
 object QDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -19,40 +16,42 @@ object QDebug {
       val t0 = System.nanoTime(); val r = f
       println(f"STAGE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-
-    val d = graft.io.Tables.load(spark, sfDir, "documents")
+    t("warmup: count lineitem") {
+      graft.io.Tables.load(spark, sfDir, "lineitem").count()
+    }
+    // inline decomposition of minhashLsh
+    val docs = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .withColumn("norm", graft.ext.TextOps.normText(col("text")))
-      .select(col("doc_id"), hashedShinglesOfNorm(col("norm")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    t("shingle")(d.count())
-    val sigs = signatures(d).persist()
-    t("signatures")(sigs.count())
+    val d = shingleSets(docs).persist()
+    t("sets") { println("  " + d.count()) }
+    val sigs = signaturesFromTable(shingleTable(d))
     val banded = sigs.select(col("doc_id"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
-        xxhash64(col("band"),
-          slice(col("sig"), col("band") * lit(rowsPerBand) + lit(1),
-            lit(rowsPerBand))).as("bucket"))
-      .persist()
-    t("banding")(banded.count())
+        (0 until rowsPerBand).foldLeft(col("band").cast("long")) { (acc, j) =>
+          (acc * 1000003L + element_at(col("sig"),
+            col("band") * lit(rowsPerBand) + lit(j + 1))) % 2147483647L
+        }.as("bucket")).persist()
+    t("banded") { println("  " + banded.count()) }
     val keptBuckets = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
       .select("band", "bucket")
-    val kept = banded.join(keptBuckets, Seq("band", "bucket")).persist()
-    t("bucket-cap")(kept.count())
+    val kept = banded.join(keptBuckets, Seq("band", "bucket"))
     val candidates = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct().persist()
-    t("candidates")(println("  n=" + candidates.count()))
+      .distinct()
+    t("candidates") { println("  " + candidates.count()) }
     val withSets = candidates
       .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    t("verify")(println("  out=" + withSets
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) > 0).count()))
+    t("verify+jaccard") {
+      println("  " + withSets
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b"))) > 0.2).count())
+    }
     spark.stop()
   }
 }

@@ -105,19 +105,9 @@ object DedupOps {
   private[ext] def polyHash62(s: Column): Column =
     polyHash(s, 31) * lit(1L << 31) + polyHash(s, 37)
 
-  /** Unrolled 62-bit hash of the `shingleLen` chars of `norm` starting at
-    * 1-based position `pos`: substr/ascii/arithmetic only — codegen'd.
-    */
-  private def shingleHashAt(norm: Column, pos: Column): Column = {
-    def fold(base: Int): Column =
-      (0 until shingleLen).foldLeft(lit(0L): Column) { (acc, j) =>
-        (acc * base + ascii(norm.substr(pos + lit(j), lit(1)))) % P
-      }
-    fold(31) * lit(1L << 31) + fold(37)
-  }
-
   /** The identical computation in DuckDB SQL (generated from the same
-    * constants — the twin-ness is by construction, not by transcription).
+    * constants as [[graft.functions.ShingleHashes]] — the twin-ness is by
+    * construction, not by transcription).
     */
   private def shingleHashSql(norm: String, pos: String): String = {
     def fold(base: Int): String =
@@ -138,31 +128,30 @@ object DedupOps {
   def hashedShinglesOfNorm(norm: Column): Column =
     transform(shinglesOfNorm(norm), s => polyHash62(s))
 
-  /** The codegen'd shingle pipeline: one row per DISTINCT (doc, shingle
-    * hash), via explode(sequence) + per-char substr/ascii arithmetic —
-    * every operator native, no higher-order lambdas. The array-returning
-    * forms above evaluate interpreted (lambda functions have no codegen)
-    * and measured ~17s of an ~20s pipeline at sf0.1; this table is the
-    * same information at full codegen speed, and it is already the shape
-    * the MinHash signature aggregation needs.
+  /** Per-doc DISTINCT hashed-shingle set as an array column, one
+    * projection with ZERO shuffles: the native single-pass
+    * [[graft.functions.ShingleHashes]] expression hashes every window and
+    * dedups in place. Two prior formulations were each substantially
+    * slower and are kept only as documented history: interpreted array
+    * lambdas (~17 s of a ~20 s pipeline at sf0.1), then per-position
+    * substr/ascii arithmetic whose substring walks are O(len²) per doc
+    * and whose explode → distinct → collect_list round-trip cost two
+    * full exchanges of the window table.
     *
-    * Input: (doc_id, norm [, passthrough meta columns]).
+    * Input: (doc_id, norm, meta...); output keeps the named meta columns.
     */
-  def shingleTable(docs: DataFrame): DataFrame =
+  def shingleSets(docs: DataFrame, meta: Seq[String] = Nil): DataFrame =
     docs.filter(length(col("norm")) >= shingleLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(1),
-          length(col("norm")) - (shingleLen - 1))).as("i"),
-        col("norm"))
-      .select(col("doc_id"),
-        shingleHashAt(col("norm"), col("i")).as("s"))
-      .distinct()
+      .select(col("doc_id") +: meta.map(col) :+
+        graft.functions.ShingleHashes(col("norm"), shingleLen,
+          distinct = true).as("sh"): _*)
 
-  /** Per-doc hashed-shingle arrays from the exploded table (collect_list
-    * over the already-distinct table ≡ the hashedShingles set).
+  /** The exploded (doc_id, s) form — the shape the MinHash signature
+    * aggregation consumes. Derive it from a persisted `shingleSets` frame
+    * so the hashing runs once.
     */
-  def shingleArrays(st: DataFrame): DataFrame =
-    st.groupBy("doc_id").agg(collect_list("s").as("sh"))
+  def shingleTable(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("sh")).as("s"))
 
   private def pairJaccard(shA: Column, shB: Column): Column = {
     val common = size(array_intersect(shA, shB)).cast("double")
@@ -174,30 +163,44 @@ object DedupOps {
     * the bound are skipped before the expensive intersection — EXACT (no
     * false negatives), so the oracle needs no mirror of this filter.
     */
-  private def sizeRatioAtLeast(shA: Column, shB: Column,
+  private def sizeRatioAtLeast(nA: Column, nB: Column,
                                t: Double): Column =
-    least(size(shA), size(shB)).cast("double") /
-      greatest(size(shA), size(shB)).cast("double") >= t
+    least(nA, nB).cast("double") / greatest(nA, nB).cast("double") >= t
 
-  /** Exact shingle-Jaccard ≥ threshold within (lang, source) blocks. */
+  /** Exact shingle-Jaccard ≥ threshold within (lang, source) blocks.
+    *
+    * Scale shape: the quadratic pair join runs over NARROW rows
+    * (block key, id, shingle-count) through `saltedBlockSelfJoin` — few
+    * distinct (lang, source) blocks would otherwise cap parallelism at
+    * the block count with the largest block's pair work on one task. The
+    * size-ratio bound prunes on the narrow rows; only surviving pairs get
+    * their shingle arrays attached (two hash joins keyed on id — the same
+    * attach-late trick as minhashLsh) for the exact intersection.
+    */
   def jaccardBlocked(spark: SparkSession, sfDir: String): DataFrame = {
-    // repartition first (the fixture file arrives as one split), then the
-    // codegen'd shingle table → per-doc arrays + block metadata.
+    // repartition first (the fixture file arrives as one split), then one
+    // shuffle-free projection to per-doc shingle sets + block metadata.
     val docs = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
-    val d = shingleArrays(shingleTable(docs))
-      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
-      .persist() // consumed by both join sides — shingle once, not twice
+    val d = shingleSets(docs, Seq("lang", "source"))
+      .withColumn("nsh", size(col("sh")))
+      .persist() // narrow pair sides + both array attaches — shingle once
     val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-      col("sh").as("sh_a"))
+      col("nsh").as("n_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-      col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("lang", "source"))
+      col("nsh").as("n_b"))
+    val idPairs = saltedBlockSelfJoin(a, b, Seq("lang", "source"), "id_a")
       .filter(col("id_a") < col("id_b"))
-      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), jaccardThreshold))
+      .filter(sizeRatioAtLeast(col("n_a"), col("n_b"), jaccardThreshold))
+      .select("lang", "source", "id_a", "id_b")
+    val withSets = idPairs
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+    Canon.canonicalize(withSets
       .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
-    Canon.canonicalize(pairs
       .filter(col("jaccard") >= jaccardThreshold)
       .select("lang", "source", "id_a", "id_b", "jaccard"))
   }
@@ -390,10 +393,9 @@ object DedupOps {
     val docs = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
-    val st = shingleTable(docs).persist() // feeds signatures AND arrays
-    val d = shingleArrays(st)
-      .persist() // both candidate-attach joins
-    val sigs = signaturesFromTable(st)
+    val d = shingleSets(docs)
+      .persist() // signature explode + both candidate-attach joins
+    val sigs = signaturesFromTable(shingleTable(d))
     // one row per (doc, band): bucket key hashes the band's signature slice
     val banded = sigs.select(
       col("doc_id"),
@@ -423,7 +425,8 @@ object DedupOps {
       .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     Canon.canonicalize(withSets
-      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), jaccardThreshold))
+      .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
+        jaccardThreshold))
       .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard"))
@@ -539,13 +542,13 @@ object DedupOps {
   val saltFactor = 8
 
   private[ext] def saltedBlockSelfJoin(left: DataFrame, right: DataFrame,
-                                       blockCol: String,
+                                       blockCols: Seq[String],
                                        leftId: String): DataFrame = {
     val salted = left.withColumn("salt",
       pmod(xxhash64(col(leftId)), lit(saltFactor.toLong)))
     val replicated = right.withColumn("salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
-    salted.join(replicated, Seq(blockCol, "salt")).drop("salt")
+    salted.join(replicated, blockCols :+ "salt").drop("salt")
   }
 
   /** Lang-blocked near-dup pairs at Hamming distance ≤ 8 of 64 bits.
@@ -565,7 +568,7 @@ object DedupOps {
     val b = d.select(col("lang"), col("doc_id").as("id_b"),
       col("sig").as("sig_b"))
     Canon.canonicalize(
-      saltedBlockSelfJoin(a, b, "lang", "id_a")
+      saltedBlockSelfJoin(a, b, Seq("lang"), "id_a")
         .filter(col("id_a") < col("id_b"))
         .withColumn("hamming",
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))

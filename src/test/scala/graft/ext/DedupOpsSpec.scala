@@ -15,6 +15,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(1).isEmpty && r(2).isEmpty)
   }
 
+  test("native shingle-hash windows match the composed array form") {
+    val df = Seq("abcdefg", "abcd", "", "hello world hello world")
+      .toDF("text")
+      .withColumn("norm", TextOps.normText(col("text")))
+    val native = df.select(
+      graft.functions.ShingleHashes(col("norm"), DedupOps.shingleLen)
+        .as("sh")).as[Seq[Long]].collect().map(_.toSet).toSeq
+    val composed = df.select(
+      DedupOps.hashedShinglesOfNorm(col("norm")).as("sh"))
+      .as[Seq[Long]].collect().map(_.toSet).toSeq
+    assert(native == composed)
+  }
+
   test("minhash signature of identical sets is identical; disjoint differs") {
     val d = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog",
