@@ -12,6 +12,10 @@ object Time {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed fact scans emit per-bucket sort order (Bucketing writes
+      // exactly one file per bucket, which makes this safe) so fact-fact
+      // merge joins run sort-free as well as shuffle-free
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -73,12 +73,14 @@ object Retail {
   /** SALE_ID, CUSTOMER_ID, PRODUCT_ID, SUPPLIER_ID, SALE_DATE, QUANTITY,
     * DISCOUNT (percent 0–100), SHIPPING_COST, ORDER_STATUS, PAYMENT_MODE
     * (reference ingestion_task.py:235–258). lineitem ⨝ orders on the order
-    * key — co-partitioned fact-to-fact join; at scale both sides are
-    * bucketed/partitioned by orderkey so this is shuffle-free.
+    * key — a fact-to-fact join, so both sides read from the bucketed
+    * sorted layout (graft.io.Bucketing): the join runs with no exchange
+    * and no sort, verified in BucketingSpec. The one-time bucketed write
+    * is amortized across every mart that consumes `sales`.
     */
   def sales(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val o = Tables.load(spark, sfDir, "orders")
+    val li = graft.io.Bucketing.bucketed(spark, sfDir, "lineitem", "l_orderkey")
+    val o = graft.io.Bucketing.bucketed(spark, sfDir, "orders", "o_orderkey")
     li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
       .select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("SALE_ID"),
