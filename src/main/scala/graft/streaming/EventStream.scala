@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode}
+  OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming forms of the event pipelines. The batch queries
@@ -81,6 +81,23 @@ object EventStream {
           next
       }
   }
+
+  /** The durability half of the streaming story: watermarked daily counts
+    * into an append-mode parquet FILE sink with a checkpoint. Restarting
+    * with the same two paths resumes from the checkpointed offsets/state,
+    * and the sink's `_spark_metadata` manifest gives exactly-once batch
+    * reads of the output even across crashes mid-write (un-committed files
+    * are invisible to readers). Asserted across a stop/restart cycle in
+    * EventStreamSpec.
+    */
+  def dailyCountsToFiles(events: DataFrame, outDir: String,
+                         checkpointDir: String): StreamingQuery =
+    dailyCounts(events).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
 
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
