@@ -16,6 +16,9 @@ object Time {
       // exactly one file per bucket, which makes this safe) so fact-fact
       // merge joins run sort-free as well as shuffle-free
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // the events fixture is TIMESTAMP(NANOS) parquet; its reader
+      // requires this mapping and fails loudly if unset (EventOps.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

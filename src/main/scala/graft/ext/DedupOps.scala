@@ -199,10 +199,12 @@ object DedupOps {
         Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
-    Canon.canonicalize(withSets
-      .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("lang", "source", "id_a", "id_b", "jaccard"))
+    Canon.materialized(
+      Canon.canonicalize(withSets
+        .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select("lang", "source", "id_a", "id_b", "jaccard")),
+      d)
   }
 
   /** Shared CTE chain ending in `jpairs` — used by the jaccard oracle and
@@ -249,13 +251,14 @@ object DedupOps {
     */
   def dedupClusters(spark: SparkSession, sfDir: String,
                     driverThreshold: Long = 1000000L): DataFrame = {
-    val pairs = jaccardBlocked(spark, sfDir)
+    val jb = jaccardBlocked(spark, sfDir) // returns a cached frame
+    val pairs = jb
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist()
     val result =
       if (pairs.count() <= driverThreshold) unionFindLocal(spark, pairs)
       else labelPropagation(pairs)
-    Canon.canonicalize(result)
+    Canon.materialized(Canon.canonicalize(result), pairs, jb)
   }
 
   private def unionFindLocal(spark: SparkSession,
@@ -300,7 +303,9 @@ object DedupOps {
       labels.unpersist()
       labels = next
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    Canon.materialized(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      edges, labels)
   }
 
   val dedupClustersOracle: String =
@@ -424,12 +429,14 @@ object DedupOps {
     val withSets = candidates
       .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    Canon.canonicalize(withSets
-      .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
-        jaccardThreshold))
-      .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("id_a", "id_b", "jaccard"))
+    Canon.materialized(
+      Canon.canonicalize(withSets
+        .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
+          jaccardThreshold))
+        .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select("id_a", "id_b", "jaccard")),
+      d, banded)
   }
 
   /** Full DuckDB oracle for `minhashLsh`: the ENTIRE pipeline — shingle
@@ -567,13 +574,15 @@ object DedupOps {
       col("sig").as("sig_a"))
     val b = d.select(col("lang"), col("doc_id").as("id_b"),
       col("sig").as("sig_b"))
-    Canon.canonicalize(
-      saltedBlockSelfJoin(a, b, Seq("lang"), "id_a")
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-        .filter(col("hamming") <= simhashMaxHamming)
-        .select("lang", "id_a", "id_b", "hamming"))
+    Canon.materialized(
+      Canon.canonicalize(
+        saltedBlockSelfJoin(a, b, Seq("lang"), "id_a")
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+          .filter(col("hamming") <= simhashMaxHamming)
+          .select("lang", "id_a", "id_b", "hamming")),
+      d)
   }
 
   /** Full DuckDB oracle for `simhashNearDup`: token hashing, the 64-bit

@@ -27,9 +27,19 @@ object EventOps {
     * (legacy.parquet.nanosAsLong) and convert via integer division —
     * `div`, not `/`, because nanosecond epochs exceed 2^53 and a double
     * round-trip would corrupt them.
+    *
+    * The conf is consulted at EXECUTION, so a set-and-restore around this
+    * lazily-evaluated read would not stick, and a silent `conf.set` here
+    * would be a global side effect of building a query (it changes how
+    * every later parquet read in the session maps nano timestamps). The
+    * session owner opts in at build time — all entry-point mains and the
+    * test harness do — and this reader fails loudly otherwise.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "events reader needs spark.sql.legacy.parquet.nanosAsLong=true at " +
+        "session build (the fixture stores TIMESTAMP(NANOS) parquet)")
     Tables.load(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

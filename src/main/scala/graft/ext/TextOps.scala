@@ -141,8 +141,9 @@ object TextOps {
        |       sha256(norm) AS fp_sha256,
        |       list_reduce(
        |         list_prepend(CAST(0 AS BIGINT),
-       |           list_transform(string_split(norm, ''),
-       |                          ch -> CAST(ord(ch) AS BIGINT))),
+       |           list_transform(
+       |             list_filter(string_split(norm, ''), ch -> ch <> ''),
+       |             ch -> CAST(ord(ch) AS BIGINT))),
        |         (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_rolling
        |FROM n""".stripMargin
 

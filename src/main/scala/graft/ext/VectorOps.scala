@@ -88,10 +88,12 @@ object VectorOps {
       .withColumn("cos", cosine(col("pv"), col("v")))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    Canon.canonicalize(scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("probe_id", "rank", "vec_id", "cos"))
+    Canon.materialized(
+      Canon.canonicalize(scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select("probe_id", "rank", "vec_id", "cos")),
+      e)
   }
 
   val cosineTopKOracle: String =
@@ -122,12 +124,14 @@ object VectorOps {
       .persist() // both self-join sides
     val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
-    Canon.canonicalize(
-      DedupOps.saltedBlockSelfJoin(a, b, Seq("label"), "id_a")
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("va"), col("vb")))
-        .filter(col("cos") >= nearDupThreshold)
-        .select("label", "id_a", "id_b", "cos"))
+    Canon.materialized(
+      Canon.canonicalize(
+        DedupOps.saltedBlockSelfJoin(a, b, Seq("label"), "id_a")
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", cosine(col("va"), col("vb")))
+          .filter(col("cos") >= nearDupThreshold)
+          .select("label", "id_a", "id_b", "cos")),
+      e)
   }
 
   val embedNearDupOracle: String =
@@ -244,12 +248,14 @@ object VectorOps {
     // search only assigned buckets
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    Canon.canonicalize(bucketed
-      .join(broadcast(probeBuckets), Seq("bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("pv"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("probe_id", "rank", "vec_id", "cos"))
+    Canon.materialized(
+      Canon.canonicalize(bucketed
+        .join(broadcast(probeBuckets), Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", cosine(col("pv"), col("v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select("probe_id", "rank", "vec_id", "cos")),
+      e)
   }
 }

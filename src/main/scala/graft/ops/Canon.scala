@@ -25,6 +25,22 @@ import org.apache.spark.sql.types._
   */
 object Canon {
 
+  /** Cache-scope discipline for queries that persist big intermediates:
+    * materialize the (small) result into the cache, then release the
+    * intermediates. Callers get a cached result frame and leak no
+    * intermediate blocks into the session — previously only Verify/Bench's
+    * blanket clearCache hid the leak from other library users. The result
+    * frame itself stays cached (it IS the returned value; tiny at every
+    * call site) — callers may unpersist it when done.
+    */
+  def materialized(result: DataFrame,
+                   intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
+
   def canonicalize(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {

@@ -40,11 +40,29 @@ object LoyaltyTiers {
     val total = hist.agg(sum("c").as("n"))
     // rank(v) = 1 + (count of rows with value > v)  [desc, ties share rank]
     // pr(v)   = (rank-1)/(N-1) = (cumulative count through v  -  c(v))/(N-1)
-    val wDesc = Window.orderBy(col("v").desc)
-    val pr = hist.crossJoin(broadcast(total))
+    //
+    // The cumulative sum over the histogram is TWO-LEVEL: range-partition
+    // the distinct values (desc), cumsum within each partition, then add
+    // broadcast per-partition offsets. The only single-partition step is
+    // the offset window over ONE ROW PER PARTITION — bounded by the
+    // cluster's partition count, not by distinct(amount), which at 100 TB
+    // can itself be huge. Range partitioning keeps equal values together
+    // and partition ids aligned with the value order, so the arithmetic is
+    // exactly the global cumulative sum.
+    val parted = hist.repartitionByRange(col("v").desc)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy(col("v").desc)
+    val local = parted.withColumn("lcum", sum("c").over(wLocal))
+    val wOff = Window.orderBy(col("pid").asc)
+    val offsets = parted.groupBy("pid").agg(sum("c").as("ptot"))
+      .withColumn("off", coalesce(sum("ptot").over(wOff) - col("ptot"),
+        lit(0L)))
+      .select("pid", "off")
+    val pr = local.join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(total))
       .withColumn("pr",
         when(col("n") === 1, lit(0.0)).otherwise(
-          (sum("c").over(wDesc) - col("c")).cast("double") /
+          (col("lcum") + col("off") - col("c")).cast("double") /
             (col("n") - 1).cast("double")))
     val thresholds = pr.agg(
       min(when(col("pr") <= 0.2, col("v"))).as("gold_min"),

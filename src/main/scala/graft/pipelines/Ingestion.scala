@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import java.io.File
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -158,8 +159,16 @@ object Ingestion {
     val csvPath = workDir(sfDir, "sales/feed")
     // Feed synthesis is test-input preparation, not the pipeline under
     // measurement; it is deterministic per sfDir, so an existing feed is
-    // reused (delete target/ingest to regenerate).
-    if (!new File(s"$csvPath/_SUCCESS").exists()) {
+    // reused — but keyed on a SPEC STAMP (schema + dedup rule), not bare
+    // existence: if a later commit changes the synthesis, a stale cached
+    // feed must regenerate rather than silently verify old data.
+    val feedSpec = "v2|first-per-sale-id|" +
+      salesCsvSchema.fields.map(f => s"${f.name}:${f.dataType.sql}")
+        .mkString(",")
+    val stampFile = new File(s"$csvPath/feed_spec.txt")
+    val stampOk = stampFile.exists() &&
+      Files.readString(stampFile.toPath) == feedSpec
+    if (!new File(s"$csvPath/_SUCCESS").exists() || !stampOk) {
       val entity = Retail.sales(spark, sfDir)
       val wDedup = org.apache.spark.sql.expressions.Window
         .partitionBy("SALE_ID")
@@ -171,6 +180,7 @@ object Ingestion {
         .select(salesCsvSchema.fields.toIndexedSeq.map(f =>
           col(f.name.toUpperCase.replace(' ', '_')).as(f.name)): _*)
         .write.mode("overwrite").option("header", true).csv(csvPath)
+      Files.writeString(stampFile.toPath, feedSpec)
     }
     val extracted = Sources.csv(spark, csvPath, salesCsvSchema)
     conform(extracted, Map.empty,

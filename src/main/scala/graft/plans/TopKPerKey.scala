@@ -24,6 +24,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * keyed exchange: O(n log k), no sort, no rank column, ~k rows retained
   * per key in memory instead of the group.
   *
+  * MEMORY CONTRACT: the per-task state is (k+1) copied rows for every
+  * DISTINCT key in the partition and does NOT spill (the window form
+  * spills via its sort). Use it when k·|keys per partition| ≪ partition
+  * data — the regime it exists for; outside it, the sort-based window
+  * formulation is the right operator. `maxKeysPerPartition` enforces the
+  * contract LOUDLY: a task that exceeds it fails with guidance instead of
+  * creeping toward an executor OOM.
+  *
   * Physical contract: requiredChildDistribution clusters by the key, so
   * Catalyst inserts (or reuses) the hash exchange; within a partition a
   * hash map of bounded heaps retains the top rows under the given
@@ -31,7 +39,9 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * as all query sites here do).
   */
 case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
-                      child: LogicalPlan) extends UnaryNode {
+                      child: LogicalPlan,
+                      maxKeysPerPartition: Int = TopK.defaultMaxKeysPerPartition)
+    extends UnaryNode {
   require(k > 0 && keys.nonEmpty)
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(
@@ -40,14 +50,15 @@ case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case TopKPerKey(k, keys, order, child, maxKeys) =>
+      TopKPerKeyExec(k, keys, order, planLater(child), maxKeys) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
-                          order: Seq[SortOrder], child: SparkPlan)
+                          order: Seq[SortOrder], child: SparkPlan,
+                          maxKeysPerPartition: Int)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -60,6 +71,7 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    val maxKeys = maxKeysPerPartition
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -69,6 +81,13 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
         java.util.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = keyProj(row)
+        if (!heaps.contains(key) && heaps.size >= maxKeys)
+          throw new IllegalStateException(
+            s"TopKPerKey: more than $maxKeys distinct keys in one " +
+              "partition; per-key heaps do not spill. Raise " +
+              "maxKeysPerPartition only with the executor memory to back " +
+              s"it (state = (k+1)=$kk+1 rows x keys), or use the " +
+              "sort-based window formulation for high-cardinality keys.")
         val heap = heaps.getOrElseUpdate(key.copy(),
           new java.util.PriorityQueue[InternalRow](kk + 1,
             ordering.reversed()))
@@ -92,6 +111,11 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
 
 object TopK {
 
+  /** ~8.4M distinct keys per task ≈ hundreds of MB of heap state at
+    * typical row widths — past this, the window form is the right tool.
+    */
+  val defaultMaxKeysPerPartition: Int = 1 << 23
+
   /** Sort direction for `perKey`'s ordering spec. */
   sealed trait Dir
   case object Asc extends Dir
@@ -104,9 +128,15 @@ object TopK {
     * attributes must not reach it). Registers the planning strategy
     * idempotently on the frame's session — works on vanilla sessions, no
     * extensions config needed.
+    *
+    * See the memory contract on [[TopKPerKey]]: state is (k+1) rows per
+    * distinct key per task, non-spilling, capped loudly by
+    * `maxKeysPerPartition`.
     */
   def perKey(df: DataFrame, keyCols: Seq[String],
-             order: Seq[(String, Dir)], k: Int): DataFrame = {
+             order: Seq[(String, Dir)], k: Int,
+             maxKeysPerPartition: Int = defaultMaxKeysPerPartition)
+      : DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -123,6 +153,7 @@ object TopK {
       })
     }
     ColumnBridge.ofRows(spark,
-      TopKPerKey(k, keyCols.map(attr), sortOrders, child))
+      TopKPerKey(k, keyCols.map(attr), sortOrders, child,
+        maxKeysPerPartition))
   }
 }

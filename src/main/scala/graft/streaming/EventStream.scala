@@ -105,7 +105,10 @@ object EventStream {
     * see identical schemas.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "events stream needs spark.sql.legacy.parquet.nanosAsLong=true at " +
+        "session build (see graft.ext.EventOps.events)")
     // file-source streams take a directory; the fixture is one file in the
     // scale-factor dir, selected by glob
     spark.readStream

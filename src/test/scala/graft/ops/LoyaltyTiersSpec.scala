@@ -27,6 +27,21 @@ class LoyaltyTiersSpec extends SparkSpec {
     assert(viaHistogram.count() == amounts.count())
   }
 
+  test("histogram cumsum is two-level: every window is partition-keyed") {
+    val amounts = Retail.sales(spark, sfDir)
+      .select(col("SALE_ID"), col("QUANTITY").as("AMT"))
+    val p = LoyaltyTiers.tierByAmount(amounts, "AMT", "T")
+      .queryExecution.executedPlan.toString
+    // the value-ordered cumulative sum must run partitioned (pid in its
+    // window spec); the only permitted unpartitioned window is the offset
+    // pass over one row per partition, which also keys on pid
+    val unkeyed = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition(") && !l.contains("pid#"))
+      .toSeq
+    assert(unkeyed.isEmpty,
+      "window not two-level:\n" + unkeyed.mkString("\n"))
+  }
+
   test("single-row frame gets Gold (percent_rank 0 edge)") {
     import spark.implicits._
     val one = Seq((1L, java.math.BigDecimal.valueOf(5.0))).toDF("ID", "AMT")

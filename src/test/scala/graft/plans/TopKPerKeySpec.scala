@@ -31,6 +31,15 @@ class TopKPerKeySpec extends SparkSpec {
     assert(all.count() == sales.count())
   }
 
+  test("key-cardinality cap fails loudly instead of accumulating state") {
+    val sales = Retail.sales(spark, sfDir).select("CUSTOMER_ID", "SALE_ID")
+    val capped = TopK.perKey(sales, Seq("SALE_ID"), // near-unique key
+      Seq("CUSTOMER_ID" -> TopK.Asc), k = 1, maxKeysPerPartition = 10)
+    val e = intercept[org.apache.spark.SparkException] { capped.count() }
+    assert(e.getMessage.contains("distinct keys") ||
+      e.getCause.getMessage.contains("distinct keys"))
+  }
+
   test("plan contains the custom exec and a key exchange, no sort") {
     val sales = Retail.sales(spark, sfDir)
       .select("CUSTOMER_ID", "SALE_ID", "QUANTITY")
