@@ -45,6 +45,7 @@ object SparkEntry {
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
+    "q_embed_lsh" -> ((s, dir) => VectorOps.embedLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // full-probe twin: provably ≡ brute force → shares the exact oracle
     "q_ann_ivf_fullprobe" ->
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
+    "q_embed_lsh" -> VectorOps.embedLshOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_user_value_deltas" -> EventOps.userValueDeltasOracle,

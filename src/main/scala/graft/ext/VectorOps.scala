@@ -146,6 +146,75 @@ object VectorOps {
        |SELECT CAST(label AS BIGINT) AS label, id_a, id_b, cos FROM p
        |WHERE cos >= $nearDupThreshold""".stripMargin
 
+  /** Sign-LSH (random-hyperplane) embedding near-dup: banded 64-bit
+    * hyperplane sketch → band-bucket candidate pairs → exact cosine
+    * verification. The UNBLOCKED scale path: `embedNearDup`'s label
+    * blocking assumes a natural partition key; this needs none and its
+    * candidate join shuffles only (band, bucket, vec_id). Hyperplanes are
+    * deterministic twin-family arithmetic (see functions/
+    * HyperplaneBuckets), so the whole pipeline carries a full DuckDB
+    * oracle despite approximate recall.
+    */
+  def embedLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist() // sketch pass + both candidate-attach joins
+    val banded = e.select(col("vec_id"),
+      posexplode(graft.functions.HyperplaneBuckets(col("v")))
+        .as(Seq("band", "bucket")))
+      .persist() // both sides of the candidate self-join
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct() // a pair may collide in several bands
+    val withVecs = candidates
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+    Canon.materialized(
+      Canon.canonicalize(withVecs
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= nearDupThreshold)
+        .select("id_a", "id_b", "cos")),
+      e, banded)
+  }
+
+  /** Full DuckDB oracle for `embedLsh`, generated from the same constants:
+    * hyperplane components, signed projections, banding, candidate join,
+    * and the bit-exact cosine verify.
+    */
+  val embedLshOracle: String = {
+    import graft.functions.{HyperplaneBuckets => HB}
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(0, len(v)), i ->
+       |             v[CAST(i AS INT) + 1] *
+       |             (CAST((${HB.A} * (j * len(v) + i + 1) + ${HB.B})
+       |                   % ${HB.P} AS DOUBLE) / ${HB.P} - 0.5))),
+       |           (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e, UNNEST(range(0, ${HB.numBits})) AS t(j)),
+       |bk AS (
+       |  SELECT vec_id, j // ${HB.bitsPerBand} AS band,
+       |         sum(bit << CAST(j % ${HB.bitsPerBand} AS INT)) AS bucket
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |       AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT c.id_a, c.id_b, ${cosSql("ea.v", "eb.v")} AS cos
+       |  FROM cand c JOIN e ea ON c.id_a = ea.vec_id
+       |              JOIN e eb ON c.id_b = eb.vec_id)
+       |SELECT id_a, id_b, cos FROM p
+       |WHERE cos >= $nearDupThreshold""".stripMargin
+  }
+
   val ivfCentroids = 16
   val ivfIters = 3
 

@@ -38,6 +38,14 @@ object Ingestion {
   private def workDir(sfDir: String, entity: String): String =
     s"target/ingest/${new File(sfDir).getName}/$entity"
 
+  /** REST dimension feeds are DRIVER-SIDE by architecture (the reference's
+    * extracts are too): one HTTP body per entity. That is only safe for
+    * dimension-sized data, so the collect is guarded — at this size a feed
+    * must move to a paginated/bulk-file extract instead of silently
+    * ballooning driver memory at a 100× data scale.
+    */
+  val maxRestFeedRows = 5000000L
+
   /** Serve the entity rows over an in-process REST server with RAW field
     * names (pre-normalization, as the reference's feeds arrive), extract
     * through the real HTTP client path, and land as JSON records.
@@ -47,6 +55,11 @@ object Ingestion {
                       schema: StructType): DataFrame = {
     val rawDf = df.select(df.columns.toIndexedSeq.map(c =>
       col(c).as(rawNames.getOrElse(c, c.toLowerCase))): _*)
+    val feedSize = rawDf.count()
+    require(feedSize <= maxRestFeedRows,
+      s"REST feed '$entity' has $feedSize rows (> $maxRestFeedRows): " +
+        "dimension feeds are driver-side one-body extracts; use a " +
+        "paginated or bulk-file source for fact-sized data")
     val docs = rawDf.toJSON.collect().toIndexedSeq
     val server = new Rest.FixtureServer(Map(entity -> docs),
       if (secured) Set(entity) else Set.empty)

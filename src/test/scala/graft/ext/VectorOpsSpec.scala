@@ -76,6 +76,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(c1 == c2) // bit-exact: decimal sums are order-free
   }
 
+  test("sign-LSH near-dup: verified pairs only, strong pairs recovered") {
+    val lsh = VectorOps.embedLsh(spark, sfDir)
+    // every emitted pair passed the exact verify
+    assert(lsh.filter(col("cos") < VectorOps.nearDupThreshold).count() == 0)
+    // deterministic fixture: the label-blocked exact path's STRONG pairs
+    // (cos >= 0.9 agree on ~86% of sketch bits; with 8 bands the collide
+    // probability is ~0.94 per pair, and the fixture realization recovers
+    // all of them — pinned here since nothing is random)
+    val strong = VectorOps.embedNearDup(spark, sfDir)
+      .filter(col("cos") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = lsh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strong.subsetOf(got), s"LSH missed: ${strong.diff(got)}")
+  }
+
   test("IVF with partial probing returns well-formed per-probe top-k") {
     val r = VectorOps.annIvf(spark, sfDir, nprobe = 4)
     val counts = r.groupBy("probe_id").count().as[(Long, Long)].collect()
