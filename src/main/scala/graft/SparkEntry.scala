@@ -56,6 +56,7 @@ object SparkEntry {
     "q_user_value_deltas" -> ((s, dir) => EventOps.userValueDeltas(s, dir)),
     // multimodal binary-column metadata
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.binaryMeta(s, dir)),
+    "q_multimodal_frames" -> ((s, dir) => MultimodalOps.frameSamples(s, dir)),
     // operator-family micro-queries (SURVEY §7.2.6)
     "q_scan_project" -> ((s, dir) => MicroQueries.scanProject(s, dir)),
     "q_normalize_rename" -> ((s, dir) => MicroQueries.normalizeRename(s, dir)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_user_value_deltas" -> EventOps.userValueDeltasOracle,
     "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,
+    "q_multimodal_frames" -> MultimodalOps.frameSamplesOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,
     "q_normalize_rename" -> MicroQueries.normalizeRenameOracle,
     "q_dup_detect" -> MicroQueries.dupDetectOracle,

@@ -54,12 +54,58 @@ object MultimodalOps {
       |       CAST(ascii(text) % 48 + 1 AS BIGINT) AS fake_height
       |FROM documents""".stripMargin
 
+  val frameBytes = 16
+  val frameSampleStep = 10
+
+  /** Frame sampling over binary payloads as a RELATIONAL op: the payload
+    * is a sequence of fixed-width frames (stand-in for a real container
+    * format's frame index); every `frameSampleStep`-th frame gets its
+    * byte offset and a content fingerprint of its slice. This is the
+    * shape of video/audio sampling at corpus scale — pure byte arithmetic
+    * + explode, linear, no codec needed until the decode seam below —
+    * and every step is DuckDB-expressible, so the op is hash-verified.
+    *
+    * The fingerprint hashes the LOWERCASE HEX of the frame slice (not the
+    * raw bytes) so both engines hash an identical string regardless of
+    * their blob-digest support.
+    */
+  def frameSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("content", col("text").cast("binary"))
+      .withColumn("n_frames",
+        (length(col("content")) / frameBytes).cast("long"))
+      .filter(col("n_frames") > 0)
+    val frames = d.select(col("doc_id"), col("n_frames"), col("content"),
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          lit(frameSampleStep.toLong))).as("frame_idx"))
+      .withColumn("frame_off", col("frame_idx") * frameBytes)
+      .withColumn("frame_md5",
+        md5(lower(hex(col("content")
+          .substr(col("frame_off").cast("int") + 1, lit(frameBytes))))))
+    Canon.canonicalize(frames
+      .select("doc_id", "n_frames", "frame_idx", "frame_off", "frame_md5"))
+  }
+
+  val frameSamplesOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS content_hex,
+       |         octet_length(encode(text)) // $frameBytes AS n_frames
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_frames, i AS frame_idx, i * $frameBytes AS frame_off,
+       |         md5(lower(substring(content_hex,
+       |           CAST(i * ${frameBytes * 2} + 1 AS INT),
+       |           ${frameBytes * 2}))) AS frame_md5
+       |  FROM d, UNNEST(range(0, n_frames, $frameSampleStep)) AS t(i)
+       |  WHERE n_frames > 0)
+       |SELECT doc_id, n_frames, frame_idx, frame_off, frame_md5 FROM f""".stripMargin
+
   /** ??? in spirit: the decode seam. Batched per partition exactly like a
     * real codec call (one library handle per partition, vectorized loop);
     * the decode itself is a deterministic fake over the payload bytes.
     */
   def decodeStub(spark: SparkSession, payloads: DataFrame,
-                 frameSampleEvery: Int = 10): Dataset[MediaMeta] = {
+                 frameSampleEvery: Int = frameSampleStep): Dataset[MediaMeta] = {
     import spark.implicits._
     payloads.select(col("doc_id").cast("long"),
         col("content").cast("binary"))
@@ -71,7 +117,7 @@ object MultimodalOps {
           val lead = if (bytes.nonEmpty) bytes(0) & 0xff else 0
           val width = lead % 64 + 1
           val height = lead % 48 + 1
-          val nFrames = bytes.length / 16L
+          val nFrames = bytes.length / frameBytes.toLong
           val sampled = (0L until nFrames by frameSampleEvery.toLong).toSeq
           MediaMeta(id, bytes.length.toLong, width.toLong, height.toLong,
             nFrames, sampled)

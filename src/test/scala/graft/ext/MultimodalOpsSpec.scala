@@ -29,6 +29,27 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(m.sampled_frames == Seq(0L, 7L, 14L, 21L))
   }
 
+  test("frameSamples fingerprints the exact byte slice at each offset") {
+    val r = MultimodalOps.frameSamples(spark, sfDir)
+    val d = graft.io.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // recompute one sampled frame's md5 from the raw text bytes and match
+    val checked = r.join(d, "doc_id")
+      .withColumn("expect_md5",
+        md5(lower(hex(col("text").cast("binary")
+          .substr(col("frame_off").cast("int") + 1,
+            lit(MultimodalOps.frameBytes))))))
+    assert(checked.filter(col("frame_md5") =!= col("expect_md5")).count() == 0)
+    // sampled indices align with the decode seam's arithmetic
+    val viaStub = MultimodalOps.decodeStub(spark,
+        d.withColumn("content", col("text").cast("binary")))
+      .flatMap(m => m.sampled_frames.map(f => (m.doc_id, f)))
+      .collect().toSet
+    val viaSql = r.select("doc_id", "frame_idx")
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql == viaStub)
+  }
+
   test("binaryMeta is deterministic and byte-accurate on the fixture") {
     val m = MultimodalOps.binaryMeta(spark, sfDir)
     val d = graft.io.Tables.load(spark, sfDir, "documents")
