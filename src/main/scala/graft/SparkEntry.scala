@@ -36,6 +36,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
+    "q_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
+    "q_corpus_curate" -> ((s, dir) => TextOps.corpusCurate(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     "q_tfidf" -> ((s, dir) => TextOps.tfIdf(s, dir)),
@@ -85,6 +87,8 @@ object SparkEntry {
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,
+    "q_pii_scrub" -> TextOps.piiScrubOracle,
+    "q_corpus_curate" -> TextOps.corpusCurateOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,

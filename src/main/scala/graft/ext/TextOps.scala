@@ -149,13 +149,13 @@ object TextOps {
 
   // ---- quality scoring -----------------------------------------------
 
-  /** Heuristic document quality in [0,1]: token volume (capped), stopword
-    * ratio, and punctuation-noise penalty — the standard pre-training
-    * corpus filters, as one codegen'd projection.
+  /** Adds the quality ingredients (doubles) and `quality_score` to a
+    * frame that already carries `text` and `norm` — shared by the
+    * standalone scoring query and the corpus-curation funnel so the two
+    * can never drift.
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir)
-      .withColumn("norm", normText(col("text")))
+  private def withQualityScore(d: DataFrame): DataFrame = {
+    val parts = d
       .withColumn("n_tokens",
         regexp_count(col("norm"), lit(wordPat)).cast("double"))
       .withColumn("n_stop",
@@ -164,15 +164,31 @@ object TextOps {
       .withColumn("n_punct",
         regexp_count(col("text"), lit("[.,!?;:]")).cast("double"))
       .withColumn("len_chars", length(col("text")).cast("double"))
-    val score =
+    parts.withColumn("quality_score",
       lit(0.4) * least(lit(1.0), col("n_tokens") / lit(100.0)) +
         lit(0.3) * (col("n_stop") / greatest(col("n_tokens"), lit(1.0))) +
-        lit(0.3) * (lit(1.0) - col("n_punct") / greatest(col("len_chars"), lit(1.0)))
+        lit(0.3) * (lit(1.0) -
+          col("n_punct") / greatest(col("len_chars"), lit(1.0))))
+  }
+
+  /** The identical score in DuckDB SQL over the `f` ingredient columns. */
+  private val qualityScoreSql: String =
+    """0.4 * least(1.0, n_tokens / 100.0) +
+      |       0.3 * (n_stop / greatest(n_tokens, 1.0)) +
+      |       0.3 * (1.0 - n_punct / greatest(len_chars, 1.0))""".stripMargin
+
+  /** Heuristic document quality in [0,1]: token volume (capped), stopword
+    * ratio, and punctuation-noise penalty — the standard pre-training
+    * corpus filters, as one codegen'd projection.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withQualityScore(documents(spark, sfDir)
+      .withColumn("norm", normText(col("text"))))
     Canon.canonicalize(d.select(
       col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
       col("n_stop").cast("long").as("n_stop"),
       col("n_punct").cast("long").as("n_punct"),
-      score.as("quality_score")))
+      col("quality_score")))
   }
 
   val qualityScoreOracle: String =
@@ -186,9 +202,7 @@ object TextOps {
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |       CAST(n_stop AS BIGINT) AS n_stop,
        |       CAST(n_punct AS BIGINT) AS n_punct,
-       |       0.4 * least(1.0, n_tokens / 100.0) +
-       |       0.3 * (n_stop / greatest(n_tokens, 1.0)) +
-       |       0.3 * (1.0 - n_punct / greatest(len_chars, 1.0)) AS quality_score
+       |       $qualityScoreSql AS quality_score
        |FROM f""".stripMargin
 
   // ---- vocabulary statistics -----------------------------------------
@@ -323,6 +337,104 @@ object TextOps {
       col("doc_id") +: col("lang").as("labeled_lang") +:
         langs.map(l => col(s"score_$l")) :+ pred.as("predicted_lang"): _*))
   }
+
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** RE2-safe patterns (the DuckDB twin uses RE2; Java regex agrees on
+    * this subset).
+    */
+  val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val longNumPat = "\\d{4,}"
+
+  /** PII redaction — the corpus-curation scrub pass: count and replace
+    * emails and long digit runs in free text. Runs over profile strings
+    * synthesized from the customer entity, the fixture's only source of
+    * real emails/phone digits; one codegen'd projection, trivially
+    * horizontal.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val profiles = graft.retail.Retail.customers(spark, sfDir)
+      .select(col("CUSTOMER_ID").as("customer_id"),
+        concat_ws(" ", col("NAME"), col("EMAIL"),
+          concat(lit("phone:"), col("PHONE_NUMBER"))).as("profile"))
+    Canon.canonicalize(profiles.select(
+      col("customer_id"),
+      regexp_count(col("profile"), lit(emailPat)).as("n_emails"),
+      regexp_count(col("profile"), lit(longNumPat)).as("n_long_numbers"),
+      regexp_replace(
+        regexp_replace(col("profile"), emailPat, "[EMAIL]"),
+        longNumPat, "[NUM]").as("scrubbed")))
+  }
+
+  val piiScrubOracle: String =
+    s"""WITH ${graft.retail.Retail.sql.customers},
+       |p AS (
+       |  SELECT CUSTOMER_ID AS customer_id,
+       |         NAME || ' ' || EMAIL || ' ' || 'phone:' || PHONE_NUMBER
+       |           AS profile
+       |  FROM customers)
+       |SELECT customer_id,
+       |  CAST(len(regexp_extract_all(profile, '$emailPat')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(profile, '$longNumPat')) AS BIGINT)
+       |    AS n_long_numbers,
+       |  regexp_replace(regexp_replace(profile, '$emailPat', '[EMAIL]', 'g'),
+       |                 '$longNumPat', '[NUM]', 'g') AS scrubbed
+       |FROM p""".stripMargin
+
+  // ---- corpus curation funnel ----------------------------------------
+
+  val curateQualityMin = 0.5
+
+  /** The end-to-end curation funnel a training-data pipeline runs before
+    * tokenization, as ONE relational query: exact-dedup keepers (min
+    * doc_id per normalized-content hash) gated by the quality score, with
+    * per-(lang, source) retention counts and the token budget of what
+    * survives. Shuffles: one hash exchange for the dedup window, one for
+    * the final rollup — both keyed and combiner-friendly.
+    */
+  def corpusCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text_sha")
+    val d = withQualityScore(documents(spark, sfDir)
+      .withColumn("norm", normText(col("text"))))
+      .withColumn("text_sha", sha2(col("norm"), 256))
+      .withColumn("is_keeper", col("doc_id") === min("doc_id").over(w))
+      .withColumn("is_kept",
+        col("is_keeper") && col("quality_score") >= curateQualityMin)
+    Canon.canonicalize(d.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_unique"),
+      sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("is_kept"),
+        ceil(col("len_chars") / lit(4.0)).cast("long")).otherwise(0L))
+        .as("kept_est_tokens")))
+  }
+
+  val corpusCurateOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,
+       |    CAST(len(regexp_extract_all($normSql, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS n_stop,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS len_chars,
+       |    sha256($normSql) AS text_sha
+       |  FROM documents),
+       |g AS (
+       |  SELECT *, $qualityScoreSql AS quality_score,
+       |         doc_id = min(doc_id) OVER (PARTITION BY text_sha) AS is_keeper
+       |  FROM f),
+       |h AS (
+       |  SELECT *, is_keeper AND quality_score >= $curateQualityMin AS is_kept
+       |  FROM g)
+       |SELECT lang, source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_unique,
+       |       CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       CAST(sum(CASE WHEN is_kept
+       |           THEN CAST(ceil(len_chars / 4.0) AS BIGINT) ELSE 0 END)
+       |         AS BIGINT) AS kept_est_tokens
+       |FROM h GROUP BY 1, 2""".stripMargin
 
   val langIdOracle: String = {
     val scores = langMarkers.map { case (l, pat) =>
