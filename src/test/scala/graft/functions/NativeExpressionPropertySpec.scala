@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.ext.DedupOps
+
+/** Property tests: every native codegen expression must agree with its
+  * composed-builtins reference on ARBITRARY inputs, not just fixtures.
+  * Generators stay in printable ASCII + space — the parity contract of
+  * the twin hash family (DuckDB `ord` vs Spark `ascii` agree there, and
+  * Java's split("") separates surrogate pairs outside the BMP anyway).
+  * Cases are drawn from SEEDED ScalaCheck generators (the offline cache
+  * has no scalatest bridge; seeding keeps failures reproducible).
+  */
+class NativeExpressionPropertySpec extends SparkSpec {
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(33.toChar, 126.toChar),
+      2 -> Gen.const(' '))).map(_.mkString)
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("ShingleHashes(distinct) == distinct polyHash62 of string shingles") {
+    import spark.implicits._
+    for (texts <- cases(Gen.listOfN(8, asciiText), 15)) {
+      val df = texts.toDF("norm")
+      val native = df.select(
+        ShingleHashes(col("norm"), DedupOps.shingleLen, distinct = true)
+          .as("sh")).as[Seq[Long]].collect().map(_.toSet).toSeq
+      val composed = df.select(
+        DedupOps.hashedShinglesOfNorm(col("norm")).as("sh"))
+        .as[Seq[Long]].collect().map(_.toSet).toSeq
+      assert(native == composed, s"diverged on $texts")
+    }
+  }
+
+  test("SimHash64 == composed vote fold on arbitrary token streams") {
+    import spark.implicits._
+    for (texts <- cases(Gen.listOfN(6, asciiText), 15)) {
+      val df = texts.toDF("text")
+        .withColumn("toks", split(col("text"), " "))
+      val native = df.select(SimHash64(col("toks")).as("h"))
+        .as[Long].collect().toSeq
+      val composed = df
+        .withColumn("votes", DedupOps.simhashVotes(col("toks")))
+        .select(DedupOps.simhashFromVotes(col("votes")).as("h"))
+        .as[Long].collect().toSeq
+      assert(native == composed, s"diverged on $texts")
+    }
+  }
+
+  test("HyperplaneBuckets matches an independent scalar model") {
+    import spark.implicits._
+    import HyperplaneBuckets.{A, B, P, bitsPerBand, nBands, numBits}
+    def model(v: Seq[Double]): Seq[Int] = {
+      val out = Array.fill(nBands)(0)
+      for (j <- 0 until numBits) {
+        var acc = 0.0
+        for (i <- v.indices) {
+          val t = j.toLong * v.length + i + 1
+          acc += v(i) * (((A * t + B) % P).toDouble / P - 0.5)
+        }
+        if (acc >= 0.0) out(j / bitsPerBand) |= 1 << (j % bitsPerBand)
+      }
+      out.toSeq
+    }
+    val vecGen = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
+    for (vecs <- cases(Gen.listOfN(4, vecGen), 10)) {
+      val native = vecs.map(_.toArray).toDF("v")
+        .select(HyperplaneBuckets(col("v")).as("b"))
+        .as[Seq[Int]].collect().toSeq
+      assert(native == vecs.map(model), s"diverged on $vecs")
+    }
+  }
+}
