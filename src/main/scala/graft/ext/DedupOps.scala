@@ -80,14 +80,14 @@ object DedupOps {
   /** 2³¹−1, prime. All hashes in this file are mod P. */
   val P = 2147483647L
 
-  /** Affine MinHash family constants, derived from two public mixing
-    * primes (Knuth's 2654435761, xxHash's 2246822519) — fixed, seedless,
-    * distinct and nonzero for all 64 rows because P is prime.
+  /** Affine MinHash family constants — single-sourced from the native
+    * expression so the Spark plan, the reference aggregate form, and the
+    * generated oracle SQL can never drift.
     */
-  private[ext] def aCoef(i: Int): Long = {
-    val a = ((i + 1) * 2654435761L) % P; if (a == 0L) 1L else a
-  }
-  private[ext] def bCoef(i: Int): Long = ((i + 1) * 2246822519L) % P
+  private[ext] def aCoef(i: Int): Long =
+    graft.functions.MinHashSignature.aCoef(i)
+  private[ext] def bCoef(i: Int): Long =
+    graft.functions.MinHashSignature.bCoef(i)
 
   /** Variable-length polynomial string hash (interpreted lambda fold —
     * spec/reference use only; hot paths use the unrolled forms below).
@@ -399,8 +399,11 @@ object DedupOps {
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
     val d = shingleSets(docs)
-      .persist() // signature explode + both candidate-attach joins
-    val sigs = signaturesFromTable(shingleTable(d))
+      .persist() // signature projection + both candidate-attach joins
+    // signatures are a MAP-SIDE projection (native fused expression) —
+    // no exploded window table, no aggregate exchange
+    val sigs = d.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("sh")).as("sig"))
     // one row per (doc, band): bucket key hashes the band's signature slice
     val banded = sigs.select(
       col("doc_id"),

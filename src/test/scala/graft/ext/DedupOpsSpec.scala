@@ -52,6 +52,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(viaAgg == viaLambda)
   }
 
+  test("native fused signature equals the aggregate formulation") {
+    val shingled = Seq((1L, "the quick brown fox jumps the fence"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        DedupOps.hashedShingles(col("text")).as("sh"))
+    val viaNative = shingled
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature(col("sh")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = DedupOps.signatures(shingled)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaNative == viaAgg)
+  }
+
   test("LSH finds every blocked pair above the verify threshold +0.2 margin") {
     // High-jaccard pairs are near-certain LSH candidates (s-curve ≈ 1 well
     // above the 16-band/4-row crossover); every one must be recovered.
