@@ -96,6 +96,7 @@ object SparkEntry {
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
+    "q_ann_ivf" -> VectorOps.annIvfOracle(),
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_embed_lsh" -> VectorOps.embedLshOracle,
@@ -112,8 +113,8 @@ object SparkEntry {
     "q_null_repair" -> MicroQueries.nullRepairOracle,
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     "q_topk_native" -> MicroQueries.topkNativeOracle,
-    // q_ann_ivf: nprobe < C recall is data-dependent — the exactness story
-    // is its full-probe twin q_ann_ivf_fullprobe (== brute force, oracle
-    // below) plus the recall spec in VectorOpsSpec.
+    // Every query carries an oracle — including the approximate family
+    // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd
+    // rounds are unrolled into the oracle SQL itself).
   )
 }

@@ -221,15 +221,20 @@ object VectorOps {
   /** Trained coarse-quantizer centroids: deterministic spherical k-means.
     * Seed = the first `c` vectors by vec_id (seedless, reproducible), then
     * `iters` Lloyd rounds: assign every vector to its nearest centroid by
-    * cosine, recompute each centroid as the element-wise mean of its
-    * members. The mean is summed through DECIMAL so the result is
-    * independent of partial-aggregation order — bit-reproducible across
-    * runs and cluster layouts (double sums are not). Empty clusters keep
-    * their previous centroid.
+    * cosine, recompute each centroid as the element-wise SUM of its
+    * members. Sum, not mean, deliberately: cosine is invariant to
+    * positive scaling, so the sum centroid assigns identically to the
+    * mean — and unlike a decimal DIVISION (whose result scale/rounding
+    * rules differ per engine) a decimal SUM of the members is exact
+    * integer arithmetic both engines reproduce bit-identically, which is
+    * what lets the ANN query carry a full DuckDB oracle. The decimal
+    * accumulation also makes training independent of partial-aggregation
+    * order (double sums are not). Empty clusters keep their previous
+    * centroid.
     *
     * The per-round collect is C rows (16 × dim doubles) — the standard
     * k-means driver sync point, NOT a driver-side compute loop: at 100 TB
-    * the assignment/mean passes stay fully distributed and only the tiny
+    * the assignment/sum passes stay fully distributed and only the tiny
     * centroid table round-trips.
     */
   private[ext] def trainedCentroids(e: DataFrame, c: Int = ivfCentroids,
@@ -247,19 +252,19 @@ object VectorOps {
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select(col("cent_id"), col("v"))
-      val means = assigned
+      val sums = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
-        .agg((sum(col("x").cast(DecimalType(30, 15))) / count(lit(1)))
+        .agg(sum(col("x").cast(DecimalType(30, 15)))
           .cast("double").as("m"))
         .groupBy("cent_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("mean_v"))
+          s => s.getField("m")).as("sum_v"))
       val next = cents.select(col("cent_id"), col("cv").as("prev"))
-        .join(means, Seq("cent_id"), "left")
+        .join(sums, Seq("cent_id"), "left")
         .select(col("cent_id"),
-          coalesce(col("mean_v"), col("prev")).as("cv"))
+          coalesce(col("sum_v"), col("prev")).as("cv"))
       val rows = next.as[(Long, Seq[Double])].collect().sortBy(_._1)
       cents = spark.createDataset(rows).toDF("cent_id", "cv")
       round += 1
@@ -269,12 +274,72 @@ object VectorOps {
 
   /** IVF-style ANN: bucket every vector under its nearest coarse centroid
     * (k-means-trained, see `trainedCentroids`), then search only the
-    * `nprobe` buckets nearest each probe. nprobe < C recall is
-    * data-dependent → the driver-visible exactness story is the
-    * `q_ann_ivf_fullprobe` twin (nprobe == C ≡ brute force, proved in
-    * VectorOpsSpec and hash-checked against the brute-force oracle) plus
-    * a recall@k floor asserted in VectorOpsSpec.
+    * `nprobe` buckets nearest each probe. Hash-verified three ways: the
+    * full `annIvfOracle` (training unrolled into SQL), the
+    * `q_ann_ivf_fullprobe` twin (nprobe == C ≡ brute force against the
+    * brute-force oracle), and recall@k floors in VectorOpsSpec.
     */
+  /** Full DuckDB oracle for `annIvf` — INCLUDING the k-means training:
+    * the `ivfIters` Lloyd rounds are unrolled into CTE stages (assignment
+    * by cosine argmax, decimal-sum centroid update, empty-cluster
+    * keep-alive), then bucketing, probe selection, and the per-bucket
+    * ranked search. Every arithmetic step was chosen to be engine-exact
+    * (sum centroids instead of means; the shared cosine fold), so even
+    * the trained approximate index is hash-verified end to end.
+    */
+  def annIvfOracle(nprobe: Int = 4): String = {
+    def assignCte(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("c.cv", "e.v")} DESC, c.cent_id ASC) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val rounds = (0 until ivfIters).flatMap { r =>
+      val (prev, a, nxt) = (s"c$r", s"a${r + 1}", s"c${r + 1}")
+      Seq(
+        assignCte(prev, a),
+        s"""s${r + 1} AS (
+           |  SELECT cent_id, i AS pos,
+           |         CAST(sum(CAST(v[CAST(i AS INT)+1] AS DECIMAL(30,15)))
+           |              AS DOUBLE) AS m
+           |  FROM $a, UNNEST(range(0, len(v))) t(i)
+           |  GROUP BY cent_id, i)""".stripMargin,
+        s"""$nxt AS (
+           |  SELECT c.cent_id, coalesce(n.sv, c.cv) AS cv
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT cent_id, list(m ORDER BY pos) AS sv
+           |    FROM s${r + 1} GROUP BY cent_id) n
+           |  ON c.cent_id = n.cent_id)""".stripMargin)
+    }
+    val fin = s"c$ivfIters"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $ivfCentroids),
+       |${rounds.mkString(",\n")},
+       |${assignCte(fin, "bucketed")},
+       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
+       |           WHERE vec_id < $nProbes),
+       |pb AS (
+       |  SELECT probe_id, pv, cent_id AS bucket FROM (
+       |    SELECT p.probe_id, p.pv, c.cent_id,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY ${cosSql("c.cv", "p.pv")} DESC, c.cent_id ASC) AS rn
+       |    FROM probes p CROSS JOIN $fin c) WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT pb.probe_id, b.vec_id, ${cosSql("pb.pv", "b.v")} AS cos
+       |  FROM (SELECT vec_id, v, cent_id AS bucket FROM bucketed) b
+       |  JOIN pb ON b.bucket = pb.bucket
+       |  WHERE b.vec_id <> pb.probe_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   /** Trained quantizers are an INDEX: built once per dataset, reused by
     * every query (the standard IVF lifecycle — index build is offline,
     * nprobe search is online). Keyed on the dataset path + training
