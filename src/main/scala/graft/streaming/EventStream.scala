@@ -82,6 +82,22 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the incremental twin of TextOps.dedupExact
+    * for a document INGEST stream: the first arrival of each normalized
+    * content hash passes, copies are dropped, and state is BOUNDED by the
+    * watermark via dropDuplicatesWithinWatermark (a copy arriving later
+    * than `delay` after the original can re-emit — the standard
+    * bounded-state contract of streaming dedup; unbounded-state
+    * dropDuplicates would OOM a 100 TB ingest). Spec'd across watermark
+    * expiry in EventStreamSpec.
+    */
+  def dedupDocs(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_sha",
+        sha2(graft.ext.TextOps.normText(col("text")), 256))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_sha")
+
   /** The durability half of the streaming story: watermarked daily counts
     * into an append-mode parquet FILE sink with a checkpoint. Restarting
     * with the same two paths resumes from the checkpointed offsets/state,

@@ -93,6 +93,37 @@ class EventStreamSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = xs.map(t => t._1 -> ((t._2, t._3))).toMap
   }
 
+  test("streaming dedup: first copy wins; state expires with the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupDocs(docs).writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "alpha"),
+        (2L, ts("2024-01-01 10:01:00"), "beta"),
+        (3L, ts("2024-01-01 10:02:00"), "  Alpha ")) // normalized dup
+      q.processAllAvailable()
+      input.addData((4L, ts("2024-01-01 10:30:00"), "alpha")) // still dup
+      q.processAllAvailable()
+      val out1 = spark.table("dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(1L, 2L))
+      // a next-day event pushes the watermark past eventTime+delay for the
+      // alpha state; a fresh copy afterwards re-emits (bounded-state
+      // contract: dedup is guaranteed only within the watermark delay)
+      input.addData((5L, ts("2024-01-02 10:00:00"), "gamma"))
+      q.processAllAvailable()
+      input.addData((6L, ts("2024-01-02 10:01:00"), "alpha"))
+      q.processAllAvailable()
+      val out2 = spark.table("dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(1L, 2L, 5L, 6L), s"got $out2")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes and output is exactly-once") {
     import spark.implicits._
     val base = java.nio.file.Files
