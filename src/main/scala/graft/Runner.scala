@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.ext.{DedupOps, TextOps, VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, ProductPerformance,
   SupplierPerformance}
 
@@ -12,13 +13,19 @@ import graft.pipelines.{CustomerSalesReport, Ingestion, ProductPerformance,
   * (including the dup-gate's DuplicateKeyException) aborts the run with a
   * nonzero exit, the scheduler's retry signal.
   *
-  * `runMain graft.Runner [sfDir]`. One shared SparkSession across tasks —
-  * the reference creates and tears one down per task
-  * (transform_utils.py:12–32), paying JVM+session startup seven times.
+  * `runMain graft.Runner [sfDir] [daily|corpus]`. The `corpus` chain is
+  * the training-data counterpart over the extension suite: scrub →
+  * curation funnel → near-dup clusters → ANN index refresh — the DAG a
+  * corpus ingest would schedule.
+  *
+  * One shared SparkSession across tasks — the reference creates and tears
+  * one down per task (transform_utils.py:12–32), paying JVM+session
+  * startup seven times.
   */
 object Runner {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val chain = args.drop(1).headOption.getOrElse("daily")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +42,7 @@ object Runner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tasks: Seq[(String, () => Long)] = Seq(
+    val daily: Seq[(String, () => Long)] = Seq(
       "ingest_suppliers" -> (() => Ingestion.suppliers(spark, sfDir).count()),
       "ingest_products" -> (() => Ingestion.products(spark, sfDir).count()),
       "ingest_customers" -> (() => Ingestion.customers(spark, sfDir).count()),
@@ -46,6 +53,21 @@ object Runner {
         (() => ProductPerformance(spark, sfDir).count()),
       "customer_sales_report" ->
         (() => CustomerSalesReport(spark, sfDir).count()))
+
+    val corpus: Seq[(String, () => Long)] = Seq(
+      "pii_scrub" -> (() => TextOps.piiScrub(spark, sfDir).count()),
+      "corpus_curate" -> (() => TextOps.corpusCurate(spark, sfDir).count()),
+      "dedup_clusters" -> (() => DedupOps.dedupClusters(spark, sfDir).count()),
+      "ann_index_refresh" -> (() => VectorOps.annIvf(spark, sfDir).count()))
+
+    val tasks = chain match {
+      case "daily" => daily
+      case "corpus" => corpus
+      case other =>
+        System.err.println(s"[runner] unknown chain '$other' " +
+          "(expected daily|corpus)")
+        spark.stop(); sys.exit(2); Seq.empty
+    }
 
     try {
       tasks.foreach { case (name, run) =>
