@@ -68,6 +68,9 @@ object SparkEntry {
     "q_null_repair" -> ((s, dir) => MicroQueries.nullRepair(s, dir)),
     "q_date_and_round" -> ((s, dir) => MicroQueries.dateAndRound(s, dir)),
     "q_topk_native" -> ((s, dir) => MicroQueries.topkNative(s, dir)),
+    "q_pivot_status" -> ((s, dir) => MicroQueries.pivotStatus(s, dir)),
+    "q_rollup_docs" -> ((s, dir) => MicroQueries.rollupDocs(s, dir)),
+    "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,6 +116,9 @@ object SparkEntry {
     "q_null_repair" -> MicroQueries.nullRepairOracle,
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     "q_topk_native" -> MicroQueries.topkNativeOracle,
+    "q_pivot_status" -> MicroQueries.pivotStatusOracle,
+    "q_rollup_docs" -> MicroQueries.rollupDocsOracle,
+    "q_percentiles" -> EventOps.groupPercentilesOracle,
     // Every query carries an oracle — including the approximate family
     // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd
     // rounds are unrolled into the oracle SQL itself).

@@ -98,6 +98,28 @@ object EventOps {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
 
+  /** Exact interpolated per-group percentiles (linear interpolation
+    * between order statistics — the R-7 definition both engines
+    * implement, so doubles compare bit-exact). Exact percentiles sort
+    * within each group only: keyed, horizontal; the approximate-sketch
+    * variant (t-digest et al.) has no cross-engine twin and is left out
+    * deliberately.
+    */
+  def groupPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    Canon.canonicalize(e.groupBy("event_type").agg(
+      percentile(col("value"), lit(0.5)).as("p50"),
+      percentile(col("value"), lit(0.9)).as("p90"),
+      percentile(col("value"), lit(0.99)).as("p99")))
+  }
+
+  val groupPercentilesOracle: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90,
+      |       quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY 1""".stripMargin
+
   val sessionGap = "30 minutes"
 
   /** Per-user sessionization with a 30-minute inactivity gap, via Spark's

@@ -161,6 +161,55 @@ object MicroQueries {
     * round(col, 2) through DECIMAL, where HALF_UP agrees across engines
     * (double-round ties do not — SURVEY §7.4.2).
     */
+  /** Pivot — the wide-format report op (RelationalGroupedDataset.pivot).
+    * Pivot values are FIXED literals: the scalable form — a dynamic pivot
+    * needs a driver-side distinct over the fact before the plan can even
+    * be built. Absent combinations surface as null counts → filled to 0
+    * to match the CASE-sum oracle.
+    */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Retail.sales(spark, sfDir)
+    Canon.canonicalize(s.groupBy("PAYMENT_MODE")
+      .pivot("ORDER_STATUS", Seq("Shipped", "Delivered", "Cancelled"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("PAYMENT_MODE"),
+        col("Shipped").as("n_shipped"),
+        col("Delivered").as("n_delivered"),
+        col("Cancelled").as("n_cancelled")))
+  }
+
+  val pivotStatusOracle: String =
+    s"""WITH ${Retail.sql.sales}
+       |SELECT PAYMENT_MODE,
+       |  CAST(sum(CASE WHEN ORDER_STATUS = 'Shipped' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_shipped,
+       |  CAST(sum(CASE WHEN ORDER_STATUS = 'Delivered' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_delivered,
+       |  CAST(sum(CASE WHEN ORDER_STATUS = 'Cancelled' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_cancelled
+       |FROM sales GROUP BY 1""".stripMargin
+
+  /** Rollup — hierarchical subtotals in one pass (partial aggregation
+    * handles each grouping-set level; no repeated scans). Subtotal rows'
+    * null keys are labeled ALL (the fixture keys are never null).
+    */
+  def rollupDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.io.Tables.load(spark, sfDir, "documents")
+    Canon.canonicalize(d.rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars")))
+  }
+
+  val rollupDocsOracle: String =
+    """SELECT coalesce(lang, 'ALL') AS lang,
+      |       coalesce(source, 'ALL') AS source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin
+
   def dateAndRound(spark: SparkSession, sfDir: String): DataFrame = {
     val asOf = "2024-06-01"
     val s = Retail.sales(spark, sfDir)
