@@ -69,6 +69,8 @@ object SparkEntry {
     "q_date_and_round" -> ((s, dir) => MicroQueries.dateAndRound(s, dir)),
     "q_topk_native" -> ((s, dir) => MicroQueries.topkNative(s, dir)),
     "q_pivot_status" -> ((s, dir) => MicroQueries.pivotStatus(s, dir)),
+    "q_set_ops" -> ((s, dir) => MicroQueries.setOps(s, dir)),
+    "q_semi_anti" -> ((s, dir) => MicroQueries.semiAnti(s, dir)),
     "q_rollup_docs" -> ((s, dir) => MicroQueries.rollupDocs(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
   )
@@ -117,6 +119,8 @@ object SparkEntry {
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     "q_topk_native" -> MicroQueries.topkNativeOracle,
     "q_pivot_status" -> MicroQueries.pivotStatusOracle,
+    "q_set_ops" -> MicroQueries.setOpsOracle,
+    "q_semi_anti" -> MicroQueries.semiAntiOracle,
     "q_rollup_docs" -> MicroQueries.rollupDocsOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     // Every query carries an oracle — including the approximate family

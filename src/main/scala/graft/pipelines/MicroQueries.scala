@@ -161,6 +161,54 @@ object MicroQueries {
     * round(col, 2) through DECIMAL, where HALF_UP agrees across engines
     * (double-round ties do not — SURVEY §7.4.2).
     */
+  /** Set operators — union/intersect/except with DISTINCT set semantics,
+    * matching the SQL operators. Each set op plans as a keyed aggregate
+    * (or anti/semi hash join) — shuffle-keyed, horizontal.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.io.Tables.load(spark, sfDir, "documents")
+    val en = d.filter(col("lang") === "en").select("doc_id")
+    val src1 = d.filter(col("source") === "src1").select("doc_id")
+    val zh = d.filter(col("lang") === "zh").select("doc_id")
+    val short = d.filter(col("n_chars") < 200).select("doc_id")
+    Canon.canonicalize(
+      en.intersect(src1).union(zh).except(short).distinct())
+  }
+
+  val setOpsOracle: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id FROM documents WHERE lang = 'en'
+      |  INTERSECT
+      |  SELECT doc_id FROM documents WHERE source = 'src1'
+      |  UNION
+      |  SELECT doc_id FROM documents WHERE lang = 'zh')
+      |EXCEPT
+      |SELECT doc_id FROM documents WHERE n_chars < 200""".stripMargin
+
+  /** Semi/anti joins — existence predicates as joins (the engine form of
+    * EXISTS / NOT EXISTS): no payload from the right side crosses the
+    * wire, and the build side deduplicates to keys.
+    */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val suppliers = Retail.suppliers(spark, sfDir)
+    val sales = Retail.sales(spark, sfDir).select("SUPPLIER_ID")
+    val active = suppliers.join(sales, Seq("SUPPLIER_ID"), "left_semi")
+      .select(col("SUPPLIER_ID"), lit(true).as("has_sales"))
+    val dormant = suppliers.join(sales, Seq("SUPPLIER_ID"), "left_anti")
+      .select(col("SUPPLIER_ID"), lit(false).as("has_sales"))
+    Canon.canonicalize(active.union(dormant))
+  }
+
+  val semiAntiOracle: String =
+    s"""WITH ${Retail.sql.suppliers}, ${Retail.sql.sales}
+       |SELECT s.SUPPLIER_ID, TRUE AS has_sales FROM suppliers s
+       |WHERE EXISTS (SELECT 1 FROM sales x
+       |              WHERE x.SUPPLIER_ID = s.SUPPLIER_ID)
+       |UNION ALL
+       |SELECT s.SUPPLIER_ID, FALSE AS has_sales FROM suppliers s
+       |WHERE NOT EXISTS (SELECT 1 FROM sales x
+       |                  WHERE x.SUPPLIER_ID = s.SUPPLIER_ID)""".stripMargin
+
   /** Pivot — the wide-format report op (RelationalGroupedDataset.pivot).
     * Pivot values are FIXED literals: the scalable form — a dynamic pivot
     * needs a driver-side distinct over the fact before the plan can even
