@@ -54,6 +54,37 @@ object Rest {
     splitDataArray(resp.body())
   }
 
+  /** Paged GET: `?offset=N&limit=M` until a short page. Bounds driver
+    * memory PER REQUEST and turns the one-body dimension extract into the
+    * production loop — the answer to "what happens when the customers feed
+    * is 100× larger": page size stays constant, only the page count grows.
+    * Offset paging preserves order, so the landed frame is byte-identical
+    * to the one-body extract (RestSpec asserts it).
+    */
+  def extractPaged(baseUrl: String, entity: String,
+                   token: Option[String] = None,
+                   pageSize: Int = 1000): Seq[String] = {
+    require(pageSize > 0)
+    val out = Seq.newBuilder[String]
+    var offset = 0
+    var lastPage = pageSize
+    while (lastPage == pageSize) {
+      val b = HttpRequest.newBuilder(URI.create(
+        s"$baseUrl/v1/$entity?offset=$offset&limit=$pageSize"))
+      token.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val resp = client.send(b.GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new HttpFetchException(
+          s"GET /v1/$entity offset=$offset failed: ${resp.statusCode()}")
+      val page = splitDataArray(resp.body())
+      out ++= page
+      lastPage = page.size
+      offset += pageSize
+    }
+    out.result()
+  }
+
   /** Splits `{"data":[{...},{...}]}` into per-object strings. Depth-based —
     * no JSON library on the classpath beyond Spark's internals, and the
     * payload objects are flat (no nested braces in values beyond strings).
@@ -92,6 +123,9 @@ object Rest {
     private val token = "fixture-token-0001"
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
+    /** Requests served per entity — lets specs assert paging behavior. */
+    @volatile var requestCount: Map[String, Int] = Map.empty.withDefaultValue(0)
+
     private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -109,11 +143,23 @@ object Rest {
     })
     entities.keys.foreach { name =>
       server.createContext(s"/v1/$name", (ex: HttpExchange) => {
+        synchronized { requestCount += name -> (requestCount(name) + 1) }
         val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
         if (secured(name) && !auth.contains(s"Bearer $token"))
           respond(ex, 401, """{"detail":"Not authenticated"}""")
-        else respond(ex, 200,
-          entities(name).mkString("""{"data":[""", ",", "]}"))
+        else {
+          // optional ?offset=N&limit=M slice; no query → the full body
+          val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split('&').filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+          val docs = entities(name)
+          val page = (params.get("offset").map(_.toInt),
+              params.get("limit").map(_.toInt)) match {
+            case (Some(off), Some(lim)) => docs.slice(off, off + lim)
+            case _ => docs
+          }
+          respond(ex, 200, page.mkString("""{"data":[""", ",", "]}"))
+        }
       })
     }
     server.start()

@@ -68,7 +68,7 @@ object Ingestion {
         if (secured) Some(Rest.fetchToken(server.baseUrl, "svc", "secret"))
         else None
       Sources.jsonRecords(spark,
-        Rest.extract(server.baseUrl, entity, token), schema)
+        Rest.extractPaged(server.baseUrl, entity, token), schema)
     } finally server.stop()
   }
 

@@ -32,4 +32,27 @@ class RestSpec extends SparkSpec {
     try assert(Rest.extract(server.baseUrl, "suppliers", None) == docs)
     finally server.stop()
   }
+
+  test("paged extract recovers the one-body feed exactly, page by page") {
+    val docs = (0 until 23).map(i => s"""{"id":$i}""")
+    val server = new Rest.FixtureServer(Map("things" -> docs), Set.empty)
+    try {
+      val paged = Rest.extractPaged(server.baseUrl, "things", None,
+        pageSize = 5)
+      assert(paged == docs) // order-preserving, byte-identical
+      // 23 rows at page size 5 → 4 full pages + 1 partial (no extra call:
+      // the partial page terminates the loop)
+      assert(server.requestCount("things") == 5)
+      // exact multiple: the final full page forces one empty-page probe
+      val server2count = {
+        val s2 = new Rest.FixtureServer(Map("t" -> docs.take(10)), Set.empty)
+        try {
+          assert(Rest.extractPaged(s2.baseUrl, "t", None, pageSize = 5)
+            == docs.take(10))
+          s2.requestCount("t")
+        } finally s2.stop()
+      }
+      assert(server2count == 3)
+    } finally server.stop()
+  }
 }
