@@ -14,9 +14,33 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 object Rest {
 
-  final class HttpFetchException(msg: String) extends RuntimeException(msg)
+  class HttpFetchException(msg: String) extends RuntimeException(msg)
+  final class HttpStatusException(val status: Int, msg: String)
+      extends HttpFetchException(msg)
 
   private val client = HttpClient.newHttpClient()
+
+  /** Bounded retry for transient upstream failures (5xx / IO): fixed
+    * 100 ms backoff, `attempts` tries, then the last failure propagates.
+    * 4xx never retries — auth and bad-request are deterministic.
+    */
+  private[io] def withRetry[A](attempts: Int = 3)(f: => A): A = {
+    var tries = 0
+    var out: Option[A] = None
+    var last: Throwable = null
+    while (out.isEmpty && tries < attempts) {
+      try out = Some(f)
+      catch {
+        case e: HttpStatusException if e.status >= 500 =>
+          last = e; tries += 1
+          if (tries < attempts) Thread.sleep(100L)
+        case e: java.io.IOException =>
+          last = e; tries += 1
+          if (tries < attempts) Thread.sleep(100L)
+      }
+    }
+    out.getOrElse(throw last)
+  }
 
   /** POST form credentials → access_token (reference
     * transform_utils.py:42–60; server issues at server/server.py:70–86).
@@ -28,9 +52,13 @@ object Rest {
       .POST(HttpRequest.BodyPublishers.ofString(
         s"username=$user&password=$secret"))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new HttpFetchException(s"token fetch failed: ${resp.statusCode()}")
+    val resp = withRetry() {
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (r.statusCode() != 200)
+        throw new HttpStatusException(r.statusCode(),
+          s"token fetch failed: ${r.statusCode()}")
+      r
+    }
     val m = """"access_token"\s*:\s*"([^"]+)"""".r
     m.findFirstMatchIn(resp.body())
       .map(_.group(1))
@@ -46,11 +74,14 @@ object Rest {
               token: Option[String] = None): Seq[String] = {
     val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/v1/$entity"))
     token.foreach(t => b.header("Authorization", s"Bearer $t"))
-    val resp = client.send(b.GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new HttpFetchException(
-        s"GET /v1/$entity failed: ${resp.statusCode()}")
+    val resp = withRetry() {
+      val r = client.send(b.GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (r.statusCode() != 200)
+        throw new HttpStatusException(r.statusCode(),
+          s"GET /v1/$entity failed: ${r.statusCode()}")
+      r
+    }
     splitDataArray(resp.body())
   }
 
@@ -72,11 +103,14 @@ object Rest {
       val b = HttpRequest.newBuilder(URI.create(
         s"$baseUrl/v1/$entity?offset=$offset&limit=$pageSize"))
       token.foreach(t => b.header("Authorization", s"Bearer $t"))
-      val resp = client.send(b.GET().build(),
-        HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200)
-        throw new HttpFetchException(
-          s"GET /v1/$entity offset=$offset failed: ${resp.statusCode()}")
+      val resp = withRetry() {
+        val r = client.send(b.GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() != 200)
+          throw new HttpStatusException(r.statusCode(),
+            s"GET /v1/$entity offset=$offset failed: ${r.statusCode()}")
+        r
+      }
       val page = splitDataArray(resp.body())
       out ++= page
       lastPage = page.size
@@ -119,7 +153,8 @@ object Rest {
     * Binds an ephemeral localhost port — zero egress.
     */
   final class FixtureServer(entities: Map[String, Seq[String]],
-                            secured: Set[String]) {
+                            secured: Set[String],
+                            failFirst: Int = 0) {
     private val token = "fixture-token-0001"
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -143,9 +178,14 @@ object Rest {
     })
     entities.keys.foreach { name =>
       server.createContext(s"/v1/$name", (ex: HttpExchange) => {
-        synchronized { requestCount += name -> (requestCount(name) + 1) }
+        val served = synchronized {
+          requestCount += name -> (requestCount(name) + 1)
+          requestCount(name)
+        }
         val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
-        if (secured(name) && !auth.contains(s"Bearer $token"))
+        if (served <= failFirst) // flaky-upstream simulation for specs
+          respond(ex, 503, """{"detail":"temporarily unavailable"}""")
+        else if (secured(name) && !auth.contains(s"Bearer $token"))
           respond(ex, 401, """{"detail":"Not authenticated"}""")
         else {
           // optional ?offset=N&limit=M slice; no query → the full body

@@ -115,6 +115,26 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming → JDBC through foreachBatch: the standard pattern for
+    * sinks without a native streaming writer. Each micro-batch lands as
+    * one batched-append JDBC write tagged with its batch id; the
+    * checkpoint makes batch ids stable across restarts, so a downstream
+    * MERGE keyed on (batch_id, keys) — or idempotent-by-key upserts —
+    * gives effective exactly-once on top of foreachBatch's at-least-once
+    * replay. Spec'd against embedded Derby.
+    */
+  def toJdbc(df: DataFrame, url: String, table: String,
+             checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.Jdbc.write(
+          batch.withColumn("batch_id", lit(batchId)),
+          url, table, org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
     * nanos→timestamp conversion as the batch reader so the two pipelines

@@ -33,6 +33,33 @@ class RestSpec extends SparkSpec {
     finally server.stop()
   }
 
+  test("transient 5xx retries to success; exhausted retries propagate") {
+    val docs = Seq("""{"id":1}""")
+    val flaky = new Rest.FixtureServer(Map("e" -> docs), Set.empty,
+      failFirst = 2)
+    try {
+      assert(Rest.extract(flaky.baseUrl, "e", None) == docs)
+      assert(flaky.requestCount("e") == 3) // 2 × 503 + 1 × 200
+    } finally flaky.stop()
+    val dead = new Rest.FixtureServer(Map("e" -> docs), Set.empty,
+      failFirst = 99)
+    try {
+      val e = intercept[Rest.HttpStatusException](
+        Rest.extract(dead.baseUrl, "e", None))
+      assert(e.status == 503 && dead.requestCount("e") == 3)
+    } finally dead.stop()
+  }
+
+  test("4xx never retries: one request for an auth failure") {
+    val docs = Seq("""{"id":1}""")
+    val server = new Rest.FixtureServer(Map("e" -> docs), secured = Set("e"))
+    try {
+      intercept[Rest.HttpStatusException](
+        Rest.extract(server.baseUrl, "e", None))
+      assert(server.requestCount("e") == 1)
+    } finally server.stop()
+  }
+
   test("paged extract recovers the one-body feed exactly, page by page") {
     val docs = (0 until 23).map(i => s"""{"id":$i}""")
     val server = new Rest.FixtureServer(Map("things" -> docs), Set.empty)

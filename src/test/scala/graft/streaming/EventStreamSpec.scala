@@ -124,6 +124,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch JDBC sink lands every micro-batch with its batch id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_jdbc_stream").toString
+    val url = graft.io.Jdbc.derbyUrl(s"$base/db")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.toJdbc(
+      input.toDF().toDF("event_id", "event_type"),
+      url, "stream_events", s"$base/ck")
+    try {
+      input.addData((1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      input.addData((3L, "click"))
+      q.processAllAvailable()
+      val landed = graft.io.Jdbc.read(spark, url, "stream_events")
+        .select("event_id", "batch_id")
+        .as[(Long, Long)].collect().toSet
+      assert(landed.map(_._1) == Set(1L, 2L, 3L))
+      // the two adds arrived in distinct micro-batches with distinct ids
+      assert(landed.collect { case (3L, b) => b } !=
+        landed.collect { case (1L, b) => b })
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes and output is exactly-once") {
     import spark.implicits._
     val base = java.nio.file.Files
