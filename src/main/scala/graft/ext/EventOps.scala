@@ -120,6 +120,47 @@ object EventOps {
       |       quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Bounded-frame windows: per-user 3-event moving sum/average and a
+    * running (unbounded-preceding) total — the sliding-frame family the
+    * other windows (rank / navigation / unbounded) don't exercise.
+    * Decimal accumulation keeps the moving sums order-exact; the moving
+    * average divides ONCE at the boundary in DOUBLE (n is the in-frame
+    * row count, min(row_number, 3) at the partition head).
+    */
+  def movingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val w3 = w.rowsBetween(-2, 0)
+    val e = events(spark, sfDir)
+      .withColumn("v", col("value").cast(DecimalType(18, 2)))
+    Canon.canonicalize(e.select(
+      col("user_id"), col("event_id"),
+      sum("v").over(w3).as("moving_sum_3"),
+      (sum("v").over(w3).cast("double") /
+        least(row_number().over(w), lit(3)).cast("double"))
+        .as("moving_avg_3"),
+      sum("v").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .as("running_total")))
+  }
+
+  val movingAggOracle: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS moving_sum_3,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / CAST(least(row_number()
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS DOUBLE)
+      |    AS moving_avg_3,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM events""".stripMargin
+
   val sessionGap = "30 minutes"
 
   /** Per-user sessionization with a 30-minute inactivity gap, via Spark's
