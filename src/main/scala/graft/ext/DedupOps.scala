@@ -153,8 +153,13 @@ object DedupOps {
   def shingleTable(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(col("sh")).as("s"))
 
+  /** Pair Jaccard over SORTED hashed-shingle sets: the intersection count
+    * runs as the native allocation-free merge (the per-pair hash set of
+    * `array_intersect` was the dominant cost of the verify stages).
+    */
   private def pairJaccard(shA: Column, shB: Column): Column = {
-    val common = size(array_intersect(shA, shB)).cast("double")
+    val common = graft.functions.SortedIntersectCount(shA, shB)
+      .cast("double")
     common / (size(shA) + size(shB) - common)
   }
 

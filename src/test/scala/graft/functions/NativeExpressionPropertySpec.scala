@@ -54,6 +54,36 @@ class NativeExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedIntersectCount == size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, size => asize}
+    val setGen = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    for (pairs <- cases(Gen.listOfN(6, Gen.zip(setGen, setGen)), 15)) {
+      val df = pairs.toDF("a", "b")
+      val native = df.select(
+        SortedIntersectCount(col("a"), col("b")).as("c"))
+        .as[Long].collect().toSeq
+      val builtin = df.select(
+        asize(array_intersect(col("a"), col("b"))).cast("long").as("c"))
+        .as[Long].collect().toSeq
+      assert(native == builtin, s"diverged on $pairs")
+    }
+  }
+
+  test("SortedIntersectCount fails loudly on unsorted input") {
+    import spark.implicits._
+    // wrapper type depends on where evaluation happens (task vs local
+    // relation) — the contract is the message, not the wrapper
+    val e = intercept[Throwable] {
+      Seq((Seq(3L, 1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+        .select(SortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not sorted")), e.toString)
+  }
+
   test("HyperplaneBuckets matches an independent scalar model") {
     import spark.implicits._
     import HyperplaneBuckets.{A, B, P, bitsPerBand, nBands, numBits}
