@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, HyperplaneBuckets, ShingleHashes,
-  SimHash64}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets,
+  MinHashSignature, ShingleHashes, SimHash64, SortedIntersectCount}
 
 /** Session extensions: registers the engine's native functions for SQL use
   * (`SELECT cosine_similarity(a, b) ...`, `simhash64(tokens)`,
@@ -53,5 +53,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBuckets].getName,
         "hyperplane_buckets"),
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) =>
+        SortedIntersectCount(exprs.head, exprs(1))))
   }
 }

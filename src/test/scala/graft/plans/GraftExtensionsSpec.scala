@@ -52,6 +52,16 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().head.getSeq[Int](0)
       assert(hb.length == graft.functions.HyperplaneBuckets.nBands)
       assert(hb.forall(b => b >= 0 && b < 256))
+
+      val ms = s.sql(
+        "SELECT minhash_signature(array(7L, 11L, 13L)) AS sig")
+        .collect().head.getSeq[Long](0)
+      assert(ms.length == graft.functions.MinHashSignature.numHashes)
+
+      val ic = s.sql(
+        "SELECT sorted_intersect_count(array(1L,2L,5L), array(2L,5L,9L)) AS c")
+        .collect().head.getLong(0)
+      assert(ic == 2L)
     }
   }
 
