@@ -78,6 +78,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val s = ctx.freshName("s")
       val h31 = ctx.freshName("h31")
       val h37 = ctx.freshName("h37")
+      val g31 = ctx.freshName("g31")
+      val g37 = ctx.freshName("g37")
       val h = ctx.freshName("h")
       val cp = ctx.freshName("cp")
       val idx = ctx.freshName("idx")
@@ -95,8 +97,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |    $h31 = ($h31 * 31L + $cp) % ${P}L;
          |    $h37 = ($h37 * 37L + $cp) % ${P}L;
          |  }
-         |  long $h = (((${A31}L * $h31 + ${B31}L) % ${P}L) << 31)
-         |          | ((${A37}L * $h37 + ${B37}L) % ${P}L);
+         |  long $g31 = (${A31}L * $h31 + ${B31}L) % ${P}L;
+         |  long $g37 = (${A37}L * $h37 + ${B37}L) % ${P}L;
+         |  long $h = ($g31 << 31) | $g37;
          |  for (int $i = 0; $i < 64; $i++) {
          |    $votes[$i] += (($h >>> $i) & 1L) == 1L ? 1L : -1L;
          |  }
