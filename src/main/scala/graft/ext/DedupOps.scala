@@ -27,9 +27,12 @@ import graft.ops.Canon
   *    a RECALL statement, is a deterministic function of the input with a
   *    full SQL oracle (`minhashLshOracle`).
   *  - `simhashNearDup` reduces every doc to a 64-bit signature; near-dups
-  *    are pairs at small Hamming distance (bit_count(xor)). Blocked by
-  *    lang here; at corpus scale the standard trick is sorting by rotated
-  *    signatures.
+  *    are pairs at small Hamming distance (bit_count(xor)). Candidates
+  *    come from Hamming-LSH chunk banding — the signature is split into
+  *    maxHamming+1 exact chunks and pairs are generated only inside equal
+  *    (lang, chunk, value) buckets; by pigeonhole every pair within the
+  *    Hamming budget collides in ≥ 1 chunk, so the banding loses nothing
+  *    (100% recall) while the join stays linear in bucket sizes.
   *
   * Hash family: every hash is integer arithmetic mod P = 2³¹−1 (prime).
   *  - shingle/token hash: polynomial fold  h = Σ c_j·31^j mod P  over
@@ -545,6 +548,38 @@ object DedupOps {
 
   val simhashMaxHamming = 8
 
+  /** Hamming-LSH banding of the 64-bit signature: `maxHamming + 1 = 9`
+    * chunks (8 chunks of 7 bits + one of 8). Pigeonhole recall argument:
+    * a pair at Hamming distance ≤ 8 differs in at most 8 bit positions,
+    * which can touch at most 8 of the 9 chunks — so the pair agrees
+    * EXACTLY on at least one chunk and is emitted by the
+    * (chunk, value)-equality candidate join. With no bucket cap the
+    * candidate set therefore has 100% recall and the operator is exact;
+    * the mega-bucket cap below (the same low-information-slice guard as
+    * minhashLsh's) is the one deliberate recall trade, mirrored in the
+    * oracle.
+    */
+  val simhashChunks: Int = simhashMaxHamming + 1
+  private val chunkBits = 7
+  private def chunkWidth(i: Int): Int =
+    if (i == simhashChunks - 1) 64 - chunkBits * (simhashChunks - 1)
+    else chunkBits
+
+  /** Chunk buckets shared by more docs than this are dropped from
+    * candidate generation (quadratic-pair guard; e.g. the all-zero chunk
+    * of near-empty docs). Same rationale and spirit as `maxBucketSize`.
+    */
+  val simhashMaxChunkBucket = 64
+
+  /** The 9 chunk values of a signature (literal shifts/masks — fully
+    * codegen'd; bit 63 is structurally zero so `>>` needs no sign care).
+    */
+  private def chunkValExprs(sig: Column): Seq[Column] =
+    (0 until simhashChunks).map { i =>
+      shiftrightunsigned(sig, chunkBits * i)
+        .bitwiseAND(lit((1L << chunkWidth(i)) - 1L))
+    }
+
   /** Salt factor for skewed block self-joins. A block key with few
     * distinct values (5 langs, 10 labels) caps join parallelism at that
     * count and the largest block's quadratic work lands on ONE task. The
@@ -566,18 +601,77 @@ object DedupOps {
     salted.join(replicated, blockCols :+ "salt").drop("salt")
   }
 
-  /** Lang-blocked near-dup pairs at Hamming distance ≤ 8 of 64 bits.
-    * Signatures come from the native fused-loop [[graft.functions
-    * .SimHash64]] expression (the interpreted vote fold above was this
-    * query's per-doc hot loop).
+  /** Lang-blocked near-dup pairs at Hamming distance ≤ 8 of 64 bits,
+    * with Hamming-LSH (chunk-banded) candidate generation — the same
+    * band/bucket/verify shape as [[minhashLsh]], replacing the former
+    * salted all-pairs-within-lang join whose work grew quadratically in
+    * block size. Signatures come from the native fused-loop
+    * [[graft.functions.SimHash64]] expression.
+    *
+    * Shape at scale: one narrow (lang, chunk, value, doc_id) table — 9
+    * rows per doc — is self-joined on (lang, chunk, value); by the
+    * pigeonhole argument at [[simhashChunks]] every qualifying pair
+    * collides in ≥ 1 chunk, so recall is 100% before the mega-bucket cap
+    * and the exact Hamming verify keeps precision exact. Signatures are
+    * attached late (two hash joins on bare ids) so the banding shuffle
+    * carries no payload.
+    *
+    * @param maxChunkBucket drop (lang, chunk, value) buckets larger than
+    *   this before pairing (default [[simhashMaxChunkBucket]]; specs pass
+    *   Int.MaxValue to assert exactness vs the all-pairs formulation).
     */
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhashNearDup(spark: SparkSession, sfDir: String,
+                     maxChunkBucket: Int = simhashMaxChunkBucket)
+      : DataFrame = {
     val d = documents(spark, sfDir)
       .repartition(col("doc_id")) // one-split source; signature is the cost
       .withColumn("norm", TextOps.normText(col("text")))
       .select(col("doc_id"), col("lang"),
         graft.functions.SimHash64(split(col("norm"), " ")).as("sig"))
-      .persist() // both self-join sides
+      .persist() // chunk fan-out + both signature attaches
+    val chunked = d.select(col("doc_id"), col("lang"),
+        posexplode(array(chunkValExprs(col("sig")): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "cval")
+      .persist() // bucket-size filter + both self-join sides
+    val keptBuckets = chunked.groupBy("lang", "chunk", "cval")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxChunkBucket)
+      .select("lang", "chunk", "cval")
+    val kept = chunked.join(keptBuckets, Seq("lang", "chunk", "cval"))
+    val candidates = kept.as("x").join(kept.as("y"),
+        col("x.lang") === col("y.lang") && col("x.chunk") === col("y.chunk")
+          && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.lang").as("lang"), col("x.doc_id").as("id_a"),
+        col("y.doc_id").as("id_b"))
+      .distinct() // same pair may collide in several chunks
+    val withSigs = candidates
+      .join(d.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+    Canon.materialized(
+      Canon.canonicalize(withSigs
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= simhashMaxHamming)
+        .select("lang", "id_a", "id_b", "hamming")),
+      d, chunked)
+  }
+
+  /** The pre-LSH all-pairs formulation (salted within lang blocks) —
+    * retained as the reference for the chunking exactness spec: with the
+    * bucket cap disabled the LSH result must EQUAL this, by pigeonhole.
+    */
+  private[ext] def simhashNearDupAllPairs(spark: SparkSession,
+                                          sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.SimHash64(split(col("norm"), " ")).as("sig"))
+      .persist()
     val a = d.select(col("lang"), col("doc_id").as("id_a"),
       col("sig").as("sig_a"))
     val b = d.select(col("lang"), col("doc_id").as("id_b"),
@@ -594,11 +688,16 @@ object DedupOps {
   }
 
   /** Full DuckDB oracle for `simhashNearDup`: token hashing, the 64-bit
-    * vote/signature construction, and the Hamming pair filter re-expressed
+    * vote/signature construction, the 9-chunk Hamming-LSH banding with
+    * its mega-bucket cap, and the exact Hamming verify — all re-expressed
     * in SQL over the same twin hash family. Like the LSH oracle, generated
-    * from the same constants as the Spark plan.
+    * from the same constants as the Spark plan (chunk widths/masks
+    * included), so the cap's recall trade reproduces identically.
     */
-  val simhashNearDupOracle: String =
+  val simhashNearDupOracle: String = {
+    val maskCases = (0 until simhashChunks)
+      .map(i => s"WHEN $i THEN ${(1L << chunkWidth(i)) - 1L}")
+      .mkString(" ")
     s"""WITH nd AS (
        |  SELECT doc_id, lang,
        |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
@@ -620,10 +719,29 @@ object DedupOps {
        |         sum(CASE WHEN v > 0
        |                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
        |                  ELSE 0 END) AS sig
-       |  FROM votes GROUP BY doc_id, lang)
-       |SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       |  FROM votes GROUP BY doc_id, lang),
+       |chunked AS (
+       |  SELECT doc_id, lang, i AS chunk,
+       |         (sig >> CAST($chunkBits * i AS INT))
+       |           & (CASE i $maskCases END) AS cval
+       |  FROM sigs, UNNEST(range(0, $simhashChunks)) AS t(i)),
+       |kept AS (
+       |  SELECT lang, chunk, cval FROM chunked
+       |  GROUP BY lang, chunk, cval
+       |  HAVING count(*) <= $simhashMaxChunkBucket),
+       |kc AS (
+       |  SELECT c.doc_id, c.lang, c.chunk, c.cval
+       |  FROM chunked c JOIN kept k
+       |    ON c.lang = k.lang AND c.chunk = k.chunk AND c.cval = k.cval),
+       |cand AS (
+       |  SELECT DISTINCT x.lang, x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM kc x JOIN kc y
+       |    ON x.lang = y.lang AND x.chunk = y.chunk AND x.cval = y.cval
+       |       AND x.doc_id < y.doc_id)
+       |SELECT c.lang, c.id_a, c.id_b,
        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-       |FROM sigs a JOIN sigs b
-       |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |FROM cand c JOIN sigs a ON c.id_a = a.doc_id
+       |            JOIN sigs b ON c.id_b = b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
+  }
 }

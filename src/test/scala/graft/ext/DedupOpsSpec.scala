@@ -99,6 +99,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("simhash chunk-LSH equals all-pairs exactly when the cap is off") {
+    // Pigeonhole: Hamming ≤ 8 ⇒ the pair agrees on ≥ 1 of the 9 chunks,
+    // so with the mega-bucket cap disabled the banded candidate join must
+    // reproduce the all-pairs result EXACTLY — not just approximately.
+    val lsh = DedupOps.simhashNearDup(spark, sfDir,
+        maxChunkBucket = Int.MaxValue)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val allPairs = DedupOps.simhashNearDupAllPairs(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(lsh == allPairs,
+      s"missing=${allPairs.diff(lsh).take(5)} extra=${lsh.diff(allPairs).take(5)}")
+  }
+
+  test("simhash chunk-LSH default cap only drops pairs, never invents them") {
+    val capped = DedupOps.simhashNearDup(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val allPairs = DedupOps.simhashNearDupAllPairs(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(allPairs))
+  }
+
+  test("simhash near-dup plan has no salted all-pairs join") {
+    // The round-3 scale-killer: candidate generation must go through the
+    // (lang, chunk, value) band join, not a salted quadratic self-join.
+    val plan = DedupOps.simhashNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("salt"), "salted all-pairs join resurfaced")
+    assert(plan.contains("chunk"), "chunk banding missing from plan")
+  }
+
   test("simhash: identical token streams at distance 0, perturbed nearby") {
     val sigs = Seq(
       "alpha beta gamma delta epsilon zeta eta theta",
