@@ -57,7 +57,8 @@ object Runner {
     val corpus: Seq[(String, () => Long)] = Seq(
       "pii_scrub" -> (() => TextOps.piiScrub(spark, sfDir).count()),
       "corpus_curate" -> (() => TextOps.corpusCurate(spark, sfDir).count()),
-      "dedup_clusters" -> (() => DedupOps.dedupClusters(spark, sfDir).count()),
+      // LSH-fed: shingle → band → verify → cluster, no quadratic pair join
+      "dedup_clusters" -> (() => DedupOps.dedupClustersLsh(spark, sfDir).count()),
       "ann_index_refresh" -> (() => VectorOps.annIvf(spark, sfDir).count()))
 
     val tasks = chain match {

@@ -42,6 +42,8 @@ object SparkEntry {
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     "q_tfidf" -> ((s, dir) => TextOps.tfIdf(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(s, dir)),
+    // the 100 TB dedup DAG: shingle → LSH band → verify → cluster
+    "q_dedup_clusters_lsh" -> ((s, dir) => DedupOps.dedupClustersLsh(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
@@ -101,6 +103,7 @@ object SparkEntry {
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
+    "q_dedup_clusters_lsh" -> DedupOps.dedupClustersLshOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
     "q_ann_ivf" -> VectorOps.annIvfOracle(),
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,

@@ -258,15 +258,33 @@ object DedupOps {
     * Oracle: recursive-CTE transitive closure.
     */
   def dedupClusters(spark: SparkSession, sfDir: String,
-                    driverThreshold: Long = 1000000L): DataFrame = {
-    val jb = jaccardBlocked(spark, sfDir) // returns a cached frame
-    val pairs = jb
+                    driverThreshold: Long = 1000000L): DataFrame =
+    clustersFromPairs(spark, jaccardBlocked(spark, sfDir), driverThreshold)
+
+  /** Clusters over MinHash-LSH pairs — the 100 TB dedup pipeline's shape:
+    * shingle → LSH banding → exact verify → connected components. The
+    * exact blocked-jaccard variant above stays as the precise tool where
+    * a natural block key bounds the quadratic work; THIS is the chain the
+    * `corpus` Runner schedules.
+    */
+  def dedupClustersLsh(spark: SparkSession, sfDir: String,
+                       driverThreshold: Long = 1000000L): DataFrame =
+    clustersFromPairs(spark, minhashLsh(spark, sfDir), driverThreshold)
+
+  /** Connected components over ANY near-dup pair frame (id_a, id_b) —
+    * the pair source is a parameter so every pair generator in this file
+    * (blocked jaccard, MinHash-LSH, simhash chunk-LSH, the embedding
+    * variants in VectorOps) composes with the same clustering step.
+    */
+  def clustersFromPairs(spark: SparkSession, pairSource: DataFrame,
+                        driverThreshold: Long = 1000000L): DataFrame = {
+    val pairs = pairSource
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist()
     val result =
       if (pairs.count() <= driverThreshold) unionFindLocal(spark, pairs)
       else labelPropagation(pairs)
-    Canon.materialized(Canon.canonicalize(result), pairs, jb)
+    Canon.materialized(Canon.canonicalize(result), pairs, pairSource)
   }
 
   private def unionFindLocal(spark: SparkSession,
@@ -289,6 +307,15 @@ object DedupOps {
     ids.map(id => (id, find(id))).toSeq.toDF("doc_id", "cluster_id")
   }
 
+  /** Truncate label-frame lineage every N propagation rounds. Near-dup
+    * components are tiny cliques (diameter 2–3), but a pathological
+    * high-diameter graph would otherwise stack one join+agg per round
+    * into an unboundedly deep plan — `localCheckpoint` materializes the
+    * current labels and cuts the lineage, keeping every round's plan
+    * depth bounded by the checkpoint interval.
+    */
+  private val checkpointEveryRounds = 4
+
   private def labelPropagation(pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.union(
@@ -296,16 +323,22 @@ object DedupOps {
     var labels = edges.select(col("id_a").as("id"))
       .distinct().withColumn("label", col("id")).persist()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val neighborMin = edges
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))
         .agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .persist()
+      // localCheckpoint persists AND truncates lineage; plain persist
+      // caches but keeps the whole round-stack as the recompute path
+      val next =
+        if (round % checkpointEveryRounds == 0) stepped.localCheckpoint()
+        else stepped.persist()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
@@ -321,6 +354,24 @@ object DedupOps {
        |edges AS (
        |  SELECT id_a, id_b FROM jpairs
        |  UNION ALL SELECT id_b, id_a FROM jpairs),
+       |reach(id, root) AS (
+       |  SELECT DISTINCT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.root FROM edges e JOIN reach r ON e.id_b = r.id)
+       |SELECT id AS doc_id, min(root) AS cluster_id
+       |FROM reach GROUP BY id""".stripMargin
+
+  /** Oracle for [[dedupClustersLsh]]: the recursive-CTE transitive
+    * closure composed over the FULL MinHash-LSH pipeline's CTE chain —
+    * the whole 100 TB dedup DAG (shingle → band → verify → cluster) is
+    * one hash-checkable SQL statement. (Defined with the LSH oracle
+    * below; forward-referenced lazily so source order stays topical.)
+    */
+  lazy val dedupClustersLshOracle: String =
+    s"""WITH RECURSIVE $minhashLshCte,
+       |edges AS (
+       |  SELECT id_a, id_b FROM lpairs
+       |  UNION ALL SELECT id_b, id_a FROM lpairs),
        |reach(id, root) AS (
        |  SELECT DISTINCT id_a, id_a FROM edges
        |  UNION
@@ -458,13 +509,16 @@ object DedupOps {
     * is deterministic, so the driver can hash-compare it like any exact
     * query.
     */
-  val minhashLshOracle: String = {
+  /** Shared CTE chain ending in `lpairs` (id_a, id_b, jaccard) — used by
+    * the LSH oracle and the LSH-fed clustering oracle.
+    */
+  private val minhashLshCte: String = {
     val minAggs = (0 until numHashes)
       .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
     val bandedUnion = (0 until numBands)
       .map(b => s"SELECT doc_id, $b AS band, ${bucketSql(b)} AS bucket FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH nd AS (
+    s"""nd AS (
        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |  FROM documents),
        |d AS (SELECT doc_id, norm FROM nd WHERE length(norm) >= $shingleLen),
@@ -493,10 +547,15 @@ object DedupOps {
        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
        |         len(sa.sh) AS na, len(sb.sh) AS nb
        |  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
-       |              JOIN sh sb ON c.id_b = sb.doc_id)
-       |SELECT id_a, id_b, n_common / (na + nb - n_common) AS jaccard
-       |FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
+       |              JOIN sh sb ON c.id_b = sb.doc_id),
+       |lpairs AS (
+       |  SELECT id_a, id_b, n_common / (na + nb - n_common) AS jaccard
+       |  FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold)""".stripMargin
   }
+
+  val minhashLshOracle: String =
+    s"""WITH $minhashLshCte
+       |SELECT id_a, id_b, jaccard FROM lpairs""".stripMargin
 
   // ---- SimHash --------------------------------------------------------
 

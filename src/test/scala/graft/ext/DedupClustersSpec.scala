@@ -14,6 +14,33 @@ class DedupClustersSpec extends SparkSpec {
     assert(viaDriver == viaDistributed)
   }
 
+  test("LSH-fed clusters merge every verified LSH pair") {
+    val pairs = DedupOps.minhashLsh(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val clusters = DedupOps.dedupClustersLsh(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+  }
+
+  test("label propagation converges on a path graph deeper than the " +
+      "checkpoint interval") {
+    // A 14-node path has diameter 13 — min-label propagation needs many
+    // rounds, crossing the localCheckpoint boundary several times; the
+    // whole path must still collapse to the minimum id.
+    val n = 14
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val clusters = DedupOps.clustersFromPairs(spark, path,
+        driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size == n)
+    assert(clusters.values.forall(_ == 1L), s"non-min labels: $clusters")
+  }
+
   test("cluster labels are the component minimum and include both endpoints") {
     val pairs = DedupOps.jaccardBlocked(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect()
