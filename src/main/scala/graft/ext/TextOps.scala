@@ -223,12 +223,13 @@ object TextOps {
         explode(col("toks")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("lang", "token").agg(count(lit(1)).as("doc_freq"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-      .orderBy(col("doc_freq").desc, col("token").asc)
-    Canon.canonicalize(df
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topTokensK)
-      .select("lang", "rank", "token", "doc_freq"))
+    // per-lang top-k via the sort-free TopKPerKey heap — no full sort of
+    // the vocabulary per lang, same rank semantics as row_number()
+    val top = graft.plans.TopK.perKey(df, Seq("lang"),
+      Seq("doc_freq" -> graft.plans.TopK.Desc,
+        "token" -> graft.plans.TopK.Asc),
+      topTokensK, rankCol = Some("rank"))
+    Canon.canonicalize(top.select("lang", "rank", "token", "doc_freq"))
   }
 
   val topTokensOracle: String =
@@ -272,12 +273,17 @@ object TextOps {
       .withColumn("tfidf",
         col("tf").cast("double") * (col("n") + 1).cast("double") /
           (col("df") + 1).cast("double"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("token").asc)
-    Canon.canonicalize(scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= tfIdfK)
-      .select("doc_id", "rank", "token", "tf", "df", "tfidf"))
+    // per-doc top-k via the sort-free TopKPerKey heap; state is
+    // (k+1)=6 narrow rows per doc in the partition — the operator's
+    // intended regime
+    val top = graft.plans.TopK.perKey(
+      scored.select("doc_id", "token", "tf", "df", "tfidf"),
+      Seq("doc_id"),
+      Seq("tfidf" -> graft.plans.TopK.Desc,
+        "token" -> graft.plans.TopK.Asc),
+      tfIdfK, rankCol = Some("rank"))
+    Canon.canonicalize(
+      top.select("doc_id", "rank", "token", "tf", "df", "tfidf"))
   }
 
   val tfIdfOracle: String =

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
 import graft.ops.Canon
+import graft.plans.TopK
 
 /** Similarity search over the `embeddings` fixture
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
@@ -75,7 +76,11 @@ object VectorOps {
   val topK = 10
 
   /** Exact brute-force cosine top-k: probes (vec_id < nProbes) broadcast
-    * against all candidates; per-probe rank with total-order tie-break.
+    * against all candidates; per-probe top-k via the in-repo sort-free
+    * [[graft.plans.TopKPerKey]] heap operator (O(n log k), bounded state;
+    * the former `row_number().over(...)` formulation sorted every probe's
+    * full candidate list). Rank semantics are identical: heap drain order
+    * under the same (cos DESC, vec_id ASC) total order.
     */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
@@ -86,13 +91,11 @@ object VectorOps {
     val scored = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", cosine(col("pv"), col("v")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    val top = TopK.perKey(scored.select("probe_id", "vec_id", "cos"),
+      Seq("probe_id"), Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      topK, rankCol = Some("rank"))
     Canon.materialized(
-      Canon.canonicalize(scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= topK)
-        .select("probe_id", "rank", "vec_id", "cos")),
+      Canon.canonicalize(top.select("probe_id", "rank", "vec_id", "cos")),
       e)
   }
 
@@ -379,17 +382,19 @@ object VectorOps {
       .filter(col("crank") <= nprobe)
       .select(col("probe_id"), col("pv"), col("cent_id").as("bucket"))
 
-    // search only assigned buckets
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    // search only assigned buckets; final per-probe rank via the
+    // sort-free TopKPerKey heap (same total order as the oracle's
+    // row_number)
+    val searched = bucketed
+      .join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("v")))
+      .select("probe_id", "vec_id", "cos")
+    val top = TopK.perKey(searched, Seq("probe_id"),
+      Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      topK, rankCol = Some("rank"))
     Canon.materialized(
-      Canon.canonicalize(bucketed
-        .join(broadcast(probeBuckets), Seq("bucket"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", cosine(col("pv"), col("v")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= topK)
-        .select("probe_id", "rank", "vec_id", "cos")),
+      Canon.canonicalize(top.select("probe_id", "rank", "vec_id", "cos")),
       e)
   }
 }

@@ -40,42 +40,58 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
                       child: LogicalPlan,
-                      maxKeysPerPartition: Int = TopK.defaultMaxKeysPerPartition)
+                      maxKeysPerPartition: Int = TopK.defaultMaxKeysPerPartition,
+                      rankAttr: Option[Attribute] = None)
     extends UnaryNode {
   require(k > 0 && keys.nonEmpty)
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // rank originates HERE, not from the child — without this, analysis
+  // flags it as a missing input attribute
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions
+    .AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(
       newChild: LogicalPlan): TopKPerKey = copy(child = newChild)
 }
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(k, keys, order, child, maxKeys) =>
-      TopKPerKeyExec(k, keys, order, planLater(child), maxKeys) :: Nil
+    case TopKPerKey(k, keys, order, child, maxKeys, rankAttr) =>
+      TopKPerKeyExec(k, keys, order, planLater(child), maxKeys,
+        rankAttr) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
                           order: Seq[SortOrder], child: SparkPlan,
-                          maxKeysPerPartition: Int)
+                          maxKeysPerPartition: Int,
+                          rankAttr: Option[Attribute])
     extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions
+    .AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    val outAttrs = output
     val keyExprs = keys
     val sortOrder = order
     val kk = k
     val maxKeys = maxKeysPerPartition
+    val emitRank = rankAttr.isDefined
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .create(sortOrder, childOutput)
+      // identity projection to UnsafeRow over (child row ++ rank)
+      val outProj =
+        if (emitRank) UnsafeProjection.create(outAttrs, outAttrs) else null
       // head of each heap = the WORST retained row (reverse ordering)
       val heaps = mutable.HashMap.empty[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]
@@ -100,7 +116,18 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
         val rows = new Array[InternalRow](h.size)
         var i = rows.length - 1
         while (i >= 0) { rows(i) = h.poll(); i -= 1 } // best-first order
-        rows.iterator
+        if (!emitRank) rows.iterator
+        else {
+          // rank = heap drain position + 1 — exactly row_number() under
+          // the operator's total ordering, with no sort anywhere
+          val joined = new org.apache.spark.sql.catalyst.expressions
+            .JoinedRow
+          rows.iterator.zipWithIndex.map { case (r, idx) =>
+            outProj(joined(r,
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](idx + 1))))
+          }
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -133,9 +160,15 @@ object TopK {
     * distinct key per task, non-spilling, capped loudly by
     * `maxKeysPerPartition`.
     */
+  /** @param rankCol when set, append a 1-based INT rank column with this
+    *   name — the drain order of the per-key heap, i.e. exactly the
+    *   `row_number()` the window formulation would compute, still with no
+    *   sort anywhere in the plan.
+    */
   def perKey(df: DataFrame, keyCols: Seq[String],
              order: Seq[(String, Dir)], k: Int,
-             maxKeysPerPartition: Int = defaultMaxKeysPerPartition)
+             maxKeysPerPartition: Int = defaultMaxKeysPerPartition,
+             rankCol: Option[String] = None)
       : DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
@@ -152,8 +185,11 @@ object TopK {
         case Desc => org.apache.spark.sql.catalyst.expressions.Descending
       })
     }
+    val rankAttr = rankCol.map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.IntegerType, nullable = false)())
     ColumnBridge.ofRows(spark,
       TopKPerKey(k, keyCols.map(attr), sortOrders, child,
-        maxKeysPerPartition))
+        maxKeysPerPartition, rankAttr))
   }
 }

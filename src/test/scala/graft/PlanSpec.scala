@@ -53,6 +53,35 @@ class PlanSpec extends SparkSpec {
       s"scan not pruned to 2 columns: $readSchema")
   }
 
+  test("top-k-shaped queries run on TopKPerKey with no sort anywhere") {
+    // cosineTopK / topTokens / tfIdf: the ONLY rank-shaped step is the
+    // final per-key top-k — swapping in the heap operator must leave the
+    // whole plan sort-free (broadcast/hash joins + hash aggregates only).
+    for ((name, df) <- Seq(
+        "cosineTopK" -> ext.VectorOps.cosineTopK(spark, sfDir),
+        "topTokens" -> ext.TextOps.topTokens(spark, sfDir),
+        "tfIdf" -> ext.TextOps.tfIdf(spark, sfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"), s"$name lost the heap operator")
+      assert(!p.contains("Window"), s"$name still ranks via window:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+      assert(!p.contains("Sort ["), s"$name still sorts:\n" +
+        p.linesIterator.filter(_.contains("Sort [")).mkString("\n"))
+    }
+  }
+
+  test("annIvf final rank is the heap operator, not a window over cos") {
+    // the two centroid-assignment windows (argmax over 16 rows) remain by
+    // design; the FINAL per-probe rank over the searched candidates must
+    // not be a window sort
+    val p = ext.VectorOps.annIvf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "annIvf lost the heap operator")
+    assert(!"windowspecdefinition\\(probe_id#\\d+, cos#".r
+        .findFirstIn(p).isDefined,
+      "annIvf's final rank is still a window over cos")
+  }
+
   test("whole-stage codegen covers the mart pipelines' hot path") {
     val df = ProductPerformance(spark, sfDir)
     df.collect() // executes THIS QueryExecution so AQE finalizes in place
