@@ -352,13 +352,30 @@ object VectorOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]
 
+  /** Cheap data fingerprint of the embeddings source (file names, sizes,
+    * mtimes) folded into the cache key: a path alone would serve stale
+    * centroids if the dataset at that path is regenerated within one JVM
+    * (rewritten fixtures between suites, reruns over refreshed data).
+    */
+  private def dataFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(path)
+    if (!root.exists()) "absent"
+    else walk(root)
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .mkString("|").hashCode.toHexString
+  }
+
   def annIvf(spark: SparkSession, sfDir: String, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist() // assignment pass + probe set + centroid training
     val cachedRows = centroidCache.computeIfAbsent(
-      s"$sfDir#$ivfCentroids#$ivfIters",
+      s"$sfDir#$ivfCentroids#$ivfIters#" +
+        dataFingerprint(s"$sfDir/embeddings.parquet"),
       _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
     val centroids = cachedRows.toDF("cent_id", "cv")
 

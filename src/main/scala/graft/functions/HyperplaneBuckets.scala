@@ -81,7 +81,11 @@ object HyperplaneBuckets {
   val nBands = 8
   val bitsPerBand: Int = numBits / nBands
 
-  /** One fused pass: 64 signed projections → 8 byte-sized bucket keys. */
+  /** One fused pass: 64 signed projections → 8 byte-sized bucket keys.
+    * Null elements contribute 0 to the projection (skipped), mirroring
+    * SimHash64's null handling — SQL callers can pass arbitrary arrays
+    * and getDouble on a null slot would otherwise read garbage.
+    */
   def buckets(v: ArrayData): Array[Int] = {
     val dim = v.numElements()
     val out = new Array[Int](nBands)
@@ -90,9 +94,11 @@ object HyperplaneBuckets {
       var acc = 0.0
       var i = 0
       while (i < dim) {
-        val t = j.toLong * dim + i + 1
-        val r = ((A * t + B) % P).toDouble / P - 0.5
-        acc += v.getDouble(i) * r
+        if (!v.isNullAt(i)) {
+          val t = j.toLong * dim + i + 1
+          val r = ((A * t + B) % P).toDouble / P - 0.5
+          acc += v.getDouble(i) * r
+        }
         i += 1
       }
       if (acc >= 0.0) out(j / bitsPerBand) |= 1 << (j % bitsPerBand)

@@ -78,18 +78,24 @@ object MinHashSignature {
   /** Static hot loop shared by eval and codegen. Empty sets yield an
     * all-P sentinel signature (the aggregate form yields no row at all —
     * both pipelines pre-filter empty documents, see DedupOps.shingleSets).
+    * Null elements are SKIPPED (treated as absent from the set),
+    * mirroring SimHash64's token handling — the expression is
+    * SQL-registered, so arbitrary user arrays can reach it and a blind
+    * getLong would read a null slot as garbage.
     */
   def signature(sh: ArrayData): Array[Long] = {
     val n = sh.numElements()
     val out = Array.fill(numHashes)(P)
     var j = 0
     while (j < n) {
-      val x = sh.getLong(j) % P
-      var i = 0
-      while (i < numHashes) {
-        val h = (as(i) * x + bs(i)) % P
-        if (h < out(i)) out(i) = h
-        i += 1
+      if (!sh.isNullAt(j)) {
+        val x = sh.getLong(j) % P
+        var i = 0
+        while (i < numHashes) {
+          val h = (as(i) * x + bs(i)) % P
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
       }
       j += 1
     }

@@ -62,34 +62,41 @@ object SortedIntersectCount {
   /** Static merge loop shared by eval and codegen. The monotonicity
     * validation walks BOTH arrays to the end (the merge alone skips the
     * tail of whichever side outlives the other, and an unsorted prefix
-    * there could silently miscount).
+    * there could silently miscount). The contract is STRICTLY ascending:
+    * an element equal to its predecessor (a duplicate) fails too — a
+    * duplicate would be counted with multiplicity, silently diverging
+    * from the set semantics of size(array_intersect). Null elements are
+    * rejected as well (getLong on a null slot reads garbage).
     */
   def count(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
-    var prevA = Long.MinValue; var prevB = Long.MinValue
+    var prevA = 0L; var prevB = 0L
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) nullElement()
       val x = a.getLong(i); val y = b.getLong(j)
       if (x < y) {
-        if (x < prevA) unsorted()
+        if (i > 0 && x <= prevA) unsorted()
         prevA = x; i += 1
       } else if (y < x) {
-        if (y < prevB) unsorted()
+        if (j > 0 && y <= prevB) unsorted()
         prevB = y; j += 1
       } else {
-        if (x < prevA || y < prevB) unsorted()
+        if ((i > 0 && x <= prevA) || (j > 0 && y <= prevB)) unsorted()
         prevA = x; prevB = y
         c += 1; i += 1; j += 1
       }
     }
     while (i < na) {
+      if (a.isNullAt(i)) nullElement()
       val x = a.getLong(i)
-      if (x < prevA) unsorted()
+      if (i > 0 && x <= prevA) unsorted()
       prevA = x; i += 1
     }
     while (j < nb) {
+      if (b.isNullAt(j)) nullElement()
       val y = b.getLong(j)
-      if (y < prevB) unsorted()
+      if (j > 0 && y <= prevB) unsorted()
       prevB = y; j += 1
     }
     c
@@ -97,8 +104,14 @@ object SortedIntersectCount {
 
   private def unsorted(): Nothing =
     throw new IllegalArgumentException(
-      "sorted_intersect_count: input array is not sorted ascending — " +
-        "use ShingleHashes(distinct = true) or sort the sets first")
+      "sorted_intersect_count: input array is not sorted strictly " +
+        "ascending (out-of-order or duplicate element) — use " +
+        "ShingleHashes(distinct = true) or sort/dedup the sets first")
+
+  private def nullElement(): Nothing =
+    throw new IllegalArgumentException(
+      "sorted_intersect_count: input array contains a null element — " +
+        "sorted sets must be null-free")
 
   /** Column-API entry point. */
   def apply(a: Column, b: Column): Column =

@@ -178,7 +178,11 @@ object Ingestion {
     val feedSpec = "v2|first-per-sale-id|" +
       salesCsvSchema.fields.map(f => s"${f.name}:${f.dataType.sql}")
         .mkString(",")
-    val stampFile = new File(s"$csvPath/feed_spec.txt")
+    // underscore prefix: Spark's file listing ignores '_'/'.' files, so
+    // the stamp can never leak into the CSV read as a data file (it
+    // previously contributed zero rows only because header=true happened
+    // to swallow its single line — an accident, not a contract)
+    val stampFile = new File(s"$csvPath/_feed_spec")
     val stampOk = stampFile.exists() &&
       Files.readString(stampFile.toPath) == feedSpec
     if (!new File(s"$csvPath/_SUCCESS").exists() || !stampOk) {

@@ -84,6 +84,49 @@ class NativeExpressionPropertySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not sorted")), e.toString)
   }
 
+  test("SortedIntersectCount rejects duplicate elements (set contract)") {
+    import spark.implicits._
+    // duplicates would be counted with multiplicity, silently diverging
+    // from size(array_intersect) set semantics — the guard must fire
+    val e = intercept[Throwable] {
+      Seq((Seq(1L, 2L, 2L, 3L), Seq(2L, 3L))).toDF("a", "b")
+        .select(SortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not sorted")), e.toString)
+  }
+
+  test("null array elements: minhash/hyperplane skip, intersect rejects") {
+    import spark.implicits._
+    val withNull = Seq(Seq[java.lang.Long](5L, null, 9L)).toDF("sh")
+    val without = Seq(Seq[java.lang.Long](5L, 9L)).toDF("sh")
+    val sigOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(MinHashSignature(col("sh")).as("sig"))
+        .as[Seq[Long]].collect().head
+    assert(sigOf(withNull) == sigOf(without),
+      "null element must be treated as absent from the set")
+
+    val vNull = Seq(Seq[java.lang.Double](0.5, null, -0.25)).toDF("v")
+    val vZero = Seq(Seq[java.lang.Double](0.5, 0.0, -0.25)).toDF("v")
+    val bOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(HyperplaneBuckets(col("v")).as("b"))
+        .as[Seq[Int]].collect().head
+    assert(bOf(vNull) == bOf(vZero),
+      "null element must contribute 0 to the projection")
+
+    val e = intercept[Throwable] {
+      Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L)))
+        .toDF("a", "b")
+        .select(SortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null element")), e.toString)
+  }
+
   test("HyperplaneBuckets matches an independent scalar model") {
     import spark.implicits._
     import HyperplaneBuckets.{A, B, P, bitsPerBand, nBands, numBits}
