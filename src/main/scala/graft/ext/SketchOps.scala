@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Canon
+
+/** Approximate-sketch twins of the exact aggregates — the forms a 100 TB
+  * run reaches for when the exact operator's cost profile stops fitting:
+  *
+  *  - `approx_count_distinct` (HyperLogLog++) beside the exact
+  *    `countDistinct` of the supplier mart (SURVEY §2.5 A3): the exact
+  *    form shuffles every distinct (group, value) pair; the sketch
+  *    carries a fixed-size register array per group through map-side
+  *    combine — constant state per group regardless of cardinality.
+  *  - `percentile_approx` (Greenwald-Khanna) beside the exact
+  *    interpolated `percentile` of EventOps.groupPercentiles: the exact
+  *    form materializes and sorts each group's full value list; the
+  *    sketch is a bounded quantile summary mergeable across partitions.
+  *
+  * These are LIBRARY operators with property specs, not driver queries:
+  * no cross-engine oracle exists by nature (HLL++ register layouts and
+  * GK summaries are engine-specific), so correctness is stated as error
+  * bounds against the exact twins plus determinism — exactly the
+  * contract a user of the sketch gets (see SketchOpsSpec).
+  */
+object SketchOps {
+
+  /** Relative standard deviation for the HLL++ sketch. Spark's default;
+    * kept explicit so the spec's error-bound claim names its parameter.
+    */
+  val hllRsd = 0.05
+
+  /** Per-supplier product-cardinality twin of the mart's exact
+    * countDistinct: same grouping, sketched distinct count. At scale the
+    * winner whenever the distinct-value set per group is large (the
+    * shuffle carries HLL registers, not values).
+    */
+  def supplierDistinctProductsApprox(spark: SparkSession, sfDir: String,
+                                     rsd: Double = hllRsd): DataFrame = {
+    val sales = graft.retail.Retail.sales(spark, sfDir)
+    Canon.canonicalize(sales
+      .groupBy(col("SUPPLIER_ID").as("supplier_id"))
+      .agg(approx_count_distinct(col("PRODUCT_ID"), rsd)
+        .as("approx_distinct_products")))
+  }
+
+  /** Exact twin used by the error-bound spec (same input, same grain). */
+  def supplierDistinctProductsExact(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    val sales = graft.retail.Retail.sales(spark, sfDir)
+    Canon.canonicalize(sales
+      .groupBy(col("SUPPLIER_ID").as("supplier_id"))
+      .agg(countDistinct(col("PRODUCT_ID")).as("distinct_products")))
+  }
+
+  /** Accuracy knob for the GK sketch: maximum rank error is
+    * 1/accuracy of the group size. 10000 → 0.01% rank error.
+    */
+  val percentileAccuracy = 10000
+
+  /** Approximate twin of EventOps.groupPercentiles: same groups, same
+    * probe points, Greenwald-Khanna summaries instead of full per-group
+    * sorts. Rank-error contract: the returned value's rank is within
+    * n/accuracy of the requested quantile's rank.
+    */
+  def groupPercentilesApprox(spark: SparkSession, sfDir: String,
+                             accuracy: Int = percentileAccuracy)
+      : DataFrame = {
+    val e = EventOps.events(spark, sfDir)
+    Canon.canonicalize(e.groupBy("event_type").agg(
+      percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+      percentile_approx(col("value"), lit(0.9), lit(accuracy)).as("p90"),
+      percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99")))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Error-bound and determinism contracts for the approximate sketches.
+  * No cross-engine oracle exists for HLL++/GK by nature, so the
+  * correctness statement is: bounded error against the exact twin on the
+  * same input, and run-to-run determinism (both sketches are
+  * deterministic functions of the input multiset — no RNG).
+  */
+class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within 3·rsd of exact per group") {
+    val exact = SketchOps.supplierDistinctProductsExact(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val approx = SketchOps.supplierDistinctProductsApprox(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    // HLL++ standard error = rsd; 3 sigma covers ~99.7% of groups —
+    // on the fixed fixture this must hold for every group
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k).toDouble - n) / math.max(n, 1L)
+      assert(err <= 3 * SketchOps.hllRsd,
+        s"supplier $k: exact=$n approx=${approx(k)} relErr=$err")
+    }
+  }
+
+  test("approx_count_distinct is deterministic across invocations") {
+    val a = SketchOps.supplierDistinctProductsApprox(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val b = SketchOps.supplierDistinctProductsApprox(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("percentile_approx rank error is within n/accuracy per group") {
+    val approx = SketchOps.groupPercentilesApprox(spark, sfDir)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    // independent exact check: rank of the returned value inside the
+    // group's sorted values must be within n/accuracy of the target rank
+    val values = EventOps.events(spark, sfDir)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val qs = Seq(0.5, 0.9, 0.99)
+    for ((etype, ps) <- approx; (q, v) <- qs.zip(ps)) {
+      val sorted = values(etype)
+      val n = sorted.length
+      val below = sorted.count(_ <= v)
+      val targetRank = q * n
+      val slack = n.toDouble / SketchOps.percentileAccuracy + 1
+      assert(math.abs(below - targetRank) <= slack,
+        s"$etype q=$q v=$v rank=$below target=$targetRank n=$n")
+    }
+  }
+
+  test("percentile_approx is deterministic across invocations") {
+    val run = () => SketchOps.groupPercentilesApprox(spark, sfDir)
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+}
