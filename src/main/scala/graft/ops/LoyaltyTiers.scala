@@ -29,41 +29,74 @@ import org.apache.spark.sql.functions._
   */
 object LoyaltyTiers {
 
+  /** Above this many distinct values the cumulative sum runs two-level
+    * (range partitions + offsets); at or below it, one window over the
+    * small cached histogram. A ≤1M-row single-task window sort is
+    * milliseconds; the two-level machinery (range exchange, offset
+    * window, pid join) only pays for itself when distinct(amount) itself
+    * needs a cluster.
+    */
+  val smallHistogramThreshold: Long = 1L << 20
+
   /** Adds `tierCol` ∈ {Gold, Silver, Bronze}: pr ≤ 0.2 → Gold,
     * pr ≤ 0.5 → Silver, else Bronze — where pr is the exact global
     * percent_rank of `amount` ordered DESC.
+    *
+    * ADAPTIVE: the histogram is computed (and cached) first; its row
+    * count picks the cumsum plan. Both branches compute the identical
+    * arithmetic — LoyaltyTiersSpec asserts equality on either side of
+    * the threshold.
     */
-  def tierByAmount(df: DataFrame, amountCol: String,
-                   tierCol: String): DataFrame = {
+  def tierByAmount(df: DataFrame, amountCol: String, tierCol: String,
+                   smallHistThreshold: Long = smallHistogramThreshold)
+      : DataFrame = {
     val amount: Column = col(amountCol)
+    // cached: the histogram feeds the total, the cumsum and (two-level
+    // only) the offsets — without the persist the FACT aggregation
+    // re-runs once per subtree
     val hist = df.groupBy(amount.as("v")).agg(count(lit(1)).as("c"))
+      .persist()
+    val nDistinct = hist.count() // also materializes the cache
     val total = hist.agg(sum("c").as("n"))
     // rank(v) = 1 + (count of rows with value > v)  [desc, ties share rank]
     // pr(v)   = (rank-1)/(N-1) = (cumulative count through v  -  c(v))/(N-1)
-    //
-    // The cumulative sum over the histogram is TWO-LEVEL: range-partition
-    // the distinct values (desc), cumsum within each partition, then add
-    // broadcast per-partition offsets. The only single-partition step is
-    // the offset window over ONE ROW PER PARTITION — bounded by the
-    // cluster's partition count, not by distinct(amount), which at 100 TB
-    // can itself be huge. Range partitioning keeps equal values together
-    // and partition ids aligned with the value order, so the arithmetic is
-    // exactly the global cumulative sum.
-    val parted = hist.repartitionByRange(col("v").desc)
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid").orderBy(col("v").desc)
-    val local = parted.withColumn("lcum", sum("c").over(wLocal))
-    val wOff = Window.orderBy(col("pid").asc)
-    val offsets = parted.groupBy("pid").agg(sum("c").as("ptot"))
-      .withColumn("off", coalesce(sum("ptot").over(wOff) - col("ptot"),
-        lit(0L)))
-      .select("pid", "off")
-    val pr = local.join(broadcast(offsets), Seq("pid"))
-      .crossJoin(broadcast(total))
-      .withColumn("pr",
-        when(col("n") === 1, lit(0.0)).otherwise(
-          (col("lcum") + col("off") - col("c")).cast("double") /
-            (col("n") - 1).cast("double")))
+    val pr =
+      if (nDistinct <= smallHistThreshold) {
+        // small histogram: one single-partition window over the cached
+        // distinct-value frame — the fact itself is never globally sorted
+        val w = Window.orderBy(col("v").desc)
+        hist.withColumn("lcum", sum("c").over(w))
+          .crossJoin(broadcast(total))
+          .withColumn("pr",
+            when(col("n") === 1, lit(0.0)).otherwise(
+              (col("lcum") - col("c")).cast("double") /
+                (col("n") - 1).cast("double")))
+      } else {
+        // The cumulative sum over the histogram is TWO-LEVEL:
+        // range-partition the distinct values (desc), cumsum within each
+        // partition, then add broadcast per-partition offsets. The only
+        // single-partition step is the offset window over ONE ROW PER
+        // PARTITION — bounded by the cluster's partition count, not by
+        // distinct(amount), which at 100 TB can itself be huge. Range
+        // partitioning keeps equal values together and partition ids
+        // aligned with the value order, so the arithmetic is exactly the
+        // global cumulative sum.
+        val parted = hist.repartitionByRange(col("v").desc)
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy("pid").orderBy(col("v").desc)
+        val local = parted.withColumn("lcum", sum("c").over(wLocal))
+        val wOff = Window.orderBy(col("pid").asc)
+        val offsets = parted.groupBy("pid").agg(sum("c").as("ptot"))
+          .withColumn("off", coalesce(sum("ptot").over(wOff) - col("ptot"),
+            lit(0L)))
+          .select("pid", "off")
+        local.join(broadcast(offsets), Seq("pid"))
+          .crossJoin(broadcast(total))
+          .withColumn("pr",
+            when(col("n") === 1, lit(0.0)).otherwise(
+              (col("lcum") + col("off") - col("c")).cast("double") /
+                (col("n") - 1).cast("double")))
+      }
     val thresholds = pr.agg(
       min(when(col("pr") <= 0.2, col("v"))).as("gold_min"),
       min(when(col("pr") <= 0.5, col("v"))).as("silver_min"))

@@ -27,10 +27,28 @@ class LoyaltyTiersSpec extends SparkSpec {
     assert(viaHistogram.count() == amounts.count())
   }
 
+  test("adaptive: both cumsum branches produce identical tiers") {
+    val amounts = Retail.sales(spark, sfDir)
+      .select(col("SALE_ID"),
+        (col("QUANTITY") * lit(3)).cast("decimal(12,2)").as("AMT"))
+    // force the two-level branch (threshold 0) and the small branch
+    // (threshold Long.Max) on the same input
+    val twoLevel = LoyaltyTiers
+      .tierByAmount(amounts, "AMT", "T", smallHistThreshold = 0L)
+      .groupBy("T").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val small = LoyaltyTiers
+      .tierByAmount(amounts, "AMT", "T", smallHistThreshold = Long.MaxValue)
+      .groupBy("T").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoLevel == small, s"two-level=$twoLevel small=$small")
+  }
+
   test("histogram cumsum is two-level: every window is partition-keyed") {
     val amounts = Retail.sales(spark, sfDir)
       .select(col("SALE_ID"), col("QUANTITY").as("AMT"))
-    val p = LoyaltyTiers.tierByAmount(amounts, "AMT", "T")
+    val p = LoyaltyTiers
+      .tierByAmount(amounts, "AMT", "T", smallHistThreshold = 0L)
       .queryExecution.executedPlan.toString
     // the value-ordered cumulative sum must run partitioned (pid in its
     // window spec); the only permitted unpartitioned window is the offset
