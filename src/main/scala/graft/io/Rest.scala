@@ -85,39 +85,50 @@ object Rest {
     splitDataArray(resp.body())
   }
 
-  /** Paged GET: `?offset=N&limit=M` until a short page. Bounds driver
-    * memory PER REQUEST and turns the one-body dimension extract into the
-    * production loop — the answer to "what happens when the customers feed
-    * is 100× larger": page size stays constant, only the page count grows.
-    * Offset paging preserves order, so the landed frame is byte-identical
-    * to the one-body extract (RestSpec asserts it).
+  /** Paged GET as a LAZY page iterator: `?offset=N&limit=M` until a short
+    * page. Each `next()` performs exactly one request, so the caller
+    * controls the peak: a consumer that lands each page before pulling
+    * the next holds ONE page in driver memory regardless of feed size —
+    * the answer to "what happens when the customers feed is 100× larger":
+    * page size stays constant, only the page count grows. Offset paging
+    * preserves order, so the concatenation of pages is byte-identical to
+    * the one-body extract (RestSpec asserts it).
+    */
+  def extractPages(baseUrl: String, entity: String,
+                   token: Option[String] = None,
+                   pageSize: Int = 1000): Iterator[Seq[String]] = {
+    require(pageSize > 0)
+    new Iterator[Seq[String]] {
+      private var offset = 0
+      private var lastSize = pageSize // full page ⇒ maybe more
+      override def hasNext: Boolean = lastSize == pageSize
+      override def next(): Seq[String] = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"$baseUrl/v1/$entity?offset=$offset&limit=$pageSize"))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        val resp = withRetry() {
+          val r = client.send(b.GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          if (r.statusCode() != 200)
+            throw new HttpStatusException(r.statusCode(),
+              s"GET /v1/$entity offset=$offset failed: ${r.statusCode()}")
+          r
+        }
+        val page = splitDataArray(resp.body())
+        lastSize = page.size
+        offset += pageSize
+        page
+      }
+    }
+  }
+
+  /** Whole-feed convenience over [[extractPages]] — driver peak is the
+    * full feed; use the iterator + incremental landing for large feeds.
     */
   def extractPaged(baseUrl: String, entity: String,
                    token: Option[String] = None,
-                   pageSize: Int = 1000): Seq[String] = {
-    require(pageSize > 0)
-    val out = Seq.newBuilder[String]
-    var offset = 0
-    var lastPage = pageSize
-    while (lastPage == pageSize) {
-      val b = HttpRequest.newBuilder(URI.create(
-        s"$baseUrl/v1/$entity?offset=$offset&limit=$pageSize"))
-      token.foreach(t => b.header("Authorization", s"Bearer $t"))
-      val resp = withRetry() {
-        val r = client.send(b.GET().build(),
-          HttpResponse.BodyHandlers.ofString())
-        if (r.statusCode() != 200)
-          throw new HttpStatusException(r.statusCode(),
-            s"GET /v1/$entity offset=$offset failed: ${r.statusCode()}")
-        r
-      }
-      val page = splitDataArray(resp.body())
-      out ++= page
-      lastPage = page.size
-      offset += pageSize
-    }
-    out.result()
-  }
+                   pageSize: Int = 1000): Seq[String] =
+    extractPages(baseUrl, entity, token, pageSize).flatten.toSeq
 
   /** Splits `{"data":[{...},{...}]}` into per-object strings. Depth-based —
     * no JSON library on the classpath beyond Spark's internals, and the

@@ -31,6 +31,15 @@ object Sources {
     spark.read.schema(schema).json(spark.createDataset(json))
   }
 
+  /** JSON-lines staging directory with declared schema — the read side of
+    * the incremental paged landing (Ingestion streams each REST page to a
+    * `page-N.json` file as it arrives; this reads them back without the
+    * whole feed ever living in driver memory).
+    */
+  def jsonFiles(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** In-memory rows + explicit StructType (reference S6, dag.py:63–82). */
   def inMemory(spark: SparkSession, rows: Seq[Row],
                schema: StructType): DataFrame =

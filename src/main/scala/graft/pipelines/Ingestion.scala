@@ -48,18 +48,26 @@ object Ingestion {
 
   /** Serve the entity rows over an in-process REST server with RAW field
     * names (pre-normalization, as the reference's feeds arrive), extract
-    * through the real HTTP client path, and land as JSON records.
+    * through the real HTTP client path, and land INCREMENTALLY: each page
+    * is written to a staging JSON-lines file as it arrives, so the
+    * driver's peak during the extract loop is ONE page (plus the HTTP
+    * body), not the feed — at a 100× feed, page size and peak stay
+    * constant while only the page count and staging bytes grow. The
+    * staged files are then read back with the declared schema; offset
+    * paging preserves order, so the landed rows are identical to the
+    * one-body extract. (The fixture SERVER still holds the docs — that is
+    * the stand-in for the external API, not the pipeline under test.)
     */
   private def viaRest(spark: SparkSession, df: DataFrame, entity: String,
                       rawNames: Map[String, String], secured: Boolean,
-                      schema: StructType): DataFrame = {
+                      schema: StructType, stagingDir: String): DataFrame = {
     val rawDf = df.select(df.columns.toIndexedSeq.map(c =>
       col(c).as(rawNames.getOrElse(c, c.toLowerCase))): _*)
     val feedSize = rawDf.count()
     require(feedSize <= maxRestFeedRows,
       s"REST feed '$entity' has $feedSize rows (> $maxRestFeedRows): " +
-        "dimension feeds are driver-side one-body extracts; use a " +
-        "paginated or bulk-file source for fact-sized data")
+        "the in-process fixture server holds the feed in memory; a real " +
+        "upstream has no such cap — the extract loop itself is paged")
     val docs = rawDf.toJSON.collect().toIndexedSeq
     val server = new Rest.FixtureServer(Map(entity -> docs),
       if (secured) Set(entity) else Set.empty)
@@ -67,8 +75,19 @@ object Ingestion {
       val token =
         if (secured) Some(Rest.fetchToken(server.baseUrl, "svc", "secret"))
         else None
-      Sources.jsonRecords(spark,
-        Rest.extractPaged(server.baseUrl, entity, token), schema)
+      val staging = new File(stagingDir)
+      if (staging.exists())
+        staging.listFiles().foreach(f => Files.delete(f.toPath))
+      Files.createDirectories(staging.toPath)
+      var i = 0
+      Rest.extractPages(server.baseUrl, entity, token).foreach { page =>
+        if (page.nonEmpty) {
+          Files.write(new File(staging, f"page-$i%05d.json").toPath,
+            scala.jdk.CollectionConverters.SeqHasAsJava(page).asJava)
+          i += 1
+        }
+      }
+      Sources.jsonFiles(spark, stagingDir, schema)
     } finally server.stop()
   }
 
@@ -98,7 +117,8 @@ object Ingestion {
 
   def suppliers(spark: SparkSession, sfDir: String): DataFrame = {
     val extracted = viaRest(spark, Retail.suppliers(spark, sfDir),
-      "suppliers", suppliersRaw, secured = false, suppliersSchema)
+      "suppliers", suppliersRaw, secured = false, suppliersSchema,
+      workDir(sfDir, "suppliers/feed_staging"))
     conform(extracted, Map("contact" -> "contact details"),
       Seq("SUPPLIER_ID", "SUPPLIER_NAME", "CONTACT_DETAILS", "REGION"),
       "SUPPLIER_ID", workDir(sfDir, "suppliers/raw"),
@@ -122,7 +142,8 @@ object Ingestion {
 
   def products(spark: SparkSession, sfDir: String): DataFrame = {
     val extracted = viaRest(spark, Retail.products(spark, sfDir),
-      "products", productsRaw, secured = false, productsSchema)
+      "products", productsRaw, secured = false, productsSchema,
+      workDir(sfDir, "products/feed_staging"))
     conform(extracted, Map.empty,
       Seq("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "SELLING_PRICE",
         "COST_PRICE", "STOCK_QUANTITY", "REORDER_LEVEL"),
@@ -142,7 +163,8 @@ object Ingestion {
 
   def customers(spark: SparkSession, sfDir: String): DataFrame = {
     val extracted = viaRest(spark, Retail.customers(spark, sfDir),
-      "customers", customersRaw, secured = true, customersSchema)
+      "customers", customersRaw, secured = true, customersSchema,
+      workDir(sfDir, "customers/feed_staging"))
     conform(extracted, Map("phone" -> "phone number"),
       Seq("CUSTOMER_ID", "NAME", "CITY", "EMAIL", "PHONE_NUMBER"),
       "CUSTOMER_ID", workDir(sfDir, "customers/raw"),

@@ -82,4 +82,25 @@ class RestSpec extends SparkSpec {
       assert(server2count == 3)
     } finally server.stop()
   }
+
+  test("page iterator is lazy: one HTTP request per next()") {
+    // the incremental-landing contract: a consumer that writes page N
+    // before pulling page N+1 never holds more than one page — which is
+    // only true if the iterator doesn't prefetch
+    val docs = (0 until 12).map(i => s"""{"id":$i}""")
+    val server = new Rest.FixtureServer(Map("things" -> docs), Set.empty)
+    try {
+      val pages = Rest.extractPages(server.baseUrl, "things", None,
+        pageSize = 5)
+      assert(server.requestCount("things") == 0) // constructing fetches nothing
+      val p0 = pages.next()
+      assert(p0 == docs.take(5) && server.requestCount("things") == 1)
+      val p1 = pages.next()
+      assert(p1 == docs.slice(5, 10) && server.requestCount("things") == 2)
+      val p2 = pages.next()
+      assert(p2 == docs.drop(10) && server.requestCount("things") == 3)
+      assert(!pages.hasNext) // partial page terminates without a probe
+      assert((p0 ++ p1 ++ p2) == docs)
+    } finally server.stop()
+  }
 }
