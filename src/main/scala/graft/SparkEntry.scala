@@ -59,6 +59,8 @@ object SparkEntry {
     "q_events_sessions" -> ((s, dir) => EventOps.eventsSessions(s, dir)),
     "q_user_value_deltas" -> ((s, dir) => EventOps.userValueDeltas(s, dir)),
     "q_moving_agg" -> ((s, dir) => EventOps.movingAgg(s, dir)),
+    // backward as-of join via union + carry-forward window (one shuffle)
+    "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
     // multimodal binary-column metadata
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.binaryMeta(s, dir)),
     "q_multimodal_frames" -> ((s, dir) => MultimodalOps.frameSamples(s, dir)),
@@ -113,6 +115,7 @@ object SparkEntry {
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_user_value_deltas" -> EventOps.userValueDeltasOracle,
     "q_moving_agg" -> EventOps.movingAggOracle,
+    "q_asof_join" -> EventOps.asofJoinOracle,
     "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,
     "q_multimodal_frames" -> MultimodalOps.frameSamplesOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,

@@ -200,4 +200,70 @@ object EventOps {
       |       count(*) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM sessions GROUP BY user_id, session_seq""".stripMargin
+
+  /** Backward AS-OF join: each `purchase` event picks up the most recent
+    * `view` event of the same user with view.ts ≤ purchase.ts — the
+    * operator Spark's joins don't offer natively (an inequality join
+    * would plan as a per-user range explosion).
+    *
+    * Spark-first shape: tag both streams, UNION them, and carry the last
+    * view forward with one `last(..., ignoreNulls)` window per attached
+    * column — ONE keyed shuffle + sort over (user, ts), linear in
+    * |views| + |purchases|, the standard distributed as-of. Ties at equal
+    * ts resolve views-first then event_id (a total order, so the result
+    * is deterministic — unlike a native ASOF join's unspecified tie pick;
+    * on this fixture DuckDB's ASOF JOIN agrees, and the oracle mirrors
+    * the union+carry form exactly so the twin holds on any input).
+    *
+    * Timestamps leave as BIGINT epoch-micros (Canon's type surface), and
+    * `view_age_us` is the purchase-to-view gap.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    def tagged(etype: String, isView: Int) =
+      e.filter(col("event_type") === etype)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          lit(isView).as("is_view"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_view").desc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def carry(c: org.apache.spark.sql.Column) =
+      last(when(col("is_view") === 1, c), ignoreNulls = true).over(w)
+    Canon.canonicalize(
+      tagged("view", 1).union(tagged("purchase", 0))
+        .withColumn("view_event_id", carry(col("event_id")))
+        .withColumn("view_value", carry(col("value")))
+        .withColumn("view_ts_us", carry(unix_micros(col("ts"))))
+        .filter(col("is_view") === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("view_event_id"), col("view_value"),
+          (unix_micros(col("ts")) - col("view_ts_us")).as("view_age_us")))
+  }
+
+  val asofJoinOracle: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, value, 1 AS is_view
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, value, 0
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
+      |      OVER w AS view_event_id,
+      |    last_value(CASE WHEN is_view = 1 THEN value END IGNORE NULLS)
+      |      OVER w AS view_value,
+      |    last_value(CASE WHEN is_view = 1 THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER w AS view_ts_us
+      |  FROM tagged
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY ts ASC, is_view DESC, event_id ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |       view_event_id, view_value,
+      |       epoch_us(ts) - view_ts_us AS view_age_us
+      |FROM c WHERE is_view = 0""".stripMargin
 }
