@@ -98,6 +98,35 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_sha")
 
+  /** Watermarked stream-stream INTERVAL join — the streaming counterpart
+    * of the batch as-of family (EventOps.asofJoin): every purchase joins
+    * the same user's views from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds view_ts within
+    * [purchase_ts − lookback, purchase_ts], which is exactly what lets
+    * the engine EXPIRE buffered state: a view older than the watermark
+    * minus the lookback can never match a future purchase and is dropped.
+    * Without the time bound a stream-stream join buffers both sides
+    * forever — the interval is the 100 TB contract, not a convenience.
+    * Inner join in append mode; EventStreamSpec asserts equality with the
+    * identical batch join over the fixture.
+    */
+  def viewsBeforePurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    purchases.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("ts"))
+      .select(col("user_id"), col("event_id"), col("view_event_id"),
+        col("view_value"))
+  }
+
   /** The durability half of the streaming story: watermarked daily counts
     * into an append-mode parquet FILE sink with a checkpoint. Restarting
     * with the same two paths resumes from the checkpointed offsets/state,

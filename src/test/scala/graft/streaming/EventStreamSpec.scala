@@ -217,4 +217,33 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("watermarked interval join equals the identical batch join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = EventStream
+      .viewsBeforePurchase(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("interval_join")
+        .select("event_id", "view_event_id")
+        .as[(Long, Long)].collect().toSet
+      // the identical join, batch semantics, same fixture
+      val e = graft.ext.EventOps.events(spark, sfDir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("ve"),
+          col("ts").as("vts"))
+      val batch = e.filter(col("event_type") === "purchase")
+        .join(views, col("user_id") === col("vu") &&
+          col("vts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("vts") <= col("ts"))
+        .select("event_id", "ve").as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${batch.diff(streamed).take(5)} " +
+          s"extra=${streamed.diff(batch).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
