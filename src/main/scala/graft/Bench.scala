@@ -3,12 +3,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness: one JSON line `{"metric":"total",...}` per run.
   *
-  * Methodology (round-1 defects fixed):
+  * Methodology (round-1 defects fixed; round-3 variance fixed):
   *  - A warmup pass over every query first (JVM/codegen/parquet-footer
   *    warmup was previously charged entirely to whichever query ran first —
   *    it dominated the round-1 numbers).
   *  - Failures are recorded per-query in "errors" and force a nonzero
   *    value (3600s sentinel) instead of silently *improving* the total.
+  *  - Each query is measured over SPARK_GRAFT_BENCH_RUNS passes (default
+  *    3) and reported as the per-query MEDIAN; the total is the sum of
+  *    medians. Single-run totals on this class of shared VM swing ±40%
+  *    (round 3's recorded 59 s was a ~40 s build measured once under
+  *    load) — the median absorbs the machine-noise outliers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,20 +41,32 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    val runsN = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     var errors = List.empty[(String, String)]
-    val results = queries.map { case (name, fn) =>
-      // queries persist intermediate frames; drop them between runs so a
-      // query's timing never pays for (or benefits from) a sibling's cache
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors ::= (name -> e.toString.take(200))
-          name -> 3600.0 // failure sentinel: a broken query must not help
-      }
+    val perRun: Seq[Map[String, Double]] = (1 to runsN).map { _ =>
+      queries.map { case (name, fn) =>
+        // queries persist intermediate frames; drop them between runs so a
+        // query's timing never pays for (or benefits from) a sibling's cache
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            if (!errors.exists(_._1 == name))
+              errors ::= (name -> e.toString.take(200))
+            name -> 3600.0 // failure sentinel: a broken query must not help
+        }
+      }.toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val results = queries.map { case (name, _) =>
+      name -> median(perRun.map(_(name)))
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -59,7 +76,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runsN,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
