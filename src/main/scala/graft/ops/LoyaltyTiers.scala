@@ -46,15 +46,26 @@ object LoyaltyTiers {
     * count picks the cumsum plan. Both branches compute the identical
     * arithmetic — LoyaltyTiersSpec asserts equality on either side of
     * the threshold.
+    *
+    * @param histSource optional CHEAPER source for the value histogram.
+    *   The tier thresholds depend only on the multiset of `amountCol`
+    *   values, so a caller whose `df` is an expensive multi-join can
+    *   hand in a pruned subtree that produces the SAME `amountCol`
+    *   multiset (e.g. the fact joined to just the price dimension,
+    *   two columns wide) and skip re-deriving the full frame for the
+    *   histogram pass. CONTRACT: same multiset — a row dropped or
+    *   duplicated in `histSource` shifts every percent rank.
     */
   def tierByAmount(df: DataFrame, amountCol: String, tierCol: String,
-                   smallHistThreshold: Long = smallHistogramThreshold)
+                   smallHistThreshold: Long = smallHistogramThreshold,
+                   histSource: DataFrame = null)
       : DataFrame = {
     val amount: Column = col(amountCol)
     // cached: the histogram feeds the total, the cumsum and (two-level
     // only) the offsets — without the persist the FACT aggregation
     // re-runs once per subtree
-    val hist = df.groupBy(amount.as("v")).agg(count(lit(1)).as("c"))
+    val hist = Option(histSource).getOrElse(df)
+      .groupBy(amount.as("v")).agg(count(lit(1)).as("c"))
       .persist()
     val nDistinct = hist.count() // also materializes the cache
     val total = hist.agg(sum("c").as("n"))

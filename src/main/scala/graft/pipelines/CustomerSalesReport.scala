@@ -60,8 +60,20 @@ object CustomerSalesReport {
       .withColumn("LOAD_TSTMP", to_timestamp(lit(s"$asOf 00:00:00")))
 
     // W1 (exact rewrite): global percent_rank tier without the global sort.
+    // The histogram pass reads a PRUNED twin of the amount derivation —
+    // sales (4 columns) ⋈ broadcast price dim only; the customers join and
+    // the other derived columns don't affect SALE_AMOUNT's multiset (LEFT
+    // join on the fact preserves row count), so the full joined fact is
+    // derived once, not twice.
+    val amountsOnly = sales
+      .select("PRODUCT_ID", "QUANTITY", "DISCOUNT")
+      .join(broadcast(products.select("PRODUCT_ID", "SELLING_PRICE")),
+        Seq("PRODUCT_ID"), "left")
+      .select((col("QUANTITY") * col("SELLING_PRICE") *
+        (lit(1) - col("DISCOUNT") * lit(0.01).cast(DecimalType(3, 2))))
+        .cast(DecimalType(25, 6)).as("SALE_AMOUNT"))
     val tiered = LoyaltyTiers.tierByAmount(derived, "SALE_AMOUNT",
-      "LOYALTY_TIER")
+      "LOYALTY_TIER", histSource = amountsOnly)
 
     // W2: per-customer top sale flag (tie-break added for determinism).
     val wCust = Window.partitionBy("CUSTOMER_ID")

@@ -44,6 +44,23 @@ class LoyaltyTiersSpec extends SparkSpec {
     assert(twoLevel == small, s"two-level=$twoLevel small=$small")
   }
 
+  test("pruned histSource with the same multiset yields identical tiers") {
+    val amounts = Retail.sales(spark, sfDir)
+      .select(col("SALE_ID"), col("QUANTITY"),
+        (col("QUANTITY") * lit(3)).cast("decimal(12,2)").as("AMT"))
+    // a cheaper twin producing the same AMT multiset (fewer columns)
+    val pruned = Retail.sales(spark, sfDir)
+      .select((col("QUANTITY") * lit(3)).cast("decimal(12,2)").as("AMT"))
+    val direct = LoyaltyTiers.tierByAmount(amounts, "AMT", "T")
+      .groupBy("T").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSource = LoyaltyTiers.tierByAmount(amounts, "AMT", "T",
+        histSource = pruned)
+      .groupBy("T").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == viaSource)
+  }
+
   test("histogram cumsum is two-level: every window is partition-keyed") {
     val amounts = Retail.sales(spark, sfDir)
       .select(col("SALE_ID"), col("QUANTITY").as("AMT"))
