@@ -73,4 +73,46 @@ object SketchOps {
       percentile_approx(col("value"), lit(0.9), lit(accuracy)).as("p90"),
       percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99")))
   }
+
+  /** Count-Min parameters: estimate ≤ true + eps·N with probability
+    * ≥ confidence, and NEVER below true (one-sided error) — the frequency
+    * member of the sketch family beside HLL (cardinality) and GK
+    * (quantiles). eps 0.0001 → width 2⁷-ish·e buckets; tiny vs a token
+    * dictionary.
+    */
+  val cmsEps = 0.0001
+  val cmsConfidence = 0.99
+  val cmsSeed = 42
+
+  /** Per-lang token document-frequency sketch: the same distinct
+    * (doc, token) stream the exact topTokens aggregates, folded into one
+    * fixed-size Count-Min sketch per lang via Spark's codegen'd
+    * `count_min_sketch` aggregate. The shuffle carries sketch bytes, not
+    * (token, count) pairs — constant per-group state regardless of
+    * vocabulary size, the same scale trade as the HLL twin.
+    */
+  def tokenFrequencySketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(
+          split(TextOps.normText(col("text")), " "))).as("token"))
+      .filter(col("token") =!= "")
+    tok.groupBy("lang").agg(
+      count_min_sketch(col("token"), lit(cmsEps), lit(cmsConfidence),
+        lit(cmsSeed)).as("cms"),
+      count(lit(1)).as("n_stream"))
+  }
+
+  /** Driver-side point queries against a collected sketch — the read API
+    * a candidate-driven heavy-hitter pass uses (CMS answers "how often
+    * did X occur", not "what occurred"; candidates come from elsewhere,
+    * e.g. a per-partition pre-pass or a dictionary).
+    */
+  def estimateCounts(sketchBytes: Array[Byte],
+                     tokens: Seq[String]): Map[String, Long] = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    tokens.map(t => t -> cms.estimateCount(t)).toMap
+  }
 }

@@ -60,4 +60,32 @@ class SketchOpsSpec extends SparkSpec {
       .as[(String, Double, Double, Double)].collect().sortBy(_._1).toSeq
     assert(run() == run())
   }
+
+  test("count-min estimates are one-sided: never below the true count, " +
+      "within eps*N above it") {
+    import org.apache.spark.sql.functions._
+    // exact per-(lang, token) doc frequencies — the ground truth
+    val tok = TextOps.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(
+          split(TextOps.normText(col("text")), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val truth = tok.groupBy("lang", "token").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+
+    val sketches = SketchOps.tokenFrequencySketch(spark, sfDir)
+      .as[(String, Array[Byte], Long)].collect()
+    assert(sketches.map(_._1).toSet == truth.keySet)
+    for ((lang, bytes, n) <- sketches) {
+      val est = SketchOps.estimateCounts(bytes, truth(lang).keys.toSeq)
+      val slack = math.ceil(SketchOps.cmsEps * n).toLong
+      truth(lang).foreach { case (t, c) =>
+        assert(est(t) >= c, s"$lang/$t: CMS under-counted ${est(t)} < $c")
+        assert(est(t) <= c + slack,
+          s"$lang/$t: est=${est(t)} true=$c slack=$slack n=$n")
+      }
+    }
+  }
 }
