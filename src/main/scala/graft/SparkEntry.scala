@@ -38,6 +38,8 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     "q_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
     "q_corpus_curate" -> ((s, dir) => TextOps.corpusCurate(s, dir)),
+    // token-budgeted overlapping chunks (embedding/training-window prep)
+    "q_doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     "q_tfidf" -> ((s, dir) => TextOps.tfIdf(s, dir)),
@@ -99,6 +101,7 @@ object SparkEntry {
     "q_lang_id" -> TextOps.langIdOracle,
     "q_pii_scrub" -> TextOps.piiScrubOracle,
     "q_corpus_curate" -> TextOps.corpusCurateOracle,
+    "q_doc_chunks" -> TextOps.docChunksOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,

@@ -307,6 +307,68 @@ object TextOps {
        |SELECT doc_id, rank, token, tf, df, tfidf FROM ranked
        |WHERE rank <= $tfIdfK""".stripMargin
 
+  // ---- document chunking ---------------------------------------------
+
+  /** Token budget per chunk and the overlap carried between consecutive
+    * chunks — the standard splitter shape for embedding / training-window
+    * preparation. stride = budget − overlap; chunk i covers tokens
+    * [i·stride, i·stride + budget). The chunk count
+    * `max(1, ⌈(n − overlap) / stride⌉)` guarantees full coverage with no
+    * degenerate tail chunk that lies entirely inside its predecessor.
+    */
+  val chunkTokens = 64
+  val chunkOverlap = 16
+  val chunkStride: Int = chunkTokens - chunkOverlap
+
+  /** Token-budgeted overlapping chunks per document: one narrow
+    * projection + a per-doc explode of the chunk index — no shuffle at
+    * all (the chunker is a flat map over documents; at 100 TB it
+    * pipelines inside the scan stage). Whitespace tokens of the
+    * normalized text; empty documents produce no chunks.
+    */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id")) // one-split fixture; chunking is narrow
+      .withColumn("norm", normText(col("text")))
+      .filter(length(col("norm")) > 0)
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nchunks",
+        expr(s"greatest(1, (n - $chunkOverlap + $chunkStride - 1) " +
+          s"div $chunkStride)"))
+    Canon.canonicalize(d
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nchunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_idx") * chunkStride + 1).cast("int"),
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens),
+          col("n") - col("chunk_idx") * chunkStride).as("n_tokens")))
+  }
+
+  val docChunksOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $normSql AS norm FROM documents),
+       |t AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS toks
+       |  FROM d WHERE length(norm) > 0),
+       |m AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |         greatest(1, (len(toks) - $chunkOverlap + $chunkStride - 1)
+       |                     // $chunkStride) AS nchunks
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, toks, n, i AS chunk_idx
+       |  FROM m, UNNEST(range(0, nchunks)) AS u(i))
+       |SELECT doc_id, chunk_idx,
+       |       array_to_string(list_slice(toks,
+       |         CAST(chunk_idx * $chunkStride + 1 AS INT),
+       |         CAST(chunk_idx * $chunkStride + $chunkTokens AS INT)), ' ')
+       |         AS chunk_text,
+       |       least($chunkTokens, n - chunk_idx * $chunkStride) AS n_tokens
+       |FROM c""".stripMargin
+
   // ---- language identification ---------------------------------------
 
   /** Marker words per language — high-frequency function words, the

@@ -56,4 +56,34 @@ class TextOpsSpec extends SparkSpec {
     assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1)
       .count() == 0)
   }
+
+  test("doc chunks cover every token with the declared overlap") {
+    import spark.implicits._
+    val chunks = TextOps.docChunks(spark, sfDir)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
+      .as[(Long, String)].collect()
+      .filter(_._2.nonEmpty).toMap
+    assert(chunks.keySet == docs.keySet)
+    for ((id, cs) <- chunks) {
+      val toks = docs(id).split(" ")
+      // chunk indices are dense from 0
+      assert(cs.map(_._2).toSeq == (0L until cs.length).toSeq)
+      // reconstruction: chunk i dropped of its overlap prefix (i > 0)
+      // concatenates back to the exact token stream — full coverage,
+      // nothing duplicated beyond the declared overlap
+      val rebuilt = cs.flatMap { case (_, i, text, _) =>
+        val t = text.split(" ")
+        if (i == 0L) t else t.drop(TextOps.chunkOverlap)
+      }
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $id chunk coverage broken")
+      // every chunk except possibly the last is exactly the budget
+      cs.init.foreach { c =>
+        assert(c._4 == TextOps.chunkTokens.toLong, s"doc $id: $c")
+      }
+      assert(cs.last._4 > 0 && cs.last._4 <= TextOps.chunkTokens)
+    }
+  }
 }
