@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DedupOps, EventOps, MultimodalOps, TextOps, VectorOps}
+import graft.ext.{DedupOps, EventOps, MultimodalOps, SampleOps, TextOps,
+  VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
   MicroQueries, ProductPerformance, SupplierPerformance}
 
@@ -40,6 +41,9 @@ object SparkEntry {
     "q_corpus_curate" -> ((s, dir) => TextOps.corpusCurate(s, dir)),
     // token-budgeted overlapping chunks (embedding/training-window prep)
     "q_doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
+    // deterministic hash sampling: reproducible under any partitioning
+    "q_train_split" -> ((s, dir) => SampleOps.trainValTestSplit(s, dir)),
+    "q_stratified_sample" -> ((s, dir) => SampleOps.stratifiedSample(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     "q_tfidf" -> ((s, dir) => TextOps.tfIdf(s, dir)),
@@ -102,6 +106,8 @@ object SparkEntry {
     "q_pii_scrub" -> TextOps.piiScrubOracle,
     "q_corpus_curate" -> TextOps.corpusCurateOracle,
     "q_doc_chunks" -> TextOps.docChunksOracle,
+    "q_train_split" -> SampleOps.trainValTestSplitOracle,
+    "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Canon
+
+/** Deterministic sampling and dataset splitting over `documents` — the
+  * reproducibility-first forms a training-data pipeline needs:
+  *
+  * Engine-native random samplers (`df.sample`, `stat.sampleBy`) draw from
+  * per-partition RNG streams, so membership depends on partitioning and
+  * engine internals — re-running on a repartitioned copy of the same data
+  * selects DIFFERENT rows, which poisons experiment reproducibility and
+  * makes cross-engine verification impossible. Hash-based selection fixes
+  * both: membership is a pure function of the ROW KEY, stable under any
+  * partitioning, identical on any engine — and therefore fully
+  * oracle-checkable with the same twin arithmetic family as the dedup
+  * stack (affine map mod P = 2³¹−1 on the key, bucket by mod 1000).
+  *
+  * This is also the 100 TB shape: no shuffle, no RNG state, a codegen'd
+  * projection/filter that pipelines inside the scan.
+  */
+object SampleOps {
+
+  /** Twin-family affine hash of a BIGINT key → [0, 1000) bucket. The
+    * affine constants are the MinHash family's row-0/row-1 coefficients —
+    * single-sourced so the oracle SQL regenerates from the same values.
+    */
+  private val A = graft.functions.MinHashSignature.aCoef(0)
+  private val B = graft.functions.MinHashSignature.bCoef(0)
+  private val P = graft.functions.MinHashSignature.P
+
+  val buckets = 1000
+
+  private def bucket(key: Column): Column =
+    ((key % P) * A + B) % P % buckets
+
+  private def bucketSql(key: String): String =
+    s"(((($key % $P) * $A + $B) % $P) % $buckets)"
+
+  /** Train/val/test split boundaries in thousandths: [0,800) → train,
+    * [800,900) → val, [900,1000) → test.
+    */
+  val trainPermille = 800
+  val valPermille = 900
+
+  /** Assign every document a stable split label from its doc_id hash —
+    * rerunning on any re-partitioning, subset ordering, or engine yields
+    * the identical assignment.
+    */
+  def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+    Canon.canonicalize(d.select(
+      col("doc_id"),
+      when(bucket(col("doc_id")) < trainPermille, "train")
+        .when(bucket(col("doc_id")) < valPermille, "val")
+        .otherwise("test").as("split")))
+  }
+
+  val trainValTestSplitOracle: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN ${bucketSql("doc_id")} < $trainPermille THEN 'train'
+       |            WHEN ${bucketSql("doc_id")} < $valPermille THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Per-stratum sampling rates in thousandths, keyed on `lang` — the
+    * stratified form (downsample the dominant language, keep the rare
+    * ones whole) every corpus-balancing pass uses.
+    */
+  val strataPermille: Seq[(String, Int)] =
+    Seq("en" -> 300, "de" -> 600, "fr" -> 600, "es" -> 600)
+  val defaultPermille = 1000
+
+  /** Deterministic stratified sample: a document survives iff its hash
+    * bucket falls under its stratum's rate. Expected stratum sizes are
+    * rate-proportional (spec-checked with a binomial bound); membership
+    * is exactly reproducible.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+    val rate = strataPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, r).otherwise(acc)
+    }
+    Canon.canonicalize(d
+      .filter(bucket(col("doc_id")) < rate)
+      .select(col("doc_id"), col("lang")))
+  }
+
+  val stratifiedSampleOracle: String = {
+    val rateCase = strataPermille
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${bucketSql("doc_id")} <
+       |      (CASE $rateCase ELSE $defaultPermille END)""".stripMargin
+  }
+}

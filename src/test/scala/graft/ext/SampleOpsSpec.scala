@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split assignment is a pure function of doc_id: partitioning-proof") {
+    val base = SampleOps.trainValTestSplit(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    // same data, violently repartitioned and reordered — membership of
+    // every row must be unchanged (the property engine-native RNG
+    // samplers do NOT have)
+    val reparted = SampleOps.trainValTestSplit(spark, sfDir)
+      .repartition(17, col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(base == reparted)
+    // all three splits exist and land near 80/10/10 on the fixture
+    val sizes = base.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = base.size.toDouble
+    assert(math.abs(sizes("train") / n - 0.8) < 0.08, sizes.toString)
+    assert(math.abs(sizes("val") / n - 0.1) < 0.06, sizes.toString)
+    assert(math.abs(sizes("test") / n - 0.1) < 0.06, sizes.toString)
+  }
+
+  test("stratified sample hits each stratum's rate within binomial noise") {
+    val totals = TextOps.documents(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = SampleOps.stratifiedSample(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val rates = SampleOps.strataPermille.toMap
+    for ((lang, total) <- totals) {
+      val p = rates.getOrElse(lang, SampleOps.defaultPermille) / 1000.0
+      val got = kept.getOrElse(lang, 0L).toDouble
+      // 4-sigma binomial envelope (+1 for tiny strata)
+      val sigma = math.sqrt(total * p * (1 - p))
+      assert(math.abs(got - total * p) <= 4 * sigma + 1,
+        s"$lang: kept=$got expected=${total * p} sigma=$sigma")
+    }
+    // sampling is a subset: every kept doc exists upstream with its lang
+    val docLangs = TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    SampleOps.stratifiedSample(spark, sfDir)
+      .as[(Long, String)].collect()
+      .foreach { case (id, l) => assert(docLangs.get(id).contains(l)) }
+  }
+}
