@@ -44,6 +44,7 @@ object SparkEntry {
     // deterministic hash sampling: reproducible under any partitioning
     "q_train_split" -> ((s, dir) => SampleOps.trainValTestSplit(s, dir)),
     "q_stratified_sample" -> ((s, dir) => SampleOps.stratifiedSample(s, dir)),
+    "q_sample_k_per_lang" -> ((s, dir) => SampleOps.sampleKPerStratum(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     "q_tfidf" -> ((s, dir) => TextOps.tfIdf(s, dir)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_doc_chunks" -> TextOps.docChunksOracle,
     "q_train_split" -> SampleOps.trainValTestSplitOracle,
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
+    "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,

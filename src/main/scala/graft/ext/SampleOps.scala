@@ -96,4 +96,39 @@ object SampleOps {
        |WHERE ${bucketSql("doc_id")} <
        |      (CASE $rateCase ELSE $defaultPermille END)""".stripMargin
   }
+
+  val samplePerStratum = 20
+
+  /** Fixed-SIZE deterministic sample: exactly k documents per lang (or
+    * the whole stratum when smaller), chosen as the k smallest key
+    * hashes — a uniform-without-replacement draw that is still a pure
+    * function of the data. Runs on the in-repo TopKPerKey heap (no
+    * per-stratum sort, O(n log k)); rate-based sampling above gives
+    * proportional sizes, this gives exact ones — the "k examples per
+    * language for the eval set" shape.
+    */
+  def sampleKPerStratum(spark: SparkSession, sfDir: String,
+                        k: Int = samplePerStratum): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (((col("doc_id") % P) * A + B) % P).as("h"))
+    val top = graft.plans.TopK.perKey(d, Seq("lang"),
+      Seq("h" -> graft.plans.TopK.Asc, "doc_id" -> graft.plans.TopK.Asc),
+      k, rankCol = Some("rank"))
+    Canon.canonicalize(
+      top.select(col("lang"), col("rank"), col("doc_id")))
+  }
+
+  val sampleKPerStratumOracle: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |         ((doc_id % $P) * $A + $B) % $P AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY h ASC, doc_id ASC) AS rank
+       |  FROM h)
+       |SELECT lang, rank, doc_id FROM ranked
+       |WHERE rank <= $samplePerStratum""".stripMargin
 }

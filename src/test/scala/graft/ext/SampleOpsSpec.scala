@@ -46,4 +46,20 @@ class SampleOpsSpec extends SparkSpec {
       .as[(Long, String)].collect()
       .foreach { case (id, l) => assert(docLangs.get(id).contains(l)) }
   }
+
+  test("k-per-stratum sample is exact-size, deterministic, and sort-free") {
+    val sizes = TextOps.documents(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val run = () => SampleOps.sampleKPerStratum(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    val a = run()
+    assert(a == run()) // deterministic draw
+    val perLang = a.groupBy(_._1).view.mapValues(_.size).toMap
+    for ((lang, total) <- sizes)
+      assert(perLang(lang) ==
+        math.min(total, SampleOps.samplePerStratum.toLong).toInt)
+    val plan = SampleOps.sampleKPerStratum(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Sort ["))
+  }
 }
