@@ -53,6 +53,8 @@ object SparkEntry {
     "q_dedup_clusters_lsh" -> ((s, dir) => DedupOps.dedupClustersLsh(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
+    // ingest-time flow: new batch probes the corpus LSH index
+    "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
@@ -112,6 +114,7 @@ object SparkEntry {
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
+    "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,

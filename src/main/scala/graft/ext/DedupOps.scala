@@ -557,6 +557,124 @@ object DedupOps {
     s"""WITH $minhashLshCte
        |SELECT id_a, id_b, jaccard FROM lpairs""".stripMargin
 
+  /** Permille boundary splitting `documents` into an existing CORPUS
+    * (hash bucket < 800, the same deterministic family as
+    * [[SampleOps]]) and an incoming BATCH — the fixture stand-in for
+    * "today's crawl against the index".
+    */
+  val incrementalCorpusPermille = 800
+
+  private def sideBucket(key: Column): Column = {
+    import graft.functions.{MinHashSignature => MH}
+    ((key % MH.P) * MH.aCoef(0) + MH.bCoef(0)) % MH.P % 1000
+  }
+
+  private def sideBucketSql(key: String): String = {
+    import graft.functions.{MinHashSignature => MH}
+    s"(((($key % ${MH.P}) * ${MH.aCoef(0)} + ${MH.bCoef(0)}) % ${MH.P}) % 1000)"
+  }
+
+  /** INCREMENTAL near-dup: each batch document is checked against the
+    * corpus only — the ingest-time flow at scale (a new crawl lands
+    * against an existing index; re-pairing the whole corpus with itself
+    * every day is the thing this avoids). Same banding machinery as
+    * [[minhashLsh]], but the candidate join is ASYMMETRIC: batch band
+    * rows probe corpus band rows, so candidate work is
+    * O(|batch| · bucket-hit-rate), independent of corpus-corpus pair
+    * counts. At 100 TB the corpus side's (band, bucket, id) table is the
+    * persisted LSH INDEX; here it is derived in-query from the fixture.
+    * The mega-bucket cap applies to joint bucket population, mirroring
+    * the self-join variant (and the oracle).
+    */
+  def minhashLshIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+    val d = shingleSets(docs)
+      .withColumn("is_corpus",
+        sideBucket(col("doc_id")) < incrementalCorpusPermille)
+      .persist() // signatures + both candidate attaches
+    val banded = d.select(col("doc_id"), col("is_corpus"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"),
+        graft.functions.MinHashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), col("is_corpus"), col("band"),
+        bucketExpr(col("sig"), col("band")).as("bucket"))
+      .persist() // size filter + both asymmetric join sides
+    val keptBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val kept = banded.join(keptBuckets, Seq("band", "bucket"))
+    val candidates = kept.filter(!col("is_corpus")).as("b")
+      .join(kept.filter(col("is_corpus")).as("c"),
+        col("b.band") === col("c.band") &&
+          col("b.bucket") === col("c.bucket"))
+      .select(col("b.doc_id").as("batch_id"),
+        col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val withSets = candidates
+      .join(d.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")),
+        Seq("batch_id"))
+      .join(d.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")),
+        Seq("corpus_id"))
+    Canon.materialized(
+      Canon.canonicalize(withSets
+        .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
+          jaccardThreshold))
+        .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select("batch_id", "corpus_id", "jaccard")),
+      d, banded)
+  }
+
+  /** Oracle for the incremental variant: the shared LSH CTE chain with
+    * the side split and the asymmetric candidate join, generated from
+    * the same constants.
+    */
+  val minhashLshIncrementalOracle: String = {
+    val minAggs = (0 until numHashes)
+      .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
+    val bandedUnion = (0 until numBands)
+      .map(b => s"SELECT doc_id, is_corpus, $b AS band, ${bucketSql(b)} AS bucket FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH nd AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |d AS (SELECT doc_id, norm,
+       |        ${sideBucketSql("doc_id")} < $incrementalCorpusPermille
+       |          AS is_corpus
+       |      FROM nd WHERE length(norm) >= $shingleLen),
+       |st AS (
+       |  SELECT DISTINCT doc_id, ${shingleHashSql("norm", "i")} AS s
+       |  FROM d, UNNEST(range(1, length(norm) - ${shingleLen - 2})) AS t(i)),
+       |sh AS (SELECT doc_id, list(s) AS sh FROM st GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT st.doc_id, any_value(d.is_corpus) AS is_corpus, $minAggs
+       |  FROM st JOIN d ON st.doc_id = d.doc_id GROUP BY st.doc_id),
+       |banded AS (
+       |  $bandedUnion),
+       |kept AS (
+       |  SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  HAVING count(*) <= $maxBucketSize),
+       |kb AS (SELECT b.doc_id, b.is_corpus, b.band, b.bucket
+       |       FROM banded b JOIN kept k
+       |         ON b.band = k.band AND b.bucket = k.bucket),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM kb b JOIN kb c
+       |    ON b.band = c.band AND b.bucket = c.bucket
+       |       AND NOT b.is_corpus AND c.is_corpus),
+       |ws AS (
+       |  SELECT cd.batch_id, cd.corpus_id,
+       |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
+       |         len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand cd JOIN sh sa ON cd.batch_id = sa.doc_id
+       |               JOIN sh sb ON cd.corpus_id = sb.doc_id)
+       |SELECT batch_id, corpus_id,
+       |       n_common / (na + nb - n_common) AS jaccard
+       |FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** The 62-bit token hash of the twin family as a composed-builtins

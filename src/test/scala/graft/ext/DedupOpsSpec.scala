@@ -86,6 +86,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("incremental LSH equals the cross-side slice of the full LSH") {
+    import graft.functions.{MinHashSignature => MH}
+    def isCorpus(id: Long): Boolean =
+      ((id % MH.P) * MH.aCoef(0) + MH.bCoef(0)) % MH.P % 1000 <
+        DedupOps.incrementalCorpusPermille
+    // identical banding + cap ⇒ the asymmetric probe must recover
+    // EXACTLY the full self-join's pairs that straddle the side split
+    val full = DedupOps.minhashLsh(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val crossSide = full.collect {
+      case (a, b, j) if isCorpus(a) != isCorpus(b) =>
+        (if (isCorpus(a)) b else a, if (isCorpus(a)) a else b, j)
+    }.toSet
+    val incr = DedupOps.minhashLshIncremental(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr == crossSide,
+      s"missing=${crossSide.diff(incr).take(5)} extra=${incr.diff(crossSide).take(5)}")
+  }
+
   test("native simhash64 expression is bit-identical to the composed fold") {
     val df = Seq("the quick brown fox", "pack my box with five dozen jugs",
       "a", "", "alpha beta gamma delta epsilon zeta")
