@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan dump for scan pruning / exchange audits (dev tool). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for ((n, df) <- Seq(
+        "train_split" -> ext.SampleOps.trainValTestSplit(spark, sf),
+        "sample_k" -> ext.SampleOps.sampleKPerStratum(spark, sf),
+        "chunks" -> ext.TextOps.docChunks(spark, sf),
+        "lsh_incr" -> ext.DedupOps.minhashLshIncremental(spark, sf),
+        "asof" -> ext.EventOps.asofJoin(spark, sf))) {
+      println(s"=== $n")
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("ReadSchema") || l.contains("Exchange") ||
+          l.contains("Sort ["))
+        .map(_.trim.take(200)).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
