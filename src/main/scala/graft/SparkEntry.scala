@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DedupOps, EventOps, MultimodalOps, SampleOps, TextOps,
+import graft.ext.{CurationOps, DedupOps, EventOps, MultimodalOps, SampleOps, TextOps,
   VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
   MicroQueries, ProductPerformance, SupplierPerformance}
@@ -41,6 +41,9 @@ object SparkEntry {
     "q_corpus_curate" -> ((s, dir) => TextOps.corpusCurate(s, dir)),
     // token-budgeted overlapping chunks (embedding/training-window prep)
     "q_doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
+    "q_repetition" -> ((s, dir) => CurationOps.repetition(s, dir)),
+    "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
+    "q_pack_sequences" -> ((s, dir) => CurationOps.packSequences(s, dir)),
     // deterministic hash sampling: reproducible under any partitioning
     "q_train_split" -> ((s, dir) => SampleOps.trainValTestSplit(s, dir)),
     "q_stratified_sample" -> ((s, dir) => SampleOps.stratifiedSample(s, dir)),
@@ -60,6 +63,7 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
     "q_embed_lsh" -> ((s, dir) => VectorOps.embedLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
+    "q_embed_quantize" -> ((s, dir) => VectorOps.quantizeInt8(s, dir)),
     // full-probe twin: provably ≡ brute force → shares the exact oracle
     "q_ann_ivf_fullprobe" ->
       ((s, dir) => VectorOps.annIvf(s, dir, nprobe = VectorOps.ivfCentroids)),
@@ -109,6 +113,10 @@ object SparkEntry {
     "q_pii_scrub" -> TextOps.piiScrubOracle,
     "q_corpus_curate" -> TextOps.corpusCurateOracle,
     "q_doc_chunks" -> TextOps.docChunksOracle,
+    "q_repetition" -> CurationOps.repetitionOracle,
+    "q_decontaminate" -> CurationOps.decontaminateOracle,
+    "q_pack_sequences" -> CurationOps.packSequencesOracle,
+    "q_embed_quantize" -> VectorOps.quantizeInt8Oracle,
     "q_train_split" -> SampleOps.trainValTestSplitOracle,
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,

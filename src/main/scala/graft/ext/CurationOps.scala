@@ -1,0 +1,284 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Canon
+
+/** Corpus-curation operators beyond the per-document quality score:
+  * repetition signals, benchmark decontamination, and sequence packing —
+  * the remaining standard passes of a pre-training data pipeline
+  * (cf. the "Gopher rules" repetition filters and the n-gram-overlap
+  * decontamination used by every published LLM corpus).
+  *
+  * Scale posture (the common theme: everything is keyed on doc_id or an
+  * n-gram hash, so every shuffle is a plain hash exchange with map-side
+  * combine — no all-pairs joins, no per-partition state beyond a counter):
+  *
+  *  - `repetition`: explode token n-grams (n = 1,2,3) → count per
+  *    (doc, n, gram) → per-doc conditional rollup. Two keyed shuffles
+  *    whose width is the gram stream — linear in corpus tokens.
+  *  - `decontaminate`: the benchmark side's distinct 8-gram hashes are
+  *    tiny by construction (benchmarks are, at most, millions of grams
+  *    against a corpus of trillions), so the overlap join BROADCASTS the
+  *    benchmark and the corpus side never shuffles at all.
+  *  - `packSequences`: packing is shard-local (doc_id hash shards) so the
+  *    running-sum window partitions stay bounded regardless of corpus
+  *    size; no global sort, no single-reducer partition.
+  */
+object CurationOps {
+
+  import TextOps.{documents, normText, normSql}
+
+  /** Whitespace tokens of the normalized text, empties dropped — the
+    * shared tokenization of every operator in this file (and its DuckDB
+    * twin, [[toksSql]]).
+    */
+  private def toksCol: Column =
+    filter(split(normText(col("text")), " "), t => t =!= "")
+
+  private val toksSql =
+    s"list_filter(string_split($normSql, ' '), t -> t <> '')"
+
+  // ---- repetition signals ---------------------------------------------
+
+  /** Gopher-style repetition thresholds: a document is flagged when its
+    * single most frequent bigram occupies more than `topBigramFracMax` of
+    * all bigram slots, or more than `dupTrigramFracMax` of its trigram
+    * occurrences are repeats. (The published rules use 0.18 / 0.30 over
+    * natural text; the synthetic fixture's vocabulary is ~20 words, so the
+    * same *shape* of rule is exercised at thresholds matched to its
+    * baseline repetition rates.)
+    */
+  val topBigramFracMax = 0.075
+  val dupTrigramFracMax = 0.05
+
+  /** n-gram slots of size `k`: positions k..n of the token array, each
+    * joined with single spaces. Empty when the document has fewer than
+    * `k` tokens (`sequence` would count DOWN for stop < start — the
+    * guard is load-bearing, not defensive).
+    */
+  private def grams(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(k), size(toks)),
+        i => concat_ws(" ", slice(toks, i - (k - 1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition signals over token n-grams:
+    *
+    *  - `dup_token_frac`: fraction of token occurrences whose token
+    *    appears more than once in the document,
+    *  - `top_bigram_frac`: the most frequent bigram's share of all bigram
+    *    occurrences,
+    *  - `dup_trigram_frac`: fraction of trigram occurrences that are
+    *    repeats,
+    *  - `flagged`: the filter decision at the thresholds above.
+    *
+    * One tagged gram stream feeds a single (doc, k, gram) count, then one
+    * per-doc rollup — the three signals share both shuffles.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id")) // single-split fixture; the explode below is narrow
+      .select(col("doc_id"), toksCol.as("toks"))
+    val tagged = d.select(col("doc_id"), explode(flatten(array(
+        Seq(1, 2, 3).map(k =>
+          transform(grams(col("toks"), k),
+            g => struct(lit(k).as("k"), g.as("gram")))): _*)))
+        .as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.gram").as("gram"))
+    val counts = tagged
+      .groupBy("doc_id", "k", "gram").agg(count(lit(1)).as("cnt"))
+    def tot(k: Int) = sum(when(col("k") === k, col("cnt")))
+    def dup(k: Int) = sum(when(col("k") === k && col("cnt") > 1, col("cnt")))
+    val sig = counts.groupBy("doc_id").agg(
+      tot(1).as("n1"), dup(1).as("dup1"),
+      tot(2).as("n2"), max(when(col("k") === 2, col("cnt"))).as("top2"),
+      tot(3).as("n3"), dup(3).as("dup3"))
+    def frac(num: Column, den: Column): Column =
+      when(coalesce(den, lit(0L)) > 0,
+        coalesce(num, lit(0L)).cast("double") / den.cast("double"))
+        .otherwise(lit(0.0))
+    // total over the base table so token-less documents keep a row
+    val out = documents(spark, sfDir).select("doc_id")
+      .join(sig, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n1"), lit(0L)).as("n_tokens"),
+        frac(col("dup1"), col("n1")).as("dup_token_frac"),
+        frac(col("top2"), col("n2")).as("top_bigram_frac"),
+        frac(col("dup3"), col("n3")).as("dup_trigram_frac"))
+      .withColumn("flagged",
+        col("top_bigram_frac") > topBigramFracMax ||
+          col("dup_trigram_frac") > dupTrigramFracMax)
+    Canon.canonicalize(out)
+  }
+
+  val repetitionOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, 1 AS k, u.gram FROM d, unnest(toks) AS u(gram)
+       |  UNION ALL
+       |  SELECT doc_id, 2, toks[i] || ' ' || toks[i+1]
+       |  FROM d, unnest(range(1, len(toks))) AS r(i)
+       |  UNION ALL
+       |  SELECT doc_id, 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |  FROM d, unnest(range(1, len(toks) - 1)) AS r(i)),
+       |c AS (
+       |  SELECT doc_id, k, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN k = 1 THEN cnt END) AS n1,
+       |    sum(CASE WHEN k = 1 AND cnt > 1 THEN cnt END) AS dup1,
+       |    sum(CASE WHEN k = 2 THEN cnt END) AS n2,
+       |    max(CASE WHEN k = 2 THEN cnt END) AS top2,
+       |    sum(CASE WHEN k = 3 THEN cnt END) AS n3,
+       |    sum(CASE WHEN k = 3 AND cnt > 1 THEN cnt END) AS dup3
+       |  FROM c GROUP BY 1),
+       |f AS (
+       |  SELECT documents.doc_id,
+       |    CAST(coalesce(n1, 0) AS BIGINT) AS n_tokens,
+       |    CASE WHEN coalesce(n1, 0) > 0
+       |      THEN CAST(coalesce(dup1, 0) AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |      ELSE 0.0 END AS dup_token_frac,
+       |    CASE WHEN coalesce(n2, 0) > 0
+       |      THEN CAST(coalesce(top2, 0) AS DOUBLE) / CAST(n2 AS DOUBLE)
+       |      ELSE 0.0 END AS top_bigram_frac,
+       |    CASE WHEN coalesce(n3, 0) > 0
+       |      THEN CAST(coalesce(dup3, 0) AS DOUBLE) / CAST(n3 AS DOUBLE)
+       |      ELSE 0.0 END AS dup_trigram_frac
+       |  FROM documents LEFT JOIN s USING (doc_id))
+       |SELECT *,
+       |  top_bigram_frac > $topBigramFracMax
+       |    OR dup_trigram_frac > $dupTrigramFracMax AS flagged
+       |FROM f""".stripMargin
+
+  // ---- benchmark decontamination --------------------------------------
+
+  /** Token-gram size for contamination matching (the published
+    * decontamination passes use 8–13-token grams) and the deterministic
+    * "benchmark" membership rule for the fixture: every 10th document
+    * plays the benchmark, the rest are the training corpus.
+    */
+  val decontGramTokens = 8
+  val decontBenchMod = 10
+
+  /** Flags training documents sharing any `decontGramTokens`-token gram
+    * with the benchmark slice. Gram identity travels as md5(gram) — a
+    * fixed-width 16-byte key instead of a variable-length string, which
+    * is what the join should carry at corpus scale.
+    *
+    * The benchmark's distinct gram set is BROADCAST: benchmarks are
+    * bounded (test sets, not corpora), so the training side — the 100 TB
+    * side — is never shuffled; contamination counting is a map-side
+    * broadcast probe plus one doc_id-keyed rollup.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id")) // single-split fixture; gram explode is narrow
+      .select(col("doc_id"), toksCol.as("toks"))
+    val gramRows = d.select(col("doc_id"),
+        explode(array_distinct(grams(col("toks"), decontGramTokens)))
+          .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val isBench = col("doc_id") % decontBenchMod === 0
+    val bench = gramRows.filter(isBench).select("gh").distinct()
+      .withColumn("hit", lit(1L))
+    val hits = gramRows.filter(!isBench)
+      .join(broadcast(bench), Seq("gh"), "left")
+      .groupBy("doc_id").agg(sum("hit").as("n_shared"))
+    val out = documents(spark, sfDir).select("doc_id").filter(!isBench)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    Canon.canonicalize(out)
+  }
+
+  val decontaminateOracle: String = {
+    val g = decontGramTokens
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(list_slice(toks, i, i + ${g - 1}), ' ')) AS gh
+       |  FROM d, unnest(range(1, len(toks) - ${g - 2})) AS r(i)),
+       |bench AS (
+       |  SELECT DISTINCT gh FROM g WHERE doc_id % $decontBenchMod = 0),
+       |h AS (
+       |  SELECT t.doc_id, count(bench.gh) AS n_shared
+       |  FROM (SELECT * FROM g WHERE doc_id % $decontBenchMod <> 0) t
+       |  LEFT JOIN bench ON t.gh = bench.gh
+       |  GROUP BY 1)
+       |SELECT documents.doc_id,
+       |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_grams,
+       |  coalesce(n_shared, 0) > 0 AS contaminated
+       |FROM documents LEFT JOIN h USING (doc_id)
+       |WHERE doc_id % $decontBenchMod <> 0""".stripMargin
+  }
+
+  // ---- sequence packing ------------------------------------------------
+
+  /** Token budget per training pack, and the number of doc_id hash shards
+    * packing runs over. Packing is CONTIGUOUS-FILL: within each
+    * (lang, shard), documents in doc_id order are laid end to end and a
+    * document belongs to the pack where its cumulative start offset
+    * falls — so every pack holds ≥ budget tokens' worth of starts and a
+    * document may overflow its pack by up to its own length (the standard
+    * streaming trade; exact first-fit is inherently sequential).
+    *
+    * Sharding is the 100 TB lever: the running-sum window partitions on
+    * (lang, shard), so no partition exceeds 1/`packShards` of a
+    * language — raise `packShards` with corpus size and the plan is
+    * unchanged. Determinism: shard membership is a pure function of
+    * doc_id, so results are reproducible under any input partitioning.
+    */
+  val packBudgetTokens = 256
+  val packShards = 8
+
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), size(toksCol).as("n_tokens"))
+      .withColumn("shard", col("doc_id") % packShards)
+    val byShard = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val packed = d
+      .withColumn("start_tok",
+        coalesce(sum("n_tokens").over(
+          byShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"start_tok div $packBudgetTokens"))
+      .withColumn("pack_id",
+        concat_ws("#", col("lang"), col("shard"), col("bin")))
+    val byPack = Window.partitionBy("lang", "shard", "bin")
+    val out = packed
+      .withColumn("pack_pos",
+        row_number().over(byPack.orderBy("doc_id")))
+      .withColumn("pack_tokens", sum("n_tokens").over(byPack))
+      .select("doc_id", "lang", "n_tokens", "pack_id", "pack_pos",
+        "pack_tokens")
+    Canon.canonicalize(out)
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len($toksSql) AS n_tokens,
+       |         doc_id % $packShards AS shard
+       |  FROM documents),
+       |s AS (
+       |  SELECT *,
+       |    coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS start_tok
+       |  FROM d),
+       |b AS (
+       |  SELECT *, start_tok // $packBudgetTokens AS bin FROM s)
+       |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  lang || '#' || shard || '#' || bin AS pack_id,
+       |  CAST(row_number() OVER (PARTITION BY lang, shard, bin
+       |                          ORDER BY doc_id) AS BIGINT) AS pack_pos,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY lang, shard, bin) AS BIGINT)
+       |    AS pack_tokens
+       |FROM b""".stripMargin
+}

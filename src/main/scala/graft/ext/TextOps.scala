@@ -33,7 +33,8 @@ object TextOps {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private[ext] val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")

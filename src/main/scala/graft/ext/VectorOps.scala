@@ -414,4 +414,74 @@ object VectorOps {
       Canon.canonicalize(top.select("probe_id", "rank", "vec_id", "cos")),
       e)
   }
+
+  // ---- int8 symmetric quantization ------------------------------------
+
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * vector-index compression (4× over float32): per vector,
+    * scale = max|x|, qᵢ = clamp(⌊xᵢ·127/scale + 0.5⌋, −127, 127). Rounding
+    * is spelled as ⌊x+0.5⌋ (round-half-up) because engine-native round()
+    * tie-breaking differs across engines; the floor form is pure IEEE
+    * arithmetic, identical everywhere.
+    *
+    * One narrow codegen-friendly projection — no shuffle, no state:
+    * quantization pipelines inside the scan stage and scales perfectly.
+    * The output row summarizes each vector (extremes, L1 mass, and the
+    * dequantization MSE that an index built on these codes would absorb);
+    * the code array itself stays an internal column because the
+    * cross-engine compare boundary is scalar-typed.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") > 0,
+          greatest(lit(-127L), least(lit(127L),
+            floor(x * lit(127.0) / col("scale") + lit(0.5)))))
+          .otherwise(lit(0L))))
+      .withColumn("dq_mse",
+        aggregate(
+          zip_with(col("v"), col("q"), (x, q) => {
+            val dq = q.cast("double") * col("scale") / lit(127.0)
+            (x - dq) * (x - dq)
+          }),
+          lit(0.0), (a, e) => a + e) / size(col("v")).cast("double"))
+    Canon.canonicalize(d.select(
+      col("vec_id"), col("scale"),
+      array_min(col("q")).as("q_min"),
+      array_max(col("q")).as("q_max"),
+      aggregate(col("q"), lit(0L), (a, q) => a + abs(q)).as("q_l1"),
+      col("dq_mse")))
+  }
+
+  val quantizeInt8Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_prepend(0.0, v),
+      |                (a, x) -> greatest(a, abs(x))) AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, v, scale,
+      |    list_transform(v, x -> CASE WHEN scale > 0
+      |      THEN greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      |             CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)))
+      |      ELSE CAST(0 AS BIGINT) END) AS qv
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  CAST(list_min(qv) AS BIGINT) AS q_min,
+      |  CAST(list_max(qv) AS BIGINT) AS q_max,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+      |              (a, x) -> a + abs(x)) AS q_l1,
+      |  list_reduce(list_prepend(0.0,
+      |    list_transform(list_zip(v, qv),
+      |      p -> (p[1] - p[2] * scale / 127.0)
+      |         * (p[1] - p[2] * scale / 127.0))),
+      |    (a, x) -> a + x) / CAST(len(v) AS DOUBLE) AS dq_mse
+      |FROM q""".stripMargin
 }

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition fractions are well-formed and flag agrees with thresholds") {
+    val rows = CurationOps.repetition(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // one row per document, including token-less ones
+    assert(rows.length ==
+      TextOps.documents(spark, sfDir).count().toInt)
+    rows.foreach { case (id, n, dup1, top2, dup3, flagged) =>
+      assert(n >= 0L)
+      Seq(dup1, top2, dup3).foreach(f =>
+        assert(f >= 0.0 && f <= 1.0, s"doc $id frac $f out of range"))
+      assert(flagged ==
+        (top2 > CurationOps.topBigramFracMax ||
+          dup3 > CurationOps.dupTrigramFracMax))
+    }
+    // the fixture vocabulary repeats heavily: the signals must fire on a
+    // real spread, not collapse to a constant
+    assert(rows.map(_._4).distinct.length > 10)
+  }
+
+  test("repetition signals match a hand computation on a tiny frame") {
+    // "a b a b" → tokens 4, all duplicated; bigrams (a b, b a, a b) →
+    // top 2/3; trigrams (a b a, b a b) → no repeats
+    val one = CurationOps.repetition(spark, sfDir)
+    val doc = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
+      .as[(Long, String)].collect()
+      .find(_._2.split(" ").length >= 4).get
+    val toks = doc._2.split(" ").filter(_.nonEmpty).toSeq
+    val n1 = toks.length.toLong
+    val dup1 = toks.groupBy(identity).values
+      .collect { case g if g.size > 1 => g.size }.sum.toLong
+    val row = one.filter(col("doc_id") === doc._1)
+      .select("n_tokens", "dup_token_frac").as[(Long, Double)].head()
+    assert(row._1 == n1)
+    assert(math.abs(row._2 - dup1.toDouble / n1) < 1e-12)
+  }
+
+  test("decontaminate: bench docs excluded; hits are real shared grams") {
+    val out = CurationOps.decontaminate(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, c) =>
+      assert(id % CurationOps.decontBenchMod != 0, s"bench doc $id in output")
+      assert(n >= 0L)
+      assert(c == (n > 0L))
+    }
+    // recompute one contaminated doc's shared-gram count from raw text
+    def gramsOf(text: String): Set[String] = {
+      val t = text.toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty)
+      if (t.length < CurationOps.decontGramTokens) Set.empty
+      else t.sliding(CurationOps.decontGramTokens).map(_.mkString(" ")).toSet
+    }
+    val texts = TextOps.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val benchGrams = texts.collect {
+      case (id, tx) if id % CurationOps.decontBenchMod == 0 => gramsOf(tx)
+    }.fold(Set.empty[String])(_ ++ _)
+    val someHit = out.find(_._3)
+    assert(someHit.isDefined, "fixture should contain contamination")
+    val (hitId, hitN, _) = someHit.get
+    assert(gramsOf(texts(hitId)).count(benchGrams.contains) == hitN)
+  }
+
+  test("pack sequences: contiguous fill, conserved tokens, shard-bounded") {
+    val out = CurationOps.packSequences(spark, sfDir)
+      .as[(Long, String, Long, String, Long, Long)].collect()
+    val docs = TextOps.documents(spark, sfDir).count()
+    assert(out.length == docs.toInt) // every doc lands in exactly one pack
+    // pack_tokens is the sum of member n_tokens; pack_pos is 1..|pack|
+    out.groupBy(_._4).foreach { case (pack, members) =>
+      assert(members.map(_._3).sum == members.head._6, pack)
+      assert(members.map(_._5).sorted.toSeq == (1L to members.length).toSeq)
+    }
+    // contiguity: within (lang, shard), doc_id order ⇒ bin is
+    // non-decreasing (a later doc never lands in an earlier pack)
+    out.groupBy(r => (r._2, r._1 % CurationOps.packShards))
+      .foreach { case (_, members) =>
+        val bins = members.sortBy(_._1).map(_._4.split("#").last.toLong)
+        assert(bins.sameElements(bins.sorted))
+      }
+    // budget respected at the start boundary: all members but the last
+    // start inside the pack's budget window, so their token mass — i.e.
+    // pack_tokens minus the last member — is strictly under the budget
+    // (the last member may overflow; that's the streaming-fill contract)
+    out.groupBy(_._4).foreach { case (pack, members) =>
+      val last = members.maxBy(_._5)
+      assert(members.head._6 - last._3 < CurationOps.packBudgetTokens, pack)
+    }
+  }
+
+  test("int8 quantization: bounds, zero-scale safety, small MSE") {
+    val rows = VectorOps.quantizeInt8(spark, sfDir)
+      .as[(Long, Double, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, qMin, qMax, qL1, mse) =>
+      assert(scale >= 0.0)
+      assert(qMin >= -127L && qMax <= 127L, s"vec $id out of int8 range")
+      assert(qL1 >= 0L)
+      // dequantization error per element is at most (scale/254)² on the
+      // round step; allow the fixture's dimensionality some slack
+      assert(mse >= 0.0)
+      if (scale > 0) {
+        val step = scale / 127.0
+        assert(mse <= step * step, s"vec $id mse $mse step² ${step * step}")
+        // max|x| quantizes to ±127 exactly
+        assert(qMax == 127L || qMin == -127L, s"vec $id extremes")
+      }
+    }
+  }
+}
