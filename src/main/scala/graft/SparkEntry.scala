@@ -43,6 +43,9 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
     "q_repetition" -> ((s, dir) => CurationOps.repetition(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
+    // Bloom pre-filtered twin: identical rows, broadcast-scale-safe path
+    "q_decontaminate_bloom" ->
+      ((s, dir) => CurationOps.decontaminateBloom(s, dir)),
     "q_pack_sequences" -> ((s, dir) => CurationOps.packSequences(s, dir)),
     // deterministic hash sampling: reproducible under any partitioning
     "q_train_split" -> ((s, dir) => SampleOps.trainValTestSplit(s, dir)),
@@ -58,6 +61,8 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
     // ingest-time flow: new batch probes the corpus LSH index
     "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
+    // gram-granular exact-substring duplication (cross-doc span overlap)
+    "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
@@ -90,6 +95,8 @@ object SparkEntry {
     "q_set_ops" -> ((s, dir) => MicroQueries.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => MicroQueries.semiAnti(s, dir)),
     "q_rollup_docs" -> ((s, dir) => MicroQueries.rollupDocs(s, dir)),
+    // Z-order clustering key (two-dimensional scan-pruning layout)
+    "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
   )
 
@@ -115,6 +122,8 @@ object SparkEntry {
     "q_doc_chunks" -> TextOps.docChunksOracle,
     "q_repetition" -> CurationOps.repetitionOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
+    // exact-verified Bloom variant is row-identical → shares the oracle
+    "q_decontaminate_bloom" -> CurationOps.decontaminateOracle,
     "q_pack_sequences" -> CurationOps.packSequencesOracle,
     "q_embed_quantize" -> VectorOps.quantizeInt8Oracle,
     "q_train_split" -> SampleOps.trainValTestSplitOracle,
@@ -123,6 +132,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
+    "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,
@@ -152,6 +162,7 @@ object SparkEntry {
     "q_set_ops" -> MicroQueries.setOpsOracle,
     "q_semi_anti" -> MicroQueries.semiAntiOracle,
     "q_rollup_docs" -> MicroQueries.rollupDocsOracle,
+    "q_zorder_key" -> MicroQueries.zorderKeyOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     // Every query carries an oracle — including the approximate family
     // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd

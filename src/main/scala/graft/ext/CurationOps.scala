@@ -35,10 +35,10 @@ object CurationOps {
     * shared tokenization of every operator in this file (and its DuckDB
     * twin, [[toksSql]]).
     */
-  private def toksCol: Column =
+  private[ext] def toksCol: Column =
     filter(split(normText(col("text")), " "), t => t =!= "")
 
-  private val toksSql =
+  private[ext] val toksSql =
     s"list_filter(string_split($normSql, ' '), t -> t <> '')"
 
   // ---- repetition signals ---------------------------------------------
@@ -59,7 +59,7 @@ object CurationOps {
     * `k` tokens (`sequence` would count DOWN for stop < start — the
     * guard is load-bearing, not defensive).
     */
-  private def grams(toks: Column, k: Int): Column =
+  private[ext] def grams(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(k), size(toks)),
         i => concat_ws(" ", slice(toks, i - (k - 1), lit(k)))))
@@ -217,6 +217,58 @@ object CurationOps {
        |  coalesce(n_shared, 0) > 0 AS contaminated
        |FROM documents LEFT JOIN h USING (doc_id)
        |WHERE doc_id % $decontBenchMod <> 0""".stripMargin
+  }
+
+  /** False-positive probability of the decontamination Bloom pre-filter:
+    * ~10.5 bits/element at 1%, vs the 128-bit md5 keys the exact
+    * broadcast set carries — a 12× smaller executor-resident structure.
+    */
+  val decontBloomFpp = 0.01
+
+  /** [[decontaminate]] with a Bloom-filter pre-filter — the shape that
+    * survives when the benchmark side outgrows an exact broadcast set.
+    *
+    * The benchmark's distinct gram hashes are folded into a Bloom filter
+    * (distributed `stat.bloomFilter` tree-aggregation; the driver holds
+    * only the final bit array) and broadcast. The corpus side — the
+    * 100 TB side — drops every gram the filter rejects BEFORE any join:
+    * no false negatives (Bloom guarantee), so all true hits survive, and
+    * the ≤ `decontBloomFpp` false-positive survivors are eliminated by
+    * the exact join that follows. At fixture scale that join is the same
+    * broadcast probe as [[decontaminate]]; past broadcast reach it
+    * becomes a shuffle join whose corpus side is already filtered to
+    * ~(true hits + 1% of grams) — the Bloom is what keeps that shuffle
+    * tiny. Output is row-identical to [[decontaminate]] (same oracle).
+    *
+    * The membership probe is a Scala UDF: Spark exposes no public
+    * bloom-membership function (`might_contain` backs internal runtime
+    * filtering only), and the probe is a handful of bit tests per row —
+    * not worth a custom expression; the join it guards dominates.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id")) // single-split fixture; gram explode is narrow
+      .select(col("doc_id"), toksCol.as("toks"))
+    val gramRows = d.select(col("doc_id"),
+        explode(array_distinct(grams(col("toks"), decontGramTokens)))
+          .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val isBench = col("doc_id") % decontBenchMod === 0
+    val bench = gramRows.filter(isBench).select("gh").distinct().persist()
+    val bloom = bench.stat.bloomFilter(
+      "gh", math.max(bench.count(), 1L), decontBloomFpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((gh: String) => bloomBc.value.mightContainString(gh))
+    val hits = gramRows.filter(!isBench)
+      .filter(mightContain(col("gh")))
+      .join(broadcast(bench), Seq("gh")) // exact verify kills Bloom FPs
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val out = documents(spark, sfDir).select("doc_id").filter(!isBench)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    Canon.materialized(Canon.canonicalize(out), bench)
   }
 
   // ---- sequence packing ------------------------------------------------

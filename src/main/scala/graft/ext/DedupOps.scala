@@ -921,4 +921,96 @@ object DedupOps {
        |            JOIN sigs b ON c.id_b = b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
   }
+
+  // ---- cross-document duplicated spans --------------------------------
+
+  /** Span width (in tokens) and the flag threshold for [[dupSpans]]. The
+    * published exact-substring dedup passes match 50-token spans over BPE
+    * streams; the fixture's documents are ~30–40 tokens, so the same
+    * *shape* runs at 8 tokens (the repo's decontamination gram size).
+    */
+  val spanTokens = 8
+  val dupSpanFracMax = 0.5
+
+  /** Exact duplicated-SPAN detection — the gram-granular form of
+    * exact-substring dedup (cf. reference `tasks/` dedup passes, which
+    * stop at whole-document hashes): for every document, the fraction of
+    * its `spanTokens`-token spans whose content also appears in ANOTHER
+    * document. Near-duplicates surface here even when no whole document
+    * matches, and the per-doc fraction is the removal signal a curation
+    * pass thresholds on (`flagged` at `dupSpanFracMax`).
+    *
+    * Scale shape (the part that must survive 100 TB): span identity
+    * travels as md5(span) — fixed-width, never the text. After one
+    * explicit repartition on the hash, BOTH aggregations and the
+    * dup-hash join are satisfied by the same hash partitioning
+    * (`HashPartitioning(gh)` clusters every ClusteredDistribution keyed
+    * on a superset of `gh`), so the whole middle of the pipeline is ONE
+    * exchange, linear in corpus tokens; the only other shuffle is the
+    * final doc_id rollup. No all-pairs anything.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import CurationOps.{grams, toksCol}
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id")) // single-split fixture; gram explode is narrow
+      .select(col("doc_id"), toksCol.as("toks"))
+    val gramRows = d
+      .select(col("doc_id"), explode(grams(col("toks"), spanTokens)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .repartition(col("gh"))
+    // one row per (gh, doc): occ = starts of this span in this doc
+    val byDocGh = gramRows.groupBy("gh", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+    // byDocGh is unique on (gh, doc_id), so count(*) per gh = distinct docs
+    val dupGh = byDocGh.groupBy("gh")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("gh")
+    val perDoc = byDocGh.join(dupGh, Seq("gh"))
+      .groupBy("doc_id").agg(sum("occ").as("n_dup"))
+    val out = documents(spark, sfDir)
+      .select(col("doc_id"),
+        greatest(size(toksCol) - (spanTokens - 1), lit(0))
+          .cast("long").as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+      .withColumn("flagged", col("dup_span_frac") > dupSpanFracMax)
+    Canon.canonicalize(out)
+  }
+
+  val dupSpansOracle: String = {
+    val w = spanTokens
+    s"""WITH d AS (
+       |  SELECT doc_id, ${CurationOps.toksSql} AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS gh
+       |  FROM d, unnest(range(1, len(toks) - ${w - 2})) AS r(i)),
+       |bdg AS (
+       |  SELECT gh, doc_id, count(*) AS occ FROM g GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT gh FROM bdg GROUP BY gh HAVING count(*) > 1),
+       |per AS (
+       |  SELECT doc_id, sum(occ) AS n_dup
+       |  FROM bdg JOIN dup USING (gh) GROUP BY 1),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(toks) - ${w - 1}, 0) AS BIGINT) AS n_spans
+       |  FROM d),
+       |f AS (
+       |  SELECT base.doc_id, n_spans,
+       |    CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+       |    CASE WHEN n_spans > 0
+       |      THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_spans AS DOUBLE)
+       |      ELSE 0.0 END AS dup_span_frac
+       |  FROM base LEFT JOIN per USING (doc_id))
+       |SELECT *, dup_span_frac > $dupSpanFracMax AS flagged FROM f""".stripMargin
+  }
 }

@@ -283,4 +283,31 @@ object MicroQueries {
        |       CAST(round(CAST(QUANTITY * 7 AS DECIMAL(12,3)) / 3, 2)
        |            AS DOUBLE) AS ROUNDED_AMT
        |FROM sales""".stripMargin
+
+  /** Z-order (Morton) key derivation over the lineitem fact — the
+    * arithmetic half of [[graft.io.Layout]]'s two-dimensional clustering,
+    * oracle-checked bit-for-bit (the layout half — range partition +
+    * sort — is asserted in LayoutSpec; row ORDER is invisible to the
+    * driver compare by design).
+    */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.io.Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey").cast("long"), lit(1L << graft.io.Layout.zBits))
+          .as("zx"),
+        pmod(col("l_suppkey").cast("long"), lit(1L << graft.io.Layout.zBits))
+          .as("zy"))
+    Canon.canonicalize(
+      li.withColumn("zval", graft.io.Layout.zValue(col("zx"), col("zy"))))
+  }
+
+  val zorderKeyOracle: String = {
+    val m = 1L << graft.io.Layout.zBits
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  l_partkey % $m AS zx, l_suppkey % $m AS zy,
+       |  ${graft.io.Layout.zValueSql(s"l_partkey % $m", s"l_suppkey % $m")}
+       |    AS zval
+       |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin
+  }
 }

@@ -118,4 +118,18 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("decontaminateBloom is row-identical to the exact decontaminate") {
+    // the Bloom pass may only PRE-filter: no false negatives by the Bloom
+    // guarantee, false positives killed by the exact join — so the two
+    // plans must agree cell-for-cell
+    val exact = CurationOps.decontaminate(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val bloom = CurationOps.decontaminateBloom(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(exact.nonEmpty)
+    assert(bloom.toSeq == exact.toSeq)
+    // the fixture must actually exercise both branches of `contaminated`
+    assert(exact.exists(_._3) && exact.exists(!_._3))
+  }
 }

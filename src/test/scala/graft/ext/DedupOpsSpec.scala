@@ -161,4 +161,36 @@ class DedupOpsSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(sigs(0) ^ sigs(2))
     assert(hamming > 0 && hamming <= 24, s"one-token edit moved $hamming bits")
   }
+
+  test("dupSpans matches a driver-side brute-force span count exactly") {
+    val w = DedupOps.spanTokens
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
+      .as[(Long, String)].collect()
+    // brute force: every w-token span of every doc, with multiplicity
+    val spans = docs.map { case (id, norm) =>
+      val toks = norm.split(" ").filter(_.nonEmpty)
+      id -> toks.sliding(w).filter(_.length == w).map(_.mkString(" ")).toSeq
+    }.toMap
+    val docsOf = spans.toSeq
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = spans.map { case (id, ss) =>
+      val nDup = ss.count(s => docsOf(s) > 1)
+      (id, ss.size.toLong, nDup.toLong)
+    }
+    val got = DedupOps.dupSpans(spark, sfDir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got.length == docs.length) // one row per doc, span-less included
+    got.foreach { case (id, nSpans, nDup, frac, flagged) =>
+      val (_, eSpans, eDup) = expected.find(_._1 == id).get
+      assert(nSpans == eSpans, s"doc $id n_spans")
+      assert(nDup == eDup, s"doc $id n_dup_spans")
+      val eFrac = if (eSpans > 0) eDup.toDouble / eSpans else 0.0
+      assert(frac == eFrac, s"doc $id dup_span_frac")
+      assert(flagged == (frac > DedupOps.dupSpanFracMax))
+    }
+    // the fixture exercises real cross-doc duplication, not a trivial zero
+    assert(got.exists(_._3 > 0L))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave, written independently of the Column
+    * formulation.
+    */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < Layout.zBits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zValue matches the reference interleave on deterministic pairs") {
+    val m = (1L << Layout.zBits) - 1L
+    val pairs = (0 until 500).map { i =>
+      // LCG spread over the full 16-bit range, plus the corners
+      ((i * 48271L) & m, (i * 69621L + 12345L) & m)
+    } ++ Seq((0L, 0L), (m, 0L), (0L, m), (m, m))
+    val got = pairs.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    pairs.zip(got).foreach { case ((x, y), z) =>
+      assert(z == mortonRef(x, y), s"interleave($x, $y)")
+    }
+  }
+
+  test("zorderBy preserves the exact row multiset") {
+    val df = (0 until 4096)
+      .map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+    val out = Layout.zorderBy(df, col("x"), col("y"), 16)
+    assert(out.columns.toSeq == Seq("id", "x", "y")) // helper col dropped
+    assert(out.as[(Long, Long, Long)].collect().sorted.toSeq ==
+      df.as[(Long, Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("Z-order partitions are compact rectangles in BOTH dimensions") {
+    // a 64×64 grid: the layout quality question is the per-PARTITION
+    // min/max width of each dimension — exactly what parquet row-group
+    // pruning sees after a write
+    val grid = (0 until 4096)
+      .map(i => ((i % 64).toLong, (i / 64).toLong))
+      .toDF("x", "y")
+    def ranges(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+        .select("rx", "ry").as[(Long, Long)].collect().toSeq
+    val z = ranges(Layout.zorderBy(grid, col("x"), col("y"), 16))
+    val linear = ranges(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    def avg(v: Seq[Long]): Double = v.sum.toDouble / v.length
+    val (zx, zy) = (avg(z.map(_._1)), avg(z.map(_._2)))
+    val ly = avg(linear.map(_._2))
+    // ideal Z-order on this grid: 16 16×16 quadrants (range 15 each);
+    // allow slack for sampled range boundaries
+    assert(zx <= 24.0, s"zorder avg x-range $zx")
+    assert(zy <= 24.0, s"zorder avg y-range $zy")
+    // the single-key layout leaves the second dimension unclustered:
+    // nearly the full 0..63 domain inside every partition
+    assert(ly >= 48.0, s"x-sorted layout should not cluster y (got $ly)")
+  }
+}
