@@ -18,7 +18,10 @@ object PlanDump {
         "sample_k" -> ext.SampleOps.sampleKPerStratum(spark, sf),
         "chunks" -> ext.TextOps.docChunks(spark, sf),
         "lsh_incr" -> ext.DedupOps.minhashLshIncremental(spark, sf),
-        "asof" -> ext.EventOps.asofJoin(spark, sf))) {
+        "asof" -> ext.EventOps.asofJoin(spark, sf),
+        "dup_spans" -> ext.DedupOps.dupSpans(spark, sf),
+        "decon_bloom" -> ext.CurationOps.decontaminateBloom(spark, sf),
+        "zorder_key" -> pipelines.MicroQueries.zorderKey(spark, sf))) {
       println(s"=== $n")
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("ReadSchema") || l.contains("Exchange") ||

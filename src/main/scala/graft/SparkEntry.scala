@@ -53,6 +53,9 @@ object SparkEntry {
     "q_sample_k_per_lang" -> ((s, dir) => SampleOps.sampleKPerStratum(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
+    // MG-candidate + exact-verify heavy hitters ≡ topTokens when the
+    // MG bound clears (it does at every fixture scale)
+    "q_heavy_hitters" -> ((s, dir) => ext.SketchOps.heavyHitters(s, dir)),
     "q_tfidf" -> ((s, dir) => TextOps.tfIdf(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(s, dir)),
     // the 100 TB dedup DAG: shingle → LSH band → verify → cluster
@@ -79,6 +82,8 @@ object SparkEntry {
     "q_moving_agg" -> ((s, dir) => EventOps.movingAgg(s, dir)),
     // backward as-of join via union + carry-forward window (one shuffle)
     "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
+    // banded range join: time-theta-join made equi-join-shaped
+    "q_band_join" -> ((s, dir) => EventOps.bandJoin(s, dir)),
     // multimodal binary-column metadata
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.binaryMeta(s, dir)),
     "q_multimodal_frames" -> ((s, dir) => MultimodalOps.frameSamples(s, dir)),
@@ -135,6 +140,7 @@ object SparkEntry {
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
+    "q_heavy_hitters" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
     "q_dedup_clusters_lsh" -> DedupOps.dedupClustersLshOracle,
@@ -148,6 +154,7 @@ object SparkEntry {
     "q_user_value_deltas" -> EventOps.userValueDeltasOracle,
     "q_moving_agg" -> EventOps.movingAggOracle,
     "q_asof_join" -> EventOps.asofJoinOracle,
+    "q_band_join" -> EventOps.bandJoinOracle,
     "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,
     "q_multimodal_frames" -> MultimodalOps.frameSamplesOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,

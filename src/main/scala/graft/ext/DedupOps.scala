@@ -941,15 +941,19 @@ object DedupOps {
     * pass thresholds on (`flagged` at `dupSpanFracMax`).
     *
     * Scale shape (the part that must survive 100 TB): span identity
-    * travels as md5(span) — fixed-width, never the text. After one
-    * explicit repartition on the hash, BOTH aggregations and the
-    * dup-hash join are satisfied by the same hash partitioning
-    * (`HashPartitioning(gh)` clusters every ClusteredDistribution keyed
-    * on a superset of `gh`), so the whole middle of the pipeline is ONE
-    * exchange, linear in corpus tokens; the only other shuffle is the
-    * final doc_id rollup. No all-pairs anything.
+    * travels as md5(span) — fixed-width, never the text. One explicit
+    * repartition on the hash feeds the (gh, doc) aggregation AND the
+    * per-gh document count — the latter as a WINDOW over the same
+    * partitioning, not a self-join: a join against the duplicated-hash
+    * set would either re-run the whole gram scan for the second input or
+    * broadcast a set that grows with corpus duplication (unbounded), the
+    * trap the first cut of this operator fell into (caught by plan
+    * audit). The window adds only a partition-local, spillable sort. So:
+    * one wide exchange linear in corpus tokens, one local sort, and the
+    * final doc_id rollup. No all-pairs anything, nothing broadcast.
     */
   def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import CurationOps.{grams, toksCol}
     val d = documents(spark, sfDir)
       .repartition(col("doc_id")) // single-split fixture; gram explode is narrow
@@ -958,15 +962,15 @@ object DedupOps {
       .select(col("doc_id"), explode(grams(col("toks"), spanTokens)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
       .repartition(col("gh"))
-    // one row per (gh, doc): occ = starts of this span in this doc
+    // one row per (gh, doc): occ = starts of this span in this doc;
+    // partitioning on gh survives the aggregation, so the window below
+    // needs no second exchange
     val byDocGh = gramRows.groupBy("gh", "doc_id")
       .agg(count(lit(1)).as("occ"))
-    // byDocGh is unique on (gh, doc_id), so count(*) per gh = distinct docs
-    val dupGh = byDocGh.groupBy("gh")
-      .agg(count(lit(1)).as("n_docs"))
+    // byDocGh is unique on (gh, doc_id), so rows per gh = distinct docs
+    val perDoc = byDocGh
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("gh")))
       .filter(col("n_docs") > 1)
-      .select("gh")
-    val perDoc = byDocGh.join(dupGh, Seq("gh"))
       .groupBy("doc_id").agg(sum("occ").as("n_dup"))
     val out = documents(spark, sfDir)
       .select(col("doc_id"),

@@ -266,4 +266,77 @@ object EventOps {
       |       view_event_id, view_value,
       |       epoch_us(ts) - view_ts_us AS view_age_us
       |FROM c WHERE is_view = 0""".stripMargin
+
+  /** Band half-width of the range join, microseconds (±15 minutes). At
+    * scale the width doubles as the skew lever: rows per (bucket) key is
+    * events-per-band, so a hotter stream takes a narrower band (or the
+    * band key composes with DedupOps-style salting).
+    */
+  val bandWidthUs: Long = 15L * 60 * 1000000
+
+  /** RANGE (band) JOIN: every purchase against all views — any user —
+    * within ±[[bandWidthUs]], aggregated per purchase. The missing Spark
+    * join family: a raw `abs(t_v - t_p) <= W` condition has no equi-key,
+    * so Catalyst plans a BroadcastNestedLoopJoin — O(n·m) and
+    * driver-memory-bound, dead at any real scale.
+    *
+    * The banded plan makes it equi-join-shaped: both sides bucket time
+    * by the band width, the (smaller) purchase side probes its own
+    * bucket ±1, and the exact predicate filters after the hash join. A
+    * view within the band lies in EXACTLY ONE of the three probed
+    * buckets, so no pair dedup is needed and the match set is exact —
+    * recall 100% by construction, cost one bucket-keyed shuffle plus a
+    * 3× fan-out of the probe side.
+    */
+  def bandJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("t_p"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("value").cast(DecimalType(18, 2)).as("view_value"),
+        unix_micros(col("ts")).as("t_v"))
+      .withColumn("bucket", expr(s"t_v div $bandWidthUs"))
+    val probes = p
+      .withColumn("pb", expr(s"t_p div $bandWidthUs"))
+      .withColumn("bucket",
+        explode(array(col("pb") - 1, col("pb"), col("pb") + 1)))
+      .drop("pb")
+    val near = probes.join(v, Seq("bucket"))
+      .filter(abs(col("t_v") - col("t_p")) <= bandWidthUs)
+      .groupBy("purchase_id").agg(
+        count(lit(1)).as("n_views"),
+        sum("view_value").as("sv"),
+        min(abs(col("t_v") - col("t_p"))).as("closest"))
+    Canon.canonicalize(
+      p.join(near, Seq("purchase_id"), "left")
+        .select(
+          col("purchase_id"),
+          col("t_p").as("ts_us"),
+          coalesce(col("n_views"), lit(0L)).as("n_views_band"),
+          coalesce(col("sv").cast("double"), lit(0.0)).as("view_value_sum"),
+          coalesce(col("closest"), lit(-1L)).as("closest_view_us")))
+  }
+
+  /** The oracle states the SEMANTICS (a plain inequality theta-join) —
+    * DuckDB's IEJoin handles it directly; the Spark plan above is the
+    * scale-shaped equivalent.
+    */
+  val bandJoinOracle: String =
+    s"""WITH p AS (
+       |  SELECT event_id AS purchase_id, epoch_us(ts) AS t_p
+       |  FROM events WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT CAST(value AS DECIMAL(18,2)) AS view_value, epoch_us(ts) AS t_v
+       |  FROM events WHERE event_type = 'view'),
+       |j AS (
+       |  SELECT purchase_id, count(*) AS n_views, sum(view_value) AS sv,
+       |         min(abs(t_v - t_p)) AS closest
+       |  FROM p JOIN v ON abs(t_v - t_p) <= $bandWidthUs
+       |  GROUP BY 1)
+       |SELECT purchase_id, t_p AS ts_us,
+       |  CAST(coalesce(n_views, 0) AS BIGINT) AS n_views_band,
+       |  CAST(coalesce(sv, 0) AS DOUBLE) AS view_value_sum,
+       |  CAST(coalesce(closest, -1) AS BIGINT) AS closest_view_us
+       |FROM p LEFT JOIN j USING (purchase_id)""".stripMargin
 }

@@ -23,6 +23,11 @@ import graft.ops.Canon
   * GK summaries are engine-specific), so correctness is stated as error
   * bounds against the exact twins plus determinism — exactly the
   * contract a user of the sketch gets (see SketchOpsSpec).
+  *
+  * The one exception is [[heavyHitters]]: its sketch (Misra-Gries) only
+  * GENERATES candidates and an exact pass verifies them, so its output
+  * is exact whenever the MG bound clears — it ships as a driver query
+  * sharing the exact topTokens oracle.
   */
 object SketchOps {
 
@@ -114,5 +119,79 @@ object SketchOps {
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
     tokens.map(t => t -> cms.estimateCount(t)).toMap
+  }
+
+  /** Misra-Gries summary size for [[heavyHitters]]. Per partition of
+    * n_p stream items the summary's undercount is ≤ n_p/m, so any key
+    * whose TRUE global frequency exceeds Σ_p n_p/m = n/m survives into
+    * the candidate set (the classic MG guarantee, summed over
+    * partitions). 4096 counters ≈ 64 KB per task — fixed, regardless of
+    * vocabulary size.
+    */
+  val mgSummarySize = 4096
+
+  /** Bounded-memory MG pass over one partition's iterator: the ONLY
+    * imperative per-partition logic in the repo's approx family —
+    * exactly the case the architecture reserves `mapPartitions` for
+    * (per-partition state with a decrement step no builtin aggregate
+    * expresses). Emits the surviving keys; counts are NOT emitted
+    * because MG counts are lower bounds and the exact pass below
+    * re-counts candidates anyway.
+    */
+  private[ext] def mgKeys[T](it: Iterator[T], m: Int): Iterator[T] = {
+    val counts = scala.collection.mutable.HashMap.empty[T, Long]
+    it.foreach { k =>
+      if (counts.contains(k)) counts(k) += 1L
+      else if (counts.size < m) counts(k) = 1L
+      else {
+        // decrement-all; amortized O(1)/item (each decrement cancels
+        // one prior increment, so total decrements ≤ total items)
+        val dead = counts.iterator.flatMap { case (key, c) =>
+          if (c == 1L) Some(key) else { counts(key) = c - 1L; None }
+        }.toList
+        dead.foreach(counts.remove)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** Exact top-k heavy hitters by document frequency, per lang — the
+    * same contract as TextOps.topTokens, computed the way a 100 TB
+    * corpus has to when even `groupBy(token)` is too hot to run over the
+    * full stream: (1) each partition reduces its stream to ≤ m
+    * Misra-Gries survivors (constant memory, one pass); (2) the union of
+    * survivors — ≤ m·partitions keys, independent of vocabulary — is
+    * broadcast back as a semi-join filter; (3) ONLY candidate keys are
+    * exactly counted and ranked (TopKPerKey heap, no vocabulary sort).
+    *
+    * Exactness: a true top-k key with frequency > n/m is guaranteed into
+    * step 2 (see [[mgSummarySize]]), so for any stream where the k-th
+    * heavy hitter clears that bound the output EQUALS the all-keys
+    * aggregation — on the fixture (and any Zipf-ish corpus with sane m)
+    * it is bit-identical to topTokens, which is what the oracle asserts;
+    * the saturation path (tiny m) is property-tested in SketchOpsSpec.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+                   m: Int = mgSummarySize): DataFrame = {
+    import spark.implicits._
+    val stream = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(
+          split(TextOps.normText(col("text")), " "))).as("token"))
+      .filter(col("token") =!= "")
+      .select("lang", "token")
+    val candidates = stream.as[(String, String)]
+      .mapPartitions(it => mgKeys(it, m))
+      .toDF("lang", "token").distinct()
+    val exact = stream
+      .join(broadcast(candidates), Seq("lang", "token"), "left_semi")
+      .groupBy("lang", "token").agg(count(lit(1)).as("doc_freq"))
+    val top = graft.plans.TopK.perKey(exact, Seq("lang"),
+      Seq("doc_freq" -> graft.plans.TopK.Desc,
+        "token" -> graft.plans.TopK.Asc),
+      TextOps.topTokensK, rankCol = Some("rank"))
+    graft.ops.Canon.canonicalize(
+      top.select("lang", "rank", "token", "doc_freq"))
   }
 }

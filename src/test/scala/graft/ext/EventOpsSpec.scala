@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class EventOpsSpec extends SparkSpec {
@@ -39,5 +41,33 @@ class EventOpsSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
       "as-of degenerated into a range/cross join:\n" + p.take(1500))
     assert(p.contains("Window"), "carry-forward window missing")
+  }
+
+  test("band join matches a driver-side brute force and stays equi-shaped") {
+    val w = EventOps.bandWidthUs
+    val raw = EventOps.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .as[(Long, String, Long, Double)].collect()
+    val purchases = raw.filter(_._2 == "purchase")
+    val views = raw.filter(_._2 == "view")
+    val expected = purchases.map { case (pid, _, tp, _) =>
+      val near = views.filter(v => math.abs(v._3 - tp) <= w)
+      val sv = near.map(v => BigDecimal(v._4).setScale(2, BigDecimal
+        .RoundingMode.HALF_UP)).sum
+      (pid, near.length.toLong, sv.toDouble,
+        if (near.isEmpty) -1L else near.map(v => math.abs(v._3 - tp)).min)
+    }.sortBy(_._1)
+    val got = EventOps.bandJoin(spark, sfDir)
+      .select("purchase_id", "n_views_band", "view_value_sum",
+        "closest_view_us")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(got.length == purchases.length) // every purchase kept
+    assert(got.toSeq == expected.toSeq)
+    assert(got.exists(_._2 > 0L), "band never matched — widen the fixture band")
+    val p = EventOps.bandJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join degenerated into a nested-loop join:\n" + p.take(1500))
   }
 }

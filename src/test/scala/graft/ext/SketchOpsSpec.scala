@@ -88,4 +88,31 @@ class SketchOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("heavyHitters is bit-identical to the exact topTokens") {
+    val exact = TextOps.topTokens(spark, sfDir)
+      .as[(String, Long, String, Long)].collect().sorted
+    val hh = SketchOps.heavyHitters(spark, sfDir)
+      .as[(String, Long, String, Long)].collect().sorted
+    assert(exact.nonEmpty)
+    assert(hh.toSeq == exact.toSeq)
+  }
+
+  test("Misra-Gries keeps every key above the n/m undercount bound") {
+    // skewed stream: key i has frequency 2^(9-i) for i in 0..9, plus a
+    // 500-key noise tail of singletons; n = 1023 + 500
+    val heavy = (0 until 10).flatMap(i => Seq.fill(1 << (9 - i))(s"h$i"))
+    val noise = (0 until 500).map(i => s"noise$i")
+    // deterministic interleave (no RNG: same stream every run)
+    val stream = (heavy ++ noise).sortBy(_.hashCode)
+    val m = 64
+    val n = stream.length
+    val survivors = SketchOps.mgKeys(stream.iterator, m).toSet
+    assert(survivors.size <= m)
+    val truth = stream.groupBy(identity).view.mapValues(_.size).toMap
+    truth.filter(_._2 > n / m).keys.foreach { k =>
+      assert(survivors.contains(k),
+        s"$k freq=${truth(k)} > n/m=${n / m} evicted from MG summary")
+    }
+  }
 }
