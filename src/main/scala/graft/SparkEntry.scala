@@ -71,6 +71,8 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
     "q_embed_lsh" -> ((s, dir) => VectorOps.embedLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
+    // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
+    "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
     "q_embed_quantize" -> ((s, dir) => VectorOps.quantizeInt8(s, dir)),
     // full-probe twin: provably ≡ brute force → shares the exact oracle
     "q_ann_ivf_fullprobe" ->
@@ -146,6 +148,7 @@ object SparkEntry {
     "q_dedup_clusters_lsh" -> DedupOps.dedupClustersLshOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
     "q_ann_ivf" -> VectorOps.annIvfOracle(),
+    "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_embed_lsh" -> VectorOps.embedLshOracle,

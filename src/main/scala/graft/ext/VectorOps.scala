@@ -290,7 +290,11 @@ object VectorOps {
     * (sum centroids instead of means; the shared cosine fold), so even
     * the trained approximate index is hash-verified end to end.
     */
-  def annIvfOracle(nprobe: Int = 4): String = {
+  /** Shared oracle prefix for the IVF family: training rounds, the final
+    * assignment (`bucketed`: vec_id, v, cent_id), the probe set, and each
+    * probe's `nprobe` nearest buckets (`pb`: probe_id, pv, bucket).
+    */
+  private def ivfOraclePrefix(nprobe: Int): String = {
     def assignCte(cents: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, v, cent_id FROM (
@@ -329,7 +333,11 @@ object VectorOps {
        |    SELECT p.probe_id, p.pv, c.cent_id,
        |           row_number() OVER (PARTITION BY p.probe_id
        |             ORDER BY ${cosSql("c.cv", "p.pv")} DESC, c.cent_id ASC) AS rn
-       |    FROM probes p CROSS JOIN $fin c) WHERE rn <= $nprobe),
+       |    FROM probes p CROSS JOIN $fin c) WHERE rn <= $nprobe)""".stripMargin
+  }
+
+  def annIvfOracle(nprobe: Int = 4): String =
+    s"""${ivfOraclePrefix(nprobe)},
        |scored AS (
        |  SELECT pb.probe_id, b.vec_id, ${cosSql("pb.pv", "b.v")} AS cos
        |  FROM (SELECT vec_id, v, cent_id AS bucket FROM bucketed) b
@@ -341,7 +349,6 @@ object VectorOps {
        |  FROM scored)
        |SELECT probe_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= $topK""".stripMargin
-  }
 
   /** Trained quantizers are an INDEX: built once per dataset, reused by
     * every query (the standard IVF lifecycle — index build is offline,
@@ -414,6 +421,132 @@ object VectorOps {
       Canon.canonicalize(top.select("probe_id", "rank", "vec_id", "cos")),
       e)
   }
+
+  /** Shortlist multiplier for [[annIvfSq8]]'s exact-rescore stage. */
+  val sqRerank = 3
+
+  /** IVF-SQ8 with asymmetric scoring + exact rescore — the compressed
+    * form of [[annIvf]] (FAISS's `IVFScalarQuantizer` shape): the
+    * bucketed index stores int8 codes (4× smaller than float32, 8× than
+    * the working doubles — the coarse scan's bandwidth/memory win), the
+    * full-precision probe scores against the CODES directly (cosine is
+    * scale-invariant, so dequantization by scale/127 cancels and the
+    * per-vector scale never enters the search — it is retained in the
+    * index row only because a real deployment stores it for readers
+    * that DO dequantize), and only the top `sqRerank·topK` shortlist
+    * per probe is re-scored against full-precision vectors fetched by
+    * vec_id — a broadcast of the tiny shortlist against the corpus, not
+    * a corpus shuffle.
+    *
+    * Everything stays engine-exact (quantization is the floor-half-up
+    * arithmetic of [[quantizeInt8]]; scoring is the shared cosine
+    * fold), so the full pipeline — training, bucketing, quantization,
+    * coarse rank, rescore — carries a DuckDB oracle.
+    */
+  def annIvfSq8(spark: SparkSession, sfDir: String,
+                nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val cachedRows = centroidCache.computeIfAbsent(
+      s"$sfDir#$ivfCentroids#$ivfIters#" +
+        dataFingerprint(s"$sfDir/embeddings.parquet"),
+      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+    val centroids = cachedRows.toDF("cent_id", "cv")
+
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val bucketed = e.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("cv"), col("v")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+
+    // the stored index: codes + scale, NOT the full vector (`scale` in
+    // the output also keeps CollapseProject from inlining the max-abs
+    // fold into the code lambda — the per-element re-evaluation trap)
+    val qIndex = bucketed
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .select(col("vec_id"), col("bucket"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") > 0,
+            greatest(lit(-127L), least(lit(127L),
+              floor(x * lit(127.0) / col("scale") + lit(0.5))))
+              .cast("double"))
+            .otherwise(lit(0.0))).as("qv"))
+
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probeBuckets = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("cv"), col("pv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cent_id").as("bucket"))
+
+    // coarse pass: full-precision probe vs int8 codes (asymmetric)
+    val coarse = qIndex
+      .join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos", cosine(col("pv"), col("qv")))
+      .select("probe_id", "pv", "vec_id", "qcos")
+    val shortlist = TopK.perKey(coarse, Seq("probe_id"),
+      Seq("qcos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      sqRerank * topK)
+
+    // exact rescore of the shortlist only: broadcast it, fetch full
+    // vectors by vec_id — the corpus side never shuffles
+    val rescored = e
+      .join(broadcast(shortlist.select("probe_id", "pv", "vec_id")),
+        Seq("vec_id"))
+      .withColumn("cos", cosine(col("pv"), col("v")))
+      .select("probe_id", "vec_id", "cos")
+    val top = TopK.perKey(rescored, Seq("probe_id"),
+      Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      topK, rankCol = Some("rank"))
+    Canon.materialized(
+      Canon.canonicalize(top.select("probe_id", "rank", "vec_id", "cos")),
+      e)
+  }
+
+  def annIvfSq8Oracle(nprobe: Int = 4): String =
+    s"""${ivfOraclePrefix(nprobe)},
+       |qidx AS (
+       |  SELECT vec_id, cent_id AS bucket,
+       |    list_reduce(list_prepend(0.0, v),
+       |                (a, x) -> greatest(a, abs(x))) AS scale, v
+       |  FROM bucketed),
+       |qv AS (
+       |  SELECT vec_id, bucket,
+       |    list_transform(v, x -> CASE WHEN scale > 0
+       |      THEN CAST(greatest(CAST(-127 AS BIGINT),
+       |                 least(CAST(127 AS BIGINT),
+       |                   CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)))
+       |           AS DOUBLE)
+       |      ELSE 0.0 END) AS qv
+       |  FROM qidx),
+       |coarse AS (
+       |  SELECT pb.probe_id, pb.pv, q.vec_id,
+       |         ${cosSql("pb.pv", "q.qv")} AS qcos
+       |  FROM qv q JOIN pb ON q.bucket = pb.bucket
+       |  WHERE q.vec_id <> pb.probe_id),
+       |short AS (
+       |  SELECT probe_id, pv, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY qcos DESC, vec_id ASC) AS srn
+       |    FROM coarse) WHERE srn <= ${sqRerank * topK}),
+       |rescored AS (
+       |  SELECT s.probe_id, s.vec_id, ${cosSql("s.pv", "e.v")} AS cos
+       |  FROM short s JOIN e ON s.vec_id = e.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM rescored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $topK""".stripMargin
 
   // ---- int8 symmetric quantization ------------------------------------
 

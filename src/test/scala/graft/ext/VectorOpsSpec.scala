@@ -111,4 +111,30 @@ class VectorOpsSpec extends SparkSpec {
       .filter(col("x.cos") < col("y.cos")).count()
     assert(disordered == 0)
   }
+
+  test("IVF-SQ8: rescored cosines exact; near-total agreement with annIvf") {
+    val full = VectorOps.annIvf(spark, sfDir, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    val sq8 = VectorOps.annIvfSq8(spark, sfDir, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(sq8.nonEmpty)
+    // any (probe, vec) both paths return must carry the SAME cosine:
+    // the rescore is full-precision, so quantization may only affect
+    // WHICH candidates reach the shortlist, never their final scores
+    val fullScore = full.map(r => (r._1, r._3) -> r._4).toMap
+    sq8.foreach { case (p, _, v, c) =>
+      fullScore.get((p, v)).foreach(fc =>
+        assert(fc == c, s"probe $p vec $v: sq8 rescore $c != exact $fc"))
+    }
+    // int8 coarse scores are within ~1% of true cosine, and the 3×
+    // shortlist absorbs that: overlap with the uncompressed index must
+    // be near-total on every probe
+    val byProbe = full.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val overlap = sq8.groupBy(_._1).map { case (p, rows) =>
+      val f = byProbe(p)
+      rows.map(_._3).count(f.contains).toDouble / f.size
+    }
+    assert(overlap.forall(_ >= 0.8),
+      s"per-probe sq8/full overlap fell below 0.8: ${overlap.toSeq.sorted.take(3)}")
+  }
 }
