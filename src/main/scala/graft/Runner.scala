@@ -59,7 +59,16 @@ object Runner {
       "corpus_curate" -> (() => TextOps.corpusCurate(spark, sfDir).count()),
       // LSH-fed: shingle → band → verify → cluster, no quadratic pair join
       "dedup_clusters" -> (() => DedupOps.dedupClustersLsh(spark, sfDir).count()),
-      "ann_index_refresh" -> (() => VectorOps.annIvf(spark, sfDir).count()))
+      // cross-doc span duplication + benchmark overlap, then packing and
+      // the reproducible split — the full pre-training prep DAG
+      "dup_spans" -> (() => DedupOps.dupSpans(spark, sfDir).count()),
+      "decontaminate" ->
+        (() => ext.CurationOps.decontaminateBloom(spark, sfDir).count()),
+      "pack_sequences" ->
+        (() => ext.CurationOps.packSequences(spark, sfDir).count()),
+      "train_split" ->
+        (() => ext.SampleOps.trainValTestSplit(spark, sfDir).count()),
+      "ann_index_refresh" -> (() => VectorOps.annIvfSq8(spark, sfDir).count()))
 
     val tasks = chain match {
       case "daily" => daily

@@ -82,6 +82,52 @@ object EventStream {
       }
   }
 
+  case class ClosedSession(user_id: Long, start_ts: Long, end_ts: Long,
+                           n_events: Long, total_value: Double)
+
+  /** Closed-session emitter: the flatMapGroupsWithState flavor of
+    * [[sessionize]] — zero-to-many OUTPUT rows per group per batch, which
+    * mapGroupsWithState cannot express. State holds only the OPEN session
+    * per user (bounded: one row per active user); a batch emits every
+    * session it observes closing — including several per user when one
+    * batch spans multiple gaps. Append output mode, so closed sessions
+    * flow straight into any sink.
+    *
+    * Same timeout note as [[sessionize]]: event-gap closure only here
+    * (NoTimeout); production adds EventTimeTimeout + watermark to also
+    * close sessions on wall-clock silence, at the cost of continuous
+    * micro-batch scheduling.
+    */
+  def sessionizeClosed(events: Dataset[Event],
+                       gapMs: Long = 30L * 60 * 1000)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClosedSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[ClosedSession]) =>
+          val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val open = state.getOption
+          val (closed, stillOpen) = batch.foldLeft(
+            (Vector.empty[ClosedSession], open)) {
+            case ((done, cur), e) =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end_ts < gapMs => // extends session
+                  (done, Some(s.copy(end_ts = t,
+                    n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value)))
+                case Some(s) => // gap: close it, open a new one
+                  (done :+ s, Some(ClosedSession(uid, t, t, 1L, e.value)))
+                case None =>
+                  (done, Some(ClosedSession(uid, t, t, 1L, e.value)))
+              }
+          }
+          stillOpen.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Streaming exact dedup — the incremental twin of TextOps.dedupExact
     * for a document INGEST stream: the first arrival of each normalized
     * content hash passes, copies are dropped, and state is BOUNDED by the

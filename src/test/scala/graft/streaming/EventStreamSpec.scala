@@ -63,6 +63,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeClosed(input.toDS()).writeStream
+      .format("memory").queryName("closed_out")
+      .outputMode(OutputMode.Append()).start()
+    def closed(): Seq[(Long, Long, Long, Long, Double)] =
+      spark.table("closed_out")
+        .as[EventStream.ClosedSession].collect()
+        .map(s => (s.user_id, s.start_ts, s.end_ts, s.n_events,
+          s.total_value)).toSeq.sorted
+    try {
+      // one batch spanning TWO gaps for user 7: two sessions close at
+      // once (the multi-emit mapGroupsWithState cannot express), the
+      // third stays open in state
+      input.addData(
+        EventStream.Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-01 10:05:00"), 7, "click", 2.0),
+        EventStream.Event(3, ts("2024-01-01 12:00:00"), 7, "view", 4.0),
+        EventStream.Event(4, ts("2024-01-01 14:00:00"), 7, "click", 8.0))
+      q.processAllAvailable()
+      assert(closed() == Seq(
+        (7L, ts("2024-01-01 10:00:00").getTime,
+          ts("2024-01-01 10:05:00").getTime, 2L, 3.0),
+        (7L, ts("2024-01-01 12:00:00").getTime,
+          ts("2024-01-01 12:00:00").getTime, 1L, 4.0)))
+      // next batch EXTENDS the open session across the batch boundary,
+      // then a gap closes it: start_ts proves state carried over
+      input.addData(
+        EventStream.Event(5, ts("2024-01-01 14:10:00"), 7, "click", 16.0),
+        EventStream.Event(6, ts("2024-01-01 16:00:00"), 7, "click", 32.0))
+      q.processAllAvailable()
+      assert(closed().last ==
+        (7L, ts("2024-01-01 14:00:00").getTime,
+          ts("2024-01-01 14:10:00").getTime, 2L, 24.0))
+      assert(closed().size == 3) // the 16:00 session is still open
+    } finally q.stop()
+  }
+
   test("session_window streaming agg matches batch semantics on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
