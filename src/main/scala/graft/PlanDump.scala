@@ -21,7 +21,10 @@ object PlanDump {
         "asof" -> ext.EventOps.asofJoin(spark, sf),
         "dup_spans" -> ext.DedupOps.dupSpans(spark, sf),
         "decon_bloom" -> ext.CurationOps.decontaminateBloom(spark, sf),
-        "zorder_key" -> pipelines.MicroQueries.zorderKey(spark, sf))) {
+        "zorder_key" -> pipelines.MicroQueries.zorderKey(spark, sf),
+        "band_join" -> ext.EventOps.bandJoin(spark, sf),
+        "heavy_hitters" -> ext.SketchOps.heavyHitters(spark, sf),
+        "ann_sq8" -> ext.VectorOps.annIvfSq8(spark, sf))) {
       println(s"=== $n")
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("ReadSchema") || l.contains("Exchange") ||

@@ -240,6 +240,25 @@ object VectorOps {
     * the assignment/sum passes stay fully distributed and only the tiny
     * centroid table round-trips.
     */
+  /** Nearest-centroid assignment of every vector (argmax cosine, ties to
+    * the lowest cent_id) as an AGGREGATION, not a window: the N×C scored
+    * cross join reduces map-side (partial max_by) to one row per vector
+    * BEFORE any exchange, where the window form shuffles and sorts all
+    * N×C rows on vec_id — a 16× shuffle-width difference at corpus scale
+    * (caught by this round's plan audit; the probe-side top-nprobe rank
+    * keeps its window — C rows per probe, probes are few). The struct
+    * ordering (cent_cos, −cent_id) reproduces the window's exact
+    * tie-break, so results — and the oracles — are unchanged.
+    */
+  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cent_cos", cosine(col("cv"), col("v")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"),
+          struct(col("cent_cos"), (-col("cent_id")).as("tb"))).as("bucket"),
+        first("v").as("v")) // constant within the group
+
   private[ext] def trainedCentroids(e: DataFrame, c: Int = ivfCentroids,
                                     iters: Int = ivfIters): DataFrame = {
     val spark = e.sparkSession
@@ -248,13 +267,8 @@ object VectorOps {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     var round = 0
     while (round < iters) {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cent_cos").desc, col("cent_id").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cent_cos", cosine(col("cv"), col("v")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .select(col("cent_id"), col("v"))
+      val assigned = assignNearest(e, cents)
+        .select(col("bucket").as("cent_id"), col("v"))
       val sums = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
@@ -386,14 +400,10 @@ object VectorOps {
       _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
     val centroids = cachedRows.toDF("cent_id", "cv")
 
-    // one O(N·C) assignment pass — centroids broadcast
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val bucketed = e.crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", cosine(col("cv"), col("v")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+    // one O(N·C) assignment pass — centroids broadcast, reduced to one
+    // row per vector map-side (assignNearest)
+    val bucketed = assignNearest(e, centroids)
+      .select(col("vec_id"), col("v"), col("bucket"))
 
     // probes pick their nprobe nearest buckets
     val probes = e.filter(col("vec_id") < nProbes)
@@ -455,13 +465,8 @@ object VectorOps {
       _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
     val centroids = cachedRows.toDF("cent_id", "cv")
 
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val bucketed = e.crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", cosine(col("cv"), col("v")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+    val bucketed = assignNearest(e, centroids)
+      .select(col("vec_id"), col("v"), col("bucket"))
 
     // the stored index: codes + scale, NOT the full vector (`scale` in
     // the output also keeps CollapseProject from inlining the max-abs
