@@ -86,6 +86,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
     // banded range join: time-theta-join made equi-join-shaped
     "q_band_join" -> ((s, dir) => EventOps.bandJoin(s, dir)),
+    // typed from_json struct extraction over the props payload
+    "q_json_extract" -> ((s, dir) => EventOps.jsonExtract(s, dir)),
     // multimodal binary-column metadata
     "q_multimodal_meta" -> ((s, dir) => MultimodalOps.binaryMeta(s, dir)),
     "q_multimodal_frames" -> ((s, dir) => MultimodalOps.frameSamples(s, dir)),
@@ -158,6 +160,7 @@ object SparkEntry {
     "q_moving_agg" -> EventOps.movingAggOracle,
     "q_asof_join" -> EventOps.asofJoinOracle,
     "q_band_join" -> EventOps.bandJoinOracle,
+    "q_json_extract" -> EventOps.jsonExtractOracle,
     "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,
     "q_multimodal_frames" -> MultimodalOps.frameSamplesOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,

@@ -2,7 +2,8 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField,
+  StructType}
 
 import graft.io.Tables
 import graft.ops.Canon
@@ -266,6 +267,29 @@ object EventOps {
       |       view_event_id, view_value,
       |       epoch_us(ts) - view_ts_us AS view_age_us
       |FROM c WHERE is_view = 0""".stripMargin
+
+  /** Typed semi-structured extraction: `from_json` with a DECLARED schema
+    * into a struct column, then relational work on the typed fields —
+    * the scale path for JSON payloads (one parse per row inside codegen,
+    * nulls for malformed/missing under PERMISSIVE mode; contrast the
+    * stringly get_json_object probe eventsDaily uses for a single field).
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .withColumn("p", from_json(col("props"),
+        StructType(Seq(StructField("k", LongType)))))
+    Canon.canonicalize(e.groupBy("event_type").agg(
+      count(col("p.k")).as("n_with_k"),
+      sum(col("p.k")).as("sum_k"),
+      max(col("p.k")).as("max_k")))
+  }
+
+  val jsonExtractOracle: String =
+    """SELECT event_type,
+      |  count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
 
   /** Band half-width of the range join, microseconds (±15 minutes). At
     * scale the width doubles as the skew lever: rows per (bucket) key is
