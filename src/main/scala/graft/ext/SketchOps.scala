@@ -145,11 +145,13 @@ object SketchOps {
       else if (counts.size < m) counts(k) = 1L
       else {
         // decrement-all; amortized O(1)/item (each decrement cancels
-        // one prior increment, so total decrements ≤ total items)
-        val dead = counts.iterator.flatMap { case (key, c) =>
-          if (c == 1L) Some(key) else { counts(key) = c - 1L; None }
-        }.toList
-        dead.foreach(counts.remove)
+        // one prior increment, so total decrements ≤ total items).
+        // Iterate a key snapshot — mutating a mutable.HashMap while
+        // iterating it is undefined, even for value updates.
+        counts.keys.toList.foreach { key =>
+          val c = counts(key)
+          if (c == 1L) counts.remove(key) else counts(key) = c - 1L
+        }
       }
     }
     counts.keysIterator
