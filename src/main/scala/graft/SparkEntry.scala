@@ -64,6 +64,8 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
     // ingest-time flow: new batch probes the corpus LSH index
     "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
+    // same flow against the PERSISTED corpus LSH index (offline build)
+    "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
@@ -141,6 +143,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
+    // indexed probe is semantics-identical → shares the incremental oracle
+    "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,

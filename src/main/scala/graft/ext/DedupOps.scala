@@ -675,6 +675,110 @@ object DedupOps {
        |FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
   }
 
+  /** Root for persisted LSH indexes (under target/, like the bucketed
+    * fact layouts). The tag folds in a file-listing fingerprint of the
+    * source so regenerated data can never be served a stale index
+    * (the same staleness contract as the IVF centroid cache).
+    */
+  private val lshIndexRoot = "target/lsh_index"
+
+  private def lshIndexDir(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val fp =
+      if (!src.exists()) "absent"
+      else walk(src).map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString("|").hashCode.toHexString
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"$lshIndexRoot/${tag}_$fp"
+  }
+
+  /** Builds (first call) or reuses (SUCCESS-gated) the PERSISTED corpus
+    * LSH index: `bands` (doc_id, band, bucket) and `shingles`
+    * (doc_id, sh — the exact-verify payload). This is the offline half
+    * of the ingest-time dedup lifecycle: the corpus's shingle → signature
+    * → band work is paid once at index build, and every subsequent batch
+    * probe reads these tables instead of re-deriving the corpus — the
+    * same build-once/probe-many contract as the IVF centroid index.
+    */
+  def lshIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val dir = lshIndexDir(sfDir)
+      val bandsPath = s"$dir/bands"
+      val shPath = s"$dir/shingles"
+      val done = new java.io.File(s"$shPath/_SUCCESS").exists() &&
+        new java.io.File(s"$bandsPath/_SUCCESS").exists()
+      if (!done) {
+        val corpus = documents(spark, sfDir)
+          .repartition(col("doc_id"))
+          .withColumn("norm", TextOps.normText(col("text")))
+          .filter(sideBucket(col("doc_id")) < incrementalCorpusPermille)
+        val sets = shingleSets(corpus).persist()
+        sets.select(col("doc_id"), col("sh"))
+          .write.mode("overwrite").parquet(shPath)
+        sets.select(col("doc_id"),
+            explode(sequence(lit(0), lit(numBands - 1))).as("band"),
+            graft.functions.MinHashSignature(col("sh")).as("sig"))
+          .select(col("doc_id"), col("band"),
+            bucketExpr(col("sig"), col("band")).as("bucket"))
+          .write.mode("overwrite").parquet(bandsPath)
+        sets.unpersist(false)
+      }
+      (spark.read.parquet(bandsPath), spark.read.parquet(shPath))
+    }
+
+  /** [[minhashLshIncremental]] against the PERSISTED index: the batch
+    * slice is banded in-query, candidates come from probing the stored
+    * band table, and the corpus side of the verify reads the stored
+    * shingle payloads. Semantics are identical to the in-query
+    * incremental form — including the mega-bucket cap over the JOINT
+    * (batch + corpus) bucket population — so it shares its oracle;
+    * bit-equality with the recomputed path is additionally spec-pinned.
+    */
+  def minhashLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val (idxBands, idxSh) = lshIndex(spark, sfDir)
+    val batchDocs = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+      .filter(sideBucket(col("doc_id")) >= incrementalCorpusPermille)
+    val batch = shingleSets(batchDocs).persist()
+    val batchBands = batch.select(col("doc_id"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"),
+        graft.functions.MinHashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), col("band"),
+        bucketExpr(col("sig"), col("band")).as("bucket"))
+      .persist() // bucket-size census + probe side
+    // the cap counts JOINT bucket population, exactly as the in-query form
+    val keptBuckets = idxBands.select("band", "bucket")
+      .union(batchBands.select("band", "bucket"))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val candidates = batchBands.join(keptBuckets, Seq("band", "bucket"))
+      .select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+      .join(idxBands.join(keptBuckets, Seq("band", "bucket"))
+          .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val withSets = candidates
+      .join(batch.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")),
+        Seq("batch_id"))
+      .join(idxSh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")),
+        Seq("corpus_id"))
+    Canon.materialized(
+      Canon.canonicalize(withSets
+        .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
+          jaccardThreshold))
+        .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select("batch_id", "corpus_id", "jaccard")),
+      batch, batchBands)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** The 62-bit token hash of the twin family as a composed-builtins

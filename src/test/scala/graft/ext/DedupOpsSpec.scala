@@ -162,6 +162,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(hamming > 0 && hamming <= 24, s"one-token edit moved $hamming bits")
   }
 
+  test("indexed LSH probe is bit-identical to the in-query incremental") {
+    val incr = DedupOps.minhashLshIncremental(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sorted
+    val indexed = DedupOps.minhashLshIndexed(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(incr.nonEmpty)
+    assert(indexed.toSeq == incr.toSeq)
+    // second call must REUSE the persisted index (offline-build contract):
+    // the _SUCCESS stamps keep their mtimes across a repeat probe
+    def stamps(): Seq[Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File("target/lsh_index"))
+        .filter(_.getName == "_SUCCESS").map(_.lastModified()).sorted
+    }
+    val before = stamps()
+    assert(before.nonEmpty)
+    val again = DedupOps.minhashLshIndexed(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(again.toSeq == incr.toSeq)
+    assert(stamps() == before, "index was rebuilt on a repeat probe")
+  }
+
   test("dupSpans matches a driver-side brute-force span count exactly") {
     val w = DedupOps.spanTokens
     val docs = TextOps.documents(spark, sfDir)
