@@ -191,12 +191,14 @@ object EventStream {
       .start()
 
   /** Streaming → JDBC through foreachBatch: the standard pattern for
-    * sinks without a native streaming writer. Each micro-batch lands as
-    * one batched-append JDBC write tagged with its batch id; the
-    * checkpoint makes batch ids stable across restarts, so a downstream
-    * MERGE keyed on (batch_id, keys) — or idempotent-by-key upserts —
-    * gives effective exactly-once on top of foreachBatch's at-least-once
-    * replay. Spec'd against embedded Derby.
+    * sinks without a native streaming writer. Each micro-batch lands
+    * tagged with its batch id via the IDEMPOTENT delete-then-append
+    * writer: foreachBatch is at-least-once (a replay happens whenever
+    * the write committed but the checkpoint epoch didn't), and since the
+    * checkpoint keeps batch ids stable across restarts, re-landing the
+    * same id first clears its previous rows — the sink converges to
+    * exactly-once. Replay-idempotency is spec'd against embedded Derby
+    * (same batch written twice → no duplicates).
     */
   def toJdbc(df: DataFrame, url: String, table: String,
              checkpointDir: String): StreamingQuery =
@@ -204,9 +206,9 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.Jdbc.write(
+        graft.io.Jdbc.writeBatchIdempotent(
           batch.withColumn("batch_id", lit(batchId)),
-          url, table, org.apache.spark.sql.SaveMode.Append)
+          url, table, "batch_id", batchId)
       }
       .start()
 

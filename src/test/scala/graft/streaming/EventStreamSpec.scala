@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -186,6 +187,22 @@ class EventStreamSpec extends SparkSpec {
       // the two adds arrived in distinct micro-batches with distinct ids
       assert(landed.collect { case (3L, b) => b } !=
         landed.collect { case (1L, b) => b })
+      // foreachBatch is at-least-once: simulate a post-write/pre-commit
+      // crash by re-landing batch 0 verbatim — the idempotent writer
+      // must converge (no duplicate rows), not double-append
+      // materialize first: a lazy self-read would execute AFTER the
+      // writer's delete and re-land nothing
+      val batch0Rows = graft.io.Jdbc.read(spark, url, "stream_events")
+        .filter(col("batch_id") === 0L)
+        .select("event_id", "event_type", "batch_id")
+        .as[(Long, String, Long)].collect().toSeq
+      val batch0 = batch0Rows.toDF("event_id", "event_type", "batch_id")
+      graft.io.Jdbc.writeBatchIdempotent(
+        batch0, url, "stream_events", "batch_id", 0L)
+      val replayed = graft.io.Jdbc.read(spark, url, "stream_events")
+        .select("event_id", "batch_id").as[(Long, Long)].collect()
+      assert(replayed.length == landed.size, "replay duplicated rows")
+      assert(replayed.toSet == landed)
     } finally q.stop()
   }
 
