@@ -175,26 +175,38 @@ object CurationOps {
     * side — is never shuffled; contamination counting is a map-side
     * broadcast probe plus one doc_id-keyed rollup.
     */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir)
+  /** Shared decontamination plumbing: one row per distinct (doc, gram)
+    * with the gram as its md5 — BOTH variants build on this and on
+    * [[assembleDecontOutput]], so tokenization/gram-size/bench-rule
+    * tweaks cannot make the pair (which shares one oracle) diverge.
+    */
+  private def docGramRows(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
       .repartition(col("doc_id")) // single-split fixture; gram explode is narrow
       .select(col("doc_id"), toksCol.as("toks"))
-    val gramRows = d.select(col("doc_id"),
+      .select(col("doc_id"),
         explode(array_distinct(grams(col("toks"), decontGramTokens)))
           .as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
-    val isBench = col("doc_id") % decontBenchMod === 0
+
+  private def isBench = col("doc_id") % decontBenchMod === 0
+
+  private def assembleDecontOutput(spark: SparkSession, sfDir: String,
+                                   hits: DataFrame): DataFrame =
+    documents(spark, sfDir).select("doc_id").filter(!isBench)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val gramRows = docGramRows(spark, sfDir)
     val bench = gramRows.filter(isBench).select("gh").distinct()
       .withColumn("hit", lit(1L))
     val hits = gramRows.filter(!isBench)
       .join(broadcast(bench), Seq("gh"), "left")
       .groupBy("doc_id").agg(sum("hit").as("n_shared"))
-    val out = documents(spark, sfDir).select("doc_id").filter(!isBench)
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-    Canon.canonicalize(out)
+    Canon.canonicalize(assembleDecontOutput(spark, sfDir, hits))
   }
 
   val decontaminateOracle: String = {
@@ -246,14 +258,7 @@ object CurationOps {
     * not worth a custom expression; the join it guards dominates.
     */
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir)
-      .repartition(col("doc_id")) // single-split fixture; gram explode is narrow
-      .select(col("doc_id"), toksCol.as("toks"))
-    val gramRows = d.select(col("doc_id"),
-        explode(array_distinct(grams(col("toks"), decontGramTokens)))
-          .as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
-    val isBench = col("doc_id") % decontBenchMod === 0
+    val gramRows = docGramRows(spark, sfDir)
     val bench = gramRows.filter(isBench).select("gh").distinct().persist()
     val bloom = bench.stat.bloomFilter(
       "gh", math.max(bench.count(), 1L), decontBloomFpp)
@@ -263,12 +268,17 @@ object CurationOps {
       .filter(mightContain(col("gh")))
       .join(broadcast(bench), Seq("gh")) // exact verify kills Bloom FPs
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    val out = documents(spark, sfDir).select("doc_id").filter(!isBench)
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-    Canon.materialized(Canon.canonicalize(out), bench)
+    val result = Canon.materialized(
+      Canon.canonicalize(assembleDecontOutput(spark, sfDir, hits)), bench)
+    // the result is materialized, so the executor copies of the Bloom are
+    // dead weight — without this, repeated invocations (bench passes, the
+    // corpus chain) accumulate benchmark-sized broadcasts on executors.
+    // unpersist, NOT destroy: the returned frame's lineage still references
+    // the broadcast and may legitimately re-execute (cache eviction); a
+    // destroyed broadcast would fail that re-run, an unpersisted one
+    // re-ships on demand.
+    bloomBc.unpersist(false)
+    result
   }
 
   // ---- sequence packing ------------------------------------------------

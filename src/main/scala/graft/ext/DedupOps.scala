@@ -692,7 +692,11 @@ object DedupOps {
       else walk(src).map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
         .mkString("|").hashCode.toHexString
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
-    s"$lshIndexRoot/${tag}_$fp"
+    // every parameter the stored bands/shingles depend on goes into the
+    // path: a constant bump must MISS the old index, never probe it
+    val params =
+      s"h$numHashes-b$numBands-s$shingleLen-p$incrementalCorpusPermille"
+    s"$lshIndexRoot/${tag}_${params}_$fp"
   }
 
   /** Builds (first call) or reuses (SUCCESS-gated) the PERSISTED corpus

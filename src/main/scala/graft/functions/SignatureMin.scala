@@ -34,6 +34,7 @@ object SignatureMin
   override def zero: Array[Long] = Array.fill(width)(neutral)
 
   private def minInto(b: Array[Long], a: Seq[Long]): Array[Long] = {
+    if (a == null) return b // null rows are ignored, like builtin aggs
     require(a.length == width,
       s"sig_min expects ARRAY<BIGINT> of length $width, got ${a.length}")
     var i = 0

@@ -66,12 +66,17 @@ object Jdbc {
                            batchSize: Int = 10000): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
+      // Existence probe by zero-row query, not getMetaData.getTables:
+      // the metadata API needs the STORED identifier case (upper on
+      // Derby, lower on Postgres — a wrong guess silently skips the
+      // delete and breaks exactly-once) and treats '_' in the name as a
+      // pattern wildcard. The probe query folds identifier case exactly
+      // like the DELETE itself, so the two can never disagree.
       val exists =
         try {
-          val rs = conn.getMetaData.getTables(null, null,
-            table.toUpperCase, null)
-          try rs.next() finally rs.close()
-        }
+          val st = conn.prepareStatement(s"SELECT 1 FROM $table WHERE 1=0")
+          try { st.executeQuery().close(); true } finally st.close()
+        } catch { case _: java.sql.SQLException => false } // first batch
       if (exists) {
         // Spark's JDBC writer creates columns as QUOTED identifiers, so
         // the predicate must quote too (unquoted would fold case —

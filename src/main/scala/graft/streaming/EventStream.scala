@@ -114,7 +114,10 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end_ts < gapMs => // extends session
-                  (done, Some(s.copy(end_ts = t,
+                  // max guard: a LATE event (t < end_ts, possible across
+                  // batches) must never rewind the session end — same
+                  // invariant as sessionize's last_ts handling
+                  (done, Some(s.copy(end_ts = math.max(s.end_ts, t),
                     n_events = s.n_events + 1,
                     total_value = s.total_value + e.value)))
                 case Some(s) => // gap: close it, open a new one

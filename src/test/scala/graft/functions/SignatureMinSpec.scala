@@ -59,5 +59,15 @@ class SignatureMinSpec extends SparkSpec {
       assert(sig.length == SignatureMin.width)
       assert(sig.forall(_ < MinHashSignature.P)) // every lang has shingles
     }
+    // null rows are IGNORED like builtin aggregates, never an NPE
+    val withNulls = spark.sql(
+      """SELECT lang, sig FROM sig_min_probe
+        |UNION ALL SELECT lang, CAST(NULL AS ARRAY<BIGINT>) FROM sig_min_probe
+        |""".stripMargin)
+    withNulls.createOrReplaceTempView("sig_min_nulls_probe")
+    val withNullRows = spark.sql(
+      "SELECT lang, sig_min(sig) FROM sig_min_nulls_probe GROUP BY lang")
+      .as[(String, Seq[Long])].collect().sortBy(_._1)
+    assert(withNullRows.toSeq == rows.sortBy(_._1).toSeq)
   }
 }

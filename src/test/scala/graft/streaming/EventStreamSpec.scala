@@ -101,6 +101,16 @@ class EventStreamSpec extends SparkSpec {
         (7L, ts("2024-01-01 14:00:00").getTime,
           ts("2024-01-01 14:10:00").getTime, 2L, 24.0))
       assert(closed().size == 3) // the 16:00 session is still open
+      // a LATE arrival (before the open session's end) must not rewind
+      // end_ts: after it, an event 25min past the true newest event
+      // still EXTENDS (the rewind bug would see a 35min gap and close)
+      input.addData(
+        EventStream.Event(7, ts("2024-01-01 15:50:00"), 7, "click", 64.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(8, ts("2024-01-01 16:25:00"), 7, "click", 128.0))
+      q.processAllAvailable()
+      assert(closed().size == 3, "late arrival rewound the session end")
     } finally q.stop()
   }
 

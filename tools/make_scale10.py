@@ -67,7 +67,7 @@ print(f"events: {sum(len(p) for p in _parts)} rows (ns preserved)")
 gen("documents", lambda i:
     f"SELECT doc_id + {i * OFF} AS doc_id, "
     f"text || ' clone{i}' AS text, lang, source, "
-    f"n_chars + {len(' cloneN')} AS n_chars "
+    f"n_chars + {len(f' clone{i}')} AS n_chars "
     f"FROM '{src}/documents.parquet'")
 gen("embeddings", lambda i:
     f"SELECT vec_id + {i * OFF} AS vec_id, embedding, label "
