@@ -51,6 +51,8 @@ object SparkEntry {
     "q_train_split" -> ((s, dir) => SampleOps.trainValTestSplit(s, dir)),
     "q_stratified_sample" -> ((s, dir) => SampleOps.stratifiedSample(s, dir)),
     "q_sample_k_per_lang" -> ((s, dir) => SampleOps.sampleKPerStratum(s, dir)),
+    // deterministic per-source epoch weighting (data-mixing upsampler)
+    "q_mixture_repeat" -> ((s, dir) => SampleOps.mixtureRepeat(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     // MG-candidate + exact-verify heavy hitters ≡ topTokens when the
@@ -140,6 +142,7 @@ object SparkEntry {
     "q_train_split" -> SampleOps.trainValTestSplitOracle,
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
+    "q_mixture_repeat" -> SampleOps.mixtureRepeatOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,

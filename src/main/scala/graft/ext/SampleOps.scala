@@ -27,9 +27,9 @@ object SampleOps {
     * affine constants are the MinHash family's row-0/row-1 coefficients —
     * single-sourced so the oracle SQL regenerates from the same values.
     */
-  private val A = graft.functions.MinHashSignature.aCoef(0)
-  private val B = graft.functions.MinHashSignature.bCoef(0)
-  private val P = graft.functions.MinHashSignature.P
+  private[ext] val A = graft.functions.MinHashSignature.aCoef(0)
+  private[ext] val B = graft.functions.MinHashSignature.bCoef(0)
+  private[ext] val P = graft.functions.MinHashSignature.P
 
   val buckets = 1000
 
@@ -131,4 +131,58 @@ object SampleOps {
        |  FROM h)
        |SELECT lang, rank, doc_id FROM ranked
        |WHERE rank <= $samplePerStratum""".stripMargin
+
+  /** Per-source repeat weights in thousandths for [[mixtureRepeat]] —
+    * the UP-sampling half of data mixing: epoch counts per domain
+    * (2.3× a high-quality source, 0.4× a noisy one), the published
+    * "data mixture" recipe every pre-training run tunes.
+    */
+  val mixtureWeightsPermille: Seq[(String, Int)] =
+    Seq("src0" -> 2300, "src1" -> 1000, "src2" -> 400)
+  val mixtureDefaultPermille = 700
+
+  /** Deterministic MIXTURE up/down-sampling: each document is emitted
+    * `floor(w)` times, plus once more iff its key hash falls under the
+    * fractional remainder — so a 2.3× source repeats every doc twice and
+    * a hash-chosen 30% a third time, and expected multiplicity is
+    * exactly the weight. `epoch` disambiguates the copies (a training
+    * loader shuffles on it downstream). Pure function of (doc_id,
+    * source): reproducible under any partitioning, no RNG, full oracle.
+    *
+    * Scale shape: one codegen'd projection + a bounded explode
+    * (≤ ⌈max weight⌉ per row) — no shuffle at all; the multiplicity
+    * decision never needs global state.
+    */
+  def mixtureRepeat(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+    val w = mixtureWeightsPermille.foldLeft(lit(mixtureDefaultPermille)) {
+      case (acc, (s, r)) => when(col("source") === s, r).otherwise(acc)
+    }
+    val copies = (w / 1000).cast("long") +
+      when(bucket(col("doc_id")) < w % 1000, 1L).otherwise(0L)
+    Canon.canonicalize(d
+      .select(col("doc_id"), col("source"), copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch")))
+  }
+
+  val mixtureRepeatOracle: String = {
+    val wCase = mixtureWeightsPermille
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |         (CASE $wCase ELSE $mixtureDefaultPermille END) AS wt
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |         wt // 1000 +
+       |         (CASE WHEN ${bucketSql("doc_id")} < wt % 1000
+       |               THEN 1 ELSE 0 END) AS n_copies
+       |  FROM w)
+       |SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+       |FROM c, unnest(range(1, n_copies + 1)) AS e(epoch)
+       |WHERE n_copies > 0""".stripMargin
+  }
 }

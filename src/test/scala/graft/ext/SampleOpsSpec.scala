@@ -62,4 +62,28 @@ class SampleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey") && !plan.contains("Sort ["))
   }
+
+  test("mixture repeat: multiplicity matches the weight rule per doc") {
+    val rows = SampleOps.mixtureRepeat(spark, sfDir)
+      .as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val weights = SampleOps.mixtureWeightsPermille.toMap
+    val byDoc = rows.groupBy(r => (r._1, r._2))
+    // epochs are 1..n with no holes; multiplicity is the deterministic rule
+    byDoc.foreach { case ((id, source), copies) =>
+      val w = weights.getOrElse(source, SampleOps.mixtureDefaultPermille)
+      val frac = w % 1000
+      val hashIn = (((id % SampleOps.P) * SampleOps.A + SampleOps.B)
+        % SampleOps.P % SampleOps.buckets) < frac
+      val expected = w / 1000 + (if (hashIn) 1 else 0)
+      assert(copies.length == expected, s"doc $id source $source")
+      assert(copies.map(_._3).sorted.toSeq == (1L to expected.toLong))
+    }
+    // the 2.3x source really averages ~2.3 copies per doc
+    val src0 = byDoc.collect { case ((_, "src0"), c) => c.length }
+    if (src0.nonEmpty) {
+      val avg = src0.sum.toDouble / src0.size
+      assert(avg > 2.0 && avg < 2.6, s"src0 avg multiplicity $avg")
+    }
+  }
 }
