@@ -89,4 +89,20 @@ class PlanSpec extends SparkSpec {
     // codegen'd operators carry the "*(stageId)" prefix in the plan string
     assert(p.contains("*("), p.take(1000))
   }
+
+  test("shuffle-free claims hold: mixture repeat and z-order key") {
+    // both are documented as pure scan-side projections — a shuffle
+    // appearing here means a regression in the zero-exchange contract
+    val mix = graft.ext.SampleOps.mixtureRepeat(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!mix.contains("Exchange"), "mixtureRepeat gained a shuffle:\n" +
+      mix.take(800))
+    val z = graft.pipelines.MicroQueries.zorderKey(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!z.contains("Exchange"), "zorderKey gained a shuffle:\n" +
+      z.take(800))
+    // and the z-value filter column set stays pruned to what it reads
+    assert(z.contains("ReadSchema"),
+      "zorderKey plan lost its scan node?")
+  }
 }
