@@ -70,6 +70,10 @@ object SparkEntry {
     "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
+    // detect -> REMOVE: the cleaned corpus after LSH clustering
+    "q_dedup_apply" -> ((s, dir) => DedupOps.dedupApply(s, dir)),
+    // tokenizer vocabulary: counts, cutoff, dense ids
+    "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
@@ -149,6 +153,8 @@ object SparkEntry {
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
+    "q_dedup_apply" -> DedupOps.dedupApplyOracle,
+    "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_heavy_hitters" -> TextOps.topTokensOracle,

@@ -379,6 +379,44 @@ object DedupOps {
        |SELECT id AS doc_id, min(root) AS cluster_id
        |FROM reach GROUP BY id""".stripMargin
 
+  /** APPLIES the dedup decision: the cleaned corpus after LSH
+    * clustering — every document survives except non-representative
+    * cluster members (the representative is the cluster's min doc_id,
+    * which IS the cluster_id the clustering emits). This closes the
+    * detect → remove loop: the other dedup queries report duplication,
+    * this one materializes the corpus a training run would read.
+    *
+    * Scale shape: the loser set is bounded by the duplicate count (tiny
+    * against the corpus), so the anti join broadcasts it and the corpus
+    * side never shuffles.
+    */
+  def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dedupClustersLsh(spark, sfDir)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Canon.canonicalize(
+      documents(spark, sfDir).select("doc_id", "lang", "source")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti"))
+  }
+
+  /** The clustering oracle's CTE chain with the anti join appended. */
+  lazy val dedupApplyOracle: String =
+    s"""WITH RECURSIVE $minhashLshCte,
+       |edges AS (
+       |  SELECT id_a, id_b FROM lpairs
+       |  UNION ALL SELECT id_b, id_a FROM lpairs),
+       |reach(id, root) AS (
+       |  SELECT DISTINCT id_a, id_a FROM edges
+       |  UNION
+       |  SELECT e.id_a, r.root FROM edges e JOIN reach r ON e.id_b = r.id),
+       |clusters AS (
+       |  SELECT id AS doc_id, min(root) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |losers AS (
+       |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id""".stripMargin
+
   // ---- MinHash + LSH --------------------------------------------------
 
   val numHashes = 64

@@ -524,4 +524,48 @@ object TextOps {
        |  CASE $cases ELSE 'und' END AS predicted_lang
        |FROM f""".stripMargin
   }
+
+  // ---- vocabulary build ------------------------------------------------
+
+  /** Corpus-frequency cutoff for [[vocabBuild]]: tokens below it stay
+    * out of the vocabulary (the OOV tail).
+    */
+  val vocabMinFreq = 5L
+
+  /** Token-table construction — the id assignment every tokenizer ships
+    * with: corpus-wide token OCCURRENCE counts (not document frequency —
+    * this is the term stream a tokenizer trains on), frequency cutoff,
+    * then dense ids in (freq desc, token asc) order.
+    *
+    * Scale note on the single global window: the pre-cutoff counting is
+    * a keyed aggregation with map-side combine (linear, corpus-wide);
+    * the rank only runs over the POST-cutoff vocabulary, which is the
+    * model's token table — bounded by construction (a few hundred k for
+    * real tokenizers), so one bounded-frame window is the honest plan,
+    * not a scale hole (same argument as LoyaltyTiers' small-histogram
+    * branch).
+    */
+  def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(explode(CurationOps.toksCol).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= vocabMinFreq)
+    Canon.canonicalize(freq
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      .select("token_id", "token", "freq"))
+  }
+
+  val vocabBuildOracle: String =
+    s"""WITH c AS (
+       |  SELECT t.token, count(*) AS freq
+       |  FROM documents,
+       |       unnest(${CurationOps.toksSql}) AS t(token)
+       |  GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+       |            AS BIGINT) AS token_id,
+       |       token, freq
+       |FROM c WHERE freq >= $vocabMinFreq""".stripMargin
 }

@@ -162,6 +162,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(hamming > 0 && hamming <= 24, s"one-token edit moved $hamming bits")
   }
 
+  test("dedupApply keeps exactly the non-losers of the LSH clustering") {
+    val clusters = DedupOps.dedupClustersLsh(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val losers = clusters.collect { case (d, c) if d != c => d }.toSet
+    val all = TextOps.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = DedupOps.dedupApply(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- losers)
+    assert(losers.nonEmpty, "fixture has no near-dup clusters to remove")
+    // every cluster still has its representative in the cleaned corpus
+    clusters.foreach { case (_, c) => assert(kept.contains(c)) }
+  }
+
   test("indexed LSH probe is bit-identical to the in-query incremental") {
     val incr = DedupOps.minhashLshIncremental(spark, sfDir)
       .as[(Long, Long, Double)].collect().sorted

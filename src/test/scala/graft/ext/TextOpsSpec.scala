@@ -86,4 +86,24 @@ class TextOpsSpec extends SparkSpec {
       assert(cs.last._4 > 0 && cs.last._4 <= TextOps.chunkTokens)
     }
   }
+
+  test("vocabBuild: dense ids in (freq desc, token) order, cutoff applied") {
+    val rows = TextOps.vocabBuild(spark, sfDir)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong)) // dense ids
+    rows.foreach { case (_, _, f) => assert(f >= TextOps.vocabMinFreq) }
+    rows.sliding(2).foreach {
+      case Array((_, tA, fA), (_, tB, fB)) =>
+        assert(fA > fB || (fA == fB && tA < tB),
+          s"vocab order broken at $tA/$tB")
+      case _ =>
+    }
+    // cross-check one token's frequency against a driver-side count
+    val probe = rows.head
+    val counted = TextOps.documents(spark, sfDir)
+      .select(TextOps.normText(col("text")).as("n")).as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty)).count(_ == probe._2)
+    assert(counted == probe._3)
+  }
 }
