@@ -74,6 +74,8 @@ object SparkEntry {
     "q_dedup_apply" -> ((s, dir) => DedupOps.dedupApply(s, dir)),
     // tokenizer vocabulary: counts, cutoff, dense ids
     "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
+    // distributed BPE merge training (k-means-style driver-synced rounds)
+    "q_bpe_train" -> ((s, dir) => ext.BpeOps.bpeTrain(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
@@ -155,6 +157,7 @@ object SparkEntry {
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,
+    "q_bpe_train" -> ext.BpeOps.bpeTrainOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_heavy_hitters" -> TextOps.topTokensOracle,

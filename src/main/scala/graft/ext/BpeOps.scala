@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Canon
+
+/** Distributed BPE merge training — the tokenizer-construction step of a
+  * pre-training pipeline, as a Spark job with a full DuckDB oracle.
+  *
+  * Classic byte-pair encoding over the corpus WORD-FREQUENCY table (the
+  * standard reduction: training never touches documents again once the
+  * word multiset is counted): start from character symbols, then per
+  * round count adjacent symbol pairs weighted by word frequency, merge
+  * the most frequent pair everywhere (ties broken lexicographically so
+  * the chain is deterministic), repeat.
+  *
+  * Scale shape, mirroring the trained-IVF k-means pattern exactly:
+  *  - the ONE corpus-sized pass is the word count (keyed agg, map-side
+  *    combine); everything after runs on the word-frequency table, which
+  *    is vocabulary-sized — bounded, not corpus-sized;
+  *  - each round's driver sync is ONE row (the winning pair) — the same
+  *    sync point as k-means' C centroids, never the data;
+  *  - the merge application is a one-pass left-to-right fold per word
+  *    (array aggregate). Greedy one-pass equals the non-overlapping
+  *    replace fixpoint the oracle iterates — argued in BpeOpsSpec with
+  *    the "a a a" / "a b a b" overlap cases.
+  *
+  * The oracle regenerates the whole chain in SQL: per round, pair counts
+  * from the current corpus, argmax with the same tie-break, and a
+  * RECURSIVE-CTE fixpoint of boundary-padded string replace for the
+  * merge application (space-joined symbols; symbols never contain
+  * spaces). Like the IVF oracle, rounds are unrolled from the same
+  * constants the Spark side uses.
+  */
+object BpeOps {
+
+  /** Number of merge rounds trained (and oracle-unrolled). Eight rounds
+    * reach merges whose operands are themselves merged symbols at every
+    * fixture scale ('p'+'ar', 'm'+'er') — the iterative chain, not just
+    * first-order pair counting.
+    */
+  val bpeMerges = 8
+
+  private def tokenWords(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(explode(CurationOps.toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** One-pass greedy merge of adjacent (a, b) into ab over a symbol
+    * array — left-to-right, non-overlapping (a merged symbol never
+    * re-merges within the round because symbols only grow).
+    */
+  private def mergeFold(sy: Column, a: String, b: String): Column =
+    aggregate(sy,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Trains [[bpeMerges]] merges; returns one row per round:
+    * (round, a, b, ab, pair_freq).
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // localCheckpoint, not persist: each round's frame derives from the
+    // last, and 8 stacked fold-lambdas make re-ANALYSIS the dominant
+    // cost even when execution reads the cache — checkpointing truncates
+    // the lineage per round (same fix as the label-propagation loop)
+    var corpus = tokenWords(spark, sfDir)
+      .select(col("w"), split(col("w"), "").as("sy"), col("f"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 0
+    while (round < bpeMerges) {
+      val best = corpus
+        .select(posexplode(col("sy")).as(Seq("i", "a")), col("sy"), col("f"))
+        .filter(col("i") < size(col("sy")) - 1)
+        .select(col("a"), element_at(col("sy"), col("i") + 2).as("b"),
+          col("f"))
+        .groupBy("a", "b").agg(sum("f").as("pf"))
+        .orderBy(col("pf").desc, col("a").asc, col("b").asc)
+        .limit(1) // ONE driver-sync row per round, like k-means centroids
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) round = bpeMerges
+      else {
+        val (a, b, pf) = best.head
+        merges += ((round, a, b, a + b, pf))
+        val next = corpus
+          .select(col("w"), mergeFold(col("sy"), a, b).as("sy"), col("f"))
+          .localCheckpoint() // eager: materializes AND truncates lineage
+        corpus.unpersist(false)
+        corpus = next
+        round += 1
+      }
+    }
+    val out = merges.result()
+      .toDF("round", "a", "b", "ab", "pair_freq")
+    corpus.unpersist(false)
+    Canon.canonicalize(out)
+  }
+
+  /** The full training chain in SQL, rounds unrolled. Symbol strings are
+    * boundary-padded and space-joined; the per-round merge is the
+    * fixpoint of non-overlapping `replace` (recursive CTE) — equal to
+    * the Spark side's one-pass greedy fold.
+    */
+  val bpeTrainOracle: String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS (
+         |  SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS pf
+         |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy,
+         |               f FROM c$r),
+         |       unnest(range(1, len(sy))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (
+         |  SELECT a, b, a || b AS ab, pf FROM p$r
+         |  ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
+         |fix$r(w, s, f) AS (
+         |  SELECT w, s, f FROM c$r
+         |  UNION ALL
+         |  SELECT w,
+         |         replace(s, ' ' || m.a || ' ' || m.b || ' ',
+         |                 ' ' || m.ab || ' '), f
+         |  FROM fix$r, m$r m
+         |  WHERE replace(s, ' ' || m.a || ' ' || m.b || ' ',
+         |                ' ' || m.ab || ' ') <> s),
+         |c${r + 1} AS (
+         |  SELECT w, s, f FROM fix$r, m$r m
+         |  WHERE replace(s, ' ' || m.a || ' ' || m.b || ' ',
+         |                ' ' || m.ab || ' ') = s)""".stripMargin
+    s"""WITH RECURSIVE
+       |w0 AS (
+       |  SELECT w, count(*) AS f FROM (
+       |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents)
+       |  GROUP BY 1),
+       |c0 AS (
+       |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+       |           AS s, f
+       |  FROM w0),
+       |${(0 until bpeMerges).map(roundCtes).mkString(",\n")}
+       |SELECT * FROM (
+       |  ${(0 until bpeMerges)
+            .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, ab, " +
+              s"CAST(pf AS BIGINT) AS pair_freq FROM m$r")
+            .mkString("\n  UNION ALL ")})""".stripMargin
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-side BPE (greedy left-to-right merge, lexicographic
+    * tie-break) — the semantics both the Spark job and the SQL oracle must
+    * reproduce.
+    */
+  private def referenceBpe(words: Map[String, Long],
+                           rounds: Int): Seq[(Int, String, String, Long)] = {
+    def mergeWord(sym: List[String], a: String, b: String): List[String] =
+      sym.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b)
+          acc.init :+ (a + b)
+        else acc :+ s
+      }
+    var corpus = words.map { case (w, f) => w -> (w.split("").toList, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 0 until rounds) {
+      val counts = corpus.values.toSeq.flatMap { case (sym, f) =>
+        sym.zip(sym.tail).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.nonEmpty) {
+        val ((a, b), f) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((r, a, b, f))
+        corpus = corpus.map { case (w, (sym, fq)) =>
+          w -> (mergeWord(sym, a, b), fq)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain reproduces the reference merge chain on fixture text") {
+    val words = TextOps.documents(spark, sfDir)
+      .select(TextOps.normText(col("text")).as("n")).as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = referenceBpe(words, BpeOps.bpeMerges)
+    val got = BpeOps.bpeTrain(spark, sfDir)
+      .select("round", "a", "b", "ab", "pair_freq")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach {
+      case ((r, a, b, ab, f), (er, ea, eb, ef)) =>
+        assert(r == er && a == ea && b == eb && f == ef,
+          s"round $r: got ($a,$b,$f) expected ($ea,$eb,$ef)")
+        assert(ab == a + b)
+    }
+    // later rounds must be able to merge MERGED symbols (multi-char
+    // operands prove the chain is really iterative, not one-shot)
+    assert(got.exists { case (_, a, b, _, _) =>
+      a.length > 1 || b.length > 1 })
+  }
+
+  test("greedy one-pass fold equals the replace-fixpoint on overlap cases") {
+    // the two formulations the Spark side and the oracle use must agree
+    // on the overlap edge cases: 'a a a' merging (a,a) and 'a b a b'
+    // merging (a,b)
+    def fixpoint(s0: String, a: String, b: String, ab: String): String = {
+      var s = s0
+      var prev = ""
+      while (s != prev) { prev = s; s = s.replace(s" $a $b ", s" $ab ") }
+      s
+    }
+    def fold(sym: List[String], a: String, b: String): List[String] =
+      sym.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    for ((word, a, b) <- Seq(("aaa", "a", "a"), ("abab", "a", "b"),
+                             ("baab", "a", "b"), ("aaaa", "a", "a"))) {
+      val sym = word.split("").toList
+      val viaFold = fold(sym, a, b).mkString(" ")
+      val viaFix = fixpoint(
+        " " + sym.mkString(" ") + " ", a, b, a + b).trim
+      assert(viaFold == viaFix, s"$word: fold=$viaFold fixpoint=$viaFix")
+    }
+  }
+}
