@@ -76,6 +76,8 @@ object SparkEntry {
     "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
     // distributed BPE merge training (k-means-style driver-synced rounds)
     "q_bpe_train" -> ((s, dir) => ext.BpeOps.bpeTrain(s, dir)),
+    // apply the trained merges: real per-doc BPE token counts
+    "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
@@ -158,6 +160,7 @@ object SparkEntry {
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_bpe_train" -> ext.BpeOps.bpeTrainOracle,
+    "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_heavy_hitters" -> TextOps.topTokensOracle,

@@ -61,10 +61,11 @@ object BpeOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
-  /** Trains [[bpeMerges]] merges; returns one row per round:
-    * (round, a, b, ab, pair_freq).
+  /** The training loop: returns the merge table rows AND the final
+    * segmented word corpus (w, sy, f) — callers unpersist the corpus.
     */
-  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+  private def trainLoop(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     import spark.implicits._
     // localCheckpoint, not persist: each round's frame derives from the
     // last, and 8 stacked fold-lambdas make re-ANALYSIS the dominant
@@ -97,10 +98,44 @@ object BpeOps {
         round += 1
       }
     }
-    val out = merges.result()
-      .toDF("round", "a", "b", "ab", "pair_freq")
+    (merges.result(), corpus)
+  }
+
+  /** Trains [[bpeMerges]] merges; returns one row per round:
+    * (round, a, b, ab, pair_freq).
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, corpus) = trainLoop(spark, sfDir)
+    val out = merges.toDF("round", "a", "b", "ab", "pair_freq")
     corpus.unpersist(false)
     Canon.canonicalize(out)
+  }
+
+  /** APPLIES the trained merges: per-document BPE token counts — the
+    * real tokenizer-based counting beside TextOps' regex estimate, and
+    * the train → encode loop closed. Encoding needs only the final
+    * word → segment-count map (BPE segmentations are word-local), so the
+    * corpus side is one explode + a broadcast join against the trained
+    * vocabulary-sized table.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, corpus) = trainLoop(spark, sfDir)
+    val wordLen = corpus.select(col("w"), size(col("sy")).as("n_sym"))
+    val docTokens = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
+    val out = TextOps.documents(spark, sfDir).select("doc_id")
+      .join(docTokens
+          .join(broadcast(wordLen), Seq("w"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_words"),
+            sum("n_sym").as("n_bpe_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+    Canon.materialized(Canon.canonicalize(out), corpus)
   }
 
   /** The full training chain in SQL, rounds unrolled. Symbol strings are
@@ -109,14 +144,19 @@ object BpeOps {
     * the Spark side's one-pass greedy fold.
     */
   val bpeTrainOracle: String = {
+    // every non-recursive CTE is AS MATERIALIZED: DuckDB otherwise
+    // INLINES a CTE per reference, and with each round referencing the
+    // previous 2-3 times the chain re-evaluates exponentially (~4^rounds
+    // — measured 12+ min vs 0.15 s at sf0.01). fix$r is recursive and
+    // materialized by nature.
     def roundCtes(r: Int): String =
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS pf
          |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy,
          |               f FROM c$r),
          |       unnest(range(1, len(sy))) AS t(i)
          |  GROUP BY 1, 2),
-         |m$r AS (
+         |m$r AS MATERIALIZED (
          |  SELECT a, b, a || b AS ab, pf FROM p$r
          |  ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
          |fix$r(w, s, f) AS (
@@ -128,16 +168,16 @@ object BpeOps {
          |  FROM fix$r, m$r m
          |  WHERE replace(s, ' ' || m.a || ' ' || m.b || ' ',
          |                ' ' || m.ab || ' ') <> s),
-         |c${r + 1} AS (
+         |c${r + 1} AS MATERIALIZED (
          |  SELECT w, s, f FROM fix$r, m$r m
          |  WHERE replace(s, ' ' || m.a || ' ' || m.b || ' ',
          |                ' ' || m.ab || ' ') = s)""".stripMargin
     s"""WITH RECURSIVE
-       |w0 AS (
+       |w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents)
        |  GROUP BY 1),
-       |c0 AS (
+       |c0 AS MATERIALIZED (
        |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' '
        |           AS s, f
        |  FROM w0),
@@ -147,5 +187,30 @@ object BpeOps {
             .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, ab, " +
               s"CAST(pf AS BIGINT) AS pair_freq FROM m$r")
             .mkString("\n  UNION ALL ")})""".stripMargin
+  }
+
+  /** [[bpeEncode]]'s oracle: the same chain, consumed at its FINAL
+    * corpus c[[bpeMerges]] — per-word segment counts joined back to each
+    * document's token stream.
+    */
+  val bpeEncodeOracle: String = {
+    // the train oracle minus its final SELECT, reused verbatim
+    val chain = bpeTrainOracle.substring(0,
+      bpeTrainOracle.indexOf("SELECT * FROM (")).trim
+    s"""$chain,
+       |wl AS (
+       |  SELECT w, len(list_filter(string_split(s, ' '), x -> x <> ''))
+       |           AS n_sym
+       |  FROM c$bpeMerges),
+       |dt AS (
+       |  SELECT doc_id, unnest(${CurationOps.toksSql}) AS w
+       |  FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(n_sym) AS n_bpe
+       |  FROM dt JOIN wl USING (w) GROUP BY 1)
+       |SELECT documents.doc_id,
+       |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 }

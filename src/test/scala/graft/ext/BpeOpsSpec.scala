@@ -58,6 +58,32 @@ class BpeOpsSpec extends SparkSpec {
       a.length > 1 || b.length > 1 })
   }
 
+  test("bpeEncode counts match re-segmenting each doc with the merges") {
+    val mergeRows = BpeOps.bpeTrain(spark, sfDir)
+      .select("a", "b").as[(String, String)].collect()
+    def segment(w: String): Int =
+      mergeRows.foldLeft(w.split("").toList) { case (sym, (a, b)) =>
+        sym.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      }.length
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("n"))
+      .as[(Long, String)].collect()
+    val got = BpeOps.bpeEncode(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == docs.length)
+    val expected = docs.map { case (id, n) =>
+      val ws = n.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(segment(_).toLong).sum)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // merging must actually compress: fewer BPE tokens than characters
+    val chars = docs.map(_._2.count(_ != ' ').toLong).sum
+    assert(got.map(_._3).sum < chars)
+  }
+
   test("greedy one-pass fold equals the replace-fixpoint on overlap cases") {
     // the two formulations the Spark side and the oracle use must agree
     // on the overlap edge cases: 'a a a' merging (a,a) and 'a b a b'
