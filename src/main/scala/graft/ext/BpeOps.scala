@@ -1,8 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
+import graft.io.Fingerprint
 import graft.ops.Canon
 
 /** Distributed BPE merge training — the tokenizer-construction step of a
@@ -24,7 +27,10 @@ import graft.ops.Canon
   *  - the merge application is a one-pass left-to-right fold per word
   *    (array aggregate). Greedy one-pass equals the non-overlapping
   *    replace fixpoint the oracle iterates — argued in BpeOpsSpec with
-  *    the "a a a" / "a b a b" overlap cases.
+  *    the "a a a" / "a b a b" overlap cases;
+  *  - trained merges are an INDEX (built once per dataset, memoized with
+  *    a data fingerprint like the IVF centroids), so encoding never
+  *    re-trains.
   *
   * The oracle regenerates the whole chain in SQL: per round, pair counts
   * from the current corpus, argmax with the same tie-break, and a
@@ -61,19 +67,42 @@ object BpeOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
-  /** The training loop: returns the merge table rows AND the final
-    * segmented word corpus (w, sy, f) — callers unpersist the corpus.
+  /** Lineage truncation with DETERMINISTIC block release: materialize the
+    * frame's row RDD and rebuild a LogicalRDD-backed frame over it. Each
+    * round's frame derives from the last, and 8 stacked fold-lambdas
+    * make re-ANALYSIS the dominant cost even when execution reads a
+    * cache; `localCheckpoint` would also truncate, but its blocks bypass
+    * the CacheManager, so `Dataset.unpersist` cannot free them and up to
+    * 9 corpus generations would linger until RDD garbage collection.
+    * Holding the RDD handle lets the loop release each generation the
+    * moment the next one is materialized.
     */
+  private def truncated(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Trained merges are a per-dataset artifact, like IVF centroids: the
+    * cache key folds in a source fingerprint so regenerated data cannot
+    * be served stale merges. The cached value is [[bpeMerges]] rows.
+    */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, String, Long)]]
+
+  private[ext] def trainedMerges(spark: SparkSession, sfDir: String)
+      : Seq[(Int, String, String, String, Long)] =
+    mergeCache.computeIfAbsent(
+      s"$sfDir#$bpeMerges#" +
+        Fingerprint.ofPath(s"$sfDir/documents.parquet"),
+      _ => trainLoop(spark, sfDir))
+
   private def trainLoop(spark: SparkSession, sfDir: String)
-      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+      : Seq[(Int, String, String, String, Long)] = {
     import spark.implicits._
-    // localCheckpoint, not persist: each round's frame derives from the
-    // last, and 8 stacked fold-lambdas make re-ANALYSIS the dominant
-    // cost even when execution reads the cache — checkpointing truncates
-    // the lineage per round (same fix as the label-propagation loop)
-    var corpus = tokenWords(spark, sfDir)
-      .select(col("w"), split(col("w"), "").as("sy"), col("f"))
-      .localCheckpoint()
+    var (corpus, blocks) = truncated(
+      tokenWords(spark, sfDir)
+        .select(col("w"), split(col("w"), "").as("sy"), col("f")))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 0
     while (round < bpeMerges) {
@@ -86,19 +115,21 @@ object BpeOps {
         .orderBy(col("pf").desc, col("a").asc, col("b").asc)
         .limit(1) // ONE driver-sync row per round, like k-means centroids
         .as[(String, String, Long)].collect()
-      if (best.isEmpty) round = bpeMerges
+      if (best.isEmpty) round = bpeMerges // pairs ran dry: chain stops
       else {
         val (a, b, pf) = best.head
         merges += ((round, a, b, a + b, pf))
-        val next = corpus
-          .select(col("w"), mergeFold(col("sy"), a, b).as("sy"), col("f"))
-          .localCheckpoint() // eager: materializes AND truncates lineage
-        corpus.unpersist(false)
+        val (next, nextBlocks) = truncated(
+          corpus.select(col("w"), mergeFold(col("sy"), a, b).as("sy"),
+            col("f")))
+        blocks.unpersist(false)
         corpus = next
+        blocks = nextBlocks
         round += 1
       }
     }
-    (merges.result(), corpus)
+    blocks.unpersist(false)
+    merges.result()
   }
 
   /** Trains [[bpeMerges]] merges; returns one row per round:
@@ -106,22 +137,26 @@ object BpeOps {
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (merges, corpus) = trainLoop(spark, sfDir)
-    val out = merges.toDF("round", "a", "b", "ab", "pair_freq")
-    corpus.unpersist(false)
-    Canon.canonicalize(out)
+    Canon.canonicalize(
+      trainedMerges(spark, sfDir).toDF("round", "a", "b", "ab", "pair_freq"))
   }
 
   /** APPLIES the trained merges: per-document BPE token counts — the
     * real tokenizer-based counting beside TextOps' regex estimate, and
     * the train → encode loop closed. Encoding needs only the final
-    * word → segment-count map (BPE segmentations are word-local), so the
-    * corpus side is one explode + a broadcast join against the trained
-    * vocabulary-sized table.
+    * word → segment-count map (BPE segmentations are word-local): with
+    * the merges known (memoized index), the final segmentation is ONE
+    * chained fold pass over the word table — no per-round jobs — and
+    * the corpus side is one explode + a broadcast join against the
+    * vocabulary-sized length table.
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, corpus) = trainLoop(spark, sfDir)
-    val wordLen = corpus.select(col("w"), size(col("sy")).as("n_sym"))
+    val merges = trainedMerges(spark, sfDir)
+    val folded = merges.foldLeft(split(col("w"), "")) {
+      case (sy, (_, a, b, _, _)) => mergeFold(sy, a, b)
+    }
+    val wordLen = tokenWords(spark, sfDir)
+      .select(col("w"), size(folded).as("n_sym"))
     val docTokens = TextOps.documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
@@ -135,20 +170,25 @@ object BpeOps {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
-    Canon.materialized(Canon.canonicalize(out), corpus)
+    Canon.canonicalize(out)
   }
 
-  /** The full training chain in SQL, rounds unrolled. Symbol strings are
-    * boundary-padded and space-joined; the per-round merge is the
-    * fixpoint of non-overlapping `replace` (recursive CTE) — equal to
-    * the Spark side's one-pass greedy fold.
+  /** The shared oracle CTE chain (w0 … c[[bpeMerges]] plus each round's
+    * m$r), composed by BOTH oracles — never spliced textually.
+    *
+    * Every non-recursive CTE is AS MATERIALIZED: DuckDB otherwise
+    * INLINES a CTE per reference, and with each round referencing the
+    * previous 2-3 times the chain re-evaluates exponentially (~4^rounds
+    * — measured 12+ min vs 0.15 s at sf0.01). fix$r is recursive and
+    * materialized by nature.
+    *
+    * c${r+1} LEFT JOINs its merge row so a dry round (empty m$r — no
+    * adjacent pairs left) carries the corpus forward unchanged instead
+    * of cross-joining it away; this mirrors the Spark loop's early
+    * exit, so both sides agree even when merges run dry before
+    * [[bpeMerges]] rounds.
     */
-  val bpeTrainOracle: String = {
-    // every non-recursive CTE is AS MATERIALIZED: DuckDB otherwise
-    // INLINES a CTE per reference, and with each round referencing the
-    // previous 2-3 times the chain re-evaluates exponentially (~4^rounds
-    // — measured 12+ min vs 0.15 s at sf0.01). fix$r is recursive and
-    // materialized by nature.
+  private val oracleChainCtes: String = {
     def roundCtes(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS pf
@@ -169,11 +209,11 @@ object BpeOps {
          |  WHERE replace(s, ' ' || m.a || ' ' || m.b || ' ',
          |                ' ' || m.ab || ' ') <> s),
          |c${r + 1} AS MATERIALIZED (
-         |  SELECT w, s, f FROM fix$r, m$r m
-         |  WHERE replace(s, ' ' || m.a || ' ' || m.b || ' ',
-         |                ' ' || m.ab || ' ') = s)""".stripMargin
-    s"""WITH RECURSIVE
-       |w0 AS MATERIALIZED (
+         |  SELECT f0.w, f0.s, f0.f FROM fix$r f0 LEFT JOIN m$r m ON true
+         |  WHERE m.a IS NULL
+         |     OR replace(f0.s, ' ' || m.a || ' ' || m.b || ' ',
+         |                ' ' || m.ab || ' ') = f0.s)""".stripMargin
+    s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents)
        |  GROUP BY 1),
@@ -181,23 +221,30 @@ object BpeOps {
        |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' '
        |           AS s, f
        |  FROM w0),
-       |${(0 until bpeMerges).map(roundCtes).mkString(",\n")}
+       |${(0 until bpeMerges).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** The full training chain in SQL, rounds unrolled. Symbol strings are
+    * boundary-padded and space-joined; the per-round merge is the
+    * fixpoint of non-overlapping `replace` (recursive CTE) — equal to
+    * the Spark side's one-pass greedy fold.
+    */
+  val bpeTrainOracle: String =
+    s"""WITH RECURSIVE
+       |$oracleChainCtes
        |SELECT * FROM (
        |  ${(0 until bpeMerges)
-            .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, ab, " +
-              s"CAST(pf AS BIGINT) AS pair_freq FROM m$r")
-            .mkString("\n  UNION ALL ")})""".stripMargin
-  }
+          .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, ab, " +
+            s"CAST(pf AS BIGINT) AS pair_freq FROM m$r")
+          .mkString("\n  UNION ALL ")})""".stripMargin
 
   /** [[bpeEncode]]'s oracle: the same chain, consumed at its FINAL
     * corpus c[[bpeMerges]] — per-word segment counts joined back to each
     * document's token stream.
     */
-  val bpeEncodeOracle: String = {
-    // the train oracle minus its final SELECT, reused verbatim
-    val chain = bpeTrainOracle.substring(0,
-      bpeTrainOracle.indexOf("SELECT * FROM (")).trim
-    s"""$chain,
+  val bpeEncodeOracle: String =
+    s"""WITH RECURSIVE
+       |$oracleChainCtes,
        |wl AS (
        |  SELECT w, len(list_filter(string_split(s, ' '), x -> x <> ''))
        |           AS n_sym
@@ -212,5 +259,4 @@ object BpeOps {
        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin
-  }
 }

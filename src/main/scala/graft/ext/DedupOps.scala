@@ -349,17 +349,26 @@ object DedupOps {
       edges, labels)
   }
 
-  val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $jaccardBlockedCte,
-       |edges AS (
-       |  SELECT id_a, id_b FROM jpairs
-       |  UNION ALL SELECT id_b, id_a FROM jpairs),
+  /** Connected-components CTE chain over a pair relation — the single
+    * source for every clustering-family oracle (detect and apply both
+    * compose it, so the clusterings they verify can never diverge).
+    */
+  private def clusterCte(pairsRel: String): String =
+    s"""edges AS (
+       |  SELECT id_a, id_b FROM $pairsRel
+       |  UNION ALL SELECT id_b, id_a FROM $pairsRel),
        |reach(id, root) AS (
        |  SELECT DISTINCT id_a, id_a FROM edges
        |  UNION
-       |  SELECT e.id_a, r.root FROM edges e JOIN reach r ON e.id_b = r.id)
-       |SELECT id AS doc_id, min(root) AS cluster_id
-       |FROM reach GROUP BY id""".stripMargin
+       |  SELECT e.id_a, r.root FROM edges e JOIN reach r ON e.id_b = r.id),
+       |clusters AS (
+       |  SELECT id AS doc_id, min(root) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $jaccardBlockedCte,
+       |${clusterCte("jpairs")}
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
 
   /** Oracle for [[dedupClustersLsh]]: the recursive-CTE transitive
     * closure composed over the FULL MinHash-LSH pipeline's CTE chain —
@@ -369,15 +378,8 @@ object DedupOps {
     */
   lazy val dedupClustersLshOracle: String =
     s"""WITH RECURSIVE $minhashLshCte,
-       |edges AS (
-       |  SELECT id_a, id_b FROM lpairs
-       |  UNION ALL SELECT id_b, id_a FROM lpairs),
-       |reach(id, root) AS (
-       |  SELECT DISTINCT id_a, id_a FROM edges
-       |  UNION
-       |  SELECT e.id_a, r.root FROM edges e JOIN reach r ON e.id_b = r.id)
-       |SELECT id AS doc_id, min(root) AS cluster_id
-       |FROM reach GROUP BY id""".stripMargin
+       |${clusterCte("lpairs")}
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
 
   /** APPLIES the dedup decision: the cleaned corpus after LSH
     * clustering — every document survives except non-representative
@@ -394,24 +396,19 @@ object DedupOps {
     val clusters = dedupClustersLsh(spark, sfDir)
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    Canon.canonicalize(
-      documents(spark, sfDir).select("doc_id", "lang", "source")
-        .join(broadcast(losers), Seq("doc_id"), "left_anti"))
+    // materialized so the clusters frame (cached by its own contract)
+    // is released here instead of lingering in the session cache
+    Canon.materialized(
+      Canon.canonicalize(
+        documents(spark, sfDir).select("doc_id", "lang", "source")
+          .join(broadcast(losers), Seq("doc_id"), "left_anti")),
+      clusters)
   }
 
   /** The clustering oracle's CTE chain with the anti join appended. */
   lazy val dedupApplyOracle: String =
     s"""WITH RECURSIVE $minhashLshCte,
-       |edges AS (
-       |  SELECT id_a, id_b FROM lpairs
-       |  UNION ALL SELECT id_b, id_a FROM lpairs),
-       |reach(id, root) AS (
-       |  SELECT DISTINCT id_a, id_a FROM edges
-       |  UNION
-       |  SELECT e.id_a, r.root FROM edges e JOIN reach r ON e.id_b = r.id),
-       |clusters AS (
-       |  SELECT id AS doc_id, min(root) AS cluster_id
-       |  FROM reach GROUP BY id),
+       |${clusterCte("lpairs")},
        |losers AS (
        |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
        |SELECT d.doc_id, d.lang, d.source
@@ -721,14 +718,7 @@ object DedupOps {
   private val lshIndexRoot = "target/lsh_index"
 
   private def lshIndexDir(sfDir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val fp =
-      if (!src.exists()) "absent"
-      else walk(src).map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
-        .mkString("|").hashCode.toHexString
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
     // every parameter the stored bands/shingles depend on goes into the
     // path: a constant bump must MISS the old index, never probe it

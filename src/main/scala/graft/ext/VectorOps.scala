@@ -373,21 +373,11 @@ object VectorOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]
 
-  /** Cheap data fingerprint of the embeddings source (file names, sizes,
-    * mtimes) folded into the cache key: a path alone would serve stale
-    * centroids if the dataset at that path is regenerated within one JVM
-    * (rewritten fixtures between suites, reruns over refreshed data).
+  /** Data fingerprint of the embeddings source folded into the cache
+    * key — see [[graft.io.Fingerprint]] for the staleness contract.
     */
-  private def dataFingerprint(path: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val root = new java.io.File(path)
-    if (!root.exists()) "absent"
-    else walk(root)
-      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
-      .mkString("|").hashCode.toHexString
-  }
+  private def dataFingerprint(path: String): String =
+    graft.io.Fingerprint.ofPath(path)
 
   def annIvf(spark: SparkSession, sfDir: String, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
