@@ -24,7 +24,11 @@ object PlanDump {
         "zorder_key" -> pipelines.MicroQueries.zorderKey(spark, sf),
         "band_join" -> ext.EventOps.bandJoin(spark, sf),
         "heavy_hitters" -> ext.SketchOps.heavyHitters(spark, sf),
-        "ann_sq8" -> ext.VectorOps.annIvfSq8(spark, sf))) {
+        "ann_sq8" -> ext.VectorOps.annIvfSq8(spark, sf),
+        "dedup_apply" -> ext.DedupOps.dedupApply(spark, sf),
+        "vocab_build" -> ext.TextOps.vocabBuild(spark, sf),
+        "bpe_encode" -> ext.BpeOps.bpeEncode(spark, sf),
+        "mixture_repeat" -> ext.SampleOps.mixtureRepeat(spark, sf))) {
       println(s"=== $n")
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("ReadSchema") || l.contains("Exchange") ||
