@@ -96,6 +96,10 @@ object SparkEntry {
     "q_moving_agg" -> ((s, dir) => EventOps.movingAgg(s, dir)),
     // backward as-of join via union + carry-forward window (one shuffle)
     "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
+    // the forward mirror: earliest view at-or-after each purchase
+    "q_asof_forward" -> ((s, dir) => EventOps.asofJoinForward(s, dir)),
+    // percentile winsorization (tail clipping per group)
+    "q_winsorize" -> ((s, dir) => EventOps.winsorize(s, dir)),
     // banded range join: time-theta-join made equi-join-shaped
     "q_band_join" -> ((s, dir) => EventOps.bandJoin(s, dir)),
     // typed from_json struct extraction over the props payload
@@ -116,6 +120,7 @@ object SparkEntry {
     "q_set_ops" -> ((s, dir) => MicroQueries.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => MicroQueries.semiAnti(s, dir)),
     "q_rollup_docs" -> ((s, dir) => MicroQueries.rollupDocs(s, dir)),
+    "q_cube_docs" -> ((s, dir) => MicroQueries.cubeDocs(s, dir)),
     // Z-order clustering key (two-dimensional scan-pruning layout)
     "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
@@ -178,6 +183,8 @@ object SparkEntry {
     "q_user_value_deltas" -> EventOps.userValueDeltasOracle,
     "q_moving_agg" -> EventOps.movingAggOracle,
     "q_asof_join" -> EventOps.asofJoinOracle,
+    "q_asof_forward" -> EventOps.asofJoinForwardOracle,
+    "q_winsorize" -> EventOps.winsorizeOracle,
     "q_band_join" -> EventOps.bandJoinOracle,
     "q_json_extract" -> EventOps.jsonExtractOracle,
     "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,
@@ -194,6 +201,7 @@ object SparkEntry {
     "q_set_ops" -> MicroQueries.setOpsOracle,
     "q_semi_anti" -> MicroQueries.semiAntiOracle,
     "q_rollup_docs" -> MicroQueries.rollupDocsOracle,
+    "q_cube_docs" -> MicroQueries.cubeDocsOracle,
     "q_zorder_key" -> MicroQueries.zorderKeyOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     // Every query carries an oracle — including the approximate family

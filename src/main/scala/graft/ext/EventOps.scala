@@ -291,6 +291,102 @@ object EventOps {
       |  CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Winsorization bounds (percentile ranks) for [[winsorize]]. */
+  val winsorLo = 0.05
+  val winsorHi = 0.95
+
+  /** Percentile-based WINSORIZATION per event_type — the standard
+    * numeric-cleaning pass (clip the tails instead of dropping rows):
+    * values outside [p05, p95] of their group clamp to the bound, and
+    * `clipped` flags the affected rows. Spark's interpolated
+    * `percentile` and DuckDB's `quantile_cont` agree exactly (already
+    * relied on by q_percentiles), so the clamped values hash-match.
+    *
+    * Shape: one keyed percentile aggregation (groups = event types,
+    * tiny) broadcast back over the stream — the fact side never
+    * shuffles.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    val bounds = e.groupBy("event_type").agg(
+      percentile(col("value"), lit(winsorLo)).as("lo"),
+      percentile(col("value"), lit(winsorHi)).as("hi"))
+    Canon.canonicalize(
+      e.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi"))
+            .as("value_w"),
+          (col("value") < col("lo") || col("value") > col("hi"))
+            .as("clipped")))
+  }
+
+  val winsorizeOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         quantile_cont(value, $winsorLo) AS lo,
+       |         quantile_cont(value, $winsorHi) AS hi
+       |  FROM events GROUP BY 1)
+       |SELECT event_id, e.event_type, value,
+       |       least(greatest(value, lo), hi) AS value_w,
+       |       value < lo OR value > hi AS clipped
+       |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
+
+  /** FORWARD as-of: each purchase joined to the same user's EARLIEST
+    * view at-or-after it — the mirror of [[asofJoin]] (attribution
+    * windows that look ahead: "did a view follow this purchase"). Same
+    * single keyed shuffle; the carry window just runs over the
+    * following frame, with views ordered after purchases at equal
+    * timestamps so a same-instant view counts as "at or after".
+    */
+  def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    def tagged(etype: String, isView: Int) =
+      e.filter(col("event_type") === etype)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          lit(isView).as("is_view"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_view").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def carry(c: org.apache.spark.sql.Column) =
+      first(when(col("is_view") === 1, c), ignoreNulls = true).over(w)
+    Canon.canonicalize(
+      tagged("view", 1).union(tagged("purchase", 0))
+        .withColumn("view_event_id", carry(col("event_id")))
+        .withColumn("view_value", carry(col("value")))
+        .withColumn("view_ts_us", carry(unix_micros(col("ts"))))
+        .filter(col("is_view") === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("view_event_id"), col("view_value"),
+          (col("view_ts_us") - unix_micros(col("ts"))).as("view_wait_us")))
+  }
+
+  val asofJoinForwardOracle: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, value, 1 AS is_view
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, value, 0
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT *,
+      |    first_value(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
+      |      OVER w AS view_event_id,
+      |    first_value(CASE WHEN is_view = 1 THEN value END IGNORE NULLS)
+      |      OVER w AS view_value,
+      |    first_value(CASE WHEN is_view = 1 THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER w AS view_ts_us
+      |  FROM tagged
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY ts ASC, is_view ASC, event_id ASC
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |       view_event_id, view_value,
+      |       view_ts_us - epoch_us(ts) AS view_wait_us
+      |FROM c WHERE is_view = 0""".stripMargin
+
   /** Band half-width of the range join, microseconds (±15 minutes). At
     * scale the width doubles as the skew lever: rows per (bucket) key is
     * events-per-band, so a hotter stream takes a narrower band (or the

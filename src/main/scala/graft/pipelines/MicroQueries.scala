@@ -258,6 +258,27 @@ object MicroQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin
 
+  /** §2.8 completion: CUBE — all 2ⁿ grouping-set combinations in one
+    * pass (rollup covers only the hierarchy prefixes). Same partial-agg
+    * expansion as rollup at scale: the map side emits one record per
+    * grouping set, all sets share a single shuffle.
+    */
+  def cubeDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.io.Tables.load(spark, sfDir, "documents")
+    Canon.canonicalize(d.cube("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars")))
+  }
+
+  val cubeDocsOracle: String =
+    """SELECT coalesce(lang, 'ALL') AS lang,
+      |       coalesce(source, 'ALL') AS source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY CUBE(lang, source)""".stripMargin
+
   def dateAndRound(spark: SparkSession, sfDir: String): DataFrame = {
     val asOf = "2024-06-01"
     val s = Retail.sales(spark, sfDir)

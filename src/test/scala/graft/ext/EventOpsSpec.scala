@@ -43,6 +43,48 @@ class EventOpsSpec extends SparkSpec {
     assert(p.contains("Window"), "carry-forward window missing")
   }
 
+  test("forward as-of picks the earliest view at or after each purchase") {
+    val raw = EventOps.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .as[(Long, String, Long, Long, Double)].collect()
+    val views = raw.filter(_._2 == "view")
+    val expected = raw.filter(_._2 == "purchase").map {
+      case (pid, _, uid, tp, _) =>
+        val later = views.filter(v => v._3 == uid && v._4 >= tp)
+        val win = if (later.isEmpty) None
+          else Some(later.minBy(v => (v._4, v._1)))
+        (pid, win.map(_._1), win.map(v => v._4 - tp))
+    }.sortBy(_._1)
+    val got = EventOps.asofJoinForward(spark, sfDir)
+      .select("event_id", "view_event_id", "view_wait_us")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected.toSeq)
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty),
+      "fixture should exercise both matched and tail purchases")
+  }
+
+  test("winsorize clamps exactly the tails its group bounds define") {
+    val rows = EventOps.winsorize(spark, sfDir)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._2)
+    byType.foreach { case (et, rs) =>
+      val clipped = rs.count(_._5)
+      // ~10% of each group sits outside [p05, p95]; interpolation makes
+      // the exact count data-dependent, so assert a generous band
+      assert(clipped > 0 && clipped < rs.length / 2, s"$et clipped=$clipped")
+      val lo = rs.map(_._4).min
+      val hi = rs.map(_._4).max
+      rs.foreach { case (id, _, v, w, c) =>
+        assert(w >= lo && w <= hi)
+        assert(c == (v != w) || !c, s"$et/$id clip flag vs value")
+        if (!c) assert(v == w, s"$et/$id unclipped value changed")
+      }
+    }
+  }
+
   test("band join matches a driver-side brute force and stays equi-shaped") {
     val w = EventOps.bandWidthUs
     val raw = EventOps.events(spark, sfDir)
