@@ -13,24 +13,33 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for ((n, df) <- Seq(
-        "train_split" -> ext.SampleOps.trainValTestSplit(spark, sf),
-        "sample_k" -> ext.SampleOps.sampleKPerStratum(spark, sf),
-        "chunks" -> ext.TextOps.docChunks(spark, sf),
-        "lsh_incr" -> ext.DedupOps.minhashLshIncremental(spark, sf),
-        "asof" -> ext.EventOps.asofJoin(spark, sf),
-        "dup_spans" -> ext.DedupOps.dupSpans(spark, sf),
-        "decon_bloom" -> ext.CurationOps.decontaminateBloom(spark, sf),
-        "zorder_key" -> pipelines.MicroQueries.zorderKey(spark, sf),
-        "band_join" -> ext.EventOps.bandJoin(spark, sf),
-        "heavy_hitters" -> ext.SketchOps.heavyHitters(spark, sf),
-        "ann_sq8" -> ext.VectorOps.annIvfSq8(spark, sf),
-        "dedup_apply" -> ext.DedupOps.dedupApply(spark, sf),
-        "vocab_build" -> ext.TextOps.vocabBuild(spark, sf),
-        "bpe_encode" -> ext.BpeOps.bpeEncode(spark, sf),
-        "mixture_repeat" -> ext.SampleOps.mixtureRepeat(spark, sf))) {
+    // thunks, not frames: several builders MATERIALIZE work (dedupApply
+    // runs the clustering, bpeEncode trains) — lazy entries stream each
+    // plan as it is built and keep one entry's failure from blanking
+    // the whole dump
+    val entries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "train_split" -> (() => ext.SampleOps.trainValTestSplit(spark, sf)),
+      "sample_k" -> (() => ext.SampleOps.sampleKPerStratum(spark, sf)),
+      "chunks" -> (() => ext.TextOps.docChunks(spark, sf)),
+      "lsh_incr" -> (() => ext.DedupOps.minhashLshIncremental(spark, sf)),
+      "asof" -> (() => ext.EventOps.asofJoin(spark, sf)),
+      "dup_spans" -> (() => ext.DedupOps.dupSpans(spark, sf)),
+      "decon_bloom" -> (() => ext.CurationOps.decontaminateBloom(spark, sf)),
+      "zorder_key" -> (() => pipelines.MicroQueries.zorderKey(spark, sf)),
+      "band_join" -> (() => ext.EventOps.bandJoin(spark, sf)),
+      "heavy_hitters" -> (() => ext.SketchOps.heavyHitters(spark, sf)),
+      "ann_sq8" -> (() => ext.VectorOps.annIvfSq8(spark, sf)),
+      "dedup_apply" -> (() => ext.DedupOps.dedupApply(spark, sf)),
+      "vocab_build" -> (() => ext.TextOps.vocabBuild(spark, sf)),
+      "bpe_encode" -> (() => ext.BpeOps.bpeEncode(spark, sf)),
+      "mixture_repeat" -> (() => ext.SampleOps.mixtureRepeat(spark, sf)))
+    for ((n, mk) <- entries) {
       println(s"=== $n")
-      println(df.queryExecution.executedPlan.toString.linesIterator
+      val df =
+        try mk()
+        catch { case e: Throwable =>
+          println(s"[plandump] $n failed: ${e.getMessage}"); null }
+      if (df != null) println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("ReadSchema") || l.contains("Exchange") ||
           l.contains("Sort ["))
         .map(_.trim.take(200)).mkString("\n"))

@@ -90,19 +90,31 @@ object BpeOps {
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Int, String, String, String, Long)]]
 
-  private[ext] def trainedMerges(spark: SparkSession, sfDir: String)
-      : Seq[(Int, String, String, String, Long)] =
-    mergeCache.computeIfAbsent(
-      s"$sfDir#$bpeMerges#" +
-        Fingerprint.ofPath(s"$sfDir/documents.parquet"),
-      _ => trainLoop(spark, sfDir))
+  /** Memoized training. `words` lets a caller that ALREADY materialized
+    * the word-frequency table (bpeEncode) share it on a cache miss —
+    * training and encoding together still make one corpus-sized pass.
+    * Duplicate concurrent training of the same key is tolerated (it is
+    * deterministic; last write wins) rather than holding a map lock for
+    * the whole multi-job loop the way computeIfAbsent would.
+    */
+  private[ext] def trainedMerges(spark: SparkSession, sfDir: String,
+                                 words: Option[DataFrame] = None)
+      : Seq[(Int, String, String, String, Long)] = {
+    val key = s"$sfDir#$bpeMerges#" +
+      Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    Option(mergeCache.get(key)).getOrElse {
+      val trained = trainLoop(spark,
+        words.getOrElse(tokenWords(spark, sfDir)))
+      mergeCache.put(key, trained)
+      trained
+    }
+  }
 
-  private def trainLoop(spark: SparkSession, sfDir: String)
+  private def trainLoop(spark: SparkSession, words: DataFrame)
       : Seq[(Int, String, String, String, Long)] = {
     import spark.implicits._
     var (corpus, blocks) = truncated(
-      tokenWords(spark, sfDir)
-        .select(col("w"), split(col("w"), "").as("sy"), col("f")))
+      words.select(col("w"), split(col("w"), "").as("sy"), col("f")))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 0
     while (round < bpeMerges) {
@@ -151,12 +163,14 @@ object BpeOps {
     * vocabulary-sized length table.
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val merges = trainedMerges(spark, sfDir)
+    // the word table is shared with training on a cache miss, so the
+    // corpus-sized explode+count runs ONCE either way
+    val words = tokenWords(spark, sfDir).persist()
+    val merges = trainedMerges(spark, sfDir, Some(words))
     val folded = merges.foldLeft(split(col("w"), "")) {
       case (sy, (_, a, b, _, _)) => mergeFold(sy, a, b)
     }
-    val wordLen = tokenWords(spark, sfDir)
-      .select(col("w"), size(folded).as("n_sym"))
+    val wordLen = words.select(col("w"), size(folded).as("n_sym"))
     val docTokens = TextOps.documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
@@ -170,7 +184,7 @@ object BpeOps {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
-    Canon.canonicalize(out)
+    Canon.materialized(Canon.canonicalize(out), words)
   }
 
   /** The shared oracle CTE chain (w0 … c[[bpeMerges]] plus each round's

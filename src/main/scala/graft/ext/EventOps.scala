@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType, StructField,
   StructType}
@@ -219,19 +219,38 @@ object EventOps {
     * Timestamps leave as BIGINT epoch-micros (Canon's type surface), and
     * `view_age_us` is the purchase-to-view gap.
     */
-  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Direction-parameterized as-of core — ONE implementation for both
+    * directions (they may never diverge; this is the machinery the
+    * oracle template mirrors 1:1). Backward: latest view at-or-before,
+    * views sort BEFORE purchases at equal ts, carry = `last` over the
+    * preceding frame. Forward: earliest view at-or-after, views sort
+    * AFTER purchases, carry = `first` over the following frame.
+    */
+  private def asofCore(spark: SparkSession, sfDir: String,
+                       backward: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = events(spark, sfDir)
     def tagged(etype: String, isView: Int) =
       e.filter(col("event_type") === etype)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"),
           lit(isView).as("is_view"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id")
-      .orderBy(col("ts").asc, col("is_view").desc, col("event_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    def carry(c: org.apache.spark.sql.Column) =
-      last(when(col("is_view") === 1, c), ignoreNulls = true).over(w)
+    val ordered = Window.partitionBy("user_id").orderBy(
+      col("ts").asc,
+      if (backward) col("is_view").desc else col("is_view").asc,
+      col("event_id").asc)
+    val w =
+      if (backward)
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def carry(c: Column) = {
+      val tagged = when(col("is_view") === 1, c)
+      (if (backward) last(tagged, ignoreNulls = true)
+       else first(tagged, ignoreNulls = true)).over(w)
+    }
+    val gap =
+      if (backward)
+        (unix_micros(col("ts")) - col("view_ts_us")).as("view_age_us")
+      else (col("view_ts_us") - unix_micros(col("ts"))).as("view_wait_us")
     Canon.canonicalize(
       tagged("view", 1).union(tagged("purchase", 0))
         .withColumn("view_event_id", carry(col("event_id")))
@@ -240,33 +259,45 @@ object EventOps {
         .filter(col("is_view") === 0)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"),
-          col("view_event_id"), col("view_value"),
-          (unix_micros(col("ts")) - col("view_ts_us")).as("view_age_us")))
+          col("view_event_id"), col("view_value"), gap))
   }
 
-  val asofJoinOracle: String =
-    """WITH tagged AS (
-      |  SELECT user_id, ts, event_id, value, 1 AS is_view
-      |  FROM events WHERE event_type = 'view'
-      |  UNION ALL
-      |  SELECT user_id, ts, event_id, value, 0
-      |  FROM events WHERE event_type = 'purchase'),
-      |c AS (
-      |  SELECT *,
-      |    last_value(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
-      |      OVER w AS view_event_id,
-      |    last_value(CASE WHEN is_view = 1 THEN value END IGNORE NULLS)
-      |      OVER w AS view_value,
-      |    last_value(CASE WHEN is_view = 1 THEN epoch_us(ts) END IGNORE NULLS)
-      |      OVER w AS view_ts_us
-      |  FROM tagged
-      |  WINDOW w AS (PARTITION BY user_id
-      |               ORDER BY ts ASC, is_view DESC, event_id ASC
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-      |       view_event_id, view_value,
-      |       epoch_us(ts) - view_ts_us AS view_age_us
-      |FROM c WHERE is_view = 0""".stripMargin
+  private def asofOracle(backward: Boolean): String = {
+    val (pick, dir, frame, gapExpr, gapName) =
+      if (backward)
+        ("last_value", "DESC", "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+          "epoch_us(ts) - view_ts_us", "view_age_us")
+      else
+        ("first_value", "ASC", "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+          "view_ts_us - epoch_us(ts)", "view_wait_us")
+    s"""WITH tagged AS (
+       |  SELECT user_id, ts, event_id, value, 1 AS is_view
+       |  FROM events WHERE event_type = 'view'
+       |  UNION ALL
+       |  SELECT user_id, ts, event_id, value, 0
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT *,
+       |    $pick(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
+       |      OVER w AS view_event_id,
+       |    $pick(CASE WHEN is_view = 1 THEN value END IGNORE NULLS)
+       |      OVER w AS view_value,
+       |    $pick(CASE WHEN is_view = 1 THEN epoch_us(ts) END IGNORE NULLS)
+       |      OVER w AS view_ts_us
+       |  FROM tagged
+       |  WINDOW w AS (PARTITION BY user_id
+       |               ORDER BY ts ASC, is_view $dir, event_id ASC
+       |               $frame))
+       |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |       view_event_id, view_value,
+       |       $gapExpr AS $gapName
+       |FROM c WHERE is_view = 0""".stripMargin
+  }
+
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame =
+    asofCore(spark, sfDir, backward = true)
+
+  val asofJoinOracle: String = asofOracle(backward = true)
 
   /** Typed semi-structured extraction: `from_json` with a DECLARED schema
     * into a struct column, then relational work on the typed fields —
@@ -338,54 +369,10 @@ object EventOps {
     * following frame, with views ordered after purchases at equal
     * timestamps so a same-instant view counts as "at or after".
     */
-  def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = events(spark, sfDir)
-    def tagged(etype: String, isView: Int) =
-      e.filter(col("event_type") === etype)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
-          lit(isView).as("is_view"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id")
-      .orderBy(col("ts").asc, col("is_view").asc, col("event_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    def carry(c: org.apache.spark.sql.Column) =
-      first(when(col("is_view") === 1, c), ignoreNulls = true).over(w)
-    Canon.canonicalize(
-      tagged("view", 1).union(tagged("purchase", 0))
-        .withColumn("view_event_id", carry(col("event_id")))
-        .withColumn("view_value", carry(col("value")))
-        .withColumn("view_ts_us", carry(unix_micros(col("ts"))))
-        .filter(col("is_view") === 0)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("view_event_id"), col("view_value"),
-          (col("view_ts_us") - unix_micros(col("ts"))).as("view_wait_us")))
-  }
+  def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame =
+    asofCore(spark, sfDir, backward = false)
 
-  val asofJoinForwardOracle: String =
-    """WITH tagged AS (
-      |  SELECT user_id, ts, event_id, value, 1 AS is_view
-      |  FROM events WHERE event_type = 'view'
-      |  UNION ALL
-      |  SELECT user_id, ts, event_id, value, 0
-      |  FROM events WHERE event_type = 'purchase'),
-      |c AS (
-      |  SELECT *,
-      |    first_value(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
-      |      OVER w AS view_event_id,
-      |    first_value(CASE WHEN is_view = 1 THEN value END IGNORE NULLS)
-      |      OVER w AS view_value,
-      |    first_value(CASE WHEN is_view = 1 THEN epoch_us(ts) END IGNORE NULLS)
-      |      OVER w AS view_ts_us
-      |  FROM tagged
-      |  WINDOW w AS (PARTITION BY user_id
-      |               ORDER BY ts ASC, is_view ASC, event_id ASC
-      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-      |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-      |       view_event_id, view_value,
-      |       view_ts_us - epoch_us(ts) AS view_wait_us
-      |FROM c WHERE is_view = 0""".stripMargin
+  val asofJoinForwardOracle: String = asofOracle(backward = false)
 
   /** Band half-width of the range join, microseconds (±15 minutes). At
     * scale the width doubles as the skew lever: rows per (bucket) key is

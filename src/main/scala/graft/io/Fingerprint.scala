@@ -12,7 +12,13 @@ object Fingerprint {
 
   def ofPath(path: String): String = {
     def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      if (f.isDirectory)
+        // listFiles is null if the dir vanished mid-walk (concurrent
+        // regeneration — the very scenario fingerprints guard); treat
+        // as empty rather than NPE, the fingerprint just comes out
+        // different, which is the safe direction
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val root = new File(path)
     if (!root.exists()) "absent"

@@ -65,24 +65,34 @@ class EventOpsSpec extends SparkSpec {
       "fixture should exercise both matched and tail purchases")
   }
 
-  test("winsorize clamps exactly the tails its group bounds define") {
+  test("winsorize clamps exactly to independently computed percentiles") {
+    // independent bounds: linear-interpolated percentile recomputed
+    // driver-side from the raw values (the definition Spark's
+    // `percentile` implements) — NOT derived from the op's own output
+    def pctl(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val raw = EventOps.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val bounds = raw.groupBy(_._1).map { case (et, vs) =>
+      val s = vs.map(_._2).sorted
+      et -> (pctl(s, EventOps.winsorLo), pctl(s, EventOps.winsorHi))
+    }
     val rows = EventOps.winsorize(spark, sfDir)
       .as[(Long, String, Double, Double, Boolean)].collect()
     assert(rows.nonEmpty)
-    val byType = rows.groupBy(_._2)
-    byType.foreach { case (et, rs) =>
-      val clipped = rs.count(_._5)
-      // ~10% of each group sits outside [p05, p95]; interpolation makes
-      // the exact count data-dependent, so assert a generous band
-      assert(clipped > 0 && clipped < rs.length / 2, s"$et clipped=$clipped")
-      val lo = rs.map(_._4).min
-      val hi = rs.map(_._4).max
-      rs.foreach { case (id, _, v, w, c) =>
-        assert(w >= lo && w <= hi)
-        assert(c == (v != w) || !c, s"$et/$id clip flag vs value")
-        if (!c) assert(v == w, s"$et/$id unclipped value changed")
-      }
+    rows.foreach { case (id, et, v, w, c) =>
+      val (lo, hi) = bounds(et)
+      val expected = math.min(math.max(v, lo), hi)
+      assert(w == expected, s"$et/$id: winsorized $w != clamp($v) $expected")
+      assert(c == (v < lo || v > hi), s"$et/$id clip flag")
     }
+    // both tails actually clip somewhere
+    assert(rows.exists(_._5) && rows.exists(!_._5))
   }
 
   test("band join matches a driver-side brute force and stays equi-shaped") {
