@@ -388,9 +388,14 @@ object DedupOps {
     * detect → remove loop: the other dedup queries report duplication,
     * this one materializes the corpus a training run would read.
     *
-    * Scale shape: the loser set is bounded by the duplicate count (tiny
-    * against the corpus), so the anti join broadcasts it and the corpus
-    * side never shuffles.
+    * Scale shape: the loser set scales with the DUPLICATE count, and the
+    * motivating workload (web-crawl corpora) runs 30–80% near-duplicates
+    * — so losers can be corpus-sized and must NOT be force-broadcast (a
+    * forced hint bypasses Spark's size checks straight into an executor
+    * OOM / broadcast-limit failure exactly when dedup matters most). The
+    * join carries no hint: AQE broadcasts the loser side at runtime when
+    * its measured size is small, and falls back to the scale-safe
+    * shuffled anti join when it isn't.
     */
   def dedupApply(spark: SparkSession, sfDir: String): DataFrame = {
     val clusters = dedupClustersLsh(spark, sfDir)
@@ -401,7 +406,7 @@ object DedupOps {
     Canon.materialized(
       Canon.canonicalize(
         documents(spark, sfDir).select("doc_id", "lang", "source")
-          .join(broadcast(losers), Seq("doc_id"), "left_anti")),
+          .join(losers, Seq("doc_id"), "left_anti")),
       clusters)
   }
 

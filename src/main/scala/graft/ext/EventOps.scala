@@ -101,10 +101,13 @@ object EventOps {
 
   /** Exact interpolated per-group percentiles (linear interpolation
     * between order statistics — the R-7 definition both engines
-    * implement, so doubles compare bit-exact). Exact percentiles sort
-    * within each group only: keyed, horizontal; the approximate-sketch
-    * variant (t-digest et al.) has no cross-engine twin and is left out
-    * deliberately.
+    * implement, so doubles compare bit-exact). This is the ORACLE form:
+    * exact `percentile` buffers a value→count map per group, so with few
+    * groups over continuous values one aggregation buffer holds ~every
+    * distinct value in the corpus. The scale path is the GK twin
+    * [[SketchOps.groupPercentilesApprox]] (bounded memory, rank error ≤
+    * n/accuracy, spec-pinned against this exact form) — the same
+    * exact/approx pairing as countDistinct vs HLL.
     */
   def groupPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val e = events(spark, sfDir)
@@ -333,15 +336,34 @@ object EventOps {
     * `percentile` and DuckDB's `quantile_cont` agree exactly (already
     * relied on by q_percentiles), so the clamped values hash-match.
     *
+    * Bounds strategy (the countDistinct/HLL pairing, applied to
+    * quantiles): exact `percentile` is the oracle/default path, but it
+    * aggregates a value→count map PER GROUP — with a handful of
+    * event-type groups over continuous-ish values, one reducer buffers
+    * ~every distinct value in the corpus. At 100 TB pass
+    * `approxBounds = true`: bounds come from Greenwald-Khanna
+    * `percentile_approx` (bounded-memory summaries, rank error ≤
+    * n/accuracy — the contract SketchOpsSpec pins), and only the clamp
+    * points move within that rank tolerance; the clip itself is
+    * unchanged.
+    *
     * Shape: one keyed percentile aggregation (groups = event types,
     * tiny) broadcast back over the stream — the fact side never
-    * shuffles.
+    * shuffles. The bounds frame is groups-sized, so the broadcast hint
+    * here is safe (unlike a duplicate-scaled set).
     */
-  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+  def winsorize(spark: SparkSession, sfDir: String,
+                approxBounds: Boolean = false): DataFrame = {
     val e = events(spark, sfDir)
-    val bounds = e.groupBy("event_type").agg(
-      percentile(col("value"), lit(winsorLo)).as("lo"),
-      percentile(col("value"), lit(winsorHi)).as("hi"))
+    val bounds =
+      if (approxBounds) {
+        val acc = lit(SketchOps.percentileAccuracy)
+        e.groupBy("event_type").agg(
+          percentile_approx(col("value"), lit(winsorLo), acc).as("lo"),
+          percentile_approx(col("value"), lit(winsorHi), acc).as("hi"))
+      } else e.groupBy("event_type").agg(
+        percentile(col("value"), lit(winsorLo)).as("lo"),
+        percentile(col("value"), lit(winsorHi)).as("hi"))
     Canon.canonicalize(
       e.join(broadcast(bounds), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"),

@@ -82,6 +82,20 @@ class PlanSpec extends SparkSpec {
       "annIvf's final rank is still a window over cos")
   }
 
+  test("dedupApply anti join carries no forced broadcast hint") {
+    // the loser set scales with the duplicate count (corpus-sized on a
+    // dup-heavy crawl), so the plan must leave the join strategy to the
+    // optimizer/AQE: no ResolvedHint in the analyzed plan, and the anti
+    // join itself present and executable
+    val df = graft.ext.DedupOps.dedupApply(spark, sfDir)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      "dedupApply still forces a join strategy:\n" +
+        logical.linesIterator.filter(_.contains("Hint")).mkString("\n"))
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), "anti join missing:\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the mart pipelines' hot path") {
     val df = ProductPerformance(spark, sfDir)
     df.collect() // executes THIS QueryExecution so AQE finalizes in place

@@ -95,6 +95,42 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
 
+  test("winsorize approx bounds stay within the GK rank-error of exact") {
+    // the scale path (approxBounds = true) may move the clamp points, but
+    // only within percentile_approx's rank contract: the approx bound's
+    // rank inside the group's sorted values is within n/accuracy of the
+    // exact target rank. Everything else (clip rule, schema) is shared.
+    val approx = EventOps.winsorize(spark, sfDir, approxBounds = true)
+    val exact = EventOps.winsorize(spark, sfDir)
+    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.count() == exact.count()) // clip never drops rows
+    val values = EventOps.events(spark, sfDir)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    // recover each group's approx clamp bounds from the output: a row's
+    // value_w equals the bound whenever it clipped low/high
+    val rows = approx.as[(Long, String, Double, Double, Boolean)].collect()
+    val boundsOf = rows.groupBy(_._2).map { case (et, rs) =>
+      val lo = rs.filter(r => r._5 && r._3 < r._4).map(_._4).distinct
+      val hi = rs.filter(r => r._5 && r._3 > r._4).map(_._4).distinct
+      assert(lo.size <= 1 && hi.size <= 1, s"$et: non-constant bounds")
+      et -> (lo.headOption, hi.headOption)
+    }
+    for ((et, (lo, hi)) <- boundsOf) {
+      val sorted = values(et)
+      val n = sorted.length
+      val slack = n.toDouble / SketchOps.percentileAccuracy + 1
+      for ((bOpt, q) <- Seq(lo -> EventOps.winsorLo, hi -> EventOps.winsorHi);
+           b <- bOpt) {
+        val below = sorted.count(_ <= b)
+        assert(math.abs(below - q * n) <= slack,
+          s"$et q=$q bound=$b rank=$below target=${q * n} n=$n")
+      }
+    }
+    assert(boundsOf.exists(_._2._1.isDefined) &&
+      boundsOf.exists(_._2._2.isDefined), "no tail ever clipped")
+  }
+
   test("band join matches a driver-side brute force and stays equi-shaped") {
     val w = EventOps.bandWidthUs
     val raw = EventOps.events(spark, sfDir)
