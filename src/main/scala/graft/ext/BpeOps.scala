@@ -25,18 +25,24 @@ import graft.ops.Canon
   *  - each round's driver sync is ONE row (the winning pair) — the same
   *    sync point as k-means' C centroids, never the data;
   *  - the merge application is a one-pass left-to-right fold per word
-  *    (array aggregate). Greedy one-pass equals the non-overlapping
-  *    replace fixpoint the oracle iterates — argued in BpeOpsSpec with
-  *    the "a a a" / "a b a b" overlap cases;
+  *    (array aggregate). Greedy one-pass equals the FIRST-OCCURRENCE
+  *    single-replacement fixpoint the oracle iterates: occurrences of
+  *    ' a b ' can only overlap when a = b, leftmost-first then picks
+  *    the same pairs as the fold, and a replacement never creates an
+  *    occurrence before the match point (ab equals neither a nor b).
+  *    A replace-ALL fixpoint is NOT equal — it skips the adjacent
+  *    overlapping pair in identical-symbol runs ≥ 5 ('aaaaa' → [aa a
+  *    aa] vs the fold's [aa aa a]) — argued in BpeOpsSpec including
+  *    the run-length ≥ 5 cases;
   *  - trained merges are an INDEX (built once per dataset, memoized with
   *    a data fingerprint like the IVF centroids), so encoding never
   *    re-trains.
   *
   * The oracle regenerates the whole chain in SQL: per round, pair counts
   * from the current corpus, argmax with the same tie-break, and a
-  * RECURSIVE-CTE fixpoint of boundary-padded string replace for the
-  * merge application (space-joined symbols; symbols never contain
-  * spaces). Like the IVF oracle, rounds are unrolled from the same
+  * RECURSIVE-CTE fixpoint of boundary-padded FIRST-OCCURRENCE string
+  * replacement for the merge application (space-joined symbols; symbols
+  * never contain spaces). Like the IVF oracle, rounds are unrolled from the same
   * constants the Spark side uses.
   */
 object BpeOps {
@@ -216,17 +222,18 @@ object BpeOps {
          |fix$r(w, s, f) AS (
          |  SELECT w, s, f FROM c$r
          |  UNION ALL
-         |  SELECT w,
-         |         replace(s, ' ' || m.a || ' ' || m.b || ' ',
-         |                 ' ' || m.ab || ' '), f
+  SELECT w,
+         substr(s, 1, strpos(s, ' ' || m.a || ' ' || m.b || ' ') - 1) ||
+           ' ' || m.ab || ' ' ||
+           substr(s, strpos(s, ' ' || m.a || ' ' || m.b || ' ')
+                        + len(' ' || m.a || ' ' || m.b || ' ')),
+         f
          |  FROM fix$r, m$r m
-         |  WHERE replace(s, ' ' || m.a || ' ' || m.b || ' ',
-         |                ' ' || m.ab || ' ') <> s),
+         |  WHERE strpos(s, ' ' || m.a || ' ' || m.b || ' ') > 0),
          |c${r + 1} AS MATERIALIZED (
          |  SELECT f0.w, f0.s, f0.f FROM fix$r f0 LEFT JOIN m$r m ON true
          |  WHERE m.a IS NULL
-         |     OR replace(f0.s, ' ' || m.a || ' ' || m.b || ' ',
-         |                ' ' || m.ab || ' ') = f0.s)""".stripMargin
+         |     OR strpos(f0.s, ' ' || m.a || ' ' || m.b || ' ') = 0)""".stripMargin
     s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents)
@@ -240,8 +247,10 @@ object BpeOps {
 
   /** The full training chain in SQL, rounds unrolled. Symbol strings are
     * boundary-padded and space-joined; the per-round merge is the
-    * fixpoint of non-overlapping `replace` (recursive CTE) — equal to
-    * the Spark side's one-pass greedy fold.
+    * fixpoint of FIRST-OCCURRENCE single replacement (recursive CTE,
+    * strpos + substr splice) — equal to the Spark side's one-pass greedy
+    * fold, which a replace-all fixpoint is not (it skips the adjacent
+    * overlapping pair in identical-symbol runs ≥ 5).
     */
   val bpeTrainOracle: String =
     s"""WITH RECURSIVE

@@ -84,14 +84,23 @@ class BpeOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum < chars)
   }
 
-  test("greedy one-pass fold equals the replace-fixpoint on overlap cases") {
+  test("greedy one-pass fold equals the first-occurrence fixpoint, " +
+      "including identical-symbol runs >= 5") {
     // the two formulations the Spark side and the oracle use must agree
-    // on the overlap edge cases: 'a a a' merging (a,a) and 'a b a b'
-    // merging (a,b)
+    // on the overlap edge cases. The oracle iterates FIRST-OCCURRENCE
+    // single replacement (the model below) — a replace-ALL fixpoint is
+    // NOT equivalent: on 'aaaaa' it yields [aa a aa] vs the fold's
+    // [aa aa a], and on 'aaaaaa' 4 symbols vs the fold's 3 (the
+    // replace-all match consumes the shared boundary space, skipping
+    // the adjacent overlapping pair).
     def fixpoint(s0: String, a: String, b: String, ab: String): String = {
+      val pat = s" $a $b "
       var s = s0
-      var prev = ""
-      while (s != prev) { prev = s; s = s.replace(s" $a $b ", s" $ab ") }
+      var i = s.indexOf(pat)
+      while (i >= 0) {
+        s = s.substring(0, i) + s" $ab " + s.substring(i + pat.length)
+        i = s.indexOf(pat)
+      }
       s
     }
     def fold(sym: List[String], a: String, b: String): List[String] =
@@ -100,12 +109,23 @@ class BpeOpsSpec extends SparkSpec {
         else acc :+ s
       }
     for ((word, a, b) <- Seq(("aaa", "a", "a"), ("abab", "a", "b"),
-                             ("baab", "a", "b"), ("aaaa", "a", "a"))) {
+                             ("baab", "a", "b"), ("aaaa", "a", "a"),
+                             ("aaaaa", "a", "a"), ("aaaaaa", "a", "a"),
+                             ("aaaaaaa", "a", "a"), ("baaaaab", "a", "a"),
+                             ("ababab", "a", "b"), ("aabaaa", "a", "a"))) {
       val sym = word.split("").toList
       val viaFold = fold(sym, a, b).mkString(" ")
       val viaFix = fixpoint(
         " " + sym.mkString(" ") + " ", a, b, a + b).trim
       assert(viaFold == viaFix, s"$word: fold=$viaFold fixpoint=$viaFix")
     }
+    // and the old replace-all model really does diverge on runs >= 5 —
+    // the regression this test exists to block
+    def replaceAll(s0: String, a: String, b: String, ab: String): String = {
+      var s = s0; var prev = ""
+      while (s != prev) { prev = s; s = s.replace(s" $a $b ", s" $ab ") }
+      s
+    }
+    assert(replaceAll(" a a a a a ", "a", "a", "aa").trim != "aa aa a")
   }
 }
