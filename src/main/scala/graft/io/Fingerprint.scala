@@ -7,6 +7,20 @@ import java.io.File
   * into its cache identity (IVF centroids, the persisted LSH index, BPE
   * merges): a path alone would serve stale state if the data at that
   * path is regenerated within one JVM or across runs.
+  *
+  * The key is a 128-bit MD5 digest of the full listing (names, sizes,
+  * mtimes) prefixed with the file count and total bytes — not a 32-bit
+  * `String.hashCode`, whose birthday bound (~77k keys for a 50% clash)
+  * is reachable across many datasets × retrains, and whose collision
+  * would silently serve a stale trained artifact as fresh. MD5 is used
+  * as a fast change detector, not for security.
+  *
+  * Granularity caveat: mtimes are millisecond-resolution, so a
+  * regeneration completing within the same millisecond with identical
+  * file names AND sizes is indistinguishable. Real rewrites change
+  * sizes or part-file names (Spark writers stamp task UUIDs), so this
+  * is theoretical; callers that rewrite in place at sub-ms cadence
+  * should version the path instead.
   */
 object Fingerprint {
 
@@ -22,8 +36,16 @@ object Fingerprint {
       else Seq(f)
     val root = new File(path)
     if (!root.exists()) "absent"
-    else walk(root)
-      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
-      .mkString("|").hashCode.toHexString
+    else {
+      val files = walk(root)
+      val listing = files
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString("|")
+      val stamped =
+        s"n=${files.size};bytes=${files.map(_.length()).sum};$listing"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(stamped.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
   }
 }

@@ -63,8 +63,11 @@ object Jdbc {
     */
   def writeBatchIdempotent(df: DataFrame, url: String, table: String,
                            batchCol: String, batchId: Long,
-                           batchSize: Int = 10000): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+                           batchSize: Int = 10000,
+                           options: Map[String, String] = Map.empty): Unit = {
+    // same credentials/properties as the Spark write below — a probe
+    // authenticated differently from the writer could disagree with it
+    val conn = java.sql.DriverManager.getConnection(url, props(options))
     try {
       // Existence probe by zero-row query, not getMetaData.getTables:
       // the metadata API needs the STORED identifier case (upper on
@@ -72,11 +75,19 @@ object Jdbc {
       // delete and breaks exactly-once) and treats '_' in the name as a
       // pattern wildcard. The probe query folds identifier case exactly
       // like the DELETE itself, so the two can never disagree.
+      //
+      // ONLY table-not-found states count as "first batch": a transient
+      // connection drop, auth failure, or lock timeout here must abort
+      // the batch (foreachBatch retries it), NOT silently skip the
+      // DELETE — that would duplicate the replay and break the
+      // exactly-once contract this method exists to provide.
       val exists =
         try {
           val st = conn.prepareStatement(s"SELECT 1 FROM $table WHERE 1=0")
           try { st.executeQuery().close(); true } finally st.close()
-        } catch { case _: java.sql.SQLException => false } // first batch
+        } catch {
+          case e: java.sql.SQLException if isTableMissing(e) => false
+        }
       if (exists) {
         // Spark's JDBC writer creates columns as QUOTED identifiers, so
         // the predicate must quote too (unquoted would fold case —
@@ -88,6 +99,17 @@ object Jdbc {
         finally st.close()
       }
     } finally conn.close()
-    write(df, url, table, SaveMode.Append, batchSize)
+    write(df, url, table, SaveMode.Append, batchSize, options)
   }
+
+  /** Table-not-found SQLSTATEs across the engines this sink targets:
+    * Derby 42X05 ("table/view does not exist"), Postgres 42P01
+    * ("undefined_table"), and class 42S02 (SQL-standard "base table or
+    * view not found" — MySQL/MariaDB/SQLServer). Anything else — 08xxx
+    * connection errors, 28xxx auth, 40001/40XL1 lock timeouts — is NOT
+    * "missing" and must propagate.
+    */
+  private def isTableMissing(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(s =>
+      s == "42X05" || s == "42P01" || s == "42S02")
 }

@@ -97,6 +97,16 @@ object EventStream {
     * (NoTimeout); production adds EventTimeTimeout + watermark to also
     * close sessions on wall-clock silence, at the cost of continuous
     * micro-batch scheduling.
+    *
+    * Memory contract: Spark hands the group iterator in NO guaranteed
+    * order, and gap detection needs time order — so each group's
+    * PER-BATCH slice is materialized and sorted below. Cross-batch
+    * state stays bounded (one open session per user), but one user's
+    * rows within one micro-batch must fit in executor memory; a hot key
+    * at 100 TB is handled by the trigger interval (smaller batches),
+    * not by this operator. Folding the iterator unsorted would drop the
+    * materialization but silently mis-close sessions on out-of-order
+    * delivery — correctness wins.
     */
   def sessionizeClosed(events: Dataset[Event],
                        gapMs: Long = 30L * 60 * 1000)

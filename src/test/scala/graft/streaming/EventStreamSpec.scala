@@ -213,6 +213,16 @@ class EventStreamSpec extends SparkSpec {
         .select("event_id", "batch_id").as[(Long, Long)].collect()
       assert(replayed.length == landed.size, "replay duplicated rows")
       assert(replayed.toSet == landed)
+      // only table-NOT-FOUND counts as "first batch": any other
+      // SQLException during the existence probe (here a syntax error,
+      // standing in for connection drops / lock timeouts) must
+      // propagate — swallowing it would skip the DELETE and duplicate
+      // the replayed batch
+      val bad = intercept[java.sql.SQLException] {
+        graft.io.Jdbc.writeBatchIdempotent(
+          batch0, url, "stream_events..bad", "batch_id", 0L)
+      }
+      assert(bad.getSQLState != "42X05", s"probe error treated as missing")
     } finally q.stop()
   }
 
