@@ -878,8 +878,8 @@ object DedupOps {
     * oracle.
     */
   val simhashChunks: Int = simhashMaxHamming + 1
-  private val chunkBits = 7
-  private def chunkWidth(i: Int): Int =
+  private[ext] val chunkBits = 7
+  private[ext] def chunkWidth(i: Int): Int =
     if (i == simhashChunks - 1) 64 - chunkBits * (simhashChunks - 1)
     else chunkBits
 
@@ -892,7 +892,7 @@ object DedupOps {
   /** The 9 chunk values of a signature (literal shifts/masks — fully
     * codegen'd; bit 63 is structurally zero so `>>` needs no sign care).
     */
-  private def chunkValExprs(sig: Column): Seq[Column] =
+  private[ext] def chunkValExprs(sig: Column): Seq[Column] =
     (0 until simhashChunks).map { i =>
       shiftrightunsigned(sig, chunkBits * i)
         .bitwiseAND(lit((1L << chunkWidth(i)) - 1L))

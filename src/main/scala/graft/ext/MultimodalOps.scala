@@ -100,6 +100,140 @@ object MultimodalOps {
        |  WHERE n_frames > 0)
        |SELECT doc_id, n_frames, frame_idx, frame_off, frame_md5 FROM f""".stripMargin
 
+  /** Per-payload 64-bit dHash perceptual hashes (the content-level image
+    * signal the byte-level meta above cannot give: two RE-ENCODED copies
+    * of the same image differ in every byte hash but agree in gradient
+    * structure). The hash is the native codegen'd
+    * [[graft.functions.ImageHash64]]; its grid stage is the
+    * deterministic byte-percentile fake documented there (this
+    * container's [[decodeStub]] situation) — swap a real decode+resize
+    * at that seam and everything downstream is unchanged. Empty
+    * payloads drop (NULL hash).
+    */
+  def imageHashes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .repartition(col("doc_id")) // one-split source; hashing is the cost
+      .select(col("doc_id"),
+        graft.functions.ImageHash64(col("text").cast("binary"))
+          .as("phash"))
+      .filter(col("phash").isNotNull)
+
+  /** Perceptual NEAR-duplicate image pairs at Hamming distance ≤
+    * [[DedupOps.simhashMaxHamming]] of 64 bits — the multimodal member
+    * of the near-dup family, reusing the Hamming-LSH chunk banding
+    * machinery verbatim (DedupOps.chunkValExprs: 9 chunks, pigeonhole
+    * 100% recall pre-cap, mega-bucket guard, exact Hamming verify).
+    *
+    * Shape at scale: identical to simhashNearDup minus the lang
+    * blocking (images carry no language) — one narrow (chunk, cval,
+    * doc_id) table, 9 rows per payload, self-joined on (chunk, cval);
+    * hashes attach late on bare ids so the banding shuffle carries no
+    * payload; nothing broadcast, no all-pairs join anywhere.
+    */
+  def imageNearDup(spark: SparkSession, sfDir: String,
+                   maxChunkBucket: Int = DedupOps.simhashMaxChunkBucket)
+      : DataFrame = {
+    val d = imageHashes(spark, sfDir).persist()
+    val chunked = d.select(col("doc_id"),
+        posexplode(array(DedupOps.chunkValExprs(col("phash")): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "cval")
+      .persist() // bucket-size filter + both self-join sides
+    val keptBuckets = chunked.groupBy("chunk", "cval")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxChunkBucket)
+      .select("chunk", "cval")
+    val kept = chunked.join(keptBuckets, Seq("chunk", "cval"))
+    val candidates = kept.as("x").join(kept.as("y"),
+        col("x.chunk") === col("y.chunk")
+          && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct() // same pair may collide in several chunks
+    val withSigs = candidates
+      .join(d.select(col("doc_id").as("id_a"), col("phash").as("ph_a")),
+        Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("phash").as("ph_b")),
+        Seq("id_b"))
+    Canon.materialized(
+      Canon.canonicalize(withSigs
+        .withColumn("hamming",
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+        .filter(col("hamming") <= DedupOps.simhashMaxHamming)
+        .select("id_a", "id_b", "hamming")),
+      d, chunked)
+  }
+
+  /** Full DuckDB oracle for [[imageNearDup]]: the dHash construction
+    * (hex-nibble byte reads, nearest-neighbor sample positions, the 64
+    * adjacent-comparison bits) and the whole chunk-band/cap/verify
+    * pipeline, generated from the same constants as the Spark plan —
+    * the SimHash oracle pattern applied to the binary payload.
+    */
+  val imageNearDupOracle: String = {
+    import graft.functions.ImageHash64.{cols, samples, rows => gridRows}
+    import DedupOps.{chunkBits, chunkWidth, simhashChunks,
+      simhashMaxChunkBucket, simhashMaxHamming}
+    // percentile grid: v[k] = the (⌊k·n/72⌋)-th smallest byte — an
+    // order statistic over the sorted byte list (1-based list indexing)
+    val sampleExprs = (0 until samples).map { k =>
+      s"srt[($k * n) // $samples + 1]"
+    }
+    val bitTerms = (0 until gridRows).flatMap { r =>
+      (0 until cols - 1).map { c =>
+        // v is 1-based; sample index r*cols+c
+        s"""CASE WHEN v[${r * cols + c + 2}] > v[${r * cols + c + 1}]
+           |  THEN CAST(${1L << (r * (cols - 1) + c)} AS BIGINT)
+           |  ELSE 0 END""".stripMargin
+      }
+    }
+    val maskCases = (0 until simhashChunks)
+      .map(i => s"WHEN $i THEN ${(1L << chunkWidth(i)) - 1L}")
+      .mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) > 0),
+       |sb AS (
+       |  SELECT doc_id, n,
+       |         list_sort(list_transform(range(0, n), i ->
+       |           (strpos('0123456789abcdef',
+       |              substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+       |           + strpos('0123456789abcdef',
+       |              substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1)) AS srt
+       |  FROM b),
+       |sv AS (
+       |  SELECT doc_id, [${sampleExprs.mkString(",\n    ")}] AS v
+       |  FROM sb),
+       |sigs AS (
+       |  SELECT doc_id, ${bitTerms.mkString("\n  + ")} AS sig
+       |  FROM sv),
+       |chunked AS (
+       |  SELECT doc_id, i AS chunk,
+       |         (sig >> CAST($chunkBits * i AS INT))
+       |           & (CASE i $maskCases END) AS cval
+       |  FROM sigs, UNNEST(range(0, $simhashChunks)) AS t(i)),
+       |kept AS (
+       |  SELECT chunk, cval FROM chunked
+       |  GROUP BY chunk, cval
+       |  HAVING count(*) <= $simhashMaxChunkBucket),
+       |kc AS (
+       |  SELECT c.doc_id, c.chunk, c.cval
+       |  FROM chunked c JOIN kept k
+       |    ON c.chunk = k.chunk AND c.cval = k.cval),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM kc x JOIN kc y
+       |    ON x.chunk = y.chunk AND x.cval = y.cval
+       |       AND x.doc_id < y.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM cand c JOIN sigs a ON c.id_a = a.doc_id
+       |            JOIN sigs b ON c.id_b = b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
+  }
+
   /** ??? in spirit: the decode seam. Batched per partition exactly like a
     * real codec call (one library handle per partition, vectorized loop);
     * the decode itself is a deterministic fake over the payload bytes.

@@ -7,6 +7,47 @@ import graft.SparkSpec
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("imageNearDup equals a driver-side brute force over model hashes") {
+    // independent model: recompute every payload's percentile-grid dHash
+    // from raw bytes (full sort, not the counting-sort implementation),
+    // then all-pairs Hamming — the op with the bucket cap OFF must find
+    // exactly the pairs at distance <= simhashMaxHamming (pigeonhole:
+    // <= 8 differing bits leave >= 1 of 9 chunks agreeing)
+    def model(bytes: Array[Byte]): Long = {
+      val S = graft.functions.ImageHash64.samples
+      val srt = bytes.map(_ & 0xff).sorted
+      val v = (0 until S).map(k => srt((k.toLong * srt.length / S).toInt))
+      var sig = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (v(r * 9 + c + 1) > v(r * 9 + c)) sig |= 1L << (r * 8 + c)
+      sig
+    }
+    val raw = graft.io.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.getBytes("UTF-8").nonEmpty)
+    val hashes = raw.map { case (id, t) => id -> model(t.getBytes("UTF-8")) }
+    // the native expression agrees with the model hash bit-for-bit
+    val got = MultimodalOps.imageHashes(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == hashes.toMap, "native ImageHash64 diverges from model")
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= DedupOps.simhashMaxHamming
+    } yield (a, b, d.toLong)).toSet
+    val pairs = MultimodalOps.imageNearDup(spark, sfDir,
+        maxChunkBucket = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} extra=${(pairs -- expected).take(5)}")
+    assert(pairs.nonEmpty, "fixture produced no near-dup images")
+    // plan shape: banded self-join, never a nested-loop/cartesian pairing
+    val p = MultimodalOps.imageNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "image near-dup degenerated into an all-pairs join:\n" + p.take(1500))
+  }
+
   test("decodeStub: per-partition batched decode emits typed metadata") {
     val payload1 = "hello world, a binary payload stand-in"
     val payloads = Seq((1L, payload1), (2L, "x")).toDF("doc_id", "text")

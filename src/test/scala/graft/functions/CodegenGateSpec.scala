@@ -71,7 +71,11 @@ class CodegenGateSpec extends SparkSpec {
         Seq((Seq(1L, 4L, 9L, 16L), Seq(2L, 4L, 16L, 32L)),
             (Seq.empty[Long], Seq(1L, 2L)))
           .toDF("a", "b")
-          .select(SortedIntersectCount(col("a"), col("b")).as("out"))))
+          .select(SortedIntersectCount(col("a"), col("b")).as("out"))),
+      ("ImageHash64", () =>
+        Seq("the quick brown fox", "lorem ipsum", "x", "")
+          .toDF("text")
+          .select(ImageHash64(col("text").cast("binary")).as("out"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */
