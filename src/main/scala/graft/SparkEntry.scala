@@ -86,6 +86,7 @@ object SparkEntry {
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
     "q_embed_quantize" -> ((s, dir) => VectorOps.quantizeInt8(s, dir)),
+    "q_semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(s, dir)),
     // full-probe twin: provably ≡ brute force → shares the exact oracle
     "q_ann_ivf_fullprobe" ->
       ((s, dir) => VectorOps.annIvf(s, dir, nprobe = VectorOps.ivfCentroids)),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
     "q_ann_ivf" -> VectorOps.annIvfOracle(),
     "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),
+    "q_semantic_dedup" -> VectorOps.semanticDedupOracle,
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_embed_lsh" -> VectorOps.embedLshOracle,

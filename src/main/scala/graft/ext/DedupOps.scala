@@ -353,7 +353,7 @@ object DedupOps {
     * source for every clustering-family oracle (detect and apply both
     * compose it, so the clusterings they verify can never diverge).
     */
-  private def clusterCte(pairsRel: String): String =
+  private[ext] def clusterCte(pairsRel: String): String =
     s"""edges AS (
        |  SELECT id_a, id_b FROM $pairsRel
        |  UNION ALL SELECT id_b, id_a FROM $pairsRel),

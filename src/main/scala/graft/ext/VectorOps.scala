@@ -422,6 +422,106 @@ object VectorOps {
       e)
   }
 
+  /** SEMANTIC DEDUP end-to-end — the SemDeDup shape (cluster the
+    * embedding space, prune near-identical points within each cluster;
+    * Abbas et al. 2023, public): k-means coarse clusters
+    * ([[trainedCentroids]], the same memoized index the ANN family
+    * uses), intra-cluster cosine near-dup pairs, connected components
+    * ([[DedupOps.clustersFromPairs]] — the same adaptive union-find /
+    * label-propagation step the text chain composes), and the apply:
+    * every vector survives except non-representative cluster members
+    * (representative = min vec_id = the component's cluster_id).
+    *
+    * Scale shape: pairing is INTRA-CLUSTER only — the self-join keys on
+    * the centroid assignment (salted against the C≪N block count), so
+    * no cross-cluster pair is ever scored; the quadratic work is
+    * bounded per cluster, the standard SemDeDup decomposition. The
+    * anti join carries no broadcast hint (the dedupApply lesson: loser
+    * cardinality scales with the duplicate rate).
+    *
+    * Output: surviving (vec_id, bucket). Composes the same oracle
+    * building blocks as the ANN family (k-means CTE prefix) and the
+    * text dedup family (connected-components CTE), so the semantic
+    * clustering can never drift from either.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist() // training + assignment + pair scoring
+    val cachedRows = centroidCache.computeIfAbsent(
+      s"$sfDir#$ivfCentroids#$ivfIters#" +
+        dataFingerprint(s"$sfDir/embeddings.parquet"),
+      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+    val centroids = cachedRows.toDF("cent_id", "cv")
+    val bucketed = assignNearest(e, centroids)
+      .select(col("vec_id"), col("v"), col("bucket"))
+      .persist() // both self-join sides + the survivor projection
+    val clusters = DedupOps.clustersFromPairs(spark, semanticPairs(bucketed))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    Canon.materialized(
+      Canon.canonicalize(
+        bucketed.select(col("vec_id"), col("bucket"))
+          .join(losers, Seq("vec_id"), "left_anti")),
+      e, bucketed, clusters)
+  }
+
+  /** The intra-cluster pairing stage of [[semanticDedup]], visible as
+    * its own frame so the plan contract (equi-join on the bucket
+    * assignment, salted, never cross-cluster) is spec-assertable —
+    * clustersFromPairs materializes its pair source, which hides this
+    * join from the composed query's final plan.
+    */
+  private[ext] def semanticPairs(bucketed: DataFrame): DataFrame = {
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    DedupOps.saltedBlockSelfJoin(a, b, Seq("bucket"), "id_a")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= nearDupThreshold)
+      .select("id_a", "id_b")
+  }
+
+  /** The centroid-assignment frame (vec_id, v, bucket) the semantic
+    * family shares — exposed for the spec's plan assertions.
+    */
+  private[ext] def bucketedAssignments(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cachedRows = centroidCache.computeIfAbsent(
+      s"$sfDir#$ivfCentroids#$ivfIters#" +
+        dataFingerprint(s"$sfDir/embeddings.parquet"),
+      _ => trainedCentroids(e.persist()).as[(Long, Seq[Double])]
+        .collect().toSeq)
+    assignNearest(e, cachedRows.toDF("cent_id", "cv"))
+      .select(col("vec_id"), col("v"), col("bucket"))
+  }
+
+  /** [[semanticDedup]]'s oracle: the ANN family's k-means prefix (same
+    * training rounds and assignment), intra-cluster pair scoring with
+    * the shared bit-exact cosine, the dedup family's recursive
+    * connected-components CTE, and the anti join.
+    */
+  val semanticDedupOracle: String = {
+    val prefix = ivfOraclePrefix(4).stripPrefix("WITH ")
+    s"""WITH RECURSIVE $prefix,
+       |spairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= $nearDupThreshold),
+       |${DedupOps.clusterCte("spairs")},
+       |losers AS (
+       |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |SELECT bk.vec_id, CAST(bk.cent_id AS BIGINT) AS bucket
+       |FROM bucketed bk ANTI JOIN losers l ON bk.vec_id = l.doc_id""".stripMargin
+  }
+
   /** Shortlist multiplier for [[annIvfSq8]]'s exact-rescore stage. */
   val sqRerank = 3
 

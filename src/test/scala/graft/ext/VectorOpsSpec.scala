@@ -112,6 +112,49 @@ class VectorOpsSpec extends SparkSpec {
     assert(disordered == 0)
   }
 
+  test("semanticDedup: survivors are pairwise below threshold per bucket") {
+    // end state property, recomputed independently: within any k-means
+    // bucket, no two SURVIVING vectors may still be near-duplicates —
+    // if they were, they'd share a component and one would have lost.
+    // (Cross-bucket pairs are out of scope by the SemDeDup contract.)
+    val survivors = VectorOps.semanticDedup(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(survivors.length < vecs.size,
+      "fixture pruned nothing — semantic dedup is vacuous here")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val na = a.foldLeft(0.0)((s, x) => s + x * x)
+      val nb = b.foldLeft(0.0)((s, x) => s + x * x)
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((bucket, members) <- survivors.groupBy(_._2)) {
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val c = cos(vecs(ids(i)), vecs(ids(j)))
+        assert(c < VectorOps.nearDupThreshold,
+          s"bucket $bucket survivors ${ids(i)},${ids(j)} still near-dup ($c)")
+      }
+    }
+    // plan shape of the pairing stage (checked on its own frame —
+    // clustersFromPairs materializes the pair source, hiding this join
+    // from the composed plan): an EQUI-join keyed on the bucket
+    // assignment, so no cross-cluster pair is ever scored, and no
+    // cartesian product anywhere
+    val pairs = VectorOps.semanticPairs(
+      VectorOps.bucketedAssignments(spark, sfDir))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "semantic pairing degenerated into cross-cluster work:\n" + p.take(1500))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bucket".r
+      .findFirstIn(p).isDefined,
+      "pair join is not keyed on the cluster assignment:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("IVF-SQ8: rescored cosines exact; near-total agreement with annIvf") {
     val full = VectorOps.annIvf(spark, sfDir, nprobe = 4)
       .as[(Long, Long, Long, Double)].collect()
