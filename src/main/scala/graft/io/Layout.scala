@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering for
@@ -71,5 +72,86 @@ object Layout {
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
       .drop(zCol)
+  }
+
+  /** One partition's before/after accounting from [[compactTo]]. */
+  case class CompactReport(partition: String, files_before: Long,
+                           files_after: Long, bytes_total: Long)
+
+  /** Small-file COMPACTION — the other half of layout maintenance
+    * beside [[zorderBy]]: a daily-append table (the S7 legacy pattern —
+    * every micro-batch lands a few files per DAY_DT) degrades at 100 TB
+    * into millions of KB-sized files whose open/seek overhead dominates
+    * scans and whose per-file metadata floods the driver. This op
+    * bin-packs each leaf partition's files to ⌈bytes/targetBytes⌉
+    * outputs (never more than it has — pure parquet repacking,
+    * row-multiset preserving, no ordering contract).
+    *
+    * Shape: partition DIRECTORIES are metadata (one listing, driver
+    * side — the same altitude at which Delta/Iceberg `OPTIMIZE` plans
+    * its rewrite groups); each partition needing work is rewritten by
+    * one narrow Spark job reading EXACTLY the files listed for it
+    * (`coalesce`, not `repartition` — packing needs no shuffle). A
+    * partition already at its bin count is untouched, so re-running is
+    * a no-op and the op composes with a scheduler loop.
+    *
+    * Durability: the rewrite lands in a `_graft_compact_tmp` sibling and
+    * is SUCCESS-gated (the lshIndex pattern) BEFORE originals are
+    * deleted and outputs moved in; a crash in the swap window leaves
+    * either the originals or the tmp dir intact — re-running converges.
+    * The swap itself is not atomic to concurrent readers; atomic
+    * visibility is a table-format commit's job (Delta/Iceberg), out of
+    * scope for a directory layout.
+    */
+  def compactTo(spark: SparkSession, tableDir: String,
+                targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = FileSystem.get(new java.net.URI(tableDir),
+      spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+
+    // leaf partition dirs: directories that directly hold data files;
+    // an unpartitioned table is its own single leaf
+    def leaves(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("_graft_compact_tmp"))
+      val here = if (dataFiles(dir).nonEmpty) Seq(dir) else Seq.empty
+      here ++ subdirs.flatMap(s => leaves(s.getPath))
+    }
+
+    val root = new Path(tableDir)
+    val report = leaves(root).map { part =>
+      val files = dataFiles(part)
+      val total = files.map(_.getLen).sum
+      val bins = math.max(1L,
+        (total + targetBytes - 1) / targetBytes).toInt
+      if (files.size <= bins)
+        CompactReport(part.toString, files.size.toLong, files.size.toLong,
+          total)
+      else {
+        val tmp = new Path(part, "_graft_compact_tmp")
+        fs.delete(tmp, true) // stale tmp from a crashed prior run
+        spark.read.parquet(files.map(_.getPath.toString): _*)
+          .coalesce(bins)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // SUCCESS gate: only swap after a complete write
+        require(fs.exists(new Path(tmp, "_SUCCESS")),
+          s"compaction write of $part did not complete")
+        files.foreach(f => fs.delete(f.getPath, false))
+        val moved = dataFiles(tmp)
+        moved.foreach(f =>
+          fs.rename(f.getPath, new Path(part, f.getPath.getName)))
+        fs.delete(tmp, true)
+        CompactReport(part.toString, files.size.toLong, moved.size.toLong,
+          total)
+      }
+    }
+    report.toDF()
   }
 }
