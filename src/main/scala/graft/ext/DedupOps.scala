@@ -715,12 +715,13 @@ object DedupOps {
        |FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
   }
 
-  /** Root for persisted LSH indexes (under target/, like the bucketed
-    * fact layouts). The tag folds in a file-listing fingerprint of the
+  /** Root for persisted LSH indexes (under [[graft.io.Artifacts.root]]
+    * — `target/` in the harness, env/sysprop-overridable for
+    * deployment). The tag folds in a file-listing fingerprint of the
     * source so regenerated data can never be served a stale index
     * (the same staleness contract as the IVF centroid cache).
     */
-  private val lshIndexRoot = "target/lsh_index"
+  private def lshIndexRoot = s"${graft.io.Artifacts.root}/lsh_index"
 
   private def lshIndexDir(sfDir: String): String = {
     val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
@@ -766,6 +767,16 @@ object DedupOps {
       (spark.read.parquet(bandsPath), spark.read.parquet(shPath))
     }
 
+  /** The batch-side slice of the fixture (the documents NOT in the
+    * persisted corpus index) — what [[minhashLshIndexed]] probes with,
+    * and what the streaming spec feeds through a MemoryStream to prove
+    * stream ≡ batch.
+    */
+  def incrementalBatchDocs(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .filter(sideBucket(col("doc_id")) >= incrementalCorpusPermille)
+      .select("doc_id", "text")
+
   /** [[minhashLshIncremental]] against the PERSISTED index: the batch
     * slice is banded in-query, candidates come from probing the stored
     * band table, and the corpus side of the verify reads the stored
@@ -774,13 +785,23 @@ object DedupOps {
     * (batch + corpus) bucket population — so it shares its oracle;
     * bit-equality with the recomputed path is additionally spec-pinned.
     */
-  def minhashLshIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLshIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    probeLshIndex(spark, sfDir, incrementalBatchDocs(spark, sfDir))
+
+  /** Probe the persisted index with an ARBITRARY batch of documents
+    * (doc_id, text) — the online half of ingest-time NEAR-dup, factored
+    * out of [[minhashLshIndexed]] so a stream's foreachBatch can call it
+    * per micro-batch ([[graft.streaming.EventStream.lshProbeToParquet]]).
+    * Per-probe cost is batch banding + two joins against the stored
+    * band/shingle tables; the corpus is never re-derived.
+    */
+  def probeLshIndex(spark: SparkSession, sfDir: String,
+                    batchDocs: DataFrame): DataFrame = {
     val (idxBands, idxSh) = lshIndex(spark, sfDir)
-    val batchDocs = documents(spark, sfDir)
+    val withNorm = batchDocs.select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
-      .filter(sideBucket(col("doc_id")) >= incrementalCorpusPermille)
-    val batch = shingleSets(batchDocs).persist()
+    val batch = shingleSets(withNorm).persist()
     val batchBands = batch.select(col("doc_id"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"),
         graft.functions.MinHashSignature(col("sh")).as("sig"))

@@ -225,6 +225,34 @@ object EventStream {
       }
       .start()
 
+  /** Ingest-time NEAR-dup: a document stream (doc_id, text) probed
+    * against the PERSISTED corpus LSH index per micro-batch — closing
+    * the gap between [[dedupDocs]] (streaming EXACT dedup, bounded by
+    * the watermark) and the batch-only index probe. Each micro-batch
+    * runs [[graft.ext.DedupOps.probeLshIndex]] (batch banding + probe
+    * joins against the stored band/shingle tables; the corpus is never
+    * re-derived) and lands its pairs in a batch-id-keyed partition
+    * directory with overwrite mode: foreachBatch is at-least-once, and
+    * since checkpointed batch ids are stable across restarts, a replay
+    * rewrites the same directory instead of duplicating it — the file-
+    * sink counterpart of the idempotent JDBC writer's delete-then-
+    * append. Stream ≡ batch pair-set equality across a stop/restart is
+    * spec-asserted in EventStreamSpec.
+    */
+  def lshProbeToParquet(docs: DataFrame, sfDir: String, outDir: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // probe_batch=, not batch_id= — the pair schema's batch_id is
+        // the probing DOCUMENT's id; the partition dir must not shadow it
+        graft.ext.DedupOps.probeLshIndex(batch.sparkSession, sfDir, batch)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/probe_batch=$batchId")
+      }
+      .start()
+
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
     * nanos→timestamp conversion as the batch reader so the two pipelines

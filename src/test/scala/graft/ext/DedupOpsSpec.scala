@@ -199,6 +199,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(stamps() == before, "index was rebuilt on a repeat probe")
   }
 
+  test("artifact root override relocates the persisted index, same result") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_artifacts").toString
+    val baseline = DedupOps.minhashLshIndexed(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    System.setProperty("graft.artifact.root", tmp)
+    try {
+      val overridden = DedupOps.minhashLshIndexed(spark, sfDir)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(overridden == baseline)
+      val idx = new java.io.File(s"$tmp/lsh_index")
+      assert(idx.isDirectory && idx.listFiles().nonEmpty,
+        "index was not built under the overridden root")
+      // reuse contract holds at the new location too
+      def stamps(): Seq[Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(idx).filter(_.getName == "_SUCCESS")
+          .map(_.lastModified()).sorted
+      }
+      val before = stamps()
+      assert(before.nonEmpty)
+      DedupOps.minhashLshIndexed(spark, sfDir).collect()
+      assert(stamps() == before, "override root index rebuilt on reuse")
+    } finally System.clearProperty("graft.artifact.root")
+  }
+
   test("dupSpans matches a driver-side brute-force span count exactly") {
     val w = DedupOps.spanTokens
     val docs = TextOps.documents(spark, sfDir)

@@ -226,6 +226,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed LSH-index probe equals the batch probe across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsh_stream").toString
+    val (out, ck) = (s"$base/out", s"$base/ck")
+    // the same docs minhashLshIndexed probes, split across two
+    // micro-batches with a full stop/restart between them — the ingest
+    // crash-recovery path
+    val slice = graft.ext.DedupOps.incrementalBatchDocs(spark, sfDir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (first, second) = slice.splitAt(slice.length / 2)
+
+    val input1 = MemoryStream[(Long, String)]
+    val q1 = EventStream.lshProbeToParquet(
+      input1.toDF().toDF("doc_id", "text"), sfDir, out, ck)
+    try {
+      input1.addData(first.toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData(first.toSeq) // offsets before the checkpoint re-add
+    val q2 = EventStream.lshProbeToParquet(
+      input2.toDF().toDF("doc_id", "text"), sfDir, out, ck)
+    try {
+      input2.addData(second.toSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ext.DedupOps.minhashLshIndexed(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "stream probed no pairs — vacuous fixture")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("file sink + checkpoint: restart resumes and output is exactly-once") {
     import spark.implicits._
     val base = java.nio.file.Files
