@@ -56,6 +56,11 @@ object EventStream {
     * silence would add EventTimeTimeout plus a watermark — a timeout
     * registration makes the engine schedule batches continuously, which is
     * also why the test harness avoids it.
+    *
+    * Same memory contract as [[sessionizeClosed]]: the group's per-batch
+    * slice is materialized and time-sorted (delivery order is not
+    * guaranteed); one user's rows within one micro-batch must fit in
+    * executor memory — bound a hot key via the trigger interval.
     */
   def sessionize(events: Dataset[Event],
                  gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
