@@ -568,4 +568,179 @@ object TextOps {
        |            AS BIGINT) AS token_id,
        |       token, freq
        |FROM c WHERE freq >= $vocabMinFreq""".stripMargin
+
+  // ---- inverted index ------------------------------------------------
+
+  /** Posting-list head length. The full posting list of a stopword is
+    * corpus-sized; an index row must stay bounded, so the materialized
+    * list is capped (real engines page the tail from the same sorted
+    * stream — the cap is where that seam sits).
+    */
+  val postingsHead = 20
+
+  /** Inverted index over the corpus: per token, document frequency,
+    * collection frequency, and the head of the doc_id-sorted posting
+    * list.
+    *
+    * Scale shape: df/cf are keyed aggregations with map-side combine.
+    * The posting head is capped BEFORE any list materializes — the
+    * TopKPerKey heap keeps ≤ `postingsHead`+1 rows per token in the
+    * partition, so no aggregation buffer ever holds a stopword's full
+    * posting list (the unbounded collect_list trap). The head is
+    * emitted as a comma-joined string: representation-stable across
+    * engines (Canon boundary types only).
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokStream = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(CurationOps.toksCol).as("token"))
+    val cf = tokStream.groupBy("token").agg(count(lit(1)).as("cf"))
+    val pairs = tokStream.select("token", "doc_id").distinct()
+    val docFreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val head = graft.plans.TopK.perKey(pairs, Seq("token"),
+        Seq("doc_id" -> graft.plans.TopK.Asc), postingsHead)
+      .groupBy("token")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string"))).as("postings_head"))
+    Canon.canonicalize(
+      docFreq.join(cf, Seq("token")).join(head, Seq("token"))
+        .select("token", "df", "cf", "postings_head"))
+  }
+
+  val invertedIndexOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, tt.token
+       |  FROM documents, unnest(${CurationOps.toksSql}) AS tt(token)),
+       |tok_cf AS (SELECT token, count(*) AS cf FROM t GROUP BY 1),
+       |p AS (SELECT DISTINCT token, doc_id FROM t),
+       |tok_df AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+       |rn AS (
+       |  SELECT token, doc_id,
+       |         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       |  FROM p),
+       |head AS (
+       |  SELECT token,
+       |         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |           AS postings_head
+       |  FROM rn WHERE rn <= $postingsHead GROUP BY 1)
+       |SELECT token, df, cf, postings_head
+       |FROM tok_df JOIN tok_cf USING (token) JOIN head USING (token)"""
+      .stripMargin
+
+  // ---- BM25 retrieval ------------------------------------------------
+
+  /** Okapi BM25 constants. `bm25IdfSurrogate`: idf is the RATIONAL
+    * surrogate (N − df + 0.5)/(df + 0.5) without the ln() — same
+    * monotone-transform trade as [[tfIdf]] (libm ln is not
+    * bit-reproducible across engines); per-term ranking order is
+    * unchanged, and the two-term sum uses FIXED slot order so the
+    * double addition is deterministic too.
+    */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25TopK = 10
+  private val bm25K1p1 = "2.2"   // k1 + 1, spelled as the same literal
+  private val bm25OneMinusB = "0.25" // 1 − b, same literal both engines
+
+  /** BM25 top-k retrieval, one query per lang: the query is that lang's
+    * two highest-document-frequency tokens (slot 1, slot 2 — a
+    * deterministic, corpus-derived query set), scored against the
+    * lang's documents with per-lang N/avgdl — the per-shard index shape
+    * of a distributed search engine.
+    *
+    * Scale shape: tf/dl/df are keyed aggregations over the token
+    * stream; query terms and per-lang stats are tiny frames BROADCAST
+    * against the corpus-sized tf table (two joins, no corpus shuffle
+    * beyond the tf aggregation); the final rank is the TopKPerKey heap,
+    * never a global sort. Slot scores land in fixed columns (s1, s2)
+    * and add in slot order, so the score is bit-deterministic.
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(CurationOps.toksCol).as("token"))
+    val tf = toks.groupBy("lang", "doc_id", "token")
+      .agg(count(lit(1)).as("tf")).persist()
+    val dl = tf.groupBy("lang", "doc_id")
+      .agg(sum("tf").as("dl")).persist()
+    val stats = dl.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val docFreq = tf.groupBy("lang", "token").agg(count(lit(1)).as("df"))
+    val terms = graft.plans.TopK.perKey(docFreq, Seq("lang"),
+      Seq("df" -> graft.plans.TopK.Desc, "token" -> graft.plans.TopK.Asc),
+      2, rankCol = Some("slot"))
+    val idf = (col("n").cast("double") - col("df").cast("double")
+      + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val sat = (col("tf").cast("double") * lit(bm25K1p1.toDouble)) /
+      (col("tf").cast("double") + lit(bm25K1) *
+        (lit(bm25OneMinusB.toDouble) +
+          lit(bm25B) * col("dl").cast("double") / col("avgdl")))
+    val contrib = tf
+      .join(broadcast(terms.select("lang", "token", "slot", "df")),
+        Seq("lang", "token"))
+      .join(dl, Seq("lang", "doc_id"))
+      .join(broadcast(stats), Seq("lang"))
+      .withColumn("s", idf * sat)
+    val perDoc = contrib.groupBy("lang", "doc_id").agg(
+      sum(when(col("slot") === 1, col("s"))).as("s1"),
+      sum(when(col("slot") === 2, col("s"))).as("s2"))
+      .withColumn("score",
+        coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)))
+    val top = graft.plans.TopK.perKey(
+      perDoc.select("lang", "doc_id", "score"), Seq("lang"),
+      Seq("score" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc),
+      bm25TopK, rankCol = Some("rank"))
+    Canon.materialized(
+      Canon.canonicalize(top.select("lang", "rank", "doc_id", "score")),
+      tf, dl)
+  }
+
+  val bm25Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, tt.token
+       |  FROM documents, unnest(${CurationOps.toksSql}) AS tt(token)),
+       |tf AS (
+       |  SELECT lang, doc_id, token, count(*) AS tf FROM t GROUP BY 1,2,3),
+       |dl AS (
+       |  SELECT lang, doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1,2),
+       |stats AS (
+       |  SELECT lang, count(*) AS n,
+       |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dl GROUP BY 1),
+       |tok_df AS (
+       |  SELECT lang, token, count(*) AS df FROM tf GROUP BY 1,2),
+       |ranked_terms AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY df DESC, token ASC) AS slot
+       |  FROM tok_df),
+       |terms AS (SELECT * FROM ranked_terms WHERE slot <= 2),
+       |contrib AS (
+       |  SELECT tf.lang, tf.doc_id, terms.slot,
+       |    ((CAST(stats.n AS DOUBLE) - CAST(terms.df AS DOUBLE) + 0.5)
+       |      / (CAST(terms.df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf.tf AS DOUBLE) * $bm25K1p1)
+       |      / (CAST(tf.tf AS DOUBLE) + $bm25K1 *
+       |         ($bm25OneMinusB + $bm25B * CAST(dl.dl AS DOUBLE)
+       |          / stats.avgdl))) AS s
+       |  FROM tf
+       |  JOIN terms ON tf.lang = terms.lang AND tf.token = terms.token
+       |  JOIN dl ON tf.lang = dl.lang AND tf.doc_id = dl.doc_id
+       |  JOIN stats ON tf.lang = stats.lang),
+       |perdoc AS (
+       |  SELECT lang, doc_id,
+       |    coalesce(sum(CASE WHEN slot = 1 THEN s END), 0.0)
+       |      + coalesce(sum(CASE WHEN slot = 2 THEN s END), 0.0) AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM perdoc)
+       |SELECT lang, rank, doc_id, score FROM ranked
+       |WHERE rank <= $bm25TopK""".stripMargin
 }

@@ -70,6 +70,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 ranks on the heap; query terms and stats broadcast") {
+    // the corpus-sized tf table must meet the tiny term/stat frames via
+    // broadcast joins, and both rank steps (term selection, final top-k)
+    // must be the heap operator — a window/sort here would globally sort
+    // per-lang score streams
+    val p = ext.TextOps.bm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "bm25 lost the heap operator")
+    assert(!p.contains("Window"), "bm25 ranks via window:\n" +
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "bm25's term/stat joins are not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "bm25 shuffles the corpus for a tiny-side join:\n" +
+        p.linesIterator.filter(_.contains("SortMergeJoin")).mkString("\n"))
+  }
+
+  test("invertedIndex caps the posting head before any list materializes") {
+    val p = ext.TextOps.invertedIndex(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"),
+      "invertedIndex lost the bounding heap — collect_list is unbounded")
+  }
+
   test("annIvf final rank is the heap operator, not a window over cos") {
     // the two centroid-assignment windows (argmax over 16 rows) remain by
     // design; the FINAL per-probe rank over the searched candidates must

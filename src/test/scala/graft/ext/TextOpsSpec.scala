@@ -106,4 +106,72 @@ class TextOpsSpec extends SparkSpec {
       .flatMap(_.split(" ").filter(_.nonEmpty)).count(_ == probe._2)
     assert(counted == probe._3)
   }
+
+  /** Driver-side tokenization identical to normText + split for the
+    * brute-force cross-checks below.
+    */
+  private def fixtureToks(): Array[(Long, String, Array[String])] =
+    TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.normText(col("text")).as("n"))
+      .as[(Long, String, String)].collect()
+      .map { case (id, lang, n) =>
+        (id, lang, n.split(" ").filter(_.nonEmpty))
+      }
+
+  test("invertedIndex: df/cf/postings head equal a brute-force recount") {
+    val docs = fixtureToks()
+    val byTok = docs.flatMap { case (id, _, ts) => ts.map(t => (t, id)) }
+    val exp = byTok.groupBy(_._1).map { case (tok, hits) =>
+      val ids = hits.map(_._2)
+      (tok, (ids.distinct.length.toLong, ids.length.toLong,
+        ids.distinct.sorted.take(TextOps.postingsHead).mkString(",")))
+    }
+    val got = TextOps.invertedIndex(spark, sfDir)
+      .as[(String, Long, Long, String)].collect()
+      .map { case (t, df, cf, h) => (t, (df, cf, h)) }.toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (tok, e) =>
+      assert(got(tok) == e, s"inverted index row differs for '$tok'")
+    }
+  }
+
+  test("bm25: top-k per lang equals a brute-force scorer") {
+    val docs = fixtureToks()
+    val expAll = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      val tf = ds.map { case (id, _, ts) =>
+        id -> ts.groupBy(identity).map { case (t, o) => t -> o.length }
+      }.toMap
+      val dl = tf.map { case (id, m) => id -> m.values.sum.toLong }
+      val n = dl.size.toLong
+      val avgdl = dl.values.sum.toDouble / n.toDouble
+      val dfTok = tf.values.flatMap(_.keys).groupBy(identity)
+        .map { case (t, o) => t -> o.size.toLong }
+      val terms = dfTok.toSeq.sortBy { case (t, d) => (-d, t) }.take(2)
+      val scored = tf.keys.toSeq.flatMap { id =>
+        val s = terms.map { case (t, d) =>
+          tf(id).get(t).fold(0.0) { f =>
+            ((n.toDouble - d.toDouble + 0.5) / (d.toDouble + 0.5)) *
+              ((f.toDouble * 2.2) /
+                (f.toDouble + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)))
+          }
+        }.sum
+        if (terms.exists { case (t, _) => tf(id).contains(t) })
+          Some((id, s)) else None
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(TextOps.bm25TopK)
+        .zipWithIndex.map { case ((id, s), i) =>
+          (lang, i + 1L, id) -> s
+        }
+    }
+    val got = TextOps.bm25(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (l, r, id, s) => (l, r, id) -> s }.toMap
+    assert(got.keySet == expAll.keySet,
+      s"bm25 ranked sets differ: ${got.keySet -- expAll.keySet} / " +
+        s"${expAll.keySet -- got.keySet}")
+    expAll.foreach { case (k, s) =>
+      assert(math.abs(got(k) - s) < 1e-9, s"score differs at $k")
+    }
+  }
 }
