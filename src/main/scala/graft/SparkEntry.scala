@@ -43,6 +43,7 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
     "q_repetition" -> ((s, dir) => CurationOps.repetition(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
+    "q_contamination" -> ((s, dir) => CurationOps.contaminationScore(s, dir)),
     // Bloom pre-filtered twin: identical rows, broadcast-scale-safe path
     "q_decontaminate_bloom" ->
       ((s, dir) => CurationOps.decontaminateBloom(s, dir)),
@@ -152,6 +153,7 @@ object SparkEntry {
     "q_doc_chunks" -> TextOps.docChunksOracle,
     "q_repetition" -> CurationOps.repetitionOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
+    "q_contamination" -> CurationOps.contaminationScoreOracle,
     // exact-verified Bloom variant is row-identical → shares the oracle
     "q_decontaminate_bloom" -> CurationOps.decontaminateOracle,
     "q_pack_sequences" -> CurationOps.packSequencesOracle,

@@ -231,6 +231,77 @@ object CurationOps {
        |WHERE doc_id % $decontBenchMod <> 0""".stripMargin
   }
 
+  /** Contamination-ratio flag threshold: a training document whose
+    * benchmark-gram overlap exceeds this fraction of its own distinct
+    * grams is flagged. The binary [[decontaminate]] flag is the
+    * conservative gate (any shared gram); the RATIO is what published
+    * decontamination passes threshold on when exact-match removal is
+    * too aggressive (boilerplate grams shared with benchmark prompts).
+    */
+  val contamRatioMax = 0.1
+
+  /** Graduated contamination score per training document: the fraction
+    * of its distinct `decontGramTokens`-token grams that appear
+    * anywhere in the benchmark slice, plus the threshold flag.
+    *
+    * Same scale shape as [[decontaminate]] — benchmark gram set
+    * broadcast, training side map-side probed, one doc_id-keyed
+    * rollup; the ratio adds only per-row arithmetic (two exact
+    * integer counts divided once, bit-deterministic).
+    */
+  def contaminationScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val gramRows = docGramRows(spark, sfDir)
+    val bench = gramRows.filter(isBench).select("gh").distinct()
+      .withColumn("hit", lit(1L))
+    val scored = gramRows.filter(!isBench)
+      .join(broadcast(bench), Seq("gh"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("g"),
+        sum(coalesce(col("hit"), lit(0L))).as("sh"))
+    val out = documents(spark, sfDir).select("doc_id").filter(!isBench)
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("g"), lit(0L)).as("n_grams"),
+        coalesce(col("sh"), lit(0L)).as("n_shared_grams"),
+        when(coalesce(col("g"), lit(0L)) > 0,
+          coalesce(col("sh"), lit(0L)).cast("double") /
+            coalesce(col("g"), lit(0L)).cast("double"))
+          .otherwise(lit(0.0)).as("contamination"))
+      .withColumn("flagged", col("contamination") > contamRatioMax)
+    Canon.canonicalize(out)
+  }
+
+  val contaminationScoreOracle: String = {
+    val g = decontGramTokens
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(list_slice(toks, i, i + ${g - 1}), ' ')) AS gh
+       |  FROM d, unnest(range(1, len(toks) - ${g - 2})) AS r(i)),
+       |bench AS (
+       |  SELECT DISTINCT gh FROM g WHERE doc_id % $decontBenchMod = 0),
+       |h AS (
+       |  SELECT t.doc_id, count(*) AS g,
+       |         count(bench.gh) AS sh
+       |  FROM (SELECT * FROM g WHERE doc_id % $decontBenchMod <> 0) t
+       |  LEFT JOIN bench ON t.gh = bench.gh
+       |  GROUP BY 1)
+       |SELECT documents.doc_id,
+       |  CAST(coalesce(g, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(sh, 0) AS BIGINT) AS n_shared_grams,
+       |  CASE WHEN coalesce(g, 0) > 0
+       |       THEN CAST(coalesce(sh, 0) AS DOUBLE)
+       |            / CAST(coalesce(g, 0) AS DOUBLE)
+       |       ELSE 0.0 END AS contamination,
+       |  (CASE WHEN coalesce(g, 0) > 0
+       |        THEN CAST(coalesce(sh, 0) AS DOUBLE)
+       |             / CAST(coalesce(g, 0) AS DOUBLE)
+       |        ELSE 0.0 END) > $contamRatioMax AS flagged
+       |FROM documents LEFT JOIN h USING (doc_id)
+       |WHERE doc_id % $decontBenchMod <> 0""".stripMargin
+  }
+
   /** False-positive probability of the decontamination Bloom pre-filter:
     * ~10.5 bits/element at 1%, vs the 128-bit md5 keys the exact
     * broadcast set carries — a 12× smaller executor-resident structure.

@@ -132,4 +132,23 @@ class CurationOpsSpec extends SparkSpec {
     // the fixture must actually exercise both branches of `contaminated`
     assert(exact.exists(_._3) && exact.exists(!_._3))
   }
+
+  test("contaminationScore agrees with decontaminate and its own ratio") {
+    val exact = CurationOps.decontaminate(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, sh, c) => id -> (sh, c) }.toMap
+    val scored = CurationOps.contaminationScore(spark, sfDir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(scored.map(_._1).toSet == exact.keySet) // same training slice
+    scored.foreach { case (id, g, sh, ratio, flagged) =>
+      assert(sh == exact(id)._1, s"shared-gram count differs at doc $id")
+      assert(sh <= g, s"shared > total at doc $id")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      val expRatio = if (g > 0) sh.toDouble / g.toDouble else 0.0
+      assert(ratio == expRatio, s"ratio mismatch at doc $id")
+      assert(flagged == (ratio > CurationOps.contamRatioMax))
+    }
+    // the threshold must split the fixture (both flag branches exercised)
+    assert(scored.exists(_._5) && scored.exists(!_._5))
+  }
 }
