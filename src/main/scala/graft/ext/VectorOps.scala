@@ -712,4 +712,39 @@ object VectorOps {
       |         * (p[1] - p[2] * scale / 127.0))),
       |    (a, x) -> a + x) / CAST(len(v) AS DOUBLE) AS dq_mse
       |FROM q""".stripMargin
+
+  // ---- random-projection dimensionality reduction --------------------
+
+  /** JL random projection of every embedding to
+    * [[graft.functions.RandomProject.defaultOutDim]] dimensions,
+    * emitted long-form (vec_id, j, y) for the representation-stable
+    * oracle compare. One codegen'd projection per row, zero shuffles —
+    * at 100 TB this pipelines inside the scan stage, and downstream
+    * similarity work runs on vectors 8× smaller. Hyperplanes are the
+    * shared twin-family arithmetic, so the projection needs no stored
+    * matrix and the op carries a full DuckDB oracle; for j < 64 the
+    * sign of y_j is bit j of [[embedLsh]]'s sketch (spec-pinned).
+    */
+  def embedProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    Canon.canonicalize(e.select(col("vec_id"),
+      posexplode(graft.functions.RandomProject(col("v")))
+        .as(Seq("j", "y"))))
+  }
+
+  val embedProjectOracle: String = {
+    import graft.functions.{HyperplaneBuckets => HB, RandomProject => RP}
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT vec_id, j,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(0, len(v)), i ->
+       |      v[CAST(i AS INT) + 1] *
+       |      (CAST((${HB.A} * (j * len(v) + i + 1) + ${HB.B})
+       |            % ${HB.P} AS DOUBLE) / ${HB.P} - 0.5))),
+       |    (acc, x) -> acc + x) AS y
+       |FROM e, UNNEST(range(0, ${RP.defaultOutDim})) AS t(j)""".stripMargin
+  }
 }

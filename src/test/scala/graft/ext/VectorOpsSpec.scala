@@ -180,4 +180,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(overlap.forall(_ >= 0.8),
       s"per-probe sq8/full overlap fell below 0.8: ${overlap.toSeq.sorted.take(3)}")
   }
+
+  test("embedProject: signs match the LSH sketch; energy is preserved") {
+    import graft.functions.{HyperplaneBuckets, RandomProject}
+    val e = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val rows = e.select(col("vec_id"),
+        RandomProject(col("v")).as("y"),
+        HyperplaneBuckets(col("v")).as("bk"),
+        aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (a, x) => a + x).as("vn"))
+      .as[(Long, Seq[Double], Seq[Int], Double)].collect()
+    assert(rows.nonEmpty)
+    // same hyperplane family ⇒ sign of y_j IS bit j of the sign-LSH
+    // sketch (j < 64; outDim = 16 here) — pins the two expressions to
+    // one arithmetic so neither can drift alone
+    rows.foreach { case (id, y, bk, _) =>
+      y.zipWithIndex.foreach { case (yj, j) =>
+        val bit = (bk(j / HyperplaneBuckets.bitsPerBand)
+          >> (j % HyperplaneBuckets.bitsPerBand)) & 1
+        assert((yj >= 0.0) == (bit == 1),
+          s"vec $id dim $j: projection sign disagrees with sketch bit")
+      }
+    }
+    // JL energy statement: components are uniform[−0.5, 0.5) with
+    // variance 1/12, so E‖y‖² = outDim·‖v‖²/12 — the corpus-mean ratio
+    // must sit near 1 (loose band: 16 dims is a noisy estimator)
+    val ratio = rows.map { case (_, y, _, vn) =>
+      y.map(x => x * x).sum * 12.0 /
+        (RandomProject.defaultOutDim * vn)
+    }
+    val mean = ratio.sum / ratio.length
+    assert(mean > 0.5 && mean < 1.5,
+      s"projection energy ratio drifted from 1: $mean")
+  }
 }

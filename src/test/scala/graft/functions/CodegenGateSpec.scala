@@ -75,7 +75,11 @@ class CodegenGateSpec extends SparkSpec {
       ("ImageHash64", () =>
         Seq("the quick brown fox", "lorem ipsum", "x", "")
           .toDF("text")
-          .select(ImageHash64(col("text").cast("binary")).as("out"))))
+          .select(ImageHash64(col("text").cast("binary")).as("out"))),
+      ("RandomProject", () =>
+        Seq(Seq(0.25, -0.5, 0.75, 1.0), Seq(-1.0, 0.0, 0.5, -0.25))
+          .toDF("v")
+          .select(RandomProject(col("v")).as("out"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */
