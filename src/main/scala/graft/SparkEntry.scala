@@ -54,6 +54,7 @@ object SparkEntry {
     "q_sample_k_per_lang" -> ((s, dir) => SampleOps.sampleKPerStratum(s, dir)),
     // deterministic per-source epoch weighting (data-mixing upsampler)
     "q_mixture_repeat" -> ((s, dir) => SampleOps.mixtureRepeat(s, dir)),
+    "q_shard_assign" -> ((s, dir) => SampleOps.shardAssign(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     // MG-candidate + exact-verify heavy hitters ≡ topTokens when the
@@ -164,6 +165,7 @@ object SparkEntry {
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
     "q_mixture_repeat" -> SampleOps.mixtureRepeatOracle,
+    "q_shard_assign" -> SampleOps.shardAssignOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,

@@ -185,4 +185,68 @@ object SampleOps {
        |FROM c, unnest(range(1, n_copies + 1)) AS e(epoch)
        |WHERE n_copies > 0""".stripMargin
   }
+
+  // ---- deterministic global shuffle → training shards ----------------
+
+  /** Shard count for the training-order writer. THE scale lever: pick
+    * `corpus_bytes / target_shard_bytes` shards (millions at 100 TB),
+    * and every per-shard structure below stays bounded by the target
+    * shard size — same argument as `CurationOps.packShards`. 8 on the
+    * fixture.
+    */
+  val shardCount = 8
+
+  /** Epoch multiplier folding the epoch into the permutation key — a
+    * prime far from P's factors so consecutive epochs decorrelate.
+    */
+  val shardEpochMul = 1000003L
+
+  /** Permutation key: two affine rounds over (doc_id, epoch). All
+    * intermediates fit in a signed 64-bit integer (doc_id·mul reduced
+    * mod P BEFORE the A· multiply), so DuckDB's BIGINT arithmetic
+    * reproduces it bit-exactly.
+    */
+  private def permKey(epoch: Int): Column =
+    (lit(A) * ((col("doc_id") * shardEpochMul + epoch + 1) % P)
+      + lit(B)) % P
+
+  private def permKeySql(epoch: Int): String =
+    s"(($A * ((doc_id * $shardEpochMul + ${epoch + 1}) % $P) + $B) % $P)"
+
+  /** Deterministic global shuffle into training shards: every document
+    * gets a pseudo-random permutation key (a pure function of
+    * (doc_id, epoch) — reproducible under any partitioning, new
+    * permutation each epoch), a shard = key mod [[shardCount]], and its
+    * POSITION within the shard in key order — exactly the (shard, pos)
+    * a training run consumes, without an RNG anywhere.
+    *
+    * Scale shape: one hash exchange on shard_id plus a per-shard
+    * window — and the window partition is bounded by the target shard
+    * size because [[shardCount]] scales with the corpus (the writer
+    * form is `repartition(shard)` + `sortWithinPartitions(key)`, the
+    * same plan). Ties cannot exist within a shard (affine map mod P is
+    * injective on doc_id·mul+e+1 below P; doc_id breaks the residue),
+    * but doc_id stays in the order as belt and braces.
+    */
+  def shardAssign(spark: SparkSession, sfDir: String,
+                  epoch: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), permKey(epoch).as("k"))
+      .withColumn("shard_id", col("k") % shardCount)
+    Canon.canonicalize(d
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard_id").orderBy("k", "doc_id")))
+      .select("doc_id", "shard_id", "pos"))
+  }
+
+  val shardAssignOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, ${permKeySql(0)} AS k,
+       |         ${permKeySql(0)} % $shardCount AS shard_id
+       |  FROM documents)
+       |SELECT doc_id, shard_id,
+       |       CAST(row_number() OVER (PARTITION BY shard_id
+       |            ORDER BY k, doc_id) AS BIGINT) AS pos
+       |FROM k""".stripMargin
 }

@@ -86,4 +86,35 @@ class SampleOpsSpec extends SparkSpec {
       assert(avg > 2.0 && avg < 2.6, s"src0 avg multiplicity $avg")
     }
   }
+
+  test("shardAssign: dense per-shard positions, balanced, epoch-varying") {
+    val e0 = SampleOps.shardAssign(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val n = e0.length
+    assert(n > 0)
+    // every doc exactly once; positions dense 1..|shard| in every shard
+    assert(e0.map(_._1).distinct.length == n)
+    e0.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong),
+        s"shard $s positions not dense")
+    }
+    // roughly uniform occupancy (affine map mod small shard count)
+    val sizes = e0.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == SampleOps.shardCount)
+    val expectedPer = n.toDouble / SampleOps.shardCount
+    sizes.foreach { case (s, c) =>
+      assert(c > expectedPer * 0.5 && c < expectedPer * 1.5,
+        s"shard $s skewed: $c vs ~$expectedPer")
+    }
+    // reproducible; and epoch 1 is a genuinely different permutation
+    val e0again = SampleOps.shardAssign(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(e0.sortBy(_._1).toSeq == e0again.sortBy(_._1).toSeq)
+    val e1 = SampleOps.shardAssign(spark, sfDir, epoch = 1)
+      .as[(Long, Long, Long)].collect()
+    val moved = e0.sortBy(_._1).zip(e1.sortBy(_._1))
+      .count { case ((_, s0, p0), (_, s1, p1)) => s0 != s1 || p0 != p1 }
+    assert(moved > n / 2,
+      s"epoch 1 permutation barely differs from epoch 0: $moved/$n moved")
+  }
 }
