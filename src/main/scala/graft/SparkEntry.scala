@@ -130,6 +130,7 @@ object SparkEntry {
     "q_cube_docs" -> ((s, dir) => MicroQueries.cubeDocs(s, dir)),
     // Z-order clustering key (two-dimensional scan-pruning layout)
     "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
+    "q_scd2_merge" -> ((s, dir) => MicroQueries.scd2Merge(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
   )
 
@@ -217,6 +218,7 @@ object SparkEntry {
     "q_rollup_docs" -> MicroQueries.rollupDocsOracle,
     "q_cube_docs" -> MicroQueries.cubeDocsOracle,
     "q_zorder_key" -> MicroQueries.zorderKeyOracle,
+    "q_scd2_merge" -> MicroQueries.scd2MergeOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     // Every query carries an oracle — including the approximate family
     // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd

@@ -331,4 +331,74 @@ object MicroQueries {
        |    AS zval
        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin
   }
+
+  /** SCD2 snapshot-merge exercise of [[graft.ops.Scd2]] on the customer
+    * fixture. The "yesterday" dimension and "today" snapshot are both
+    * deterministic functions of the fixture, arranged to hit every merge
+    * branch at once:
+    *  - keys ≡ 0 (mod 13) are missing from the dim → inserted-new;
+    *  - keys ≡ 0 (mod 7) get c_acctbal + 100 in the snapshot → close+open;
+    *  - keys ≡ 0 (mod 11) get a changed segment → close+open (overlap
+    *    with mod 7 exercises multi-attribute change);
+    *  - everything else is unchanged → passes through.
+    */
+  def scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.io.Tables.load(spark, sfDir, "customer")
+    val dim = c.filter(col("c_custkey") % 13 =!= 0).select(
+      col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+      lit("2026-01-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      lit(true).as("is_current"))
+    val snap = c.select(
+      col("c_custkey"),
+      (col("c_acctbal") +
+        when(col("c_custkey") % 7 === 0, 100).otherwise(0))
+        .as("c_acctbal"),
+      when(col("c_custkey") % 11 === 0, lit("CHANGED"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    Canon.canonicalize(graft.ops.Scd2.merge(dim, snap,
+      Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"), "2026-02-01"))
+  }
+
+  val scd2MergeOracle: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment,
+      |         '2026-01-01' AS valid_from,
+      |         CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      |  FROM customer WHERE c_custkey % 13 <> 0),
+      |snap AS (
+      |  SELECT c_custkey,
+      |         c_acctbal +
+      |           (CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END)
+      |           AS c_acctbal,
+      |         CASE WHEN c_custkey % 11 = 0 THEN 'CHANGED'
+      |              ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer),
+      |j AS (
+      |  SELECT dim.c_custkey AS k_o, dim.c_acctbal AS bal_o,
+      |         dim.c_mktsegment AS seg_o, dim.valid_from AS vf,
+      |         dim.valid_to AS vt,
+      |         snap.c_custkey AS k_n, snap.c_acctbal AS bal_n,
+      |         snap.c_mktsegment AS seg_n,
+      |         (dim.c_custkey IS NOT NULL
+      |          AND snap.c_custkey IS NOT NULL) AS in_both,
+      |         (dim.c_acctbal IS NOT DISTINCT FROM snap.c_acctbal
+      |          AND dim.c_mktsegment IS NOT DISTINCT FROM
+      |              snap.c_mktsegment) AS same
+      |  FROM dim FULL OUTER JOIN snap ON dim.c_custkey = snap.c_custkey),
+      |merged AS (
+      |  SELECT k_o AS c_custkey, bal_o AS c_acctbal,
+      |         seg_o AS c_mktsegment, vf AS valid_from, vt AS valid_to,
+      |         TRUE AS is_current
+      |  FROM j WHERE k_o IS NOT NULL AND (NOT in_both OR same)
+      |  UNION ALL
+      |  SELECT k_o, bal_o, seg_o, vf, '2026-02-01', FALSE
+      |  FROM j WHERE in_both AND NOT same
+      |  UNION ALL
+      |  SELECT k_n, bal_n, seg_n, '2026-02-01',
+      |         CAST(NULL AS VARCHAR), TRUE
+      |  FROM j WHERE k_n IS NOT NULL AND (NOT in_both OR NOT same))
+      |SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+      |       c_mktsegment, valid_from, valid_to, is_current
+      |FROM merged""".stripMargin
 }
