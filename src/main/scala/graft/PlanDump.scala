@@ -32,7 +32,13 @@ object PlanDump {
       "dedup_apply" -> (() => ext.DedupOps.dedupApply(spark, sf)),
       "vocab_build" -> (() => ext.TextOps.vocabBuild(spark, sf)),
       "bpe_encode" -> (() => ext.BpeOps.bpeEncode(spark, sf)),
-      "mixture_repeat" -> (() => ext.SampleOps.mixtureRepeat(spark, sf)))
+      "mixture_repeat" -> (() => ext.SampleOps.mixtureRepeat(spark, sf)),
+      "inverted_index" -> (() => ext.TextOps.invertedIndex(spark, sf)),
+      "bm25" -> (() => ext.TextOps.bm25(spark, sf)),
+      "contamination" -> (() => ext.CurationOps.contaminationScore(spark, sf)),
+      "embed_project" -> (() => ext.VectorOps.embedProject(spark, sf)),
+      "shard_assign" -> (() => ext.SampleOps.shardAssign(spark, sf)),
+      "scd2_merge" -> (() => pipelines.MicroQueries.scd2Merge(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

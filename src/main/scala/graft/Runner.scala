@@ -64,10 +64,17 @@ object Runner {
       "dup_spans" -> (() => DedupOps.dupSpans(spark, sfDir).count()),
       "decontaminate" ->
         (() => ext.CurationOps.decontaminateBloom(spark, sfDir).count()),
+      // graduated overlap score beside the binary gate (thresholded
+      // removal decisions read this)
+      "contamination_score" ->
+        (() => ext.CurationOps.contaminationScore(spark, sfDir).count()),
       "pack_sequences" ->
         (() => ext.CurationOps.packSequences(spark, sfDir).count()),
       "train_split" ->
         (() => ext.SampleOps.trainValTestSplit(spark, sfDir).count()),
+      // epoch-0 training order: deterministic shuffle → (shard, pos)
+      "shard_assign" ->
+        (() => ext.SampleOps.shardAssign(spark, sfDir).count()),
       "ann_index_refresh" -> (() => VectorOps.annIvfSq8(spark, sfDir).count()))
 
     val tasks = chain match {

@@ -582,30 +582,36 @@ object TextOps {
     * collection frequency, and the head of the doc_id-sorted posting
     * list.
     *
-    * Scale shape: df/cf are keyed aggregations with map-side combine.
-    * The posting head is capped BEFORE any list materializes — the
-    * TopKPerKey heap keeps ≤ `postingsHead`+1 rows per token in the
-    * partition, so no aggregation buffer ever holds a stopword's full
-    * posting list (the unbounded collect_list trap). The head is
-    * emitted as a comma-joined string: representation-stable across
-    * engines (Canon boundary types only).
+    * Scale shape: ONE tokenization pass — everything derives from a
+    * single (token, doc_id)-grained count whose exchange both branches
+    * reuse (df/cf are its rollup; at 100 TB the corpus is scanned and
+    * exploded once, plan-audited via ReusedExchange). The posting head
+    * is capped BEFORE any list materializes — the TopKPerKey heap keeps
+    * ≤ `postingsHead`+1 rows per token in the partition, so no
+    * aggregation buffer ever holds a stopword's full posting list (the
+    * unbounded collect_list trap). The head is emitted as a
+    * comma-joined string: representation-stable across engines (Canon
+    * boundary types only).
     */
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val tokStream = documents(spark, sfDir)
+    val perDoc = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(CurationOps.toksCol).as("token"))
-    val cf = tokStream.groupBy("token").agg(count(lit(1)).as("cf"))
-    val pairs = tokStream.select("token", "doc_id").distinct()
-    val docFreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
-    val head = graft.plans.TopK.perKey(pairs, Seq("token"),
-        Seq("doc_id" -> graft.plans.TopK.Asc), postingsHead)
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("cnt"))
+      .persist() // df/cf rollup + posting heap (tfIdf cache discipline)
+    val agg = perDoc.groupBy("token").agg(
+      count(lit(1)).as("df"), sum("cnt").as("cf"))
+    val head = graft.plans.TopK.perKey(perDoc.select("token", "doc_id"),
+        Seq("token"), Seq("doc_id" -> graft.plans.TopK.Asc), postingsHead)
       .groupBy("token")
       .agg(concat_ws(",",
         transform(sort_array(collect_list(col("doc_id"))),
           _.cast("string"))).as("postings_head"))
-    Canon.canonicalize(
-      docFreq.join(cf, Seq("token")).join(head, Seq("token"))
-        .select("token", "df", "cf", "postings_head"))
+    Canon.materialized(
+      Canon.canonicalize(
+        agg.join(head, Seq("token"))
+          .select("token", "df", "cf", "postings_head")),
+      perDoc)
   }
 
   val invertedIndexOracle: String =
