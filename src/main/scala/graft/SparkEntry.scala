@@ -131,6 +131,7 @@ object SparkEntry {
     // Z-order clustering key (two-dimensional scan-pruning layout)
     "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
     "q_scd2_merge" -> ((s, dir) => MicroQueries.scd2Merge(s, dir)),
+    "q_profile_orders" -> ((s, dir) => MicroQueries.profileOrders(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
   )
 
@@ -219,6 +220,7 @@ object SparkEntry {
     "q_cube_docs" -> MicroQueries.cubeDocsOracle,
     "q_zorder_key" -> MicroQueries.zorderKeyOracle,
     "q_scd2_merge" -> MicroQueries.scd2MergeOracle,
+    "q_profile_orders" -> MicroQueries.profileOrdersOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     // Every query carries an oracle — including the approximate family
     // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd

@@ -33,6 +33,31 @@ object Quality {
         s"duplicate primary key values for (${keys.mkString(", ")})")
   }
 
+  /** Per-column data profile: row count, null count, exact distinct
+    * count, and native-typed min/max — the pre-flight a pipeline runs
+    * before trusting a new feed.
+    *
+    * Scale shape: each column is ONE pruned scan (ReadSchema = that
+    * column alone) + a two-phase aggregate; in columnar storage the k
+    * per-column passes together read ≈ one full table, and each exact
+    * countDistinct plans as its own two-stage keyed aggregation —
+    * deliberately NOT one agg with k distinct columns, which Expand-s
+    * the scan k-fold. min/max stay native-typed here; oracle-facing
+    * callers project them away (cross-engine numeric→string literal
+    * formatting is not stable — the Canon boundary argument).
+    */
+  def profile(df: DataFrame): DataFrame =
+    df.columns.toIndexedSeq.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _)
+
   /** Null-repair after an outer join: string columns get a marker value
     * (reference `when isNull → 'No sales'`, supplier_performance_task.py:
     * 139–143), numeric columns get zero-fill (reference fillna :148–152).

@@ -332,6 +332,25 @@ object MicroQueries {
        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin
   }
 
+  /** Pre-flight data profile of the orders feed ([[Quality.profile]]):
+    * per column, rows / nulls / exact NDV. min/max are profiled
+    * natively by the library but projected away here — numeric→string
+    * literal formatting is engine-specific, the Canon boundary rule.
+    */
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(
+      Quality.profile(graft.io.Tables.load(spark, sfDir, "orders"))
+        .select("col_name", "n_rows", "n_nulls", "n_distinct"))
+
+  val profileOrdersOracle: String =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                   |  count(*) - count($c) AS n_nulls,
+                   |  count(DISTINCT $c) AS n_distinct FROM orders"""
+        .stripMargin)
+      .mkString("\nUNION ALL\n")
+
   /** SCD2 snapshot-merge exercise of [[graft.ops.Scd2]] on the customer
     * fixture. The "yesterday" dimension and "today" snapshot are both
     * deterministic functions of the fixture, arranged to hit every merge

@@ -54,4 +54,31 @@ class QualitySpec extends SparkSpec {
     assert(r(1).getString(1) == "x")
     assert(r(1).getDecimal(2).compareTo(new java.math.BigDecimal("3.50")) == 0)
   }
+
+  test("profile counts rows/nulls/NDV and native min/max per column") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(1.0)),
+      (3L, Some("a"), None),
+      (4L, Some("b"), Some(2.5)))
+      .toDF("k", "s", "x")
+    val p = Quality.profile(d)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("k") == ("k", 4L, 0L, 4L, "1", "4"))
+    assert(p("s") == ("s", 4L, 1L, 2L, "a", "b"))
+    assert(p("x") == ("x", 4L, 1L, 2L, "1.0", "2.5"))
+  }
+
+  test("profile scans are pruned to one column each") {
+    val li = graft.io.Tables.load(spark, sfDir, "orders")
+    val plan = Quality.profile(li).queryExecution.executedPlan.toString
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(!r.contains(","), s"profile scan reads >1 column: $r")
+    }
+  }
 }
