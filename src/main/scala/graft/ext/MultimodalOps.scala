@@ -234,6 +234,86 @@ object MultimodalOps {
        |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
   }
 
+  /** Minimum shared sampled-frame fingerprints for a video pair, and the
+    * mega-common-frame guard: a fingerprint appearing in more than
+    * `videoFrameBucketCap` payloads (black frames, intro cards — the
+    * boilerplate of video corpora) is excluded from pairing, the same
+    * loud cap as the LSH mega-bucket guards.
+    */
+  val videoSharedFramesMin = 2
+  val videoFrameBucketCap = 64
+
+  /** Frame-level video/audio near-dup: payload pairs sharing ≥
+    * [[videoSharedFramesMin]] sampled-frame fingerprints, with the
+    * overlap fraction against the smaller sampled set — the signal that
+    * catches CLIPPED or RE-CONTAINERED copies, which whole-payload
+    * hashing ([[binaryMeta]]'s md5) and even perceptual whole-image
+    * hashing ([[imageNearDup]]) both miss when content is a subrange.
+    *
+    * Shape at scale: the dup-spans pattern over frames — one exchange
+    * on frame_md5 (each doc contributes its sampled frames only), the
+    * bucket cap bounds every per-fingerprint join fan-out, pairs then
+    * aggregate on (id_a, id_b). No broadcast, no all-pairs, nothing
+    * quadratic beyond capped per-fingerprint groups.
+    */
+  def videoNearDup(spark: SparkSession, sfDir: String,
+                   bucketCap: Int = videoFrameBucketCap): DataFrame = {
+    val f = frameSamples(spark, sfDir)
+      .select("doc_id", "frame_md5").distinct().persist()
+    val perDoc = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val keptHashes = f.groupBy("frame_md5").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= bucketCap).select("frame_md5")
+    val kept = f.join(keptHashes, Seq("frame_md5"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.frame_md5") === col("y.frame_md5") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= videoSharedFramesMin)
+    val out = pairs
+      .join(perDoc.select(col("doc_id").as("id_a"), col("nf").as("nf_a")),
+        Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"), col("nf").as("nf_b")),
+        Seq("id_b"))
+      .withColumn("overlap", col("n_shared").cast("double") /
+        least(col("nf_a"), col("nf_b")).cast("double"))
+      .select("id_a", "id_b", "n_shared", "overlap")
+    Canon.materialized(Canon.canonicalize(out), f)
+  }
+
+  /** Oracle composed over the [[frameSamplesOracle]] CTE prefix. */
+  val videoNearDupOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS content_hex,
+       |         octet_length(encode(text)) // $frameBytes AS n_frames
+       |  FROM documents),
+       |fr AS (
+       |  SELECT DISTINCT doc_id,
+       |         md5(lower(substring(content_hex,
+       |           CAST(i * ${frameBytes * 2} + 1 AS INT),
+       |           ${frameBytes * 2}))) AS frame_md5
+       |  FROM d, UNNEST(range(0, n_frames, $frameSampleStep)) AS t(i)
+       |  WHERE n_frames > 0),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS nf FROM fr GROUP BY 1),
+       |kept AS (
+       |  SELECT fr.doc_id, fr.frame_md5
+       |  FROM fr JOIN (
+       |    SELECT frame_md5 FROM fr GROUP BY 1
+       |    HAVING count(*) <= $videoFrameBucketCap) k
+       |  ON fr.frame_md5 = k.frame_md5),
+       |pairs AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+       |  FROM kept x JOIN kept y
+       |    ON x.frame_md5 = y.frame_md5 AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $videoSharedFramesMin)
+       |SELECT p.id_a, p.id_b, p.n_shared,
+       |       CAST(p.n_shared AS DOUBLE)
+       |         / CAST(least(a.nf, b.nf) AS DOUBLE) AS overlap
+       |FROM pairs p JOIN per_doc a ON p.id_a = a.doc_id
+       |             JOIN per_doc b ON p.id_b = b.doc_id""".stripMargin
+
   /** ??? in spirit: the decode seam. Batched per partition exactly like a
     * real codec call (one library handle per partition, vectorized loop);
     * the decode itself is a deterministic fake over the payload bytes.

@@ -99,4 +99,26 @@ class MultimodalOpsSpec extends SparkSpec {
       .filter(col("n_bytes") =!= length(col("text").cast("binary"))).count()
     assert(bad == 0)
   }
+
+  test("videoNearDup equals a brute-force shared-frame recount") {
+    import spark.implicits._
+    val frames = MultimodalOps.frameSamples(spark, sfDir)
+      .select("doc_id", "frame_md5").distinct()
+      .as[(Long, String)].collect()
+    val byDoc = frames.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hashFreq = frames.groupBy(_._2).view.mapValues(_.length)
+    val keptByDoc = byDoc.mapValues(
+      _.filter(hashFreq(_) <= MultimodalOps.videoFrameBucketCap)).toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val exp = (for {
+      a <- ids; b <- ids if a < b
+      shared = (keptByDoc(a) & keptByDoc(b)).size
+      if shared >= MultimodalOps.videoSharedFramesMin
+    } yield (a, b) -> (shared.toLong,
+      shared.toDouble / math.min(byDoc(a).size, byDoc(b).size))).toMap
+    val got = MultimodalOps.videoNearDup(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, s, o) => (a, b) -> (s, o) }.toMap
+    assert(got == exp, s"pair sets differ: got=${got.size} exp=${exp.size}")
+  }
 }
