@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{CurationOps, DedupOps, EventOps, MultimodalOps, SampleOps, TextOps,
-  VectorOps}
+import graft.ext.{CurationOps, DedupOps, EventOps, GraphOps, MultimodalOps,
+  SampleOps, TextOps, VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
   MicroQueries, ProductPerformance, SupplierPerformance}
 
@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(s, dir)),
     // the 100 TB dedup DAG: shingle → LSH band → verify → cluster
     "q_dedup_clusters_lsh" -> ((s, dir) => DedupOps.dedupClustersLsh(s, dir)),
+    "q_pagerank" -> ((s, dir) => GraphOps.pageRank(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
     // ingest-time flow: new batch probes the corpus LSH index
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
     "q_dedup_clusters_lsh" -> DedupOps.dedupClustersLshOracle,
+    "q_pagerank" -> GraphOps.pageRankOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
     "q_ann_ivf" -> VectorOps.annIvfOracle(),
     "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),

@@ -552,7 +552,7 @@ object DedupOps {
   /** Shared CTE chain ending in `lpairs` (id_a, id_b, jaccard) — used by
     * the LSH oracle and the LSH-fed clustering oracle.
     */
-  private val minhashLshCte: String = {
+  private[ext] val minhashLshCte: String = {
     val minAggs = (0 until numHashes)
       .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
     val bandedUnion = (0 until numBands)

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Canon
+
+/** Graph analytics over the duplicate-similarity graph (nodes = docs,
+  * edges = LSH near-dup pairs) — the connectivity view a curation
+  * pipeline uses beyond flat clustering: PageRank centrality marks the
+  * "hub" documents of a template family (the representative-selection
+  * signal richer than min-id), and complements clustersFromPairs'
+  * connected components.
+  *
+  * Numeric contract — FIXED-POINT PageRank: ranks live in integer
+  * units of 1/[[pageRankScale]], every division is integral, every
+  * per-node sum is a sum of BIGINTs. Floating-point PageRank cannot be
+  * hash-verified across engines (per-node contribution sums are
+  * order-dependent in IEEE addition, and partial-aggregation order is
+  * nondeterministic); fixed-point makes each iteration EXACTLY
+  * reproducible on any engine — same trade the BBP-style arithmetic
+  * twins make everywhere else in this repo. Truncation loses ≤ 1 unit
+  * (10⁻¹²) per term per round: irrelevant to ranking, decisive for
+  * verifiability.
+  */
+object GraphOps {
+
+  /** Fixed-point unit (10¹² units = rank mass 1.0), damping 0.85 as the
+    * exact rational 85/100, and the standard 3-iteration budget for a
+    * near-dup graph whose components are tiny.
+    */
+  val pageRankScale = 1000000000000L
+  val pageRankIters = 3
+  val dampNum = 85L
+  val dampDen = 100L
+
+  /** PageRank over the symmetrized [[DedupOps.minhashLsh]] pair graph.
+    *
+    * Per iteration: each node sends r/deg (integral division) along
+    * every edge; a node's next rank is
+    * `base + (sum_of_contributions · 85) div 100` with
+    * `base = ((SCALE div N) · 15) div 100`. No dangling mass —
+    * symmetrization gives every node out-edges.
+    *
+    * Scale shape: edges and degrees persist once and drive
+    * [[pageRankIters]] keyed shuffles (join on sender, aggregate on
+    * receiver) — the canonical distributed PageRank plan; the one
+    * driver action is the node COUNT (a scalar, the k-means sync
+    * pattern). At 100 TB the LSH pair list is the already-bounded
+    * candidate output, orders smaller than the corpus.
+    */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupOps.minhashLsh(spark, sfDir).select("id_a", "id_b")
+    val edges = pairs.unionByName(pairs.select(
+        col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist() // drives every iteration
+    val deg = edges.groupBy("id_a").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("id_a", "id").persist()
+    val n = deg.count() // ONE driver scalar: the node count
+    val r0 = pageRankScale / n
+    val base = r0 * 15L / 100L
+    var ranks = deg.select(col("id"), lit(r0).as("r"))
+    for (_ <- 1 to pageRankIters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "id_a"), "id_a")
+        .join(deg.withColumnRenamed("id", "id_a"), "id_a")
+        .select(col("id_b").as("id"), expr("r div deg").as("c"))
+      val sums = contribs.groupBy("id").agg(sum("c").as("s"))
+      ranks = deg.select(col("id")).join(sums, Seq("id"), "left")
+        .select(col("id"), (lit(base) +
+          expr(s"coalesce(s, 0L) * $dampNum div $dampDen")).as("r"))
+    }
+    Canon.materialized(
+      Canon.canonicalize(ranks.select(col("id"), col("r"),
+        (col("r").cast("double") / lit(pageRankScale.toDouble))
+          .as("r_norm"))),
+      edges, deg)
+  }
+
+  /** Oracle: the LSH CTE prefix + the three iterations unrolled.
+    * Iteration CTEs are AS MATERIALIZED — DuckDB inlines non-recursive
+    * CTEs per reference, and each iteration references its predecessor
+    * inside a join (exponential re-evaluation otherwise). BIGINT sums
+    * widen to HUGEINT, so the final rank is cast back.
+    */
+  val pageRankOracle: String = {
+    val iters = (1 to pageRankIters).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""it$k AS MATERIALIZED (
+         |  SELECT d.id, (SELECT b FROM base) +
+         |         (coalesce(c.s, 0) * $dampNum) // $dampDen AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.id_b AS id, sum(r.r // dg.deg) AS s
+         |    FROM edges e JOIN $prev r ON e.id_a = r.id
+         |                 JOIN deg dg ON e.id_a = dg.id
+         |    GROUP BY 1) c ON d.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupOps.minhashLshCte},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM lpairs
+       |  UNION ALL
+       |  SELECT id_b AS id_a, id_a AS id_b FROM lpairs),
+       |deg AS MATERIALIZED (
+       |  SELECT id_a AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |base AS (
+       |  SELECT ($pageRankScale // n * 15) // 100 AS b FROM nn),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, $pageRankScale // n AS r FROM deg, nn),
+       |$iters
+       |SELECT id, CAST(r AS BIGINT) AS r,
+       |       CAST(CAST(r AS BIGINT) AS DOUBLE) / $pageRankScale.0
+       |         AS r_norm
+       |FROM it$pageRankIters""".stripMargin
+  }
+}

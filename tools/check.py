@@ -74,6 +74,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # a requested query that is absent from the dump must FAIL loudly,
+    # not pass vacuously (a compile failure leaves a stale oracle json)
+    for name in sorted(only - set(oracle)):
+        print(f"[FAIL] {name}: not in oracle_sql.json (stale dump?)")
+        failures += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
