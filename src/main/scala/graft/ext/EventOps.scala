@@ -468,4 +468,78 @@ object EventOps {
        |  CAST(coalesce(sv, 0) AS DOUBLE) AS view_value_sum,
        |  CAST(coalesce(closest, -1) AS BIGINT) AS closest_view_us
        |FROM p LEFT JOIN j USING (purchase_id)""".stripMargin
+
+  // ---- funnel analysis -----------------------------------------------
+
+  /** Funnel stage order: each stage's timestamp is the EARLIEST matching
+    * event at-or-after the previous stage's timestamp (first-touch,
+    * order-enforced — the standard product-funnel semantics; same-instant
+    * progression counts, matching the as-of family's inclusive bound).
+    */
+  val funnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Per-user ordered funnel: how far each user progressed through
+    * [[funnelStages]], with the first-touch timestamp of every reached
+    * stage.
+    *
+    * Scale shape: ONE exchange on user_id; the four stage resolutions
+    * are chained UNORDERED window minima over that same partitioning
+    * (each stage's `min(ts where type matches and ts ≥ prev)` — a
+    * sort-free full-partition frame, not an ordered running window),
+    * then one rollup per user. No self-joins, no per-stage shuffles —
+    * the plan a 100 TB event log wants.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val staged = funnelStages.zipWithIndex.foldLeft(
+      events(spark, sfDir).select("user_id", "event_type", "ts")) {
+      case (acc, (stage, i)) =>
+        val gate = if (i == 0) col("event_type") === stage
+          else col("event_type") === stage && col("ts") >= col(s"t$i")
+        acc.withColumn(s"t${i + 1}", min(when(gate, col("ts"))).over(w))
+    }
+    val stageAggs = funnelStages.indices.map(i =>
+      min(col(s"t${i + 1}")).as(s"t_${funnelStages(i)}"))
+    val perUser = staged.groupBy("user_id")
+      .agg(stageAggs.head, stageAggs.tail: _*)
+    // fold stage 0 outward so the DEEPEST reached stage wins the CASE
+    val nStages = funnelStages.indices.foldLeft(lit(0L)) {
+      case (els, i) =>
+        when(col(s"t_${funnelStages(i)}").isNotNull, (i + 1).toLong)
+          .otherwise(els)
+    }
+    Canon.canonicalize(perUser.select(
+      col("user_id") +: nStages.as("n_stages") +:
+        funnelStages.map(s => col(s"t_$s")): _*))
+  }
+
+  val funnelOracle: String = {
+    val stageCtes = funnelStages.zipWithIndex.map { case (stage, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = '$stage' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts) AS t${i + 1}
+           |  FROM events e JOIN s$i ON e.user_id = s$i.user_id
+           |  WHERE e.event_type = '$stage' AND e.ts >= s$i.t$i
+           |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val nStagesCase = funnelStages.indices.reverse
+      .map(i => s"WHEN t${i + 1} IS NOT NULL THEN ${i + 1}")
+      .mkString(" ")
+    val tsCols = funnelStages.zipWithIndex.map { case (s, i) =>
+      s"strftime(t${i + 1}, '%Y-%m-%d %H:%M:%S') AS t_$s"
+    }.mkString(",\n       ")
+    s"""WITH $stageCtes,
+       |u AS (SELECT DISTINCT user_id FROM events)
+       |SELECT u.user_id,
+       |       CAST(CASE $nStagesCase ELSE 0 END AS BIGINT) AS n_stages,
+       |       $tsCols
+       |FROM u
+       |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)"""
+      .stripMargin
+  }
 }

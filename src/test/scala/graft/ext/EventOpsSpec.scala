@@ -158,4 +158,35 @@ class EventOpsSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
       "band join degenerated into a nested-loop join:\n" + p.take(1500))
   }
+
+  test("funnel matches a driver-side stage-chase; one exchange only") {
+    val evs = EventOps.events(spark, sfDir)
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val exp = evs.groupBy(_._1).map { case (uid, rows) =>
+      val ts = EventOps.funnelStages.foldLeft(
+        Seq.empty[Option[java.sql.Timestamp]]) { (acc, stage) =>
+        val gate: java.sql.Timestamp => Boolean = acc.lastOption match {
+          case None => _ => true
+          case Some(Some(prev)) => t => !t.before(prev)
+          case Some(None) => _ => false
+        }
+        val hit = rows.filter(r => r._2 == stage && gate(r._3))
+          .map(_._3).sortBy(_.getTime).headOption
+        acc :+ hit
+      }
+      uid -> (ts.lastIndexWhere(_.isDefined) + 1).toLong
+    }
+    val got = EventOps.funnel(spark, sfDir)
+      .select("user_id", "n_stages").as[(Long, Long)].collect().toMap
+    assert(got == exp, "funnel stage counts differ from brute force")
+    // the whole funnel is one user_id exchange: 4 unordered window
+    // minima share the partitioning with the final rollup
+    val plan = EventOps.funnel(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"funnel shuffles $nEx times:\n" +
+      plan.linesIterator.filter(_.contains("Exchange"))
+        .mkString("\n"))
+  }
 }
