@@ -79,6 +79,7 @@ object SparkEntry {
     "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
+    "q_collocations" -> ((s, dir) => TextOps.collocations(s, dir)),
     // distributed BPE merge training (k-means-style driver-synced rounds)
     "q_bpe_train" -> ((s, dir) => ext.BpeOps.bpeTrain(s, dir)),
     // apply the trained merges: real per-doc BPE token counts
@@ -181,6 +182,7 @@ object SparkEntry {
     "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,
     "q_bm25" -> TextOps.bm25Oracle,
+    "q_collocations" -> TextOps.collocationsOracle,
     "q_bpe_train" -> ext.BpeOps.bpeTrainOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,

@@ -634,6 +634,89 @@ object TextOps {
        |FROM tok_df JOIN tok_cf USING (token) JOIN head USING (token)"""
       .stripMargin
 
+  // ---- collocations (PMI) --------------------------------------------
+
+  /** Per-document token cap for co-occurrence pairing, and the minimum
+    * joint document count for an emitted pair. The cap is THE scale
+    * lever: pairing is quadratic per document, so each doc contributes
+    * only its [[cooccurTopM]] highest-tf tokens → ≤ C(M,2) = 28 pairs
+    * per doc regardless of document length or vocabulary size.
+    */
+  val cooccurTopM = 8
+  val cooccurMinPairs = 5
+
+  /** Collocation mining: token pairs that co-occur in documents far
+    * more often than their marginals predict — ranked by the RATIONAL
+    * PMI surrogate `(n_ab · N) / (n_a · n_b)` (= p(a,b)/(p(a)p(b));
+    * the ln() of true PMI is monotone in it, the [[tfIdf]] trade).
+    * Marginals count docs where the token SURVIVED the per-doc top-M
+    * cap, so numerator and denominator live in the same filtered
+    * universe. The two integer products are exact; the one division is
+    * bit-deterministic.
+    *
+    * Scale shape: tf aggregation (keyed, map-side combine) → per-doc
+    * top-M on the TopKPerKey heap → doc_id-keyed self-join bounded to
+    * ≤ C(M,2) pairs per doc → pair-keyed count with map-side combine.
+    * No unbounded quadratic anywhere.
+    */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(CurationOps.toksCol).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val kept = graft.plans.TopK.perKey(tf, Seq("doc_id"),
+      Seq("tf" -> graft.plans.TopK.Desc, "token" -> graft.plans.TopK.Asc),
+      cooccurTopM).persist() // marginals + both pair sides
+    val nDocs = documents(spark, sfDir)
+      .select(countDistinct("doc_id").as("n"))
+    val marg = kept.groupBy("token").agg(count(lit(1)).as("n_tok"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("x.token") < col("y.token"))
+      .select(col("x.token").as("token_a"), col("y.token").as("token_b"))
+      .groupBy("token_a", "token_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= cooccurMinPairs)
+    val out = pairs
+      .join(marg.select(col("token").as("token_a"),
+        col("n_tok").as("n_a")), Seq("token_a"))
+      .join(marg.select(col("token").as("token_b"),
+        col("n_tok").as("n_b")), Seq("token_b"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi_ratio",
+        (col("n_ab") * col("n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select("token_a", "token_b", "n_ab", "n_a", "n_b", "pmi_ratio")
+    Canon.materialized(Canon.canonicalize(out), kept)
+  }
+
+  val collocationsOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t.token, count(*) AS tf
+       |  FROM documents,
+       |       unnest(${CurationOps.toksSql}) AS t(token)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY tf DESC, token ASC) AS rk
+       |  FROM tf),
+       |kept AS MATERIALIZED (
+       |  SELECT doc_id, token FROM ranked WHERE rk <= $cooccurTopM),
+       |marg AS (SELECT token, count(*) AS n_tok FROM kept GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |p AS (
+       |  SELECT x.token AS token_a, y.token AS token_b, count(*) AS n_ab
+       |  FROM kept x JOIN kept y
+       |    ON x.doc_id = y.doc_id AND x.token < y.token
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $cooccurMinPairs)
+       |SELECT p.token_a, p.token_b, p.n_ab,
+       |       ma.n_tok AS n_a, mb.n_tok AS n_b,
+       |       CAST(p.n_ab * n.n AS DOUBLE)
+       |         / CAST(ma.n_tok * mb.n_tok AS DOUBLE) AS pmi_ratio
+       |FROM p JOIN marg ma ON p.token_a = ma.token
+       |       JOIN marg mb ON p.token_b = mb.token
+       |       CROSS JOIN n""".stripMargin
+
   // ---- BM25 retrieval ------------------------------------------------
 
   /** Okapi BM25 constants. `bm25IdfSurrogate`: idf is the RATIONAL

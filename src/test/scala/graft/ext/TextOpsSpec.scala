@@ -174,4 +174,33 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(got(k) - s) < 1e-9, s"score differs at $k")
     }
   }
+
+  test("collocations equal a brute-force top-M-capped pair recount") {
+    val docs = fixtureToks()
+    val kept = docs.map { case (id, _, ts) =>
+      id -> ts.groupBy(identity).map { case (t, o) => t -> o.length }
+        .toSeq.sortBy { case (t, f) => (-f, t) }
+        .take(TextOps.cooccurTopM).map(_._1).toSet
+    }
+    val nDocs = docs.length.toLong
+    val marg = kept.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.length.toLong }
+    val pairCount = kept.flatMap { case (_, ts) =>
+      val s = ts.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        yield (s(i), s(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.length.toLong }
+      .filter(_._2 >= TextOps.cooccurMinPairs)
+    val exp = pairCount.map { case ((a, b), nAb) =>
+      (a, b) -> (nAb, marg(a), marg(b),
+        (nAb * nDocs).toDouble / (marg(a) * marg(b)).toDouble)
+    }
+    val got = TextOps.collocations(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map { case (a, b, nAb, nA, nB, r) => (a, b) -> (nAb, nA, nB, r) }
+      .toMap
+    assert(got == exp,
+      s"collocation sets differ: got=${got.size} exp=${exp.size}")
+    assert(got.nonEmpty, "fixture produced no collocations")
+  }
 }
