@@ -38,7 +38,8 @@ object CurationOps {
   private[ext] def toksCol: Column =
     filter(split(normText(col("text")), " "), t => t =!= "")
 
-  private[ext] val toksSql =
+  // def for the same init-cycle reason as TextOps.normSql (see there)
+  private[ext] def toksSql: String =
     s"list_filter(string_split($normSql, ' '), t -> t <> '')"
 
   // ---- repetition signals ---------------------------------------------

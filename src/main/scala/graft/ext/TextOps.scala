@@ -33,7 +33,13 @@ object TextOps {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  private[ext] val normSql =
+  // a DEF, not a val: TextOps and CurationOps interpolate each other's
+  // SQL snippets inside oracle vals, and a val here creates an
+  // object-initialization CYCLE — whichever object initializes second
+  // captures the other's still-null snippet into its oracle strings
+  // (caught as unnest(null) when the query-map iteration order changed).
+  // A pure def has no init-order state to capture.
+  private[ext] def normSql: String =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
