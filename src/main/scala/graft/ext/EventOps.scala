@@ -469,6 +469,63 @@ object EventOps {
        |  CAST(coalesce(closest, -1) AS BIGINT) AS closest_view_us
        |FROM p LEFT JOIN j USING (purchase_id)""".stripMargin
 
+  // ---- robust outlier detection (median/MAD) -------------------------
+
+  /** Robust-z multiplier: |x − median| > k·MAD flags an outlier. The
+    * 1.4826 normal-consistency constant is deliberately folded into k
+    * (k = 3 on raw MAD ≈ 2·sigma under normality) — what matters here
+    * is identical arithmetic on both engines, not the asymptotic
+    * calibration.
+    */
+  val madK = 3.0
+
+  /** Median/MAD outlier flags per event_type — the robust alternative
+    * to mean/stddev z-scores (one far outlier corrupts the mean and
+    * inflates stddev; the median and MAD have a 50% breakdown point),
+    * the curation shape for "drop documents with absurd loss/length"
+    * style filters.
+    *
+    * Two grouped percentile passes (median, then MAD over the
+    * residuals) with the bounds BROADCAST back — the stream itself
+    * never shuffles, [[winsorize]]'s shape. Same bounds-strategy
+    * caveat as winsorize: exact `percentile` buffers a group's
+    * distinct values; `approxBounds = true` swaps in GK
+    * percentile_approx for the 100 TB path (oracle runs exact).
+    */
+  def madOutliers(spark: SparkSession, sfDir: String,
+                  approxBounds: Boolean = false): DataFrame = {
+    val e = events(spark, sfDir)
+    def pct(c: org.apache.spark.sql.Column) =
+      if (approxBounds)
+        percentile_approx(c, lit(0.5), lit(SketchOps.percentileAccuracy))
+      else percentile(c, lit(0.5))
+    val med = e.groupBy("event_type").agg(pct(col("value")).as("med"))
+    val withMed = e.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy("event_type")
+      .agg(pct(abs(col("value") - col("med"))).as("mad"))
+    Canon.canonicalize(
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"),
+          (abs(col("value") - col("med")) > lit(madK) * col("mad"))
+            .as("is_outlier")))
+  }
+
+  val madOutliersOracle: String =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |mad AS (
+       |  SELECT e.event_type,
+       |         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+       |  FROM events e JOIN med ON e.event_type = med.event_type
+       |  GROUP BY 1)
+       |SELECT e.event_id, e.event_type, e.value, med.med, mad.mad,
+       |       abs(e.value - med.med) > $madK * mad.mad AS is_outlier
+       |FROM events e JOIN med ON e.event_type = med.event_type
+       |              JOIN mad ON e.event_type = mad.event_type"""
+      .stripMargin
+
   // ---- funnel analysis -----------------------------------------------
 
   /** Funnel stage order: each stage's timestamp is the EARLIEST matching

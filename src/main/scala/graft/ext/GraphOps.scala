@@ -53,17 +53,19 @@ object GraphOps {
     val pairs = DedupOps.minhashLsh(spark, sfDir).select("id_a", "id_b")
     val edges = pairs.unionByName(pairs.select(
         col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist() // drives every iteration
     val deg = edges.groupBy("id_a").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("id_a", "id").persist()
+    // sender degree folded into the edge list ONCE — each iteration
+    // then needs a single join (edges⋈ranks), not two
+    val edgesWithDeg = edges
+      .join(deg.withColumnRenamed("id", "id_a"), "id_a").persist()
     val n = deg.count() // ONE driver scalar: the node count
     val r0 = pageRankScale / n
     val base = r0 * 15L / 100L
     var ranks = deg.select(col("id"), lit(r0).as("r"))
     for (_ <- 1 to pageRankIters) {
-      val contribs = edges
+      val contribs = edgesWithDeg
         .join(ranks.withColumnRenamed("id", "id_a"), "id_a")
-        .join(deg.withColumnRenamed("id", "id_a"), "id_a")
         .select(col("id_b").as("id"), expr("r div deg").as("c"))
       val sums = contribs.groupBy("id").agg(sum("c").as("s"))
       ranks = deg.select(col("id")).join(sums, Seq("id"), "left")
@@ -74,7 +76,7 @@ object GraphOps {
       Canon.canonicalize(ranks.select(col("id"), col("r"),
         (col("r").cast("double") / lit(pageRankScale.toDouble))
           .as("r_norm"))),
-      edges, deg)
+      edgesWithDeg, deg)
   }
 
   /** Oracle: the LSH CTE prefix + the three iterations unrolled.

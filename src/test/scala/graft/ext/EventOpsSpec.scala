@@ -159,6 +159,37 @@ class EventOpsSpec extends SparkSpec {
       "band join degenerated into a nested-loop join:\n" + p.take(1500))
   }
 
+  test("madOutliers flags exactly |x − med| > k·MAD per type") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2)
+      else {
+        // linear interpolation at rank (n−1)/2 — quantile_cont /
+        // Spark percentile semantics for p=0.5
+        (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+    }
+    val evs = EventOps.events(spark, sfDir)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val med = evs.groupBy(_._1).view.mapValues(v => medianOf(v.map(_._2)))
+    val mad = evs.groupBy(_._1).view.mapValues { v =>
+      val m = med(v.head._1)
+      medianOf(v.map(x => math.abs(x._2 - m)))
+    }.toMap
+    val rows = EventOps.madOutliers(spark, sfDir)
+      .as[(Long, String, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, t, v, m, d, flag) =>
+      assert(m == med(t), s"median differs for $t")
+      assert(d == mad(t), s"MAD differs for $t")
+      assert(flag == (math.abs(v - m) > EventOps.madK * d),
+        s"flag wrong at event $id")
+    }
+    // both branches exercised
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
+
   test("funnel matches a driver-side stage-chase; one exchange only") {
     val evs = EventOps.events(spark, sfDir)
       .select("user_id", "event_type", "ts")
