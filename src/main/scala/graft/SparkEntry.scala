@@ -101,6 +101,7 @@ object SparkEntry {
     "q_events_daily" -> ((s, dir) => EventOps.eventsDaily(s, dir)),
     "q_events_sessions" -> ((s, dir) => EventOps.eventsSessions(s, dir)),
     "q_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
+    "q_retention" -> ((s, dir) => EventOps.retention(s, dir)),
     "q_user_value_deltas" -> ((s, dir) => EventOps.userValueDeltas(s, dir)),
     "q_moving_agg" -> ((s, dir) => EventOps.movingAgg(s, dir)),
     // backward as-of join via union + carry-forward window (one shuffle)
@@ -203,6 +204,7 @@ object SparkEntry {
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,
+    "q_retention" -> EventOps.retentionOracle,
     "q_user_value_deltas" -> EventOps.userValueDeltasOracle,
     "q_moving_agg" -> EventOps.movingAggOracle,
     "q_asof_join" -> EventOps.asofJoinOracle,

@@ -469,6 +469,67 @@ object EventOps {
        |  CAST(coalesce(closest, -1) AS BIGINT) AS closest_view_us
        |FROM p LEFT JOIN j USING (purchase_id)""".stripMargin
 
+  // ---- cohort retention ----------------------------------------------
+
+  /** Weekly cohort retention: users cohorted by the ISO week of their
+    * FIRST signup event; cell (cohort_week, week_n) counts the
+    * cohort's distinct users with ANY event activity n weeks later,
+    * plus the retention fraction — the companion analysis to
+    * [[funnel]] (funnel: how deep; retention: how long).
+    *
+    * Scale shape: cohort table = one user_id-keyed aggregation;
+    * activity = distinct (user, week) — both map-side-combining keyed
+    * aggs; one join on user_id; the final cell rollup is keyed on
+    * (cohort, week_n). Nothing quadratic, nothing broadcast-unbounded
+    * (the cohort table is per-user, joined on its key).
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+    val activity = e
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cells = activity.join(cohort, Seq("user_id"))
+      .filter(col("wk") >= col("cohort_week"))
+      .withColumn("week_n",
+        expr("datediff(wk, cohort_week) div 7"))
+      .groupBy("cohort_week", "week_n")
+      .agg(countDistinct("user_id").as("n_active"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("n_cohort"))
+    Canon.canonicalize(cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_n"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention")))
+  }
+
+  val retentionOracle: String =
+    """WITH cohort AS (
+      |  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events),
+      |cells AS (
+      |  SELECT c.cohort_week, date_diff('day', c.cohort_week, a.wk) // 7
+      |           AS week_n,
+      |         count(DISTINCT a.user_id) AS n_active
+      |  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      |  WHERE a.wk >= c.cohort_week
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_week, count(DISTINCT user_id) AS n_cohort
+      |  FROM cohort GROUP BY 1)
+      |SELECT strftime(cells.cohort_week, '%Y-%m-%d %H:%M:%S')
+      |         AS cohort_week,
+      |       CAST(week_n AS BIGINT) AS week_n, n_active, n_cohort,
+      |       CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
+      |         AS retention
+      |FROM cells JOIN sizes USING (cohort_week)""".stripMargin
+
   // ---- robust outlier detection (median/MAD) -------------------------
 
   /** Robust-z multiplier: |x − median| > k·MAD flags an outlier. The

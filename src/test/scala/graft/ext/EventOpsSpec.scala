@@ -159,6 +159,26 @@ class EventOpsSpec extends SparkSpec {
       "band join degenerated into a nested-loop join:\n" + p.take(1500))
   }
 
+  test("retention: week-0 is full for every cohort; cells are sane") {
+    val rows = EventOps.retention(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cw, wn, nActive, nCohort, r) =>
+      assert(wn >= 0 && nActive <= nCohort && nCohort > 0,
+        s"bad cell ($cw, $wn)")
+      assert(r == nActive.toDouble / nCohort.toDouble)
+    }
+    // week 0 retention is 1.0 by construction: the signup event itself
+    // is activity in the cohort week
+    rows.filter(_._2 == 0L).foreach { case (cw, _, nActive, nCohort, r) =>
+      assert(r == 1.0, s"cohort $cw week-0 retention $r != 1.0")
+    }
+    // the fixture spans several weeks, so later-week cells exist
+    // (sf0.001's dense little users never churn, so no decay<1 here —
+    // the oracle gate at larger SFs covers value correctness)
+    assert(rows.exists(_._2 > 0))
+  }
+
   test("madOutliers flags exactly |x − med| > k·MAD per type") {
     def medianOf(xs: Seq[Double]): Double = {
       val s = xs.sorted
