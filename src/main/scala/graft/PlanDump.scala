@@ -38,7 +38,14 @@ object PlanDump {
       "contamination" -> (() => ext.CurationOps.contaminationScore(spark, sf)),
       "embed_project" -> (() => ext.VectorOps.embedProject(spark, sf)),
       "shard_assign" -> (() => ext.SampleOps.shardAssign(spark, sf)),
-      "scd2_merge" -> (() => pipelines.MicroQueries.scd2Merge(spark, sf)))
+      "scd2_merge" -> (() => pipelines.MicroQueries.scd2Merge(spark, sf)),
+      "collocations" -> (() => ext.TextOps.collocations(spark, sf)),
+      "profile_orders" -> (() => pipelines.MicroQueries.profileOrders(spark, sf)),
+      "video_neardup" -> (() => ext.MultimodalOps.videoNearDup(spark, sf)),
+      "pagerank" -> (() => ext.GraphOps.pageRank(spark, sf)),
+      "funnel" -> (() => ext.EventOps.funnel(spark, sf)),
+      "retention" -> (() => ext.EventOps.retention(spark, sf)),
+      "mad_outliers" -> (() => ext.EventOps.madOutliers(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =
