@@ -222,12 +222,12 @@ object BpeOps {
          |fix$r(w, s, f) AS (
          |  SELECT w, s, f FROM c$r
          |  UNION ALL
-  SELECT w,
-         substr(s, 1, strpos(s, ' ' || m.a || ' ' || m.b || ' ') - 1) ||
-           ' ' || m.ab || ' ' ||
-           substr(s, strpos(s, ' ' || m.a || ' ' || m.b || ' ')
-                        + len(' ' || m.a || ' ' || m.b || ' ')),
-         f
+         |  SELECT w,
+         |    substr(s, 1, strpos(s, ' ' || m.a || ' ' || m.b || ' ') - 1) ||
+         |      ' ' || m.ab || ' ' ||
+         |      substr(s, strpos(s, ' ' || m.a || ' ' || m.b || ' ')
+         |                   + len(' ' || m.a || ' ' || m.b || ' ')),
+         |    f
          |  FROM fix$r, m$r m
          |  WHERE strpos(s, ' ' || m.a || ' ' || m.b || ' ') > 0),
          |c${r + 1} AS MATERIALIZED (

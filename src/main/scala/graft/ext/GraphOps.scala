@@ -50,7 +50,8 @@ object GraphOps {
     * candidate output, orders smaller than the corpus.
     */
   def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = DedupOps.minhashLsh(spark, sfDir).select("id_a", "id_b")
+    val lsh = DedupOps.minhashLsh(spark, sfDir) // materialized (cached)
+    val pairs = lsh.select("id_a", "id_b")
     val edges = pairs.unionByName(pairs.select(
         col("id_b").as("id_a"), col("id_a").as("id_b")))
     val deg = edges.groupBy("id_a").agg(count(lit(1)).as("deg"))
@@ -60,6 +61,13 @@ object GraphOps {
     val edgesWithDeg = edges
       .join(deg.withColumnRenamed("id", "id_a"), "id_a").persist()
     val n = deg.count() // ONE driver scalar: the node count
+    if (n == 0L) {
+      // empty pair graph (clean corpus): empty frame, correct schema,
+      // no division by zero — and nothing left pinned in the cache
+      val empty = Canon.canonicalize(deg.select(col("id"),
+        lit(0L).as("r"), lit(0.0).as("r_norm")))
+      return Canon.materialized(empty, lsh, edgesWithDeg, deg)
+    }
     val r0 = pageRankScale / n
     val base = r0 * 15L / 100L
     var ranks = deg.select(col("id"), lit(r0).as("r"))
@@ -72,11 +80,15 @@ object GraphOps {
         .select(col("id"), (lit(base) +
           expr(s"coalesce(s, 0L) * $dampNum div $dampDen")).as("r"))
     }
+    // `lsh` is included: minhashLsh returns a MATERIALIZED (cached)
+    // frame, and without releasing it here every pageRank call would
+    // pin the full LSH pair result in executor memory (the Scd2 /
+    // clustersFromPairs cache discipline)
     Canon.materialized(
       Canon.canonicalize(ranks.select(col("id"), col("r"),
         (col("r").cast("double") / lit(pageRankScale.toDouble))
           .as("r_norm"))),
-      edgesWithDeg, deg)
+      lsh, edgesWithDeg, deg)
   }
 
   /** Oracle: the LSH CTE prefix + the three iterations unrolled.

@@ -496,8 +496,14 @@ object VectorOps {
     val cachedRows = centroidCache.computeIfAbsent(
       s"$sfDir#$ivfCentroids#$ivfIters#" +
         dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => trainedCentroids(e.persist()).as[(Long, Seq[Double])]
-        .collect().toSeq)
+      _ => {
+        // persist spans ONLY the training rounds and is released once
+        // the (tiny) centroid rows are collected — a cold-cache call
+        // must not pin the embeddings frame for the session
+        val ep = e.persist()
+        try trainedCentroids(ep).as[(Long, Seq[Double])].collect().toSeq
+        finally { ep.unpersist(false); () }
+      })
     assignNearest(e, cachedRows.toDF("cent_id", "cv"))
       .select(col("vec_id"), col("v"), col("bucket"))
   }

@@ -91,15 +91,28 @@ object Layout {
     * side — the same altitude at which Delta/Iceberg `OPTIMIZE` plans
     * its rewrite groups); each partition needing work is rewritten by
     * one narrow Spark job reading EXACTLY the files listed for it
-    * (`coalesce`, not `repartition` — packing needs no shuffle). A
-    * partition already at its bin count is untouched, so re-running is
-    * a no-op and the op composes with a scheduler loop.
+    * (`repartition(bins)`: a bounded shuffle of just that partition —
+    * `coalesce` cannot EXCEED the scan's input-split count, so when the
+    * reader packs many small files into few splits it silently emits
+    * fewer, larger files than the requested bins). A partition already
+    * at its bin count is untouched, so re-running is a no-op and the op
+    * composes with a scheduler loop.
     *
-    * Durability: the rewrite lands in a `_graft_compact_tmp` sibling and
-    * is SUCCESS-gated (the lshIndex pattern) BEFORE originals are
-    * deleted and outputs moved in; a crash in the swap window leaves
-    * either the originals or the tmp dir intact — re-running converges.
-    * The swap itself is not atomic to concurrent readers; atomic
+    * Durability — crash-safe three-phase swap:
+    *  1. the rewrite lands in a `_graft_compact_tmp` sibling,
+    *     SUCCESS-gated (the lshIndex pattern);
+    *  2. originals move into `_graft_compact_trash` (rename results
+    *     CHECKED — object-store renames report failure by returning
+    *     false, not throwing);
+    *  3. tmp files move in under a `compact-` name prefix, then trash
+    *     and tmp are dropped.
+    * The trash dir existing marks "swap in progress": a re-run that
+    * finds SUCCESS-gated tmp + trash RESUMES the swap (the prefix makes
+    * moved-in outputs distinguishable from surviving originals), and a
+    * tmp without both markers is an incomplete write, safely discarded
+    * with all originals intact. At every crash point the row multiset
+    * exists fully in partition ∪ trash ∪ tmp, and re-running converges.
+    * The swap is still not atomic to CONCURRENT readers; atomic
     * visibility is a table-format commit's job (Delta/Iceberg), out of
     * scope for a directory layout.
     */
@@ -115,41 +128,65 @@ object Layout {
         !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
 
+    def mv(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
+
     // leaf partition dirs: directories that directly hold data files;
     // an unpartitioned table is its own single leaf
     def leaves(dir: Path): Seq[Path] = {
       val entries = fs.listStatus(dir).toSeq
       val subdirs = entries.filter(_.isDirectory)
-        .filterNot(_.getPath.getName.startsWith("_graft_compact_tmp"))
+        .filterNot(_.getPath.getName.startsWith("_graft_compact"))
       val here = if (dataFiles(dir).nonEmpty) Seq(dir) else Seq.empty
       here ++ subdirs.flatMap(s => leaves(s.getPath))
     }
 
+    // phases 2+3: originals → trash, tmp files in (prefixed), cleanup.
+    // Idempotent: resumable from any crash point by the recovery below.
+    def swapIn(part: Path, tmp: Path, trash: Path): Long = {
+      if (!fs.exists(trash)) fs.mkdirs(trash)
+      dataFiles(part).filterNot(_.getPath.getName.startsWith("compact-"))
+        .foreach(f => mv(f.getPath, new Path(trash, f.getPath.getName)))
+      val toMove = dataFiles(tmp)
+      toMove.foreach(f =>
+        mv(f.getPath, new Path(part, s"compact-${f.getPath.getName}")))
+      fs.delete(trash, true)
+      fs.delete(tmp, true)
+      dataFiles(part).size.toLong
+    }
+
     val root = new Path(tableDir)
     val report = leaves(root).map { part =>
-      val files = dataFiles(part)
-      val total = files.map(_.getLen).sum
-      val bins = math.max(1L,
-        (total + targetBytes - 1) / targetBytes).toInt
-      if (files.size <= bins)
-        CompactReport(part.toString, files.size.toLong, files.size.toLong,
-          total)
-      else {
-        val tmp = new Path(part, "_graft_compact_tmp")
-        fs.delete(tmp, true) // stale tmp from a crashed prior run
-        spark.read.parquet(files.map(_.getPath.toString): _*)
-          .coalesce(bins)
-          .write.mode("overwrite").parquet(tmp.toString)
-        // SUCCESS gate: only swap after a complete write
-        require(fs.exists(new Path(tmp, "_SUCCESS")),
-          s"compaction write of $part did not complete")
-        files.foreach(f => fs.delete(f.getPath, false))
-        val moved = dataFiles(tmp)
-        moved.foreach(f =>
-          fs.rename(f.getPath, new Path(part, f.getPath.getName)))
+      val tmp = new Path(part, "_graft_compact_tmp")
+      val trash = new Path(part, "_graft_compact_trash")
+      val interrupted = // SUCCESS-gated tmp + trash == swap in progress
+        fs.exists(new Path(tmp, "_SUCCESS")) && fs.exists(trash)
+      if (interrupted) {
+        val before = dataFiles(part).size.toLong
+        val after = swapIn(part, tmp, trash)
+        CompactReport(part.toString, before, after,
+          dataFiles(part).map(_.getLen).sum)
+      } else {
+        // no swap was in progress: any tmp is an incomplete write and
+        // every original is still in place — discard and start fresh
         fs.delete(tmp, true)
-        CompactReport(part.toString, files.size.toLong, moved.size.toLong,
-          total)
+        val files = dataFiles(part)
+        val total = files.map(_.getLen).sum
+        val bins = math.max(1L,
+          (total + targetBytes - 1) / targetBytes).toInt
+        if (files.size <= bins)
+          CompactReport(part.toString, files.size.toLong,
+            files.size.toLong, total)
+        else {
+          spark.read.parquet(files.map(_.getPath.toString): _*)
+            .repartition(bins)
+            .write.mode("overwrite").parquet(tmp.toString)
+          // SUCCESS gate: only swap after a complete write
+          require(fs.exists(new Path(tmp, "_SUCCESS")),
+            s"compaction write of $part did not complete")
+          val after = swapIn(part, tmp, trash)
+          CompactReport(part.toString, files.size.toLong, after, total)
+        }
       }
     }
     report.toDF()

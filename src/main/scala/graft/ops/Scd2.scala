@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *  - already-closed history rows pass through untouched.
   *
   * Attribute comparison is null-safe (`<=>`), so a NULL→value change
-  * versions correctly.
+  * versions correctly. A NULL business KEY never joins (SQL
+  * semantics): a dim row with a NULL key passes through and a
+  * snapshot row with one inserts — malformed keys surface in the
+  * output instead of silently vanishing (join-side presence markers,
+  * not key-null checks, drive the branch filters).
   *
   * Scale shape: ONE key-partitioned join between the current slice and
   * the snapshot; history rows never join anything. The three output
@@ -42,10 +46,17 @@ object Scd2 {
   def merge(dim: DataFrame, snapshot: DataFrame, keyCols: Seq[String],
             tracked: Seq[String], effectiveDate: String): DataFrame = {
     val history = dim.filter(!col("is_current"))
+    // presence markers, NOT key-null checks: a malformed row whose
+    // business key is NULL would otherwise fail every branch filter and
+    // silently vanish from the merged dimension — with markers it takes
+    // the pass-through / insert path like any unmatched row (NULL keys
+    // never join, by SQL semantics, so it cannot spuriously "change")
     val current = dim.filter(col("is_current"))
+      .withColumn("_in_dim", lit(true))
     val snap = snapshot.select(
       keyCols.map(k => col(k).as(s"${k}_new")) ++
         tracked.map(t => col(t).as(s"${t}_new")): _*)
+      .withColumn("_in_snap", lit(true))
     // NOT persisted: the three output branches are projections of an
     // IDENTICAL join subplan, so exchange reuse dedupes the shuffles
     // within one execution, and a library op must not leak cache blocks
@@ -53,15 +64,16 @@ object Scd2 {
     val joined = current.join(snap,
       keyCols.map(k => col(k) === col(s"${k}_new")).reduce(_ && _),
       "full_outer")
-    val inBoth = col(keyCols.head).isNotNull &&
-      col(s"${keyCols.head}_new").isNotNull
+    val inDim = col("_in_dim") <=> lit(true)
+    val inSnap = col("_in_snap") <=> lit(true)
+    val inBoth = inDim && inSnap
     val unchanged = tracked
       .map(t => col(t) <=> col(s"${t}_new")).reduce(_ && _)
 
     val dimCols = dim.columns.toSeq
     // current rows that survive as-is: unchanged, or absent from snapshot
     val kept = joined
-      .filter(col(keyCols.head).isNotNull && (!inBoth || unchanged))
+      .filter(inDim && (!inBoth || unchanged))
       .select(dimCols.map(col): _*)
     // changed rows: the old version closes at the effective date
     val closed = joined.filter(inBoth && !unchanged)
@@ -72,8 +84,7 @@ object Scd2 {
       }: _*)
     // changed + brand-new keys: the snapshot row opens as current
     val opened = joined
-      .filter(col(s"${keyCols.head}_new").isNotNull &&
-        (!inBoth || !unchanged))
+      .filter(inSnap && (!inBoth || !unchanged))
       .select(dimCols.map {
         case "valid_from" => lit(effectiveDate).as("valid_from")
         case "valid_to" =>

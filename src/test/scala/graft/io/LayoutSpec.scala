@@ -125,6 +125,40 @@ class LayoutSpec extends SparkSpec {
       s"expected 12 -> 2 bins, got ${r0._2} -> ${r0._3}")
   }
 
+  test("compactTo recovers a crash mid-swap without losing a row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toFile
+    dir.deleteOnExit()
+    val base = s"$dir/t"
+    (0 until 600).map(i => (i.toLong, s"p_$i")).toDF("id", "payload")
+      .repartition(6).write.parquet(base)
+    val before = spark.read.parquet(base)
+      .as[(Long, String)].collect().sorted.toSeq
+    // manufacture the exact interrupted state the three-phase swap can
+    // crash into: tmp fully written + SUCCESS-gated, trash created, and
+    // only SOME originals moved to trash (phase 2 died midway)
+    val part = new java.io.File(base)
+    def files(d: java.io.File) = d.listFiles.toSeq.filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    spark.read.parquet(base).repartition(1)
+      .write.parquet(s"$base/_graft_compact_tmp")
+    assert(new java.io.File(s"$base/_graft_compact_tmp/_SUCCESS").exists)
+    val trash = new java.io.File(s"$base/_graft_compact_trash")
+    trash.mkdirs()
+    files(part).take(3).foreach { f =>
+      assert(f.renameTo(new java.io.File(trash, f.getName)))
+    }
+    // a re-run must RESUME the swap (not discard tmp, not double-count)
+    val report = Layout.compactTo(spark, base, 1L << 30)
+      .as[(String, Long, Long, Long)].collect()
+    assert(report.length == 1 && report.head._3 == 1L,
+      s"recovery did not converge to one file: ${report.toSeq}")
+    val after = spark.read.parquet(base)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(after == before, "crash recovery changed the row multiset")
+    assert(!new java.io.File(s"$base/_graft_compact_tmp").exists)
+    assert(!trash.exists)
+  }
+
   test("Z-ordered parquet prunes row groups for filters on EITHER key") {
     // end-to-end: write both layouts, run the same selective filter, and
     // read the scan's actual output-row metric — the number of rows that

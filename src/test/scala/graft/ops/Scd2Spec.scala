@@ -57,6 +57,27 @@ class Scd2Spec extends SparkSpec {
       false)))
   }
 
+  test("NULL business keys pass through / insert, never vanish") {
+    val dim = Seq(
+      (Option(1L), 10.0, "A", "2026-01-01",
+        null.asInstanceOf[String], true),
+      (Option.empty[Long], 99.0, "X", "2026-01-01",
+        null.asInstanceOf[String], true)) // malformed feed row
+      .toDF("k", "bal", "seg", "valid_from", "valid_to", "is_current")
+    val snap = Seq((Option(1L), 10.0, "A"), (Option.empty[Long], 7.0, "Y"))
+      .toDF("k", "bal", "seg")
+    val out = Scd2.merge(dim, snap, Seq("k"), Seq("bal", "seg"),
+      "2026-02-01")
+      .as[(Option[Long], Double, String, String, String, Boolean)]
+      .collect().toSet
+    // NULL keys never join: the dim's NULL row passes through as
+    // current, the snapshot's NULL row inserts — nothing is dropped
+    assert(out == Set(
+      (Some(1L), 10.0, "A", "2026-01-01", null, true),
+      (None, 99.0, "X", "2026-01-01", null, true),
+      (None, 7.0, "Y", "2026-02-01", null, true)))
+  }
+
   test("null-safe tracked compare: NULL -> value spawns a version") {
     val dim = Seq(
       (1L, null.asInstanceOf[java.lang.Double], "A", "2026-01-01",
