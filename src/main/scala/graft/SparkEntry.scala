@@ -65,6 +65,7 @@ object SparkEntry {
     // the 100 TB dedup DAG: shingle → LSH band → verify → cluster
     "q_dedup_clusters_lsh" -> ((s, dir) => DedupOps.dedupClustersLsh(s, dir)),
     "q_pagerank" -> ((s, dir) => GraphOps.pageRank(s, dir)),
+    "q_triangles" -> ((s, dir) => GraphOps.triangles(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
     // ingest-time flow: new batch probes the corpus LSH index
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_events_sessions" -> ((s, dir) => EventOps.eventsSessions(s, dir)),
     "q_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
     "q_retention" -> ((s, dir) => EventOps.retention(s, dir)),
+    "q_histogram" -> ((s, dir) => EventOps.histogram(s, dir)),
     "q_user_value_deltas" -> ((s, dir) => EventOps.userValueDeltas(s, dir)),
     "q_moving_agg" -> ((s, dir) => EventOps.movingAgg(s, dir)),
     // backward as-of join via union + carry-forward window (one shuffle)
@@ -194,6 +196,7 @@ object SparkEntry {
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
     "q_dedup_clusters_lsh" -> DedupOps.dedupClustersLshOracle,
     "q_pagerank" -> GraphOps.pageRankOracle,
+    "q_triangles" -> GraphOps.trianglesOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
     "q_ann_ivf" -> VectorOps.annIvfOracle(),
     "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),
@@ -205,6 +208,7 @@ object SparkEntry {
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,
     "q_retention" -> EventOps.retentionOracle,
+    "q_histogram" -> EventOps.histogramOracle,
     "q_user_value_deltas" -> EventOps.userValueDeltasOracle,
     "q_moving_agg" -> EventOps.movingAggOracle,
     "q_asof_join" -> EventOps.asofJoinOracle,

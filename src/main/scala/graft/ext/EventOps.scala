@@ -469,6 +469,64 @@ object EventOps {
        |  CAST(coalesce(closest, -1) AS BIGINT) AS closest_view_us
        |FROM p LEFT JOIN j USING (purchase_id)""".stripMargin
 
+  // ---- equi-width histograms -----------------------------------------
+
+  val histBuckets = 16
+
+  /** Equi-width value histogram per event_type — the distribution view
+    * behind every profiling dashboard, and [[Quality.profile]]'s
+    * missing shape column. Bucket `i` covers
+    * [min + w·i, min + w·(i+1)) with w = (max−min)/k; the max value
+    * itself clamps into the last bucket (half-open buckets would
+    * otherwise lose it), and a constant column collapses into bucket 0.
+    *
+    * Two passes: per-group min/max broadcast back, then one keyed
+    * count — the stream never shuffles (winsorize's shape, but the
+    * bounds aggregation here is constant-size, no percentile buffers).
+    * Bucket index arithmetic is the identical double expression on
+    * both engines; edges re-derive from (min, w, i) so the output is
+    * self-describing.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    val bounds = e.groupBy("event_type").agg(
+      min("value").as("mn"), max("value").as("mx"))
+    val k = histBuckets
+    val w = (col("mx") - col("mn")) / lit(k.toDouble)
+    val bucket = when(col("mx") === col("mn"), lit(0L)).otherwise(
+      least(lit(k - 1L),
+        floor((col("value") - col("mn")) / w).cast("long")))
+    Canon.canonicalize(
+      e.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          first(col("mn") + (col("mx") - col("mn")) / lit(k.toDouble)
+            * col("bucket").cast("double")).as("lo"),
+          first(col("mn") + (col("mx") - col("mn")) / lit(k.toDouble)
+            * (col("bucket") + 1L).cast("double")).as("hi")))
+  }
+
+  val histogramOracle: String = {
+    val k = histBuckets
+    s"""WITH b AS (
+       |  SELECT event_type, min(value) AS mn, max(value) AS mx
+       |  FROM events GROUP BY 1),
+       |bk AS (
+       |  SELECT e.event_type,
+       |         CASE WHEN b.mx = b.mn THEN 0
+       |              ELSE least($k - 1, CAST(floor(
+       |                (e.value - b.mn) / ((b.mx - b.mn) / $k.0))
+       |                AS BIGINT)) END AS bucket,
+       |         b.mn, b.mx
+       |  FROM events e JOIN b ON e.event_type = b.event_type)
+       |SELECT event_type, bucket, count(*) AS n,
+       |       min(mn + (mx - mn) / $k.0 * CAST(bucket AS DOUBLE)) AS lo,
+       |       min(mn + (mx - mn) / $k.0 * CAST(bucket + 1 AS DOUBLE))
+       |         AS hi
+       |FROM bk GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- cohort retention ----------------------------------------------
 
   /** Weekly cohort retention: users cohorted by the ISO week of their

@@ -91,6 +91,72 @@ object GraphOps {
       lsh, edgesWithDeg, deg)
   }
 
+  /** Triangle counts + local clustering coefficient per node of the
+    * LSH pair graph — the cohesion signal that separates a tight
+    * template family (every member near-dups every other: coefficient
+    * → 1) from a hub-and-spokes pattern (one canonical doc with many
+    * independent variants: coefficient → 0), which changes what a
+    * representative-selection policy should do.
+    *
+    * Triangles are enumerated once in (a < b < c) order via the
+    * standard wedge join — e(a,b) ⋈ e(b,c) closed by e(a,c); the
+    * ordering means no triangle is counted twice and the join carries
+    * only forward edges. Per-node counts explode the three corners.
+    * The coefficient is the exact rational 2·tri / (deg·(deg−1)) — two
+    * integer products, one division, bit-deterministic.
+    *
+    * Scale shape: the wedge join is keyed on the middle vertex; its
+    * fan-out is bounded upstream by the LSH mega-bucket caps (a
+    * pathological hub would have been capped out of the pair list).
+    * One persisted edge list drives both the wedge join and degrees.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = DedupOps.minhashLsh(spark, sfDir) // materialized (cached)
+    val e = lsh.select(col("id_a").as("a"), col("id_b").as("b"))
+      .persist() // wedge join (3 sides) + degrees
+    val tri = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val nTri = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val out = deg.join(nTri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2L).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+    Canon.materialized(Canon.canonicalize(out), lsh, e)
+  }
+
+  val trianglesOracle: String =
+    s"""WITH ${DedupOps.minhashLshCte},
+       |tri AS MATERIALIZED (
+       |  SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c
+       |  FROM lpairs x
+       |  JOIN lpairs y ON x.id_b = y.id_a
+       |  JOIN lpairs z ON z.id_a = x.id_a AND z.id_b = y.id_b),
+       |corners AS (
+       |  SELECT a AS id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri),
+       |ntri AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY 1),
+       |deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT id_a AS id FROM lpairs
+       |    UNION ALL SELECT id_b FROM lpairs) GROUP BY 1)
+       |SELECT deg.id, deg.deg,
+       |       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+       |       CASE WHEN deg >= 2
+       |            THEN CAST(coalesce(n_tri, 0) * 2 AS DOUBLE)
+       |                 / CAST(deg * (deg - 1) AS DOUBLE)
+       |            ELSE 0.0 END AS clustering
+       |FROM deg LEFT JOIN ntri USING (id)""".stripMargin
+
   /** Oracle: the LSH CTE prefix + the three iterations unrolled.
     * Iteration CTEs are AS MATERIALIZED — DuckDB inlines non-recursive
     * CTEs per reference, and each iteration references its predecessor

@@ -159,6 +159,33 @@ class EventOpsSpec extends SparkSpec {
       "band join degenerated into a nested-loop join:\n" + p.take(1500))
   }
 
+  test("histogram: buckets partition each group's rows exactly") {
+    val evs = EventOps.events(spark, sfDir)
+      .select("event_type", "value").as[(String, Double)].collect()
+    val rows = EventOps.histogram(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val byType = evs.groupBy(_._1).view.mapValues(_.map(_._2))
+    rows.groupBy(_._1).foreach { case (t, cells) =>
+      // bucket counts partition the group
+      assert(cells.map(_._3).sum == byType(t).length.toLong)
+      cells.foreach { case (_, b, n, lo, hi) =>
+        assert(b >= 0 && b < EventOps.histBuckets && n > 0)
+        assert(lo < hi)
+        // every value the brute force puts in bucket b is counted there
+        val mn = byType(t).min; val mx = byType(t).max
+        val w = (mx - mn) / EventOps.histBuckets
+        val exp = byType(t).count { v =>
+          val i = if (mx == mn) 0L
+            else math.min(EventOps.histBuckets - 1L,
+              math.floor((v - mn) / w).toLong)
+          i == b
+        }
+        assert(n == exp.toLong, s"count differs at ($t, $b)")
+      }
+    }
+  }
+
   test("retention: week-0 is full for every cohort; cells are sane") {
     val rows = EventOps.retention(spark, sfDir)
       .as[(String, Long, Long, Long, Double)].collect()
