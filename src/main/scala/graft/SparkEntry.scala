@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(s, dir)),
     // the 100 TB dedup DAG: shingle → LSH band → verify → cluster
     "q_dedup_clusters_lsh" -> ((s, dir) => DedupOps.dedupClustersLsh(s, dir)),
+    "q_cluster_sizes" -> ((s, dir) => DedupOps.clusterSizes(s, dir)),
     "q_pagerank" -> ((s, dir) => GraphOps.pageRank(s, dir)),
     "q_triangles" -> ((s, dir) => GraphOps.triangles(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
@@ -139,6 +140,7 @@ object SparkEntry {
     // Z-order clustering key (two-dimensional scan-pruning layout)
     "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
     "q_scd2_merge" -> ((s, dir) => MicroQueries.scd2Merge(s, dir)),
+    "q_skew_report" -> ((s, dir) => MicroQueries.skewReport(s, dir)),
     "q_profile_orders" -> ((s, dir) => MicroQueries.profileOrders(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
   )
@@ -195,6 +197,7 @@ object SparkEntry {
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,
     "q_dedup_clusters_lsh" -> DedupOps.dedupClustersLshOracle,
+    "q_cluster_sizes" -> DedupOps.clusterSizesOracle,
     "q_pagerank" -> GraphOps.pageRankOracle,
     "q_triangles" -> GraphOps.trianglesOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
@@ -236,6 +239,7 @@ object SparkEntry {
     "q_cube_docs" -> MicroQueries.cubeDocsOracle,
     "q_zorder_key" -> MicroQueries.zorderKeyOracle,
     "q_scd2_merge" -> MicroQueries.scd2MergeOracle,
+    "q_skew_report" -> MicroQueries.skewReportOracle,
     "q_profile_orders" -> MicroQueries.profileOrdersOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     // Every query carries an oracle — including the approximate family

@@ -271,6 +271,41 @@ object DedupOps {
                        driverThreshold: Long = 1000000L): DataFrame =
     clustersFromPairs(spark, minhashLsh(spark, sfDir), driverThreshold)
 
+  /** Duplicate-cluster SIZE distribution — the corpus-health summary a
+    * dedup report leads with: how many families of each size exist,
+    * what fraction of the corpus sits in duplicate families, and how
+    * many documents deduplication would remove at each size. A corpus
+    * dominated by size-2 families needs different handling (pair-wise
+    * noise, maybe threshold tuning) than one with thousand-member
+    * template families (boilerplate mining).
+    *
+    * One keyed rollup over the clustering output (cluster → size),
+    * then a size-keyed rollup — both bounded; removal per family of
+    * size s is exactly s−1 (the representative survives).
+    */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dedupClustersLsh(spark, sfDir)
+    val bySize = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(
+        count(lit(1)).as("n_clusters"),
+        sum("size").as("n_docs"),
+        sum(col("size") - 1L).as("n_removable"))
+    Canon.materialized(
+      Canon.canonicalize(bySize), clusters)
+  }
+
+  lazy val clusterSizesOracle: String =
+    s"""WITH RECURSIVE $minhashLshCte,
+       |${clusterCte("lpairs")},
+       |fam AS (
+       |  SELECT cluster_id, count(*) AS size
+       |  FROM clusters GROUP BY 1)
+       |SELECT size, count(*) AS n_clusters,
+       |       CAST(sum(size) AS BIGINT) AS n_docs,
+       |       CAST(sum(size - 1) AS BIGINT) AS n_removable
+       |FROM fam GROUP BY 1""".stripMargin
+
   /** Connected components over ANY near-dup pair frame (id_a, id_b) —
     * the pair source is a parameter so every pair generator in this file
     * (blocked jaccard, MinHash-LSH, simhash chunk-LSH, the embedding

@@ -58,6 +58,29 @@ object Quality {
           col("n_distinct"), col("min_str"), col("max_str"))
     }.reduce(_ unionByName _)
 
+  /** Heavy-key skew report: the top-k heaviest join/shuffle keys with
+    * their share of all rows and their ratio to the mean key weight —
+    * the diagnostic read BEFORE choosing a salting factor or an AQE
+    * skew threshold (a ratio_to_mean of 50 on the top key says "salt
+    * this join 64-way"; a flat report says don't bother).
+    *
+    * One keyed count with map-side combine; the global top-k plans as
+    * TakeOrderedAndProject (bounded per-partition heaps, no full
+    * sort); totals are a two-row broadcast.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum("cnt").as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(stats))
+      .select(col(keyCol).cast("string").as("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double")).as("ratio_to_mean"))
+  }
+
   /** Null-repair after an outer join: string columns get a marker value
     * (reference `when isNull → 'No sales'`, supplier_performance_task.py:
     * 139–143), numeric columns get zero-fill (reference fillna :148–152).

@@ -351,6 +351,30 @@ object MicroQueries {
         .stripMargin)
       .mkString("\nUNION ALL\n")
 
+  val skewTopK = 20
+
+  /** Heavy-key diagnostic over lineitem's supplier key
+    * ([[Quality.skewReport]]) — the pre-flight before sizing a salt
+    * factor for the supplier-side joins.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(Quality.skewReport(
+      graft.io.Tables.load(spark, sfDir, "lineitem"), "l_suppkey",
+      skewTopK))
+
+  val skewReportOracle: String =
+    s"""WITH c AS (
+       |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys
+       |  FROM c)
+       |SELECT CAST(l_suppkey AS VARCHAR) AS key, cnt,
+       |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |         / CAST(total AS DOUBLE) AS ratio_to_mean
+       |FROM c, s
+       |ORDER BY cnt DESC, l_suppkey ASC LIMIT $skewTopK""".stripMargin
+
   /** SCD2 snapshot-merge exercise of [[graft.ops.Scd2]] on the customer
     * fixture. The "yesterday" dimension and "today" snapshot are both
     * deterministic functions of the fixture, arranged to hit every merge

@@ -41,6 +41,19 @@ class DedupClustersSpec extends SparkSpec {
     assert(clusters.values.forall(_ == 1L), s"non-min labels: $clusters")
   }
 
+  test("clusterSizes is an exact recount of the LSH cluster families") {
+    val members = DedupOps.dedupClustersLsh(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val expected = members.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).map { case (s, xs) =>
+        s -> ((xs.size.toLong, s * xs.size, (s - 1) * xs.size))
+      }
+    val got = DedupOps.clusterSizes(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+  }
+
   test("cluster labels are the component minimum and include both endpoints") {
     val pairs = DedupOps.jaccardBlocked(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -71,6 +71,31 @@ class QualitySpec extends SparkSpec {
     assert(p("x") == ("x", 4L, 1L, 2L, "1.0", "2.5"))
   }
 
+  test("skewReport ranks heavy keys with exact share and ratio-to-mean") {
+    import spark.implicits._
+    // counts: a=4, b=2, c=1, d=1 → total=8, n_keys=4, mean=2
+    val d = Seq("a", "a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val r = Quality.skewReport(d, "k", 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(("a", 4L, 0.5, 2.0), ("b", 2L, 0.25, 1.0)))
+  }
+
+  test("skewReport breaks count ties on the key and respects k") {
+    import spark.implicits._
+    val d = Seq("z", "y", "y", "x").toDF("k")
+    val keys = Quality.skewReport(d, "k", 3)
+      .as[(String, Long, Double, Double)].collect().toSeq.map(_._1)
+    assert(keys == Seq("y", "x", "z"))
+  }
+
+  test("skewReport top-k plans as a bounded TakeOrdered, not a global sort") {
+    val li = graft.io.Tables.load(spark, sfDir, "lineitem")
+    val plan = Quality.skewReport(li, "l_suppkey", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k in plan:\n$plan")
+  }
+
   test("profile scans are pruned to one column each") {
     val li = graft.io.Tables.load(spark, sfDir, "orders")
     val plan = Quality.profile(li).queryExecution.executedPlan.toString
