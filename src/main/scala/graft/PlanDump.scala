@@ -45,7 +45,10 @@ object PlanDump {
       "pagerank" -> (() => ext.GraphOps.pageRank(spark, sf)),
       "funnel" -> (() => ext.EventOps.funnel(spark, sf)),
       "retention" -> (() => ext.EventOps.retention(spark, sf)),
-      "mad_outliers" -> (() => ext.EventOps.madOutliers(spark, sf)))
+      "mad_outliers" -> (() => ext.EventOps.madOutliers(spark, sf)),
+      "rrf_fusion" -> (() => ext.TextOps.rrfFusion(spark, sf)),
+      "ngram_diversity" -> (() => ext.TextOps.ngramDiversity(spark, sf)),
+      "edit_distance" -> (() => ext.DedupOps.editDistanceNearDup(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

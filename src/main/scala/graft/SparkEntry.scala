@@ -69,6 +69,7 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) => GraphOps.triangles(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
+    "q_edit_distance" -> ((s, dir) => DedupOps.editDistanceNearDup(s, dir)),
     // ingest-time flow: new batch probes the corpus LSH index
     "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
     // same flow against the PERSISTED corpus LSH index (offline build)
@@ -81,6 +82,8 @@ object SparkEntry {
     "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
+    "q_rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(s, dir)),
+    "q_ngram_diversity" -> ((s, dir) => TextOps.ngramDiversity(s, dir)),
     "q_collocations" -> ((s, dir) => TextOps.collocations(s, dir)),
     // distributed BPE merge training (k-means-style driver-synced rounds)
     "q_bpe_train" -> ((s, dir) => ext.BpeOps.bpeTrain(s, dir)),
@@ -180,6 +183,7 @@ object SparkEntry {
     "q_shard_assign" -> SampleOps.shardAssignOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
+    "q_edit_distance" -> DedupOps.editDistanceOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
@@ -188,6 +192,8 @@ object SparkEntry {
     "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,
     "q_bm25" -> TextOps.bm25Oracle,
+    "q_rrf_fusion" -> TextOps.rrfFusionOracle,
+    "q_ngram_diversity" -> TextOps.ngramDiversityOracle,
     "q_collocations" -> TextOps.collocationsOracle,
     "q_bpe_train" -> ext.BpeOps.bpeTrainOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,

@@ -529,6 +529,27 @@ object DedupOps {
     * volume by bands × docs and dominated the first benchmark of this op.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, d, banded, candidates) = lshCandidates(spark, sfDir)
+    val withSets = candidates
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    Canon.materialized(
+      Canon.canonicalize(withSets
+        .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
+          jaccardThreshold))
+        .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select("id_a", "id_b", "jaccard")),
+      d, banded)
+  }
+
+  /** The LSH candidate machinery shared by [[minhashLsh]] and
+    * [[editDistanceNearDup]]: normalized docs, the persisted shingle
+    * table, the persisted banded rows, and the deduplicated candidate
+    * id pairs. Callers release `d`/`banded` via [[Canon.materialized]].
+    */
+  private def lshCandidates(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
@@ -563,18 +584,63 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct() // same pair may collide in many bands
-    val withSets = candidates
-      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    (docs, d, banded, candidates)
+  }
+
+  // ---- edit-distance-verified near-dup -------------------------------
+
+  /** Keep a candidate pair when its normalized edit similarity
+    * 1 − lev/max(len) reaches this — the standard fuzzy-match bar.
+    */
+  val editSimThreshold = 0.8
+
+  /** Near-dup detection with LEVENSHTEIN as the verifier: the same
+    * banded LSH candidate generation as [[minhashLsh]], but each
+    * candidate is scored by normalized edit similarity over the
+    * normalized text instead of shingle Jaccard. Edit distance is the
+    * right verifier when ORDER matters — two documents with the same
+    * shingle multiset but reshuffled paragraphs score 1.0 on Jaccard
+    * and are caught here.
+    *
+    * Scale shape: identical to minhashLsh up to the candidate set
+    * (banded (band, bucket, id) shuffle, mega-bucket cap, bare-id pair
+    * dedup); the texts attach late by two hash joins and the O(n·m)
+    * levenshtein runs once per CANDIDATE, never all-pairs.
+    */
+  def editDistanceNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (docs, d, banded, candidates) = lshCandidates(spark, sfDir)
+    val norms = docs.select(col("doc_id"), col("norm"))
+    val withTexts = candidates
+      .join(norms.select(col("doc_id").as("id_a"), col("norm").as("norm_a")),
+        Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("norm").as("norm_b")),
+        Seq("id_b"))
+      .withColumn("lev",
+        levenshtein(col("norm_a"), col("norm_b")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("norm_a")), length(col("norm_b")))
+            .cast("double"))
     Canon.materialized(
-      Canon.canonicalize(withSets
-        .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
-          jaccardThreshold))
-        .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= jaccardThreshold)
-        .select("id_a", "id_b", "jaccard")),
+      Canon.canonicalize(withTexts
+        .filter(col("edit_sim") >= editSimThreshold)
+        .select("id_a", "id_b", "lev", "edit_sim")),
       d, banded)
   }
+
+  val editDistanceOracle: String =
+    s"""WITH $minhashLshCte,
+       |ed AS (
+       |  SELECT c.id_a, c.id_b,
+       |         levenshtein(na.norm, nb.norm) AS lev,
+       |         greatest(length(na.norm), length(nb.norm)) AS mx
+       |  FROM cand c JOIN nd na ON c.id_a = na.doc_id
+       |              JOIN nd nb ON c.id_b = nb.doc_id)
+       |SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+       |       1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) AS edit_sim
+       |FROM ed
+       |WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE)
+       |      >= $editSimThreshold""".stripMargin
 
   /** Full DuckDB oracle for `minhashLsh`: the ENTIRE pipeline — shingle
     * hashing, 64 affine minima, banding, the mega-bucket cap, candidate
@@ -587,7 +653,10 @@ object DedupOps {
   /** Shared CTE chain ending in `lpairs` (id_a, id_b, jaccard) — used by
     * the LSH oracle and the LSH-fed clustering oracle.
     */
-  private[ext] val minhashLshCte: String = {
+  // a DEF: vals declared earlier in this object interpolate this chain
+  // into their oracle strings, and a val here would still be null when
+  // they initialize (same init-order trap as TextOps.normSql).
+  private[ext] def minhashLshCte: String = {
     val minAggs = (0 until numHashes)
       .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
     val bandedUnion = (0 until numBands)

@@ -723,6 +723,59 @@ object TextOps {
        |       JOIN marg mb ON p.token_b = mb.token
        |       CROSS JOIN n""".stripMargin
 
+  // ---- n-gram diversity ----------------------------------------------
+
+  /** Word-trigram type/token diversity per lang: total trigram
+    * occurrences, distinct trigrams, and their ratio — the standard
+    * repetitiveness/diversity health metric for a training corpus (a
+    * crawl dominated by boilerplate collapses the ratio long before
+    * any per-document signal fires).
+    *
+    * Scale shape: trigrams are built MAP-SIDE per document (an array
+    * transform over the token list — no window, no doc_id exchange),
+    * then ONE (lang, gram) aggregation with map-side combine carries a
+    * single row per distinct trigram; the per-lang rollup is over the
+    * distinct-gram table, so no mixed count/countDistinct Expand ever
+    * touches the token stream. All outputs are exact integers plus one
+    * division.
+    */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("lang"), CurationOps.toksCol.as("t"))
+      .filter(size(col("t")) >= 3)
+    // lambda references only the attribute `t` and the lambda variable —
+    // nothing non-attribute is inlined per element (the O(n²) trap)
+    val grams = d.select(col("lang"),
+      explode(transform(sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ",
+          element_at(col("t"), i),
+          element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))).as("gram"))
+    val perGram = grams.groupBy("lang", "gram")
+      .agg(count(lit(1)).as("c"))
+    val out = perGram.groupBy("lang").agg(
+      sum("c").as("n_grams"),
+      count(lit(1)).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+    Canon.canonicalize(out)
+  }
+
+  val ngramDiversityOracle: String =
+    s"""WITH toks AS (
+       |  SELECT lang, ${CurationOps.toksSql} AS t FROM documents),
+       |grams AS (
+       |  SELECT lang, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+       |  WHERE len(t) >= 3),
+       |pergram AS (
+       |  SELECT lang, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(c) AS BIGINT) AS n_grams,
+       |       count(*) AS n_distinct,
+       |       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS diversity
+       |FROM pergram GROUP BY 1""".stripMargin
+
   // ---- BM25 retrieval ------------------------------------------------
 
   /** Okapi BM25 constants. `bm25IdfSurrogate`: idf is the RATIONAL
@@ -752,6 +805,19 @@ object TextOps {
     * and add in slot order, so the score is bit-deterministic.
     */
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val (top, tf, dl) = bm25Top(spark, sfDir)
+    Canon.materialized(
+      Canon.canonicalize(top.select("lang", "rank", "doc_id", "score")),
+      tf, dl)
+  }
+
+  /** The BM25 chain up to the per-lang ranked top-k list — shared by
+    * the standalone query and the RRF fusion so the two scorings can
+    * never drift. Returns the persisted tf/dl frames; the caller
+    * releases them via [[Canon.materialized]].
+    */
+  private def bm25Top(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
@@ -790,16 +856,20 @@ object TextOps {
       Seq("score" -> graft.plans.TopK.Desc,
         "doc_id" -> graft.plans.TopK.Asc),
       bm25TopK, rankCol = Some("rank"))
-    Canon.materialized(
-      Canon.canonicalize(top.select("lang", "rank", "doc_id", "score")),
-      tf, dl)
+    (top, tf, dl)
   }
 
-  val bm25Oracle: String =
-    s"""WITH t AS (
+  /** Shared CTE chain ending in `bmtop` (lang, rank, doc_id, score) —
+    * used by the BM25 oracle and the RRF-fusion oracle. A def (not a
+    * val) to stay out of object-initialization-order trouble; `tf` is
+    * MATERIALIZED because three CTEs consume it and DuckDB inlines
+    * non-materialized CTEs per reference.
+    */
+  private def bm25Cte: String =
+    s"""t AS (
        |  SELECT doc_id, lang, tt.token
        |  FROM documents, unnest(${CurationOps.toksSql}) AS tt(token)),
-       |tf AS (
+       |tf AS MATERIALIZED (
        |  SELECT lang, doc_id, token, count(*) AS tf FROM t GROUP BY 1,2,3),
        |dl AS (
        |  SELECT lang, doc_id, CAST(sum(tf) AS BIGINT) AS dl
@@ -835,7 +905,94 @@ object TextOps {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY lang
        |            ORDER BY score DESC, doc_id ASC) AS rank
-       |  FROM perdoc)
-       |SELECT lang, rank, doc_id, score FROM ranked
-       |WHERE rank <= $bm25TopK""".stripMargin
+       |  FROM perdoc),
+       |bmtop AS (
+       |  SELECT lang, rank, doc_id, score FROM ranked
+       |  WHERE rank <= $bm25TopK)""".stripMargin
+
+  val bm25Oracle: String =
+    s"""WITH $bm25Cte
+       |SELECT lang, rank, doc_id, score FROM bmtop""".stripMargin
+
+  // ---- reciprocal-rank-fusion hybrid retrieval -----------------------
+
+  /** RRF constant (the standard 60) and list sizes: each source list
+    * contributes its top-[[bm25TopK]]; the fused list keeps
+    * [[rrfTopK]]. 1/(60+rank) is an IEEE division of small exact
+    * integers and the two slots add in FIXED order, so the fused score
+    * is bit-deterministic on any engine — no ln(), no data-ordered sum.
+    */
+  val rrfK = 60
+  val rrfTopK = 10
+
+  /** Hybrid retrieval by reciprocal-rank fusion: per lang, fuse the
+    * BM25 relevance ranking with the quality-score ranking (a
+    * relevance × document-prior combination — the standard shape for
+    * fusing retrieval systems with incomparable score scales; only the
+    * RANKS are consumed, so any second system — an ANN list, a click
+    * model — drops in unchanged).
+    *
+    * Scale shape: both source lists are already top-k-per-key (heap,
+    * never a global sort); the fusion full-outer join touches at most
+    * 2·k rows per lang — driver-trivial regardless of corpus size. The
+    * expensive parts (BM25 chain, quality projection) are the same
+    * plans as their standalone queries.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bmTop, tf, dl) = bm25Top(spark, sfDir)
+    val qual = withQualityScore(documents(spark, sfDir)
+      .withColumn("norm", normText(col("text"))))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val qTop = graft.plans.TopK.perKey(qual, Seq("lang"),
+      Seq("quality_score" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc),
+      bm25TopK, rankCol = Some("rank"))
+    def rr(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + rank.cast("double")),
+        lit(0.0))
+    val fused = bmTop.select(col("lang"), col("doc_id"),
+        col("rank").as("r_bm"))
+      .join(qTop.select(col("lang"), col("doc_id"), col("rank").as("r_q")),
+        Seq("lang", "doc_id"), "full_outer")
+      .withColumn("rrf", rr(col("r_bm")) + rr(col("r_q")))
+    val top = graft.plans.TopK.perKey(
+      fused.select("lang", "doc_id", "rrf"), Seq("lang"),
+      Seq("rrf" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc),
+      rrfTopK, rankCol = Some("rank"))
+    Canon.materialized(
+      Canon.canonicalize(top.select("lang", "rank", "doc_id", "rrf")),
+      tf, dl)
+  }
+
+  val rrfFusionOracle: String =
+    s"""WITH $bm25Cte,
+       |qf AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,
+       |    CAST(len(regexp_extract_all($normSql, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS n_stop,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS len_chars
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM qf),
+       |qranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY quality_score DESC, doc_id ASC) AS rank
+       |  FROM q),
+       |qtop AS (
+       |  SELECT lang, doc_id, rank FROM qranked WHERE rank <= $bm25TopK),
+       |pool AS (
+       |  SELECT coalesce(b.lang, t.lang) AS lang,
+       |         coalesce(b.doc_id, t.doc_id) AS doc_id,
+       |         coalesce(1.0 / (CAST($rrfK AS DOUBLE) + CAST(b.rank AS DOUBLE)), 0.0)
+       |           + coalesce(1.0 / (CAST($rrfK AS DOUBLE) + CAST(t.rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM bmtop b FULL OUTER JOIN qtop t
+       |    ON b.lang = t.lang AND b.doc_id = t.doc_id),
+       |rranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY rrf DESC, doc_id ASC) AS rank
+       |  FROM pool)
+       |SELECT lang, rank, doc_id, rrf FROM rranked
+       |WHERE rank <= $rrfTopK""".stripMargin
 }

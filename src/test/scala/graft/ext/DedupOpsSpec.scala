@@ -257,4 +257,36 @@ class DedupOpsSpec extends SparkSpec {
     // the fixture exercises real cross-doc duplication, not a trivial zero
     assert(got.exists(_._3 > 0L))
   }
+
+  test("editDistanceNearDup matches a driver Levenshtein recompute") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val norms = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextOps.normText(col("text")).as("norm"))
+      .as[(Long, String)].collect().toMap
+    val got = DedupOps.editDistanceNearDup(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty) // the fixture has near-identical templates
+    got.foreach { case (a, b, d, sim) =>
+      assert(a < b, s"pair order ($a, $b)")
+      val e = lev(norms(a), norms(b))
+      assert(d == e.toLong, s"lev($a, $b)")
+      val eSim = 1.0 - e.toDouble /
+        math.max(norms(a).length, norms(b).length).toDouble
+      assert(sim == eSim, s"edit_sim($a, $b)")
+      assert(sim >= DedupOps.editSimThreshold)
+    }
+  }
 }

@@ -203,4 +203,58 @@ class TextOpsSpec extends SparkSpec {
       s"collocation sets differ: got=${got.size} exp=${exp.size}")
     assert(got.nonEmpty, "fixture produced no collocations")
   }
+
+  test("ngramDiversity matches a driver trigram recount") {
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("lang"), TextOps.normText(col("text")).as("norm"))
+      .as[(String, String)].collect()
+    val grams = docs.flatMap { case (lang, norm) =>
+      val t = norm.split(" ").filter(_.nonEmpty)
+      t.sliding(3).filter(_.length == 3).map(g => lang -> g.mkString(" "))
+    }
+    val exp = grams.groupBy(_._1).map { case (lang, gs) =>
+      val total = gs.length.toLong
+      val distinct = gs.map(_._2).distinct.length.toLong
+      lang -> ((total, distinct, distinct.toDouble / total.toDouble))
+    }
+    val got = TextOps.ngramDiversity(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (l, n, d, r) => l -> ((n, d, r)) }.toMap
+    assert(got == exp)
+    // a synthetic template corpus repeats trigrams: ratio is truly < 1
+    assert(got.values.exists(_._3 < 1.0))
+  }
+
+  test("rrfFusion equals a driver fusion of the two rank lists") {
+    val bm = TextOps.bm25(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (lang, rank, id, _) => (lang, id) -> rank }.toMap
+    val qualRank = {
+      val langOf = TextOps.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang")).as[(Long, String)]
+        .collect().toMap
+      TextOps.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality_score"))
+        .as[(Long, Double)].collect()
+        .map { case (id, q) => (langOf(id), id, q) }
+        .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+          rows.sortBy { case (_, id, q) => (-q, id) }
+            .zipWithIndex.take(TextOps.bm25TopK)
+            .map { case ((_, id, _), i) => (lang, id) -> (i + 1L) }
+        }.toMap
+    }
+    val exp = (bm.keySet ++ qualRank.keySet).toSeq.map { k =>
+      def rr(r: Option[Long]) =
+        r.map(x => 1.0 / (TextOps.rrfK.toDouble + x.toDouble)).getOrElse(0.0)
+      k -> (rr(bm.get(k)) + rr(qualRank.get(k)))
+    }.groupBy(_._1._1).flatMap { case (lang, rows) =>
+      rows.sortBy { case ((_, id), s) => (-s, id) }
+        .zipWithIndex.take(TextOps.rrfTopK)
+        .map { case (((_, id), s), i) => (lang, i + 1L, id, s) }
+    }.toSet
+    val got = TextOps.rrfFusion(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
 }
