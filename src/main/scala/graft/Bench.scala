@@ -76,7 +76,17 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runsN,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runsN,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only a stdout tail, which truncates the
+    // per-query map once enough queries exist; persist the full record
+    // so every round's complete bench artifact survives.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -604,8 +604,19 @@ object DedupOps {
     *
     * Scale shape: identical to minhashLsh up to the candidate set
     * (banded (band, bucket, id) shuffle, mega-bucket cap, bare-id pair
-    * dedup); the texts attach late by two hash joins and the O(n·m)
-    * levenshtein runs once per CANDIDATE, never all-pairs.
+    * dedup); the texts attach late by two hash joins and the verifier
+    * is BOUNDED, never the full O(n·m) DP:
+    *  - a length-ratio prefilter drops any pair whose length gap alone
+    *    exceeds the edit budget (lev ≥ |len_a − len_b| always) for the
+    *    price of two `length()` calls — no DP runs at all;
+    *  - survivors run Spark's banded `levenshtein(l, r, threshold)`,
+    *    O(threshold·n) with early exit, returning −1 past the bound.
+    * The bound is floor((1−editSimThreshold)·maxlen)+1 — one above the
+    * largest distance that can still pass, so the banded value is exact
+    * for every pair the edit_sim filter could retain and the output is
+    * bit-identical to the unbounded form (EditDistanceBoundSpec pins
+    * this on threshold-crossing pairs). Cost is now linear in document
+    * length for non-duplicates instead of quadratic.
     */
   def editDistanceNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val (docs, d, banded, candidates) = lshCandidates(spark, sfDir)
@@ -615,18 +626,35 @@ object DedupOps {
         Seq("id_a"))
       .join(norms.select(col("doc_id").as("id_b"), col("norm").as("norm_b")),
         Seq("id_b"))
-      .withColumn("lev",
-        levenshtein(col("norm_a"), col("norm_b")).cast("long"))
-      .withColumn("edit_sim",
-        lit(1.0) - col("lev").cast("double") /
-          greatest(length(col("norm_a")), length(col("norm_b")))
-            .cast("double"))
     Canon.materialized(
-      Canon.canonicalize(withTexts
-        .filter(col("edit_sim") >= editSimThreshold)
+      Canon.canonicalize(editVerify(withTexts)
         .select("id_a", "id_b", "lev", "edit_sim")),
       d, banded)
   }
+
+  /** The bounded edit-similarity verifier over pair rows carrying
+    * `norm_a`/`norm_b`: length-ratio prefilter → banded
+    * `levenshtein(l, r, bound)` → exact `edit_sim` filter. Retains
+    * exactly the rows the unbounded DP would (the +1 bound margin makes
+    * the banded value exact for every retainable pair; pairs past the
+    * bound can only have edit_sim < the threshold). Shared with
+    * EditDistanceBoundSpec, which pins the equivalence on
+    * threshold-crossing fixtures.
+    */
+  private[ext] def editVerify(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("mx",
+        greatest(length(col("norm_a")), length(col("norm_b"))))
+      .withColumn("lev_bound",
+        (floor(lit(1.0 - editSimThreshold) * col("mx")) + 1).cast("int"))
+      .filter(abs(length(col("norm_a")) - length(col("norm_b")))
+        <= col("lev_bound"))
+      .withColumn("lev",
+        expr("levenshtein(norm_a, norm_b, lev_bound)").cast("long"))
+      .filter(col("lev") >= 0) // −1 = banded DP exceeded the bound
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
+      .filter(col("edit_sim") >= editSimThreshold)
 
   val editDistanceOracle: String =
     s"""WITH $minhashLshCte,
