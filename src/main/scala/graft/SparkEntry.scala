@@ -34,6 +34,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir)),
     "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
+    "q_unicode_norm" -> ((s, dir) => TextOps.unicodeNormalize(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q_dedup_exact" -> TextOps.dedupExactOracle,
     "q_text_stats" -> TextOps.textStatsOracle,
     "q_token_count" -> TextOps.tokenCountOracle,
+    "q_unicode_norm" -> TextOps.unicodeNormalizeOracle,
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,

@@ -42,6 +42,17 @@ object TextOps {
   private[ext] def normSql: String =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** Opt-in Unicode-aware variant of [[normText]]: NFC + lowercase
+    * (optionally width folding) BEFORE whitespace normalization, so two
+    * canonically-equal spellings (é composed vs e+combining acute)
+    * produce identical shingles. Default-off everywhere — the shipped
+    * near-dup oracles predate it and stay byte-stable; pass this where
+    * a multilingual crawl needs it (see [[graft.functions.UnicodeNorm]]).
+    */
+  def normTextUnicode(c: Column, widthFold: Boolean = false): Column =
+    normText(if (widthFold) graft.functions.UnicodeNorm.folded(c)
+             else graft.functions.UnicodeNorm(c))
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
 
@@ -92,6 +103,30 @@ object TextOps {
       |FROM documents GROUP BY 1, 2""".stripMargin
 
   // ---- token counting ------------------------------------------------
+
+  // ---- unicode canonicalization --------------------------------------
+
+  /** Per-document Unicode canonical form (NFC + lowercase, the
+    * [[graft.functions.UnicodeNorm]] native) plus a changed flag. On the
+    * ASCII fixture the NFC step is an asserted no-op and `changed`
+    * reduces to "had an uppercase letter" — the real multi-script
+    * behavior (composed ≡ decomposed, width folding) is pinned in
+    * TextOpsSpec on crafted fixtures.
+    */
+  def unicodeNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    Canon.canonicalize(d.select(
+      col("doc_id"),
+      graft.functions.UnicodeNorm(col("text")).as("unorm"),
+      (graft.functions.UnicodeNorm(col("text")) =!= col("text"))
+        .as("changed")))
+  }
+
+  val unicodeNormalizeOracle: String =
+    """SELECT doc_id,
+      |       lower(nfc_normalize(text)) AS unorm,
+      |       lower(nfc_normalize(text)) <> text AS changed
+      |FROM documents""".stripMargin
 
   private val wordPat = "[a-z0-9]+"
 

@@ -257,4 +257,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got == exp)
     assert(got.nonEmpty)
   }
+
+  test("normTextUnicode unifies canonically-equal spellings; normText does not") {
+    val composed = "Caf\u00e9   Menu" // \u00e9 as one codepoint
+    val decomposed = "Café   Menu" // e + combining acute
+    val fullWidth = "\uFF23\uFF41\uFF46\u00e9\u3000 Menu" // full-width Caf + ideographic space
+    val df = Seq(composed, decomposed, fullWidth).toDF("text")
+      .select(
+        TextOps.normText(col("text")).as("plain"),
+        TextOps.normTextUnicode(col("text")).as("uni"),
+        TextOps.normTextUnicode(col("text"), widthFold = true).as("folded"))
+    val rows = df.as[(String, String, String)].collect()
+    // plain normText keeps the two spellings distinct — the evasion the op closes
+    assert(rows(0)._1 != rows(1)._1)
+    // NFC unifies them
+    assert(rows(0)._2 == rows(1)._2 && rows(0)._2 == "café menu")
+    // width folding additionally unifies the full-width spelling
+    assert(rows(2)._3 == "café menu")
+    // ASCII fast path is the identity on already-normal text
+    assert(graft.functions.UnicodeNorm.norm("plain ascii text", false)
+      == "plain ascii text")
+  }
+
+  test("unicodeNormalize: unorm ≡ lower(text) on the ASCII fixture; changed ⇔ uppercase present") {
+    val got = TextOps.unicodeNormalize(spark, sfDir)
+      .as[(Long, String, Boolean)].collect()
+    val src = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, unorm, changed) =>
+      val t = src(id)
+      assert(unorm == t.toLowerCase(java.util.Locale.ROOT), s"doc $id")
+      assert(changed == (unorm != t), s"doc $id changed")
+    }
+  }
 }

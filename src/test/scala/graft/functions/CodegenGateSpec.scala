@@ -79,7 +79,12 @@ class CodegenGateSpec extends SparkSpec {
       ("RandomProject", () =>
         Seq(Seq(0.25, -0.5, 0.75, 1.0), Seq(-1.0, 0.0, 0.5, -0.25))
           .toDF("v")
-          .select(RandomProject(col("v")).as("out"))))
+          .select(RandomProject(col("v")).as("out"))),
+      ("UnicodeNorm", () =>
+        Seq("MiXeD Case", "e\u0301 decomposed vs \u00e9 composed", "\uFF21\uFF22 full-width", "")
+          .toDF("text")
+          .select(UnicodeNorm(col("text")).as("out"),
+            UnicodeNorm.folded(col("text")).as("folded"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */
