@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{CurationOps, DedupOps, EventOps, GraphOps, MultimodalOps,
-  SampleOps, TextOps, VectorOps}
+  SampleOps, ScoringOps, TextOps, VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
   MicroQueries, ProductPerformance, SupplierPerformance}
 
@@ -35,6 +35,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "q_unicode_norm" -> ((s, dir) => TextOps.unicodeNormalize(s, dir)),
+    "q_model_score" -> ((s, dir) => ScoringOps.modelScore(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
@@ -164,6 +165,7 @@ object SparkEntry {
     "q_text_stats" -> TextOps.textStatsOracle,
     "q_token_count" -> TextOps.tokenCountOracle,
     "q_unicode_norm" -> TextOps.unicodeNormalizeOracle,
+    "q_model_score" -> ScoringOps.modelScoreOracle,
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,

@@ -1,0 +1,106 @@
+package graft.ext
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Instrumented models live OUTSIDE the suite class: a nested object
+  * would capture the suite instance in its serialized closure (Task not
+  * serializable). Top-level Scala objects serialize as module refs and
+  * resolve back to the singleton, so the static counters observe the
+  * executor-side calls in single-JVM local mode.
+  */
+object ScoringProbeModel extends ScoringOps.BatchModel[Long, Long] {
+  val name = "probe"
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  def reset(): Unit = { opens.set(0); closes.set(0); batchSizes.clear() }
+  def open(): ScoringOps.BatchHandle[Long, Long] = {
+    opens.incrementAndGet()
+    new ScoringOps.BatchHandle[Long, Long] {
+      def scoreBatch(batch: Seq[Long]): Seq[Long] = {
+        ScoringProbeModel.batchSizes.add(batch.length)
+        batch.map(_ * 10L)
+      }
+      def close(): Unit = { ScoringProbeModel.closes.incrementAndGet(); () }
+    }
+  }
+}
+
+/** Returns one fewer output than inputs — must trip the arity guard. */
+object ScoringBrokenModel extends ScoringOps.BatchModel[Long, Long] {
+  val name = "broken"
+  def open(): ScoringOps.BatchHandle[Long, Long] =
+    new ScoringOps.BatchHandle[Long, Long] {
+      def scoreBatch(batch: Seq[Long]): Seq[Long] = batch.tail
+      def close(): Unit = ()
+    }
+}
+
+/** Pins every clause of the ScoringOps.batchScore contract: batch
+  * shape, lazy init-once-per-non-empty-partition, close-per-open,
+  * order/arity preservation, and the stub scorer's closed form.
+  */
+class ScoringOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batches are bounded and order/arity are preserved") {
+    ScoringProbeModel.reset()
+    val ds = spark.range(0, 10, 1, 1).as[Long] // one partition, no shuffle
+    val out = ScoringOps.batchScore(ds, ScoringProbeModel, batchSize = 4)
+      .collect()
+    // order + arity: one output per input, in input order
+    assert(out.toSeq == (0L until 10L).map(_ * 10L))
+    // batch shape: full batches then the remainder, never more than 4
+    assert(ScoringProbeModel.batchSizes.asScala.toSeq == Seq(4, 4, 2))
+  }
+
+  test("init runs lazily, once per NON-EMPTY partition; close once per open") {
+    ScoringProbeModel.reset()
+    // 3 rows spread over 8 partitions: most partitions are empty
+    val ds = Seq(1L, 2L, 3L).toDS().repartition(8)
+    val nonEmpty = ds.mapPartitions(it => Iterator.single(it.nonEmpty))
+      .collect().count(identity)
+    ScoringOps.batchScore(ds, ScoringProbeModel, batchSize = 2).collect()
+    assert(ScoringProbeModel.opens.get() == nonEmpty,
+      "open() must not run on empty partitions")
+    assert(ScoringProbeModel.closes.get() == ScoringProbeModel.opens.get(),
+      "every open must close exactly once")
+  }
+
+  test("a model violating one-output-per-input fails loudly") {
+    val ds = spark.range(0, 5, 1, 1).as[Long]
+    val e = intercept[org.apache.spark.SparkException] {
+      ScoringOps.batchScore(ds, ScoringBrokenModel, batchSize = 5).collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("one per input")) ||
+        mentions(t.getCause))
+    assert(mentions(e), s"unexpected failure: $e")
+  }
+
+  test("q_model_score equals a driver-side recompute of the stub") {
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val exp = docs.map { case (id, text) =>
+      val norm = text.replaceAll("\\s+", " ").trim
+        .toLowerCase(java.util.Locale.ROOT)
+      val m = java.util.regex.Pattern.compile("[a-z0-9]+").matcher(norm)
+      var nTok = 0L
+      while (m.find()) nTok += 1
+      val raw = 3L * math.min(norm.length.toLong, ScoringOps.stubLenCap) +
+        5L * math.min(nTok, ScoringOps.stubTokCap) +
+        2L * (norm.length.toLong % 7L)
+      (id, raw, raw.toDouble / (raw + 1000L).toDouble)
+    }.toSet
+    val got = ScoringOps.modelScore(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+}
