@@ -76,6 +76,7 @@ object SparkEntry {
     "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
     // same flow against the PERSISTED corpus LSH index (offline build)
     "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
+    "q_minhash_lsh_merged" -> ((s, dir) => DedupOps.minhashLshMerged(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     // detect -> REMOVE: the cleaned corpus after LSH clustering
@@ -191,6 +192,7 @@ object SparkEntry {
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
+    "q_minhash_lsh_merged" -> DedupOps.minhashLshMergedOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,

@@ -736,7 +736,15 @@ object DedupOps {
     */
   val incrementalCorpusPermille = 800
 
-  private def sideBucket(key: Column): Column = {
+  /** Permille boundary of the MERGE lifecycle query: docs in
+    * [incrementalCorpusPermille, mergeProbePermille) are "today's
+    * crawl" folded into the index; docs ≥ mergeProbePermille are
+    * "tomorrow's crawl" probing the MERGED index. Declared HERE, above
+    * every oracle val that interpolates it (object init order).
+    */
+  val mergeProbePermille = 900
+
+  private[ext] def sideBucket(key: Column): Column = {
     import graft.functions.{MinHashSignature => MH}
     ((key % MH.P) * MH.aCoef(0) + MH.bCoef(0)) % MH.P % 1000
   }
@@ -803,7 +811,19 @@ object DedupOps {
     * the side split and the asymmetric candidate join, generated from
     * the same constants.
     */
-  val minhashLshIncrementalOracle: String = {
+  val minhashLshIncrementalOracle: String =
+    incrementalOracleFor(incrementalCorpusPermille)
+
+  /** The merged-index lifecycle query shares the incremental oracle
+    * shape — only the corpus boundary moves (merge proved table-exact
+    * by LshIndexMergeSpec, so corpus = everything below the probe
+    * slice).
+    */
+  val minhashLshMergedOracle: String =
+    incrementalOracleFor(mergeProbePermille)
+
+  // a DEF for the same init-order reason as minhashLshCte
+  private def incrementalOracleFor(corpusPermille: Int): String = {
     val minAggs = (0 until numHashes)
       .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
     val bandedUnion = (0 until numBands)
@@ -813,7 +833,7 @@ object DedupOps {
        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |  FROM documents),
        |d AS (SELECT doc_id, norm,
-       |        ${sideBucketSql("doc_id")} < $incrementalCorpusPermille
+       |        ${sideBucketSql("doc_id")} < $corpusPermille
        |          AS is_corpus
        |      FROM nd WHERE length(norm) >= $shingleLen),
        |st AS (
@@ -855,15 +875,37 @@ object DedupOps {
     */
   private def lshIndexRoot = s"${graft.io.Artifacts.root}/lsh_index"
 
-  private def lshIndexDir(sfDir: String): String = {
+  private[ext] def lshIndexDir(sfDir: String): String = {
     val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
     // every parameter the stored bands/shingles depend on goes into the
     // path: a constant bump must MISS the old index, never probe it
+    // (v2 = the layout that added the sigs table for mergeability)
     val params =
-      s"h$numHashes-b$numBands-s$shingleLen-p$incrementalCorpusPermille"
+      s"h$numHashes-b$numBands-s$shingleLen-p$incrementalCorpusPermille-v2"
     s"$lshIndexRoot/${tag}_${params}_$fp"
   }
+
+  /** (doc_id, band, bucket) rows derived from a signature table — the
+    * probe side of the index, shared by build and merge so bucket
+    * arithmetic can never diverge between them.
+    */
+  private[ext] def bandsOfSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        bucketExpr(col("sig"), col("band")).as("bucket"))
+
+  private def indexDone(dir: String): Boolean =
+    Seq("bands", "shingles", "sigs").forall(t =>
+      new java.io.File(s"$dir/$t/_SUCCESS").exists())
+
+  /** Read a stored index layout (bands, shingles, sigs) from `dir`. */
+  def readLshIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/sigs"))
 
   /** Builds (first call) or reuses (SUCCESS-gated) the PERSISTED corpus
     * LSH index: `bands` (doc_id, band, bucket) and `shingles`
@@ -876,27 +918,80 @@ object DedupOps {
   def lshIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     synchronized {
       val dir = lshIndexDir(sfDir)
-      val bandsPath = s"$dir/bands"
-      val shPath = s"$dir/shingles"
-      val done = new java.io.File(s"$shPath/_SUCCESS").exists() &&
-        new java.io.File(s"$bandsPath/_SUCCESS").exists()
-      if (!done) {
+      if (!indexDone(dir)) {
         val corpus = documents(spark, sfDir)
           .repartition(col("doc_id"))
           .withColumn("norm", TextOps.normText(col("text")))
           .filter(sideBucket(col("doc_id")) < incrementalCorpusPermille)
         val sets = shingleSets(corpus).persist()
         sets.select(col("doc_id"), col("sh"))
-          .write.mode("overwrite").parquet(shPath)
+          .write.mode("overwrite").parquet(s"$dir/shingles")
+        // sigs persist beside the bands: MinHash signatures are the
+        // MERGE algebra of the index (signature of a union = slot-wise
+        // min), so keeping them lets a later batch fold in without the
+        // corpus ever being re-shingled (lshIndexMerge)
         sets.select(col("doc_id"),
-            explode(sequence(lit(0), lit(numBands - 1))).as("band"),
             graft.functions.MinHashSignature(col("sh")).as("sig"))
-          .select(col("doc_id"), col("band"),
-            bucketExpr(col("sig"), col("band")).as("bucket"))
-          .write.mode("overwrite").parquet(bandsPath)
+          .write.mode("overwrite").parquet(s"$dir/sigs")
         sets.unpersist(false)
+        bandsOfSigs(spark.read.parquet(s"$dir/sigs"))
+          .write.mode("overwrite").parquet(s"$dir/bands")
       }
-      (spark.read.parquet(bandsPath), spark.read.parquet(shPath))
+      (spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/shingles"))
+    }
+
+  /** MERGE a batch into the persisted corpus index — the daily-crawl
+    * maintenance path the rebuild-per-day cost model can't afford. The
+    * corpus side is never re-shingled (its text is never even read):
+    *
+    *  - signatures merge by [[graft.functions.SignatureMin]] — MinHash's
+    *    defining algebra, sig(A ∪ B) = slot-wise min(sig(A), sig(B)) —
+    *    so a RE-CRAWLED doc_id appearing in both corpus and batch gets
+    *    exactly the signature a from-scratch build of its combined
+    *    shingle set would produce (spec-pinned);
+    *  - shingle verify payloads merge by set union, re-sorted to keep
+    *    the SortedIntersectCount contract;
+    *  - the band table is re-derived from the merged signatures by the
+    *    same bucket arithmetic as the build (shared bandsOfSigs), which
+    *    leaves corpus-only rows bit-identical.
+    *
+    * The result is written to a NEW stamped dir (`…_m_<batchTag>`,
+    * SUCCESS-gated like the build) so a crash mid-merge can never
+    * corrupt the base index, and returns that dir for [[readLshIndex]] /
+    * [[probeLshIndexTables]]. LshIndexMergeSpec proves merged ≡ rebuilt
+    * tables and probe-result equality, plus mtime evidence the base
+    * index was only read.
+    */
+  def lshIndexMerge(spark: SparkSession, sfDir: String,
+                    batchDocs: DataFrame, batchTag: String): String =
+    synchronized {
+      require(batchTag.matches("[A-Za-z0-9_-]+"),
+        s"batchTag must be path-safe, got '$batchTag'")
+      val dir = s"${lshIndexDir(sfDir)}_m_$batchTag"
+      if (!indexDone(dir)) {
+        lshIndex(spark, sfDir) // ensure the base index exists
+        val (_, baseSh, baseSigs) =
+          readLshIndex(spark, lshIndexDir(sfDir))
+        val withNorm = batchDocs.select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .withColumn("norm", TextOps.normText(col("text")))
+        val bSets = shingleSets(withNorm).persist()
+        val bSigs = bSets.select(col("doc_id"),
+          graft.functions.MinHashSignature(col("sh")).as("sig"))
+        baseSigs.union(bSigs).groupBy("doc_id")
+          .agg(graft.functions.SignatureMin.column(col("sig")).as("sig"))
+          .write.mode("overwrite").parquet(s"$dir/sigs")
+        baseSh.union(bSets.select(col("doc_id"), col("sh")))
+          .groupBy("doc_id")
+          .agg(array_sort(array_distinct(flatten(collect_list(col("sh")))))
+            .as("sh"))
+          .write.mode("overwrite").parquet(s"$dir/shingles")
+        bSets.unpersist(false)
+        bandsOfSigs(spark.read.parquet(s"$dir/sigs"))
+          .write.mode("overwrite").parquet(s"$dir/bands")
+      }
+      dir
     }
 
   /** The batch-side slice of the fixture (the documents NOT in the
@@ -920,6 +1015,27 @@ object DedupOps {
   def minhashLshIndexed(spark: SparkSession, sfDir: String): DataFrame =
     probeLshIndex(spark, sfDir, incrementalBatchDocs(spark, sfDir))
 
+  /** The full index-maintenance lifecycle as one query: build the base
+    * corpus index (< 800‰), MERGE the middle slice in ([800, 900)‰,
+    * [[lshIndexMerge]] — signatures fold by slot-wise min, the corpus is
+    * never re-shingled), then probe with the top slice (≥ 900‰).
+    * Because the merged tables are exactly what a from-scratch build
+    * over the first 900‰ would produce (LshIndexMergeSpec), the oracle
+    * is the incremental oracle with the corpus boundary at 900‰.
+    */
+  def minhashLshMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val mergeBatch = documents(spark, sfDir)
+      .filter(sideBucket(col("doc_id")) >= incrementalCorpusPermille &&
+        sideBucket(col("doc_id")) < mergeProbePermille)
+      .select("doc_id", "text")
+    val dir = lshIndexMerge(spark, sfDir, mergeBatch, s"p$mergeProbePermille")
+    val (mBands, mSh, _) = readLshIndex(spark, dir)
+    val probeDocs = documents(spark, sfDir)
+      .filter(sideBucket(col("doc_id")) >= mergeProbePermille)
+      .select("doc_id", "text")
+    probeLshIndexTables(spark, mBands, mSh, probeDocs)
+  }
+
   /** Probe the persisted index with an ARBITRARY batch of documents
     * (doc_id, text) — the online half of ingest-time NEAR-dup, factored
     * out of [[minhashLshIndexed]] so a stream's foreachBatch can call it
@@ -930,6 +1046,16 @@ object DedupOps {
   def probeLshIndex(spark: SparkSession, sfDir: String,
                     batchDocs: DataFrame): DataFrame = {
     val (idxBands, idxSh) = lshIndex(spark, sfDir)
+    probeLshIndexTables(spark, idxBands, idxSh, batchDocs)
+  }
+
+  /** Probe an EXPLICIT pair of index tables — the core of
+    * [[probeLshIndex]], factored so merged indexes
+    * ([[lshIndexMerge]] → [[readLshIndex]]) and spec-built table sets
+    * probe through the identical plan.
+    */
+  def probeLshIndexTables(spark: SparkSession, idxBands: DataFrame,
+                          idxSh: DataFrame, batchDocs: DataFrame): DataFrame = {
     val withNorm = batchDocs.select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
