@@ -79,6 +79,7 @@ object SparkEntry {
     "q_minhash_lsh_merged" -> ((s, dir) => DedupOps.minhashLshMerged(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
+    "q_dup_spans_apply" -> ((s, dir) => DedupOps.dupSpansApply(s, dir)),
     // detect -> REMOVE: the cleaned corpus after LSH clustering
     "q_dedup_apply" -> ((s, dir) => DedupOps.dedupApply(s, dir)),
     // tokenizer vocabulary: counts, cutoff, dense ids
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_minhash_lsh_merged" -> DedupOps.minhashLshMergedOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
+    "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,

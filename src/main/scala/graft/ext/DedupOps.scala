@@ -1409,6 +1409,122 @@ object DedupOps {
     Canon.canonicalize(out)
   }
 
+  /** Span-level dedup APPLY — the text SURGERY that closes the
+    * detect→remove loop [[dupSpans]] only measures: every
+    * `spanTokens`-token span whose content appears in more than one
+    * document is removed from every document EXCEPT the corpus-wide
+    * first occurrence (min doc_id — the keep-first policy dedupApply
+    * uses for whole documents), and the surviving tokens are stitched
+    * back together. This is the gram-granular remedy for the
+    * 40%-boilerplate document whose only alternative is drop-or-keep.
+    *
+    * Exact token-level semantics (the spec recomputes them brute-force):
+    * a token is removed iff it lies inside at least one LOSING span —
+    * a span whose gram-hash is shared cross-doc and whose document is
+    * not that gram's keeper. The keeper keeps every occurrence,
+    * including its own internal repeats; overlapping losing spans union
+    * their token ranges.
+    *
+    * Scale shape: the span scan and (gh, doc) rollup are exactly
+    * [[dupSpans]]'s one wide exchange + window (nothing broadcast, no
+    * self-join re-scan); the apply side adds a bounded ×spanTokens
+    * explode of LOSING spans only, one (doc_id, pos) dedup, one
+    * left_anti against the token stream, and the per-doc regroup —
+    * every step keyed and linear in corpus tokens. The rebuilt text
+    * aggregates as (pos, tok) structs sorted per doc, so reassembly is
+    * deterministic under any partitioning.
+    */
+  def dupSpansApply(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansApplyDocs(documents(spark, sfDir))
+
+  private[ext] def dupSpansApplyDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import CurationOps.{grams, toksCol}
+    val d = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), toksCol.as("toks"))
+      .persist() // span scan + token stream + n_tokens base
+    val spanRows = d.select(col("doc_id"),
+        posexplode(grams(col("toks"), spanTokens)).as(Seq("i0", "gram")))
+      .select(col("doc_id"), col("i0"), md5(col("gram")).as("gh"))
+      .repartition(col("gh"))
+      .persist() // gh stats + losing-span attach share one exchange
+    val byGh = Window.partitionBy("gh")
+    val losing = spanRows.groupBy("gh", "doc_id").agg(count(lit(1)).as("occ"))
+      .withColumn("n_docs", count(lit(1)).over(byGh))
+      .withColumn("min_doc", min("doc_id").over(byGh))
+      .filter(col("n_docs") > 1 && col("doc_id") =!= col("min_doc"))
+      .select("gh", "doc_id")
+    val removedPos = spanRows.join(losing, Seq("gh", "doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("i0"), col("i0") + lit(spanTokens - 1)))
+          .as("pos"))
+      .distinct()
+    val tokRows = d.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokRows.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("cleaned"))
+    val out = d.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("removed_frac"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+    Canon.materialized(Canon.canonicalize(out), d, spanRows)
+  }
+
+  val dupSpansApplyOracle: String = {
+    val w = spanTokens
+    s"""WITH d AS (
+       |  SELECT doc_id, ${CurationOps.toksSql} AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, i,
+       |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS gh
+       |  FROM d, unnest(range(1, len(toks) - ${w - 2})) AS r(i)),
+       |st AS (SELECT gh, doc_id FROM g GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT gh, count(*) AS n_docs, min(doc_id) AS min_doc
+       |  FROM st GROUP BY 1),
+       |losing AS (
+       |  SELECT st.gh, st.doc_id
+       |  FROM st JOIN stats USING (gh)
+       |  WHERE n_docs > 1 AND st.doc_id <> min_doc),
+       |lsp AS (
+       |  SELECT g.doc_id, g.i
+       |  FROM g JOIN losing ON g.gh = losing.gh AND g.doc_id = losing.doc_id),
+       |rp AS (
+       |  SELECT DISTINCT doc_id, i + o AS pos
+       |  FROM lsp, unnest(range(0, $w)) AS t(o)),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok
+       |  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM tok t LEFT JOIN rp ON t.doc_id = rp.doc_id AND t.pos = rp.pos
+       |  WHERE rp.doc_id IS NULL),
+       |cl AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |  FROM kept GROUP BY 1),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d)
+       |SELECT base.doc_id, n_tokens,
+       |       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |       CASE WHEN n_tokens > 0
+       |         THEN CAST(n_tokens - coalesce(n_kept, 0) AS DOUBLE)
+       |                / CAST(n_tokens AS DOUBLE)
+       |         ELSE 0.0 END AS removed_frac,
+       |       coalesce(cleaned, '') AS cleaned
+       |FROM base LEFT JOIN cl USING (doc_id)""".stripMargin
+  }
+
   val dupSpansOracle: String = {
     val w = spanTokens
     s"""WITH d AS (

@@ -258,6 +258,57 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0L))
   }
 
+  test("dupSpansApply removes losing spans, keeps first occurrence (brute force)") {
+    val w = DedupOps.spanTokens
+    // constructed overlap: an 8-token boilerplate block shared by three
+    // docs (doc 10 is the corpus-wide keeper), one full clone pair, one
+    // doc with an INTERNAL repeat of the shared block, one short doc
+    val block = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (10L, s"$block unique ten tail"),
+      (20L, s"lead-in twenty $block trailing twenty words"),
+      (30L, s"$block $block thirty thirty thirty"), // internal repeat, loser
+      (40L, "a fully distinct document with plenty of its own words here"),
+      (41L, "a fully distinct document with plenty of its own words here"),
+      (50L, "too short"))
+    val df = docs.toDF("doc_id", "text")
+
+    // brute force in plain Scala, straight from the scaladoc semantics
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty).toVector
+    }.toMap
+    val spans = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - w).map(i => (id, i, ts.slice(i, i + w).mkString(" ")))
+    }
+    val byGram = spans.groupBy(_._3)
+    val exp = toks.map { case (id, ts) =>
+      val removed = spans.collect {
+        case (`id`, i, g)
+            if byGram(g).map(_._1).distinct.length > 1 &&
+              byGram(g).map(_._1).min != id =>
+          (i until i + w)
+      }.flatten.toSet
+      val keptToks = ts.zipWithIndex.collect {
+        case (t, j) if !removed.contains(j) => t
+      }
+      val frac = if (ts.nonEmpty) removed.size.toDouble / ts.length else 0.0
+      (id, ts.length.toLong, removed.size.toLong, frac, keptToks.mkString(" "))
+    }.toSet
+
+    val got = DedupOps.dupSpansApplyDocs(df)
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    assert(got == exp)
+    // fixture really exercises surgery: keeper intact, losers cut
+    val gotMap = got.map(r => r._1 -> r).toMap
+    assert(gotMap(10L)._3 == 0L, "keeper must lose nothing")
+    assert(gotMap(20L)._3 > 0L && gotMap(20L)._5.contains("lead-in twenty"))
+    assert(gotMap(30L)._3 > 0L, "internal repeats of a losing gram are cut")
+    assert(gotMap(41L)._3 > 0L && gotMap(40L)._3 == 0L,
+      "clone pair: smaller id keeps, larger id loses")
+    assert(gotMap(50L)._3 == 0L, "short docs have no spans")
+  }
+
   test("editDistanceNearDup matches a driver Levenshtein recompute") {
     def lev(a: String, b: String): Int = {
       val prev = Array.tabulate(b.length + 1)(identity)
