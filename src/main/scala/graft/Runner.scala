@@ -62,6 +62,11 @@ object Runner {
       // cross-doc span duplication + benchmark overlap, then packing and
       // the reproducible split — the full pre-training prep DAG
       "dup_spans" -> (() => DedupOps.dupSpans(spark, sfDir).count()),
+      // the surgery step: repeated spans cut, first occurrence kept
+      "dup_spans_apply" ->
+        (() => DedupOps.dupSpansApply(spark, sfDir).count()),
+      // classifier-quality scores through the batched inference seam
+      "model_score" -> (() => ext.ScoringOps.modelScore(spark, sfDir).count()),
       "decontaminate" ->
         (() => ext.CurationOps.decontaminateBloom(spark, sfDir).count()),
       // graduated overlap score beside the binary gate (thresholded

@@ -143,4 +143,46 @@ class PlanSpec extends SparkSpec {
     assert(z.contains("ReadSchema"),
       "zorderKey plan lost its scan node?")
   }
+
+  test("editDistance verify stays banded (threshold column in the plan)") {
+    // the r5 verdict's one weak plan: an UNTHRESHOLDED levenshtein is
+    // quadratic in document length; the bounded form carries the
+    // per-row lev_bound argument, visible in the executed plan
+    val p = plan(graft.ext.DedupOps.editDistanceNearDup(spark, sfDir))
+    // the lev_bound alias may be inlined by CollapseProject; what must
+    // survive is a THREE-argument levenshtein call (l, r, threshold) —
+    // two top-level commas inside the call (nested parens balanced)
+    val call = "levenshtein\\((?:[^()]|\\([^()]*\\))*,(?:[^()]|\\([^()]*\\))*,"
+    assert(call.r.findFirstIn(p).isDefined,
+      "levenshtein lost its threshold argument:\n" +
+        p.linesIterator.filter(_.contains("levenshtein"))
+          .mkString("\n").take(1500))
+  }
+
+  test("dupSpansApply: keyed plan only — no broadcast of the dup set, no quadratic join") {
+    val df = graft.ext.DedupOps.dupSpansApply(spark, sfDir)
+    val p = plan(df)
+    // the dup-set attach must stay a keyed join/window over gh, never a
+    // driver-collected or broadcast structure, and the token-level apply
+    // is a left_anti against the position stream
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftAnti"), "token removal lost its anti join:\n" +
+      p.take(1500))
+    // the gh window carries a partition spec (a global window would
+    // single-partition the corpus-sized span stream)
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      "gh stats window lost its partitioning:\n" + p.take(1500))
+  }
+
+  test("modelScore runs as typed mapPartitions over a repartitioned input") {
+    val p = plan(graft.ext.ScoringOps.modelScore(spark, sfDir))
+    assert(p.contains("MapPartitions"),
+      "batch seam lost its mapPartitions:\n" + p.take(1500))
+    // the single-split fixture must spread before the per-row work
+    assert(p.contains("Exchange"),
+      "modelScore input no longer repartitions:\n" + p.take(1500))
+  }
 }
