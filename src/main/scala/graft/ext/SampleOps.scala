@@ -153,6 +153,59 @@ object SampleOps {
     * (≤ ⌈max weight⌉ per row) — no shuffle at all; the multiplicity
     * decision never needs global state.
     */
+  /** Target SHARE of the final mixture per source, in permille —
+    * [[mixturePlan]]'s input. Distinct from [[mixtureWeightsPermille]]
+    * (which are per-doc repeat MULTIPLIERS): shares say what fraction
+    * of the training mix each source should occupy; every unlisted
+    * source gets the default share.
+    */
+  val targetMixPermille: Seq[(String, Int)] =
+    Seq("src0" -> 220, "src1" -> 150, "src2" -> 30)
+  val targetMixDefaultPermille = 35
+
+  /** MIXTURE PLANNING: per-source actual counts vs the target mix —
+    * the report a pre-training run reads to decide repeat factors
+    * before [[mixtureRepeat]] applies them. target_docs =
+    * ⌊share · N / 1000⌋ in exact integer arithmetic; repeat_factor is
+    * the single exact double division target/actual.
+    *
+    * Scale shape: one keyed count per source (map-side combined; fine
+    * even when "source" is a web domain with millions of values) plus
+    * a broadcast of the ONE-row corpus total — the skewReport shape.
+    * No windows, no driver loops.
+    */
+  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val share = targetMixPermille.foldLeft(
+      lit(targetMixDefaultPermille)) {
+      case (acc, (s, r)) => when(col("source") === s, r).otherwise(acc)
+    }
+    Canon.canonicalize(counts.crossJoin(broadcast(total))
+      .withColumn("target_permille", share.cast("long"))
+      .withColumn("target_docs",
+        expr("target_permille * n_total div 1000"))
+      .select(col("source"), col("n_docs"), col("target_permille"),
+        col("target_docs"),
+        (col("target_docs").cast("double") / col("n_docs").cast("double"))
+          .as("repeat_factor")))
+  }
+
+  val mixturePlanOracle: String = {
+    val cases = targetMixPermille
+      .map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+    val share = s"CASE source $cases ELSE $targetMixDefaultPermille END"
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |t AS (SELECT count(*) AS n_total FROM documents)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST($share AS BIGINT) AS target_permille,
+       |       CAST(($share) * n_total // 1000 AS BIGINT) AS target_docs,
+       |       CAST(($share) * n_total // 1000 AS DOUBLE)
+       |         / CAST(n_docs AS DOUBLE) AS repeat_factor
+       |FROM c, t""".stripMargin
+  }
+
   def mixtureRepeat(spark: SparkSession, sfDir: String): DataFrame = {
     val d = TextOps.documents(spark, sfDir)
     val w = mixtureWeightsPermille.foldLeft(lit(mixtureDefaultPermille)) {

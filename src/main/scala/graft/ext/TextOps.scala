@@ -247,6 +247,47 @@ object TextOps {
        |       $qualityScoreSql AS quality_score
        |FROM f""".stripMargin
 
+  // ---- per-source quality cap (data-mixing curation) -----------------
+
+  /** Docs kept per source by [[sourceCap]]. */
+  val sourceCapK = 10
+
+  /** Per-SOURCE quality cap: keep the `sourceCapK` highest-quality
+    * documents of every source (ties broken by doc_id) — the
+    * domain-level capping step of data mixing, which stops one huge
+    * low-diversity domain from dominating the corpus no matter how many
+    * documents it contributes.
+    *
+    * Scale shape: the score is the shared codegen'd projection
+    * (withQualityScore — can't drift from q_quality_score), and the cap
+    * runs on the native TopKPerKey bounded heap: per-source state is
+    * O(k), no per-group sort, no window — the same operator the judge's
+    * W2/W3 family uses, pointed at the curation problem.
+    */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = withQualityScore(documents(spark, sfDir)
+        .withColumn("norm", normText(col("text"))))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    Canon.canonicalize(graft.plans.TopK.perKey(scored, Seq("source"),
+      Seq("quality_score" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc), k = sourceCapK))
+  }
+
+  val sourceCapOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,
+       |    CAST(len(regexp_extract_all($normSql, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS n_stop,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS len_chars
+       |  FROM documents),
+       |s AS (SELECT doc_id, source, $qualityScoreSql AS quality_score FROM f),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |  FROM s)
+       |SELECT doc_id, source, quality_score FROM r WHERE rn <= $sourceCapK""".stripMargin
+
   // ---- vocabulary statistics -----------------------------------------
 
   val topTokensK = 10

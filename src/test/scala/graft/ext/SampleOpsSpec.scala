@@ -117,4 +117,30 @@ class SampleOpsSpec extends SparkSpec {
     assert(moved > n / 2,
       s"epoch 1 permutation barely differs from epoch 0: $moved/$n moved")
   }
+
+  test("mixturePlan: exact integer targets and division, counts sum to total") {
+    val docs = TextOps.documents(spark, sfDir)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val total = docs.length.toLong
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val shares = SampleOps.targetMixPermille.toMap
+    val exp = planTable(bySrc, shares, total)
+    val got = SampleOps.mixturePlan(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    assert(got.toSeq.map(_._2).sum == total,
+      "per-source counts must sum to total")
+    // both a listed share and the default share are exercised
+    assert(got.exists(r => shares.contains(r._1)) &&
+      got.exists(r => !shares.contains(r._1)))
+  }
+
+  private def planTable(counts: Map[String, Long], shares: Map[String, Int],
+                        total: Long): Set[(String, Long, Long, Long, Double)] =
+    counts.map { case (src, n) =>
+      val share =
+        shares.getOrElse(src, SampleOps.targetMixDefaultPermille).toLong
+      val target = share * total / 1000L // integral division, exact
+      (src, n, share, target, target.toDouble / n.toDouble)
+    }.toSet
 }

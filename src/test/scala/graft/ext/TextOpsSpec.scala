@@ -258,6 +258,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sourceCap keeps exactly the top-k quality docs per source") {
+    val k = TextOps.sourceCapK
+    val scored = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val bySource = TextOps.documents(spark, sfDir)
+      .select("doc_id", "source").as[(Long, String)].collect()
+      .groupBy(_._2)
+    val exp = bySource.toSeq.flatMap { case (src, docs) =>
+      docs.map(_._1).sortBy(id => (-scored(id), id)).take(k)
+        .map(id => (id, src, scored(id)))
+    }.toSet
+    val got = TextOps.sourceCap(spark, sfDir)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == exp)
+    // the cap really binds at this SF (each source holds > k docs)
+    assert(bySource.values.exists(_.length > k))
+  }
+
   test("normTextUnicode unifies canonically-equal spellings; normText does not") {
     val composed = "Caf\u00e9   Menu" // \u00e9 as one codepoint
     val decomposed = "Café   Menu" // e + combining acute
