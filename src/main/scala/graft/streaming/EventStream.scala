@@ -258,6 +258,23 @@ object EventStream {
       }
       .start()
 
+  /** Streaming model scoring: [[graft.ext.ScoringOps.batchScore]]
+    * applied DIRECTLY to a document stream. The seam is a stateless
+    * narrow mapPartitions, so it composes with Structured Streaming
+    * as-is — no foreachBatch detour: within every micro-batch each
+    * non-empty partition opens a model handle once, scores bounded
+    * batches, and closes via the task-completion listener. Stream ≡
+    * batch row equality is asserted in EventStreamSpec.
+    */
+  def scoreDocs(docs: Dataset[(Long, String)],
+                batchSize: Int = graft.ext.ScoringOps.defaultBatchSize)
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.ext.ScoringOps
+      .batchScore(docs, graft.ext.ScoringOps.QualityStub, batchSize)
+      .toDF("doc_id", "raw_score", "model_score")
+  }
+
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
     * nanos→timestamp conversion as the batch reader so the two pipelines

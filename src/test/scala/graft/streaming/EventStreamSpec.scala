@@ -363,4 +363,31 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("batched scoring seam composes with a document stream unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.ext.TextOps.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.scoreDocs(input.toDS(), batchSize = 16)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scored_docs").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second) // a second micro-batch re-opens handles
+      q.processAllAvailable()
+      val streamed = spark.table("scored_docs")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.ext.ScoringOps.modelScore(spark, sfDir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${batch.diff(streamed).take(5)} " +
+          s"extra=${streamed.diff(batch).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
