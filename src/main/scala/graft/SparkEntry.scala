@@ -79,6 +79,8 @@ object SparkEntry {
     // same flow against the PERSISTED corpus LSH index (offline build)
     "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
     "q_minhash_lsh_merged" -> ((s, dir) => DedupOps.minhashLshMerged(s, dir)),
+    "q_lsh_recall" -> ((s, dir) => DedupOps.lshRecall(s, dir)),
+    "q_ann_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_dup_spans_apply" -> ((s, dir) => DedupOps.dupSpansApply(s, dir)),
@@ -198,6 +200,8 @@ object SparkEntry {
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_minhash_lsh_merged" -> DedupOps.minhashLshMergedOracle,
+    "q_lsh_recall" -> DedupOps.lshRecallOracle,
+    "q_ann_recall" -> VectorOps.annRecallOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,

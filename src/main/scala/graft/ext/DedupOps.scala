@@ -694,22 +694,22 @@ object DedupOps {
        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |  FROM documents),
        |d AS (SELECT doc_id, norm FROM nd WHERE length(norm) >= $shingleLen),
-       |st AS (
+       |st AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${shingleHashSql("norm", "i")} AS s
        |  FROM d, UNNEST(range(1, length(norm) - ${shingleLen - 2})) AS t(i)),
-       |sh AS (SELECT doc_id, list(s) AS sh FROM st GROUP BY doc_id),
-       |sigs AS (
+       |sh AS MATERIALIZED (SELECT doc_id, list(s) AS sh FROM st GROUP BY doc_id),
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id, $minAggs
        |  FROM st GROUP BY doc_id),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  $bandedUnion),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT band, bucket FROM banded GROUP BY band, bucket
        |  HAVING count(*) <= $maxBucketSize),
-       |kb AS (SELECT b.doc_id, b.band, b.bucket
+       |kb AS MATERIALIZED (SELECT b.doc_id, b.band, b.bucket
        |       FROM banded b JOIN kept k
        |         ON b.band = k.band AND b.bucket = k.bucket),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM kb x JOIN kb y
        |    ON x.band = y.band AND x.bucket = y.bucket
@@ -720,7 +720,7 @@ object DedupOps {
        |         len(sa.sh) AS na, len(sb.sh) AS nb
        |  FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
        |              JOIN sh sb ON c.id_b = sb.doc_id),
-       |lpairs AS (
+       |lpairs AS MATERIALIZED (
        |  SELECT id_a, id_b, n_common / (na + nb - n_common) AS jaccard
        |  FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold)""".stripMargin
   }
@@ -836,22 +836,22 @@ object DedupOps {
        |        ${sideBucketSql("doc_id")} < $corpusPermille
        |          AS is_corpus
        |      FROM nd WHERE length(norm) >= $shingleLen),
-       |st AS (
+       |st AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${shingleHashSql("norm", "i")} AS s
        |  FROM d, UNNEST(range(1, length(norm) - ${shingleLen - 2})) AS t(i)),
-       |sh AS (SELECT doc_id, list(s) AS sh FROM st GROUP BY doc_id),
-       |sigs AS (
+       |sh AS MATERIALIZED (SELECT doc_id, list(s) AS sh FROM st GROUP BY doc_id),
+       |sigs AS MATERIALIZED (
        |  SELECT st.doc_id, any_value(d.is_corpus) AS is_corpus, $minAggs
        |  FROM st JOIN d ON st.doc_id = d.doc_id GROUP BY st.doc_id),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  $bandedUnion),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT band, bucket FROM banded GROUP BY band, bucket
        |  HAVING count(*) <= $maxBucketSize),
        |kb AS (SELECT b.doc_id, b.is_corpus, b.band, b.bucket
        |       FROM banded b JOIN kept k
        |         ON b.band = k.band AND b.bucket = k.bucket),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
        |  FROM kb b JOIN kb c
        |    ON b.band = c.band AND b.bucket = c.bucket
@@ -1095,6 +1095,99 @@ object DedupOps {
       batch, batchBands)
   }
 
+  // ---- LSH recall telemetry -------------------------------------------
+
+  /** Sample width per lang stratum for [[lshRecall]]. */
+  val lshRecallPerLang = 40
+
+  /** LSH QUALITY TELEMETRY: end-to-end recall of [[minhashLsh]] against
+    * exact pairwise Jaccard over a BOUNDED deterministic sample — the
+    * number that tells an operator whether the banding parameters
+    * (numBands × rows-per-band) still clear the similarity threshold on
+    * today's corpus. Ground truth on the full corpus is all-pairs
+    * (impossible); the standard practice is a fixed-size sample, drawn
+    * here by the sampleKPerStratum machinery (per-lang hash-order heads
+    * through the TopKPerKey heap — bounded state, no sort, same draw at
+    * any corpus size). Exact side = all pairs WITHIN the sample
+    * (≤ C(strata·k, 2), constant); LSH side = the operator's own pairs
+    * restricted to the sample by two semi joins. One output row:
+    * n_exact / n_lsh / n_common / recall (1.0 when the sample holds no
+    * qualifying pair — nothing was there to find).
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+      .select(col("doc_id"), col("lang"), col("norm"),
+        (((col("doc_id") % SampleOps.P) * SampleOps.A + SampleOps.B)
+          % SampleOps.P).as("h"))
+    val samp = graft.plans.TopK.perKey(keyed, Seq("lang"),
+        Seq("h" -> graft.plans.TopK.Asc, "doc_id" -> graft.plans.TopK.Asc),
+        k = lshRecallPerLang)
+      .select(col("doc_id"), col("norm"))
+    val sSets = shingleSets(samp).persist()
+    val exact = sSets.as("x").join(sSets.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        pairJaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b").persist()
+    val ids = samp.select("doc_id")
+    val lshPairs = minhashLsh(spark, sfDir)
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .select("id_a", "id_b").persist()
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nl = lshPairs.agg(count(lit(1)).as("n_lsh"))
+    val nc = exact.join(lshPairs, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = ne.crossJoin(nl).crossJoin(nc).select(
+      col("n_exact"), col("n_lsh"), col("n_common"),
+      when(col("n_exact") > 0,
+        col("n_common").cast("double") / col("n_exact").cast("double"))
+        .otherwise(lit(1.0)).as("recall"))
+    Canon.materialized(Canon.canonicalize(out), sSets, exact, lshPairs)
+  }
+
+  val lshRecallOracle: String = {
+    val hashSql =
+      s"(((doc_id % ${SampleOps.P}) * ${SampleOps.A} + ${SampleOps.B})" +
+        s" % ${SampleOps.P})"
+    s"""WITH $minhashLshCte,
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY lang
+       |      ORDER BY $hashSql ASC, doc_id ASC) AS rn
+       |    FROM documents) WHERE rn <= $lshRecallPerLang),
+       |ex AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) AS nco,
+       |           len(x.sh) AS na, len(y.sh) AS nb
+       |    FROM sh x JOIN samp sx ON x.doc_id = sx.doc_id
+       |         JOIN sh y ON x.doc_id < y.doc_id
+       |         JOIN samp sy ON y.doc_id = sy.doc_id)
+       |  WHERE nco / (na + nb - nco) >= $jaccardThreshold),
+       |lshs AS MATERIALIZED (
+       |  SELECT p.id_a, p.id_b
+       |  FROM lpairs p JOIN samp s1 ON p.id_a = s1.doc_id
+       |       JOIN samp s2 ON p.id_b = s2.doc_id),
+       |ne AS (SELECT count(*) AS n_exact FROM ex),
+       |nl AS (SELECT count(*) AS n_lsh FROM lshs),
+       |nco2 AS (
+       |  SELECT count(*) AS n_common
+       |  FROM ex JOIN lshs ON ex.id_a = lshs.id_a AND ex.id_b = lshs.id_b)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(n_lsh AS BIGINT) AS n_lsh,
+       |       CAST(n_common AS BIGINT) AS n_common,
+       |       CASE WHEN n_exact > 0
+       |         THEN CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |         ELSE 1.0 END AS recall
+       |FROM ne, nl, nco2""".stripMargin
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** The 62-bit token hash of the twin family as a composed-builtins
@@ -1322,7 +1415,7 @@ object DedupOps {
        |         (sig >> CAST($chunkBits * i AS INT))
        |           & (CASE i $maskCases END) AS cval
        |  FROM sigs, UNNEST(range(0, $simhashChunks)) AS t(i)),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT lang, chunk, cval FROM chunked
        |  GROUP BY lang, chunk, cval
        |  HAVING count(*) <= $simhashMaxChunkBucket),
@@ -1330,7 +1423,7 @@ object DedupOps {
        |  SELECT c.doc_id, c.lang, c.chunk, c.cval
        |  FROM chunked c JOIN kept k
        |    ON c.lang = k.lang AND c.chunk = k.chunk AND c.cval = k.cval),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.lang, x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM kc x JOIN kc y
        |    ON x.lang = y.lang AND x.chunk = y.chunk AND x.cval = y.cval
@@ -1506,7 +1599,7 @@ object DedupOps {
        |tok AS (
        |  SELECT doc_id, i AS pos, toks[i] AS tok
        |  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT t.doc_id, t.pos, t.tok
        |  FROM tok t LEFT JOIN rp ON t.doc_id = rp.doc_id AND t.pos = rp.pos
        |  WHERE rp.doc_id IS NULL),

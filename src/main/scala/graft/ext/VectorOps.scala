@@ -364,6 +364,64 @@ object VectorOps {
        |SELECT probe_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= $topK""".stripMargin
 
+  /** ANN QUALITY TELEMETRY: per-probe recall@k of the nprobe-bounded
+    * IVF search against the exact top-k — the number an ANN deployment
+    * watches to tune nprobe. The exact side is [[annIvf]] with
+    * nprobe == C (≡ brute force, the equivalence q_ann_ivf_fullprobe
+    * already hash-proves), so the report composes two plans that share
+    * the memoized centroid index and the oracle composes the IVF CTE
+    * prefix with the brute-force chain. Output: one row per probe +
+    * exact integer counts + recall as one exact division.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val approx = annIvf(spark, sfDir).select("probe_id", "vec_id")
+    val exact = annIvf(spark, sfDir, nprobe = ivfCentroids)
+      .select("probe_id", "vec_id")
+    val nExact = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+    val nCommon = approx.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+    Canon.canonicalize(nExact.join(nCommon, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("n_exact"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall")))
+  }
+
+  val annRecallOracle: String =
+    s"""${ivfOraclePrefix(4)},
+       |scored AS (
+       |  SELECT pb.probe_id, b.vec_id, ${cosSql("pb.pv", "b.v")} AS cos
+       |  FROM (SELECT vec_id, v, cent_id AS bucket FROM bucketed) b
+       |  JOIN pb ON b.bucket = pb.bucket
+       |  WHERE b.vec_id <> pb.probe_id),
+       |a AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM scored) WHERE rank <= $topK),
+       |scoredF AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |         ${cosSql("p.v", "c.v")} AS cos
+       |  FROM e p, e c
+       |  WHERE p.vec_id < $nProbes AND c.vec_id <> p.vec_id),
+       |x AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM scoredF) WHERE rank <= $topK),
+       |ne AS (SELECT probe_id, count(*) AS n_exact FROM x GROUP BY 1),
+       |nc AS (
+       |  SELECT a.probe_id, count(*) AS n_common
+       |  FROM a JOIN x ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+       |  GROUP BY 1)
+       |SELECT ne.probe_id,
+       |       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       |       CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(coalesce(n_common, 0) AS DOUBLE)
+       |         / CAST(n_exact AS DOUBLE) AS recall
+       |FROM ne LEFT JOIN nc USING (probe_id)""".stripMargin
+
   /** Trained quantizers are an INDEX: built once per dataset, reused by
     * every query (the standard IVF lifecycle — index build is offline,
     * nprobe search is online). Keyed on the dataset path + training

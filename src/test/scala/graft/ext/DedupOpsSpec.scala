@@ -258,6 +258,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0L))
   }
 
+  test("lshRecall: counts consistent, sample non-vacuous, recall is the ratio") {
+    val Array((nExact, nLsh, nCommon, recall)) =
+      DedupOps.lshRecall(spark, sfDir)
+        .as[(Long, Long, Long, Double)].collect()
+    assert(nExact > 0, "sample holds no qualifying pair — vacuous fixture")
+    assert(nCommon <= math.min(nExact, nLsh))
+    assert(recall == nCommon.toDouble / nExact.toDouble)
+    assert(recall >= 0.5 && recall <= 1.0,
+      s"LSH recall collapsed on the fixture: $recall")
+  }
+
   test("dupSpansApply removes losing spans, keeps first occurrence (brute force)") {
     val w = DedupOps.spanTokens
     // constructed overlap: an 8-token boilerplate block shared by three

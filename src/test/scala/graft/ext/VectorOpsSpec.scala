@@ -215,4 +215,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(mean > 0.5 && mean < 1.5,
       s"projection energy ratio drifted from 1: $mean")
   }
+
+  test("annRecall equals a recompute from its two underlying searches") {
+    val approx = VectorOps.annIvf(spark, sfDir)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = VectorOps.annIvf(spark, sfDir,
+        nprobe = VectorOps.ivfCentroids)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+    val exp = exact.groupBy(_._1).map { case (p, rows) =>
+      val common = rows.count(approx.contains).toLong
+      (p, common, rows.length.toLong,
+        common.toDouble / rows.length.toDouble)
+    }.toSet
+    val got = VectorOps.annRecall(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    // nprobe=4 of 16 buckets must still find most of the true top-k
+    val meanRecall = got.toSeq.map(_._4).sum / got.size
+    assert(meanRecall >= 0.5, s"mean recall@k collapsed: $meanRecall")
+  }
 }
