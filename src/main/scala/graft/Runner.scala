@@ -69,6 +69,9 @@ object Runner {
       "model_score" -> (() => ext.ScoringOps.modelScore(spark, sfDir).count()),
       "decontaminate" ->
         (() => ext.CurationOps.decontaminateBloom(spark, sfDir).count()),
+      // span-level remedy: cut benchmark-overlapping spans, keep the rest
+      "decontaminate_spans" ->
+        (() => ext.CurationOps.decontaminateSpans(spark, sfDir).count()),
       // graduated overlap score beside the binary gate (thresholded
       // removal decisions read this)
       "contamination_score" ->

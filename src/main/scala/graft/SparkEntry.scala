@@ -84,6 +84,8 @@ object SparkEntry {
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_dup_spans_apply" -> ((s, dir) => DedupOps.dupSpansApply(s, dir)),
+    "q_decontaminate_spans" ->
+      ((s, dir) => CurationOps.decontaminateSpans(s, dir)),
     // detect -> REMOVE: the cleaned corpus after LSH clustering
     "q_dedup_apply" -> ((s, dir) => DedupOps.dedupApply(s, dir)),
     // tokenizer vocabulary: counts, cutoff, dense ids
@@ -204,6 +206,7 @@ object SparkEntry {
     "q_ann_recall" -> VectorOps.annRecallOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
+    "q_decontaminate_spans" -> CurationOps.decontaminateSpansOracle,
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,

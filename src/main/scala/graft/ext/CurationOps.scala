@@ -232,6 +232,84 @@ object CurationOps {
        |WHERE doc_id % $decontBenchMod <> 0""".stripMargin
   }
 
+  /** SPAN-LEVEL decontamination APPLY: instead of dropping a
+    * contaminated training document wholesale ([[decontaminate]] flags,
+    * a curation pass drops), CUT the contaminated spans out — every
+    * `decontGramTokens`-token span whose gram appears anywhere in the
+    * benchmark slice is removed (overlapping spans union their token
+    * ranges) and the surviving tokens are stitched back together. This
+    * is the published exact-substring decontamination remedy: the
+    * 2%-contaminated document keeps its 98%.
+    *
+    * Scale shape: the benchmark gram set is BROADCAST (bounded — test
+    * sets, not corpora) exactly as in [[decontaminate]]; the surgery is
+    * [[DedupOps.spanSurgery]]'s keyed anti-join + per-doc rebuild.
+    * Benchmark documents are excluded from the output (they are not
+    * training data).
+    */
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateSpansDocs(documents(spark, sfDir))
+
+  private[ext] def decontaminateSpansDocs(docs: DataFrame): DataFrame = {
+    val d = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), toksCol.as("toks"))
+      .persist() // span scan + token stream + stats base
+    val spans = d.select(col("doc_id"),
+        posexplode(grams(col("toks"), decontGramTokens))
+          .as(Seq("i0", "gram")))
+      .select(col("doc_id"), col("i0"), md5(col("gram")).as("gh"))
+    val bench = spans.filter(isBench).select("gh").distinct()
+    val removedPos = spans.filter(!isBench)
+      .join(broadcast(bench), Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("i0"), col("i0") + lit(decontGramTokens - 1)))
+          .as("pos"))
+      .distinct()
+    val out = DedupOps.spanSurgery(d.filter(!isBench), removedPos)
+    Canon.materialized(Canon.canonicalize(out), d)
+  }
+
+  val decontaminateSpansOracle: String = {
+    val g = decontGramTokens
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |gr AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    md5(array_to_string(list_slice(toks, i, i + ${g - 1}), ' ')) AS gh
+       |  FROM d, unnest(range(1, len(toks) - ${g - 2})) AS r(i)),
+       |bench AS MATERIALIZED (
+       |  SELECT DISTINCT gh FROM gr WHERE doc_id % $decontBenchMod = 0),
+       |lsp AS (
+       |  SELECT gr.doc_id, gr.i FROM gr JOIN bench USING (gh)
+       |  WHERE gr.doc_id % $decontBenchMod <> 0),
+       |rp AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, i + o AS pos
+       |  FROM lsp, unnest(range(0, $g)) AS t(o)),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok
+       |  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+       |  WHERE doc_id % $decontBenchMod <> 0),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM tok t LEFT JOIN rp ON t.doc_id = rp.doc_id AND t.pos = rp.pos
+       |  WHERE rp.doc_id IS NULL),
+       |cl AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |  FROM kept GROUP BY 1),
+       |base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d
+       |  WHERE doc_id % $decontBenchMod <> 0)
+       |SELECT base.doc_id, n_tokens,
+       |       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |       CASE WHEN n_tokens > 0
+       |         THEN CAST(n_tokens - coalesce(n_kept, 0) AS DOUBLE)
+       |                / CAST(n_tokens AS DOUBLE)
+       |         ELSE 0.0 END AS removed_frac,
+       |       coalesce(cleaned, '') AS cleaned
+       |FROM base LEFT JOIN cl USING (doc_id)""".stripMargin
+  }
+
   /** Contamination-ratio flag threshold: a training document whose
     * benchmark-gram overlap exceeds this fraction of its own distinct
     * grams is flagged. The binary [[decontaminate]] flag is the

@@ -1552,6 +1552,18 @@ object DedupOps {
         explode(sequence(col("i0"), col("i0") + lit(spanTokens - 1)))
           .as("pos"))
       .distinct()
+    Canon.materialized(
+      Canon.canonicalize(spanSurgery(d, removedPos)), d, spanRows)
+  }
+
+  /** The token-level surgery shared by [[dupSpansApplyDocs]] and
+    * [[CurationOps.decontaminateSpans]]: given the (doc_id, toks) base
+    * and the (doc_id, pos) removal set, anti-join the exploded token
+    * stream, rebuild cleaned text from (pos, tok) structs sorted per
+    * doc, and emit removal stats. Deterministic under any partitioning.
+    */
+  private[ext] def spanSurgery(d: DataFrame,
+                               removedPos: DataFrame): DataFrame = {
     val tokRows = d.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("pos", "tok")))
     val kept = tokRows.join(removedPos, Seq("doc_id", "pos"), "left_anti")
@@ -1560,7 +1572,7 @@ object DedupOps {
       concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok"))).as("cleaned"))
-    val out = d.select(col("doc_id"),
+    d.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -1571,7 +1583,6 @@ object DedupOps {
             .cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)).as("removed_frac"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
-    Canon.materialized(Canon.canonicalize(out), d, spanRows)
   }
 
   val dupSpansApplyOracle: String = {

@@ -151,4 +151,51 @@ class CurationOpsSpec extends SparkSpec {
     // the threshold must split the fixture (both flag branches exercised)
     assert(scored.exists(_._5) && scored.exists(!_._5))
   }
+
+  test("decontaminateSpans cuts benchmark-overlapping spans (brute force)") {
+    import spark.implicits._
+    val g = CurationOps.decontGramTokens
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"
+    // doc_id % 10 == 0 → benchmark; the rest are training
+    val docs = Seq(
+      (10L, s"benchmark question says $leak end of prompt"),
+      (11L, s"intro words here $leak trailing training text goes on"),
+      (12L, "a completely clean training document with its own words only"),
+      (13L, s"$leak"), // fully contaminated: everything removed
+      (20L, s"another benchmark row $leak again"))
+    val df = docs.toDF("doc_id", "text")
+
+    // brute force straight from the scaladoc semantics
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty).toVector
+    }.toMap
+    val spanOf = (ts: Vector[String]) =>
+      (0 to ts.length - g).map(i => i -> ts.slice(i, i + g).mkString(" "))
+    val benchGrams = toks.collect { case (id, ts) if id % 10 == 0 =>
+      spanOf(ts).map(_._2)
+    }.flatten.toSet
+    val exp = toks.collect { case (id, ts) if id % 10 != 0 =>
+      val removed = spanOf(ts).collect {
+        case (i, s) if benchGrams.contains(s) => i until i + g
+      }.flatten.toSet
+      val keptToks = ts.zipWithIndex.collect {
+        case (t, j) if !removed.contains(j) => t
+      }
+      val frac = if (ts.nonEmpty) removed.size.toDouble / ts.length else 0.0
+      (id, ts.length.toLong, removed.size.toLong, frac,
+        keptToks.mkString(" "))
+    }.toSet
+
+    val got = CurationOps.decontaminateSpansDocs(df)
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    assert(got == exp)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(!byId.contains(10L) && !byId.contains(20L),
+      "benchmark docs must not appear in the output")
+    assert(byId(11L)._3 > 0L && byId(11L)._5.startsWith("intro words here"))
+    assert(byId(12L)._3 == 0L, "clean doc must be untouched")
+    assert(byId(13L)._3 == byId(13L)._2 && byId(13L)._5 == "",
+      "fully contaminated doc loses everything")
+  }
 }
