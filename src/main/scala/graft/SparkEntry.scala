@@ -156,6 +156,7 @@ object SparkEntry {
     "q_skew_report" -> ((s, dir) => MicroQueries.skewReport(s, dir)),
     "q_profile_orders" -> ((s, dir) => MicroQueries.profileOrders(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
+    "q_expectations" -> ((s, dir) => MicroQueries.expectations(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -267,6 +268,7 @@ object SparkEntry {
     "q_skew_report" -> MicroQueries.skewReportOracle,
     "q_profile_orders" -> MicroQueries.profileOrdersOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
+    "q_expectations" -> MicroQueries.expectationsOracle,
     // Every query carries an oracle — including the approximate family
     // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd
     // rounds are unrolled into the oracle SQL itself).

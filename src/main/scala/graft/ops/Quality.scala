@@ -81,6 +81,105 @@ object Quality {
           col("total").cast("double")).as("ratio_to_mean"))
   }
 
+  /** Declarative data-quality expectation — the rule vocabulary of a
+    * Deequ-style constraint suite. Value rules (everything but
+    * [[Rule.Unique]]) define a per-row `satisfied` predicate; a NULL
+    * value fails every value rule except its own NotNull check is
+    * irrelevant — i.e. NULL never *satisfies*, so it counts as a
+    * violation (the conservative reading a data contract wants).
+    */
+  sealed trait Rule { def name: String }
+  object Rule {
+    final case class NotNull(column: String) extends Rule {
+      def name = s"not_null($column)"
+    }
+    final case class InRange(column: String, lo: Double, hi: Double)
+        extends Rule {
+      def name = s"in_range($column)"
+    }
+    final case class InSet(column: String, values: Seq[String])
+        extends Rule {
+      def name = s"in_set($column)"
+    }
+    final case class MatchesRegex(column: String, pattern: String)
+        extends Rule {
+      def name = s"matches_regex($column)"
+    }
+    final case class Unique(columns: Seq[String]) extends Rule {
+      def name = s"unique(${columns.mkString(",")})"
+    }
+  }
+
+  /** The per-row satisfied predicate of a value rule (NULL input → NULL →
+    * counted as a violation by the `otherwise` branch downstream).
+    */
+  private def satisfied(r: Rule): Column = r match {
+    case Rule.NotNull(c)          => col(c).isNotNull
+    case Rule.InRange(c, lo, hi)  => col(c) >= lit(lo) && col(c) <= lit(hi)
+    case Rule.InSet(c, vs)        => col(c).isin(vs: _*)
+    case Rule.MatchesRegex(c, p)  => col(c).rlike(p)
+    case u: Rule.Unique =>
+      throw new IllegalArgumentException(s"${u.name} has no row predicate")
+  }
+
+  /** The DuckDB twin of [[satisfied]], generated from the SAME rule
+    * object so the oracle cannot drift from the evaluator.
+    */
+  def satisfiedSql(r: Rule): String = r match {
+    case Rule.NotNull(c)         => s"$c IS NOT NULL"
+    case Rule.InRange(c, lo, hi) => s"($c >= $lo AND $c <= $hi)"
+    case Rule.InSet(c, vs) =>
+      s"$c IN (${vs.map(v => s"'$v'").mkString(", ")})"
+    case Rule.MatchesRegex(c, p) => s"regexp_matches($c, '$p')"
+    case u: Rule.Unique =>
+      throw new IllegalArgumentException(s"${u.name} has no row predicate")
+  }
+
+  /** Evaluate a declarative expectation suite in the minimum number of
+    * passes: ALL value rules fold into ONE aggregation over one scan
+    * (per-rule conditional sums, map-side combined to a single row, then
+    * exploded to report rows — no driver round-trip), and each Unique
+    * rule is one keyed aggregation whose violation count is the number
+    * of rows living in a multiply-occupied key group. Report: one row
+    * per rule — (rule_name, n_rows, n_violations, passed).
+    *
+    * Scale shape: k value rules cost one table scan regardless of k;
+    * Unique shuffles once on its key columns with partial aggregation,
+    * so the exchange carries distinct keys, not rows.
+    */
+  def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "expectations: empty rule suite")
+    val valueRules = rules.filter(!_.isInstanceOf[Rule.Unique])
+    val uniqueRules = rules.collect { case u: Rule.Unique => u }
+    val parts = scala.collection.immutable.List.newBuilder[DataFrame]
+    if (valueRules.nonEmpty) {
+      val aggs = count(lit(1)).as("n_rows") +:
+        valueRules.zipWithIndex.map { case (r, i) =>
+          coalesce(sum(when(satisfied(r), lit(0L)).otherwise(lit(1L))),
+            lit(0L)).as(s"v_$i")
+        }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val reportRows = array(valueRules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule_name"), col("n_rows"),
+          col(s"v_$i").as("n_violations"))
+      }: _*)
+      parts += one.select(explode(reportRows).as("r"))
+        .select(col("r.rule_name"), col("r.n_rows"), col("r.n_violations"))
+    }
+    uniqueRules.foreach { u =>
+      val counts = df.groupBy(u.columns.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("cnt"))
+      parts += counts.agg(
+        coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n_rows"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L))
+          .cast("long").as("n_violations"))
+        .select(lit(u.name).as("rule_name"), col("n_rows"),
+          col("n_violations"))
+    }
+    parts.result().reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === lit(0L))
+  }
+
   /** Null-repair after an outer join: string columns get a marker value
     * (reference `when isNull → 'No sales'`, supplier_performance_task.py:
     * 139–143), numeric columns get zero-fill (reference fillna :148–152).

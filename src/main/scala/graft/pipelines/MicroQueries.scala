@@ -444,4 +444,61 @@ object MicroQueries {
       |SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
       |       c_mktsegment, valid_from, valid_to, is_current
       |FROM merged""".stripMargin
+
+  /** The expectation suite run against the orders feed — a mix of rules
+    * that hold on this feed (PK unique, no NULL keys, sane priorities)
+    * and rules that deliberately fail (tight price ceiling, a status
+    * keep-list missing 'P') so the report exercises both branches.
+    */
+  val orderExpectations: Seq[Quality.Rule] = Seq(
+    Quality.Rule.NotNull("o_custkey"),
+    Quality.Rule.NotNull("o_orderdate"),
+    Quality.Rule.InRange("o_totalprice", 0.0, 100000.0),
+    Quality.Rule.InSet("o_orderstatus", Seq("O", "F")),
+    Quality.Rule.MatchesRegex("o_orderpriority", "^[1-5]-"),
+    Quality.Rule.Unique(Seq("o_orderkey")))
+
+  /** Declarative data-quality expectations over orders
+    * ([[Quality.expectations]]): every value rule in ONE scan, the
+    * uniqueness rule as one keyed agg — the Deequ-style pre-flight
+    * contract check a pipeline runs before promoting a feed.
+    */
+  def expectations(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(Quality.expectations(
+      graft.io.Tables.load(spark, sfDir, "orders"), orderExpectations))
+
+  /** Oracle generated from the SAME rule objects (names + predicates via
+    * [[Quality.satisfiedSql]]) so it cannot drift from the evaluator.
+    */
+  val expectationsOracle: String = {
+    val valueRules =
+      orderExpectations.filter(!_.isInstanceOf[Quality.Rule.Unique])
+    val uniques =
+      orderExpectations.collect { case u: Quality.Rule.Unique => u }
+    val baseCols = valueRules.zipWithIndex.map { case (r, i) =>
+      s"""CAST(sum(CASE WHEN ${Quality.satisfiedSql(r)}
+         |  THEN 0 ELSE 1 END) AS BIGINT) AS v_$i""".stripMargin
+    }.mkString(",\n  ")
+    val valueSelects = valueRules.zipWithIndex.map { case (r, i) =>
+      s"""SELECT '${r.name}' AS rule_name, n_rows,
+         |  v_$i AS n_violations, v_$i = 0 AS passed FROM base"""
+        .stripMargin
+    }
+    val uniqueSelects = uniques.map { u =>
+      val keys = u.columns.mkString(", ")
+      s"""SELECT '${u.name}' AS rule_name,
+         |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0)
+         |    AS BIGINT) AS n_violations,
+         |  coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) = 0 AS passed
+         |FROM (SELECT count(*) AS cnt FROM orders GROUP BY $keys)"""
+        .stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT count(*) AS n_rows,
+       |  $baseCols
+       |  FROM orders)
+       |${(valueSelects ++ uniqueSelects).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
 }

@@ -106,4 +106,59 @@ class QualitySpec extends SparkSpec {
       assert(!r.contains(","), s"profile scan reads >1 column: $r")
     }
   }
+
+  // ---- expectations (declarative rule suite) --------------------------
+
+  private val expSchema = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("status", StringType, nullable = true),
+    StructField("amt", DoubleType, nullable = true)))
+
+  private def expFixture = df(Seq(
+    Row(1L, "O", 10.0),
+    Row(2L, "F", 150.0),    // violates in_range [0,100]
+    Row(3L, "X", 20.0),     // violates in_set {O,F}
+    Row(null, "O", null),   // violates not_null(id) AND in_range (NULL)
+    Row(5L, "F", 30.0),
+    Row(5L, "O", 40.0)      // id=5 duplicated → unique violation (2 rows)
+  ), expSchema)
+
+  private def report(rules: Seq[Quality.Rule]): Map[String, (Long, Long, Boolean)] =
+    Quality.expectations(expFixture, rules).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("expectations counts violations per rule, NULL counts as violation") {
+    val rep = report(Seq(
+      Quality.Rule.NotNull("id"),
+      Quality.Rule.InRange("amt", 0.0, 100.0),
+      Quality.Rule.InSet("status", Seq("O", "F")),
+      Quality.Rule.MatchesRegex("status", "^[A-Z]$"),
+      Quality.Rule.Unique(Seq("id"))))
+    assert(rep("not_null(id)") == ((6L, 1L, false)))
+    // 150.0 out of range + NULL amt → 2 violations
+    assert(rep("in_range(amt)") == ((6L, 2L, false)))
+    assert(rep("in_set(status)") == ((6L, 1L, false)))
+    assert(rep("matches_regex(status)") == ((6L, 0L, true)))
+    // id=5 occurs twice → both rows in the over-occupied group count
+    assert(rep("unique(id)") == ((6L, 2L, false)))
+  }
+
+  test("expectations on a clean column passes") {
+    val rep = report(Seq(Quality.Rule.NotNull("status"),
+      Quality.Rule.Unique(Seq("id", "status"))))
+    assert(rep("not_null(status)") == ((6L, 0L, true)))
+    assert(rep("unique(id,status)") == ((6L, 0L, true)))
+  }
+
+  test("expectations value rules share ONE aggregation over one scan") {
+    val plan = Quality.expectations(expFixture, Seq(
+      Quality.Rule.NotNull("id"),
+      Quality.Rule.InRange("amt", 0.0, 100.0),
+      Quality.Rule.InSet("status", Seq("O", "F"))))
+      .queryExecution.optimizedPlan.toString()
+    // one Aggregate node for all three value rules (no per-rule scan)
+    assert(plan.sliding("Aggregate".length).count(_ == "Aggregate") == 1,
+      s"expected a single Aggregate, got:\n$plan")
+  }
 }
