@@ -88,6 +88,7 @@ object SparkEntry {
       ((s, dir) => CurationOps.decontaminateSpans(s, dir)),
     // detect -> REMOVE: the cleaned corpus after LSH clustering
     "q_dedup_apply" -> ((s, dir) => DedupOps.dedupApply(s, dir)),
+    "q_dedup_apply_best" -> ((s, dir) => DedupOps.dedupApplyBest(s, dir)),
     // tokenizer vocabulary: counts, cutoff, dense ids
     "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
     "q_decontaminate_spans" -> CurationOps.decontaminateSpansOracle,
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
+    "q_dedup_apply_best" -> DedupOps.dedupApplyBestOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,
     "q_bm25" -> TextOps.bm25Oracle,

@@ -454,6 +454,55 @@ object DedupOps {
        |SELECT d.doc_id, d.lang, d.source
        |FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id""".stripMargin
 
+  /** Dedup apply under a QUALITY keep-policy: within every duplicate
+    * family keep the highest-[[TextOps.qualityScore]] member (ties →
+    * min doc_id) instead of [[dedupApply]]'s min-id representative. At
+    * corpus scale this is the policy that matters — near-dup families
+    * mix a clean original with truncated or boilerplate-wrapped
+    * recrawls, and min-id keeps whichever was crawled first, not
+    * whichever is best.
+    *
+    * Scale shape: the scored join and the per-family window both touch
+    * only CLUSTER MEMBERS (the bounded duplicate set, not the corpus);
+    * families are tiny cliques so the window partitions are bounded;
+    * the final anti join is hint-free like dedupApply (AQE picks
+    * broadcast only when the measured loser set is small).
+    */
+  def dedupApplyBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClustersLsh(spark, sfDir)
+    val scores = TextOps.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val losers = clusters.join(scores, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select("doc_id")
+    Canon.materialized(
+      Canon.canonicalize(
+        documents(spark, sfDir).select("doc_id", "lang", "source")
+          .join(losers, Seq("doc_id"), "left_anti")),
+      clusters)
+  }
+
+  /** The clustering chain joined to the shared quality CTE, best-kept
+    * per family via row_number, anti join appended.
+    */
+  lazy val dedupApplyBestOracle: String =
+    s"""WITH RECURSIVE $minhashLshCte,
+       |${clusterCte("lpairs")},
+       |${TextOps.qualityCte},
+       |ranked AS (
+       |  SELECT c.doc_id,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |           ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk
+       |  FROM clusters c JOIN qs q ON c.doc_id = q.doc_id),
+       |blosers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d ANTI JOIN blosers l ON d.doc_id = l.doc_id"""
+      .stripMargin
+
   // ---- MinHash + LSH --------------------------------------------------
 
   val numHashes = 64

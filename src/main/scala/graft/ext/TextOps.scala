@@ -233,19 +233,31 @@ object TextOps {
       col("quality_score")))
   }
 
-  val qualityScoreOracle: String =
-    s"""WITH f AS (
-       |  SELECT doc_id,
+  /** The quality-score CTE pair (`qf` ingredients → `qs` scored docs),
+    * shared by every oracle that consumes the score — the standalone
+    * scoring query, the per-source cap, and the quality-policy dedup
+    * apply compose THIS text, so the score SQL exists exactly once.
+    */
+  private[ext] val qualityCte: String =
+    s"""qf AS (
+       |  SELECT doc_id, lang, source,
        |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,
        |    CAST(len(regexp_extract_all($normSql, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS n_stop,
        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
        |    CAST(length(text) AS DOUBLE) AS len_chars
-       |  FROM documents)
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, lang, source, n_tokens, n_stop, n_punct,
+       |         $qualityScoreSql AS quality_score
+       |  FROM qf)""".stripMargin
+
+  val qualityScoreOracle: String =
+    s"""WITH $qualityCte
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |       CAST(n_stop AS BIGINT) AS n_stop,
        |       CAST(n_punct AS BIGINT) AS n_punct,
-       |       $qualityScoreSql AS quality_score
-       |FROM f""".stripMargin
+       |       quality_score
+       |FROM qs""".stripMargin
 
   // ---- per-source quality cap (data-mixing curation) -----------------
 
@@ -274,18 +286,11 @@ object TextOps {
   }
 
   val sourceCapOracle: String =
-    s"""WITH f AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,
-       |    CAST(len(regexp_extract_all($normSql, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS n_stop,
-       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
-       |    CAST(length(text) AS DOUBLE) AS len_chars
-       |  FROM documents),
-       |s AS (SELECT doc_id, source, $qualityScoreSql AS quality_score FROM f),
+    s"""WITH $qualityCte,
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY source
        |    ORDER BY quality_score DESC, doc_id ASC) AS rn
-       |  FROM s)
+       |  FROM qs)
        |SELECT doc_id, source, quality_score FROM r WHERE rn <= $sourceCapK""".stripMargin
 
   // ---- vocabulary statistics -----------------------------------------

@@ -176,6 +176,30 @@ class DedupOpsSpec extends SparkSpec {
     clusters.foreach { case (_, c) => assert(kept.contains(c)) }
   }
 
+  test("dedupApplyBest keeps the max-quality member of every family") {
+    val clusters = DedupOps.dedupClustersLsh(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val scores = TextOps.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .as[(Long, Double)].collect().toMap
+    // brute-force keep-policy: per family, max score then min doc_id
+    val keepers = clusters.groupBy(_._2).map { case (_, members) =>
+      members.map(_._1).maxBy(d => (scores(d), -d))
+    }.toSet
+    val losers = clusters.map(_._1).toSet -- keepers
+    val all = TextOps.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = DedupOps.dedupApplyBest(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- losers)
+    assert(losers.nonEmpty, "fixture has no near-dup clusters to remove")
+    // the policy must actually differ from min-id on this fixture —
+    // otherwise the test is vacuous as a policy check
+    val minIdKeepers = clusters.map(_._2).toSet
+    assert(keepers != minIdKeepers,
+      "fixture families all keep their min id — policy untested")
+  }
+
   test("indexed LSH probe is bit-identical to the in-query incremental") {
     val incr = DedupOps.minhashLshIncremental(spark, sfDir)
       .as[(Long, Long, Double)].collect().sorted
