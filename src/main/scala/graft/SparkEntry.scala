@@ -109,6 +109,7 @@ object SparkEntry {
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
     "q_embed_quantize" -> ((s, dir) => VectorOps.quantizeInt8(s, dir)),
     "q_embed_project" -> ((s, dir) => VectorOps.embedProject(s, dir)),
+    "q_embed_moments" -> ((s, dir) => VectorOps.embedMoments(s, dir)),
     "q_semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(s, dir)),
     // full-probe twin: provably ≡ brute force → shares the exact oracle
     "q_ann_ivf_fullprobe" ->
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_pack_sequences" -> CurationOps.packSequencesOracle,
     "q_embed_quantize" -> VectorOps.quantizeInt8Oracle,
     "q_embed_project" -> VectorOps.embedProjectOracle,
+    "q_embed_moments" -> VectorOps.embedMomentsOracle,
     "q_train_split" -> SampleOps.trainValTestSplitOracle,
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,

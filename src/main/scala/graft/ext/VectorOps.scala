@@ -811,4 +811,104 @@ object VectorOps {
        |    (acc, x) -> acc + x) AS y
        |FROM e, UNNEST(range(0, ${RP.defaultOutDim})) AS t(j)""".stripMargin
   }
+
+  // ---- per-dimension moments + standardization -----------------------
+
+  /** Fixed-point scale for the moments pass: 1e-6 units. Headroom: with
+    * |x| ≤ ~3 each fp ≤ 3e6, fp² ≤ ~1e13, so the per-dim sum of squares
+    * stays inside int64 up to ~9·10⁵ vectors per dimension PER FINAL
+    * AGGREGATION — beyond that, widen the accumulator to DECIMAL(38,0)
+    * (one cast at the agg; the map-side shape is unchanged).
+    */
+  val momentsScale = 1000000.0
+
+  /** Per-DIMENSION corpus moments of the embedding column — n, mean,
+    * variance for every coordinate: the pre-flight before
+    * standardization, PCA-style whitening, or quantizer calibration
+    * (a dimension with near-zero variance carries no signal and a
+    * shifted mean breaks symmetric int8 quantization).
+    *
+    * Determinism: float sums are order-dependent, so each element is
+    * first snapped to fixed point (⌊x·1e6 + 0.5⌋ — the engine-portable
+    * half-up form, [[quantizeInt8]]'s trick) and summed as EXACT
+    * integers; mean/variance then derive from those integers by the
+    * identical IEEE expression in both engines — bit-reproducible on
+    * any partitioning.
+    *
+    * Scale shape: posexplode is a NARROW transform pipelined inside the
+    * scan stage (no shuffle carries the exploded rows); the groupBy(dim)
+    * partial-aggregates map-side to ≤ dim rows per task, so the one
+    * exchange moves dim × n_tasks tiny rows regardless of corpus size.
+    */
+  def embedMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = embeddings(spark, sfDir)
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .withColumn("fp",
+        floor(col("x") * lit(momentsScale) + lit(0.5)).cast("long"))
+    val agg = exploded.groupBy("dim").agg(
+      count(lit(1)).as("n_vecs"),
+      sum("fp").as("sum_fp"),
+      sum(col("fp") * col("fp")).as("sumsq_fp"))
+    Canon.canonicalize(agg.select(
+      col("dim").cast("long").as("dim"),
+      col("n_vecs"), col("sum_fp"),
+      (col("sum_fp").cast("double") / col("n_vecs").cast("double") /
+        lit(momentsScale)).as("mean"),
+      ((col("sumsq_fp").cast("double") -
+        col("sum_fp").cast("double") * col("sum_fp").cast("double") /
+          col("n_vecs").cast("double")) /
+        col("n_vecs").cast("double") /
+        lit(momentsScale * momentsScale)).as("variance")))
+  }
+
+  /** The identical fixed-point pipeline in DuckDB; the fixture dimension
+    * is 64 (generate_series is constant-bounded — DuckDB 1.0 has no
+    * lateral WITH ORDINALITY).
+    */
+  val embedMomentsOracle: String =
+    s"""WITH x AS (
+       |  SELECT g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, 64) AS g(i)),
+       |f AS (
+       |  SELECT dim, CAST(floor(x * $momentsScale + 0.5) AS BIGINT) AS fp
+       |  FROM x),
+       |a AS (
+       |  SELECT dim, count(*) AS n_vecs, CAST(sum(fp) AS BIGINT) AS sum_fp,
+       |         CAST(sum(fp * fp) AS BIGINT) AS sumsq_fp
+       |  FROM f GROUP BY 1)
+       |SELECT dim, n_vecs, sum_fp,
+       |  CAST(sum_fp AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+       |    / $momentsScale AS mean,
+       |  (CAST(sumsq_fp AS DOUBLE) - CAST(sum_fp AS DOUBLE)
+       |     * CAST(sum_fp AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+       |    / CAST(n_vecs AS DOUBLE)
+       |    / ${momentsScale * momentsScale} AS variance
+       |FROM a""".stripMargin
+
+  /** Standardize the embedding column to per-dimension zero mean / unit
+    * variance using [[embedMoments]]: the moments table collapses to ONE
+    * broadcast row of (means[], stds[]) ordered by dim, then the
+    * transform is a narrow zip over each vector — no shuffle touches
+    * the corpus. Zero-variance dimensions pass through centered only
+    * (divide-by-zero guard). Library op: spec-verified (the oracle-faced
+    * surface is [[embedMoments]] itself).
+    */
+  def standardize(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = embedMoments(spark, sfDir)
+      .agg(
+        array_sort(collect_list(struct(col("dim"), col("mean"),
+          col("variance")))).as("ms"))
+      .select(
+        transform(col("ms"), s => s.getField("mean")).as("means"),
+        transform(col("ms"), s =>
+          sqrt(s.getField("variance"))).as("stds"))
+    embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(m))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("v"), col("means"), (x, mu) => x - mu),
+          col("stds"),
+          (c, s) => when(s > 0, c / s).otherwise(c)).as("z"))
+  }
 }

@@ -234,4 +234,39 @@ class VectorOpsSpec extends SparkSpec {
     val meanRecall = got.toSeq.map(_._4).sum / got.size
     assert(meanRecall >= 0.5, s"mean recall@k collapsed: $meanRecall")
   }
+
+  test("embedMoments equals a driver fixed-point recompute") {
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select("embedding").as[Array[Float]].collect()
+    val dim = vecs.head.length
+    val exp = (0 until dim).map { d =>
+      val fps = vecs.map(v =>
+        math.floor(v(d).toDouble * VectorOps.momentsScale + 0.5).toLong)
+      val n = fps.length.toLong
+      val s = fps.sum
+      val sq = fps.map(f => f * f).sum
+      val mean = s.toDouble / n.toDouble / VectorOps.momentsScale
+      val variance = (sq.toDouble - s.toDouble * s.toDouble / n.toDouble) /
+        n.toDouble / (VectorOps.momentsScale * VectorOps.momentsScale)
+      (d.toLong, n, s, mean, variance)
+    }.toSet
+    val got = VectorOps.embedMoments(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == exp)
+  }
+
+  test("standardize yields ~zero mean and ~unit variance per dimension") {
+    val z = VectorOps.standardize(spark, sfDir)
+      .select("z").as[Array[Double]].collect()
+    val dim = z.head.length
+    val n = z.length.toDouble
+    (0 until dim).foreach { d =>
+      val xs = z.map(_(d))
+      val mean = xs.sum / n
+      val varr = xs.map(x => (x - mean) * (x - mean)).sum / n
+      // fixed-point snapping bounds the residual, not IEEE noise alone
+      assert(math.abs(mean) < 1e-4, s"dim $d mean $mean")
+      assert(math.abs(varr - 1.0) < 1e-2, s"dim $d variance $varr")
+    }
+  }
 }
