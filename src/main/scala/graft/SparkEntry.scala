@@ -73,6 +73,7 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) => GraphOps.triangles(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => DedupOps.jaccardBlocked(s, dir)),
     "q_minhash_lsh" -> ((s, dir) => DedupOps.minhashLsh(s, dir)),
+    "q_split_leakage" -> ((s, dir) => DedupOps.splitLeakage(s, dir)),
     "q_edit_distance" -> ((s, dir) => DedupOps.editDistanceNearDup(s, dir)),
     // ingest-time flow: new batch probes the corpus LSH index
     "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
@@ -201,6 +202,7 @@ object SparkEntry {
     "q_shard_assign" -> SampleOps.shardAssignOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
+    "q_split_leakage" -> DedupOps.splitLeakageOracle,
     "q_edit_distance" -> DedupOps.editDistanceOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
     // indexed probe is semantics-identical → shares the incremental oracle

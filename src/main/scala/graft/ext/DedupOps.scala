@@ -778,6 +778,40 @@ object DedupOps {
     s"""WITH $minhashLshCte
        |SELECT id_a, id_b, jaccard FROM lpairs""".stripMargin
 
+  /** Train/val/test LEAKAGE report: every verified near-dup pair whose
+    * members land in DIFFERENT splits of [[SampleOps.trainValTestSplit]]
+    * — the eval-contamination check a training run makes before trusting
+    * held-out numbers (a test doc with a train-side near-duplicate is
+    * not held out, whatever the split says).
+    *
+    * Scale shape: the split label is a PURE HASH of doc_id
+    * ([[SampleOps.splitLabel]]), so this is two case expressions and a
+    * filter over the already-bounded LSH pair list — no join, no
+    * shuffle, no touch of the corpus beyond the pair detection it
+    * composes.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+    Canon.materialized(
+      Canon.canonicalize(pairs
+        .withColumn("split_a", SampleOps.splitLabel(col("id_a")))
+        .withColumn("split_b", SampleOps.splitLabel(col("id_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")),
+      pairs)
+  }
+
+  /** The LSH chain with the split-label case expressions appended. */
+  val splitLeakageOracle: String =
+    s"""WITH $minhashLshCte
+       |SELECT id_a, id_b,
+       |       ${SampleOps.splitLabelSql("id_a")} AS split_a,
+       |       ${SampleOps.splitLabelSql("id_b")} AS split_b,
+       |       jaccard
+       |FROM lpairs
+       |WHERE ${SampleOps.splitLabelSql("id_a")} <>
+       |      ${SampleOps.splitLabelSql("id_b")}""".stripMargin
+
   /** Permille boundary splitting `documents` into an existing CORPUS
     * (hash bucket < 800, the same deterministic family as
     * [[SampleOps]]) and an incoming BATCH — the fixture stand-in for

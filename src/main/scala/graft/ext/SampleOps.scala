@@ -33,10 +33,10 @@ object SampleOps {
 
   val buckets = 1000
 
-  private def bucket(key: Column): Column =
+  private[ext] def bucket(key: Column): Column =
     ((key % P) * A + B) % P % buckets
 
-  private def bucketSql(key: String): String =
+  private[ext] def bucketSql(key: String): String =
     s"(((($key % $P) * $A + $B) % $P) % $buckets)"
 
   /** Train/val/test split boundaries in thousandths: [0,800) → train,
@@ -49,20 +49,30 @@ object SampleOps {
     * rerunning on any re-partitioning, subset ordering, or engine yields
     * the identical assignment.
     */
+  /** The split label as a pure function of ANY BIGINT key column —
+    * single-sourced so the standalone split query and every composer
+    * (e.g. [[DedupOps.splitLeakage]]) assign identically.
+    */
+  private[ext] def splitLabel(key: Column): Column =
+    when(bucket(key) < trainPermille, "train")
+      .when(bucket(key) < valPermille, "val")
+      .otherwise("test")
+
+  /** The DuckDB twin of [[splitLabel]]. */
+  private[ext] def splitLabelSql(key: String): String =
+    s"""CASE WHEN ${bucketSql(key)} < $trainPermille THEN 'train'
+       |     WHEN ${bucketSql(key)} < $valPermille THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val d = TextOps.documents(spark, sfDir)
     Canon.canonicalize(d.select(
-      col("doc_id"),
-      when(bucket(col("doc_id")) < trainPermille, "train")
-        .when(bucket(col("doc_id")) < valPermille, "val")
-        .otherwise("test").as("split")))
+      col("doc_id"), splitLabel(col("doc_id")).as("split")))
   }
 
   val trainValTestSplitOracle: String =
     s"""SELECT doc_id,
-       |       CASE WHEN ${bucketSql("doc_id")} < $trainPermille THEN 'train'
-       |            WHEN ${bucketSql("doc_id")} < $valPermille THEN 'val'
-       |            ELSE 'test' END AS split
+       |       ${splitLabelSql("doc_id")} AS split
        |FROM documents""".stripMargin
 
   /** Per-stratum sampling rates in thousandths, keyed on `lang` — the

@@ -200,6 +200,21 @@ class DedupOpsSpec extends SparkSpec {
       "fixture families all keep their min id — policy untested")
   }
 
+  test("splitLeakage equals the cross-split slice of the LSH pairs") {
+    val split = SampleOps.trainValTestSplit(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    val pairs = DedupOps.minhashLsh(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val exp = pairs.collect {
+      case (a, b, j) if split(a) != split(b) =>
+        (a, b, split(a), split(b), j)
+    }.toSet
+    val got = DedupOps.splitLeakage(spark, sfDir)
+      .as[(Long, Long, String, String, Double)].collect().toSet
+    assert(got == exp)
+    assert(pairs.nonEmpty, "fixture produced no LSH pairs")
+  }
+
   test("indexed LSH probe is bit-identical to the in-query incremental") {
     val incr = DedupOps.minhashLshIncremental(spark, sfDir)
       .as[(Long, Long, Double)].collect().sorted
