@@ -92,6 +92,7 @@ object SparkEntry {
     "q_dedup_apply_best" -> ((s, dir) => DedupOps.dedupApplyBest(s, dir)),
     // tokenizer vocabulary: counts, cutoff, dense ids
     "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
+    "q_oov_rate" -> ((s, dir) => TextOps.oovRate(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(s, dir)),
@@ -216,6 +217,7 @@ object SparkEntry {
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
     "q_dedup_apply_best" -> DedupOps.dedupApplyBestOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,
+    "q_oov_rate" -> TextOps.oovRateOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,
     "q_bm25" -> TextOps.bm25Oracle,
     "q_rrf_fusion" -> TextOps.rrfFusionOracle,

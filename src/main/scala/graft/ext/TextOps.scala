@@ -656,6 +656,75 @@ object TextOps {
        |       token, freq
        |FROM c WHERE freq >= $vocabMinFreq""".stripMargin
 
+  /** Vocabulary BUDGET for the coverage report below: the top-K entries
+    * of [[vocabBuild]]'s ranking. Real tokenizers are size-capped, not
+    * frequency-capped — coverage against the budget is the number that
+    * moves when the budget does.
+    */
+  val oovVocabK = 20
+
+  /** Out-of-vocabulary rate per language under a size-capped vocabulary
+    * — the tokenizer-coverage number read before freezing a vocab: the
+    * fraction of TOKEN OCCURRENCES (not types) the top-[[oovVocabK]]
+    * entries of [[vocabBuild]]'s ranking (same freq-cut, same
+    * freq-desc/token-asc order) fail to cover, per lang. A language
+    * whose OOV mass stays high under the shared budget needs its own
+    * vocabulary allocation, not more epochs.
+    *
+    * Scale shape: ONE tokenization pass → one (lang, token) keyed count;
+    * the vocabulary re-derives from that same table (a vocabulary-sized
+    * re-agg + one bounded window, not a second corpus pass); the
+    * coverage join is token-keyed against the K-row vocab (AQE
+    * broadcasts it) and the final rollup is per-lang.
+    */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLangTok = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("lang"), explode(CurationOps.toksCol).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val vocab = byLangTok.groupBy("token")
+      .agg(sum("cnt").as("freq"))
+      .filter(col("freq") >= vocabMinFreq)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("freq").desc,
+          col("token").asc)))
+      .filter(col("token_id") <= oovVocabK)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val out = byLangTok.join(vocab, Seq("token"), "left")
+      .groupBy("lang").agg(
+        sum("cnt").as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNull, col("cnt"))), lit(0L))
+          .as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+    Canon.materialized(Canon.canonicalize(out), byLangTok)
+  }
+
+  val oovRateOracle: String =
+    s"""WITH lt AS (
+       |  SELECT lang, t.token, count(*) AS cnt
+       |  FROM documents, unnest(${CurationOps.toksSql}) AS t(token)
+       |  GROUP BY 1, 2),
+       |v AS (
+       |  SELECT token FROM (
+       |    SELECT token,
+       |      row_number() OVER (ORDER BY freq DESC, token ASC) AS token_id
+       |    FROM (SELECT token, sum(cnt) AS freq FROM lt GROUP BY 1)
+       |    WHERE freq >= $vocabMinFreq)
+       |  WHERE token_id <= $oovVocabK),
+       |j AS (
+       |  SELECT l.lang, l.cnt, v.token AS vt
+       |  FROM lt l LEFT JOIN v ON l.token = v.token)
+       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(CASE WHEN vt IS NULL THEN cnt END), 0)
+       |    AS BIGINT) AS n_oov,
+       |  CAST(coalesce(sum(CASE WHEN vt IS NULL THEN cnt END), 0)
+       |    AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS oov_rate
+       |FROM j GROUP BY 1""".stripMargin
+
   // ---- inverted index ------------------------------------------------
 
   /** Posting-list head length. The full posting list of a stopword is

@@ -309,4 +309,27 @@ class TextOpsSpec extends SparkSpec {
       assert(changed == (unorm != t), s"doc $id changed")
     }
   }
+
+  test("oovRate equals a driver recount under the vocabBuild cut") {
+    val toks = TextOps.documents(spark, sfDir)
+      .select(col("lang"), TextOps.normText(col("text")).as("norm"))
+      .as[(String, String)].collect()
+      .flatMap { case (l, n) =>
+        n.split(" ").filter(_.nonEmpty).map(t => (l, t)) }
+    val freq = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = freq.toSeq
+      .filter(_._2 >= TextOps.vocabMinFreq)
+      .sortBy { case (t, f) => (-f, t) }
+      .take(TextOps.oovVocabK).map(_._1).toSet
+    val exp = toks.groupBy(_._1).map { case (l, ts) =>
+      val n = ts.length.toLong
+      val oov = ts.count(t => !vocab.contains(t._2)).toLong
+      (l, n, oov, oov.toDouble / n.toDouble)
+    }.toSet
+    val got = TextOps.oovRate(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == exp)
+    // the budget must leave real OOV mass on the fixture or the test is vacuous
+    assert(exp.exists(_._3 > 0), "no OOV tokens under the budget")
+  }
 }
