@@ -38,6 +38,7 @@ object SparkEntry {
     "q_model_score" -> ((s, dir) => ScoringOps.modelScore(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
+    "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
@@ -181,6 +182,7 @@ object SparkEntry {
     "q_model_score" -> ScoringOps.modelScoreOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
+    "q_source_diversity" -> SampleOps.sourceDiversityOracle,
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,

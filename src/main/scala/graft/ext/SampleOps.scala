@@ -216,6 +216,49 @@ object SampleOps {
        |FROM c, t""".stripMargin
   }
 
+  /** Per-language SOURCE-DIVERSITY report: Simpson concentration
+    * C = Σ n_s² / N² and its reciprocal, the effective source count —
+    * the mixing-health number beside [[mixturePlan]]: a lang with 12
+    * nominal sources but effective 1.4 is a monoculture whatever the
+    * source column says, and upsampling it replays one domain. Simpson (not
+    * Shannon) deliberately: entropy needs a transcendental log whose
+    * last-bit rounding differs across engines, while C is exact integer
+    * sums finished by IEEE divisions both engines compute identically.
+    *
+    * Two bounded keyed aggs ((lang, source) then lang), map-side
+    * combined; nothing corpus-sized crosses the wire.
+    */
+  def sourceDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = TextOps.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_s"))
+    Canon.canonicalize(counts.groupBy("lang").agg(
+      count(lit(1)).as("n_sources"),
+      sum("n_s").as("n_docs"),
+      sum(col("n_s") * col("n_s")).as("sumsq"))
+      .select(col("lang"), col("n_sources"), col("n_docs"),
+        (col("sumsq").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("simpson"),
+        ((col("n_docs").cast("double") * col("n_docs").cast("double")) /
+          col("sumsq").cast("double")).as("effective_sources")))
+  }
+
+  val sourceDiversityOracle: String =
+    """WITH c AS (
+      |  SELECT lang, source, count(*) AS n_s
+      |  FROM documents GROUP BY 1, 2),
+      |a AS (
+      |  SELECT lang, count(*) AS n_sources,
+      |         CAST(sum(n_s) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_s * n_s) AS BIGINT) AS sumsq
+      |  FROM c GROUP BY 1)
+      |SELECT lang, n_sources, n_docs,
+      |  CAST(sumsq AS DOUBLE)
+      |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS simpson,
+      |  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+      |    / CAST(sumsq AS DOUBLE) AS effective_sources
+      |FROM a""".stripMargin
+
   def mixtureRepeat(spark: SparkSession, sfDir: String): DataFrame = {
     val d = TextOps.documents(spark, sfDir)
     val w = mixtureWeightsPermille.foldLeft(lit(mixtureDefaultPermille)) {

@@ -118,6 +118,29 @@ class SampleOpsSpec extends SparkSpec {
       s"epoch 1 permutation barely differs from epoch 0: $moved/$n moved")
   }
 
+  test("sourceDiversity equals a driver Simpson recompute; bounds hold") {
+    val docs = TextOps.documents(spark, sfDir)
+      .select("lang", "source").as[(String, String)].collect()
+    val exp = docs.groupBy(_._1).map { case (l, rows) =>
+      val bySrc = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+      val n = rows.length.toLong
+      val sumsq = bySrc.values.map(c => c * c).sum
+      val simpson = sumsq.toDouble / (n.toDouble * n.toDouble)
+      val eff = (n.toDouble * n.toDouble) / sumsq.toDouble
+      (l, bySrc.size.toLong, n, simpson, eff)
+    }.toSet
+    val got = SampleOps.sourceDiversity(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got == exp)
+    // 1 ≤ effective_sources ≤ n_sources (Cauchy–Schwarz), and the
+    // fixture must actually be non-uniform somewhere or the bound is slack
+    got.foreach { case (l, ns, _, _, eff) =>
+      assert(eff >= 1.0 - 1e-12 && eff <= ns.toDouble + 1e-12, s"lang $l")
+    }
+    assert(got.exists { case (_, ns, _, _, eff) => eff < ns.toDouble - 0.01 },
+      "every lang perfectly uniform — concentration signal vacuous")
+  }
+
   test("mixturePlan: exact integer targets and division, counts sum to total") {
     val docs = TextOps.documents(spark, sfDir)
       .select("doc_id", "source").as[(Long, String)].collect()
