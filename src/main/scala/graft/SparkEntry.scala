@@ -132,6 +132,7 @@ object SparkEntry {
     // percentile winsorization (tail clipping per group)
     "q_winsorize" -> ((s, dir) => EventOps.winsorize(s, dir)),
     "q_mad_outliers" -> ((s, dir) => EventOps.madOutliers(s, dir)),
+    "q_daily_anomalies" -> ((s, dir) => EventOps.dailyAnomalies(s, dir)),
     // banded range join: time-theta-join made equi-join-shaped
     "q_band_join" -> ((s, dir) => EventOps.bandJoin(s, dir)),
     // typed from_json struct extraction over the props payload
@@ -254,6 +255,7 @@ object SparkEntry {
     "q_asof_forward" -> EventOps.asofJoinForwardOracle,
     "q_winsorize" -> EventOps.winsorizeOracle,
     "q_mad_outliers" -> EventOps.madOutliersOracle,
+    "q_daily_anomalies" -> EventOps.dailyAnomaliesOracle,
     "q_band_join" -> EventOps.bandJoinOracle,
     "q_json_extract" -> EventOps.jsonExtractOracle,
     "q_multimodal_meta" -> MultimodalOps.binaryMetaOracle,

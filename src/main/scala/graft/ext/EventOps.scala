@@ -630,6 +630,65 @@ object EventOps {
             .as("is_outlier")))
   }
 
+  /** Metric-stream anomaly detection: per event_type, the DAILY event
+    * count series scored by median/MAD robust-z — the day a pipeline's
+    * volume halves or doubles, flagged without the mean/stddev
+    * fragility (one broken day would drag a z-score baseline toward
+    * itself; the median's 50% breakdown point shrugs it off).
+    *
+    * Scale shape: the only corpus-sized pass is the first keyed count
+    * (map-side combined, one exchange on (day, event_type)); everything
+    * after — both percentile passes, the joins, the flag — runs on the
+    * BOUNDED daily rollup (days × types rows), so the exact percentile
+    * is cheap here and the [[madOutliers]] GK `approxBounds` hatch is
+    * kept only for interface symmetry.
+    */
+  def dailyAnomalies(spark: SparkSession, sfDir: String,
+                     approxBounds: Boolean = false): DataFrame = {
+    def pct(c: org.apache.spark.sql.Column) =
+      if (approxBounds)
+        percentile_approx(c, lit(0.5), lit(SketchOps.percentileAccuracy))
+      else percentile(c, lit(0.5))
+    val daily = events(spark, sfDir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy("event_type")
+      .agg(pct(col("n_events").cast("double")).as("med"))
+    val withMed = daily.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy("event_type")
+      .agg(pct(abs(col("n_events").cast("double") - col("med")))
+        .as("mad"))
+    Canon.canonicalize(
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .select(col("day").as("day_start"), col("event_type"),
+          col("n_events"), col("med"), col("mad"),
+          (abs(col("n_events").cast("double") - col("med")) >
+            lit(madK) * col("mad")).as("is_anomaly")))
+  }
+
+  val dailyAnomaliesOracle: String =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS day, event_type,
+       |         count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |dmed AS (
+       |  SELECT event_type,
+       |         quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS med
+       |  FROM daily GROUP BY 1),
+       |dmad AS (
+       |  SELECT d.event_type,
+       |         quantile_cont(abs(CAST(d.n_events AS DOUBLE) - m.med),
+       |                       0.5) AS mad
+       |  FROM daily d JOIN dmed m ON d.event_type = m.event_type
+       |  GROUP BY 1)
+       |SELECT strftime(d.day, '%Y-%m-%d %H:%M:%S') AS day_start,
+       |       d.event_type, d.n_events, m.med, a.mad,
+       |       abs(CAST(d.n_events AS DOUBLE) - m.med) > $madK * a.mad
+       |         AS is_anomaly
+       |FROM daily d JOIN dmed m ON d.event_type = m.event_type
+       |             JOIN dmad a ON d.event_type = a.event_type"""
+      .stripMargin
+
   val madOutliersOracle: String =
     s"""WITH med AS (
        |  SELECT event_type, quantile_cont(value, 0.5) AS med

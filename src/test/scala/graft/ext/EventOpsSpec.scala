@@ -237,6 +237,37 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.exists(_._6) && rows.exists(!_._6))
   }
 
+  test("dailyAnomalies scores the daily counts, not raw events") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val daily = EventOps.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).cast("string").as("d"),
+        col("event_type"))
+      .as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = daily.toSeq.groupBy(_._1._2)
+    val med = byType.view.mapValues(v =>
+      medianOf(v.map(_._2.toDouble))).toMap
+    val mad = byType.view.mapValues { v =>
+      val m = med(v.head._1._2)
+      medianOf(v.map(x => math.abs(x._2.toDouble - m)))
+    }.toMap
+    val rows = EventOps.dailyAnomalies(spark, sfDir)
+      .as[(String, String, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == daily.size, "one row per (day, type)")
+    rows.foreach { case (day, t, n, m, d, flag) =>
+      assert(n == daily((day, t)), s"count differs at ($day, $t)")
+      assert(m == med(t), s"median differs for $t")
+      assert(d == mad(t), s"MAD differs for $t")
+      assert(flag == (math.abs(n.toDouble - m) > EventOps.madK * d),
+        s"flag wrong at ($day, $t)")
+    }
+  }
+
   test("funnel matches a driver-side stage-chase; one exchange only") {
     val evs = EventOps.events(spark, sfDir)
       .select("user_id", "event_type", "ts")
