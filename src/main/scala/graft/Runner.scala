@@ -43,6 +43,10 @@ object Runner {
     spark.sparkContext.setLogLevel("WARN")
 
     val daily: Seq[(String, () => Long)] = Seq(
+      // feed pre-flight: the declarative contract check runs FIRST —
+      // a failing feed should stop the chain before any mart rebuilds
+      "expectations" ->
+        (() => pipelines.MicroQueries.expectations(spark, sfDir).count()),
       "ingest_suppliers" -> (() => Ingestion.suppliers(spark, sfDir).count()),
       "ingest_products" -> (() => Ingestion.products(spark, sfDir).count()),
       "ingest_customers" -> (() => Ingestion.customers(spark, sfDir).count()),
@@ -52,10 +56,16 @@ object Runner {
       "product_performance" ->
         (() => ProductPerformance(spark, sfDir).count()),
       "customer_sales_report" ->
-        (() => CustomerSalesReport(spark, sfDir).count()))
+        (() => CustomerSalesReport(spark, sfDir).count()),
+      // ops telemetry: robust daily-volume anomaly flags close the day
+      "daily_anomalies" ->
+        (() => ext.EventOps.dailyAnomalies(spark, sfDir).count()))
 
     val corpus: Seq[(String, () => Long)] = Seq(
       "pii_scrub" -> (() => TextOps.piiScrub(spark, sfDir).count()),
+      // mixing health read before any curation decision
+      "source_diversity" ->
+        (() => ext.SampleOps.sourceDiversity(spark, sfDir).count()),
       "corpus_curate" -> (() => TextOps.corpusCurate(spark, sfDir).count()),
       // LSH-fed: shingle → band → verify → cluster, no quadratic pair join
       "dedup_clusters" -> (() => DedupOps.dedupClustersLsh(spark, sfDir).count()),
@@ -78,8 +88,13 @@ object Runner {
         (() => ext.CurationOps.contaminationScore(spark, sfDir).count()),
       "pack_sequences" ->
         (() => ext.CurationOps.packSequences(spark, sfDir).count()),
+      // tokenizer-coverage telemetry under the frozen vocab budget
+      "oov_rate" -> (() => TextOps.oovRate(spark, sfDir).count()),
       "train_split" ->
         (() => ext.SampleOps.trainValTestSplit(spark, sfDir).count()),
+      // eval-contamination check across the split boundary
+      "split_leakage" ->
+        (() => DedupOps.splitLeakage(spark, sfDir).count()),
       // epoch-0 training order: deterministic shuffle → (shard, pos)
       "shard_assign" ->
         (() => ext.SampleOps.shardAssign(spark, sfDir).count()),

@@ -258,6 +258,30 @@ object EventStream {
       }
       .start()
 
+  /** Streaming data-contract gate: [[graft.ops.Quality.expectations]]
+    * evaluated on EVERY micro-batch via foreachBatch, each report row
+    * stamped with the batch id and landed exactly-once (idempotent
+    * per-batch overwrite into a `report_batch=<id>` partition — the
+    * [[lshProbeToParquet]] replay discipline). The batch pre-flight
+    * and the streaming gate share one evaluator, so a contract means
+    * the same thing on a feed and on its stream; a monitor reading the
+    * report stream alerts on the first failing batch instead of after
+    * the nightly run.
+    */
+  def expectationsToParquet(src: DataFrame,
+                            rules: Seq[graft.ops.Quality.Rule],
+                            outDir: String,
+                            checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Quality.expectations(batch, rules)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/report_batch=$batchId")
+      }
+      .start()
+
   /** Streaming model scoring: [[graft.ext.ScoringOps.batchScore]]
     * applied DIRECTLY to a document stream. The seam is a stateless
     * narrow mapPartitions, so it composes with Structured Streaming

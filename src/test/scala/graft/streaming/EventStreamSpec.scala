@@ -390,4 +390,39 @@ class EventStreamSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming expectations gate reports per micro-batch, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Quality
+    val rules = Seq(
+      Quality.Rule.NotNull("v"),
+      Quality.Rule.InRange("amt", 0.0, 100.0),
+      Quality.Rule.Unique(Seq("id")))
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "c", 150.0))
+    val b2 = Seq((4L, null.asInstanceOf[String], 30.0), (5L, "e", 40.0))
+    val out = java.nio.file.Files
+      .createTempDirectory("exp_gate").toString
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventStream.expectationsToParquet(
+      input.toDS().toDF("id", "v", "amt"), rules,
+      s"$out/reports", s"$out/ckpt")
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$out/reports")
+        .select("report_batch", "rule_name", "n_rows", "n_violations",
+          "passed")
+        .as[(Long, String, Long, Long, Boolean)].collect().toSet
+      def batchReport(id: Long, rows: Seq[(Long, String, Double)]) =
+        Quality.expectations(rows.toDF("id", "v", "amt"), rules)
+          .as[(String, Long, Long, Boolean)].collect()
+          .map { case (r, n, v, p) => (id, r, n, v, p) }.toSet
+      assert(got == batchReport(0L, b1) ++ batchReport(1L, b2))
+      // both a failing and a passing batch-rule cell exist
+      assert(got.exists(!_._5) && got.exists(_._5))
+    } finally q.stop()
+  }
 }
