@@ -48,7 +48,14 @@ object PlanDump {
       "mad_outliers" -> (() => ext.EventOps.madOutliers(spark, sf)),
       "rrf_fusion" -> (() => ext.TextOps.rrfFusion(spark, sf)),
       "ngram_diversity" -> (() => ext.TextOps.ngramDiversity(spark, sf)),
-      "edit_distance" -> (() => ext.DedupOps.editDistanceNearDup(spark, sf)))
+      "edit_distance" -> (() => ext.DedupOps.editDistanceNearDup(spark, sf)),
+      "expectations" -> (() => pipelines.MicroQueries.expectations(spark, sf)),
+      "dedup_apply_best" -> (() => ext.DedupOps.dedupApplyBest(spark, sf)),
+      "embed_moments" -> (() => ext.VectorOps.embedMoments(spark, sf)),
+      "split_leakage" -> (() => ext.DedupOps.splitLeakage(spark, sf)),
+      "oov_rate" -> (() => ext.TextOps.oovRate(spark, sf)),
+      "source_diversity" -> (() => ext.SampleOps.sourceDiversity(spark, sf)),
+      "daily_anomalies" -> (() => ext.EventOps.dailyAnomalies(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

@@ -841,7 +841,11 @@ object VectorOps {
     * exchange moves dim × n_tasks tiny rows regardless of corpus size.
     */
   def embedMoments(spark: SparkSession, sfDir: String): DataFrame = {
-    val exploded = embeddings(spark, sfDir)
+    // deliberately NOT embeddings(): that helper repartitions by vec_id
+    // for regex/signature-heavy per-row work, but the moments pass is a
+    // cheap cast+floor explode straight into a map-side partial agg — a
+    // corpus-wide exchange ahead of it would be pure waste at scale
+    val exploded = Tables.load(spark, sfDir, "embeddings")
       .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .withColumn("fp",
         floor(col("x") * lit(momentsScale) + lit(0.5)).cast("long"))
