@@ -23,27 +23,31 @@ import graft.ops.Canon
   */
 object EventOps {
 
-  /** The events fixture stores TIMESTAMP(NANOS) parquet, which Spark does
-    * not map to TimestampType natively: read the raw int64 nanos
-    * (legacy.parquet.nanosAsLong) and convert via integer division —
-    * `div`, not `/`, because nanosecond epochs exceed 2^53 and a double
-    * round-trip would corrupt them.
-    *
-    * The conf is consulted at EXECUTION, so a set-and-restore around this
-    * lazily-evaluated read would not stick, and a silent `conf.set` here
-    * would be a global side effect of building a query (it changes how
-    * every later parquet read in the session maps nano timestamps). The
-    * session owner opts in at build time — all entry-point mains and the
-    * test harness do — and this reader fails loudly otherwise.
+  /** The events fixture has shipped `ts` in two physical forms —
+    * TIMESTAMP(NANOS) (reads as raw int64 under
+    * legacy.parquet.nanosAsLong, which all entry-point mains set) and
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (reads as
+    * TIMESTAMP_NTZ). Normalize both to session-local TimestampType on
+    * the resolved SCHEMA, so every downstream operator and the streaming
+    * twin see one shape regardless of which writer produced the file.
+    * Sessions here run UTC, so the NTZ→LTZ cast re-labels the same
+    * instant. Nanos path: `div`, not `/` — nanosecond epochs exceed 2^53
+    * and a double round-trip would corrupt them.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "events reader needs spark.sql.legacy.parquet.nanosAsLong=true at " +
-        "session build (the fixture stores TIMESTAMP(NANOS) parquet)")
-    Tables.load(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(Tables.load(spark, sfDir, "events"))
 
   /** Tumbling daily windows per event_type: volumes, exact uniques, and a
     * props-JSON field aggregation (get_json_object / ->> both engines).

@@ -301,20 +301,16 @@ object EventStream {
 
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
-    * nanos→timestamp conversion as the batch reader so the two pipelines
-    * see identical schemas.
+    * ts normalization as the batch reader ([[graft.ext.EventOps
+    * .normalizeTs]]) so the two pipelines see identical schemas
+    * whichever physical timestamp form the fixture carries.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "events stream needs spark.sql.legacy.parquet.nanosAsLong=true at " +
-        "session build (see graft.ext.EventOps.events)")
     // file-source streams take a directory; the fixture is one file in the
     // scale-factor dir, selected by glob
-    spark.readStream
+    graft.ext.EventOps.normalizeTs(spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(sfDir))
   }
 }
