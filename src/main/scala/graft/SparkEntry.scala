@@ -56,6 +56,7 @@ object SparkEntry {
     // deterministic hash sampling: reproducible under any partitioning
     "q_train_split" -> ((s, dir) => SampleOps.trainValTestSplit(s, dir)),
     "q_stratified_sample" -> ((s, dir) => SampleOps.stratifiedSample(s, dir)),
+    "q_weighted_sample" -> ((s, dir) => SampleOps.weightedSample(s, dir)),
     "q_sample_k_per_lang" -> ((s, dir) => SampleOps.sampleKPerStratum(s, dir)),
     // deterministic per-source epoch weighting (data-mixing upsampler)
     "q_mixture_repeat" -> ((s, dir) => SampleOps.mixtureRepeat(s, dir)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
+    "q_hard_negatives" -> ((s, dir) => VectorOps.hardNegatives(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
     "q_embed_lsh" -> ((s, dir) => VectorOps.embedLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
@@ -159,10 +161,12 @@ object SparkEntry {
     // Z-order clustering key (two-dimensional scan-pruning layout)
     "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
     "q_scd2_merge" -> ((s, dir) => MicroQueries.scd2Merge(s, dir)),
+    "q_snapshot_diff" -> ((s, dir) => MicroQueries.snapshotDiff(s, dir)),
     "q_skew_report" -> ((s, dir) => MicroQueries.skewReport(s, dir)),
     "q_profile_orders" -> ((s, dir) => MicroQueries.profileOrders(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
     "q_expectations" -> ((s, dir) => MicroQueries.expectations(s, dir)),
+    "q_pseudonymize" -> ((s, dir) => EventOps.pseudonymize(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -201,6 +205,7 @@ object SparkEntry {
     "q_embed_moments" -> VectorOps.embedMomentsOracle,
     "q_train_split" -> SampleOps.trainValTestSplitOracle,
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
+    "q_weighted_sample" -> SampleOps.weightedSampleOracle,
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
     "q_mixture_repeat" -> SampleOps.mixtureRepeatOracle,
     "q_shard_assign" -> SampleOps.shardAssignOracle,
@@ -238,6 +243,7 @@ object SparkEntry {
     "q_pagerank" -> GraphOps.pageRankOracle,
     "q_triangles" -> GraphOps.trianglesOracle,
     "q_cosine_topk" -> VectorOps.cosineTopKOracle,
+    "q_hard_negatives" -> VectorOps.hardNegativesOracle,
     "q_ann_ivf" -> VectorOps.annIvfOracle(),
     "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),
     "q_semantic_dedup" -> VectorOps.semanticDedupOracle,
@@ -277,10 +283,12 @@ object SparkEntry {
     "q_cube_docs" -> MicroQueries.cubeDocsOracle,
     "q_zorder_key" -> MicroQueries.zorderKeyOracle,
     "q_scd2_merge" -> MicroQueries.scd2MergeOracle,
+    "q_snapshot_diff" -> MicroQueries.snapshotDiffOracle,
     "q_skew_report" -> MicroQueries.skewReportOracle,
     "q_profile_orders" -> MicroQueries.profileOrdersOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     "q_expectations" -> MicroQueries.expectationsOracle,
+    "q_pseudonymize" -> EventOps.pseudonymizeOracle,
     // Every query carries an oracle — including the approximate family
     // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd
     // rounds are unrolled into the oracle SQL itself).

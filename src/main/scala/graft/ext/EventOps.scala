@@ -693,6 +693,45 @@ object EventOps {
        |             JOIN dmad a ON d.event_type = a.event_type"""
       .stripMargin
 
+  /** Fixed application pepper for [[pseudonymize]]. In production this
+    * is a managed secret rotated per data-sharing agreement; the value
+    * is baked here so the oracle derives the identical digests.
+    */
+  val pseudonymPepper = "graft-pepper-2026:"
+
+  /** PSEUDONYMIZED per-user rollup: the user key leaves as
+    * SHA-256(pepper ‖ user_id) — deterministic (joinable across
+    * extracts built with the same pepper) but not reversible without
+    * the pepper, which is what a privacy-preserving analytics export
+    * needs (GDPR-style pseudonymization: stable linkage, no raw IDs at
+    * rest). Aggregation BEFORE export — n_events and exact
+    * decimal-summed value — so row-level behavior never leaves either.
+    *
+    * Scale shape: one keyed agg on user_id (map-side combined), the
+    * digest computed once per surviving GROUP (users, not events) as a
+    * codegen'd projection after the agg.
+    */
+  def pseudonymize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .withColumn("v", col("value").cast(DecimalType(18, 2)))
+    Canon.canonicalize(e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v").as("total_value"))
+      .select(
+        sha2(concat(lit(pseudonymPepper), col("user_id").cast("string")),
+          256).as("user_pseudo"),
+        col("n_events"),
+        col("total_value").cast("double").as("total_value")))
+  }
+
+  val pseudonymizeOracle: String =
+    s"""SELECT sha256('$pseudonymPepper' || CAST(user_id AS VARCHAR))
+       |         AS user_pseudo,
+       |       count(*) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS total_value
+       |FROM events GROUP BY user_id""".stripMargin
+
   val madOutliersOracle: String =
     s"""WITH med AS (
        |  SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -107,6 +107,37 @@ object SampleOps {
        |      (CASE $rateCase ELSE $defaultPermille END)""".stripMargin
   }
 
+  /** QUALITY-WEIGHTED deterministic sample: a document survives with
+    * probability equal to its [[TextOps.withQualityScore quality_score]]
+    * (∈ [0,1]) — the soft curation policy between hard filtering (drop
+    * below a cutoff, losing all marginal mass) and keep-everything
+    * (paying for noise): high-quality docs are almost always kept,
+    * mid-quality kept proportionally, junk almost always dropped.
+    * Membership is `bucket(doc_id) < floor(score·1000)` — a pure
+    * function of the ROW, so the draw is reproducible under any
+    * partitioning and exactly oracle-checkable (both engines build the
+    * score by the same IEEE expression and the bucket by the same
+    * integer affine map; floor of their product is bit-identical).
+    *
+    * Scale shape: one codegen'd projection + filter pipelined inside
+    * the scan — no shuffle, no RNG state, nothing driver-side.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.withQualityScore(
+      TextOps.documents(spark, sfDir)
+        .withColumn("norm", TextOps.normText(col("text"))))
+    Canon.canonicalize(scored
+      .filter(bucket(col("doc_id")) <
+        floor(col("quality_score") * lit(buckets)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("quality_score")))
+  }
+
+  val weightedSampleOracle: String =
+    s"""WITH ${TextOps.qualityCte}
+       |SELECT doc_id, lang, quality_score FROM qs
+       |WHERE ${bucketSql("doc_id")} <
+       |      CAST(floor(quality_score * $buckets) AS BIGINT)""".stripMargin
+
   val samplePerStratum = 20
 
   /** Fixed-SIZE deterministic sample: exactly k documents per lang (or

@@ -196,7 +196,7 @@ object TextOps {
     * standalone scoring query and the corpus-curation funnel so the two
     * can never drift.
     */
-  private def withQualityScore(d: DataFrame): DataFrame = {
+  private[ext] def withQualityScore(d: DataFrame): DataFrame = {
     val parts = d
       .withColumn("n_tokens",
         regexp_count(col("norm"), lit(wordPat)).cast("double"))

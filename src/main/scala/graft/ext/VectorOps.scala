@@ -115,6 +115,58 @@ object VectorOps {
        |SELECT probe_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= $topK""".stripMargin
 
+  /** HARD-NEGATIVE mining: for each probe vector, the top-k most
+    * cosine-similar candidates carrying a DIFFERENT label — the
+    * contrastive-training pair-miner (a negative that is nearly
+    * indistinguishable from the anchor is worth a thousand random
+    * negatives). Same broadcast-probe + [[graft.plans.TopKPerKey]]
+    * heap shape as [[cosineTopK]]; the label inequality is one extra
+    * codegen'd filter on the scored stream, so the mining cost is the
+    * scoring cost — no second pass, no per-class join.
+    *
+    * Scale shape: probes broadcast (nProbes rows); candidate stream
+    * scanned once; per-probe state bounded by the heap at k — the plan
+    * survives a 100× corpus the same way cosineTopK does.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .persist() // candidate stream + probe subset
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label"), col("v").as("pv"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("probe_label"))
+      .withColumn("cos", cosine(col("pv"), col("v")))
+    val top = TopK.perKey(
+      scored.select("probe_id", "probe_label", "vec_id", "label", "cos"),
+      Seq("probe_id"), Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      topK, rankCol = Some("rank"))
+    Canon.materialized(
+      Canon.canonicalize(top.select(
+        "probe_id", "probe_label", "rank", "vec_id", "label", "cos")),
+      e)
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+       |         c.vec_id, c.label,
+       |         ${cosSql("p.v", "c.v")} AS cos
+       |  FROM e p, e c
+       |  WHERE p.vec_id < $nProbes AND c.label <> p.label),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, probe_label, rank, vec_id, label, cos
+       |FROM ranked WHERE rank <= $topK""".stripMargin
+
   val nearDupThreshold = 0.4
 
   /** Label-blocked embedding near-duplicate pairs (cos ≥ threshold).

@@ -445,6 +445,54 @@ object MicroQueries {
       |       c_mktsegment, valid_from, valid_to, is_current
       |FROM merged""".stripMargin
 
+  /** Snapshot-DIFF exercise of [[graft.ops.Snapshot]] on the documents
+    * fixture. "Yesterday" is a deterministic function of today arranged
+    * to hit every branch:
+    *  - doc_id ≡ 0 (mod 13) are missing from prev → `added` today;
+    *  - doc_id ≡ 0 (mod 7), not caught above, have n_chars+1 in prev →
+    *    `changed` (overlap with mod 13 stays `added` — absent beats
+    *    modified);
+    *  - doc_id ≡ 0 (mod 11) also exist in prev re-keyed +10,000,000 →
+    *    those keys are `removed` today;
+    *  - everything else is identical → not in the report.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.io.Tables.load(spark, sfDir, "documents")
+    val base = d.filter(col("doc_id") % 13 =!= 0).select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("n_chars") +
+        when(col("doc_id") % 7 === 0, 1).otherwise(0)).as("n_chars"))
+    val ghosts = d.filter(col("doc_id") % 11 === 0).select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      col("lang"), col("source"), col("n_chars"))
+    val prev = base.unionByName(ghosts)
+    val cur = d.select("doc_id", "lang", "source", "n_chars")
+    Canon.canonicalize(graft.ops.Snapshot.diff(cur, prev,
+      Seq("doc_id"), Seq("lang", "source", "n_chars")))
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH prev AS (
+      |  SELECT doc_id, lang, source,
+      |         n_chars + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+      |           AS n_chars
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT c.doc_id AS k_c, p.doc_id AS k_p,
+      |         (c.doc_id IS NOT NULL AND p.doc_id IS NOT NULL) AS in_both,
+      |         (c.lang IS NOT DISTINCT FROM p.lang
+      |          AND c.source IS NOT DISTINCT FROM p.source
+      |          AND c.n_chars IS NOT DISTINCT FROM p.n_chars) AS same
+      |  FROM documents c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+      |SELECT coalesce(k_c, k_p) AS doc_id,
+      |       CASE WHEN k_p IS NULL THEN 'added'
+      |            WHEN k_c IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS change
+      |FROM j WHERE NOT in_both OR NOT same""".stripMargin
+
   /** The expectation suite run against the orders feed — a mix of rules
     * that hold on this feed (PK unique, no NULL keys, sane priorities)
     * and rules that deliberately fail (tight price ceiling, a status

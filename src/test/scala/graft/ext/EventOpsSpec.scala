@@ -298,4 +298,24 @@ class EventOpsSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("Exchange"))
         .mkString("\n"))
   }
+
+  test("pseudonymize emits SHA-256(pepper||user_id) over exact per-user rollups") {
+    val got = EventOps.pseudonymize(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+      .map { case (p, n, v) => p -> ((n, v)) }.toMap
+    val exp = EventOps.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.size == exp.length) // digests collide never on this domain
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    exp.foreach { case (uid, n, v) =>
+      val digest = md.digest(
+        (EventOps.pseudonymPepper + uid.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(digest) == ((n, v)), s"user $uid")
+    }
+  }
+
 }

@@ -166,4 +166,20 @@ class SampleOpsSpec extends SparkSpec {
       val target = share * total / 1000L // integral division, exact
       (src, n, share, target, target.toDouble / n.toDouble)
     }.toSet
+
+  test("weighted sample membership is exactly bucket < floor(score*1000)") {
+    val scores = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val exp = scores.collect { case (id, sc)
+      if (((id % SampleOps.P) * SampleOps.A + SampleOps.B) % SampleOps.P
+        % SampleOps.buckets) < math.floor(sc * SampleOps.buckets).toLong =>
+      id
+    }.toSet
+    val got = SampleOps.weightedSample(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == exp)
+    // the policy is non-vacuous on the fixture: some kept, some dropped
+    assert(got.nonEmpty && got.size < scores.size)
+  }
+
 }

@@ -269,4 +269,31 @@ class VectorOpsSpec extends SparkSpec {
       assert(math.abs(varr - 1.0) < 1e-2, s"dim $d variance $varr")
     }
   }
+
+  test("hard negatives: top-k nearest with a DIFFERENT label, brute-force-checked") {
+    val rows = VectorOps.hardNegatives(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.forall { case (_, pl, _, _, l, _) => pl != l })
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .as[(Long, Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((pid, plabel, pv) <- e.filter(_._1 < VectorOps.nProbes)) {
+      val exp = e.filter(_._2 != plabel)
+        .map { case (id, _, v) => (id, cos(pv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(VectorOps.topK).map(_._1).toSeq
+      val got = rows.filter(_._1 == pid).sortBy(_._3).map(_._4).toSeq
+      assert(got == exp, s"probe $pid")
+    }
+  }
+
 }
