@@ -55,7 +55,11 @@ object PlanDump {
       "split_leakage" -> (() => ext.DedupOps.splitLeakage(spark, sf)),
       "oov_rate" -> (() => ext.TextOps.oovRate(spark, sf)),
       "source_diversity" -> (() => ext.SampleOps.sourceDiversity(spark, sf)),
-      "daily_anomalies" -> (() => ext.EventOps.dailyAnomalies(spark, sf)))
+      "daily_anomalies" -> (() => ext.EventOps.dailyAnomalies(spark, sf)),
+      "weighted_sample" -> (() => ext.SampleOps.weightedSample(spark, sf)),
+      "hard_negatives" -> (() => ext.VectorOps.hardNegatives(spark, sf)),
+      "snapshot_diff" -> (() => pipelines.MicroQueries.snapshotDiff(spark, sf)),
+      "pseudonymize" -> (() => ext.EventOps.pseudonymize(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

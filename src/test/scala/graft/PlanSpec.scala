@@ -185,4 +185,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"),
       "modelScore input no longer repartitions:\n" + p.take(1500))
   }
+
+  test("weightedSample is a pure scan+filter: no exchange anywhere") {
+    val p = plan(ext.SampleOps.weightedSample(spark, sfDir))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("hardNegatives: probes broadcast, rank on the TopKPerKey heap, no sort") {
+    val p = plan(ext.VectorOps.hardNegatives(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TopKPerKey"), p.take(2000))
+    assert(!p.contains("Window"), "rank fell back to a window:\n" + p.take(2000))
+  }
+
+  test("snapshotDiff is ONE key-partitioned full-outer join") {
+    val p = plan(pipelines.MicroQueries.snapshotDiff(spark, sfDir))
+    assert(p.contains("FullOuter"), p.take(2000))
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly 1 join, saw $joins:\n" + p.take(2000))
+  }
+
+  test("pseudonymize: ONE keyed exchange, partial agg below it, pruned scan") {
+    val p = plan(ext.EventOps.pseudonymize(spark, sfDir))
+    val xs = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(xs == 1, s"expected 1 exchange, saw $xs:\n" + p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000)) // map-side combine
+    // the digest rides the FINAL aggregate's result projection — the
+    // exchange carries raw user_id groups, not 64-char digests
+    assert(!p.contains("Window"), p.take(2000))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("user_id") && readSchema.contains("value") &&
+      !readSchema.contains("props"),
+      s"scan not pruned: $readSchema")
+  }
+
 }
