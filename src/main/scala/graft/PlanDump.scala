@@ -59,7 +59,9 @@ object PlanDump {
       "weighted_sample" -> (() => ext.SampleOps.weightedSample(spark, sf)),
       "hard_negatives" -> (() => ext.VectorOps.hardNegatives(spark, sf)),
       "snapshot_diff" -> (() => pipelines.MicroQueries.snapshotDiff(spark, sf)),
-      "pseudonymize" -> (() => ext.EventOps.pseudonymize(spark, sf)))
+      "pseudonymize" -> (() => ext.EventOps.pseudonymize(spark, sf)),
+      "compression_ratio" -> (() => ext.BpeOps.compressionRatio(spark, sf)),
+      "incremental_score" -> (() => pipelines.MicroQueries.incrementalScore(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

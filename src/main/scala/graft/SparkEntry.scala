@@ -104,6 +104,7 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) => ext.BpeOps.bpeTrain(s, dir)),
     // apply the trained merges: real per-doc BPE token counts
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
+    "q_compression_ratio" -> ((s, dir) => ext.BpeOps.compressionRatio(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_hard_negatives" -> ((s, dir) => VectorOps.hardNegatives(s, dir)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
     "q_scd2_merge" -> ((s, dir) => MicroQueries.scd2Merge(s, dir)),
     "q_snapshot_diff" -> ((s, dir) => MicroQueries.snapshotDiff(s, dir)),
+    "q_incremental_score" -> ((s, dir) => MicroQueries.incrementalScore(s, dir)),
     "q_skew_report" -> ((s, dir) => MicroQueries.skewReport(s, dir)),
     "q_profile_orders" -> ((s, dir) => MicroQueries.profileOrders(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
@@ -233,6 +235,7 @@ object SparkEntry {
     "q_collocations" -> TextOps.collocationsOracle,
     "q_bpe_train" -> ext.BpeOps.bpeTrainOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
+    "q_compression_ratio" -> ext.BpeOps.compressionRatioOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_heavy_hitters" -> TextOps.topTokensOracle,
@@ -284,6 +287,7 @@ object SparkEntry {
     "q_zorder_key" -> MicroQueries.zorderKeyOracle,
     "q_scd2_merge" -> MicroQueries.scd2MergeOracle,
     "q_snapshot_diff" -> MicroQueries.snapshotDiffOracle,
+    "q_incremental_score" -> MicroQueries.incrementalScoreOracle,
     "q_skew_report" -> MicroQueries.skewReportOracle,
     "q_profile_orders" -> MicroQueries.profileOrdersOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,

@@ -265,10 +265,11 @@ object BpeOps {
     * corpus c[[bpeMerges]] — per-word segment counts joined back to each
     * document's token stream.
     */
-  val bpeEncodeOracle: String =
-    s"""WITH RECURSIVE
-       |$oracleChainCtes,
-       |wl AS (
+  /** The encode tail (word → symbol count, corpus probe, per-doc agg),
+    * shared by the encode oracle and the compression-ratio rollup.
+    */
+  private val encodeCtes: String =
+    s"""wl AS (
        |  SELECT w, len(list_filter(string_split(s, ' '), x -> x <> ''))
        |           AS n_sym
        |  FROM c$bpeMerges),
@@ -277,9 +278,54 @@ object BpeOps {
        |  FROM documents),
        |agg AS (
        |  SELECT doc_id, count(*) AS n_words, sum(n_sym) AS n_bpe
-       |  FROM dt JOIN wl USING (w) GROUP BY 1)
+       |  FROM dt JOIN wl USING (w) GROUP BY 1)""".stripMargin
+
+  val bpeEncodeOracle: String =
+    s"""WITH RECURSIVE
+       |$oracleChainCtes,
+       |$encodeCtes
        |SELECT documents.doc_id,
        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** Tokenizer-efficiency telemetry: per-language chars-per-BPE-token
+    * under the trained merges — the fertility number read before
+    * accepting a tokenizer (a language compressing at 1.8 chars/token
+    * against English's 3.5 pays ~2× the sequence length for the same
+    * text, and its context windows are half as big in practice).
+    *
+    * Scale shape: one rollup over [[bpeEncode]]'s per-doc output joined
+    * to the doc dimension — the encode chain (already one corpus pass +
+    * broadcast probe) dominates; this adds a doc-keyed join and a
+    * lang-keyed agg of doc-count-sized data.
+    */
+  def compressionRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = bpeEncode(spark, sfDir)
+    val docs = TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+    Canon.canonicalize(enc.join(docs, Seq("doc_id"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_bpe_tokens").as("sum_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        col("sum_bpe_tokens"),
+        (col("sum_chars").cast("double") /
+          greatest(col("sum_bpe_tokens").cast("double"), lit(1.0)))
+          .as("chars_per_token")))
+  }
+
+  val compressionRatioOracle: String =
+    s"""WITH RECURSIVE
+       |$oracleChainCtes,
+       |$encodeCtes
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(coalesce(agg.n_bpe, 0)) AS BIGINT) AS sum_bpe_tokens,
+       |  CAST(sum(d.n_chars) AS DOUBLE) /
+       |    greatest(CAST(sum(coalesce(agg.n_bpe, 0)) AS DOUBLE), 1.0)
+       |    AS chars_per_token
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
 }

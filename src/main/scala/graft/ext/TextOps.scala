@@ -196,7 +196,7 @@ object TextOps {
     * standalone scoring query and the corpus-curation funnel so the two
     * can never drift.
     */
-  private[ext] def withQualityScore(d: DataFrame): DataFrame = {
+  private[graft] def withQualityScore(d: DataFrame): DataFrame = {
     val parts = d
       .withColumn("n_tokens",
         regexp_count(col("norm"), lit(wordPat)).cast("double"))
@@ -238,7 +238,7 @@ object TextOps {
     * scoring query, the per-source cap, and the quality-policy dedup
     * apply compose THIS text, so the score SQL exists exactly once.
     */
-  private[ext] val qualityCte: String =
+  private[graft] val qualityCte: String =
     s"""qf AS (
        |  SELECT doc_id, lang, source,
        |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,

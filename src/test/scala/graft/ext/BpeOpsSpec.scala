@@ -128,4 +128,21 @@ class BpeOpsSpec extends SparkSpec {
     }
     assert(replaceAll(" a a a a a ", "a", "a", "aa").trim != "aa aa a")
   }
+
+  test("compression ratio is the exact per-lang rollup of bpeEncode") {
+    val enc = BpeOps.bpeEncode(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map { case (id, _, t) => id -> t }.toMap
+    val docs = TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars").as[(Long, String, Long)].collect()
+    val exp = docs.groupBy(_._2).map { case (lang, rows) =>
+      val chars = rows.map(_._3).sum
+      val toks = rows.map(r => enc(r._1)).sum
+      (lang, rows.length.toLong, chars, toks,
+        chars.toDouble / math.max(toks.toDouble, 1.0))
+    }.toSet
+    val got = BpeOps.compressionRatio(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(got == exp)
+  }
+
 }

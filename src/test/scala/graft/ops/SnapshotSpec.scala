@@ -40,4 +40,25 @@ class SnapshotSpec extends SparkSpec {
     val cur = frame(Seq((1L, null, "p")))
     assert(Snapshot.diff(cur, prev, Seq("id"), Seq("a", "b")).isEmpty)
   }
+
+  test("incremental score touches exactly the added+changed doc_ids") {
+    import org.apache.spark.sql.functions.col
+    val diff = graft.pipelines.MicroQueries.snapshotDiff(spark, sfDir)
+      .as[(Long, String)].collect()
+    val expIds = diff.collect {
+      case (id, c) if c == "added" || c == "changed" => id }.toSet
+    // removed keys are ghosts (no document row) and must NOT appear
+    val got = graft.pipelines.MicroQueries.incrementalScore(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == expIds.filter(_ < 10000000L))
+    assert(got.nonEmpty)
+    // scores agree with the full-corpus scoring on the delta
+    val full = graft.ext.TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val scored = graft.pipelines.MicroQueries.incrementalScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .as[(Long, Double)].collect()
+    scored.foreach { case (id, s) => assert(s == full(id), s"doc $id") }
+  }
+
 }
