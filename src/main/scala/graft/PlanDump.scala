@@ -61,7 +61,8 @@ object PlanDump {
       "snapshot_diff" -> (() => pipelines.MicroQueries.snapshotDiff(spark, sf)),
       "pseudonymize" -> (() => ext.EventOps.pseudonymize(spark, sf)),
       "compression_ratio" -> (() => ext.BpeOps.compressionRatio(spark, sf)),
-      "incremental_score" -> (() => pipelines.MicroQueries.incrementalScore(spark, sf)))
+      "incremental_score" -> (() => pipelines.MicroQueries.incrementalScore(spark, sf)),
+      "curriculum" -> (() => ext.SampleOps.curriculum(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

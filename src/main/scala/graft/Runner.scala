@@ -95,17 +95,31 @@ object Runner {
       // eval-contamination check across the split boundary
       "split_leakage" ->
         (() => DedupOps.splitLeakage(spark, sfDir).count()),
+      // curriculum quartiles stamped before shard layout so training
+      // order can schedule easy→hard within each shard
+      "curriculum" ->
+        (() => ext.SampleOps.curriculum(spark, sfDir).count()),
       // epoch-0 training order: deterministic shuffle → (shard, pos)
       "shard_assign" ->
         (() => ext.SampleOps.shardAssign(spark, sfDir).count()),
       "ann_index_refresh" -> (() => VectorOps.annIvfSq8(spark, sfDir).count()))
 
+    // the INCREMENTAL daily path: classify the delta vs yesterday's
+    // snapshot, then re-score only added+changed docs — delta-sized
+    // work instead of a full corpus pass (see MicroQueries.snapshotDiff)
+    val incremental: Seq[(String, () => Long)] = Seq(
+      "snapshot_diff" ->
+        (() => pipelines.MicroQueries.snapshotDiff(spark, sfDir).count()),
+      "incremental_score" ->
+        (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()))
+
     val tasks = chain match {
       case "daily" => daily
       case "corpus" => corpus
+      case "incremental" => incremental
       case other =>
         System.err.println(s"[runner] unknown chain '$other' " +
-          "(expected daily|corpus)")
+          "(expected daily|corpus|incremental)")
         spark.stop(); sys.exit(2); Seq.empty
     }
 

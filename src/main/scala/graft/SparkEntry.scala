@@ -57,6 +57,7 @@ object SparkEntry {
     "q_train_split" -> ((s, dir) => SampleOps.trainValTestSplit(s, dir)),
     "q_stratified_sample" -> ((s, dir) => SampleOps.stratifiedSample(s, dir)),
     "q_weighted_sample" -> ((s, dir) => SampleOps.weightedSample(s, dir)),
+    "q_curriculum" -> ((s, dir) => SampleOps.curriculum(s, dir)),
     "q_sample_k_per_lang" -> ((s, dir) => SampleOps.sampleKPerStratum(s, dir)),
     // deterministic per-source epoch weighting (data-mixing upsampler)
     "q_mixture_repeat" -> ((s, dir) => SampleOps.mixtureRepeat(s, dir)),
@@ -208,6 +209,7 @@ object SparkEntry {
     "q_train_split" -> SampleOps.trainValTestSplitOracle,
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
     "q_weighted_sample" -> SampleOps.weightedSampleOracle,
+    "q_curriculum" -> SampleOps.curriculumOracle,
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
     "q_mixture_repeat" -> SampleOps.mixtureRepeatOracle,
     "q_shard_assign" -> SampleOps.shardAssignOracle,

@@ -138,6 +138,51 @@ object SampleOps {
        |WHERE ${bucketSql("doc_id")} <
        |      CAST(floor(quality_score * $buckets) AS BIGINT)""".stripMargin
 
+  /** CURRICULUM difficulty buckets: each document assigned a per-lang
+    * quality QUARTILE (1 = hardest/noisiest … 4 = cleanest) — the
+    * ordering key for curriculum schedules (train easy→hard or
+    * hard→easy) and for per-bucket mixing ratios. Per-lang (not
+    * global) quartiles deliberately: a language whose scores sit low
+    * overall still spreads across all four buckets instead of landing
+    * wholesale in bucket 1.
+    *
+    * Scale shape: the winsorize pattern on the document stream — one
+    * bounded per-lang percentile agg (exact here; swap
+    * `percentile_approx` GK at petabyte group sizes) broadcast back
+    * over the scored stream, which itself never shuffles.
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.withQualityScore(
+      TextOps.documents(spark, sfDir)
+        .withColumn("norm", TextOps.normText(col("text"))))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val bounds = scored.groupBy("lang").agg(
+      percentile(col("quality_score"), lit(0.25)).as("q1"),
+      percentile(col("quality_score"), lit(0.5)).as("q2"),
+      percentile(col("quality_score"), lit(0.75)).as("q3"))
+    Canon.canonicalize(scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        when(col("quality_score") <= col("q1"), 1L)
+          .when(col("quality_score") <= col("q2"), 2L)
+          .when(col("quality_score") <= col("q3"), 3L)
+          .otherwise(4L).as("bucket")))
+  }
+
+  val curriculumOracle: String =
+    s"""WITH ${TextOps.qualityCte},
+       |b AS (
+       |  SELECT lang,
+       |         quantile_cont(quality_score, 0.25) AS q1,
+       |         quantile_cont(quality_score, 0.5) AS q2,
+       |         quantile_cont(quality_score, 0.75) AS q3
+       |  FROM qs GROUP BY 1)
+       |SELECT doc_id, qs.lang, quality_score,
+       |       CAST(CASE WHEN quality_score <= q1 THEN 1
+       |                 WHEN quality_score <= q2 THEN 2
+       |                 WHEN quality_score <= q3 THEN 3
+       |                 ELSE 4 END AS BIGINT) AS bucket
+       |FROM qs JOIN b ON qs.lang = b.lang""".stripMargin
+
   val samplePerStratum = 20
 
   /** Fixed-SIZE deterministic sample: exactly k documents per lang (or

@@ -182,4 +182,19 @@ class SampleOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < scores.size)
   }
 
+
+  test("curriculum buckets partition each lang monotonically by score") {
+    val rows = SampleOps.curriculum(spark, sfDir)
+      .as[(Long, String, Double, Long)].collect()
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= 4))
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_._4).view
+        .mapValues(_.map(_._3)).toMap
+      for (b <- 1L to 3L if byBucket.contains(b) && byBucket.contains(b + 1))
+        assert(byBucket(b).max <= byBucket(b + 1).min, s"$lang bucket $b")
+      // quartiles on a >=8-doc stratum must populate all four buckets
+      if (rs.length >= 8) assert(byBucket.size == 4, s"$lang: ${byBucket.keySet}")
+    }
+  }
+
 }
