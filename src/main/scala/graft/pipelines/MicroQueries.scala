@@ -463,7 +463,7 @@ object MicroQueries {
       (col("n_chars") +
         when(col("doc_id") % 7 === 0, 1).otherwise(0)).as("n_chars"))
     val ghosts = d.filter(col("doc_id") % 11 === 0).select(
-      (col("doc_id") + 10000000L).as("doc_id"),
+      (col("doc_id") + 1000000000L).as("doc_id"),
       col("lang"), col("source"), col("n_chars"))
     val prev = base.unionByName(ghosts)
     val cur = d.select("doc_id", "lang", "source", "n_chars")
@@ -482,7 +482,7 @@ object MicroQueries {
       |           AS n_chars
       |  FROM documents WHERE doc_id % 13 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 10000000, lang, source, n_chars
+      |  SELECT doc_id + 1000000000, lang, source, n_chars
       |  FROM documents WHERE doc_id % 11 = 0),
       |j AS (
       |  SELECT c.doc_id AS k_c, p.doc_id AS k_p,

@@ -50,7 +50,7 @@ class SnapshotSpec extends SparkSpec {
     // removed keys are ghosts (no document row) and must NOT appear
     val got = graft.pipelines.MicroQueries.incrementalScore(spark, sfDir)
       .select(col("doc_id")).as[Long].collect().toSet
-    assert(got == expIds.filter(_ < 10000000L))
+    assert(got == expIds.filter(_ < 1000000000L))
     assert(got.nonEmpty)
     // scores agree with the full-corpus scoring on the delta
     val full = graft.ext.TextOps.qualityScore(spark, sfDir)
