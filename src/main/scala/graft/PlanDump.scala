@@ -62,7 +62,8 @@ object PlanDump {
       "pseudonymize" -> (() => ext.EventOps.pseudonymize(spark, sf)),
       "compression_ratio" -> (() => ext.BpeOps.compressionRatio(spark, sf)),
       "incremental_score" -> (() => pipelines.MicroQueries.incrementalScore(spark, sf)),
-      "curriculum" -> (() => ext.SampleOps.curriculum(spark, sf)))
+      "curriculum" -> (() => ext.SampleOps.curriculum(spark, sf)),
+      "dataset_card" -> (() => ext.TextOps.datasetCard(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

@@ -33,6 +33,7 @@ object SparkEntry {
     // LLM-pipeline text operators over `documents`
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir)),
     "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
+    "q_dataset_card" -> ((s, dir) => TextOps.datasetCard(s, dir)),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "q_unicode_norm" -> ((s, dir) => TextOps.unicodeNormalize(s, dir)),
     "q_model_score" -> ((s, dir) => ScoringOps.modelScore(s, dir)),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
     "q_dedup_exact" -> TextOps.dedupExactOracle,
     "q_text_stats" -> TextOps.textStatsOracle,
+    "q_dataset_card" -> TextOps.datasetCardOracle,
     "q_token_count" -> TextOps.tokenCountOracle,
     "q_unicode_norm" -> TextOps.unicodeNormalizeOracle,
     "q_model_score" -> ScoringOps.modelScoreOracle,

@@ -259,6 +259,73 @@ object TextOps {
        |       quality_score
        |FROM qs""".stripMargin
 
+  // ---- dataset card ---------------------------------------------------
+
+  /** One-row DATASET CARD: the summary block a corpus release ships —
+    * volume (docs/chars/tokens), diversity (distinct langs/sources),
+    * exact-duplication rate, and mean quality. Composes the SHARED
+    * quality projection and the exact-dedup hash so no number can
+    * drift from the operator that owns it.
+    *
+    * Determinism: mean quality sums ⌊q·10⁶+0.5⌋ as exact integers (the
+    * embedMoments fixed-point trick) — a raw double sum is
+    * accumulation-order-dependent and would hash-differ per
+    * partitioning. Scale shape: the volume block is ONE scan folding
+    * to one row (no Expand — the multi-countDistinct trap profiling
+    * avoids); each distinct count is its own bounded agg (lang/source
+    * key spaces are tiny; the text-hash distinct is the dedupExact
+    * exchange); the four 1-row frames meet in broadcast cross joins
+    * (the LoyaltyTiers frame pattern).
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = withQualityScore(documents(spark, sfDir)
+      .withColumn("norm", normText(col("text"))))
+      .withColumn("fp", floor(col("quality_score") * lit(1000000.0) +
+        lit(0.5)).cast("long"))
+    val vol = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("len_chars").cast("long")).as("total_chars"),
+      sum(col("n_tokens").cast("long")).as("total_tokens"),
+      sum("fp").as("sum_fp"))
+    val langs = base.agg(countDistinct("lang").as("n_langs"))
+    val sources = base.agg(countDistinct("source").as("n_sources"))
+    val uniq = base.agg(
+      countDistinct(sha2(col("norm"), 256)).as("n_unique_texts"))
+    Canon.canonicalize(vol
+      .crossJoin(broadcast(langs))
+      .crossJoin(broadcast(sources))
+      .crossJoin(broadcast(uniq))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_chars"), col("total_tokens"), col("n_unique_texts"),
+        (lit(1.0) - col("n_unique_texts").cast("double") /
+          col("n_docs").cast("double")).as("dup_frac"),
+        (col("sum_fp").cast("double") / lit(1000000.0) /
+          col("n_docs").cast("double")).as("mean_quality")))
+  }
+
+  val datasetCardOracle: String =
+    s"""WITH $qualityCte,
+       |vol AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(CAST(qf.len_chars AS BIGINT)) AS BIGINT)
+       |           AS total_chars,
+       |         CAST(sum(CAST(qf.n_tokens AS BIGINT)) AS BIGINT)
+       |           AS total_tokens,
+       |         CAST(sum(CAST(floor(qs.quality_score * 1000000.0 + 0.5)
+       |           AS BIGINT)) AS BIGINT) AS sum_fp
+       |  FROM qf JOIN qs USING (doc_id)),
+       |lg AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+       |sc AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+       |uq AS (SELECT count(DISTINCT sha256($normSql)) AS n_unique_texts
+       |       FROM documents)
+       |SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+       |       n_unique_texts,
+       |       1.0 - CAST(n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |         AS dup_frac,
+       |       CAST(sum_fp AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)
+       |         AS mean_quality
+       |FROM vol, lg, sc, uq""".stripMargin
+
   // ---- per-source quality cap (data-mixing curation) -----------------
 
   /** Docs kept per source by [[sourceCap]]. */

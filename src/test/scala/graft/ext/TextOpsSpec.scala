@@ -332,4 +332,27 @@ class TextOpsSpec extends SparkSpec {
     // the budget must leave real OOV mass on the fixture or the test is vacuous
     assert(exp.exists(_._3 > 0), "no OOV tokens under the budget")
   }
+
+  test("dataset card matches a driver recompute of every field") {
+    val docs = TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang", "source").as[(Long, String, String)].collect()
+    val q = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score")
+      .as[(Long, Long, Double)].collect()
+    val chars = TextOps.documents(spark, sfDir)
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT)")
+      .as[(Long, Long)].collect().toMap
+    val uniq = TextOps.dedupExact(spark, sfDir).count()
+    val sumFp = q.map(r => math.floor(r._3 * 1e6 + 0.5).toLong).sum
+    val exp = (docs.length.toLong, docs.map(_._2).distinct.length.toLong,
+      docs.map(_._3).distinct.length.toLong,
+      docs.map(d => chars(d._1)).sum, q.map(_._2).sum, uniq,
+      1.0 - uniq.toDouble / docs.length.toDouble,
+      sumFp.toDouble / 1e6 / docs.length.toDouble)
+    val got = TextOps.datasetCard(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(exp))
+  }
+
 }
