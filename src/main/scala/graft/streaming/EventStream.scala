@@ -282,6 +282,34 @@ object EventStream {
       }
       .start()
 
+  /** Streaming CDC against a static reference snapshot: every arriving
+    * micro-batch is classified by [[graft.ops.Snapshot.diff]] and the
+    * delta report lands exactly-once per batch (idempotent
+    * `diff_batch=<id>` overwrite — the [[lshProbeToParquet]] replay
+    * discipline). ONLY `added`/`changed` survive: a micro-batch is a
+    * slice of the feed, not a full snapshot, so "absent from this
+    * batch" carries no removal signal — removal detection is
+    * inherently a full-snapshot compare and stays with the batch op.
+    * Per-row classification depends only on that row and `prev`, so
+    * the union of per-batch reports equals the batch diff of the
+    * concatenated feed (spec-asserted), whatever the batch boundaries.
+    */
+  def diffToParquet(src: DataFrame, prev: DataFrame,
+                    keyCols: Seq[String], compared: Seq[String],
+                    outDir: String, checkpointDir: String)
+      : StreamingQuery =
+    src.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Snapshot.diff(batch, prev, keyCols, compared)
+          .filter(org.apache.spark.sql.functions.col("change") =!=
+            "removed")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/diff_batch=$batchId")
+      }
+      .start()
+
   /** Streaming model scoring: [[graft.ext.ScoringOps.batchScore]]
     * applied DIRECTLY to a document stream. The seam is a stateless
     * narrow mapPartitions, so it composes with Structured Streaming

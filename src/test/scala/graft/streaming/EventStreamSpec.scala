@@ -425,4 +425,32 @@ class EventStreamSpec extends SparkSpec {
       assert(got.exists(!_._5) && got.exists(_._5))
     } finally q.stop()
   }
+
+  test("streaming CDC: per-batch diffs vs a static snapshot union to the batch diff") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v")
+    val b1 = Seq((1L, "a"), (2L, "B"))          // unchanged + changed
+    val b2 = Seq((4L, "d"), (3L, "c"))          // added + unchanged
+    val out = java.nio.file.Files.createTempDirectory("cdc").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.diffToParquet(input.toDS().toDF("id", "v"),
+      prev, Seq("id"), Seq("v"), s"$out/diffs", s"$out/ckpt")
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$out/diffs")
+        .select("id", "change").as[(Long, String)].collect().toSet
+      val batch = graft.ops.Snapshot.diff(
+        (b1 ++ b2).toDF("id", "v"), prev, Seq("id"), Seq("v"))
+        .filter($"change" =!= "removed")
+        .as[(Long, String)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((2L, "changed"), (4L, "added")))
+    } finally q.stop()
+  }
+
 }
