@@ -63,7 +63,8 @@ object PlanDump {
       "compression_ratio" -> (() => ext.BpeOps.compressionRatio(spark, sf)),
       "incremental_score" -> (() => pipelines.MicroQueries.incrementalScore(spark, sf)),
       "curriculum" -> (() => ext.SampleOps.curriculum(spark, sf)),
-      "dataset_card" -> (() => ext.TextOps.datasetCard(spark, sf)))
+      "dataset_card" -> (() => ext.TextOps.datasetCard(spark, sf)),
+      "rerank" -> (() => ext.ScoringOps.rerank(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "q_unicode_norm" -> ((s, dir) => TextOps.unicodeNormalize(s, dir)),
     "q_model_score" -> ((s, dir) => ScoringOps.modelScore(s, dir)),
+    "q_rerank" -> ((s, dir) => ScoringOps.rerank(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
     "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_token_count" -> TextOps.tokenCountOracle,
     "q_unicode_norm" -> TextOps.unicodeNormalizeOracle,
     "q_model_score" -> ScoringOps.modelScoreOracle,
+    "q_rerank" -> ScoringOps.rerankOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
     "q_source_diversity" -> SampleOps.sourceDiversityOracle,

@@ -156,6 +156,68 @@ object ScoringOps {
         .toDF("doc_id", "raw_score", "model_score"))
   }
 
+  /** RETRIEVE → RERANK: BM25's per-lang top-k shortlist re-ordered by
+    * the (stub) model — the two-stage ranking every production search
+    * and RAG pipeline runs, with the expensive model touching ONLY the
+    * shortlist (langs × k rows), never the corpus. Emits both ranks so
+    * the rank-shift is inspectable.
+    *
+    * Scale shape: the first stage is [[graft.ext.TextOps.bm25]]'s
+    * broadcast+heap plan; the second stage joins text onto the
+    * k-per-lang shortlist (AQE broadcasts it) and runs the batched
+    * seam over rows numbering in the dozens — no repartition needed,
+    * the model cost is bounded by k whatever the corpus size. Final
+    * order via the TopKPerKey heap, consistent with every other
+    * rank in the repo.
+    */
+  def rerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val top = TextOps.bm25(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("rank").as("bm25_rank"))
+    val withText = top.join(
+      TextOps.documents(spark, sfDir).select("doc_id", "text"),
+      Seq("doc_id"))
+    val scored = batchScore(
+      withText.select(col("doc_id"), col("text")).as[(Long, String)],
+      QualityStub).toDF("doc_id", "raw_score", "model_score")
+    val joined = withText.select("lang", "doc_id", "bm25_rank")
+      .join(scored.select("doc_id", "model_score"), Seq("doc_id"))
+    Canon.canonicalize(graft.plans.TopK.perKey(joined,
+      Seq("lang"),
+      Seq("model_score" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc),
+      TextOps.bm25TopK, rankCol = Some("rerank"))
+      .select("lang", "rerank", "doc_id", "bm25_rank", "model_score"))
+  }
+
+  /** Composes the SHARED bm25 chain with the stub-model arithmetic
+    * restricted to the shortlist — neither side duplicated.
+    */
+  def rerankOracle: String =
+    s"""WITH ${TextOps.bm25Cte},
+       |bmt AS MATERIALIZED (SELECT * FROM bmtop),
+       |sn AS (
+       |  SELECT d.doc_id, ${TextOps.normSql} AS norm
+       |  FROM documents d JOIN bmt b ON d.doc_id = b.doc_id),
+       |sf AS (
+       |  SELECT doc_id,
+       |         3 * least(length(norm), $stubLenCap)
+       |           + 5 * least(len(regexp_extract_all(norm, '[a-z0-9]+')),
+       |                       $stubTokCap)
+       |           + 2 * (length(norm) % 7) AS raw
+       |  FROM sn),
+       |rr AS (
+       |  SELECT b.lang, b.doc_id, b.rank AS bm25_rank,
+       |         CAST(raw AS DOUBLE) / CAST(raw + 1000 AS DOUBLE)
+       |           AS model_score
+       |  FROM bmt b JOIN sf ON b.doc_id = sf.doc_id),
+       |reranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY model_score DESC, doc_id ASC) AS rerank
+       |  FROM rr)
+       |SELECT lang, rerank, doc_id, bm25_rank, model_score
+       |FROM reranked WHERE rerank <= ${TextOps.bm25TopK}""".stripMargin
+
   val modelScoreOracle: String =
     s"""WITH n AS (SELECT doc_id, ${TextOps.normSql} AS norm FROM documents),
        |f AS (

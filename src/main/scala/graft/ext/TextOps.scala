@@ -1082,7 +1082,7 @@ object TextOps {
     * MATERIALIZED because three CTEs consume it and DuckDB inlines
     * non-materialized CTEs per reference.
     */
-  private def bm25Cte: String =
+  private[ext] def bm25Cte: String =
     s"""t AS (
        |  SELECT doc_id, lang, tt.token
        |  FROM documents, unnest(${CurationOps.toksSql}) AS tt(token)),

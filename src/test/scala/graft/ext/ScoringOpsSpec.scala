@@ -103,4 +103,29 @@ class ScoringOpsSpec extends SparkSpec {
     assert(got == exp)
     assert(got.nonEmpty)
   }
+
+  test("rerank permutes the BM25 shortlist by model score, per lang") {
+    val top = TextOps.bm25(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (lang, rank, id, _) => (lang, id) -> rank }.toMap
+    val scores = ScoringOps.modelScore(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, _, s) => id -> s }.toMap
+    val got = ScoringOps.rerank(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    // same (lang, doc) set as the shortlist; bm25_rank carried faithfully
+    assert(got.map(r => (r._1, r._3)).toSet == top.keySet)
+    got.foreach { case (lang, _, id, bmRank, ms) =>
+      assert(top((lang, id)) == bmRank)
+      assert(ms == scores(id), s"doc $id")
+    }
+    // rerank is the (model_score desc, doc_id asc) permutation of 1..n
+    got.groupBy(_._1).foreach { case (lang, rs) =>
+      val expOrder = rs.sortBy(r => (-r._5, r._3)).map(_._3).toSeq
+      val gotOrder = rs.sortBy(_._2).map(_._3).toSeq
+      assert(gotOrder == expOrder, lang)
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, lang)
+    }
+  }
+
 }
