@@ -108,6 +108,21 @@ object Quality {
     final case class Unique(columns: Seq[String]) extends Rule {
       def name = s"unique(${columns.mkString(",")})"
     }
+    /** Referential integrity: every row whose key columns are ALL
+      * non-null must match a row in the named reference table on
+      * `refColumns` (NULL keys are exempt, standard FK semantics —
+      * compose with [[NotNull]] to forbid them). The reference is
+      * named, not embedded: the evaluator resolves it from a
+      * `refs` map and the oracle generator from the DuckDB catalog,
+      * so the same rule object drives both.
+      */
+    final case class RefIntegrity(columns: Seq[String], refName: String,
+                                  refColumns: Seq[String]) extends Rule {
+      require(columns.length == refColumns.length,
+        s"RefIntegrity: ${columns.length} key cols vs " +
+          s"${refColumns.length} ref cols")
+      def name = s"ref(${columns.mkString(",")}->$refName)"
+    }
   }
 
   /** The per-row satisfied predicate of a value rule (NULL input → NULL →
@@ -118,8 +133,8 @@ object Quality {
     case Rule.InRange(c, lo, hi)  => col(c) >= lit(lo) && col(c) <= lit(hi)
     case Rule.InSet(c, vs)        => col(c).isin(vs: _*)
     case Rule.MatchesRegex(c, p)  => col(c).rlike(p)
-    case u: Rule.Unique =>
-      throw new IllegalArgumentException(s"${u.name} has no row predicate")
+    case r =>
+      throw new IllegalArgumentException(s"${r.name} has no row predicate")
   }
 
   /** The DuckDB twin of [[satisfied]], generated from the SAME rule
@@ -131,8 +146,8 @@ object Quality {
     case Rule.InSet(c, vs) =>
       s"$c IN (${vs.map(v => s"'$v'").mkString(", ")})"
     case Rule.MatchesRegex(c, p) => s"regexp_matches($c, '$p')"
-    case u: Rule.Unique =>
-      throw new IllegalArgumentException(s"${u.name} has no row predicate")
+    case r =>
+      throw new IllegalArgumentException(s"${r.name} has no row predicate")
   }
 
   /** Evaluate a declarative expectation suite in the minimum number of
@@ -147,10 +162,16 @@ object Quality {
     * Unique shuffles once on its key columns with partial aggregation,
     * so the exchange carries distinct keys, not rows.
     */
-  def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  def expectations(df: DataFrame, rules: Seq[Rule],
+                   refs: Map[String, DataFrame] = Map.empty): DataFrame = {
     require(rules.nonEmpty, "expectations: empty rule suite")
-    val valueRules = rules.filter(!_.isInstanceOf[Rule.Unique])
+    val valueRules = rules.filter(r => !r.isInstanceOf[Rule.Unique] &&
+      !r.isInstanceOf[Rule.RefIntegrity])
     val uniqueRules = rules.collect { case u: Rule.Unique => u }
+    val refRules = rules.collect { case f: Rule.RefIntegrity => f }
+    refRules.foreach { f =>
+      require(refs.contains(f.refName),
+        s"expectations: rule ${f.name} needs refs(\"${f.refName}\")") }
     val parts = scala.collection.immutable.List.newBuilder[DataFrame]
     if (valueRules.nonEmpty) {
       val aggs = count(lit(1)).as("n_rows") +:
@@ -174,6 +195,26 @@ object Quality {
         coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L))
           .cast("long").as("n_violations"))
         .select(lit(u.name).as("rule_name"), col("n_rows"),
+          col("n_violations"))
+    }
+    refRules.foreach { f =>
+      // one anti join per FK rule: candidate side keeps only fully
+      // non-null keys (NULL-key rows are exempt); the exchange carries
+      // the key columns, and a dimension-sized ref side broadcasts
+      // under AQE. n_rows comes from a 1-row agg cross-joined on (the
+      // skewReport shape) — no driver action.
+      val keysNonNull = f.columns.map(col(_).isNotNull).reduce(_ && _)
+      val ref = refs(f.refName).select(
+        f.refColumns.zip(f.columns)
+          .map { case (rc, c) => col(rc).as(s"__ref_$c") }: _*)
+      val cond = f.columns.map(c => col(c) === col(s"__ref_$c"))
+        .reduce(_ && _)
+      val nViol = df.filter(keysNonNull)
+        .join(ref, cond, "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_violations"))
+      val nRows = df.agg(count(lit(1)).cast("long").as("n_rows"))
+      parts += nRows.crossJoin(nViol)
+        .select(lit(f.name).as("rule_name"), col("n_rows"),
           col("n_violations"))
     }
     parts.result().reduce(_ unionByName _)

@@ -541,7 +541,14 @@ object MicroQueries {
     Quality.Rule.InRange("o_totalprice", 0.0, 100000.0),
     Quality.Rule.InSet("o_orderstatus", Seq("O", "F")),
     Quality.Rule.MatchesRegex("o_orderpriority", "^[1-5]-"),
-    Quality.Rule.Unique(Seq("o_orderkey")))
+    Quality.Rule.Unique(Seq("o_orderkey")),
+    // referential: every order's customer must exist (holds on the
+    // fixture); orderkeys deliberately checked against the 25-row
+    // nation table so the FAILING branch of the FK path is exercised
+    Quality.Rule.RefIntegrity(Seq("o_custkey"), "customer",
+      Seq("c_custkey")),
+    Quality.Rule.RefIntegrity(Seq("o_orderkey"), "nation",
+      Seq("n_nationkey")))
 
   /** Declarative data-quality expectations over orders
     * ([[Quality.expectations]]): every value rule in ONE scan, the
@@ -550,16 +557,22 @@ object MicroQueries {
     */
   def expectations(spark: SparkSession, sfDir: String): DataFrame =
     Canon.canonicalize(Quality.expectations(
-      graft.io.Tables.load(spark, sfDir, "orders"), orderExpectations))
+      graft.io.Tables.load(spark, sfDir, "orders"), orderExpectations,
+      refs = Map(
+        "customer" -> graft.io.Tables.load(spark, sfDir, "customer"),
+        "nation" -> graft.io.Tables.load(spark, sfDir, "nation"))))
 
   /** Oracle generated from the SAME rule objects (names + predicates via
     * [[Quality.satisfiedSql]]) so it cannot drift from the evaluator.
     */
   val expectationsOracle: String = {
-    val valueRules =
-      orderExpectations.filter(!_.isInstanceOf[Quality.Rule.Unique])
+    val valueRules = orderExpectations.filter(r =>
+      !r.isInstanceOf[Quality.Rule.Unique] &&
+        !r.isInstanceOf[Quality.Rule.RefIntegrity])
     val uniques =
       orderExpectations.collect { case u: Quality.Rule.Unique => u }
+    val fks =
+      orderExpectations.collect { case f: Quality.Rule.RefIntegrity => f }
     val baseCols = valueRules.zipWithIndex.map { case (r, i) =>
       s"""CAST(sum(CASE WHEN ${Quality.satisfiedSql(r)}
          |  THEN 0 ELSE 1 END) AS BIGINT) AS v_$i""".stripMargin
@@ -579,11 +592,23 @@ object MicroQueries {
          |FROM (SELECT count(*) AS cnt FROM orders GROUP BY $keys)"""
         .stripMargin
     }
+    val fkSelects = fks.map { f =>
+      val nonNull = f.columns.map(c => s"t.$c IS NOT NULL").mkString(" AND ")
+      val on = f.columns.zip(f.refColumns)
+        .map { case (c, rc) => s"r.$rc = t.$c" }.mkString(" AND ")
+      s"""SELECT '${f.name}' AS rule_name,
+         |  (SELECT count(*) FROM orders) AS n_rows,
+         |  (SELECT count(*) FROM orders t WHERE $nonNull AND NOT EXISTS
+         |    (SELECT 1 FROM ${f.refName} r WHERE $on)) AS n_violations,
+         |  (SELECT count(*) FROM orders t WHERE $nonNull AND NOT EXISTS
+         |    (SELECT 1 FROM ${f.refName} r WHERE $on)) = 0 AS passed"""
+        .stripMargin
+    }
     s"""WITH base AS (
        |  SELECT count(*) AS n_rows,
        |  $baseCols
        |  FROM orders)
-       |${(valueSelects ++ uniqueSelects).mkString("\nUNION ALL\n")}"""
+       |${(valueSelects ++ uniqueSelects ++ fkSelects).mkString("\nUNION ALL\n")}"""
       .stripMargin
   }
 }

@@ -271,12 +271,14 @@ object EventStream {
   def expectationsToParquet(src: DataFrame,
                             rules: Seq[graft.ops.Quality.Rule],
                             outDir: String,
-                            checkpointDir: String): StreamingQuery =
+                            checkpointDir: String,
+                            refs: Map[String, DataFrame] = Map.empty)
+      : StreamingQuery =
     src.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Quality.expectations(batch, rules)
+        graft.ops.Quality.expectations(batch, rules, refs)
           .write.mode("overwrite")
           .parquet(s"$outDir/report_batch=$batchId")
       }

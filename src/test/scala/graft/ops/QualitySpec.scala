@@ -161,4 +161,29 @@ class QualitySpec extends SparkSpec {
     assert(plan.sliding("Aggregate".length).count(_ == "Aggregate") == 1,
       s"expected a single Aggregate, got:\n$plan")
   }
+
+  test("RefIntegrity counts unmatched non-null keys; NULL keys are exempt") {
+    import spark.implicits._
+    val facts = Seq(
+      (Some(1L), "a"), (Some(2L), "b"),      // both match
+      (Some(9L), "c"),                        // no match -> violation
+      (None: Option[Long], "d"))              // NULL key -> exempt
+      .toDF("fk", "v")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val rule = Quality.Rule.RefIntegrity(Seq("fk"), "dim", Seq("pk"))
+    val got = Quality.expectations(facts, Seq(rule),
+      refs = Map("dim" -> dim))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("ref(fk->dim)", 4L, 1L, false)))
+    // an unresolvable reference fails loudly at build, not silently
+    val e = intercept[IllegalArgumentException] {
+      Quality.expectations(facts, Seq(rule))
+    }
+    assert(e.getMessage.contains("dim"))
+    // mismatched arity is rejected at rule construction
+    intercept[IllegalArgumentException] {
+      Quality.Rule.RefIntegrity(Seq("a", "b"), "dim", Seq("pk"))
+    }
+  }
+
 }
