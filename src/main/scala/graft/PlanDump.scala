@@ -64,7 +64,8 @@ object PlanDump {
       "incremental_score" -> (() => pipelines.MicroQueries.incrementalScore(spark, sf)),
       "curriculum" -> (() => ext.SampleOps.curriculum(spark, sf)),
       "dataset_card" -> (() => ext.TextOps.datasetCard(spark, sf)),
-      "rerank" -> (() => ext.ScoringOps.rerank(spark, sf)))
+      "rerank" -> (() => ext.ScoringOps.rerank(spark, sf)),
+      "boilerplate" -> (() => ext.CurationOps.boilerplate(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

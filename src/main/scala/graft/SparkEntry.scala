@@ -49,6 +49,7 @@ object SparkEntry {
     // token-budgeted overlapping chunks (embedding/training-window prep)
     "q_doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
     "q_repetition" -> ((s, dir) => CurationOps.repetition(s, dir)),
+    "q_boilerplate" -> ((s, dir) => CurationOps.boilerplate(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
     "q_contamination" -> ((s, dir) => CurationOps.contaminationScore(s, dir)),
     // Bloom pre-filtered twin: identical rows, broadcast-scale-safe path
@@ -202,6 +203,7 @@ object SparkEntry {
     "q_corpus_curate" -> TextOps.corpusCurateOracle,
     "q_doc_chunks" -> TextOps.docChunksOracle,
     "q_repetition" -> CurationOps.repetitionOracle,
+    "q_boilerplate" -> CurationOps.boilerplateOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
     "q_contamination" -> CurationOps.contaminationScoreOracle,
     // exact-verified Bloom variant is row-identical → shares the oracle

@@ -42,6 +42,84 @@ object CurationOps {
   private[ext] def toksSql: String =
     s"list_filter(string_split($normSql, ' '), t -> t <> '')"
 
+  // ---- per-source boilerplate (shared document prefixes) --------------
+
+  /** Prefix length (tokens) and the share of a source's docs that must
+    * open with the same prefix before it counts as boilerplate.
+    */
+  val boilerplatePrefixLen = 8
+  val boilerplateShareMin = 0.5
+
+  /** Per-SOURCE boilerplate detection: the [[boilerplatePrefixLen]]-token
+    * opening prefix shared by more than [[boilerplateShareMin]] of a
+    * source's documents — the injected header/banner signature of a
+    * scraped site (every page of a domain opening with the same cookie
+    * banner), which per-document repetition scores cannot see because
+    * the repetition is ACROSS documents, not within one. The report
+    * feeds the same surgery path as dupSpans (cut the prefix, keep the
+    * page).
+    *
+    * Scale shape: one codegen'd prefix projection (array_join of a
+    * SLICED token array — no explode, the corpus stream carries one
+    * short string per doc), one (source, prefix) keyed count with
+    * map-side combine, a source-keyed total broadcast back over the
+    * bounded count table. Docs shorter than the prefix are excluded
+    * (their opening is the whole doc, not a banner).
+    *
+    * The fixture corpus has no injected banners, so the query SEEDS one
+    * deterministically (two of every three docs get the cookie banner —
+    * the nullRepair/scd2Merge seeding pattern): the detector then has a
+    * real >50% signature to find and a real unseeded third to NOT flag.
+    */
+  val boilerplateBanner =
+    "cookie notice please accept our cookie policy before continuing "
+
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(boilerplateBanner), col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= boilerplatePrefixLen)
+      .withColumn("prefix",
+        array_join(slice(col("toks"), 1, boilerplatePrefixLen), " "))
+    val counts = d.groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = d.groupBy("source")
+      .agg(count(lit(1)).as("n_source_docs"))
+    Canon.canonicalize(counts
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("n_source_docs").cast("double"))
+      .filter(col("share") > boilerplateShareMin)
+      .select("source", "prefix", "n_docs", "n_source_docs", "share"))
+  }
+
+  val boilerplateOracle: String =
+    s"""WITH seeded AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN doc_id % 3 <> 0
+       |              THEN '$boilerplateBanner' || text ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, source, $toksSql AS t FROM seeded),
+       |pfx AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(t[1:$boilerplatePrefixLen], ' ') AS prefix
+       |  FROM toks WHERE len(t) >= $boilerplatePrefixLen),
+       |counts AS (
+       |  SELECT source, prefix, count(*) AS n_docs
+       |  FROM pfx GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT source, count(*) AS n_source_docs FROM pfx GROUP BY 1)
+       |SELECT c.source, c.prefix, c.n_docs, t.n_source_docs,
+       |       CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE)
+       |         AS share
+       |FROM counts c JOIN totals t ON c.source = t.source
+       |WHERE CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE)
+       |      > $boilerplateShareMin""".stripMargin
+
   // ---- repetition signals ---------------------------------------------
 
   /** Gopher-style repetition thresholds: a document is flagged when its

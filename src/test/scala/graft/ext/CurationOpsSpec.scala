@@ -198,4 +198,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(byId(13L)._3 == byId(13L)._2 && byId(13L)._5 == "",
       "fully contaminated doc loses everything")
   }
+
+  test("boilerplate flags the seeded banner prefix and nothing else") {
+    val rows = CurationOps.boilerplate(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val banner = CurationOps.boilerplateBanner.trim
+      .split(" ").take(CurationOps.boilerplatePrefixLen).mkString(" ")
+    rows.foreach { case (src, prefix, n, tot, share) =>
+      assert(prefix == banner, s"$src flagged a non-banner prefix: $prefix")
+      assert(share > CurationOps.boilerplateShareMin && share <= 1.0)
+      assert(n <= tot)
+    }
+    // every source seeds ~2/3 of its docs, so every source is flagged
+    val sources = graft.ext.TextOps.documents(spark, sfDir)
+      .select("source").distinct().as[String].collect().toSet
+    assert(rows.map(_._1).toSet == sources)
+  }
+
 }
