@@ -65,7 +65,8 @@ object PlanDump {
       "curriculum" -> (() => ext.SampleOps.curriculum(spark, sf)),
       "dataset_card" -> (() => ext.TextOps.datasetCard(spark, sf)),
       "rerank" -> (() => ext.ScoringOps.rerank(spark, sf)),
-      "boilerplate" -> (() => ext.CurationOps.boilerplate(spark, sf)))
+      "boilerplate" -> (() => ext.CurationOps.boilerplate(spark, sf)),
+      "boilerplate_apply" -> (() => ext.CurationOps.boilerplateApply(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

@@ -67,6 +67,10 @@ object Runner {
       "source_diversity" ->
         (() => ext.SampleOps.sourceDiversity(spark, sfDir).count()),
       "corpus_curate" -> (() => TextOps.corpusCurate(spark, sfDir).count()),
+      // cross-doc banner surgery before span-level work: per-source
+      // boilerplate prefixes detected and cut
+      "boilerplate_apply" ->
+        (() => ext.CurationOps.boilerplateApply(spark, sfDir).count()),
       // LSH-fed: shingle → band → verify → cluster, no quadratic pair join
       "dedup_clusters" -> (() => DedupOps.dedupClustersLsh(spark, sfDir).count()),
       // cross-doc span duplication + benchmark overlap, then packing and

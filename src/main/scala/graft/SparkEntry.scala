@@ -50,6 +50,7 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
     "q_repetition" -> ((s, dir) => CurationOps.repetition(s, dir)),
     "q_boilerplate" -> ((s, dir) => CurationOps.boilerplate(s, dir)),
+    "q_boilerplate_apply" -> ((s, dir) => CurationOps.boilerplateApply(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
     "q_contamination" -> ((s, dir) => CurationOps.contaminationScore(s, dir)),
     // Bloom pre-filtered twin: identical rows, broadcast-scale-safe path
@@ -204,6 +205,7 @@ object SparkEntry {
     "q_doc_chunks" -> TextOps.docChunksOracle,
     "q_repetition" -> CurationOps.repetitionOracle,
     "q_boilerplate" -> CurationOps.boilerplateOracle,
+    "q_boilerplate_apply" -> CurationOps.boilerplateApplyOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
     "q_contamination" -> CurationOps.contaminationScoreOracle,
     // exact-verified Bloom variant is row-identical → shares the oracle

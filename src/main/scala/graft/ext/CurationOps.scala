@@ -120,6 +120,77 @@ object CurationOps {
        |WHERE CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE)
        |      > $boilerplateShareMin""".stripMargin
 
+  /** Boilerplate APPLY — detect → REMOVE closed, like dedupApply and
+    * dupSpansApply: every document whose opening matches its source's
+    * detected banner prefix loses exactly that prefix; everything else
+    * (the unseeded third, short docs, sources with no flagged prefix)
+    * passes through. Output text is rebuilt from normalized tokens,
+    * the same text-surgery contract as dupSpansApply.
+    *
+    * Scale shape: the detection report is ≤ one row per source
+    * (bounded) and BROADCASTS; the corpus side is one codegen'd
+    * projection — no extra shuffle beyond the detection's own bounded
+    * aggs.
+    */
+  def boilerplateApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val flagged = boilerplate(spark, sfDir)
+      .select(col("source"), col("prefix").as("flagged_prefix"))
+    val d = documents(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(boilerplateBanner), col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source"), toksCol.as("toks"))
+      .withColumn("prefix",
+        array_join(slice(col("toks"), 1, boilerplatePrefixLen), " "))
+    val cut = d.join(broadcast(flagged), Seq("source"), "left")
+      .withColumn("hit",
+        col("flagged_prefix").isNotNull &&
+          size(col("toks")) >= boilerplatePrefixLen &&
+          col("prefix") === col("flagged_prefix"))
+    Canon.canonicalize(cut.select(
+      col("doc_id"),
+      when(col("hit"),
+        array_join(slice(col("toks"), lit(boilerplatePrefixLen + 1),
+          greatest(size(col("toks")) - boilerplatePrefixLen, lit(0))),
+          " "))
+        .otherwise(array_join(col("toks"), " ")).as("cleaned"),
+      col("hit").as("removed"),
+      when(col("hit"), lit(boilerplatePrefixLen.toLong)).otherwise(lit(0L))
+        .as("n_removed_tokens")))
+  }
+
+  /** Composes the detection CTE chain (shared text, not a copy) with
+    * the strip projection.
+    */
+  def boilerplateApplyOracle: String = {
+    val detectBody = boilerplateOracle.stripPrefix("WITH ")
+      .split("\nSELECT ", 2)(0)
+    s"""WITH $detectBody,
+       |flagged AS (
+       |  SELECT c.source, c.prefix AS flagged_prefix
+       |  FROM counts c JOIN totals t ON c.source = t.source
+       |  WHERE CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE)
+       |        > $boilerplateShareMin),
+       |alltoks AS (
+       |  SELECT doc_id, source, $toksSql AS t FROM seeded),
+       |hitj AS (
+       |  SELECT a.doc_id, a.t,
+       |         (f.flagged_prefix IS NOT NULL
+       |          AND len(a.t) >= $boilerplatePrefixLen
+       |          AND array_to_string(a.t[1:$boilerplatePrefixLen], ' ')
+       |              = f.flagged_prefix) AS hit
+       |  FROM alltoks a LEFT JOIN flagged f ON a.source = f.source)
+       |SELECT doc_id,
+       |       CASE WHEN hit
+       |            THEN array_to_string(t[${boilerplatePrefixLen + 1}:len(t)], ' ')
+       |            ELSE array_to_string(t, ' ') END AS cleaned,
+       |       hit AS removed,
+       |       CAST(CASE WHEN hit THEN $boilerplatePrefixLen ELSE 0 END
+       |         AS BIGINT) AS n_removed_tokens
+       |FROM hitj""".stripMargin
+  }
+
   // ---- repetition signals ---------------------------------------------
 
   /** Gopher-style repetition thresholds: a document is flagged when its

@@ -216,4 +216,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == sources)
   }
 
+
+  test("boilerplate apply strips the banner from hits and nothing else") {
+    val banner8 = CurationOps.boilerplateBanner.trim.split(" ")
+      .take(CurationOps.boilerplatePrefixLen)
+    val got = CurationOps.boilerplateApply(spark, sfDir)
+      .as[(Long, String, Boolean, Long)].collect()
+    assert(got.exists(_._3) && got.exists(!_._3))
+    got.foreach { case (id, cleaned, removed, n) =>
+      assert(n == (if (removed) CurationOps.boilerplatePrefixLen.toLong else 0L))
+      if (removed) {
+        assert(id % 3 != 0, s"unseeded doc $id flagged")
+        // the surviving text must not START with the banner again
+        assert(!cleaned.split(" ").take(banner8.length).sameElements(banner8)
+          || cleaned.isEmpty)
+      }
+    }
+    // seeded docs with >= prefixLen tokens are exactly the removed set
+    val seededHits = got.filter(_._3).map(_._1).toSet
+    assert(seededHits.nonEmpty)
+    assert(seededHits.forall(_ % 3 != 0))
+  }
+
 }
