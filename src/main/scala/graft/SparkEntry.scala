@@ -51,6 +51,10 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => CurationOps.repetition(s, dir)),
     "q_boilerplate" -> ((s, dir) => CurationOps.boilerplate(s, dir)),
     "q_boilerplate_apply" -> ((s, dir) => CurationOps.boilerplateApply(s, dir)),
+    // position-free LINE-granular variant (mid-page banners, footers)
+    "q_line_boilerplate" -> ((s, dir) => CurationOps.lineBoilerplate(s, dir)),
+    "q_line_boilerplate_apply" ->
+      ((s, dir) => CurationOps.lineBoilerplateApply(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
     "q_contamination" -> ((s, dir) => CurationOps.contaminationScore(s, dir)),
     // Bloom pre-filtered twin: identical rows, broadcast-scale-safe path
@@ -118,6 +122,8 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
+    // IVF-PQ: product-quantized codes, table-lookup coarse scan
+    "q_ann_ivf_pq" -> ((s, dir) => VectorOps.annIvfPq(s, dir)),
     "q_embed_quantize" -> ((s, dir) => VectorOps.quantizeInt8(s, dir)),
     "q_embed_project" -> ((s, dir) => VectorOps.embedProject(s, dir)),
     "q_embed_moments" -> ((s, dir) => VectorOps.embedMoments(s, dir)),
@@ -206,6 +212,8 @@ object SparkEntry {
     "q_repetition" -> CurationOps.repetitionOracle,
     "q_boilerplate" -> CurationOps.boilerplateOracle,
     "q_boilerplate_apply" -> CurationOps.boilerplateApplyOracle,
+    "q_line_boilerplate" -> CurationOps.lineBoilerplateOracle,
+    "q_line_boilerplate_apply" -> CurationOps.lineBoilerplateApplyOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
     "q_contamination" -> CurationOps.contaminationScoreOracle,
     // exact-verified Bloom variant is row-identical → shares the oracle
@@ -259,6 +267,7 @@ object SparkEntry {
     "q_hard_negatives" -> VectorOps.hardNegativesOracle,
     "q_ann_ivf" -> VectorOps.annIvfOracle(),
     "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),
+    "q_ann_ivf_pq" -> VectorOps.annIvfPqOracle(),
     "q_semantic_dedup" -> VectorOps.semanticDedupOracle,
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,

@@ -11,48 +11,71 @@ import graft.ops.Canon
 /** Distributed BPE merge training — the tokenizer-construction step of a
   * pre-training pipeline, as a Spark job with a full DuckDB oracle.
   *
-  * Classic byte-pair encoding over the corpus WORD-FREQUENCY table (the
-  * standard reduction: training never touches documents again once the
-  * word multiset is counted): start from character symbols, then per
-  * round count adjacent symbol pairs weighted by word frequency, merge
-  * the most frequent pair everywhere (ties broken lexicographically so
-  * the chain is deterministic), repeat.
+  * Byte-pair encoding over the corpus WORD-FREQUENCY table (the standard
+  * reduction: training never touches documents again once the word
+  * multiset is counted): start from character symbols, then per round
+  * count adjacent symbol pairs weighted by word frequency, merge the
+  * most frequent pairs everywhere, repeat.
   *
-  * Scale shape, mirroring the trained-IVF k-means pattern exactly:
+  * BATCHED rounds — the axis that makes a real 32k-merge vocabulary
+  * reachable: a classic one-merge-per-round loop needs `vocab` SEQUENTIAL
+  * Spark jobs (32k rounds of scheduler latency — days, regardless of
+  * data size). Instead each round ranks the top [[bpeCandidates]] pairs
+  * by (freq DESC, a, b) and GREEDILY accepts every pair whose symbols
+  * {a, b, ab} are disjoint from all higher-ranked accepted pairs'
+  * symbols. Disjointness makes the batch NON-INTERACTING:
+  *  - no two accepted pairs can match at overlapping positions (a match
+  *    for (a,b) and one for (c,d) would have to share a symbol);
+  *  - a merge never creates a new match for another accepted pair
+  *    (merging replaces two symbols with one, so it never makes two
+  *    surviving symbols newly adjacent, and the merged symbol `ab` is no
+  *    accepted pair's operand — the conflict rule includes `ab`);
+  * so applying the whole batch in ONE left-to-right pass equals applying
+  * the pairs one-at-a-time in any order, and round count drops from
+  * O(vocab) to O(vocab / accepts-per-round) — measured ~4-5 accepts per
+  * round with C = 8 on the fixture corpus (64 merges in 14 rounds vs 64).
+  *
+  * Scale shape, mirroring the trained-IVF k-means pattern:
   *  - the ONE corpus-sized pass is the word count (keyed agg, map-side
-  *    combine); everything after runs on the word-frequency table, which
-  *    is vocabulary-sized — bounded, not corpus-sized;
-  *  - each round's driver sync is ONE row (the winning pair) — the same
-  *    sync point as k-means' C centroids, never the data;
-  *  - the merge application is a one-pass left-to-right fold per word
-  *    (array aggregate). Greedy one-pass equals the FIRST-OCCURRENCE
-  *    single-replacement fixpoint the oracle iterates: occurrences of
-  *    ' a b ' can only overlap when a = b, leftmost-first then picks
-  *    the same pairs as the fold, and a replacement never creates an
-  *    occurrence before the match point (ab equals neither a nor b).
-  *    A replace-ALL fixpoint is NOT equal — it skips the adjacent
-  *    overlapping pair in identical-symbol runs ≥ 5 ('aaaaa' → [aa a
-  *    aa] vs the fold's [aa aa a]) — argued in BpeOpsSpec including
-  *    the run-length ≥ 5 cases;
+  *    combine); everything after runs on the word-frequency table —
+  *    vocabulary-sized, not corpus-sized;
+  *  - each round's driver sync is [[bpeCandidates]] rows (the ranked
+  *    candidates) — the k-means C-centroids sync point, never the data;
+  *  - merge application is a one-pass left-to-right fold per word
+  *    (array aggregate) testing membership in the round's accepted set.
+  *    Greedy one-pass equals the oracle's per-pair replacement because
+  *    of the non-interaction argument above; within one pair it equals
+  *    FIRST-OCCURRENCE replacement semantics (identical-symbol runs:
+  *    'aaaaa' → [aa aa a]), argued in BpeOpsSpec;
   *  - trained merges are an INDEX (built once per dataset, memoized with
   *    a data fingerprint like the IVF centroids), so encoding never
   *    re-trains.
   *
-  * The oracle regenerates the whole chain in SQL: per round, pair counts
-  * from the current corpus, argmax with the same tie-break, and a
-  * RECURSIVE-CTE fixpoint of boundary-padded FIRST-OCCURRENCE string
-  * replacement for the merge application (space-joined symbols; symbols
-  * never contain spaces). Like the IVF oracle, rounds are unrolled from the same
-  * constants the Spark side uses.
+  * The oracle regenerates the whole chain in SQL with [[bpeRounds]]
+  * rounds unrolled. Words are DOUBLE-SPACE delimited symbol strings
+  * (' a  b  c '): a pair pattern ' a  b ' then consumes exactly one
+  * space from each boundary, so SQL `replace()` — left-to-right,
+  * non-overlapping — reproduces the greedy fold EXACTLY, including
+  * identical-symbol runs (' a  a  a  a  a ' → ' aa  aa  a '), and the
+  * boundary invariant (two spaces between symbols, one at each end) is
+  * preserved by the replacement ' ab '. This kills the recursive-CTE
+  * fixpoint a single-space form would need (where consecutive matches
+  * share one boundary space and global replace skips every second
+  * overlapping occurrence).
   */
 object BpeOps {
 
-  /** Number of merge rounds trained (and oracle-unrolled). Eight rounds
-    * reach merges whose operands are themselves merged symbols at every
-    * fixture scale ('p'+'ar', 'm'+'er') — the iterative chain, not just
-    * first-order pair counting.
+  /** Total merges trained (the vocabulary-growth budget). */
+  val bpeMerges = 64
+
+  /** Max batch rounds (static — the oracle unrolls exactly this many;
+    * the Spark loop stops early once [[bpeMerges]] merges are accepted,
+    * which the oracle mirrors with its cumulative-count cap).
     */
-  val bpeMerges = 8
+  val bpeRounds = 24
+
+  /** Candidate pairs ranked per round (the per-round driver-sync width). */
+  val bpeCandidates = 8
 
   private def tokenWords(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.documents(spark, sfDir)
@@ -60,28 +83,56 @@ object BpeOps {
       .select(explode(CurationOps.toksCol).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
 
-  /** One-pass greedy merge of adjacent (a, b) into ab over a symbol
-    * array — left-to-right, non-overlapping (a merged symbol never
-    * re-merges within the round because symbols only grow).
+  /** Greedy rank-order batch selection: accept a candidate iff its
+    * symbols {a, b, ab} are disjoint from every already-accepted pair's
+    * symbols and the [[bpeMerges]] budget is not exhausted. Identical
+    * logic to the oracle's sel-chain CTEs (which track the accepted
+    * symbols as a space-delimited soup).
     */
-  private def mergeFold(sy: Column, a: String, b: String): Column =
+  private[ext] def selectBatch(cands: Seq[(String, String, Long)],
+                               remaining: Int)
+      : Seq[(String, String, String, Long)] = {
+    val out = Seq.newBuilder[(String, String, String, Long)]
+    var used = Set.empty[String]
+    var n = 0
+    for ((a, b, pf) <- cands) {
+      val ab = a + b
+      if (n < remaining && !used(a) && !used(b) && !used(ab)) {
+        out += ((a, b, ab, pf))
+        used ++= Seq(a, b, ab)
+        n += 1
+      }
+    }
+    out.result()
+  }
+
+  /** One-pass greedy merge of a whole NON-INTERACTING batch over a
+    * symbol array — left-to-right; at each position at most one accepted
+    * pair can match (operand symbols are disjoint across the batch).
+    */
+  private def mergeFoldBatch(sy: Column,
+                             pairs: Seq[(String, String, String)]): Column =
     aggregate(sy,
       array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === a && x === b,
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+      (acc, x) => {
+        val matched = pairs.foldLeft(when(lit(false), acc)) {
+          case (w, (a, b, ab)) =>
+            w.when(size(acc) > 0 &&
+                element_at(acc, -1) === a && x === b,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
+        }
+        matched.otherwise(concat(acc, array(x)))
+      })
 
   /** Lineage truncation with DETERMINISTIC block release: materialize the
     * frame's row RDD and rebuild a LogicalRDD-backed frame over it. Each
-    * round's frame derives from the last, and 8 stacked fold-lambdas
-    * make re-ANALYSIS the dominant cost even when execution reads a
-    * cache; `localCheckpoint` would also truncate, but its blocks bypass
-    * the CacheManager, so `Dataset.unpersist` cannot free them and up to
-    * 9 corpus generations would linger until RDD garbage collection.
-    * Holding the RDD handle lets the loop release each generation the
-    * moment the next one is materialized.
+    * round's frame derives from the last, and stacked fold-lambdas make
+    * re-ANALYSIS the dominant cost even when execution reads a cache;
+    * `localCheckpoint` would also truncate, but its blocks bypass the
+    * CacheManager, so `Dataset.unpersist` cannot free them and the
+    * per-round corpus generations would linger until RDD garbage
+    * collection. Holding the RDD handle lets the loop release each
+    * generation the moment the next one is materialized.
     */
   private def truncated(df: DataFrame): (DataFrame, RDD[Row]) = {
     val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
@@ -91,10 +142,11 @@ object BpeOps {
 
   /** Trained merges are a per-dataset artifact, like IVF centroids: the
     * cache key folds in a source fingerprint so regenerated data cannot
-    * be served stale merges. The cached value is [[bpeMerges]] rows.
+    * be served stale merges. The cached value is ≤ [[bpeMerges]] rows:
+    * (merge_idx, batch_round, a, b, ab, pair_freq).
     */
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Int, String, String, String, Long)]]
+    String, Seq[(Int, Int, String, String, String, Long)]]
 
   /** Memoized training. `words` lets a caller that ALREADY materialized
     * the word-frequency table (bpeEncode) share it on a cache miss —
@@ -105,8 +157,8 @@ object BpeOps {
     */
   private[ext] def trainedMerges(spark: SparkSession, sfDir: String,
                                  words: Option[DataFrame] = None)
-      : Seq[(Int, String, String, String, Long)] = {
-    val key = s"$sfDir#$bpeMerges#" +
+      : Seq[(Int, Int, String, String, String, Long)] = {
+    val key = s"$sfDir#$bpeMerges#$bpeRounds#$bpeCandidates#" +
       Fingerprint.ofPath(s"$sfDir/documents.parquet")
     Option(mergeCache.get(key)).getOrElse {
       val trained = trainLoop(spark,
@@ -117,32 +169,39 @@ object BpeOps {
   }
 
   private def trainLoop(spark: SparkSession, words: DataFrame)
-      : Seq[(Int, String, String, String, Long)] = {
+      : Seq[(Int, Int, String, String, String, Long)] = {
     import spark.implicits._
     var (corpus, blocks) = truncated(
       words.select(col("w"), split(col("w"), "").as("sy"), col("f")))
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    val merges = Seq.newBuilder[(Int, Int, String, String, String, Long)]
+    var total = 0
     var round = 0
-    while (round < bpeMerges) {
-      val best = corpus
+    var dry = false
+    while (round < bpeRounds && total < bpeMerges && !dry) {
+      val cands = corpus
         .select(posexplode(col("sy")).as(Seq("i", "a")), col("sy"), col("f"))
         .filter(col("i") < size(col("sy")) - 1)
         .select(col("a"), element_at(col("sy"), col("i") + 2).as("b"),
           col("f"))
         .groupBy("a", "b").agg(sum("f").as("pf"))
         .orderBy(col("pf").desc, col("a").asc, col("b").asc)
-        .limit(1) // ONE driver-sync row per round, like k-means centroids
-        .as[(String, String, Long)].collect()
-      if (best.isEmpty) round = bpeMerges // pairs ran dry: chain stops
+        .limit(bpeCandidates) // C driver-sync rows per round, like k-means
+        .as[(String, String, Long)].collect().toSeq
+      if (cands.isEmpty) dry = true // pairs ran dry: chain stops
       else {
-        val (a, b, pf) = best.head
-        merges += ((round, a, b, a + b, pf))
+        val accepted = selectBatch(cands, bpeMerges - total)
+        accepted.zipWithIndex.foreach { case ((a, b, ab, pf), slot) =>
+          merges += ((total + slot, round, a, b, ab, pf))
+        }
         val (next, nextBlocks) = truncated(
-          corpus.select(col("w"), mergeFold(col("sy"), a, b).as("sy"),
+          corpus.select(col("w"),
+            mergeFoldBatch(col("sy"),
+              accepted.map(t => (t._1, t._2, t._3))).as("sy"),
             col("f")))
         blocks.unpersist(false)
         corpus = next
         blocks = nextBlocks
+        total += accepted.size
         round += 1
       }
     }
@@ -150,33 +209,49 @@ object BpeOps {
     merges.result()
   }
 
-  /** Trains [[bpeMerges]] merges; returns one row per round:
-    * (round, a, b, ab, pair_freq).
+  /** Trains up to [[bpeMerges]] merges in [[bpeRounds]] batched rounds;
+    * one row per merge: (merge_idx — the global order a sequential
+    * trainer would apply them in, batch_round, a, b, ab, pair_freq).
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Canon.canonicalize(
-      trainedMerges(spark, sfDir).toDF("round", "a", "b", "ab", "pair_freq"))
+      trainedMerges(spark, sfDir)
+        .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq"))
   }
 
   /** APPLIES the trained merges: per-document BPE token counts — the
     * real tokenizer-based counting beside TextOps' regex estimate, and
     * the train → encode loop closed. Encoding needs only the final
     * word → segment-count map (BPE segmentations are word-local): with
-    * the merges known (memoized index), the final segmentation is ONE
-    * chained fold pass over the word table — no per-round jobs — and
-    * the corpus side is one explode + a broadcast join against the
-    * vocabulary-sized length table.
+    * the merges known (memoized index), the segmentation re-applies the
+    * per-round batch folds over the word table — vocabulary-sized work,
+    * in CHUNKS of [[encodeFoldChunk]] rounds per materialization so the
+    * expression tree stays shallow — and the corpus side is one explode
+    * plus a broadcast join against the vocabulary-sized length table.
     */
+  private val encodeFoldChunk = 4
+
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     // the word table is shared with training on a cache miss, so the
     // corpus-sized explode+count runs ONCE either way
     val words = tokenWords(spark, sfDir).persist()
     val merges = trainedMerges(spark, sfDir, Some(words))
-    val folded = merges.foldLeft(split(col("w"), "")) {
-      case (sy, (_, a, b, _, _)) => mergeFold(sy, a, b)
+    val rounds = merges.groupBy(_._2).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._1).map(m => (m._3, m._4, m._5)))
+    var (corpus, blocks) = truncated(
+      words.select(col("w"), split(col("w"), "").as("sy")))
+    rounds.grouped(encodeFoldChunk).foreach { chunk =>
+      val folded = chunk.foldLeft(col("sy")) { (sy, pairs) =>
+        mergeFoldBatch(sy, pairs)
+      }
+      val (next, nextBlocks) =
+        truncated(corpus.select(col("w"), folded.as("sy")))
+      blocks.unpersist(false)
+      corpus = next
+      blocks = nextBlocks
     }
-    val wordLen = words.select(col("w"), size(folded).as("n_sym"))
+    val wordLen = corpus.select(col("w"), size(col("sy")).as("n_sym"))
     val docTokens = TextOps.documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
@@ -190,81 +265,124 @@ object BpeOps {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
-    Canon.materialized(Canon.canonicalize(out), words)
+    val res = Canon.materialized(Canon.canonicalize(out), words)
+    blocks.unpersist(false)
+    res
   }
 
-  /** The shared oracle CTE chain (w0 … c[[bpeMerges]] plus each round's
-    * m$r), composed by BOTH oracles — never spliced textually.
-    *
-    * Every non-recursive CTE is AS MATERIALIZED: DuckDB otherwise
-    * INLINES a CTE per reference, and with each round referencing the
-    * previous 2-3 times the chain re-evaluates exponentially (~4^rounds
-    * — measured 12+ min vs 0.15 s at sf0.01). fix$r is recursive and
-    * materialized by nature.
-    *
-    * c${r+1} LEFT JOINs its merge row so a dry round (empty m$r — no
-    * adjacent pairs left) carries the corpus forward unchanged instead
-    * of cross-joining it away; this mirrors the Spark loop's early
-    * exit, so both sides agree even when merges run dry before
-    * [[bpeMerges]] rounds.
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** Cumulative accepted-merge count before round `r` (a static sum of
+    * the previous rounds' acc tables — all MATERIALIZED, so each count
+    * is a scan of ≤ [[bpeCandidates]] rows).
     */
-  private val oracleChainCtes: String = {
-    def roundCtes(r: Int): String =
-      s"""p$r AS MATERIALIZED (
-         |  SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS pf
-         |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy,
-         |               f FROM c$r),
-         |       unnest(range(1, len(sy))) AS t(i)
-         |  GROUP BY 1, 2),
-         |m$r AS MATERIALIZED (
-         |  SELECT a, b, a || b AS ab, pf FROM p$r
-         |  ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
-         |fix$r(w, s, f) AS (
-         |  SELECT w, s, f FROM c$r
-         |  UNION ALL
+  private def cumExpr(r: Int): String =
+    if (r == 0) "0"
+    else (0 until r).map(j => s"(SELECT count(*) FROM acc$j)")
+      .mkString(" + ")
+
+  /** One round's CTE block:
+    *  - p$r: adjacent-pair counts of corpus c$r (double-space form split
+    *    back to a symbol list);
+    *  - k$r: the top-[[bpeCandidates]] candidates, ranked;
+    *  - sel${r}_k: the greedy selection chain — one CTE per rank slot,
+    *    threading (accepted-symbol soup, accept count); condition
+    *    mirrors [[selectBatch]] exactly;
+    *  - acc$r: the accepted pairs with their within-round slot
+    *    (recovered as the n-value after acceptance);
+    *  - ap${r}_k … c${r+1}: the corpus with every accepted pair applied,
+    *    one `replace()` per slot in a chain of MATERIALIZED CTEs
+    *    (order-independent by the non-interaction argument; `replace`
+    *    is left-to-right non-overlapping ≡ the Spark fold under the
+    *    double-space delimiting).
+    */
+  private def roundCtes(r: Int): String = {
+    val C = bpeCandidates
+    def cond =
+      s"""x.a IS NOT NULL AND s.n + t.tot < $bpeMerges
+         |        AND strpos(s.syms, ' ' || x.a || ' ') = 0
+         |        AND strpos(s.syms, ' ' || x.b || ' ') = 0
+         |        AND strpos(s.syms, ' ' || x.ab || ' ') = 0""".stripMargin
+    val sels = (1 to C).map { k =>
+      s"""sel${r}_$k AS MATERIALIZED (
+         |  SELECT CASE WHEN $cond
+         |         THEN s.syms || x.a || ' ' || x.b || ' ' || x.ab || ' '
+         |         ELSE s.syms END AS syms,
+         |         s.n + CASE WHEN $cond
+         |               THEN 1 ELSE 0 END AS n
+         |  FROM sel${r}_${k - 1} s CROSS JOIN tot$r t
+         |  LEFT JOIN (SELECT * FROM k$r WHERE rk = $k) x ON true)"""
+        .stripMargin
+    }.mkString(",\n")
+    val accArms = (1 to C).map { k =>
+      s"""  SELECT x.a, x.b, x.ab, x.pf, s1.n AS slot
+         |  FROM k$r x, sel${r}_${k - 1} s0, sel${r}_$k s1
+         |  WHERE x.rk = $k AND s1.n > s0.n""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    // one MATERIALIZED CTE per slot (a plain column reference per level;
+    // nesting coalesce(replace(inner…), inner) instead would double the
+    // inner expression per level — a 2^C evaluation blowup when DuckDB
+    // inlines it)
+    val applied = (1 to C).map { k =>
+      val src = if (k == 1) s"c$r" else s"ap${r}_${k - 1}"
+      val name = if (k == C) s"c${r + 1}" else s"ap${r}_$k"
+      s"""$name AS MATERIALIZED (
          |  SELECT w,
-         |    substr(s, 1, strpos(s, ' ' || m.a || ' ' || m.b || ' ') - 1) ||
-         |      ' ' || m.ab || ' ' ||
-         |      substr(s, strpos(s, ' ' || m.a || ' ' || m.b || ' ')
-         |                   + len(' ' || m.a || ' ' || m.b || ' ')),
-         |    f
-         |  FROM fix$r, m$r m
-         |  WHERE strpos(s, ' ' || m.a || ' ' || m.b || ' ') > 0),
-         |c${r + 1} AS MATERIALIZED (
-         |  SELECT f0.w, f0.s, f0.f FROM fix$r f0 LEFT JOIN m$r m ON true
-         |  WHERE m.a IS NULL
-         |     OR strpos(f0.s, ' ' || m.a || ' ' || m.b || ' ') = 0)""".stripMargin
+         |    coalesce(replace(s,
+         |      (SELECT ' ' || a || '  ' || b || ' ' FROM acc$r WHERE slot = $k),
+         |      (SELECT ' ' || ab || ' ' FROM acc$r WHERE slot = $k)), s) AS s,
+         |    f FROM $src)""".stripMargin
+    }.mkString(",\n")
+    s"""p$r AS (
+       |  SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS pf
+       |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy,
+       |               f FROM c$r),
+       |       unnest(range(1, len(sy))) AS t(i)
+       |  GROUP BY 1, 2),
+       |k$r AS MATERIALIZED (
+       |  SELECT a, b, a || b AS ab, pf,
+       |         row_number() OVER (ORDER BY pf DESC, a ASC, b ASC) AS rk
+       |  FROM (SELECT * FROM p$r ORDER BY pf DESC, a ASC, b ASC
+       |        LIMIT $bpeCandidates)),
+       |tot$r AS MATERIALIZED (SELECT ${cumExpr(r)} AS tot),
+       |sel${r}_0 AS MATERIALIZED (SELECT ' ' AS syms, 0 AS n),
+       |$sels,
+       |acc$r AS MATERIALIZED (
+       |$accArms),
+       |$applied""".stripMargin
+  }
+
+  /** The shared oracle CTE chain (w0 … c[[bpeRounds]] plus each round's
+    * acc$r), composed by the three oracles — never spliced textually.
+    *
+    * Multiply-referenced CTEs are AS MATERIALIZED: DuckDB otherwise
+    * INLINES a CTE per reference, and with each round referencing the
+    * previous corpus repeatedly the chain re-evaluates exponentially
+    * (measured 12+ min vs sub-second at sf0.01 on the 8-round
+    * predecessor of this oracle).
+    */
+  private val oracleChainCtes: String =
     s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents)
        |  GROUP BY 1),
        |c0 AS MATERIALIZED (
-       |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+       |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' '
        |           AS s, f
        |  FROM w0),
-       |${(0 until bpeMerges).map(roundCtes).mkString(",\n")}""".stripMargin
-  }
+       |${(0 until bpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
 
-  /** The full training chain in SQL, rounds unrolled. Symbol strings are
-    * boundary-padded and space-joined; the per-round merge is the
-    * fixpoint of FIRST-OCCURRENCE single replacement (recursive CTE,
-    * strpos + substr splice) — equal to the Spark side's one-pass greedy
-    * fold, which a replace-all fixpoint is not (it skips the adjacent
-    * overlapping pair in identical-symbol runs ≥ 5).
-    */
+  /** The full training chain in SQL, batch rounds unrolled. */
   val bpeTrainOracle: String =
-    s"""WITH RECURSIVE
+    s"""WITH
        |$oracleChainCtes
        |SELECT * FROM (
-       |  ${(0 until bpeMerges)
-          .map(r => s"SELECT CAST($r AS BIGINT) AS round, a, b, ab, " +
-            s"CAST(pf AS BIGINT) AS pair_freq FROM m$r")
-          .mkString("\n  UNION ALL ")})""".stripMargin
+       |  ${(0 until bpeRounds)
+        .map(r => s"SELECT CAST(t.tot + x.slot - 1 AS BIGINT) AS merge_idx, " +
+          s"CAST($r AS BIGINT) AS batch_round, x.a, x.b, x.ab, " +
+          s"CAST(x.pf AS BIGINT) AS pair_freq FROM acc$r x CROSS JOIN tot$r t")
+        .mkString("\n  UNION ALL ")})""".stripMargin
 
-  /** [[bpeEncode]]'s oracle: the same chain, consumed at its FINAL
-    * corpus c[[bpeMerges]] — per-word segment counts joined back to each
-    * document's token stream.
-    */
   /** The encode tail (word → symbol count, corpus probe, per-doc agg),
     * shared by the encode oracle and the compression-ratio rollup.
     */
@@ -272,7 +390,7 @@ object BpeOps {
     s"""wl AS (
        |  SELECT w, len(list_filter(string_split(s, ' '), x -> x <> ''))
        |           AS n_sym
-       |  FROM c$bpeMerges),
+       |  FROM c$bpeRounds),
        |dt AS (
        |  SELECT doc_id, unnest(${CurationOps.toksSql}) AS w
        |  FROM documents),
@@ -281,7 +399,7 @@ object BpeOps {
        |  FROM dt JOIN wl USING (w) GROUP BY 1)""".stripMargin
 
   val bpeEncodeOracle: String =
-    s"""WITH RECURSIVE
+    s"""WITH
        |$oracleChainCtes,
        |$encodeCtes
        |SELECT documents.doc_id,
@@ -317,7 +435,7 @@ object BpeOps {
   }
 
   val compressionRatioOracle: String =
-    s"""WITH RECURSIVE
+    s"""WITH
        |$oracleChainCtes,
        |$encodeCtes
        |SELECT d.lang, count(*) AS n_docs,

@@ -71,8 +71,14 @@ object CurationOps {
     * the nullRepair/scd2Merge seeding pattern): the detector then has a
     * real >50% signature to find and a real unseeded third to NOT flag.
     */
+  /** Exactly [[boilerplatePrefixLen]] tokens by construction (asserted),
+    * so the prefix surgery removes the WHOLE banner — a longer banner
+    * would leave its tail behind in every "cleaned" document.
+    */
   val boilerplateBanner =
-    "cookie notice please accept our cookie policy before continuing "
+    "cookie notice please accept our full cookie policy "
+  require(boilerplateBanner.trim.split(" ").length == boilerplatePrefixLen,
+    "boilerplateBanner must be exactly boilerplatePrefixLen tokens")
 
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
@@ -190,6 +196,174 @@ object CurationOps {
        |         AS BIGINT) AS n_removed_tokens
        |FROM hitj""".stripMargin
   }
+
+  // ---- line-level cross-document boilerplate --------------------------
+
+  /** Line-level detection thresholds: a LINE is boilerplate for a source
+    * when it appears in more than [[lineShareMin]] of the source's
+    * documents; lines shorter than [[lineMinTokens]] tokens are never
+    * candidates (short natural lines collide by chance — the published
+    * line-dedup recipes carry the same guard).
+    */
+  val lineShareMin = 0.5
+  val lineMinTokens = 4
+
+  /** Seeded mid-document banner and end-of-document footer lines. The
+    * fixture corpus is single-line prose, so the query SEEDS the line
+    * structure deterministically (the [[boilerplate]] seeding pattern,
+    * moved mid-document): each doc is split into two halves, two of
+    * every three docs get [[lineBannerMid]] BETWEEN the halves, and six
+    * of every seven get [[lineFooter]] appended — so the detector must
+    * find position-free repeats, which the opening-prefix detector
+    * ([[boilerplate]]) is blind to by construction. (Moduli 3 and 7 are
+    * both coprime to the fixture's source assignment — doc_id % 10 — so
+    * per-source shares stay at the global 2/3 and 6/7; a modulus sharing
+    * a factor with 10 aliases per source, e.g. %4 gives docs ≡ 8
+    * (mod 10) a footer share of exactly 0.5 and the detector misses it.)
+    */
+  val lineBannerMid = "this site uses tracking cookies accept to continue"
+  val lineFooter = "copyright example site all rights reserved"
+
+  /** The seeded (doc_id, source, lines) frame shared by detection and
+    * apply — documents as LINE ARRAYS: [half1, banner?, half2, footer?]
+    * with empties dropped (a 0/1-token doc contributes no empty line).
+    */
+  private def seededLines(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), toksCol.as("toks"))
+      .withColumn("half", floor(size(col("toks")) / 2).cast("int"))
+      .withColumn("l1",
+        array_join(slice(col("toks"), lit(1), col("half")), " "))
+      .withColumn("l2",
+        array_join(slice(col("toks"), col("half") + 1,
+          size(col("toks")) - col("half")), " "))
+      .withColumn("lines0",
+        when(col("doc_id") % 3 =!= 0,
+          array(col("l1"), lit(lineBannerMid), col("l2")))
+          .otherwise(array(col("l1"), col("l2"))))
+      .withColumn("lines1",
+        when(col("doc_id") % 7 =!= 0,
+          concat(col("lines0"), array(lit(lineFooter))))
+          .otherwise(col("lines0")))
+      .select(col("doc_id"), col("source"),
+        filter(col("lines1"), l => l =!= "").as("lines"))
+
+  /** The shared seeding + line-explosion CTE chain (llines → lcnt/ltot),
+    * composed by both line-boilerplate oracles.
+    */
+  private def lineCtes: String =
+    s"""lt AS (
+       |  SELECT doc_id, source, $toksSql AS t FROM documents),
+       |lparts AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(t[1:(len(t) // 2)], ' ') AS l1,
+       |         array_to_string(t[(len(t) // 2) + 1:len(t)], ' ') AS l2
+       |  FROM lt),
+       |llines AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         list_filter(
+       |           CASE WHEN doc_id % 7 <> 0
+       |                THEN base || ['$lineFooter'] ELSE base END,
+       |           l -> l <> '') AS lines
+       |  FROM (
+       |    SELECT doc_id, source,
+       |           CASE WHEN doc_id % 3 <> 0
+       |                THEN [l1, '$lineBannerMid', l2]
+       |                ELSE [l1, l2] END AS base
+       |    FROM lparts)),
+       |lcand AS (
+       |  SELECT DISTINCT doc_id, source, line FROM (
+       |    SELECT doc_id, source, unnest(lines) AS line FROM llines)
+       |  WHERE len(string_split(line, ' ')) >= $lineMinTokens),
+       |lcnt AS (
+       |  SELECT source, line, count(*) AS n_docs
+       |  FROM lcand GROUP BY 1, 2),
+       |ltot AS (
+       |  SELECT source, count(*) AS n_source_docs
+       |  FROM documents GROUP BY 1),
+       |lflag AS MATERIALIZED (
+       |  SELECT c.source, c.line, c.n_docs, t.n_source_docs,
+       |         CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE)
+       |           AS share
+       |  FROM lcnt c JOIN ltot t USING (source)
+       |  WHERE CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE)
+       |        > $lineShareMin)""".stripMargin
+
+  /** LINE-granular cross-document boilerplate detection — the
+    * CCNet/RefinedWeb recipe: hash every line, flag lines whose
+    * per-source document-frequency share exceeds [[lineShareMin]].
+    * Position-free, unlike the opening-prefix detector [[boilerplate]]:
+    * a cookie banner in the middle of the page or a footer at the end
+    * repeats across a site's documents just as reliably as a header,
+    * and this catches all three.
+    *
+    * Scale shape (same bounded-count discipline as [[boilerplate]]):
+    * one explode to (doc, line) — linear in corpus lines — then ONE
+    * (source, line)-keyed count with map-side combine; the per-source
+    * totals are a broadcast back over the count table, and the report
+    * is at most a handful of rows per source. No all-pairs anything.
+    */
+  def lineBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = seededLines(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(col("lines")).as("line"))
+      .filter(size(split(col("line"), " ")) >= lineMinTokens)
+    val counts = exploded.groupBy("source", "line")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    val totals = documents(spark, sfDir).groupBy("source")
+      .agg(count(lit(1)).as("n_source_docs"))
+    Canon.canonicalize(counts
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("n_source_docs").cast("double"))
+      .filter(col("share") > lineShareMin)
+      .select("source", "line", "n_docs", "n_source_docs", "share"))
+  }
+
+  val lineBoilerplateOracle: String =
+    s"""WITH
+       |$lineCtes
+       |SELECT source, line, n_docs, n_source_docs, share FROM lflag""".stripMargin
+
+  /** Line boilerplate APPLY — detect → REMOVE closed: every document
+    * loses exactly its source's flagged lines (wherever they sit — mid
+    * document included), everything else passes through byte-stable.
+    *
+    * Scale shape: the flagged report is a few lines per source and
+    * BROADCASTS as a per-source array; the corpus side is one
+    * membership-filter projection over the line arrays — no extra
+    * shuffle beyond detection's own bounded aggs.
+    */
+  def lineBoilerplateApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val flagged = lineBoilerplate(spark, sfDir)
+      .groupBy("source").agg(collect_set(col("line")).as("fl"))
+    val cut = seededLines(spark, sfDir)
+      .join(broadcast(flagged), Seq("source"), "left")
+      .withColumn("kept",
+        filter(col("lines"),
+          l => !coalesce(array_contains(col("fl"), l), lit(false))))
+    Canon.canonicalize(cut.select(
+      col("doc_id"),
+      concat_ws("\n", col("kept")).as("cleaned"),
+      size(col("lines")).as("n_lines"),
+      (size(col("lines")) - size(col("kept"))).as("n_removed_lines")))
+  }
+
+  val lineBoilerplateApplyOracle: String =
+    s"""WITH
+       |$lineCtes,
+       |lfl AS (
+       |  SELECT source, list(line) AS fl FROM lflag GROUP BY 1)
+       |SELECT d.doc_id,
+       |       array_to_string(
+       |         list_filter(d.lines,
+       |           l -> NOT coalesce(list_contains(f.fl, l), false)),
+       |         chr(10)) AS cleaned,
+       |       CAST(len(d.lines) AS BIGINT) AS n_lines,
+       |       CAST(len(d.lines) -
+       |            len(list_filter(d.lines,
+       |              l -> NOT coalesce(list_contains(f.fl, l), false)))
+       |         AS BIGINT) AS n_removed_lines
+       |FROM llines d LEFT JOIN lfl f USING (source)""".stripMargin
 
   // ---- repetition signals ---------------------------------------------
 

@@ -39,6 +39,15 @@ object EventOps {
       case LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→LTZ cast re-labels wall-clock fields as an instant in
+        // the SESSION timezone; anything but UTC would silently shift
+        // every event relative to the DuckDB oracle (which reads the NTZ
+        // values as UTC instants) — fail loudly instead
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and the session timezone is '$tz': " +
+            "the NTZ->timestamp cast is only oracle-equivalent under UTC. " +
+            "Set spark.sql.session.timeZone=UTC (all graft entry points do).")
         df.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.TimestampType => df
@@ -47,7 +56,16 @@ object EventOps {
     }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    normalizeTs(Tables.load(spark, sfDir, "events"))
+    try normalizeTs(Tables.load(spark, sfDir, "events"))
+    catch {
+      case e: org.apache.spark.SparkException
+          if Option(e.getMessage).exists(_.contains("Illegal Parquet type")) =>
+        throw new IllegalStateException(
+          "events.parquet carries a TIMESTAMP(NANOS) column Spark cannot " +
+            "read natively; set spark.sql.legacy.parquet.nanosAsLong=true " +
+            "(all graft entry points do) so normalizeTs can rescale the " +
+            "int64 nanos to a timestamp.", e)
+    }
 
   /** Tumbling daily windows per event_type: volumes, exact uniques, and a
     * props-JSON field aggregation (get_json_object / ->> both engines).

@@ -759,6 +759,304 @@ object VectorOps {
        |SELECT probe_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= $topK""".stripMargin
 
+  // ---- IVF-PQ: product-quantized ANN tier ------------------------------
+
+  /** PQ geometry: [[pqM]] subspaces (the 64-dim fixture embeddings split
+    * into 8×8), [[pqK]] codebook entries per subspace, [[pqIters]]
+    * Lloyd rounds per sub-quantizer. 8 codes/vector at 1 byte each is
+    * 32× smaller than float64 working vectors — the memory tier after
+    * SQ8's 4×, and the standard answer at 10¹⁰ vectors where even int8
+    * codes per dimension no longer fit executor memory.
+    */
+  val pqM = 8
+  val pqK = 8
+  val pqIters = 2
+
+  /** L2 distance (squared), the PQ training metric — sub-vector NORMS
+    * matter for reconstruction (cosine assignment would collapse every
+    * magnitude onto a direction, and the reconstructed corpus vector —
+    * the thing the asymmetric scan scores against — would be wrong).
+    * Bit-exact mirror of [[l2Sql]].
+    */
+  private def l2(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), " +
+      "(acc, x) -> acc + x)"
+
+  private def norm2Sql(a: String): String =
+    s"list_reduce(list_transform($a, x -> x * x), (acc, x) -> acc + x)"
+
+  /** (vec_id, j, sv): each vector exploded into its [[pqM]] sub-vectors
+    * (j 0-based; trailing dims beyond M·⌊dim/M⌋ are not sliced — the
+    * fixture's 64 splits evenly).
+    */
+  private def subVectors(e: DataFrame): DataFrame =
+    e.withColumn("sub", (size(col("v")) / pqM).cast("int"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(pqM - 1)),
+          j => slice(col("v"), j * col("sub") + 1, col("sub"))))
+        .as(Seq("j", "sv")))
+
+  /** All [[pqM]] sub-quantizers trained SIMULTANEOUSLY — everything is
+    * keyed by (j, cent_id), so one assignment pass and one mean update
+    * per Lloyd round covers every subspace (m separate loops would
+    * multiply the round count by m for no reason). Assignment is L2
+    * argmin with the (d ASC, cent_id ASC) tie-break; the update is the
+    * exact decimal-sum mean (sum and count are order-free, the one
+    * double division is IEEE-identical in both engines); empty cells
+    * keep their previous centroid. Driver sync per round: m·k rows —
+    * the k-means centroid pattern.
+    */
+  private[ext] def trainedPqCodebooks(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sub = subVectors(e)
+    var cents = sub.filter(col("vec_id") < pqK)
+      .select(col("j"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    var round = 0
+    while (round < pqIters) {
+      val assigned = sub.join(broadcast(cents), Seq("j"))
+        .withColumn("d", l2(col("sv"), col("cv")))
+        .groupBy("vec_id", "j")
+        .agg(min_by(struct(col("cent_id"), col("sv")),
+          struct(col("d"), col("cent_id"))).as("s"))
+        .select(col("j"), col("s.cent_id").as("cent_id"),
+          col("s.sv").as("sv"))
+      val means = assigned
+        .select(col("j"), col("cent_id"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "cent_id", "pos")
+        .agg((sum(col("x").cast(DecimalType(30, 15))).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy("j", "cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+      val next = cents.select(col("j"), col("cent_id"), col("cv").as("prev"))
+        .join(means, Seq("j", "cent_id"), "left")
+        .select(col("j"), col("cent_id"),
+          coalesce(col("mv"), col("prev")).as("cv"))
+      val rows = next.as[(Int, Long, Seq[Double])].collect()
+        .sortBy(r => (r._1, r._2))
+      cents = spark.createDataset(rows).toDF("j", "cent_id", "cv")
+      round += 1
+    }
+    cents
+  }
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Long, Seq[Double])]]
+
+  /** IVF-PQ ANN — the compressed tier past [[annIvfSq8]] (FAISS
+    * `IVFPQ` shape): the coarse IVF stage is unchanged (trained
+    * centroids, nprobe nearest buckets per probe), but the bucketed
+    * index stores only [[pqM]] one-byte codes per vector — each
+    * sub-vector replaced by its nearest sub-codebook entry. The coarse
+    * scan never touches vectors at all: per probe it builds the
+    * asymmetric distance table (sub-dot and sub-norm² of every codebook
+    * entry against the probe's sub-vectors — m·k numbers), and each
+    * candidate's cosine-to-reconstruction is a TABLE-LOOKUP sum over
+    * its m codes:
+    *   cos(p, recon(x)) = Σⱼ pdot[j, codeⱼ]
+    *                      / (|p| · sqrt(Σⱼ cn2[j, codeⱼ])).
+    * The per-probe shortlist (sqRerank·topK) is then re-scored exactly
+    * against full-precision vectors fetched by vec_id, like SQ8.
+    *
+    * Determinism contract: the partial sums over j fold an
+    * ORDER-SORTED list (collect_list(struct(j,…)) → array_sort → fold /
+    * list(… ORDER BY j) → list_reduce), so the double addition order is
+    * pinned in both engines — a plain SUM over m doubles would be
+    * accumulation-order-dependent and break the hash gate.
+    *
+    * Scale shape: codebooks and ADTs are broadcast (m·k rows each);
+    * the corpus side carries codes only, never shuffles on probe (the
+    * probe join is a broadcast into the bucketed scan), and the one
+    * wide exchange is the (probe, vec)-keyed partial-sum agg, bounded
+    * by nprobe-bucket membership × m.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String,
+               nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val centroids = centroidCache.computeIfAbsent(
+      s"$sfDir#$ivfCentroids#$ivfIters#" +
+        dataFingerprint(s"$sfDir/embeddings.parquet"),
+      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+      .toDF("cent_id", "cv")
+    val codebooks = pqCache.computeIfAbsent(
+      s"$sfDir#$pqM#$pqK#$pqIters#" +
+        dataFingerprint(s"$sfDir/embeddings.parquet"),
+      _ => trainedPqCodebooks(e).as[(Int, Long, Seq[Double])]
+        .collect().toSeq.sortBy(r => (r._1, r._2)))
+      .toDF("j", "cent_id", "cv")
+
+    val bucketed = assignNearest(e, centroids)
+      .select(col("vec_id"), col("v"), col("bucket"))
+
+    // the stored index: (vec_id, bucket, j, code) — codes, not vectors
+    val pqIndex = subVectors(bucketed.select(col("vec_id"), col("v")))
+      .join(broadcast(codebooks), Seq("j"))
+      .withColumn("d", l2(col("sv"), col("cv")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
+        .as("code"))
+      .join(bucketed.select("vec_id", "bucket"), Seq("vec_id"))
+
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probeBuckets = probes.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(col("cv"), col("pv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("bucket"))
+
+    // per-probe asymmetric distance table: m·k rows, broadcast
+    val padt = subVectors(probes.select(col("probe_id").as("vec_id"),
+        col("pv").as("v")))
+      .select(col("vec_id").as("probe_id"), col("j"), col("sv"))
+      .join(broadcast(codebooks), Seq("j"))
+      .select(col("probe_id"), col("j"), col("cent_id").as("code"),
+        fold(zip_with(col("sv"), col("cv"), (x, y) => x * y)).as("pdot"),
+        fold(transform(col("cv"), x => x * x)).as("cn2"))
+    val pnorms = probes.select(col("probe_id"),
+      fold(transform(col("pv"), x => x * x)).as("pnorm2"))
+
+    // coarse scan: table-lookup partial sums, folded in j order
+    val coarse = pqIndex
+      .join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(padt), Seq("probe_id", "j", "code"))
+      .join(broadcast(pnorms), Seq("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(
+        sort_array(collect_list(struct(col("j"), col("pdot")))).as("pd"),
+        sort_array(collect_list(struct(col("j"), col("cn2")))).as("cn"),
+        min("pnorm2").as("pnorm2"))
+      .withColumn("dot", fold(transform(col("pd"), s => s.getField("pdot"))))
+      .withColumn("rnorm2", fold(transform(col("cn"), s => s.getField("cn2"))))
+      .withColumn("qcos",
+        col("dot") / (sqrt(col("pnorm2")) * sqrt(col("rnorm2"))))
+      .select("probe_id", "vec_id", "qcos")
+    val shortlist = TopK.perKey(coarse, Seq("probe_id"),
+      Seq("qcos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      sqRerank * topK)
+
+    // exact rescore of the broadcast shortlist, as in SQ8
+    val rescored = e
+      .join(broadcast(shortlist.select("probe_id", "vec_id")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("v")))
+      .select("probe_id", "vec_id", "cos")
+    val top = TopK.perKey(rescored, Seq("probe_id"),
+      Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      topK, rankCol = Some("rank"))
+    Canon.materialized(
+      Canon.canonicalize(top.select("probe_id", "rank", "vec_id", "cos")),
+      e)
+  }
+
+  /** [[annIvfPq]]'s oracle: the IVF prefix (training + bucketing +
+    * probe buckets), then the PQ chain — sub-vector explode, the
+    * [[pqIters]] L2-mean Lloyd rounds unrolled, code assignment, the
+    * per-probe ADT, ordered-fold partial sums, shortlist, exact
+    * rescore.
+    */
+  def annIvfPqOracle(nprobe: Int = 4): String = {
+    val sd = s"(len(v) // $pqM)"
+    val rounds = (0 until pqIters).map { r =>
+      s"""pa${r + 1} AS (
+         |  SELECT vec_id, j, cent_id, sv FROM (
+         |    SELECT s.vec_id, s.j, c.cent_id, s.sv,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY ${l2Sql("c.cv", "s.sv")} ASC, c.cent_id ASC)
+         |             AS rn
+         |    FROM sub s JOIN pq$r c ON s.j = c.j) WHERE rn = 1),
+         |pm${r + 1} AS (
+         |  SELECT j, cent_id, i AS pos,
+         |         CAST(sum(CAST(sv[CAST(i AS INT)+1] AS DECIMAL(30,15)))
+         |              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+         |  FROM pa${r + 1}, UNNEST(range(0, len(sv))) t(i)
+         |  GROUP BY j, cent_id, i),
+         |pq${r + 1} AS (
+         |  SELECT c.j, c.cent_id, coalesce(n.mv, c.cv) AS cv
+         |  FROM pq$r c LEFT JOIN (
+         |    SELECT j, cent_id, list(m ORDER BY pos) AS mv
+         |    FROM pm${r + 1} GROUP BY 1, 2) n
+         |  ON c.j = n.j AND c.cent_id = n.cent_id)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"pq$pqIters"
+    s"""${ivfOraclePrefix(nprobe)},
+       |sub AS (
+       |  SELECT vec_id, CAST(j AS INT) AS j,
+       |         v[(CAST(j AS INT) * $sd + 1):((CAST(j AS INT) + 1) * $sd)]
+       |           AS sv
+       |  FROM e, UNNEST(range(0, $pqM)) t(j)),
+       |pq0 AS (
+       |  SELECT j, vec_id AS cent_id, sv AS cv FROM sub
+       |  WHERE vec_id < $pqK),
+       |$rounds,
+       |pcode AS (
+       |  SELECT vec_id, j, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.j, c.cent_id,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.j
+       |             ORDER BY ${l2Sql("c.cv", "s.sv")} ASC, c.cent_id ASC)
+       |             AS rn
+       |    FROM sub s JOIN $fin c ON s.j = c.j) WHERE rn = 1),
+       |padt AS (
+       |  SELECT s.vec_id AS probe_id, s.j, c.cent_id AS code,
+       |         ${dotSql("s.sv", "c.cv")} AS pdot,
+       |         ${norm2Sql("c.cv")} AS cn2
+       |  FROM sub s JOIN $fin c ON s.j = c.j
+       |  WHERE s.vec_id < $nProbes),
+       |pn AS (
+       |  SELECT vec_id AS probe_id, ${norm2Sql("v")} AS pnorm2
+       |  FROM e WHERE vec_id < $nProbes),
+       |coarse AS (
+       |  SELECT pb.probe_id, x.vec_id,
+       |         list_reduce(list(adt.pdot ORDER BY adt.j),
+       |                     (acc, y) -> acc + y) AS dot,
+       |         list_reduce(list(adt.cn2 ORDER BY adt.j),
+       |                     (acc, y) -> acc + y) AS rnorm2,
+       |         min(pn.pnorm2) AS pnorm2
+       |  FROM pcode x
+       |  JOIN bucketed b ON x.vec_id = b.vec_id
+       |  JOIN pb ON b.cent_id = pb.bucket
+       |  JOIN padt adt ON adt.probe_id = pb.probe_id
+       |               AND adt.j = x.j AND adt.code = x.code
+       |  JOIN pn ON pn.probe_id = pb.probe_id
+       |  WHERE x.vec_id <> pb.probe_id
+       |  GROUP BY pb.probe_id, x.vec_id),
+       |qscored AS (
+       |  SELECT probe_id, vec_id,
+       |         dot / (sqrt(pnorm2) * sqrt(rnorm2)) AS qcos
+       |  FROM coarse),
+       |short AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY qcos DESC, vec_id ASC) AS srn
+       |    FROM qscored) WHERE srn <= ${sqRerank * topK}),
+       |rescored AS (
+       |  SELECT s.probe_id, s.vec_id, ${cosSql("p.pv", "e.v")} AS cos
+       |  FROM short s JOIN e ON s.vec_id = e.vec_id
+       |  JOIN probes p ON p.probe_id = s.probe_id),
+       |rankedq AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM rescored)
+       |SELECT probe_id, rank, vec_id, cos FROM rankedq
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   // ---- int8 symmetric quantization ------------------------------------
 
   /** Symmetric int8 quantization of the embedding column — the standard

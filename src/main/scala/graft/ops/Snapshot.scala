@@ -36,6 +36,12 @@ object Snapshot {
     */
   def diff(cur: DataFrame, prev: DataFrame, keyCols: Seq[String],
            compared: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty,
+      "Snapshot.diff: keyCols must be non-empty (the business key)")
+    require(compared.nonEmpty,
+      "Snapshot.diff: compared must be non-empty — with no compared " +
+        "attributes every matched key would be vacuously unchanged; " +
+        "pass the attributes whose difference should count as a change")
     val c = cur.select((keyCols ++ compared).map(col): _*)
       .withColumn("_in_cur", lit(true))
     val p = prev.select(

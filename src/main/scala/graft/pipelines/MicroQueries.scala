@@ -452,8 +452,10 @@ object MicroQueries {
     *  - doc_id ≡ 0 (mod 7), not caught above, have n_chars+1 in prev →
     *    `changed` (overlap with mod 13 stays `added` — absent beats
     *    modified);
-    *  - doc_id ≡ 0 (mod 11) also exist in prev re-keyed +10,000,000 →
-    *    those keys are `removed` today;
+    *  - doc_id ≡ 0 (mod 11) also exist in prev re-keyed +1,000,000,000 →
+    *    those keys are `removed` today (the offset must stay ≥ 1e9:
+    *    tools/make_scale10.py's replica shifts real keys by 10M, so
+    *    anything smaller could collide with scaled data);
     *  - everything else is identical → not in the report.
     */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {

@@ -7,59 +7,105 @@ import graft.SparkSpec
 class BpeOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Independent driver-side BPE (greedy left-to-right merge, lexicographic
-    * tie-break) — the semantics both the Spark job and the SQL oracle must
+  /** Independent driver-side BATCHED BPE (rank top-C pairs, greedily
+    * accept symbol-disjoint ones, apply the batch in one left-to-right
+    * pass) — the semantics both the Spark job and the SQL oracle must
     * reproduce.
     */
-  private def referenceBpe(words: Map[String, Long],
-                           rounds: Int): Seq[(Int, String, String, Long)] = {
-    def mergeWord(sym: List[String], a: String, b: String): List[String] =
+  private def referenceBpe(words: Map[String, Long])
+      : Seq[(Int, Int, String, String, String, Long)] = {
+    def mergeBatch(sym: List[String],
+                   pairs: Seq[(String, String, String)]): List[String] =
       sym.foldLeft(List.empty[String]) { (acc, s) =>
-        if (acc.nonEmpty && acc.last == a && s == b)
-          acc.init :+ (a + b)
-        else acc :+ s
+        pairs.find { case (a, b, _) =>
+          acc.nonEmpty && acc.last == a && s == b
+        } match {
+          case Some((_, _, ab)) => acc.init :+ ab
+          case None             => acc :+ s
+        }
       }
     var corpus = words.map { case (w, f) => w -> (w.split("").toList, f) }
-    val out = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 0 until rounds) {
+    val out = Seq.newBuilder[(Int, Int, String, String, String, Long)]
+    var total = 0
+    var round = 0
+    var dry = false
+    while (round < BpeOps.bpeRounds && total < BpeOps.bpeMerges && !dry) {
       val counts = corpus.values.toSeq.flatMap { case (sym, f) =>
         sym.zip(sym.tail).map(p => p -> f)
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      if (counts.nonEmpty) {
-        val ((a, b), f) = counts.minBy { case ((x, y), c) => (-c, x, y) }
-        out += ((r, a, b, f))
-        corpus = corpus.map { case (w, (sym, fq)) =>
-          w -> (mergeWord(sym, a, b), fq)
+      if (counts.isEmpty) dry = true
+      else {
+        val cands = counts.toSeq
+          .map { case ((a, b), f) => (a, b, f) }
+          .sortBy { case (a, b, f) => (-f, a, b) }
+          .take(BpeOps.bpeCandidates)
+        var used = Set.empty[String]
+        var n = 0
+        val accepted = cands.flatMap { case (a, b, f) =>
+          val ab = a + b
+          if (n < BpeOps.bpeMerges - total &&
+              !used(a) && !used(b) && !used(ab)) {
+            used ++= Seq(a, b, ab); n += 1
+            Some((a, b, ab, f))
+          } else None
         }
+        accepted.zipWithIndex.foreach { case ((a, b, ab, f), i) =>
+          out += ((total + i, round, a, b, ab, f))
+        }
+        corpus = corpus.map { case (w, (sym, fq)) =>
+          w -> (mergeBatch(sym, accepted.map(t => (t._1, t._2, t._3))), fq)
+        }
+        total += accepted.size
+        round += 1
       }
     }
     out.result()
   }
 
-  test("bpeTrain reproduces the reference merge chain on fixture text") {
+  test("bpeTrain reproduces the reference batched merge chain; reaches " +
+      "the full budget in far fewer rounds") {
     val words = TextOps.documents(spark, sfDir)
       .select(TextOps.normText(col("text")).as("n")).as[String].collect()
       .flatMap(_.split(" ").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val expected = referenceBpe(words, BpeOps.bpeMerges)
+    val expected = referenceBpe(words)
     val got = BpeOps.bpeTrain(spark, sfDir)
-      .select("round", "a", "b", "ab", "pair_freq")
-      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+      .select("merge_idx", "batch_round", "a", "b", "ab", "pair_freq")
+      .as[(Long, Long, String, String, String, Long)].collect()
+      .sortBy(_._1)
     assert(got.length == expected.length)
     got.zip(expected).foreach {
-      case ((r, a, b, ab, f), (er, ea, eb, ef)) =>
-        assert(r == er && a == ea && b == eb && f == ef,
-          s"round $r: got ($a,$b,$f) expected ($ea,$eb,$ef)")
-        assert(ab == a + b)
+      case ((i, r, a, b, ab, f), (ei, er, ea, eb, eab, ef)) =>
+        assert(i == ei && r == er && a == ea && b == eb && f == ef,
+          s"merge $i: got (r$r $a,$b,$f) expected (r$er $ea,$eb,$ef)")
+        assert(ab == a + b && ab == eab)
     }
-    // later rounds must be able to merge MERGED symbols (multi-char
-    // operands prove the chain is really iterative, not one-shot)
-    assert(got.exists { case (_, a, b, _, _) =>
+    // the whole budget is trained (the round-6 weakness was a cap of 8)
+    assert(got.length == BpeOps.bpeMerges,
+      s"trained ${got.length} merges, want ${BpeOps.bpeMerges}")
+    // ... in strictly fewer rounds than merges — the batching win
+    val roundsUsed = got.map(_._2).distinct.length
+    assert(roundsUsed * 2 < BpeOps.bpeMerges,
+      s"$roundsUsed rounds for ${got.length} merges — batching not engaged")
+    // within a round, accepted pairs are symbol-disjoint (the invariant
+    // that makes one-pass batch application sound)
+    got.groupBy(_._2).values.foreach { rnd =>
+      val syms = rnd.flatMap(m => Seq(m._3, m._4, m._5))
+      assert(syms.distinct.length == syms.length,
+        s"round ${rnd.head._2} accepted conflicting pairs")
+    }
+    // later rounds must merge MERGED symbols (multi-char operands prove
+    // the chain is really iterative, not one-shot pair counting)
+    assert(got.exists { case (_, _, a, b, _, _) =>
       a.length > 1 || b.length > 1 })
   }
 
-  test("bpeEncode counts match re-segmenting each doc with the merges") {
+  test("bpeEncode counts match re-segmenting each doc one merge at a time") {
+    // the spec applies merges SEQUENTIALLY in merge_idx order; the Spark
+    // side applies each round's batch in ONE fold pass — agreement here
+    // is the non-interaction property under test
     val mergeRows = BpeOps.bpeTrain(spark, sfDir)
+      .orderBy("merge_idx")
       .select("a", "b").as[(String, String)].collect()
     def segment(w: String): Int =
       mergeRows.foldLeft(w.split("").toList) { case (sym, (a, b)) =>
@@ -84,15 +130,25 @@ class BpeOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum < chars)
   }
 
-  test("greedy one-pass fold equals the first-occurrence fixpoint, " +
-      "including identical-symbol runs >= 5") {
-    // the two formulations the Spark side and the oracle use must agree
-    // on the overlap edge cases. The oracle iterates FIRST-OCCURRENCE
-    // single replacement (the model below) — a replace-ALL fixpoint is
-    // NOT equivalent: on 'aaaaa' it yields [aa a aa] vs the fold's
-    // [aa aa a], and on 'aaaaaa' 4 symbols vs the fold's 3 (the
-    // replace-all match consumes the shared boundary space, skipping
-    // the adjacent overlapping pair).
+  test("greedy one-pass fold equals double-space replace AND the " +
+      "first-occurrence fixpoint, including identical-symbol runs >= 5") {
+    // three formulations must agree: the Spark fold (arrays), the
+    // oracle's replace() over DOUBLE-SPACE delimited strings (one space
+    // consumed from each boundary per match, so left-to-right
+    // non-overlapping replace ≡ the fold), and the first-occurrence
+    // fixpoint. A replace-all over SINGLE-space strings is NOT
+    // equivalent: on 'aaaaa' it yields [aa a aa] vs the fold's
+    // [aa aa a] (consecutive matches share the boundary space).
+    def fold(sym: List[String], a: String, b: String): List[String] =
+      sym.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    def viaReplace(sym: List[String], a: String, b: String): List[String] = {
+      val s = " " + sym.mkString("  ") + " "
+      s.replace(s" $a  $b ", s" ${a + b} ")
+        .split(" ").filter(_.nonEmpty).toList
+    }
     def fixpoint(s0: String, a: String, b: String, ab: String): String = {
       val pat = s" $a $b "
       var s = s0
@@ -103,30 +159,53 @@ class BpeOpsSpec extends SparkSpec {
       }
       s
     }
-    def fold(sym: List[String], a: String, b: String): List[String] =
-      sym.foldLeft(List.empty[String]) { (acc, s) =>
-        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
-        else acc :+ s
-      }
     for ((word, a, b) <- Seq(("aaa", "a", "a"), ("abab", "a", "b"),
                              ("baab", "a", "b"), ("aaaa", "a", "a"),
                              ("aaaaa", "a", "a"), ("aaaaaa", "a", "a"),
                              ("aaaaaaa", "a", "a"), ("baaaaab", "a", "a"),
                              ("ababab", "a", "b"), ("aabaaa", "a", "a"))) {
       val sym = word.split("").toList
-      val viaFold = fold(sym, a, b).mkString(" ")
+      val viaFold = fold(sym, a, b)
+      assert(viaReplace(sym, a, b) == viaFold,
+        s"$word: replace=${viaReplace(sym, a, b)} fold=$viaFold")
       val viaFix = fixpoint(
         " " + sym.mkString(" ") + " ", a, b, a + b).trim
-      assert(viaFold == viaFix, s"$word: fold=$viaFold fixpoint=$viaFix")
+        .split(" ").filter(_.nonEmpty).toList
+      assert(viaFix == viaFold, s"$word: fixpoint=$viaFix fold=$viaFold")
     }
-    // and the old replace-all model really does diverge on runs >= 5 —
-    // the regression this test exists to block
-    def replaceAll(s0: String, a: String, b: String, ab: String): String = {
+    // and the single-space replace-all really does diverge on runs >= 5
+    // — the trap the double-space form exists to avoid
+    def replaceAllSingle(s0: String, a: String, b: String,
+                         ab: String): String = {
       var s = s0; var prev = ""
       while (s != prev) { prev = s; s = s.replace(s" $a $b ", s" $ab ") }
       s
     }
-    assert(replaceAll(" a a a a a ", "a", "a", "aa").trim != "aa aa a")
+    assert(replaceAllSingle(" a a a a a ", "a", "a", "aa").trim != "aa aa a")
+  }
+
+  test("selectBatch accepts by rank, rejects symbol conflicts, caps budget") {
+    // (e,r) conflicts with (h,e) via 'e' ONLY if (h,e) was ACCEPTED —
+    // greedy-accepted semantics, not conflicts-with-any-higher-ranked
+    val cands = Seq(
+      ("t", "h", 100L), // accept: th
+      ("h", "e", 90L),  // reject: h used
+      ("i", "n", 80L),  // accept: in
+      ("e", "r", 70L),  // accept: er (e,r untouched — (h,e) was rejected)
+      ("a", "n", 60L),  // reject: n used
+      ("e", "e", 50L),  // reject: e used
+      ("o", "u", 40L))  // accept: ou
+    val got = BpeOps.selectBatch(cands, remaining = 10)
+    assert(got == Seq(("t", "h", "th", 100L), ("i", "n", "in", 80L),
+      ("e", "r", "er", 70L), ("o", "u", "ou", 40L)))
+    // the budget cap stops acceptance mid-rank but keeps scanning nothing
+    val capped = BpeOps.selectBatch(cands, remaining = 2)
+    assert(capped == Seq(("t", "h", "th", 100L), ("i", "n", "in", 80L)))
+    // a pair whose output symbol collides with an accepted operand is
+    // rejected too (ab in the conflict set keeps batches cascade-free)
+    val cascade = Seq(("a", "b", 10L), ("ab", "c", 9L), ("c", "d", 8L))
+    assert(BpeOps.selectBatch(cascade, 10) ==
+      Seq(("a", "b", "ab", 10L), ("c", "d", "cd", 8L)))
   }
 
   test("compression ratio is the exact per-lang rollup of bpeEncode") {

@@ -238,4 +238,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(seededHits.forall(_ % 3 != 0))
   }
 
+  test("line boilerplate flags the seeded mid-banner and footer, nothing else") {
+    val rows = CurationOps.lineBoilerplate(spark, sfDir)
+      .as[(String, String, Long, Long, Double)].collect()
+    val sources = TextOps.documents(spark, sfDir)
+      .select("source").distinct().as[String].collect().toSet
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.keySet == sources)
+    sources.foreach { s =>
+      val lines = bySource(s).map(_._2).toSet
+      assert(lines == Set(CurationOps.lineBannerMid, CurationOps.lineFooter),
+        s"$s flagged: $lines")
+    }
+    rows.foreach { case (_, line, n, tot, share) =>
+      assert(share > CurationOps.lineShareMin && share <= 1.0)
+      assert(n <= tot)
+      // the banner seeds 2/3 of docs, the footer 6/7
+      if (line == CurationOps.lineBannerMid)
+        assert(math.abs(share - 2.0 / 3.0) < 0.05, s"banner share $share")
+      else assert(math.abs(share - 6.0 / 7.0) < 0.05, s"footer share $share")
+    }
+  }
+
+  test("line boilerplate apply cuts flagged lines mid-doc; others byte-stable") {
+    val got = CurationOps.lineBoilerplateApply(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, cleaned, _, nRemoved) =>
+      val kept = cleaned.split("\n", -1).filter(_.nonEmpty)
+      assert(!kept.contains(CurationOps.lineBannerMid),
+        s"doc $id kept the mid-document banner")
+      assert(!kept.contains(CurationOps.lineFooter),
+        s"doc $id kept the footer")
+      // exactly the seeded lines were cut — never document content
+      val expected = (if (id % 3 != 0) 1L else 0L) +
+        (if (id % 7 != 0) 1L else 0L)
+      assert(nRemoved == expected,
+        s"doc $id removed $nRemoved lines, expected $expected")
+    }
+    // fully-unseeded docs keep every line (byte-stable pass-through)
+    val unseeded = got.filter(r => r._1 % 3 == 0 && r._1 % 7 == 0)
+    assert(unseeded.nonEmpty)
+    unseeded.foreach { case (id, _, _, nRemoved) =>
+      assert(nRemoved == 0L, s"unseeded doc $id lost lines")
+    }
+  }
+
 }

@@ -181,6 +181,35 @@ class VectorOpsSpec extends SparkSpec {
       s"per-probe sq8/full overlap fell below 0.8: ${overlap.toSeq.sorted.take(3)}")
   }
 
+  test("IVF-PQ: rescored cosines exact; recall holds vs the exact search") {
+    val exact = VectorOps.annIvf(spark, sfDir,
+      nprobe = VectorOps.ivfCentroids) // ≡ brute force (fullprobe twin)
+      .as[(Long, Long, Long, Double)].collect()
+    val pq = VectorOps.annIvfPq(spark, sfDir, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    // any (probe, vec) both paths return must carry the SAME cosine:
+    // PQ only decides WHICH candidates reach the shortlist; the rescore
+    // is full-precision
+    val exactScore = exact.map(r => (r._1, r._3) -> r._4).toMap
+    pq.foreach { case (p, _, v, c) =>
+      exactScore.get((p, v)).foreach(fc =>
+        assert(fc == c, s"probe $p vec $v: pq rescore $c != exact $fc"))
+    }
+    // recall@k against the exact top-k: the 8×8 codebooks are a lossier
+    // coarse scorer than SQ8's int8 (32× vs 4× compression), but the 3×
+    // shortlist + exact rescore must keep recall at or above the IVF
+    // bucketing's own nprobe=4 capability floor
+    val byProbe = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = pq.groupBy(_._1).map { case (p, rows) =>
+      val f = byProbe(p)
+      rows.map(_._3).count(f.contains).toDouble / f.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ mean recall@${VectorOps.topK} vs exact = $mean%.3f")
+    assert(mean >= 0.6, f"mean PQ recall collapsed: $mean%.3f")
+  }
+
   test("embedProject: signs match the LSH sketch; energy is preserved") {
     import graft.functions.{HyperplaneBuckets, RandomProject}
     val e = VectorOps.embeddings(spark, sfDir)
