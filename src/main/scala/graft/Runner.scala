@@ -71,6 +71,12 @@ object Runner {
       // boilerplate prefixes detected and cut
       "boilerplate_apply" ->
         (() => ext.CurationOps.boilerplateApply(spark, sfDir).count()),
+      // recall gate FIRST: abort before any dedup decision if today's
+      // corpus has drifted past what the banding parameters can catch
+      // (throws below DedupOps.lshRecallFloor — fail-fast like the
+      // ingest dup gate)
+      "lsh_recall_gate" ->
+        (() => { DedupOps.lshRecallGate(spark, sfDir); 1L }),
       // LSH-fed: shingle → band → verify → cluster, no quadratic pair join
       "dedup_clusters" -> (() => DedupOps.dedupClustersLsh(spark, sfDir).count()),
       // cross-doc span duplication + benchmark overlap, then packing and

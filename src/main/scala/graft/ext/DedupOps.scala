@@ -577,8 +577,22 @@ object DedupOps {
     * through the 16-way banding (the naive layout) multiplies exchange
     * volume by bands × docs and dominated the first benchmark of this op.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, d, banded, candidates) = lshCandidates(spark, sfDir)
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshBanded(spark, sfDir, numBands)
+
+  /** [[minhashLsh]] under explicit banding knobs — the parameter axes
+    * the recall gate's failure drill deliberately sinks: fewer bands ⇒
+    * collision probability 1−(1−j^r)^b falls; an over-aggressive
+    * `bucketCap` (the mega-bucket knob) drops the very buckets that
+    * hold the dup pairs. Production always calls with
+    * (`numBands`, `maxBucketSize`).
+    */
+  private[ext] def minhashLshBanded(spark: SparkSession, sfDir: String,
+                                    bandsUsed: Int,
+                                    bucketCap: Int = maxBucketSize)
+      : DataFrame = {
+    val (_, d, banded, candidates) =
+      lshCandidates(spark, sfDir, bandsUsed, bucketCap)
     val withSets = candidates
       .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -597,8 +611,13 @@ object DedupOps {
     * table, the persisted banded rows, and the deduplicated candidate
     * id pairs. Callers release `d`/`banded` via [[Canon.materialized]].
     */
-  private def lshCandidates(spark: SparkSession, sfDir: String)
+  private def lshCandidates(spark: SparkSession, sfDir: String,
+                            bandsUsed: Int = numBands,
+                            bucketCap: Int = maxBucketSize)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(bandsUsed >= 1 && bandsUsed <= numBands,
+      s"bandsUsed must be in [1, $numBands], got $bandsUsed")
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
     val docs = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
@@ -623,11 +642,16 @@ object DedupOps {
     // low-entropy corpora) and its candidate pairs grow quadratically —
     // the classic LSH straggler. Standard practice at corpus scale; pairs
     // that are genuinely similar still collide in their other 15 bands.
-    val keptBuckets = banded.groupBy("band", "bucket")
+    // the gate's sink axis: production passes numBands (no-op filter
+    // elided); the recall drill passes 1 and pairs only via band 0
+    val inPlay =
+      if (bandsUsed == numBands) banded
+      else banded.filter(col("band") < bandsUsed)
+    val keptBuckets = inPlay.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucketSize)
+      .filter(col("bsz") <= bucketCap)
       .select("band", "bucket")
-    val kept = banded.join(keptBuckets, Seq("band", "bucket"))
+    val kept = inPlay.join(keptBuckets, Seq("band", "bucket"))
     val candidates = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
@@ -1197,7 +1221,20 @@ object DedupOps {
     * n_exact / n_lsh / n_common / recall (1.0 when the sample holds no
     * qualifying pair — nothing was there to find).
     */
-  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
+    lshRecallFrom(spark, sfDir, minhashLsh(spark, sfDir))
+
+  /** [[lshRecall]] against a CALLER-SUPPLIED LSH pair list — the seam
+    * the gate's failure drill uses to measure a deliberately
+    * mis-parameterized banding ([[minhashLshBanded]] with 1 band).
+    * `exactJaccard` sets the exact side's qualifying bar: the telemetry
+    * query keeps the operator threshold; the GATE raises it to the
+    * banding's guarantee zone (see [[lshGateJaccard]]).
+    */
+  private[ext] def lshRecallFrom(spark: SparkSession, sfDir: String,
+                                 pairs: DataFrame,
+                                 exactJaccard: Double = jaccardThreshold)
+      : DataFrame = {
     val keyed = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
@@ -1213,10 +1250,10 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         pairJaccard(col("x.sh"), col("y.sh")).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+      .filter(col("jaccard") >= exactJaccard)
       .select("id_a", "id_b").persist()
     val ids = samp.select("doc_id")
-    val lshPairs = minhashLsh(spark, sfDir)
+    val lshPairs = pairs
       .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
         "left_semi")
       .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
@@ -1232,6 +1269,60 @@ object DedupOps {
         col("n_common").cast("double") / col("n_exact").cast("double"))
         .otherwise(lit(1.0)).as("recall"))
     Canon.materialized(Canon.canonicalize(out), sSets, exact, lshPairs)
+  }
+
+  /** Exact-side qualifying bar for the recall GATE (not the telemetry
+    * query, which stays at the operator threshold). The gate must be
+    * statistically meaningful on a 40-per-lang sample: at b=16/r=4 the
+    * banding's S-curve midpoint is (1/16)^(1/4) ≈ 0.45, so a pair at
+    * the verify threshold 0.3 is caught only ~12% of the time BY
+    * DESIGN — raw at-threshold recall is a coin flip on a tiny sample
+    * (measured: 0/1 on the sf0.1 fixture with perfectly healthy
+    * parameters). At j ≥ 0.6 per-pair catch probability is
+    * 1−(1−0.6⁴)¹⁶ ≈ 0.89 — the zone the banding GUARANTEES — so a
+    * sub-floor measurement there is signal, not noise.
+    */
+  val lshGateJaccard = 0.6
+
+  /** Minimum acceptable guarantee-zone recall for the corpus chain to
+    * proceed. Healthy banding measures ≈0.9+ in expectation at
+    * [[lshGateJaccard]]; a 1-band mis-parameterization measures
+    * 1−(1−0.6⁴)¹ ≈ 0.13 in expectation — an order of magnitude below.
+    */
+  val lshRecallFloor = 0.5
+
+  /** ACT on the recall telemetry: the corpus chain's quality gate.
+    * Measures recall of the banded LSH against exact Jaccard over the
+    * deterministic sample, with the exact side restricted to the
+    * banding's guarantee zone (see [[lshGateJaccard]]), and THROWS when
+    * recall on today's corpus falls below `floor` — aborting the chain
+    * before any dedup decision is made with a banding that no longer
+    * catches what it promises. `bandsUsed` / `bucketCap` are the
+    * parameter axes the failure-drill spec sinks: 1 band drops a
+    * j=0.6 pair's expected catch to ≈0.13, and a bucketCap of 1 drops
+    * EVERY bucket holding a dup pair (a pair needs bucket size ≥ 2) —
+    * recall 0 by construction, the loud failure the drill asserts.
+    * The collect is one row — the telemetry aggregate itself.
+    */
+  def lshRecallGate(spark: SparkSession, sfDir: String,
+                    floor: Double = lshRecallFloor,
+                    bandsUsed: Int = numBands,
+                    bucketCap: Int = maxBucketSize): Double = {
+    val row = lshRecallFrom(spark, sfDir,
+      minhashLshBanded(spark, sfDir, bandsUsed, bucketCap),
+      exactJaccard = lshGateJaccard).collect().head
+    val recall = row.getAs[Double]("recall")
+    if (recall < floor)
+      throw new IllegalStateException(
+        f"[lsh-recall-gate] guarantee-zone recall=$recall%.3f below " +
+          f"floor=$floor%.3f " +
+          s"(n_exact=${row.getAs[Long]("n_exact")}, " +
+          s"n_lsh=${row.getAs[Long]("n_lsh")}, " +
+          s"bands=$bandsUsed/$numBands, exact side jaccard>=" +
+          s"$lshGateJaccard) — the banding no longer catches the pairs " +
+          "it is parameterized to guarantee; retune numBands/rowsPerBand " +
+          "before any dedup apply runs")
+    recall
   }
 
   val lshRecallOracle: String = {

@@ -308,6 +308,27 @@ class DedupOpsSpec extends SparkSpec {
       s"LSH recall collapsed on the fixture: $recall")
   }
 
+  test("lshRecallGate: healthy banding passes; a sunk parameter set " +
+      "fails the chain loudly") {
+    // healthy parameters clear the floor — the corpus chain proceeds
+    val healthy = DedupOps.lshRecallGate(spark, sfDir)
+    assert(healthy >= DedupOps.lshRecallFloor,
+      s"healthy banding below its own floor: $healthy")
+    // restricting to 1 of 16 bands can only lose pairs, never gain
+    val oneBand =
+      DedupOps.lshRecallGate(spark, sfDir, floor = 0.0, bandsUsed = 1)
+    assert(oneBand <= healthy)
+    // failure drill: an over-aggressive mega-bucket cap (1) drops every
+    // bucket that could hold a dup pair (a pair needs bucket size >= 2),
+    // so guarantee-zone recall collapses to 0 and the gate ABORTS —
+    // the loud failure the Runner's corpus chain relies on
+    val ex = intercept[IllegalStateException] {
+      DedupOps.lshRecallGate(spark, sfDir, bucketCap = 1)
+    }
+    assert(ex.getMessage.contains("lsh-recall-gate"))
+    assert(ex.getMessage.contains("below floor"))
+  }
+
   test("dupSpansApply removes losing spans, keeps first occurrence (brute force)") {
     val w = DedupOps.spanTokens
     // constructed overlap: an 8-token boilerplate block shared by three
