@@ -123,13 +123,27 @@ object Runner {
       "incremental_score" ->
         (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()))
 
+    // the PUBLISHING chain: persists the training-consumable artifacts
+    // under a fresh version dir and commits them with ONE chain-level
+    // manifest written last (Manifest.publish) — a crash mid-run leaves
+    // the previously published set untouched and still LATEST
+    val publish: Seq[(String, () => Long)] = Seq(
+      "corpus_publish" -> (() => {
+        val tag = "run_" + System.currentTimeMillis()
+        val m = pipelines.CorpusChain.publish(spark, sfDir, tag)
+        println(s"[runner] published manifest ${m.version} " +
+          s"(${m.artifacts.size} artifacts)")
+        m.artifacts.size.toLong
+      }))
+
     val tasks = chain match {
       case "daily" => daily
       case "corpus" => corpus
       case "incremental" => incremental
+      case "publish" => publish
       case other =>
         System.err.println(s"[runner] unknown chain '$other' " +
-          "(expected daily|corpus|incremental)")
+          "(expected daily|corpus|incremental|publish)")
         spark.stop(); sys.exit(2); Seq.empty
     }
 
