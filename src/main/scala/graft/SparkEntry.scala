@@ -36,6 +36,8 @@ object SparkEntry {
     "q_dataset_card" -> ((s, dir) => TextOps.datasetCard(s, dir)),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "q_unicode_norm" -> ((s, dir) => TextOps.unicodeNormalize(s, dir)),
+    // markup front-end: tag strip + entity decode ahead of normText
+    "q_html_extract" -> ((s, dir) => TextOps.htmlExtract(s, dir)),
     "q_model_score" -> ((s, dir) => ScoringOps.modelScore(s, dir)),
     "q_rerank" -> ((s, dir) => ScoringOps.rerank(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
@@ -198,6 +200,7 @@ object SparkEntry {
     "q_dataset_card" -> TextOps.datasetCardOracle,
     "q_token_count" -> TextOps.tokenCountOracle,
     "q_unicode_norm" -> TextOps.unicodeNormalizeOracle,
+    "q_html_extract" -> TextOps.htmlExtractOracle,
     "q_model_score" -> ScoringOps.modelScoreOracle,
     "q_rerank" -> ScoringOps.rerankOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,

@@ -128,6 +128,55 @@ object TextOps {
       |       lower(nfc_normalize(text)) <> text AS changed
       |FROM documents""".stripMargin
 
+  // ---- markup extraction ---------------------------------------------
+
+  /** Opt-in markup front-end for [[normText]]: tag strip + entity
+    * decode ([[graft.functions.HtmlExtract]]) BEFORE whitespace
+    * normalization — the step that completes the head of the funnel
+    * when the crawl arrives as HTML instead of clean text. Default-off
+    * like [[normTextUnicode]] so every shipped oracle stays byte-stable.
+    */
+  def normTextMarkup(c: Column): Column =
+    normText(graft.functions.HtmlExtract(c))
+
+  /** Markup→text extraction over a DETERMINISTIC wrapper: each document
+    * is embedded in a fixed HTML shell (encoded entities in the title,
+    * a per-doc attribute id, an unknown entity that must pass through,
+    * a self-closing tag) built identically by both engines from the
+    * same columns, so the query exercises every strip/decode rule of
+    * [[graft.functions.HtmlExtract]] against the DuckDB
+    * regexp_replace + chained-replace twin on the full corpus.
+    */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val idStr = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Q&amp;A &quot;notes&quot;</title></head>" +
+        "<body><h1 class=\"hd\">&lt;doc&gt;&nbsp;"),
+      idStr, lit("</h1><p id=\""), idStr, lit("\">"), col("text"),
+      lit("</p><br/><footer>it&#39;s &copy; unknown</footer>" +
+        "</body></html>"))
+    Canon.canonicalize(d.select(
+      col("doc_id"),
+      graft.functions.HtmlExtract(html).as("text_out")))
+  }
+
+  val htmlExtractOracle: String =
+    """SELECT doc_id,
+      |  replace(replace(replace(replace(replace(replace(
+      |    regexp_replace(html, '<[^>]*>', '', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS text_out
+      |FROM (
+      |  SELECT doc_id,
+      |    '<html><head><title>Q&amp;A &quot;notes&quot;</title></head>'
+      |    || '<body><h1 class="hd">&lt;doc&gt;&nbsp;'
+      |    || CAST(doc_id AS VARCHAR) || '</h1><p id="'
+      |    || CAST(doc_id AS VARCHAR) || '">' || text
+      |    || '</p><br/><footer>it&#39;s &copy; unknown</footer>'
+      |    || '</body></html>' AS html
+      |  FROM documents)""".stripMargin
+
   private val wordPat = "[a-z0-9]+"
 
   /** Word-regex token count plus the ceil(chars/4) BPE-style estimate used

@@ -310,6 +310,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("HtmlExtract: tag strip + entity decode semantics, edge cases") {
+    import graft.functions.HtmlExtract.extract
+    // plain strip + decode
+    assert(extract("<p>a &amp; b</p>") == "a & b")
+    // self-closing and attribute-bearing tags vanish entirely
+    assert(extract("""x<br/><a href="u?q=1&amp;r=2">link</a>y""") == "xlinky")
+    // unclosed '<' is literal (exactly the <[^>]*> regex semantics)
+    assert(extract("3 < 5 and plain") == "3 < 5 and plain")
+    // '<' with a later '>' swallows through it, like the regex
+    assert(extract("<a<b>kept") == "kept")
+    // no double decode: &amp;lt; is the ENCODING of literal '&lt;'
+    assert(extract("&amp;lt;") == "&lt;")
+    // a removed tag joins the entity halves — strip must precede decode
+    assert(extract("&am<b>p; x") == "& x")
+    // unknown entities pass through unchanged
+    assert(extract("&copy; stays") == "&copy; stays")
+    // full six-entity set
+    assert(extract("&lt;&gt;&quot;&#39;&nbsp;&amp;") == "<>\"' &")
+    assert(extract("") == "")
+    // null propagates (expression level)
+    val r = Seq[Option[String]](Some("<i>t</i>"), None).toDF("h")
+      .select(graft.functions.HtmlExtract(col("h")).as("o"))
+      .as[Option[String]].collect()
+    assert(r.toSeq == Seq(Some("t"), None))
+    // composed front-end: markup → normText-clean text
+    val n = Seq("<h1> Mixed &amp;  CASE </h1>").toDF("h")
+      .select(TextOps.normTextMarkup(col("h")).as("o"))
+      .as[String].collect()
+    assert(n.head == "mixed & case")
+  }
+
   test("oovRate equals a driver recount under the vocabBuild cut") {
     val toks = TextOps.documents(spark, sfDir)
       .select(col("lang"), TextOps.normText(col("text")).as("norm"))

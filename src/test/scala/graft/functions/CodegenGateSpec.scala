@@ -84,7 +84,11 @@ class CodegenGateSpec extends SparkSpec {
         Seq("MiXeD Case", "e\u0301 decomposed vs \u00e9 composed", "\uFF21\uFF22 full-width", "")
           .toDF("text")
           .select(UnicodeNorm(col("text")).as("out"),
-            UnicodeNorm.folded(col("text")).as("folded"))))
+            UnicodeNorm.folded(col("text")).as("folded"))),
+      ("HtmlExtract", () =>
+        Seq("<p>a &amp; b</p>", "no markup", "un<closed", "&amp;lt;", "")
+          .toDF("html")
+          .select(HtmlExtract(col("html")).as("out"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */
