@@ -248,10 +248,11 @@ object CurationOps {
       .select(col("doc_id"), col("source"),
         filter(col("lines1"), l => l =!= "").as("lines"))
 
-  /** The shared seeding + line-explosion CTE chain (llines → lcnt/ltot),
-    * composed by both line-boilerplate oracles.
+  /** The line-SEEDING CTE chain alone (lt → lparts → llines) — the SQL
+    * twin of [[seededLines]], shared by the boilerplate oracles and the
+    * Gopher rule oracle (which seeds further structure on top).
     */
-  private def lineCtes: String =
+  private def lineSeedCtes: String =
     s"""lt AS (
        |  SELECT doc_id, source, $toksSql AS t FROM documents),
        |lparts AS (
@@ -270,7 +271,13 @@ object CurationOps {
        |           CASE WHEN doc_id % 3 <> 0
        |                THEN [l1, '$lineBannerMid', l2]
        |                ELSE [l1, l2] END AS base
-       |    FROM lparts)),
+       |    FROM lparts))""".stripMargin
+
+  /** The shared seeding + line-explosion CTE chain (llines → lcnt/ltot),
+    * composed by both line-boilerplate oracles.
+    */
+  private def lineCtes: String =
+    s"""$lineSeedCtes,
        |lcand AS (
        |  SELECT DISTINCT doc_id, source, line FROM (
        |    SELECT doc_id, source, unnest(lines) AS line FROM llines)
@@ -816,4 +823,179 @@ object CurationOps {
        |  CAST(sum(n_tokens) OVER (PARTITION BY lang, shard, bin) AS BIGINT)
        |    AS pack_tokens
        |FROM b""".stripMargin
+
+  // ---- Gopher quality rule suite --------------------------------------
+
+  /** The published Gopher pre-training quality rules (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", Appendix A) — the de-facto standard heuristic
+    * filter battery every large crawl pipeline runs before training.
+    * Thresholds are the paper's.
+    */
+  val gopherMinWords = 50
+  val gopherMaxWords = 100000
+  val gopherMinMeanLen = 3.0
+  val gopherMaxMeanLen = 10.0
+  val gopherMaxSymbolRatio = 0.1
+  val gopherMaxBulletShare = 0.9
+  val gopherMaxEllipsisShare = 0.3
+  val gopherMinAlphaShare = 0.8
+  val gopherMinStopHits = 2
+
+  /** The paper's 8-word stopword probe list (rule: a doc must contain at
+    * least [[gopherMinStopHits]] distinct of these).
+    */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Seeded line structure for the two LINE-level Gopher rules: the
+    * fixture has no bullet lists or ellipsis-truncated lines, so on top
+    * of [[seededLines]] every line of doc_id ≡ 3 (mod 11) gets a "- "
+    * bullet prefix (bullet share 1.0 > 0.9 → rule fails) and every line
+    * of doc_id ≡ 4 (mod 13) gets a trailing " ..." (ellipsis share 1.0
+    * > 0.3 → fails; the '...' tokens also push symbol-to-word ratio over
+    * 0.1 for short docs, exercising that rule's failure path too).
+    * Moduli 11/13 are coprime to the seeding moduli 3/7 and the source
+    * modulus 10, so the new seeds hit every source and both
+    * banner/footer states.
+    */
+  private def gopherSeeded(spark: SparkSession, sfDir: String): DataFrame =
+    seededLines(spark, sfDir)
+      .withColumn("lines",
+        when(col("doc_id") % 11 === 3,
+          transform(col("lines"), l => concat(lit("- "), l)))
+          .otherwise(col("lines")))
+      .withColumn("lines",
+        when(col("doc_id") % 13 === 4,
+          transform(col("lines"), l => concat(l, lit(" ..."))))
+          .otherwise(col("lines")))
+
+  /** GOPHER RULE SUITE over the seeded corpus: every rule's measurement
+    * as a column, failures as a bitmask (bit order = paper order), and
+    * the overall keep/drop verdict.
+    *
+    * Determinism: every ratio is ONE division of two exact integers —
+    * IEEE nearest is bit-identical in Spark and DuckDB (the datasetCard
+    * discipline); no data-ordered double accumulation anywhere.
+    *
+    * Scale shape: zero exchanges — the whole suite (seeding included) is
+    * one codegen'd projection per document; at 100 TB this is a pure
+    * map-side scan that rides along with any other per-doc work.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(array_join(col("lines"), " "), " ")
+    val m = gopherSeeded(spark, sfDir)
+      .withColumn("ws", ws)
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w).cast("long")))
+      .withColumn("n_sym",
+        size(filter(col("ws"), w => w === "..." || w === "#")).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("lines"), l => l.startsWith("- "))).cast("long"))
+      .withColumn("n_ell",
+        size(filter(col("lines"), l => l.endsWith("..."))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop_hits",
+        size(filter(array(gopherStops.map(lit): _*),
+          s => array_contains(col("ws"), s))).cast("long"))
+      .withColumn("wd", greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("ld", greatest(col("n_lines"), lit(1L)).cast("double"))
+      .withColumn("mean_word_len", col("sum_len").cast("double") / col("wd"))
+      .withColumn("symbol_ratio", col("n_sym").cast("double") / col("wd"))
+      .withColumn("bullet_share", col("n_bullet").cast("double") / col("ld"))
+      .withColumn("ellipsis_share", col("n_ell").cast("double") / col("ld"))
+      .withColumn("alpha_share", col("n_alpha").cast("double") / col("wd"))
+      .withColumn("fail_mask",
+        when(col("n_words") < gopherMinWords ||
+          col("n_words") > gopherMaxWords, 1L).otherwise(0L) +
+        when(col("mean_word_len") < gopherMinMeanLen ||
+          col("mean_word_len") > gopherMaxMeanLen, 2L).otherwise(0L) +
+        when(col("symbol_ratio") > gopherMaxSymbolRatio, 4L).otherwise(0L) +
+        when(col("bullet_share") > gopherMaxBulletShare, 8L).otherwise(0L) +
+        when(col("ellipsis_share") > gopherMaxEllipsisShare, 16L)
+          .otherwise(0L) +
+        when(col("alpha_share") < gopherMinAlphaShare, 32L).otherwise(0L) +
+        when(col("n_stop_hits") < gopherMinStopHits, 64L).otherwise(0L))
+    Canon.canonicalize(m.select(
+      col("doc_id"), col("n_lines"), col("n_words"),
+      col("mean_word_len"), col("symbol_ratio"), col("bullet_share"),
+      col("ellipsis_share"), col("alpha_share"), col("n_stop_hits"),
+      col("fail_mask"), (col("fail_mask") === 0L).as("pass")))
+  }
+
+  val gopherRulesOracle: String = {
+    val stopsSql = gopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH
+       |$lineSeedCtes,
+       |gb AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 11 = 3
+       |              THEN list_transform(lines, l -> '- ' || l)
+       |              ELSE lines END AS lines
+       |  FROM llines),
+       |ge AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 13 = 4
+       |              THEN list_transform(lines, l -> l || ' ...')
+       |              ELSE lines END AS lines
+       |  FROM gb),
+       |gw AS (
+       |  SELECT doc_id, lines,
+       |         string_split(array_to_string(lines, ' '), ' ') AS ws
+       |  FROM ge),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+       |      AS sum_len,
+       |    CAST(len(list_filter(ws, w -> w = '...' OR w = '#')) AS BIGINT)
+       |      AS n_sym,
+       |    CAST(len(list_filter(lines, l -> l LIKE '- %')) AS BIGINT)
+       |      AS n_bullet,
+       |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+       |      AS n_ell,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter($stopsSql,
+       |      s -> list_contains(ws, s))) AS BIGINT) AS n_stop_hits
+       |  FROM gw),
+       |gr AS (
+       |  SELECT *,
+       |    CAST(sum_len AS DOUBLE) /
+       |      CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len,
+       |    CAST(n_sym AS DOUBLE) /
+       |      CAST(greatest(n_words, 1) AS DOUBLE) AS symbol_ratio,
+       |    CAST(n_bullet AS DOUBLE) /
+       |      CAST(greatest(n_lines, 1) AS DOUBLE) AS bullet_share,
+       |    CAST(n_ell AS DOUBLE) /
+       |      CAST(greatest(n_lines, 1) AS DOUBLE) AS ellipsis_share,
+       |    CAST(n_alpha AS DOUBLE) /
+       |      CAST(greatest(n_words, 1) AS DOUBLE) AS alpha_share
+       |  FROM gm),
+       |gf AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN n_words < $gopherMinWords
+       |              OR n_words > $gopherMaxWords THEN 1 ELSE 0 END
+       |       + CASE WHEN mean_word_len < $gopherMinMeanLen
+       |              OR mean_word_len > $gopherMaxMeanLen THEN 2 ELSE 0 END
+       |       + CASE WHEN symbol_ratio > $gopherMaxSymbolRatio
+       |              THEN 4 ELSE 0 END
+       |       + CASE WHEN bullet_share > $gopherMaxBulletShare
+       |              THEN 8 ELSE 0 END
+       |       + CASE WHEN ellipsis_share > $gopherMaxEllipsisShare
+       |              THEN 16 ELSE 0 END
+       |       + CASE WHEN alpha_share < $gopherMinAlphaShare
+       |              THEN 32 ELSE 0 END
+       |       + CASE WHEN n_stop_hits < $gopherMinStopHits
+       |              THEN 64 ELSE 0 END AS BIGINT) AS fail_mask
+       |  FROM gr)
+       |SELECT doc_id, n_lines, n_words, mean_word_len, symbol_ratio,
+       |       bullet_share, ellipsis_share, alpha_share, n_stop_hits,
+       |       fail_mask, fail_mask = 0 AS pass
+       |FROM gf""".stripMargin
+  }
 }

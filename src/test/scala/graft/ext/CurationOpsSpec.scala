@@ -284,4 +284,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: bits agree with measurements; seeds fire their rules") {
+    val rows = CurationOps.gopherRules(spark, sfDir)
+      .select("doc_id", "n_words", "mean_word_len", "bullet_share",
+        "ellipsis_share", "n_stop_hits", "fail_mask", "pass")
+      .as[(Long, Long, Double, Double, Double, Long, Long, Boolean)]
+      .collect()
+    assert(rows.length ==
+      TextOps.documents(spark, sfDir).count().toInt)
+    rows.foreach { case (id, nw, mwl, bs, es, stops, mask, pass) =>
+      assert(pass == (mask == 0L), s"doc $id pass/mask disagree")
+      // bit 0 (word count) and bit 3/4 (bullet/ellipsis) re-derived
+      assert(((mask & 1L) != 0L) ==
+        (nw < CurationOps.gopherMinWords ||
+          nw > CurationOps.gopherMaxWords), s"doc $id word-count bit")
+      assert(((mask & 8L) != 0L) ==
+        (bs > CurationOps.gopherMaxBulletShare), s"doc $id bullet bit")
+      assert(((mask & 16L) != 0L) ==
+        (es > CurationOps.gopherMaxEllipsisShare), s"doc $id ellipsis bit")
+      assert(((mask & 64L) != 0L) ==
+        (stops < CurationOps.gopherMinStopHits), s"doc $id stopword bit")
+      // every bullet-seeded doc has bullet share exactly 1.0 → fails
+      if (id % 11 == 3) assert(bs == 1.0 && (mask & 8L) != 0L,
+        s"bullet-seeded doc $id did not fail the bullet rule")
+      if (id % 13 == 4) assert(es == 1.0 && (mask & 16L) != 0L,
+        s"ellipsis-seeded doc $id did not fail the ellipsis rule")
+      assert(mwl > 0.0)
+    }
+    // the battery must separate the corpus, not collapse to one verdict
+    assert(rows.exists(_._8) && rows.exists(!_._8))
+    // and more than one distinct failure combination must occur
+    assert(rows.map(_._7).distinct.length > 3)
+  }
+
 }
