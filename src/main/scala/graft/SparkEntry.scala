@@ -108,6 +108,10 @@ object SparkEntry {
     // tokenizer vocabulary: counts, cutoff, dense ids
     "q_vocab_build" -> ((s, dir) => TextOps.vocabBuild(s, dir)),
     "q_oov_rate" -> ((s, dir) => TextOps.oovRate(s, dir)),
+    // CCNet-style reference LM: train report + fluency terciles
+    "q_ngram_lm" -> ((s, dir) => ext.LmOps.ngramLm(s, dir)),
+    "q_perplexity_buckets" ->
+      ((s, dir) => ext.LmOps.perplexityBuckets(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(s, dir)),
@@ -252,6 +256,8 @@ object SparkEntry {
     "q_dedup_apply_best" -> DedupOps.dedupApplyBestOracle,
     "q_vocab_build" -> TextOps.vocabBuildOracle,
     "q_oov_rate" -> TextOps.oovRateOracle,
+    "q_ngram_lm" -> ext.LmOps.ngramLmOracle,
+    "q_perplexity_buckets" -> ext.LmOps.perplexityBucketsOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,
     "q_bm25" -> TextOps.bm25Oracle,
     "q_rrf_fusion" -> TextOps.rrfFusionOracle,

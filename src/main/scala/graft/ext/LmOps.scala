@@ -1,0 +1,204 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Canon
+
+/** N-gram language-model training and LM-based fluency filtering — the
+  * CCNet recipe (Wenzek et al. 2020): train a small LM on a clean
+  * reference slice of each language, score every document by how
+  * predictable its text is under that LM, and bucket the corpus into
+  * head/middle/tail fluency terciles (training keeps head+middle, tail
+  * is the noise bin). The production original uses a KenLM 5-gram; this
+  * is the same pipeline shape with an add-one-smoothed BIGRAM model.
+  *
+  * EXACT-ARITHMETIC DISCIPLINE (the BM25/tf-idf trade, see
+  * TextOps.bm25): real perplexity is exp of a mean log-probability, and
+  * ln() is not bit-reproducible across engines, so the score here is the
+  * mean INVERSE conditional probability — each token contributes the
+  * exact rational (c(a)+V)/(c(a,b)+1), the reciprocal of its smoothed
+  * bigram probability, accumulated in integer fixed point
+  * ([[lmScale]]-scaled, integer-divided — no doubles until ONE final
+  * division of exact integers). Monotone in per-token surprisal, so the
+  * head/middle/tail ORDERING — the only thing the filter consumes — is
+  * faithful to the perplexity recipe while staying bit-deterministic on
+  * any engine and under any partitioning.
+  *
+  * Scale shape at 100 TB:
+  *  - the reference slice is hash-membership (doc_id mod [[lmRefMod]] —
+  *    the SampleOps discipline), so "train" touches a fixed fraction;
+  *  - LM counts are two keyed aggs (map-side combined); the model is a
+  *    TABLE, not a driver artifact — scoring joins on (lang, a, b),
+  *    AQE picks broadcast when a language's model is small;
+  *  - scoring is one narrow bigram explode + the model join + one
+  *    per-doc agg; tercile bounds are a per-lang rollup broadcast back
+  *    (the curriculum pattern — swap in the GK sketch when exact
+  *    percentiles over 10¹⁰ docs are not worth a global sort).
+  */
+object LmOps {
+
+  /** Reference-slice modulus: doc_id ≡ 0 (mod 5) is the per-language
+    * "clean reference corpus" the LM trains on (20%; deterministic,
+    * partitioning-independent — the SampleOps hash-membership rule).
+    */
+  val lmRefMod = 5
+
+  /** Sentence-start token prepended to every document. */
+  val lmBos = "<s>"
+
+  /** Fixed-point scale for per-token inverse probabilities. */
+  val lmScale = 1000000L
+
+  /** Rows per language in the trained-model report query. */
+  val lmTopK = 10
+
+  /** (doc_id, lang, toks) for non-empty documents. */
+  private def docToks(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id")) // single-split fixture; explode is narrow
+      .select(col("doc_id"), col("lang"), CurationOps.toksCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** One row per bigram occurrence, [[lmBos]] prepended: a document of
+    * n tokens yields exactly n (a, b) pairs.
+    */
+  private def bigrams(d: DataFrame): DataFrame = {
+    val withArr = d.withColumn("arr",
+      concat(array(lit(lmBos)), col("toks")))
+    withArr.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("arr")) - 1),
+          i => struct(element_at(col("arr"), i).as("a"),
+            element_at(col("arr"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  /** The trained model's three tables: bigram counts c(a,b), context
+    * counts c(a) (derived, never a second corpus pass), and per-lang
+    * reference vocabulary size V (the add-one denominator).
+    */
+  private def trainTables(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ref = docToks(spark, sfDir)
+      .filter(col("doc_id") % lmRefMod === 0)
+    val cAb = bigrams(ref).groupBy("lang", "a", "b")
+      .agg(count(lit(1)).as("c_ab"))
+    val cA = cAb.groupBy("lang", "a").agg(sum("c_ab").as("c_a"))
+    val voc = ref.select(col("lang"), explode(col("toks")).as("t"))
+      .groupBy("lang").agg(countDistinct("t").as("v"))
+    (cAb, cA, voc)
+  }
+
+  /** TRAINED-MODEL REPORT: the [[lmTopK]] highest-count bigrams per
+    * language (count desc, lexicographic tiebreak) — the artifact a
+    * model registry would store, exercised through the in-repo TopK
+    * heap operator (no window sort).
+    */
+  def ngramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cAb, _, _) = trainTables(spark, sfDir)
+    val top = graft.plans.TopK.perKey(cAb, Seq("lang"),
+      Seq("c_ab" -> graft.plans.TopK.Desc, "a" -> graft.plans.TopK.Asc,
+        "b" -> graft.plans.TopK.Asc),
+      lmTopK, rankCol = Some("rank"))
+    Canon.canonicalize(top.select(
+      col("lang"), col("rank").cast("long").as("rank"),
+      col("a"), col("b"), col("c_ab")))
+  }
+
+  val ngramLmOracle: String =
+    s"""WITH $lmCteBody,
+       |ranked AS (
+       |  SELECT lang, a, b, c_ab,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY c_ab DESC, a ASC, b ASC) AS rank
+       |  FROM cab)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, a, b,
+       |       CAST(c_ab AS BIGINT) AS c_ab
+       |FROM ranked WHERE rank <= $lmTopK""".stripMargin
+
+  /** LM FLUENCY SCORE + tercile bucket per document — the CCNet
+    * head/middle/tail split. `mean_inv` is the fixed-point mean inverse
+    * smoothed bigram probability (low = fluent under the reference LM);
+    * bucket 1/2/3 = head/middle/tail by per-language terciles.
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cAb, cA, voc) = trainTables(spark, sfDir)
+    val bg = bigrams(docToks(spark, sfDir))
+    val inv = expr(
+      s"(coalesce(c_a, 0L) + v) * ${lmScale}L div (coalesce(c_ab, 0L) + 1L)")
+    val perDoc = bg
+      .join(cAb, Seq("lang", "a", "b"), "left")
+      .join(cA, Seq("lang", "a"), "left")
+      .join(broadcast(voc), Seq("lang"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(inv).as("sum_fp"), count(lit(1)).as("n_bigrams"))
+      .withColumn("mean_inv",
+        col("sum_fp").cast("double") /
+          (col("n_bigrams") * lmScale).cast("double"))
+    val bounds = perDoc.groupBy("lang").agg(
+      percentile(col("mean_inv"), lit(1.0 / 3)).as("t1"),
+      percentile(col("mean_inv"), lit(2.0 / 3)).as("t2"))
+    Canon.canonicalize(perDoc.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        col("n_bigrams"), col("mean_inv"),
+        when(col("mean_inv") <= col("t1"), 1L)
+          .when(col("mean_inv") <= col("t2"), 2L)
+          .otherwise(3L).as("bucket")))
+  }
+
+  val perplexityBucketsOracle: String =
+    s"""WITH $lmCteBody,
+       |ca AS (
+       |  SELECT lang, a, CAST(sum(c_ab) AS BIGINT) AS c_a
+       |  FROM cab GROUP BY 1, 2),
+       |voc AS (
+       |  SELECT lang, count(DISTINCT u.t) AS v
+       |  FROM dt, unnest(toks) AS u(t)
+       |  WHERE doc_id % $lmRefMod = 0 GROUP BY 1),
+       |sc AS (
+       |  SELECT g.doc_id, g.lang,
+       |         ((coalesce(c.c_a, 0) + v.v) * $lmScale)
+       |           // (coalesce(m.c_ab, 0) + 1) AS inv
+       |  FROM bg g
+       |  LEFT JOIN cab m ON g.lang = m.lang AND g.a = m.a AND g.b = m.b
+       |  LEFT JOIN ca c ON g.lang = c.lang AND g.a = c.a
+       |  JOIN voc v ON g.lang = v.lang),
+       |pd AS (
+       |  SELECT doc_id, lang, CAST(sum(inv) AS BIGINT) AS sum_fp,
+       |         count(*) AS n
+       |  FROM sc GROUP BY 1, 2),
+       |scd AS MATERIALIZED (
+       |  SELECT doc_id, lang, n,
+       |         CAST(sum_fp AS DOUBLE) / CAST(n * $lmScale AS DOUBLE)
+       |           AS mean_inv
+       |  FROM pd),
+       |bnd AS (
+       |  SELECT lang,
+       |         quantile_cont(mean_inv, CAST(1.0/3 AS DOUBLE)) AS t1,
+       |         quantile_cont(mean_inv, CAST(2.0/3 AS DOUBLE)) AS t2
+       |  FROM scd GROUP BY 1)
+       |SELECT doc_id, s.lang, CAST(n AS BIGINT) AS n_bigrams, mean_inv,
+       |       CAST(CASE WHEN mean_inv <= t1 THEN 1
+       |                 WHEN mean_inv <= t2 THEN 2
+       |                 ELSE 3 END AS BIGINT) AS bucket
+       |FROM scd s JOIN bnd ON s.lang = bnd.lang""".stripMargin
+
+  /** The shared training CTE chain: tokenized docs (dt) → bigrams with
+    * BOS (bg) → reference bigram counts (cab). A def for the TextOps
+    * init-cycle reason.
+    */
+  private def lmCteBody: String = {
+    import CurationOps.toksSql
+    s"""dt AS (
+       |  SELECT doc_id, lang, toks, ['$lmBos'] || toks AS arr
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, lang, arr[i] AS a, arr[i + 1] AS b
+       |  FROM dt, unnest(range(1, len(arr))) AS r(i)),
+       |cab AS MATERIALIZED (
+       |  SELECT lang, a, b, count(*) AS c_ab
+       |  FROM bg WHERE doc_id % $lmRefMod = 0 GROUP BY 1, 2, 3)""".stripMargin
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The fixture re-tokenized in plain Scala with the operator's exact
+    * rule (normalize → split → drop empties) — the brute-force twin.
+    */
+  private lazy val docs: Seq[(Long, String, Seq[String])] =
+    TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), TextOps.normText(col("text")))
+      .as[(Long, String, String)].collect().toSeq
+      .map { case (id, lang, t) =>
+        (id, lang, t.split(" ").filter(_.nonEmpty).toSeq)
+      }
+      .filter(_._3.nonEmpty)
+
+  private def docBigrams(toks: Seq[String]): Seq[(String, String)] =
+    (LmOps.lmBos +: toks).sliding(2).map(p => (p(0), p(1))).toSeq
+
+  /** Reference-slice model per lang: bigram counts, context counts,
+    * vocab size.
+    */
+  private lazy val model: Map[String,
+      (Map[(String, String), Long], Map[String, Long], Long)] = {
+    val ref = docs.filter(_._1 % LmOps.lmRefMod == 0)
+    ref.groupBy(_._2).map { case (lang, ds) =>
+      val bgs = ds.flatMap(d => docBigrams(d._3))
+      val cAb = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val cA = cAb.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+      val v = ds.flatMap(_._3).distinct.size.toLong
+      lang -> ((cAb, cA, v))
+    }
+  }
+
+  test("ngram lm report matches brute-force reference counts and order") {
+    val got = LmOps.ngramLm(spark, sfDir)
+      .as[(String, Long, String, String, Long)].collect()
+      .groupBy(_._1)
+    assert(got.keySet == model.keySet)
+    got.foreach { case (lang, rows) =>
+      val (cAb, _, _) = model(lang)
+      val expected = cAb.toSeq
+        .map { case ((a, b), c) => (a, b, c) }
+        .sortBy { case (a, b, c) => (-c, a, b) }
+        .take(LmOps.lmTopK)
+      val gotSorted = rows.sortBy(_._2).toSeq
+        .map { case (_, _, a, b, c) => (a, b, c) }
+      assert(gotSorted == expected, s"lang $lang top bigrams differ")
+    }
+  }
+
+  test("perplexity buckets: exact brute-force score; terciles populated") {
+    val got = LmOps.perplexityBuckets(spark, sfDir)
+      .as[(Long, String, Long, Double, Long)].collect()
+      .map { case (id, lang, n, s, b) => id -> ((lang, n, s, b)) }.toMap
+    assert(got.size == docs.size)
+    // exact fixed-point recomputation for every document
+    docs.foreach { case (id, lang, toks) =>
+      val (cAb, cA, v) = model(lang)
+      val invs = docBigrams(toks).map { case (a, b) =>
+        (cA.getOrElse(a, 0L) + v) * LmOps.lmScale /
+          (cAb.getOrElse((a, b), 0L) + 1L)
+      }
+      val expected = invs.sum.toDouble / (invs.size * LmOps.lmScale).toDouble
+      val (gl, gn, gs, _) = got(id)
+      assert(gl == lang && gn == toks.size.toLong)
+      assert(gs == expected, s"doc $id score $gs != $expected")
+    }
+    // every lang splits into three non-empty fluency terciles
+    got.values.groupBy(_._1).foreach { case (lang, rows) =>
+      val buckets = rows.map(_._4).toSet
+      assert(buckets == Set(1L, 2L, 3L), s"lang $lang buckets $buckets")
+    }
+    // reference-slice docs (all-seen bigrams) must skew more fluent than
+    // the corpus at large: their mean score is below the global mean
+    val refScores = docs.filter(_._1 % LmOps.lmRefMod == 0)
+      .map(d => got(d._1)._3)
+    val allScores = got.values.map(_._3)
+    assert(refScores.sum / refScores.size <
+      allScores.sum / allScores.size)
+  }
+
+}
