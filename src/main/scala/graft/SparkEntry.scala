@@ -74,6 +74,8 @@ object SparkEntry {
     // deterministic per-source epoch weighting (data-mixing upsampler)
     "q_mixture_repeat" -> ((s, dir) => SampleOps.mixtureRepeat(s, dir)),
     "q_shard_assign" -> ((s, dir) => SampleOps.shardAssign(s, dir)),
+    // DSIR: hashed-n-gram importance weights vs the clean target slice
+    "q_dsir_weights" -> ((s, dir) => SampleOps.dsirWeights(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     // MG-candidate + exact-verify heavy hitters ≡ topTokens when the
@@ -239,6 +241,7 @@ object SparkEntry {
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
     "q_mixture_repeat" -> SampleOps.mixtureRepeatOracle,
     "q_shard_assign" -> SampleOps.shardAssignOracle,
+    "q_dsir_weights" -> SampleOps.dsirWeightsOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_split_leakage" -> DedupOps.splitLeakageOracle,

@@ -431,4 +431,138 @@ object SampleOps {
        |       CAST(row_number() OVER (PARTITION BY shard_id
        |            ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM k""".stripMargin
+
+  // ---- DSIR importance resampling -------------------------------------
+
+  /** Hashed-n-gram feature buckets for DSIR (16⁴ md5 digits folded,
+    * then mod [[dsirBuckets]] — md5 is the repo's one cross-engine
+    * string hash, and the digit fold keeps the bucket a pure integer
+    * function of the hex both engines compute identically).
+    */
+  val dsirBuckets = 64
+
+  /** Fixed-point scale for per-bucket probability ratios. Chosen so the
+    * integer numerator (c_t+1)·(T_raw+B)·scale stays inside BIGINT up to
+    * ~10⁹-gram corpora; a 100 TB run lifts the arithmetic to DECIMAL(38)
+    * (or true log-space once a shared ln is available) — the SHAPE
+    * (bounded bucket table, broadcast, one keyed agg) is unchanged.
+    */
+  val dsirScale = 10000L
+
+  /** Share of the corpus DSIR keeps: top quartile by importance. */
+  val dsirKeepQuantile = 0.75
+
+  /** The shared bucket formula — SQL text interpreted by BOTH engines
+    * (Spark via expr), so twin-ness is by construction: fold the first
+    * four md5 hex digits to an int in [0, 16⁴), mod [[dsirBuckets]].
+    */
+  private def dsirBucketSql(g: String): String = {
+    def d(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5($g), $i, 1)) - 1)"
+    s"((${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)})" +
+      s" % $dsirBuckets)"
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * represent documents as hashed n-gram (uni+bi) bucket counts, fit
+    * smoothed bucket distributions on a clean TARGET slice and on the
+    * RAW corpus, weight every document by how target-like its features
+    * are, and keep the top [[dsirKeepQuantile]] quartile.
+    *
+    * Exact-arithmetic adaptation (the LmOps trade, documented there):
+    * the paper's per-bucket log-likelihood-ratio λ[b] is replaced by the
+    * fixed-point probability RATIO
+    * `((c_t[b]+1)·(T_r+B)·scale) div ((c_r[b]+1)·(T_t+B))` and the
+    * document weight is the MEAN ratio over its gram occurrences —
+    * order-independent integer sums end-to-end, one final double
+    * division, so the score is bit-deterministic under any partitioning
+    * and the DuckDB twin is exact. Target slice = doc_id ≡ 0 mod
+    * [[LmOps.lmRefMod]] (the same hash-membership reference the LM
+    * trains on).
+    *
+    * Scale shape: two keyed aggs over the gram stream (map-side
+    * combined) fold to a [[dsirBuckets]]-row λ table that BROADCASTS;
+    * scoring is one narrow explode + broadcast join + per-doc agg; the
+    * keep threshold is one global quantile broadcast back (GK sketch
+    * hatch at 10¹⁰ docs, as curriculum documents).
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), CurationOps.toksCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+    val dg = dt.select(col("doc_id"),
+      explode(concat(CurationOps.grams(col("toks"), 1),
+        CurationOps.grams(col("toks"), 2))).as("g"))
+    val db = dg.select(col("doc_id"),
+      expr(dsirBucketSql("g")).cast("long").as("b")).persist()
+    val raw = db.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgtSide = db.filter(col("doc_id") % LmOps.lmRefMod === 0)
+    val tgt = tgtSide.groupBy("b").agg(count(lit(1)).as("c_t"))
+    val tot = raw.agg(sum("c_r").as("t_r"))
+    val ttot = tgt.agg(sum("c_t").as("t_t"))
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(tot).crossJoin(ttot)
+      .select(col("b"), expr(
+        s"""(coalesce(c_t, 0L) + 1L) * (t_r + $dsirBuckets)
+           | * $dsirScale div ((c_r + 1L) * (t_t + $dsirBuckets))"""
+          .stripMargin.replace("\n", "")).as("lam"))
+    val pd = db.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("lam").as("w"), count(lit(1)).as("n_grams"))
+      .withColumn("mean_ratio",
+        col("w").cast("double") /
+          (col("n_grams") * dsirScale).cast("double"))
+    val thr = pd.agg(
+      percentile(col("mean_ratio"), lit(dsirKeepQuantile)).as("t"))
+    val out = Canon.canonicalize(pd.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_grams"), col("mean_ratio"),
+        (col("mean_ratio") >= col("t")).as("selected")))
+    Canon.materialized(out, db)
+  }
+
+  val dsirWeightsOracle: String = {
+    import TextOps.normSql
+    s"""WITH dt AS (
+       |  SELECT doc_id, toks FROM (
+       |    SELECT doc_id,
+       |           list_filter(string_split($normSql, ' '), t -> t <> '')
+       |             AS toks
+       |    FROM documents)
+       |  WHERE len(toks) > 0),
+       |dg AS (
+       |  SELECT doc_id, u.g FROM dt, unnest(toks) AS u(g)
+       |  UNION ALL
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1]
+       |  FROM dt, unnest(range(1, len(toks))) AS r(i)),
+       |db AS MATERIALIZED (
+       |  SELECT doc_id, ${dsirBucketSql("g")} AS b FROM dg),
+       |raw AS (SELECT b, count(*) AS c_r FROM db GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS c_t FROM db
+       |        WHERE doc_id % ${LmOps.lmRefMod} = 0 GROUP BY 1),
+       |tot AS (SELECT count(*) AS t_r FROM db),
+       |ttot AS (SELECT count(*) AS t_t FROM db
+       |         WHERE doc_id % ${LmOps.lmRefMod} = 0),
+       |lam AS (
+       |  SELECT b,
+       |         ((coalesce(c_t, 0) + 1) * (t_r + $dsirBuckets)
+       |          * $dsirScale) // ((c_r + 1) * (t_t + $dsirBuckets))
+       |           AS lam
+       |  FROM raw LEFT JOIN tgt USING (b), tot, ttot),
+       |pd AS (
+       |  SELECT doc_id, CAST(sum(lam) AS BIGINT) AS w,
+       |         count(*) AS n_grams
+       |  FROM db JOIN lam USING (b) GROUP BY 1),
+       |sc AS MATERIALIZED (
+       |  SELECT doc_id, n_grams,
+       |         CAST(w AS DOUBLE) /
+       |           CAST(n_grams * $dsirScale AS DOUBLE) AS mean_ratio
+       |  FROM pd),
+       |thr AS (
+       |  SELECT quantile_cont(mean_ratio, CAST($dsirKeepQuantile AS DOUBLE))
+       |    AS t FROM sc)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, mean_ratio,
+       |       mean_ratio >= t AS selected
+       |FROM sc, thr""".stripMargin
+  }
 }

@@ -197,4 +197,51 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights: exact brute-force parity; keep share is a quartile") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String): Long = {
+      val h = md5hex(g)
+      def d(i: Int) = "0123456789abcdef".indexOf(h.charAt(i)).toLong
+      (d(0) * 4096 + d(1) * 256 + d(2) * 16 + d(3)) % SampleOps.dsirBuckets
+    }
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.normText(col("text")))
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+      .filter(_._2.nonEmpty)
+    val docBuckets: Seq[(Long, Seq[Long])] = docs.map { case (id, toks) =>
+      val grams = toks ++ toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" "))
+      id -> grams.map(bucket)
+    }
+    val B = SampleOps.dsirBuckets.toLong
+    val all = docBuckets.flatMap(_._2)
+    val tgt = docBuckets.filter(_._1 % LmOps.lmRefMod == 0).flatMap(_._2)
+    val cR = all.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val cT = tgt.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val (tR, tT) = (all.size.toLong, tgt.size.toLong)
+    val lam: Map[Long, Long] = cR.map { case (b, cr) =>
+      b -> ((cT.getOrElse(b, 0L) + 1L) * (tR + B) * SampleOps.dsirScale /
+        ((cr + 1L) * (tT + B)))
+    }
+    val got = SampleOps.dsirWeights(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == docs.size)
+    docBuckets.foreach { case (id, bs) =>
+      val w = bs.map(lam).sum
+      val expected = w.toDouble / (bs.size * SampleOps.dsirScale).toDouble
+      val (_, n, score, _) = got(id)
+      assert(n == bs.size.toLong, s"doc $id gram count")
+      assert(score == expected, s"doc $id score $score != $expected")
+    }
+    // keep share: strictly a top quartile (ties at the threshold can only
+    // widen it), never the whole corpus
+    val kept = got.values.count(_._4)
+    assert(kept >= docs.size / 4 && kept < docs.size / 2,
+      s"kept $kept of ${docs.size}")
+  }
+
 }
