@@ -1265,4 +1265,78 @@ object VectorOps {
           col("stds"),
           (c, s) => when(s > 0, c / s).otherwise(c)).as("z"))
   }
+
+  // ---- domain clustering + cluster-balanced mixture -------------------
+
+  /** DOMAIN DISCOVERY + BALANCED MIXTURE: cluster the corpus by
+    * embedding (the SAME memoized k-means index the ANN family trains —
+    * zero extra training cost when both run), label each cluster with
+    * its modal document source, and emit the repeat factors that would
+    * rebalance the mixture to uniform-over-domains — the
+    * cluster-balanced sampling recipe (the embedding-space analogue of
+    * the source-keyed [[SampleOps.mixturePlan]]: there the domain labels
+    * are GIVEN; here they are DISCOVERED from content).
+    *
+    * Scale shape: nearest-centroid assignment is the broadcast +
+    * map-side-reduced pass [[assignNearest]] documents; everything after
+    * is bounded — per-cluster and per-(cluster, source) keyed aggs fold
+    * to ≤ C·|sources| rows, the modal source is a min_by over that
+    * bounded table, and the 1-row total broadcasts (the mixturePlan
+    * integer-div discipline for target counts).
+    */
+  def domainMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val cachedRows = centroidCache.computeIfAbsent(
+      s"$sfDir#$ivfCentroids#$ivfIters#" +
+        dataFingerprint(s"$sfDir/embeddings.parquet"),
+      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+    val centroids = cachedRows.toDF("cent_id", "cv")
+    val assigned = assignNearest(e, centroids)
+      .select(col("vec_id"), col("bucket"))
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    val joined = assigned
+      .join(docs, assigned("vec_id") === docs("doc_id"))
+      .select(col("bucket"), col("source"))
+    val perSrc = joined.groupBy("bucket", "source")
+      .agg(count(lit(1)).as("c"))
+    val top = perSrc.groupBy("bucket").agg(
+      min_by(col("source"),
+        struct((-col("c")).as("nc"), col("source"))).as("top_source"))
+    val cc = joined.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val tot = cc.agg(sum("n_docs").as("n_total"))
+    val out = Canon.canonicalize(cc.join(top, Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("target_docs", expr(s"n_total div $ivfCentroids"))
+      .select(col("bucket").as("cluster_id"), col("n_docs"),
+        col("top_source"), col("target_docs"),
+        (col("target_docs").cast("double") / col("n_docs").cast("double"))
+          .as("repeat_factor")))
+    Canon.materialized(out, e)
+  }
+
+  /** Composes the IVF oracle prefix (training + `bucketed`; the unused
+    * probe CTEs cost nothing) with the bounded mixture rollups.
+    */
+  val domainMixtureOracle: String =
+    s"""${ivfOraclePrefix(1)},
+       |jn AS (
+       |  SELECT b.cent_id AS cluster_id, d.source
+       |  FROM bucketed b JOIN documents d ON d.doc_id = b.vec_id),
+       |cc AS (SELECT cluster_id, count(*) AS n_docs FROM jn GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cc),
+       |ts AS (
+       |  SELECT cluster_id, source AS top_source FROM (
+       |    SELECT cluster_id, source,
+       |           row_number() OVER (PARTITION BY cluster_id
+       |             ORDER BY count(*) DESC, source ASC) AS rn
+       |    FROM jn GROUP BY cluster_id, source) WHERE rn = 1)
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs, top_source,
+       |       CAST(n_total // $ivfCentroids AS BIGINT) AS target_docs,
+       |       CAST(n_total // $ivfCentroids AS DOUBLE) /
+       |         CAST(n_docs AS DOUBLE) AS repeat_factor
+       |FROM cc JOIN ts USING (cluster_id), tt""".stripMargin
 }

@@ -325,4 +325,25 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("domain mixture: conservation, uniform targets, modal top source") {
+    val rows = VectorOps.domainMixture(spark, sfDir)
+      .as[(Long, Long, String, Long, Double)].collect()
+    val nVecs = VectorOps.embeddings(spark, sfDir).count()
+    // every embedding has a doc row (vec_id ≡ doc_id in the fixture) and
+    // lands in exactly one cluster
+    assert(rows.map(_._2).sum == nVecs)
+    // clustering must actually separate the corpus
+    assert(rows.length > 1 && rows.length <= VectorOps.ivfCentroids)
+    val target = nVecs / VectorOps.ivfCentroids
+    rows.foreach { case (cid, n, src, t, rf) =>
+      assert(n > 0L)
+      assert(t == target, s"cluster $cid target $t != $target")
+      assert(rf == t.toDouble / n.toDouble, s"cluster $cid repeat factor")
+      assert(src.nonEmpty)
+    }
+    // rebalancing direction: big clusters are down-weighted, small ones up
+    val byN = rows.sortBy(_._2)
+    assert(byN.head._5 >= byN.last._5)
+  }
+
 }
