@@ -223,4 +223,42 @@ class PlanSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("gopherRules is a pure projection: no exchange, no join, no window") {
+    val p = plan(ext.CurationOps.gopherRules(spark, sfDir))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("perplexityBuckets: vocab and tercile bounds ride broadcast joins") {
+    val p = plan(ext.LmOps.perplexityBuckets(spark, sfDir))
+    // two explicit broadcasts (voc, bounds); the model join may be
+    // broadcast or shuffled per AQE — but never a cartesian product
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected >=2 broadcast joins, saw $bhj:\n" +
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), "bucketing fell back to a window:\n" +
+      p.take(2000))
+  }
+
+  test("dsirWeights: bucket table broadcasts, one per-doc keyed agg") {
+    val p = plan(ext.SampleOps.dsirWeights(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-doc agg lost its map-side combine:\n" + p.take(2000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("domainMixture: centroid assignment broadcast + bounded aggs only") {
+    val p = plan(ext.VectorOps.domainMixture(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "modal-source pick fell back to a window:\n" + p.take(2000))
+    // the vec→doc join is AQE's choice (hash at this scale); the modal
+    // pick must stay an aggregate either way
+    assert(p.contains("min_by") || p.contains("max_by"), p.take(2000))
+  }
+
 }
