@@ -66,6 +66,10 @@ object Runner {
       // mixing health read before any curation decision
       "source_diversity" ->
         (() => ext.SampleOps.sourceDiversity(spark, sfDir).count()),
+      // the Gopher heuristic battery: per-doc verdicts before any
+      // curation decision reads them
+      "gopher_rules" ->
+        (() => ext.CurationOps.gopherRules(spark, sfDir).count()),
       "corpus_curate" -> (() => TextOps.corpusCurate(spark, sfDir).count()),
       // cross-doc banner surgery before span-level work: per-source
       // boilerplate prefixes detected and cut
@@ -100,6 +104,12 @@ object Runner {
         (() => ext.CurationOps.packSequences(spark, sfDir).count()),
       // tokenizer-coverage telemetry under the frozen vocab budget
       "oov_rate" -> (() => TextOps.oovRate(spark, sfDir).count()),
+      // LM fluency terciles + DSIR importance weights: the two
+      // content-based selection signals, stamped before the split
+      "fluency_buckets" ->
+        (() => ext.LmOps.perplexityBuckets(spark, sfDir).count()),
+      "dsir_weights" ->
+        (() => ext.SampleOps.dsirWeights(spark, sfDir).count()),
       "train_split" ->
         (() => ext.SampleOps.trainValTestSplit(spark, sfDir).count()),
       // eval-contamination check across the split boundary

@@ -114,6 +114,8 @@ object SparkEntry {
     "q_ngram_lm" -> ((s, dir) => ext.LmOps.ngramLm(s, dir)),
     "q_perplexity_buckets" ->
       ((s, dir) => ext.LmOps.perplexityBuckets(s, dir)),
+    // persisted LM index: build half, MERGE half, report ≡ rebuilt
+    "q_ngram_lm_merged" -> ((s, dir) => ext.LmOps.ngramLmMerged(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(s, dir)),
@@ -124,6 +126,8 @@ object SparkEntry {
     // apply the trained merges: real per-doc BPE token counts
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
     "q_compression_ratio" -> ((s, dir) => ext.BpeOps.compressionRatio(s, dir)),
+    // packing budgeted in trained BPE tokens, not whitespace words
+    "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_hard_negatives" -> ((s, dir) => VectorOps.hardNegatives(s, dir)),
@@ -263,6 +267,8 @@ object SparkEntry {
     "q_oov_rate" -> TextOps.oovRateOracle,
     "q_ngram_lm" -> ext.LmOps.ngramLmOracle,
     "q_perplexity_buckets" -> ext.LmOps.perplexityBucketsOracle,
+    // merged ≡ rebuilt (additive count algebra) → shares the oracle
+    "q_ngram_lm_merged" -> ext.LmOps.ngramLmOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,
     "q_bm25" -> TextOps.bm25Oracle,
     "q_rrf_fusion" -> TextOps.rrfFusionOracle,
@@ -271,6 +277,7 @@ object SparkEntry {
     "q_bpe_train" -> ext.BpeOps.bpeTrainOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
     "q_compression_ratio" -> ext.BpeOps.compressionRatioOracle,
+    "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_heavy_hitters" -> TextOps.topTokensOracle,

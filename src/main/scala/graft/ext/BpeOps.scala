@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -446,4 +447,72 @@ object BpeOps {
        |    AS chars_per_token
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |GROUP BY d.lang""".stripMargin
+
+  // ---- token-exact sequence packing ------------------------------------
+
+  /** TOKEN-EXACT sequence packing: [[graft.ext.CurationOps
+    * .packSequences]]'s greedy first-fit bins, but budgeted in TRAINED
+    * BPE TOKENS instead of whitespace words — what the training loader
+    * actually packs by. A language that compresses poorly (see
+    * [[compressionRatio]]) fills its bins in fewer documents here,
+    * which the word-budget version cannot see.
+    *
+    * Scale shape: the encode chain dominates (one corpus pass +
+    * vocabulary-sized probe, amortized by the merge cache when train/
+    * encode/pack run in one session); packing adds the same
+    * (lang, shard)-keyed windows as packSequences — shard count bounds
+    * every partition, raise [[CurationOps.packShards]] with corpus size
+    * and the plan is unchanged.
+    */
+  def packTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import CurationOps.{packBudgetTokens, packShards}
+    val enc = bpeEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val d = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .join(enc, Seq("doc_id"))
+      .withColumn("shard", col("doc_id") % packShards)
+    val byShard = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val packed = d
+      .withColumn("start_tok",
+        coalesce(sum("n_bpe_tokens").over(
+          byShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"start_tok div $packBudgetTokens"))
+      .withColumn("pack_id",
+        concat_ws("#", col("lang"), col("shard"), col("bin")))
+    val byPack = Window.partitionBy("lang", "shard", "bin")
+    Canon.canonicalize(packed
+      .withColumn("pack_pos", row_number().over(byPack.orderBy("doc_id")))
+      .withColumn("pack_tokens", sum("n_bpe_tokens").over(byPack))
+      .select("doc_id", "lang", "n_bpe_tokens", "pack_id", "pack_pos",
+        "pack_tokens"))
+  }
+
+  val packTokensOracle: String = {
+    import CurationOps.{packBudgetTokens, packShards}
+    s"""WITH
+       |$oracleChainCtes,
+       |$encodeCtes,
+       |pk AS (
+       |  SELECT d.doc_id, d.lang,
+       |         CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       |         d.doc_id % $packShards AS shard
+       |  FROM documents d LEFT JOIN agg USING (doc_id)),
+       |ps AS (
+       |  SELECT *,
+       |    coalesce(sum(n_bpe_tokens) OVER (
+       |      PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS start_tok
+       |  FROM pk),
+       |pb AS (
+       |  SELECT *, start_tok // $packBudgetTokens AS bin FROM ps)
+       |SELECT doc_id, lang, n_bpe_tokens,
+       |  lang || '#' || shard || '#' || bin AS pack_id,
+       |  CAST(row_number() OVER (PARTITION BY lang, shard, bin
+       |                          ORDER BY doc_id) AS BIGINT) AS pack_pos,
+       |  CAST(sum(n_bpe_tokens) OVER (PARTITION BY lang, shard, bin)
+       |    AS BIGINT) AS pack_tokens
+       |FROM pb""".stripMargin
+  }
 }

@@ -53,12 +53,18 @@ object LmOps {
   /** Rows per language in the trained-model report query. */
   val lmTopK = 10
 
+  /** (doc_id, lang, text) → (doc_id, lang, toks), empty docs dropped —
+    * the operator's single tokenization rule, shared with the streaming
+    * gate so batch and stream can never tokenize differently.
+    */
+  private[graft] def withToks(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), CurationOps.toksCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+
   /** (doc_id, lang, toks) for non-empty documents. */
   private def docToks(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.documents(spark, sfDir)
-      .repartition(col("doc_id")) // single-split fixture; explode is narrow
-      .select(col("doc_id"), col("lang"), CurationOps.toksCol.as("toks"))
-      .filter(size(col("toks")) > 0)
+    withToks(TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))) // single-split fixture; explode is narrow
 
   /** One row per bigram occurrence, [[lmBos]] prepended: a document of
     * n tokens yields exactly n (a, b) pairs.
@@ -78,7 +84,7 @@ object LmOps {
     * counts c(a) (derived, never a second corpus pass), and per-lang
     * reference vocabulary size V (the add-one denominator).
     */
-  private def trainTables(spark: SparkSession, sfDir: String)
+  private[graft] def trainTables(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val ref = docToks(spark, sfDir)
       .filter(col("doc_id") % lmRefMod === 0)
@@ -122,13 +128,18 @@ object LmOps {
     * smoothed bigram probability (low = fluent under the reference LM);
     * bucket 1/2/3 = head/middle/tail by per-language terciles.
     */
-  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val (cAb, cA, voc) = trainTables(spark, sfDir)
-    val bg = bigrams(docToks(spark, sfDir))
+  /** Score an arbitrary (doc_id, lang, toks) frame against a trained
+    * model's three tables — the reusable seam the tercile query AND the
+    * streaming gate ([[graft.streaming.EventStream.fluencyGate]])
+    * compose. Stateless per document, so it is micro-batch-safe: the
+    * union of per-batch scorings equals the one-shot batch scoring.
+    */
+  private[graft] def scoreDocs(d: DataFrame, cAb: DataFrame,
+                               cA: DataFrame, voc: DataFrame): DataFrame = {
+    val bg = bigrams(d)
     val inv = expr(
       s"(coalesce(c_a, 0L) + v) * ${lmScale}L div (coalesce(c_ab, 0L) + 1L)")
-    val perDoc = bg
-      .join(cAb, Seq("lang", "a", "b"), "left")
+    bg.join(cAb, Seq("lang", "a", "b"), "left")
       .join(cA, Seq("lang", "a"), "left")
       .join(broadcast(voc), Seq("lang"))
       .groupBy("doc_id", "lang")
@@ -136,6 +147,11 @@ object LmOps {
       .withColumn("mean_inv",
         col("sum_fp").cast("double") /
           (col("n_bigrams") * lmScale).cast("double"))
+  }
+
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cAb, cA, voc) = trainTables(spark, sfDir)
+    val perDoc = scoreDocs(docToks(spark, sfDir), cAb, cA, voc)
     val bounds = perDoc.groupBy("lang").agg(
       percentile(col("mean_inv"), lit(1.0 / 3)).as("t1"),
       percentile(col("mean_inv"), lit(2.0 / 3)).as("t2"))
@@ -183,6 +199,113 @@ object LmOps {
        |                 WHEN mean_inv <= t2 THEN 2
        |                 ELSE 3 END AS BIGINT) AS bucket
        |FROM scd s JOIN bnd ON s.lang = bnd.lang""".stripMargin
+
+  // ---- persisted LM index + count-merge lifecycle ---------------------
+
+  /** Persisted-index layout dir — fingerprinted like the LSH index so a
+    * fixture or parameter change MISSES the old artifact.
+    */
+  private def lmIndexDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"${graft.io.Artifacts.root}/lm_index/${tag}_m${lmRefMod}_$fp"
+  }
+
+  private def lmIndexDone(dir: String): Boolean =
+    Seq("cab", "vocab").forall(t =>
+      new java.io.File(s"$dir/$t/_SUCCESS").exists())
+
+  /** The BASE half of the reference slice: doc_id ≡ 0 (mod 10) — the
+    * corpus the persisted index is built from. The other reference half
+    * (≡ 5 mod 10) arrives later as the merge batch.
+    */
+  private def baseRefDocs(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.documents(spark, sfDir).filter(col("doc_id") % 10 === 0)
+
+  private def mergeBatchDocs(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.documents(spark, sfDir).filter(col("doc_id") % 10 === 5)
+
+  /** Count tables for an arbitrary (doc_id, lang, text) frame: bigram
+    * counts (lang, a, b, c_ab) and the vocabulary SET (lang, t) — the
+    * set, not its size, because |vocab| is not additive under merge but
+    * set union is.
+    */
+  private def countTables(docs: DataFrame): (DataFrame, DataFrame) = {
+    val d = withToks(docs.repartition(col("doc_id"))) // single-split fixture
+    val cAb = bigrams(d).groupBy("lang", "a", "b")
+      .agg(count(lit(1)).as("c_ab"))
+    val vocab = d.select(col("lang"), explode(col("toks")).as("t"))
+      .distinct()
+    (cAb, vocab)
+  }
+
+  /** Build (first call) or reuse (SUCCESS-gated) the persisted LM count
+    * index over the BASE reference half: `cab` (lang, a, b, c_ab) and
+    * `vocab` (lang, t). The build-once/probe-many contract of the LSH
+    * and IVF indexes, for the LM family.
+    */
+  def lmIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val dir = lmIndexDir(sfDir)
+      if (!lmIndexDone(dir)) {
+        val (cAb, vocab) = countTables(baseRefDocs(spark, sfDir))
+        cAb.write.mode("overwrite").parquet(s"$dir/cab")
+        vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+      }
+      (spark.read.parquet(s"$dir/cab"),
+        spark.read.parquet(s"$dir/vocab"))
+    }
+
+  /** MERGE a document batch into the persisted LM index — the
+    * daily-crawl maintenance path. Counts are ADDITIVE (the merge
+    * algebra here is sum, where the LSH index's is slot-wise min) and
+    * vocabularies union, so the merged index is EXACTLY the index a
+    * from-scratch build over base ∪ batch would produce — spec-pinned,
+    * and the reason [[ngramLmMerged]] can share [[ngramLmOracle]].
+    * Writes a NEW stamped `…_m_<tag>` dir (SUCCESS-gated); a crash
+    * mid-merge can never corrupt the base index.
+    */
+  def lmIndexMerge(spark: SparkSession, sfDir: String,
+                   batchDocs: DataFrame, batchTag: String): String =
+    synchronized {
+      require(batchTag.matches("[A-Za-z0-9_-]+"),
+        s"batchTag must be path-safe, got '$batchTag'")
+      val dir = s"${lmIndexDir(sfDir)}_m_$batchTag"
+      if (!lmIndexDone(dir)) {
+        lmIndex(spark, sfDir) // ensure the base exists
+        val baseDir = lmIndexDir(sfDir)
+        val baseCab = spark.read.parquet(s"$baseDir/cab")
+        val baseVocab = spark.read.parquet(s"$baseDir/vocab")
+        val (bCab, bVocab) = countTables(batchDocs)
+        baseCab.union(bCab).groupBy("lang", "a", "b")
+          .agg(sum("c_ab").as("c_ab"))
+          .write.mode("overwrite").parquet(s"$dir/cab")
+        baseVocab.union(bVocab).distinct()
+          .write.mode("overwrite").parquet(s"$dir/vocab")
+      }
+      dir
+    }
+
+  /** The full LM index lifecycle as one query: build the base index on
+    * half the reference slice, MERGE the other half in (counts sum,
+    * vocab unions; the base corpus is never re-tokenized), and emit the
+    * trained-model report from the merged index. Because merged ≡
+    * rebuilt exactly (additive counts — LmIndexMergeSpec pins table
+    * equality), the report equals [[ngramLm]]'s and shares
+    * [[ngramLmOracle]].
+    */
+  def ngramLmMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = lmIndexMerge(spark, sfDir,
+      mergeBatchDocs(spark, sfDir), "refhalf")
+    val cAb = spark.read.parquet(s"$dir/cab")
+    val top = graft.plans.TopK.perKey(cAb, Seq("lang"),
+      Seq("c_ab" -> graft.plans.TopK.Desc, "a" -> graft.plans.TopK.Asc,
+        "b" -> graft.plans.TopK.Asc),
+      lmTopK, rankCol = Some("rank"))
+    Canon.canonicalize(top.select(
+      col("lang"), col("rank").cast("long").as("rank"),
+      col("a"), col("b"), col("c_ab")))
+  }
 
   /** The shared training CTE chain: tokenized docs (dt) → bigrams with
     * BOS (bg) → reference bigram counts (cab). A def for the TextOps

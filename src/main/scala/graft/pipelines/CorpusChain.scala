@@ -29,9 +29,11 @@ object CorpusChain {
     */
   val artifactTasks: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
+      "gopher_rules" -> ((s, d) => graft.ext.CurationOps.gopherRules(s, d)),
       "corpus_curate" -> ((s, d) => TextOps.corpusCurate(s, d)),
       "dup_spans_apply" -> ((s, d) => DedupOps.dupSpansApply(s, d)),
       "model_score" -> ((s, d) => ScoringOps.modelScore(s, d)),
+      "dsir_weights" -> ((s, d) => SampleOps.dsirWeights(s, d)),
       "train_split" -> ((s, d) => SampleOps.trainValTestSplit(s, d)),
       "shard_assign" -> ((s, d) => SampleOps.shardAssign(s, d)))
 

@@ -329,6 +329,35 @@ object EventStream {
       .toDF("doc_id", "raw_score", "model_score")
   }
 
+  /** Streaming FLUENCY GATE: the batch-trained reference n-gram LM
+    * ([[graft.ext.LmOps]]) applied to a DOCUMENT STREAM — the
+    * offline-train / online-score split every production filter runs
+    * (the model tables are static frames broadcast into each
+    * micro-batch; the threshold is the one the batch tercile run chose,
+    * e.g. the tail boundary of [[graft.ext.LmOps.perplexityBuckets]]).
+    *
+    * Per-document scoring is stateless (LmOps.scoreDocs documents the
+    * micro-batch-safety argument), so each batch writes an exactly-once
+    * `fluency_batch=<id>` overwrite (the diffToParquet replay
+    * discipline) and the union of per-batch outputs equals the one-shot
+    * batch scoring of the concatenated feed — spec-asserted, including
+    * across a stop/restart.
+    */
+  def fluencyGate(docs: DataFrame, cAb: DataFrame, cA: DataFrame,
+                  voc: DataFrame, threshold: Double, outDir: String,
+                  checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.LmOps
+          .scoreDocs(graft.ext.LmOps.withToks(batch), cAb, cA, voc)
+          .withColumn("pass", col("mean_inv") <= threshold)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/fluency_batch=$batchId")
+      }
+      .start()
+
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
     * ts normalization as the batch reader ([[graft.ext.EventOps

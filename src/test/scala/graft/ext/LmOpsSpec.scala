@@ -85,4 +85,36 @@ class LmOpsSpec extends SparkSpec {
       allScores.sum / allScores.size)
   }
 
+  test("lm index merge: merged ≡ rebuilt counts; report matches ngramLm") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("lm-merge").toString
+    System.setProperty("graft.artifact.root", tmp)
+    try {
+      val merged = LmOps.ngramLmMerged(spark, sfDir)
+        .as[(String, Long, String, String, Long)].collect().toSet
+      val full = LmOps.ngramLm(spark, sfDir)
+        .as[(String, Long, String, String, Long)].collect().toSet
+      // merged report ≡ the report trained from scratch on the full
+      // reference slice (additive count algebra, exact)
+      assert(merged == full)
+      // both index versions exist on disk, SUCCESS-gated, base untouched
+      val dirs = new java.io.File(s"$tmp/lm_index").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(dirs.exists(!_.contains("_m_")) &&
+        dirs.exists(_.contains("_m_refhalf")), dirs.toString)
+      // the merged cab equals a brute-force count over the FULL
+      // reference slice (not just the base half)
+      val mergedDir = new java.io.File(s"$tmp/lm_index").listFiles()
+        .filter(_.getName.contains("_m_refhalf")).head.toString
+      val cab = spark.read.parquet(s"$mergedDir/cab")
+        .as[(String, String, String, Long)].collect()
+        .map { case (l, a, b, c) => (l, a, b) -> c }.toMap
+      val refDocs = docs.filter(_._1 % LmOps.lmRefMod == 0)
+      val brute = refDocs.flatMap { case (_, lang, toks) =>
+        docBigrams(toks).map { case (a, b) => (lang, a, b) }
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(cab == brute)
+    } finally System.clearProperty("graft.artifact.root")
+  }
+
 }

@@ -453,4 +453,50 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fluency gate equals batch LM scoring across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch-train the reference LM once (the offline half)
+    val (cAb, cA, voc) = graft.ext.LmOps.trainTables(spark, sfDir)
+    val fixture = graft.ext.TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val (b1, rest) = fixture.splitAt(fixture.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    // the batch tercile run's tail boundary sits near 39 at this SF
+    // (q_perplexity_buckets); anything in the distribution's interior
+    // exercises both gate outcomes
+    val threshold = 37.0
+    val out = java.nio.file.Files.createTempDirectory("fluency").toString
+    val input = MemoryStream[(Long, String, String)]
+    def start() = EventStream.fluencyGate(
+      input.toDS().toDF("doc_id", "lang", "text"),
+      cAb, cA, voc, threshold, s"$out/scored", s"$out/ckpt")
+    val q = start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart from the checkpoint; the remaining feed arrives after
+    val q2 = start()
+    try {
+      input.addData(b3)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(s"$out/scored")
+      .select("doc_id", "lang", "n_bigrams", "mean_inv", "pass")
+      .as[(Long, String, Long, Double, Boolean)].collect().toSet
+    val batch = graft.ext.LmOps.scoreDocs(
+      graft.ext.LmOps.withToks(
+        fixture.toDF("doc_id", "lang", "text")), cAb, cA, voc)
+      .withColumn("pass", $"mean_inv" <= threshold)
+      .select("doc_id", "lang", "n_bigrams", "mean_inv", "pass")
+      .as[(Long, String, Long, Double, Boolean)].collect().toSet
+    assert(streamed == batch)
+    // the gate must separate the feed, not wave everything through
+    assert(streamed.exists(_._5) && streamed.exists(!_._5))
+  }
+
 }
