@@ -97,6 +97,9 @@ object SparkEntry {
     // same flow against the PERSISTED corpus LSH index (offline build)
     "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
     "q_minhash_lsh_merged" -> ((s, dir) => DedupOps.minhashLshMerged(s, dir)),
+    // lifecycle round trip: merge a slice in, FORGET it, probe
+    "q_minhash_lsh_forgotten" ->
+      ((s, dir) => DedupOps.minhashLshForgotten(s, dir)),
     "q_lsh_recall" -> ((s, dir) => DedupOps.lshRecall(s, dir)),
     "q_ann_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
@@ -116,6 +119,9 @@ object SparkEntry {
       ((s, dir) => ext.LmOps.perplexityBuckets(s, dir)),
     // persisted LM index: build half, MERGE half, report ≡ rebuilt
     "q_ngram_lm_merged" -> ((s, dir) => ext.LmOps.ngramLmMerged(s, dir)),
+    // merge a half in, FORGET it again: subtractive count algebra
+    "q_ngram_lm_forgotten" ->
+      ((s, dir) => ext.LmOps.ngramLmForgotten(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextOps.invertedIndex(s, dir)),
     "q_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => TextOps.rrfFusion(s, dir)),
@@ -256,6 +262,7 @@ object SparkEntry {
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_minhash_lsh_merged" -> DedupOps.minhashLshMergedOracle,
+    "q_minhash_lsh_forgotten" -> DedupOps.minhashLshForgottenOracle,
     "q_lsh_recall" -> DedupOps.lshRecallOracle,
     "q_ann_recall" -> VectorOps.annRecallOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
@@ -269,6 +276,7 @@ object SparkEntry {
     "q_perplexity_buckets" -> ext.LmOps.perplexityBucketsOracle,
     // merged ≡ rebuilt (additive count algebra) → shares the oracle
     "q_ngram_lm_merged" -> ext.LmOps.ngramLmOracle,
+    "q_ngram_lm_forgotten" -> ext.LmOps.ngramLmForgottenOracle,
     "q_inverted_index" -> TextOps.invertedIndexOracle,
     "q_bm25" -> TextOps.bm25Oracle,
     "q_rrf_fusion" -> TextOps.rrfFusionOracle,

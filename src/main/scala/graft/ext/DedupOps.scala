@@ -930,7 +930,14 @@ object DedupOps {
     incrementalOracleFor(mergeProbePermille)
 
   // a DEF for the same init-order reason as minhashLshCte
-  private def incrementalOracleFor(corpusPermille: Int): String = {
+  /** @param probePermille batch side starts here; docs in
+    *   [corpusPermille, probePermille) are on NEITHER side — the slice
+    *   the forget lifecycle removes. Equal bounds = the classic
+    *   two-way split.
+    */
+  private def incrementalOracleFor(corpusPermille: Int,
+                                   probePermille: Int = -1): String = {
+    val pp = if (probePermille < 0) corpusPermille else probePermille
     val minAggs = (0 until numHashes)
       .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
     val bandedUnion = (0 until numBands)
@@ -942,7 +949,9 @@ object DedupOps {
        |d AS (SELECT doc_id, norm,
        |        ${sideBucketSql("doc_id")} < $corpusPermille
        |          AS is_corpus
-       |      FROM nd WHERE length(norm) >= $shingleLen),
+       |      FROM nd WHERE length(norm) >= $shingleLen
+       |        AND (${sideBucketSql("doc_id")} < $corpusPermille
+       |             OR ${sideBucketSql("doc_id")} >= $pp)),
        |st AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${shingleHashSql("norm", "i")} AS s
        |  FROM d, UNNEST(range(1, length(norm) - ${shingleLen - 2})) AS t(i)),
@@ -1100,6 +1109,62 @@ object DedupOps {
       }
       dir
     }
+
+  /** FORGET a set of doc_ids from a persisted index — delete
+    * propagation into the derived artifact (the right-to-be-forgotten
+    * path; the LM-index twin is [[graft.ext.LmOps.lmIndexForget]]).
+    * Every index table is keyed per document with NO cross-document
+    * state (signatures, shingle payloads, band rows are all functions
+    * of one doc), so an anti-join filter IS a from-scratch rebuild
+    * without those docs — which is why [[minhashLshForgotten]] can
+    * share the incremental oracle family. Writes a NEW stamped
+    * `…_f_<tag>` dir, SUCCESS-gated; the base index is only read.
+    */
+  def lshIndexForget(spark: SparkSession, baseDir: String,
+                     forgetIds: DataFrame, tag: String): String =
+    synchronized {
+      require(tag.matches("[A-Za-z0-9_-]+"),
+        s"tag must be path-safe, got '$tag'")
+      val dir = s"${baseDir}_f_$tag"
+      if (!indexDone(dir)) {
+        val ids = forgetIds.select("doc_id")
+        Seq("sigs", "shingles", "bands").foreach { t =>
+          spark.read.parquet(s"$baseDir/$t")
+            .join(broadcast(ids), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$dir/$t")
+        }
+      }
+      dir
+    }
+
+  /** The full index lifecycle ROUND TRIP as one query: build the base
+    * index, MERGE the middle slice in, then FORGET that same slice —
+    * probing with the top slice must behave exactly as if the middle
+    * docs had never existed (corpus boundary back at 800‰, probes at
+    * ≥900‰, the forgotten slice on NEITHER side), which is what the
+    * three-way oracle states.
+    */
+  def minhashLshForgotten(spark: SparkSession, sfDir: String): DataFrame = {
+    val mergeBatch = documents(spark, sfDir)
+      .filter(sideBucket(col("doc_id")) >= incrementalCorpusPermille &&
+        sideBucket(col("doc_id")) < mergeProbePermille)
+      .select("doc_id", "text")
+    val mergedDir =
+      lshIndexMerge(spark, sfDir, mergeBatch, s"p$mergeProbePermille")
+    val fDir = lshIndexForget(spark, mergedDir,
+      mergeBatch.select("doc_id"), "mid")
+    val (fBands, fSh, _) = readLshIndex(spark, fDir)
+    val probeDocs = documents(spark, sfDir)
+      .filter(sideBucket(col("doc_id")) >= mergeProbePermille)
+      .select("doc_id", "text")
+    probeLshIndexTables(spark, fBands, fSh, probeDocs)
+  }
+
+  /** Corpus back at < 800‰, probes ≥ 900‰, the forgotten middle on
+    * neither side.
+    */
+  val minhashLshForgottenOracle: String =
+    incrementalOracleFor(incrementalCorpusPermille, mergeProbePermille)
 
   /** The batch-side slice of the fixture (the documents NOT in the
     * persisted corpus index) — what [[minhashLshIndexed]] probes with,

@@ -226,16 +226,18 @@ object LmOps {
     TextOps.documents(spark, sfDir).filter(col("doc_id") % 10 === 5)
 
   /** Count tables for an arbitrary (doc_id, lang, text) frame: bigram
-    * counts (lang, a, b, c_ab) and the vocabulary SET (lang, t) — the
-    * set, not its size, because |vocab| is not additive under merge but
-    * set union is.
+    * counts (lang, a, b, c_ab) and COUNTED vocabulary (lang, t, c_tok).
+    * Vocab carries occurrence counts, not a distinct set, because the
+    * merge algebra must also run BACKWARDS ([[lmIndexForget]]): a set
+    * union cannot tell whether a token survives a deletion, a count can
+    * — subtract and drop the zeros.
     */
   private def countTables(docs: DataFrame): (DataFrame, DataFrame) = {
     val d = withToks(docs.repartition(col("doc_id"))) // single-split fixture
     val cAb = bigrams(d).groupBy("lang", "a", "b")
       .agg(count(lit(1)).as("c_ab"))
     val vocab = d.select(col("lang"), explode(col("toks")).as("t"))
-      .distinct()
+      .groupBy("lang", "t").agg(count(lit(1)).as("c_tok"))
     (cAb, vocab)
   }
 
@@ -280,11 +282,84 @@ object LmOps {
         baseCab.union(bCab).groupBy("lang", "a", "b")
           .agg(sum("c_ab").as("c_ab"))
           .write.mode("overwrite").parquet(s"$dir/cab")
-        baseVocab.union(bVocab).distinct()
+        baseVocab.union(bVocab).groupBy("lang", "t")
+          .agg(sum("c_tok").as("c_tok"))
           .write.mode("overwrite").parquet(s"$dir/vocab")
       }
       dir
     }
+
+  /** FORGET a document batch from an LM index — delete propagation into
+    * the persisted model (the right-to-be-forgotten path a 100 TB
+    * platform must have for every derived artifact, not just the raw
+    * corpus). The count algebra runs BACKWARDS: the forgotten docs'
+    * bigram and token counts are SUBTRACTED and zero rows dropped, so
+    * the result is EXACTLY the index a from-scratch build without those
+    * documents would produce — spec-pinned, which is why
+    * [[ngramLmForgotten]] can share a rebuilt-form oracle. Requires the
+    * forgotten docs' original text (the counts to remove are re-derived
+    * from it, the base corpus is never re-read); writes a NEW stamped
+    * `…_f_<tag>` dir, SUCCESS-gated, base untouched.
+    */
+  def lmIndexForget(spark: SparkSession, baseDir: String,
+                    forgetDocs: DataFrame, tag: String): String =
+    synchronized {
+      require(tag.matches("[A-Za-z0-9_-]+"),
+        s"tag must be path-safe, got '$tag'")
+      val dir = s"${baseDir}_f_$tag"
+      if (!lmIndexDone(dir)) {
+        val baseCab = spark.read.parquet(s"$baseDir/cab")
+        val baseVocab = spark.read.parquet(s"$baseDir/vocab")
+        val (fCab, fVocab) = countTables(forgetDocs)
+        baseCab
+          .union(fCab.select(col("lang"), col("a"), col("b"),
+            (-col("c_ab")).as("c_ab")))
+          .groupBy("lang", "a", "b").agg(sum("c_ab").as("c_ab"))
+          .filter(col("c_ab") > 0)
+          .write.mode("overwrite").parquet(s"$dir/cab")
+        baseVocab
+          .union(fVocab.select(col("lang"), col("t"),
+            (-col("c_tok")).as("c_tok")))
+          .groupBy("lang", "t").agg(sum("c_tok").as("c_tok"))
+          .filter(col("c_tok") > 0)
+          .write.mode("overwrite").parquet(s"$dir/vocab")
+      }
+      dir
+    }
+
+  /** The full FORGET round trip as one query: build the base-half
+    * index, MERGE the other reference half in, then FORGET that half
+    * again — the report must equal one trained on the base half alone
+    * (subtractive algebra is exact), which is what the oracle states.
+    */
+  def ngramLmForgotten(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = lmIndexMerge(spark, sfDir,
+      mergeBatchDocs(spark, sfDir), "refhalf")
+    val dir = lmIndexForget(spark, merged,
+      mergeBatchDocs(spark, sfDir), "refhalf")
+    val cAb = spark.read.parquet(s"$dir/cab")
+    val top = graft.plans.TopK.perKey(cAb, Seq("lang"),
+      Seq("c_ab" -> graft.plans.TopK.Desc, "a" -> graft.plans.TopK.Asc,
+        "b" -> graft.plans.TopK.Asc),
+      lmTopK, rankCol = Some("rank"))
+    Canon.canonicalize(top.select(
+      col("lang"), col("rank").cast("long").as("rank"),
+      col("a"), col("b"), col("c_ab")))
+  }
+
+  /** [[ngramLmOracle]] with the reference slice narrowed to the base
+    * half — the from-scratch statement of what forget must produce.
+    */
+  val ngramLmForgottenOracle: String =
+    s"""WITH ${lmCteBodyFor("doc_id % 10 = 0")},
+       |ranked AS (
+       |  SELECT lang, a, b, c_ab,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY c_ab DESC, a ASC, b ASC) AS rank
+       |  FROM cab)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, a, b,
+       |       CAST(c_ab AS BIGINT) AS c_ab
+       |FROM ranked WHERE rank <= $lmTopK""".stripMargin
 
   /** The full LM index lifecycle as one query: build the base index on
     * half the reference slice, MERGE the other half in (counts sum,
@@ -311,7 +386,12 @@ object LmOps {
     * BOS (bg) → reference bigram counts (cab). A def for the TextOps
     * init-cycle reason.
     */
-  private def lmCteBody: String = {
+  private def lmCteBody: String = lmCteBodyFor(s"doc_id % $lmRefMod = 0")
+
+  /** Same chain with an arbitrary reference-slice predicate — the
+    * forget oracle narrows it to the base half.
+    */
+  private def lmCteBodyFor(refCond: String): String = {
     import CurationOps.toksSql
     s"""dt AS (
        |  SELECT doc_id, lang, toks, ['$lmBos'] || toks AS arr
@@ -322,6 +402,6 @@ object LmOps {
        |  FROM dt, unnest(range(1, len(arr))) AS r(i)),
        |cab AS MATERIALIZED (
        |  SELECT lang, a, b, count(*) AS c_ab
-       |  FROM bg WHERE doc_id % $lmRefMod = 0 GROUP BY 1, 2, 3)""".stripMargin
+       |  FROM bg WHERE $refCond GROUP BY 1, 2, 3)""".stripMargin
   }
 }

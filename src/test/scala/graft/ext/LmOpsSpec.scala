@@ -117,4 +117,30 @@ class LmOpsSpec extends SparkSpec {
     } finally System.clearProperty("graft.artifact.root")
   }
 
+  test("lm index forget: merge then forget returns exactly the base index") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("lm-forget").toString
+    System.setProperty("graft.artifact.root", tmp)
+    try {
+      LmOps.ngramLmForgotten(spark, sfDir).collect() // drive the lifecycle
+      val dirs = new java.io.File(s"$tmp/lm_index").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      val baseDir = dirs.filter(d =>
+        !d.contains("_m_") && !d.contains("_f_")).head
+      val fDir = dirs.filter(_.endsWith("_f_refhalf")).head
+      def tables(d: String) = (
+        spark.read.parquet(s"$tmp/lm_index/$d/cab")
+          .as[(String, String, String, Long)].collect().toSet,
+        spark.read.parquet(s"$tmp/lm_index/$d/vocab")
+          .as[(String, String, Long)].collect().toSet)
+      val (baseCab, baseVocab) = tables(baseDir)
+      val (fCab, fVocab) = tables(fDir)
+      // subtractive algebra is exact: forgetting the merged half yields
+      // the base tables bit-for-bit, no residue, no zero rows
+      assert(fCab == baseCab)
+      assert(fVocab == baseVocab)
+      assert(fCab.forall(_._4 > 0L) && fVocab.forall(_._3 > 0L))
+    } finally System.clearProperty("graft.artifact.root")
+  }
+
 }

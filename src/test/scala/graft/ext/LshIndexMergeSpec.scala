@@ -106,4 +106,30 @@ class LshIndexMergeSpec extends SparkSpec {
     assert(viaMerged == viaRebuilt, "probe results diverge")
     assert(viaMerged.nonEmpty, "probe fixture found no near-dups — vacuous")
   }
+
+  test("forget: merge a slice in, forget it — tables return to base exactly") {
+    DedupOps.lshIndex(spark, sfDir) // base on disk
+    val baseDir = DedupOps.lshIndexDir(sfDir)
+    val mid = TextOps.documents(spark, sfDir)
+      .filter(DedupOps.sideBucket(col("doc_id"))
+          >= DedupOps.incrementalCorpusPermille &&
+        DedupOps.sideBucket(col("doc_id"))
+          < DedupOps.mergeProbePermille)
+      .select("doc_id", "text")
+    val mergedDir =
+      DedupOps.lshIndexMerge(spark, sfDir, mid, "spec-forget-merge")
+    val fDir = DedupOps.lshIndexForget(spark, mergedDir,
+      mid.select("doc_id"), "spec-forget")
+    // per-doc state only: filtering the merged tables IS the rebuild
+    // without those docs, i.e. the base tables bit-for-bit
+    for (t <- Seq("sigs", "shingles", "bands")) {
+      assert(sameRows(
+        spark.read.parquet(s"$fDir/$t"),
+        spark.read.parquet(s"$baseDir/$t")), s"table $t diverges")
+    }
+    // and the forgotten ids are really gone
+    val gone = spark.read.parquet(s"$fDir/sigs")
+      .join(mid.select("doc_id"), Seq("doc_id"), "left_semi").count()
+    assert(gone == 0L)
+  }
 }
