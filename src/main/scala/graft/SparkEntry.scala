@@ -59,6 +59,8 @@ object SparkEntry {
       ((s, dir) => CurationOps.lineBoilerplateApply(s, dir)),
     // the published Gopher heuristic filter battery, one scan
     "q_gopher_rules" -> ((s, dir) => CurationOps.gopherRules(s, dir)),
+    // similar-length batches: padding-minimizing inference batching
+    "q_length_batches" -> ((s, dir) => CurationOps.lengthBatches(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
     "q_contamination" -> ((s, dir) => CurationOps.contaminationScore(s, dir)),
     // Bloom pre-filtered twin: identical rows, broadcast-scale-safe path
@@ -238,6 +240,7 @@ object SparkEntry {
     "q_line_boilerplate" -> CurationOps.lineBoilerplateOracle,
     "q_line_boilerplate_apply" -> CurationOps.lineBoilerplateApplyOracle,
     "q_gopher_rules" -> CurationOps.gopherRulesOracle,
+    "q_length_batches" -> CurationOps.lengthBatchesOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
     "q_contamination" -> CurationOps.contaminationScoreOracle,
     // exact-verified Bloom variant is row-identical → shares the oracle

@@ -824,6 +824,85 @@ object CurationOps {
        |    AS pack_tokens
        |FROM b""".stripMargin
 
+  // ---- length-bucketed batching ---------------------------------------
+
+  /** Batch size for [[lengthBatches]]. */
+  val lenBatchSize = 8
+
+  /** Power-of-two length-bucket boundaries (tokens): a doc with
+    * n ∈ (2^k−1, 2^k] lands in bucket k, capped at the last bound.
+    * A CASE chain over fixed integers — no log2(), which is not
+    * cross-engine-exact.
+    */
+  val lenBucketBounds: Seq[Int] = Seq(8, 16, 32, 64, 128, 256, 512, 1024)
+
+  /** LENGTH-BUCKETED BATCHING — the inference-side twin of sequence
+    * packing: group documents of similar token length into fixed-size
+    * batches so per-batch padding (every sequence padded to the batch
+    * max) stays small. Emits each doc's bucket, batch, the batch's max
+    * length, and its own padding cost — the number a serving/eval
+    * harness sums to size the win vs naive-order batching.
+    *
+    * Scale shape: one token-count projection, then the packSequences
+    * window discipline — batches are assigned within (lang, shard,
+    * bucket) with shard = doc_id mod [[packShards]], so no partition
+    * exceeds 1/packShards of a language-bucket; raise packShards with
+    * corpus size, plan unchanged.
+    */
+  def lengthBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = lenBucketBounds.zipWithIndex.foldRight(
+      lit(lenBucketBounds.length - 1)) { case ((bound, i), acc) =>
+      when(col("n_tokens") <= bound, i).otherwise(acc)
+    }
+    val d = documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), size(toksCol).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", col("doc_id") % packShards)
+      .withColumn("len_bucket", bucket.cast("long"))
+    val batched = d
+      .withColumn("batch_no",
+        expr(s"(row_number() OVER (PARTITION BY lang, shard, len_bucket" +
+          s" ORDER BY doc_id) - 1) div $lenBatchSize"))
+      .withColumn("batch_id",
+        concat_ws("#", col("lang"), col("shard"), col("len_bucket"),
+          col("batch_no")))
+    val byBatch = Window.partitionBy("lang", "shard", "len_bucket",
+      "batch_no")
+    Canon.canonicalize(batched
+      .withColumn("batch_max", max("n_tokens").over(byBatch))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("len_bucket"), col("batch_id"), col("batch_max"),
+        (col("batch_max") - col("n_tokens")).as("pad_tokens")))
+  }
+
+  val lengthBatchesOracle: String = {
+    val bucketCase = lenBucketBounds.zipWithIndex
+      .map { case (bound, i) => s"WHEN n_tokens <= $bound THEN $i" }
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len($toksSql) AS n_tokens,
+       |         doc_id % $packShards AS shard
+       |  FROM documents),
+       |b AS (
+       |  SELECT *, CAST(CASE $bucketCase
+       |    ELSE ${lenBucketBounds.length - 1} END AS BIGINT) AS len_bucket
+       |  FROM d WHERE n_tokens > 0),
+       |n AS (
+       |  SELECT *,
+       |    (row_number() OVER (PARTITION BY lang, shard, len_bucket
+       |       ORDER BY doc_id) - 1) // $lenBatchSize AS batch_no
+       |  FROM b)
+       |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  len_bucket,
+       |  lang || '#' || shard || '#' || len_bucket || '#' || batch_no
+       |    AS batch_id,
+       |  CAST(max(n_tokens) OVER (PARTITION BY lang, shard, len_bucket,
+       |    batch_no) AS BIGINT) AS batch_max,
+       |  CAST(max(n_tokens) OVER (PARTITION BY lang, shard, len_bucket,
+       |    batch_no) - n_tokens AS BIGINT) AS pad_tokens
+       |FROM n""".stripMargin
+  }
+
   // ---- Gopher quality rule suite --------------------------------------
 
   /** The published Gopher pre-training quality rules (Rae et al. 2021,

@@ -317,4 +317,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_._7).distinct.length > 3)
   }
 
+  test("length batches: bounded size, correct buckets, beats naive padding") {
+    val rows = CurationOps.lengthBatches(spark, sfDir)
+      .as[(Long, String, Long, Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bounds = CurationOps.lenBucketBounds
+    rows.foreach { case (id, _, n, bucket, _, bmax, pad) =>
+      // bucket bounds: n fits its bucket and not the one below
+      assert(n <= bounds(bucket.toInt), s"doc $id over bucket bound")
+      if (bucket > 0)
+        assert(n > bounds(bucket.toInt - 1), s"doc $id under bucket")
+      assert(pad == bmax - n && pad >= 0L)
+    }
+    // no batch exceeds the configured size
+    rows.groupBy(_._5).foreach { case (bid, docs) =>
+      assert(docs.length <= CurationOps.lenBatchSize, s"batch $bid")
+    }
+    // padding with length bucketing must beat naive doc_id-order
+    // batching of the same docs (the operator's whole point)
+    val naive = rows.sortBy(_._1).grouped(CurationOps.lenBatchSize)
+      .flatMap { g => val m = g.map(_._3).max; g.map(m - _._3) }.sum
+    val bucketed = rows.map(_._7).sum
+    assert(bucketed < naive,
+      s"bucketed padding $bucketed !< naive $naive")
+  }
+
 }
