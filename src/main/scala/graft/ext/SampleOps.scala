@@ -456,7 +456,7 @@ object SampleOps {
     * (Spark via expr), so twin-ness is by construction: fold the first
     * four md5 hex digits to an int in [0, 16⁴), mod [[dsirBuckets]].
     */
-  private def dsirBucketSql(g: String): String = {
+  private[graft] def dsirBucketSql(g: String): String = {
     def d(i: Int) =
       s"(instr('0123456789abcdef', substr(md5($g), $i, 1)) - 1)"
     s"((${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)})" +
@@ -499,8 +499,10 @@ object SampleOps {
     // tables AND the scoring join) reads the histogram — the λ join
     // touches ≤ 64·n_docs rows instead of one row per gram occurrence
     // (bench: 5.1 s → histogram shape at sf0.1)
+    // the native digest-read form of dsirBucketSql — equivalence with
+    // the oracle's builtin formula is property-pinned (Md5BucketSpec)
     val hist = dg.select(col("doc_id"),
-        expr(dsirBucketSql("g")).cast("long").as("b"))
+        graft.functions.Md5Bucket(col("g"), dsirBuckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n")).persist()
     hist.count() // EAGER: four downstream subtrees read this frame; an
     // unmaterialized cache lets them race and recompute the gram scan

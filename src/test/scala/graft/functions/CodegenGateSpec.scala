@@ -88,7 +88,12 @@ class CodegenGateSpec extends SparkSpec {
       ("HtmlExtract", () =>
         Seq("<p>a &amp; b</p>", "no markup", "un<closed", "&amp;lt;", "")
           .toDF("html")
-          .select(HtmlExtract(col("html")).as("out"))))
+          .select(HtmlExtract(col("html")).as("out"))),
+      ("Md5Bucket", () =>
+        Seq("the", "quick brown", "", "fox jumps over")
+          .toDF("g")
+          .select(Md5Bucket(col("g"),
+            graft.ext.SampleOps.dsirBuckets).as("out"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */

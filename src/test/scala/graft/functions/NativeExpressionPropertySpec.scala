@@ -150,4 +150,21 @@ class NativeExpressionPropertySpec extends SparkSpec {
       assert(native == vecs.map(model), s"diverged on $vecs")
     }
   }
+
+  test("Md5Bucket == the composed hex-digit formula the oracle runs") {
+    import spark.implicits._
+    val B = graft.ext.SampleOps.dsirBuckets
+    for (texts <- cases(Gen.listOfN(12, asciiText), 15)) {
+      // include multi-byte UTF-8 alongside the generated ASCII: the
+      // digest runs over the same UTF-8 bytes in both forms
+      val df = (texts ++ Seq("héllo wörld", "日本語", "")).toDF("g")
+      val native = df.select(Md5Bucket(col("g"), B).as("b"))
+        .as[Long].collect().toSeq
+      val composed = df.select(
+        expr(graft.ext.SampleOps.dsirBucketSql("g")).cast("long").as("b"))
+        .as[Long].collect().toSeq
+      assert(native == composed, s"diverged on $texts")
+      assert(native.forall(b => b >= 0 && b < B))
+    }
+  }
 }
