@@ -199,6 +199,8 @@ object SparkEntry {
     "q_scd2_merge" -> ((s, dir) => MicroQueries.scd2Merge(s, dir)),
     "q_snapshot_diff" -> ((s, dir) => MicroQueries.snapshotDiff(s, dir)),
     "q_incremental_score" -> ((s, dir) => MicroQueries.incrementalScore(s, dir)),
+    // per-feature TV distance vs yesterday's snapshot (drift dashboard)
+    "q_corpus_drift" -> ((s, dir) => MicroQueries.corpusDrift(s, dir)),
     "q_skew_report" -> ((s, dir) => MicroQueries.skewReport(s, dir)),
     "q_profile_orders" -> ((s, dir) => MicroQueries.profileOrders(s, dir)),
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
@@ -343,6 +345,7 @@ object SparkEntry {
     "q_scd2_merge" -> MicroQueries.scd2MergeOracle,
     "q_snapshot_diff" -> MicroQueries.snapshotDiffOracle,
     "q_incremental_score" -> MicroQueries.incrementalScoreOracle,
+    "q_corpus_drift" -> MicroQueries.corpusDriftOracle,
     "q_skew_report" -> MicroQueries.skewReportOracle,
     "q_profile_orders" -> MicroQueries.profileOrdersOracle,
     "q_percentiles" -> EventOps.groupPercentilesOracle,

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -458,8 +458,10 @@ object MicroQueries {
     *    anything smaller could collide with scaled data);
     *  - everything else is identical → not in the report.
     */
-  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = graft.io.Tables.load(spark, sfDir, "documents")
+  /** The synthetic "yesterday" frame (the Spark twin of
+    * [[snapshotPrevCte]]) — shared by the diff and the drift report.
+    */
+  private def documentsPrev(d: DataFrame): DataFrame = {
     val base = d.filter(col("doc_id") % 13 =!= 0).select(
       col("doc_id"), col("lang"), col("source"),
       (col("n_chars") +
@@ -467,7 +469,12 @@ object MicroQueries {
     val ghosts = d.filter(col("doc_id") % 11 === 0).select(
       (col("doc_id") + 1000000000L).as("doc_id"),
       col("lang"), col("source"), col("n_chars"))
-    val prev = base.unionByName(ghosts)
+    base.unionByName(ghosts)
+  }
+
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.io.Tables.load(spark, sfDir, "documents")
+    val prev = documentsPrev(d)
     val cur = d.select("doc_id", "lang", "source", "n_chars")
     Canon.canonicalize(graft.ops.Snapshot.diff(cur, prev,
       Seq("doc_id"), Seq("lang", "source", "n_chars")))
@@ -477,7 +484,10 @@ object MicroQueries {
     * classified `sdiff`), shared by the standalone report oracle and
     * the incremental-scoring composition.
     */
-  private val snapshotDiffCtes: String =
+  /** The synthetic "yesterday" alone — shared by the diff chain and the
+    * drift report so the two can never disagree about what prev is.
+    */
+  private val snapshotPrevCte: String =
     """prev AS (
       |  SELECT doc_id, lang, source,
       |         n_chars + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
@@ -485,7 +495,10 @@ object MicroQueries {
       |  FROM documents WHERE doc_id % 13 <> 0
       |  UNION ALL
       |  SELECT doc_id + 1000000000, lang, source, n_chars
-      |  FROM documents WHERE doc_id % 11 = 0),
+      |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  private val snapshotDiffCtes: String =
+    s"""$snapshotPrevCte,
       |j AS (
       |  SELECT c.doc_id AS k_c, p.doc_id AS k_p,
       |         (c.doc_id IS NOT NULL AND p.doc_id IS NOT NULL) AS in_both,
@@ -612,5 +625,105 @@ object MicroQueries {
        |  FROM orders)
        |${(valueSelects ++ uniqueSelects ++ fkSelects).mkString("\nUNION ALL\n")}"""
       .stripMargin
+  }
+
+  // ---- corpus distribution drift --------------------------------------
+
+  /** Drift flag threshold on total-variation distance. */
+  val driftTvMax = 0.01
+
+  /** n_chars histogram boundaries (powers of two). */
+  private val driftCharBounds = Seq(64, 128, 256, 512, 1024)
+
+  /** CORPUS DISTRIBUTION DRIFT between yesterday's snapshot and today:
+    * per-feature total-variation distance over bounded histograms
+    * (source mix, language mix, doc-length buckets) — the ops dashboard
+    * number that catches a crawler change or upstream filter regression
+    * BEFORE it trains into a model. Uses the same synthetic `prev` as
+    * [[snapshotDiff]] so the two reports describe the same day pair.
+    *
+    * Determinism: TV = Σ_bins |c_prev·N_cur − c_cur·N_prev| / (2·N_prev
+    * ·N_cur) — integer numerators summed exactly (no double
+    * accumulation), ONE final division. The cross-product form bounds
+    * per-bin magnitude by N_prev·N_cur: fine through ~10⁹-doc snapshots
+    * in BIGINT; lift to DECIMAL(38) (or pre-normalize counts per-mille)
+    * beyond that — the histogram SHAPE is unchanged.
+    *
+    * Scale shape: two pruned scans fold to ≤|bins| rows per feature
+    * (langs, sources, ≤6 length buckets), histograms full-outer-join on
+    * the bin key at bounded size, totals broadcast as 1-row frames.
+    */
+  def corpusDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.io.Tables.load(spark, sfDir, "documents")
+    val prev = documentsPrev(d)
+    val cur = d.select("doc_id", "lang", "source", "n_chars")
+    val charBucket = driftCharBounds.zipWithIndex.foldRight(
+      lit(driftCharBounds.length)) { case ((bound, i), acc) =>
+      when(col("n_chars") <= bound, i).otherwise(acc)
+    }.cast("string")
+    def tv(feature: String, bin: Column): DataFrame = {
+      def hist(df: DataFrame, cName: String) =
+        df.select(bin.as("bin")).groupBy("bin")
+          .agg(count(lit(1)).as(cName))
+      val hp = hist(prev, "c_p")
+      val hc = hist(cur, "c_c")
+      val np = prev.agg(count(lit(1)).as("n_prev"))
+      val nc = cur.agg(count(lit(1)).as("n_cur"))
+      hp.join(hc, Seq("bin"), "full_outer")
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nc))
+        .agg(
+          count(lit(1)).as("n_bins"),
+          first("n_prev").as("n_prev"),
+          first("n_cur").as("n_cur"),
+          sum(abs(coalesce(col("c_p"), lit(0L)) * col("n_cur") -
+            coalesce(col("c_c"), lit(0L)) * col("n_prev"))).as("num"))
+        .select(lit(feature).as("feature"), col("n_bins"),
+          col("n_prev"), col("n_cur"),
+          (col("num").cast("double") /
+            (lit(2L) * col("n_prev") * col("n_cur")).cast("double"))
+            .as("tv"))
+    }
+    val out = tv("source", col("source"))
+      .unionByName(tv("lang", col("lang")))
+      .unionByName(tv("n_chars_bucket", charBucket))
+      .withColumn("drifted", col("tv") > driftTvMax)
+    Canon.canonicalize(out)
+  }
+
+  val corpusDriftOracle: String = {
+    val bucketCase = driftCharBounds.zipWithIndex
+      .map { case (bound, i) => s"WHEN n_chars <= $bound THEN $i" }
+      .mkString(" ")
+    val charBin =
+      s"CAST(CASE $bucketCase ELSE ${driftCharBounds.length} END AS VARCHAR)"
+    def tvSql(feature: String, binExpr: String): String =
+      s"""SELECT '$feature' AS feature,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(any_value(n_prev) AS BIGINT) AS n_prev,
+         |  CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+         |  CAST(CAST(sum(abs(coalesce(c_p, 0) * n_cur
+         |                    - coalesce(c_c, 0) * n_prev)) AS BIGINT)
+         |       AS DOUBLE)
+         |    / CAST(2 * any_value(n_prev) * any_value(n_cur) AS DOUBLE)
+         |    AS tv
+         |FROM (
+         |  SELECT coalesce(p.bin, c.bin) AS bin, p.c_p, c.c_c
+         |  FROM (SELECT $binExpr AS bin, count(*) AS c_p
+         |        FROM prev GROUP BY 1) p
+         |  FULL OUTER JOIN (SELECT $binExpr AS bin, count(*) AS c_c
+         |        FROM documents GROUP BY 1) c
+         |  ON p.bin = c.bin),
+         |  (SELECT count(*) AS n_prev FROM prev),
+         |  (SELECT count(*) AS n_cur FROM documents)""".stripMargin
+    s"""WITH $snapshotPrevCte,
+       |alltv AS (
+       |${tvSql("source", "source")}
+       |UNION ALL
+       |${tvSql("lang", "lang")}
+       |UNION ALL
+       |${tvSql("n_chars_bucket", charBin)})
+       |SELECT feature, n_bins, n_prev, n_cur, tv,
+       |       tv > $driftTvMax AS drifted
+       |FROM alltv""".stripMargin
   }
 }

@@ -61,4 +61,38 @@ class SnapshotSpec extends SparkSpec {
     scored.foreach { case (id, s) => assert(s == full(id), s"doc $id") }
   }
 
+  test("corpus drift: brute-force TV parity on the source feature") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.pipelines.MicroQueries.corpusDrift(spark, sfDir)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet ==
+      Set("source", "lang", "n_chars_bucket"))
+    // rebuild prev's source histogram by the documented seeding rules
+    // and recompute the TV numerator exactly
+    val docs = graft.ext.TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toSeq
+    val curH = docs.groupBy(_._2).map { case (s, v) => s -> v.size.toLong }
+    val prevDocs = docs.filter(_._1 % 13 != 0) ++
+      docs.filter(_._1 % 11 == 0)
+    val prevH = prevDocs.groupBy(_._2)
+      .map { case (s, v) => s -> v.size.toLong }
+    val (np, nc) = (prevDocs.size.toLong, docs.size.toLong)
+    val bins = (curH.keySet ++ prevH.keySet).toSeq
+    val num = bins.map(b =>
+      (prevH.getOrElse(b, 0L) * nc - curH.getOrElse(b, 0L) * np).abs).sum
+    val expected = num.toDouble / (2L * np * nc).toDouble
+    val (_, nBins, gotNp, gotNc, tv, drifted) = got("source")
+    assert(nBins == bins.size.toLong)
+    assert(gotNp == np && gotNc == nc)
+    assert(tv == expected, s"tv $tv != $expected")
+    assert(drifted ==
+      (tv > graft.pipelines.MicroQueries.driftTvMax))
+    // every feature's flag agrees with its own tv
+    got.values.foreach { case (f, _, _, _, t, d) =>
+      assert(d == (t > graft.pipelines.MicroQueries.driftTvMax), f)
+    }
+  }
+
 }
