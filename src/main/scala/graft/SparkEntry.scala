@@ -148,6 +148,9 @@ object SparkEntry {
     "q_ann_ivf_pq" -> ((s, dir) => VectorOps.annIvfPq(s, dir)),
     // discovered-domain clusters + balanced-mixture repeat factors
     "q_domain_mixture" -> ((s, dir) => VectorOps.domainMixture(s, dir)),
+    // embeddings data contract (dim, zero vectors, bidirectional FK)
+    "q_embed_expectations" ->
+      ((s, dir) => VectorOps.embedExpectations(s, dir)),
     "q_embed_quantize" -> ((s, dir) => VectorOps.quantizeInt8(s, dir)),
     "q_embed_project" -> ((s, dir) => VectorOps.embedProject(s, dir)),
     "q_embed_moments" -> ((s, dir) => VectorOps.embedMoments(s, dir)),
@@ -306,6 +309,7 @@ object SparkEntry {
     "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),
     "q_ann_ivf_pq" -> VectorOps.annIvfPqOracle(),
     "q_domain_mixture" -> VectorOps.domainMixtureOracle,
+    "q_embed_expectations" -> VectorOps.embedExpectationsOracle,
     "q_semantic_dedup" -> VectorOps.semanticDedupOracle,
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,

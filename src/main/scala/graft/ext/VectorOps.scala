@@ -1318,6 +1318,102 @@ object VectorOps {
     Canon.materialized(out, e)
   }
 
+  // ---- embeddings data contract ---------------------------------------
+
+  /** Fixture embedding dimensionality (the contract bound). */
+  val embedDim = 64
+
+  /** EMBEDDINGS DATA CONTRACT: the [[graft.ops.Quality]] expectation
+    * machinery instantiated on the embeddings table — the checks an
+    * embedding store runs before an index build trains on garbage:
+    * non-null ids/labels, exact dimensionality, no zero vectors, unique
+    * vec_id, and BIDIRECTIONAL integrity with `documents` (every vector
+    * has a document AND every document has a vector — the reverse
+    * direction is its own expectation call over `documents`, unioned in).
+    * Array facts are pre-derived into scalar columns (dim, is_zero) so
+    * the shared Rule ADT — and its one-scan fold — applies unchanged.
+    */
+  def embedExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Quality
+    import graft.ops.Quality.Rule
+    val e = embeddings(spark, sfDir)
+    val docs = TextOps.documents(spark, sfDir)
+    val derived = e.select(col("vec_id"), col("label"),
+      size(col("embedding")).cast("long").as("dim"),
+      (array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))) === 0.0).cast("string").as("is_zero"))
+    val fwd = Quality.expectations(derived, Seq(
+      Rule.NotNull("vec_id"), Rule.NotNull("label"),
+      Rule.InRange("dim", embedDim, embedDim),
+      Rule.InSet("is_zero", Seq("false")),
+      Rule.Unique(Seq("vec_id")),
+      Rule.RefIntegrity(Seq("vec_id"), "documents", Seq("doc_id"))),
+      refs = Map("documents" -> docs))
+    val rev = Quality.expectations(docs.select(col("doc_id")), Seq(
+      Rule.RefIntegrity(Seq("doc_id"), "embeddings", Seq("vec_id"))),
+      refs = Map("embeddings" -> e))
+    Canon.canonicalize(fwd.unionByName(rev))
+  }
+
+  /** Generated from the SAME rule names/predicates discipline as
+    * q_expectations' oracle, over the derived scalar view of the
+    * embeddings array.
+    */
+  val embedExpectationsOracle: String = {
+    import graft.ops.Quality
+    import graft.ops.Quality.Rule
+    val valueRules = Seq(
+      Rule.NotNull("vec_id"), Rule.NotNull("label"),
+      Rule.InRange("dim", embedDim, embedDim),
+      Rule.InSet("is_zero", Seq("false")))
+    val baseCols = valueRules.zipWithIndex.map { case (r, i) =>
+      s"""CAST(sum(CASE WHEN ${Quality.satisfiedSql(r)}
+         |  THEN 0 ELSE 1 END) AS BIGINT) AS v_$i""".stripMargin
+    }.mkString(",\n  ")
+    val valueSelects = valueRules.zipWithIndex.map { case (r, i) =>
+      s"""SELECT '${r.name}' AS rule_name, n_rows,
+         |  v_$i AS n_violations, v_$i = 0 AS passed FROM base"""
+        .stripMargin
+    }
+    s"""WITH eb AS (
+       |  SELECT vec_id, label,
+       |    CAST(len(embedding) AS BIGINT) AS dim,
+       |    CAST(list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) = 0 AS VARCHAR) AS is_zero
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT count(*) AS n_rows,
+       |  $baseCols
+       |  FROM eb)
+       |${valueSelects.mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |SELECT 'unique(vec_id)' AS rule_name,
+       |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0)
+       |    AS BIGINT) AS n_violations,
+       |  coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) = 0 AS passed
+       |FROM (SELECT count(*) AS cnt FROM embeddings GROUP BY vec_id)
+       |UNION ALL
+       |SELECT 'ref(vec_id->documents)' AS rule_name,
+       |  (SELECT count(*) FROM embeddings) AS n_rows,
+       |  (SELECT count(*) FROM embeddings t WHERE t.vec_id IS NOT NULL
+       |     AND NOT EXISTS (SELECT 1 FROM documents r
+       |                     WHERE r.doc_id = t.vec_id)) AS n_violations,
+       |  (SELECT count(*) FROM embeddings t WHERE t.vec_id IS NOT NULL
+       |     AND NOT EXISTS (SELECT 1 FROM documents r
+       |                     WHERE r.doc_id = t.vec_id)) = 0 AS passed
+       |UNION ALL
+       |SELECT 'ref(doc_id->embeddings)' AS rule_name,
+       |  (SELECT count(*) FROM documents) AS n_rows,
+       |  (SELECT count(*) FROM documents t WHERE t.doc_id IS NOT NULL
+       |     AND NOT EXISTS (SELECT 1 FROM embeddings r
+       |                     WHERE r.vec_id = t.doc_id)) AS n_violations,
+       |  (SELECT count(*) FROM documents t WHERE t.doc_id IS NOT NULL
+       |     AND NOT EXISTS (SELECT 1 FROM embeddings r
+       |                     WHERE r.vec_id = t.doc_id)) = 0 AS passed"""
+      .stripMargin
+  }
+
   /** Composes the IVF oracle prefix (training + `bucketed`; the unused
     * probe CTEs cost nothing) with the bounded mixture rollups.
     */

@@ -346,4 +346,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(byN.head._5 >= byN.last._5)
   }
 
+  test("embed contract: fixture passes every rule; doctored data fails") {
+    val clean = VectorOps.embedExpectations(spark, sfDir)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(clean.length == 7 && clean.forall(_._4),
+      clean.mkString("; "))
+    // the same derivation + rules over a frame seeded with violations:
+    // one short vector, one zero vector, one orphan id
+    import graft.ops.Quality
+    import graft.ops.Quality.Rule
+    val bad = Seq(
+      (1L, 1, Seq.fill(VectorOps.embedDim)(0.5f)),     // clean
+      (2L, 2, Seq.fill(8)(0.5f)),                      // wrong dim
+      (3L, 3, Seq.fill(VectorOps.embedDim)(0.0f)),     // zero vector
+      (999999L, 4, Seq.fill(VectorOps.embedDim)(0.5f)) // orphan vec_id
+    ).toDF("vec_id", "label", "embedding")
+    val derived = bad.select(col("vec_id"), col("label"),
+      size(col("embedding")).cast("long").as("dim"),
+      (array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))) === 0.0).cast("string").as("is_zero"))
+    val report = Quality.expectations(derived, Seq(
+      Rule.InRange("dim", VectorOps.embedDim, VectorOps.embedDim),
+      Rule.InSet("is_zero", Seq("false")),
+      Rule.RefIntegrity(Seq("vec_id"), "documents", Seq("doc_id"))),
+      refs = Map("documents" ->
+        TextOps.documents(spark, sfDir).select("doc_id")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(report("in_range(dim)")._3 == 1L)
+    assert(report("in_set(is_zero)")._3 == 1L)
+    assert(report("ref(vec_id->documents)")._3 == 1L)
+    assert(report.values.forall(!_._4))
+  }
+
 }
