@@ -159,15 +159,34 @@ object BpeOps {
   private[ext] def trainedMerges(spark: SparkSession, sfDir: String,
                                  words: Option[DataFrame] = None)
       : Seq[(Int, Int, String, String, String, Long)] = {
-    val key = s"$sfDir#$bpeMerges#$bpeRounds#$bpeCandidates#" +
-      Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    import spark.implicits._
+    val fp = Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val key = s"$sfDir#$bpeMerges#$bpeRounds#$bpeCandidates#$fp"
     Option(mergeCache.get(key)).getOrElse {
-      val trained = trainLoop(spark,
-        words.getOrElse(tokenWords(spark, sfDir)))
-      mergeCache.put(key, trained)
-      trained
+      // disk tier beneath the JVM memo: the trained tokenizer is a
+      // persisted, SUCCESS-gated, fingerprint-stamped artifact (the
+      // LSH/IVF index contract) — a NEW JVM reloads instead of
+      // retraining; BpePersistSpec pins reload ≡ retrain
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+      val dir = s"${graft.io.Artifacts.root}/bpe_index/" +
+        s"${tag}_m${bpeMerges}_r${bpeRounds}_c${bpeCandidates}_$fp/merges"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val trained = trainLoop(spark,
+          words.getOrElse(tokenWords(spark, sfDir)))
+        spark.createDataset(trained)
+          .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      }
+      val loaded = spark.read.parquet(dir)
+        .as[(Int, Int, String, String, String, Long)]
+        .collect().toSeq.sortBy(_._1)
+      mergeCache.put(key, loaded)
+      loaded
     }
   }
+
+  /** TEST HOOK: drop the JVM memo (simulated restart for BpePersistSpec). */
+  private[ext] def clearMemos(): Unit = mergeCache.clear()
 
   private def trainLoop(spark: SparkSession, words: DataFrame)
       : Seq[(Int, Int, String, String, String, Long)] = {

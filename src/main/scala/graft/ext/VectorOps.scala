@@ -489,15 +489,50 @@ object VectorOps {
   private def dataFingerprint(path: String): String =
     graft.io.Fingerprint.ofPath(path)
 
+  /** Root dir of the PERSISTED trained-index artifacts for a dataset:
+    * centroids (and PQ codebooks) land under here, SUCCESS-gated and
+    * fingerprint-stamped like the LSH index, so a NEW JVM reloads the
+    * trained index instead of retraining — the restart path the
+    * in-JVM memo alone cannot provide.
+    */
+  private def ivfIndexDir(sfDir: String, fp: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"${graft.io.Artifacts.root}/ivf_index/" +
+      s"${tag}_c${ivfCentroids}_i${ivfIters}_$fp"
+  }
+
+  /** Centroid rows through the THREE-tier cache: JVM memo → persisted
+    * artifact → train-and-publish. Training is bit-deterministic, so
+    * all tiers agree by construction (and IvfPersistSpec pins reload ≡
+    * retrain across a simulated restart).
+    */
+  private def cachedCentroids(spark: SparkSession, sfDir: String,
+                              e: DataFrame): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    val fp = dataFingerprint(s"$sfDir/embeddings.parquet")
+    centroidCache.computeIfAbsent(
+      s"$sfDir#$ivfCentroids#$ivfIters#$fp", _ => {
+        val dir = s"${ivfIndexDir(sfDir, fp)}/centroids"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          trainedCentroids(e).write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir).as[(Long, Seq[Double])].collect()
+          .toSeq.sortBy(_._1)
+      })
+  }
+
+  /** TEST HOOK: drop the in-JVM memo tiers (simulates a JVM restart so
+    * specs can prove the disk tier serves the reload).
+    */
+  private[ext] def clearMemos(): Unit = {
+    centroidCache.clear(); pqCache.clear()
+  }
+
   def annIvf(spark: SparkSession, sfDir: String, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist() // assignment pass + probe set + centroid training
-    val cachedRows = centroidCache.computeIfAbsent(
-      s"$sfDir#$ivfCentroids#$ivfIters#" +
-        dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+    val cachedRows = cachedCentroids(spark, sfDir, e)
     val centroids = cachedRows.toDF("cent_id", "cv")
 
     // one O(N·C) assignment pass — centroids broadcast, reduced to one
@@ -559,10 +594,7 @@ object VectorOps {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist() // training + assignment + pair scoring
-    val cachedRows = centroidCache.computeIfAbsent(
-      s"$sfDir#$ivfCentroids#$ivfIters#" +
-        dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+    val cachedRows = cachedCentroids(spark, sfDir, e)
     val centroids = cachedRows.toDF("cent_id", "cv")
     val bucketed = assignNearest(e, centroids)
       .select(col("vec_id"), col("v"), col("bucket"))
@@ -603,17 +635,13 @@ object VectorOps {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cachedRows = centroidCache.computeIfAbsent(
-      s"$sfDir#$ivfCentroids#$ivfIters#" +
-        dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => {
-        // persist spans ONLY the training rounds and is released once
-        // the (tiny) centroid rows are collected — a cold-cache call
-        // must not pin the embeddings frame for the session
-        val ep = e.persist()
-        try trainedCentroids(ep).as[(Long, Seq[Double])].collect().toSeq
-        finally { ep.unpersist(false); () }
-      })
+    // persist spans ONLY the training/load rounds and is released once
+    // the (tiny) centroid rows are in hand — a cold-cache call must not
+    // pin the embeddings frame for the session
+    val ep = e.persist()
+    val cachedRows =
+      try cachedCentroids(spark, sfDir, ep)
+      finally { ep.unpersist(false); () }
     assignNearest(e, cachedRows.toDF("cent_id", "cv"))
       .select(col("vec_id"), col("v"), col("bucket"))
   }
@@ -665,10 +693,7 @@ object VectorOps {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist()
-    val cachedRows = centroidCache.computeIfAbsent(
-      s"$sfDir#$ivfCentroids#$ivfIters#" +
-        dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+    val cachedRows = cachedCentroids(spark, sfDir, e)
     val centroids = cachedRows.toDF("cent_id", "cv")
 
     val bucketed = assignNearest(e, centroids)
@@ -886,16 +911,16 @@ object VectorOps {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist()
-    val centroids = centroidCache.computeIfAbsent(
-      s"$sfDir#$ivfCentroids#$ivfIters#" +
-        dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
-      .toDF("cent_id", "cv")
+    val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
+    val fp = dataFingerprint(s"$sfDir/embeddings.parquet")
     val codebooks = pqCache.computeIfAbsent(
-      s"$sfDir#$pqM#$pqK#$pqIters#" +
-        dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => trainedPqCodebooks(e).as[(Int, Long, Seq[Double])]
-        .collect().toSeq.sortBy(r => (r._1, r._2)))
+      s"$sfDir#$pqM#$pqK#$pqIters#$fp", _ => {
+        val dir = s"${ivfIndexDir(sfDir, fp)}/pq_${pqM}_${pqK}_$pqIters"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          trainedPqCodebooks(e).write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir).as[(Int, Long, Seq[Double])]
+          .collect().toSeq.sortBy(r => (r._1, r._2))
+      })
       .toDF("j", "cent_id", "cv")
 
     val bucketed = assignNearest(e, centroids)
@@ -1289,10 +1314,7 @@ object VectorOps {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist()
-    val cachedRows = centroidCache.computeIfAbsent(
-      s"$sfDir#$ivfCentroids#$ivfIters#" +
-        dataFingerprint(s"$sfDir/embeddings.parquet"),
-      _ => trainedCentroids(e).as[(Long, Seq[Double])].collect().toSeq)
+    val cachedRows = cachedCentroids(spark, sfDir, e)
     val centroids = cachedRows.toDF("cent_id", "cv")
     val assigned = assignNearest(e, centroids)
       .select(col("vec_id"), col("bucket"))
