@@ -122,6 +122,15 @@ object Runner {
       // epoch-0 training order: deterministic shuffle → (shard, pos)
       "shard_assign" ->
         (() => ext.SampleOps.shardAssign(spark, sfDir).count()),
+      // the embeddings data contract gates the index build: a store
+      // with missing/zero/orphan vectors must fail before training
+      "embed_contract" -> (() => {
+        val bad = VectorOps.embedExpectations(spark, sfDir)
+          .filter(!org.apache.spark.sql.functions.col("passed")).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"embeddings contract: $bad rule(s) failing — index build aborted")
+        1L
+      }),
       "ann_index_refresh" -> (() => VectorOps.annIvfSq8(spark, sfDir).count()))
 
     // the INCREMENTAL daily path: classify the delta vs yesterday's
@@ -130,6 +139,10 @@ object Runner {
     val incremental: Seq[(String, () => Long)] = Seq(
       "snapshot_diff" ->
         (() => pipelines.MicroQueries.snapshotDiff(spark, sfDir).count()),
+      // distribution drift beside the row-level diff: the dashboard
+      // row that catches a crawler/filter regression in the same pass
+      "corpus_drift" ->
+        (() => pipelines.MicroQueries.corpusDrift(spark, sfDir).count()),
       "incremental_score" ->
         (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()))
 
