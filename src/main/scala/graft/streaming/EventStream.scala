@@ -358,6 +358,86 @@ object EventStream {
       }
       .start()
 
+  /** The ONLINE INGEST FUNNEL — the full acceptance pipeline a crawl
+    * feed passes through, composed from the library's own stages in
+    * their batch forms, run per micro-batch:
+    *
+    *   1. quality gate (the shared [[graft.ext.TextOps]] score ≥
+    *      `qualityMin` — corpusCurate's exact filter);
+    *   2. near-dup gate: probe the PERSISTED corpus LSH index and drop
+    *      any batch doc with a verified near-dup in the corpus;
+    *   3. fluency gate: the batch-trained reference LM
+    *      ([[fluencyGate]]'s scoring, same tables) keeps docs with
+    *      mean inverse probability ≤ `fluencyMax` (a doc that
+    *      tokenizes to nothing cannot be scored and is dropped here).
+    *
+    * Every stage is stateless per document given its static side
+    * inputs (index tables, LM tables), so per-batch ≡ whole-feed:
+    * accepted docs and a one-row stats report land exactly-once per
+    * batch (`accepted_batch=`/`stats_batch=` overwrites — the replay
+    * discipline), and the union across batches equals the one-shot
+    * batch funnel over the concatenated feed, restart included
+    * (spec-asserted).
+    */
+  def ingestFunnel(docs: DataFrame, sfDir: String,
+                   cAb: DataFrame, cA: DataFrame, voc: DataFrame,
+                   qualityMin: Double, fluencyMax: Double,
+                   outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (accepted, stats) =
+          ingestFunnelBatch(batch, sfDir, cAb, cA, voc,
+            qualityMin, fluencyMax)
+        try {
+          accepted.write.mode("overwrite")
+            .parquet(s"$outDir/accepted_batch=$batchId")
+          stats.write.mode("overwrite")
+            .parquet(s"$outDir/stats_batch=$batchId")
+        } finally { accepted.unpersist(false); () }
+      }
+      .start()
+
+  /** The funnel's batch form — ONE definition serves the stream (above)
+    * and the spec's whole-feed reference, so they cannot drift.
+    * Returns (accepted docs, one-row stage-drop stats). The accepted
+    * frame comes back PERSISTED (its stats were just counted off it);
+    * the caller unpersists after consuming.
+    */
+  def ingestFunnelBatch(batch: DataFrame, sfDir: String,
+                        cAb: DataFrame, cA: DataFrame, voc: DataFrame,
+                        qualityMin: Double, fluencyMax: Double)
+      : (DataFrame, DataFrame) = {
+    import graft.ext.{DedupOps, LmOps, TextOps}
+    val scored = TextOps.withQualityScore(
+        batch.withColumn("norm", TextOps.normText(col("text"))))
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("quality_score"))
+    val qPassed = scored.filter(col("quality_score") >= qualityMin)
+      .select("doc_id", "lang", "text").persist()
+    val dupIds = DedupOps.probeLshIndex(batch.sparkSession, sfDir,
+        qPassed.select("doc_id", "text"))
+      .select(col("batch_id").as("doc_id")).distinct()
+    val deduped = qPassed.join(dupIds, Seq("doc_id"), "left_anti")
+      .persist()
+    val fluent = LmOps
+      .scoreDocs(LmOps.withToks(deduped), cAb, cA, voc)
+      .filter(col("mean_inv") <= fluencyMax).select("doc_id")
+    val accepted = deduped
+      .join(fluent, Seq("doc_id"), "left_semi")
+      .persist()
+    val (nIn, nQ, nD, nA) =
+      (batch.count(), qPassed.count(), deduped.count(), accepted.count())
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val stats = Seq((nIn, nIn - nQ, nQ - nD, nD - nA, nA)).toDF(
+      "n_in", "n_quality_drop", "n_dup_drop", "n_fluency_drop",
+      "n_accepted")
+    qPassed.unpersist(false); deduped.unpersist(false)
+    (accepted, stats)
+  }
+
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
     * ts normalization as the batch reader ([[graft.ext.EventOps

@@ -499,4 +499,54 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exists(_._5) && streamed.exists(!_._5))
   }
 
+  test("ingest funnel stream == batch funnel across a restart; stats add up") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (cAb, cA, voc) = graft.ext.LmOps.trainTables(spark, sfDir)
+    // the feed = docs NOT in the persisted corpus index (so the dup
+    // gate has a real corpus to catch near-dups against)
+    val feed = graft.ext.DedupOps.incrementalBatchDocs(spark, sfDir)
+      .join(graft.ext.TextOps.documents(spark, sfDir)
+        .select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val (qMin, fMax) = (0.5, 40.0)
+    val out = java.nio.file.Files.createTempDirectory("funnel").toString
+    val input = MemoryStream[(Long, String, String)]
+    def start() = EventStream.ingestFunnel(
+      input.toDS().toDF("doc_id", "lang", "text"), sfDir,
+      cAb, cA, voc, qMin, fMax, s"$out/f", s"$out/ckpt")
+    val (b1, rest) = feed.splitAt(feed.size / 3)
+    val q = start()
+    try { input.addData(b1); q.processAllAvailable() } finally q.stop()
+    val q2 = start()
+    try { input.addData(rest); q2.processAllAvailable() } finally q2.stop()
+
+    val streamed = spark.read
+      .parquet(s"$out/f/accepted_batch=*")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSet
+    val (refAccepted, refStats) = EventStream.ingestFunnelBatch(
+      feed.toDF("doc_id", "lang", "text"), sfDir, cAb, cA, voc, qMin, fMax)
+    val expected =
+      try refAccepted.select("doc_id", "lang", "text")
+        .as[(Long, String, String)].collect().toSet
+      finally { refAccepted.unpersist(false); () }
+    assert(streamed == expected)
+    assert(streamed.nonEmpty, "funnel accepted nothing — vacuous")
+
+    // per-batch stats sum to the whole-feed stats, and conservation
+    // holds: in = drops + accepted
+    val statRows = spark.read.parquet(s"$out/f/stats_batch=*")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val summed = statRows.reduce((a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
+    val whole = refStats.as[(Long, Long, Long, Long, Long)].head()
+    assert(summed == whole, s"$summed != $whole")
+    assert(whole._1 == whole._2 + whole._3 + whole._4 + whole._5)
+    // the funnel actually filters: at least two stages drop something
+    assert(Seq(whole._2, whole._3, whole._4).count(_ > 0L) >= 2,
+      s"stats $whole — funnel too permissive for a meaningful test")
+  }
+
 }
