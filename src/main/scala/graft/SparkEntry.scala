@@ -200,6 +200,9 @@ object SparkEntry {
     // Z-order clustering key (two-dimensional scan-pruning layout)
     "q_zorder_key" -> ((s, dir) => MicroQueries.zorderKey(s, dir)),
     "q_scd2_merge" -> ((s, dir) => MicroQueries.scd2Merge(s, dir)),
+    // the whole online acceptance pipeline, hash-gated end to end
+    "q_ingest_funnel" ->
+      ((s, dir) => graft.streaming.EventStream.ingestFunnelStats(s, dir)),
     "q_snapshot_diff" -> ((s, dir) => MicroQueries.snapshotDiff(s, dir)),
     "q_incremental_score" -> ((s, dir) => MicroQueries.incrementalScore(s, dir)),
     // per-feature TV distance vs yesterday's snapshot (drift dashboard)
@@ -347,6 +350,8 @@ object SparkEntry {
     "q_cube_docs" -> MicroQueries.cubeDocsOracle,
     "q_zorder_key" -> MicroQueries.zorderKeyOracle,
     "q_scd2_merge" -> MicroQueries.scd2MergeOracle,
+    "q_ingest_funnel" ->
+      graft.streaming.EventStream.ingestFunnelStatsOracle,
     "q_snapshot_diff" -> MicroQueries.snapshotDiffOracle,
     "q_incremental_score" -> MicroQueries.incrementalScoreOracle,
     "q_corpus_drift" -> MicroQueries.corpusDriftOracle,

@@ -936,14 +936,28 @@ object DedupOps {
     *   two-way split.
     */
   private def incrementalOracleFor(corpusPermille: Int,
-                                   probePermille: Int = -1): String = {
+                                   probePermille: Int = -1): String =
+    s"""WITH ${incrementalOracleBody(corpusPermille, probePermille)}
+       |SELECT batch_id, corpus_id, jaccard FROM ipairs""".stripMargin
+
+  /** The incremental probe chain as a composable CTE BODY ending in
+    * `ipairs` (batch_id, corpus_id, jaccard) — the funnel oracle
+    * composes it with its own stage CTEs. `batchCond` further restricts
+    * which batch-side docs participate at all (the funnel's
+    * quality-passed subset; the bucket cap counts over the SAME joint
+    * population the Spark probe sees).
+    */
+  private[graft] def incrementalOracleBody(corpusPermille: Int,
+                                           probePermille: Int = -1,
+                                           batchCond: String = "TRUE")
+      : String = {
     val pp = if (probePermille < 0) corpusPermille else probePermille
     val minAggs = (0 until numHashes)
       .map(i => s"min(${rowHashSql(i, "s")}) AS h$i").mkString(",\n    ")
     val bandedUnion = (0 until numBands)
       .map(b => s"SELECT doc_id, is_corpus, $b AS band, ${bucketSql(b)} AS bucket FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH nd AS (
+    s"""nd AS (
        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |  FROM documents),
        |d AS (SELECT doc_id, norm,
@@ -951,7 +965,8 @@ object DedupOps {
        |          AS is_corpus
        |      FROM nd WHERE length(norm) >= $shingleLen
        |        AND (${sideBucketSql("doc_id")} < $corpusPermille
-       |             OR ${sideBucketSql("doc_id")} >= $pp)),
+       |             OR (${sideBucketSql("doc_id")} >= $pp
+       |                 AND ($batchCond)))),
        |st AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ${shingleHashSql("norm", "i")} AS s
        |  FROM d, UNNEST(range(1, length(norm) - ${shingleLen - 2})) AS t(i)),
@@ -977,10 +992,13 @@ object DedupOps {
        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS n_common,
        |         len(sa.sh) AS na, len(sb.sh) AS nb
        |  FROM cand cd JOIN sh sa ON cd.batch_id = sa.doc_id
-       |               JOIN sh sb ON cd.corpus_id = sb.doc_id)
-       |SELECT batch_id, corpus_id,
-       |       n_common / (na + nb - n_common) AS jaccard
-       |FROM ws WHERE n_common / (na + nb - n_common) >= $jaccardThreshold""".stripMargin
+       |               JOIN sh sb ON cd.corpus_id = sb.doc_id),
+       |ipairs AS MATERIALIZED (
+       |  SELECT batch_id, corpus_id,
+       |         n_common / (na + nb - n_common) AS jaccard
+       |  FROM ws
+       |  WHERE n_common / (na + nb - n_common) >= $jaccardThreshold)"""
+      .stripMargin
   }
 
   /** Root for persisted LSH indexes (under [[graft.io.Artifacts.root]]
@@ -1165,6 +1183,16 @@ object DedupOps {
     */
   val minhashLshForgottenOracle: String =
     incrementalOracleFor(incrementalCorpusPermille, mergeProbePermille)
+
+  /** SQL twin of [[incrementalBatchDocs]]'s membership, as a `feed`
+    * CTE (unshingleable docs INCLUDED — the funnel oracle's n_in must
+    * count every fed document, not just the LSH-eligible ones).
+    */
+  private[graft] def incrementalFeedCte: String =
+    s"""feed AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE ${sideBucketSql("doc_id")} >= $incrementalCorpusPermille)"""
+      .stripMargin
 
   /** The batch-side slice of the fixture (the documents NOT in the
     * persisted corpus index) — what [[minhashLshIndexed]] probes with,

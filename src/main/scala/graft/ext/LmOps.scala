@@ -163,8 +163,12 @@ object LmOps {
           .otherwise(3L).as("bucket")))
   }
 
-  val perplexityBucketsOracle: String =
-    s"""WITH $lmCteBody,
+  /** The full scoring chain as a composable CTE body ending in `scd`
+    * (doc_id, lang, n, mean_inv) — the tercile oracle and the ingest
+    * funnel oracle both build on it.
+    */
+  private[graft] def lmScoreCtes: String =
+    s"""$lmCteBody,
        |ca AS (
        |  SELECT lang, a, CAST(sum(c_ab) AS BIGINT) AS c_a
        |  FROM cab GROUP BY 1, 2),
@@ -188,7 +192,10 @@ object LmOps {
        |  SELECT doc_id, lang, n,
        |         CAST(sum_fp AS DOUBLE) / CAST(n * $lmScale AS DOUBLE)
        |           AS mean_inv
-       |  FROM pd),
+       |  FROM pd)""".stripMargin
+
+  val perplexityBucketsOracle: String =
+    s"""WITH $lmScoreCtes,
        |bnd AS (
        |  SELECT lang,
        |         quantile_cont(mean_inv, CAST(1.0/3 AS DOUBLE)) AS t1,

@@ -438,6 +438,63 @@ object EventStream {
     (accepted, stats)
   }
 
+  /** The funnel query's fluency cut — in the interior of the fixture
+    * score distribution (see q_perplexity_buckets: tail boundary ≈ 39)
+    * so the gate exercises both outcomes at every SF.
+    */
+  val funnelFluencyMax = 40.0
+
+  /** The ORACLE-GATED funnel run (q_ingest_funnel): the whole online
+    * acceptance pipeline executed in batch form over the incremental
+    * feed slice, reduced to its one-row stage-drop STATS — and
+    * hash-compared against a DuckDB twin that composes the quality CTE,
+    * the incremental LSH pair chain (batch side restricted to the
+    * quality-passed subset, so the bucket cap counts the SAME joint
+    * population), and the LM scoring chain. The funnel is thereby
+    * end-to-end differential-tested, not just spec-tested.
+    */
+  def ingestFunnelStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.{DedupOps, LmOps, TextOps}
+    val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)
+    val feed = DedupOps.incrementalBatchDocs(spark, sfDir)
+      .join(TextOps.documents(spark, sfDir).select("doc_id", "lang"),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+    val (accepted, stats) = ingestFunnelBatch(feed, sfDir, cAb, cA, voc,
+      TextOps.curateQualityMin, funnelFluencyMax)
+    accepted.unpersist(false)
+    graft.ops.Canon.canonicalize(stats)
+  }
+
+  val ingestFunnelStatsOracle: String = {
+    import graft.ext.{DedupOps, LmOps, TextOps}
+    val p = DedupOps.incrementalCorpusPermille
+    s"""WITH ${TextOps.qualityCte},
+       |${DedupOps.incrementalFeedCte},
+       |qpass AS MATERIALIZED (
+       |  SELECT f.doc_id FROM feed f JOIN qs USING (doc_id)
+       |  WHERE quality_score >= ${TextOps.curateQualityMin}),
+       |${DedupOps.incrementalOracleBody(p, p,
+      batchCond = "doc_id IN (SELECT doc_id FROM qpass)")},
+       |dup AS (SELECT DISTINCT batch_id AS doc_id FROM ipairs),
+       |dedup AS MATERIALIZED (
+       |  SELECT doc_id FROM qpass
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+       |${LmOps.lmScoreCtes},
+       |flu AS (
+       |  SELECT dd.doc_id FROM dedup dd JOIN scd USING (doc_id)
+       |  WHERE mean_inv <= $funnelFluencyMax)
+       |SELECT
+       |  (SELECT count(*) FROM feed) AS n_in,
+       |  (SELECT count(*) FROM feed) - (SELECT count(*) FROM qpass)
+       |    AS n_quality_drop,
+       |  (SELECT count(*) FROM qpass) - (SELECT count(*) FROM dedup)
+       |    AS n_dup_drop,
+       |  (SELECT count(*) FROM dedup) - (SELECT count(*) FROM flu)
+       |    AS n_fluency_drop,
+       |  (SELECT count(*) FROM flu) AS n_accepted""".stripMargin
+  }
+
   /** Convenience: file-source stream over the events fixture (a real
     * `readStream`; swap for kafka in production). Applies the same
     * ts normalization as the batch reader ([[graft.ext.EventOps
