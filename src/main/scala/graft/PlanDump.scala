@@ -66,7 +66,22 @@ object PlanDump {
       "dataset_card" -> (() => ext.TextOps.datasetCard(spark, sf)),
       "rerank" -> (() => ext.ScoringOps.rerank(spark, sf)),
       "boilerplate" -> (() => ext.CurationOps.boilerplate(spark, sf)),
-      "boilerplate_apply" -> (() => ext.CurationOps.boilerplateApply(spark, sf)))
+      "boilerplate_apply" -> (() => ext.CurationOps.boilerplateApply(spark, sf)),
+      "line_boilerplate_apply" ->
+        (() => ext.CurationOps.lineBoilerplateApply(spark, sf)),
+      "gopher_rules" -> (() => ext.CurationOps.gopherRules(spark, sf)),
+      "length_batches" -> (() => ext.CurationOps.lengthBatches(spark, sf)),
+      "ngram_lm" -> (() => ext.LmOps.ngramLm(spark, sf)),
+      "perplexity_buckets" -> (() => ext.LmOps.perplexityBuckets(spark, sf)),
+      "dsir_weights" -> (() => ext.SampleOps.dsirWeights(spark, sf)),
+      "domain_mixture" -> (() => ext.VectorOps.domainMixture(spark, sf)),
+      "pack_tokens" -> (() => ext.BpeOps.packTokens(spark, sf)),
+      "ann_ivf_pq" -> (() => ext.VectorOps.annIvfPq(spark, sf)),
+      "corpus_drift" -> (() => pipelines.MicroQueries.corpusDrift(spark, sf)),
+      "embed_expectations" ->
+        (() => ext.VectorOps.embedExpectations(spark, sf)),
+      "ingest_funnel" ->
+        (() => streaming.EventStream.ingestFunnelStats(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =
