@@ -144,7 +144,11 @@ object Runner {
       "corpus_drift" ->
         (() => pipelines.MicroQueries.corpusDrift(spark, sfDir).count()),
       "incremental_score" ->
-        (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()))
+        (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()),
+      // the day's feed through the full acceptance funnel: quality →
+      // persisted-index near-dup → reference-LM fluency (stats row)
+      "ingest_funnel" ->
+        (() => streaming.EventStream.ingestFunnelStats(spark, sfDir).count()))
 
     // the PUBLISHING chain: persists the training-consumable artifacts
     // under a fresh version dir and commits them with ONE chain-level
