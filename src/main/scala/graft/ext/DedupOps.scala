@@ -870,8 +870,12 @@ object DedupOps {
     * O(|batch| · bucket-hit-rate), independent of corpus-corpus pair
     * counts. At 100 TB the corpus side's (band, bucket, id) table is the
     * persisted LSH INDEX; here it is derived in-query from the fixture.
-    * The mega-bucket cap applies to joint bucket population, mirroring
-    * the self-join variant (and the oracle).
+    * The mega-bucket cap is censused over the CORPUS SIDE ALONE (unlike
+    * the self-join variant's full-population census): the kept-bucket
+    * set is then a function of static index state, so a batch doc's
+    * verdict does not depend on how the feed was micro-batched — the
+    * property the streaming funnel's per-batch ≡ whole-feed invariant
+    * rests on. The oracle censuses identically.
     */
   def minhashLshIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
@@ -887,7 +891,8 @@ object DedupOps {
       .select(col("doc_id"), col("is_corpus"), col("band"),
         bucketExpr(col("sig"), col("band")).as("bucket"))
       .persist() // size filter + both asymmetric join sides
-    val keptBuckets = banded.groupBy("band", "bucket")
+    val keptBuckets = banded.filter(col("is_corpus"))
+      .groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
       .select("band", "bucket")
@@ -944,8 +949,9 @@ object DedupOps {
     * `ipairs` (batch_id, corpus_id, jaccard) — the funnel oracle
     * composes it with its own stage CTEs. `batchCond` further restricts
     * which batch-side docs participate at all (the funnel's
-    * quality-passed subset; the bucket cap counts over the SAME joint
-    * population the Spark probe sees).
+    * quality-passed subset; the bucket cap is censused over the corpus
+    * side only, so `batchCond` cannot change which buckets are kept —
+    * exactly as the Spark probe behaves).
     */
   private[graft] def incrementalOracleBody(corpusPermille: Int,
                                            probePermille: Int = -1,
@@ -977,7 +983,8 @@ object DedupOps {
        |banded AS MATERIALIZED (
        |  $bandedUnion),
        |kept AS MATERIALIZED (
-       |  SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  SELECT band, bucket FROM banded WHERE is_corpus
+       |  GROUP BY band, bucket
        |  HAVING count(*) <= $maxBucketSize),
        |kb AS (SELECT b.doc_id, b.is_corpus, b.band, b.bucket
        |       FROM banded b JOIN kept k
@@ -1100,13 +1107,25 @@ object DedupOps {
   def lshIndexMerge(spark: SparkSession, sfDir: String,
                     batchDocs: DataFrame, batchTag: String): String =
     synchronized {
+      lshIndex(spark, sfDir) // ensure the base index exists
+      lshIndexMergeInto(spark, lshIndexDir(sfDir), batchDocs, batchTag)
+    }
+
+  /** The merge core against an EXPLICIT base-index dir — what
+    * [[lshIndexMerge]] runs against the fixture's base, exposed so
+    * lifecycle compositions (notably forget-then-remerge, the retract-
+    * one-version recipe [[lshIndexForget]] documents) can merge onto a
+    * derived `…_f_` / `…_m_` index too. Same stamped-output and
+    * SUCCESS-gating contract.
+    */
+  def lshIndexMergeInto(spark: SparkSession, baseDir: String,
+                        batchDocs: DataFrame, batchTag: String): String =
+    synchronized {
       require(batchTag.matches("[A-Za-z0-9_-]+"),
         s"batchTag must be path-safe, got '$batchTag'")
-      val dir = s"${lshIndexDir(sfDir)}_m_$batchTag"
+      val dir = s"${baseDir}_m_$batchTag"
       if (!indexDone(dir)) {
-        lshIndex(spark, sfDir) // ensure the base index exists
-        val (_, baseSh, baseSigs) =
-          readLshIndex(spark, lshIndexDir(sfDir))
+        val (_, baseSh, baseSigs) = readLshIndex(spark, baseDir)
         val withNorm = batchDocs.select(col("doc_id"), col("text"))
           .repartition(col("doc_id"))
           .withColumn("norm", TextOps.normText(col("text")))
@@ -1137,6 +1156,20 @@ object DedupOps {
     * without those docs — which is why [[minhashLshForgotten]] can
     * share the incremental oracle family. Writes a NEW stamped
     * `…_f_<tag>` dir, SUCCESS-gated; the base index is only read.
+    *
+    * SEMANTICS / PRECONDITION: forget removes a DOCUMENT — every
+    * version of it. If a doc_id was re-crawled and [[lshIndexMerge]]d,
+    * its index row is the FOLD of both versions (slot-min signature,
+    * unioned shingles), and the anti-join deletes that whole row; it
+    * cannot un-merge just the batch version and restore the base-only
+    * state (the fold is lossy in that direction — slot-min has no
+    * inverse, unlike the LM index's subtractive counts). To retract
+    * one VERSION of a still-retained document, rebuild its row from
+    * the surviving text instead: `lshIndexForget(dir, ids)` then
+    * [[lshIndexMerge]] the surviving version back in — the
+    * forget-then-remerge composition is exact because merge onto an
+    * absent doc_id is just an insert. LshIndexMergeSpec pins both the
+    * whole-document semantics and the re-crawl retract round trip.
     */
   def lshIndexForget(spark: SparkSession, baseDir: String,
                      forgetIds: DataFrame, tag: String): String =
@@ -1208,8 +1241,8 @@ object DedupOps {
     * slice is banded in-query, candidates come from probing the stored
     * band table, and the corpus side of the verify reads the stored
     * shingle payloads. Semantics are identical to the in-query
-    * incremental form — including the mega-bucket cap over the JOINT
-    * (batch + corpus) bucket population — so it shares its oracle;
+    * incremental form — including the mega-bucket cap censused over the
+    * corpus side alone — so it shares its oracle;
     * bit-equality with the recomputed path is additionally spec-pinned.
     */
   def minhashLshIndexed(spark: SparkSession, sfDir: String): DataFrame =
@@ -1265,10 +1298,15 @@ object DedupOps {
         graft.functions.MinHashSignature(col("sh")).as("sig"))
       .select(col("doc_id"), col("band"),
         bucketExpr(col("sig"), col("band")).as("bucket"))
-      .persist() // bucket-size census + probe side
-    // the cap counts JOINT bucket population, exactly as the in-query form
+      .persist() // probe side of the candidate join
+    // The mega-bucket cap is censused over the CORPUS INDEX ALONE, so
+    // which buckets are kept is a function of static index state only:
+    // a probe doc's verdict cannot depend on what else happens to share
+    // its micro-batch, which is what makes the streaming funnel's
+    // per-batch ≡ whole-feed invariant hold unconditionally (and keeps
+    // per-probe join work bounded by cap · bands regardless of batch
+    // size). The in-query incremental form censuses the same way.
     val keptBuckets = idxBands.select("band", "bucket")
-      .union(batchBands.select("band", "bucket"))
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)

@@ -133,6 +133,14 @@ object LmOps {
     * streaming gate ([[graft.streaming.EventStream.fluencyGate]])
     * compose. Stateless per document, so it is micro-batch-safe: the
     * union of per-batch scorings equals the one-shot batch scoring.
+    *
+    * A document whose `lang` has NO reference model (no reference-slice
+    * docs trained a vocabulary for it — a brand-new language arriving
+    * in a feed) is NOT silently dropped: the vocabulary join is a LEFT
+    * join and the row comes back with `scored = false` and NULL
+    * `mean_inv`, so downstream gates can count and report
+    * no-reference-model rejections separately from genuine fluency
+    * failures (the ingest funnel's `n_unscored` stat).
     */
   private[graft] def scoreDocs(d: DataFrame, cAb: DataFrame,
                                cA: DataFrame, voc: DataFrame): DataFrame = {
@@ -141,17 +149,25 @@ object LmOps {
       s"(coalesce(c_a, 0L) + v) * ${lmScale}L div (coalesce(c_ab, 0L) + 1L)")
     bg.join(cAb, Seq("lang", "a", "b"), "left")
       .join(cA, Seq("lang", "a"), "left")
-      .join(broadcast(voc), Seq("lang"))
+      .join(broadcast(voc), Seq("lang"), "left")
       .groupBy("doc_id", "lang")
-      .agg(sum(inv).as("sum_fp"), count(lit(1)).as("n_bigrams"))
+      // v is constant per lang; max() just carries it through the agg
+      .agg(sum(inv).as("sum_fp"), count(lit(1)).as("n_bigrams"),
+        max(col("v")).isNotNull.as("scored"))
       .withColumn("mean_inv",
-        col("sum_fp").cast("double") /
-          (col("n_bigrams") * lmScale).cast("double"))
+        when(col("scored"),
+          col("sum_fp").cast("double") /
+            (col("n_bigrams") * lmScale).cast("double")))
   }
 
   def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val (cAb, cA, voc) = trainTables(spark, sfDir)
+    // every lang trains a model here (voc comes from the same corpus),
+    // so the scored filter is an identity on this query's input — it
+    // exists to keep the tercile math well-defined for callers scoring
+    // feeds with unknown languages.
     val perDoc = scoreDocs(docToks(spark, sfDir), cAb, cA, voc)
+      .filter(col("scored"))
     val bounds = perDoc.groupBy("lang").agg(
       percentile(col("mean_inv"), lit(1.0 / 3)).as("t1"),
       percentile(col("mean_inv"), lit(2.0 / 3)).as("t2"))

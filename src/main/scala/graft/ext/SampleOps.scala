@@ -486,8 +486,16 @@ object SampleOps {
     * keep threshold is one global quantile broadcast back (GK sketch
     * hatch at 10¹⁰ docs, as curriculum documents).
     */
-  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val dt = TextOps.documents(spark, sfDir)
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeightsFrom(TextOps.documents(spark, sfDir))
+
+  /** The DSIR chain over an EXPLICIT (doc_id, …, text) frame — the
+    * seam the empty-target-slice spec drives (a corpus where NO doc is
+    * in the reference slice must still yield finite λ and boolean
+    * `selected`, not NULLs — the coalesce below).
+    */
+  private[graft] def dsirWeightsFrom(documents: DataFrame): DataFrame = {
+    val dt = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), CurationOps.toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
@@ -511,11 +519,16 @@ object SampleOps {
       .groupBy("b").agg(sum("n").as("c_t"))
     val tot = raw.agg(sum("c_r").as("t_r"))
     val ttot = tgt.agg(sum("c_t").as("t_t"))
+    // t_t (and t_r) coalesce to 0: Spark's sum over an EMPTY target
+    // slice is NULL where the DuckDB twin's count(*) is 0 — without the
+    // coalesce an all-nontarget fixture would make every λ, weight and
+    // `selected` NULL instead of matching the oracle's finite ratios
     val lam = raw.join(tgt, Seq("b"), "left")
       .crossJoin(tot).crossJoin(ttot)
       .select(col("b"), expr(
-        s"""(coalesce(c_t, 0L) + 1L) * (t_r + $dsirBuckets)
-           | * $dsirScale div ((c_r + 1L) * (t_t + $dsirBuckets))"""
+        s"""(coalesce(c_t, 0L) + 1L) * (coalesce(t_r, 0L) + $dsirBuckets)
+           | * $dsirScale
+           | div ((c_r + 1L) * (coalesce(t_t, 0L) + $dsirBuckets))"""
           .stripMargin.replace("\n", "")).as("lam"))
     val pd = hist.join(broadcast(lam), Seq("b"))
       .groupBy("doc_id")

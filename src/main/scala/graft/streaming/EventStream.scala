@@ -352,7 +352,10 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.LmOps
           .scoreDocs(graft.ext.LmOps.withToks(batch), cAb, cA, voc)
-          .withColumn("pass", col("mean_inv") <= threshold)
+          // an unknown-lang doc (scored = false) gets an explicit
+          // pass = false row — visible in the output, never silently
+          // missing (scored && NULL is false, not NULL)
+          .withColumn("pass", col("scored") && col("mean_inv") <= threshold)
           .write.mode("overwrite")
           .parquet(s"$outDir/fluency_batch=$batchId")
       }
@@ -372,7 +375,11 @@ object EventStream {
     *      tokenizes to nothing cannot be scored and is dropped here).
     *
     * Every stage is stateless per document given its static side
-    * inputs (index tables, LM tables), so per-batch ≡ whole-feed:
+    * inputs (index tables, LM tables) — in particular the LSH probe's
+    * mega-bucket cap is censused over the persisted corpus index
+    * ALONE ([[graft.ext.DedupOps.probeLshIndexTables]]), so a doc's
+    * dup verdict cannot depend on which micro-batch it shares with
+    * other feed docs. Hence per-batch ≡ whole-feed:
     * accepted docs and a one-row stats report land exactly-once per
     * batch (`accepted_batch=`/`stats_batch=` overwrites — the replay
     * discipline), and the union across batches equals the one-shot
@@ -421,20 +428,29 @@ object EventStream {
       .select(col("batch_id").as("doc_id")).distinct()
     val deduped = qPassed.join(dupIds, Seq("doc_id"), "left_anti")
       .persist()
-    val fluent = LmOps
+    val lmScored = LmOps
       .scoreDocs(LmOps.withToks(deduped), cAb, cA, voc)
-      .filter(col("mean_inv") <= fluencyMax).select("doc_id")
+      .persist()
+    val fluent = lmScored
+      .filter(col("scored") && col("mean_inv") <= fluencyMax)
+      .select("doc_id")
     val accepted = deduped
       .join(fluent, Seq("doc_id"), "left_semi")
       .persist()
     val (nIn, nQ, nD, nA) =
       (batch.count(), qPassed.count(), deduped.count(), accepted.count())
+    // docs whose lang has NO reference model — rejected not because
+    // they scored badly but because nothing could score them; surfaced
+    // as their own stat so a new-language feed is visible in telemetry
+    // instead of dissolving into n_fluency_drop
+    val nUnscored = lmScored.filter(!col("scored")).count()
     val spark = batch.sparkSession
     import spark.implicits._
-    val stats = Seq((nIn, nIn - nQ, nQ - nD, nD - nA, nA)).toDF(
+    val stats = Seq((nIn, nIn - nQ, nQ - nD, nD - nA, nUnscored, nA)).toDF(
       "n_in", "n_quality_drop", "n_dup_drop", "n_fluency_drop",
-      "n_accepted")
+      "n_unscored", "n_accepted")
     qPassed.unpersist(false); deduped.unpersist(false)
+    lmScored.unpersist(false)
     (accepted, stats)
   }
 
@@ -449,8 +465,9 @@ object EventStream {
     * feed slice, reduced to its one-row stage-drop STATS — and
     * hash-compared against a DuckDB twin that composes the quality CTE,
     * the incremental LSH pair chain (batch side restricted to the
-    * quality-passed subset, so the bucket cap counts the SAME joint
-    * population), and the LM scoring chain. The funnel is thereby
+    * quality-passed subset; the bucket cap is censused over the corpus
+    * index alone, so the restriction cannot change which buckets are
+    * kept), and the LM scoring chain. The funnel is thereby
     * end-to-end differential-tested, not just spec-tested.
     */
   def ingestFunnelStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -483,7 +500,10 @@ object EventStream {
        |${LmOps.lmScoreCtes},
        |flu AS (
        |  SELECT dd.doc_id FROM dedup dd JOIN scd USING (doc_id)
-       |  WHERE mean_inv <= $funnelFluencyMax)
+       |  WHERE mean_inv <= $funnelFluencyMax),
+       |unsc AS (
+       |  SELECT dd.doc_id FROM dedup dd JOIN dt USING (doc_id)
+       |  WHERE dt.lang NOT IN (SELECT lang FROM voc))
        |SELECT
        |  (SELECT count(*) FROM feed) AS n_in,
        |  (SELECT count(*) FROM feed) - (SELECT count(*) FROM qpass)
@@ -492,6 +512,7 @@ object EventStream {
        |    AS n_dup_drop,
        |  (SELECT count(*) FROM dedup) - (SELECT count(*) FROM flu)
        |    AS n_fluency_drop,
+       |  (SELECT count(*) FROM unsc) AS n_unscored,
        |  (SELECT count(*) FROM flu) AS n_accepted""".stripMargin
   }
 

@@ -85,6 +85,30 @@ class LmOpsSpec extends SparkSpec {
       allScores.sum / allScores.size)
   }
 
+  test("scoreDocs on a language with no reference model: row kept, " +
+      "scored=false, NULL score — never silently dropped") {
+    val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)
+    val feed = LmOps.withToks(Seq(
+      (9000001L, "xx-new", "ein text in einer unbekannten sprache"),
+      (9000002L, docs.head._2, "some ordinary words to score"))
+      .toDF("doc_id", "lang", "text"))
+    val got = LmOps.scoreDocs(feed, cAb, cA, voc)
+      .select("doc_id", "scored", "mean_inv")
+      .as[(Long, Boolean, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 2, "unknown-lang doc was dropped from the output")
+    assert(got(9000001L)._1 == false && got(9000001L)._2.isEmpty,
+      "unknown lang must come back unscored with NULL mean_inv")
+    assert(got(9000002L)._1 == true && got(9000002L)._2.nonEmpty,
+      "known lang must score")
+    // and the streaming gate's pass expression turns that into an
+    // explicit false, not a NULL
+    val pass = LmOps.scoreDocs(feed, cAb, cA, voc)
+      .withColumn("pass", col("scored") && col("mean_inv") <= 1e18)
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(pass(9000001L) == false && pass(9000002L) == true)
+  }
+
   test("lm index merge: merged ≡ rebuilt counts; report matches ngramLm") {
     val tmp = java.nio.file.Files
       .createTempDirectory("lm-merge").toString

@@ -132,4 +132,43 @@ class LshIndexMergeSpec extends SparkSpec {
       .join(mid.select("doc_id"), Seq("doc_id"), "left_semi").count()
     assert(gone == 0L)
   }
+
+  test("forget semantics on a re-crawled doc: whole-document removal; " +
+      "retract-one-version = forget then re-merge the survivor") {
+    DedupOps.lshIndex(spark, sfDir) // base on disk
+    val baseDir = DedupOps.lshIndexDir(sfDir)
+    val corpusDocs = TextOps.documents(spark, sfDir)
+      .filter(DedupOps.sideBucket(col("doc_id"))
+        < DedupOps.incrementalCorpusPermille)
+      .select("doc_id", "text")
+    // a corpus doc re-crawled with extra text, merged in — its merged
+    // row is now the FOLD of both versions
+    val recrawlId = corpusDocs.select(min("doc_id")).as[Long].head()
+    val baseVersion = corpusDocs.filter(col("doc_id") === recrawlId)
+    val recrawl = baseVersion.select(col("doc_id"),
+      concat(col("text"), lit(" recrawled trailing words that shingle "
+        + "differently enough to grow the set")).as("text"))
+    val mergedDir =
+      DedupOps.lshIndexMerge(spark, sfDir, recrawl, "spec-recrawl")
+
+    // forget the doc_id: EVERY version goes — the folded row is gone
+    // entirely, not restored to its base-only state
+    val fDir = DedupOps.lshIndexForget(spark, mergedDir,
+      Seq(recrawlId).toDF("doc_id"), "spec-recrawl-forget")
+    for (t <- Seq("sigs", "shingles", "bands"))
+      assert(spark.read.parquet(s"$fDir/$t")
+        .filter(col("doc_id") === recrawlId).isEmpty,
+        s"forget must remove the whole document from $t")
+
+    // retracting only the re-crawl = forget + re-merge the surviving
+    // base text (merge onto an absent doc_id is an insert): the result
+    // tables must equal the base index's bit-for-bit
+    val rDir = DedupOps.lshIndexMergeInto(spark, fDir, baseVersion,
+      "spec-recrawl-restore")
+    for (t <- Seq("sigs", "shingles", "bands"))
+      assert(sameRows(
+        spark.read.parquet(s"$rDir/$t"),
+        spark.read.parquet(s"$baseDir/$t")),
+        s"forget-then-remerge did not restore base state in $t")
+  }
 }

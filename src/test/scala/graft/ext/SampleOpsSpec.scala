@@ -244,4 +244,50 @@ class SampleOpsSpec extends SparkSpec {
       s"kept $kept of ${docs.size}")
   }
 
+  test("dsir weights on a corpus with an EMPTY target slice: finite " +
+      "ratios and boolean selected, matching the count-based oracle") {
+    // every doc_id ≡ 1 (mod lmRefMod): the target aggregate sums zero
+    // rows — Spark's NULL-sum vs the oracle's count(*)=0 is exactly the
+    // divergence the coalesce closes
+    val docs = (0 until 40).map(i =>
+      (i.toLong * LmOps.lmRefMod + 1, s"word$i common text body number " +
+        s"${i % 7} with shared tokens"))
+      .toDF("doc_id", "text")
+    val got = SampleOps.dsirWeightsFrom(docs)
+      .select("doc_id", "n_grams", "mean_ratio", "selected")
+      .as[(Long, Long, Option[Double], Option[Boolean])].collect()
+    assert(got.length == 40)
+    got.foreach { case (id, n, r, s) =>
+      assert(n > 0)
+      assert(r.exists(v => !v.isNaN && !v.isInfinite),
+        s"doc $id mean_ratio $r not finite — NULL-sum leak")
+      assert(s.nonEmpty, s"doc $id selected is NULL")
+    }
+    // with c_t = 0 and t_t = 0 everywhere, λ[b] reduces to the exact
+    // integer (t_r + B)·scale div ((c_r[b] + 1)·B) — check one bucket
+    // end-to-end against a driver recompute
+    val hist = docs
+      .select(col("doc_id"), CurationOps.toksCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(concat(
+        CurationOps.grams(col("toks"), 1),
+        CurationOps.grams(col("toks"), 2))).as("g"))
+      .select(col("doc_id"),
+        graft.functions.Md5Bucket(col("g"), SampleOps.dsirBuckets).as("b"))
+      .as[(Long, Long)].collect()
+    val cR = hist.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tR = hist.length.toLong
+    val lam = cR.map { case (b, c) =>
+      b -> (tR + SampleOps.dsirBuckets) * SampleOps.dsirScale /
+        ((c + 1L) * SampleOps.dsirBuckets)
+    }
+    val perDoc = hist.groupBy(_._1).view.mapValues { rows =>
+      val w = rows.map(r => lam(r._2)).sum
+      w.toDouble / (rows.size.toLong * SampleOps.dsirScale).toDouble
+    }.toMap
+    got.foreach { case (id, _, r, _) =>
+      assert(r.get == perDoc(id), s"doc $id ratio ${r.get} != ${perDoc(id)}")
+    }
+  }
+
 }

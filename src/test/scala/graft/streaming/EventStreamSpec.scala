@@ -538,12 +538,21 @@ class EventStreamSpec extends SparkSpec {
     // per-batch stats sum to the whole-feed stats, and conservation
     // holds: in = drops + accepted
     val statRows = spark.read.parquet(s"$out/f/stats_batch=*")
-      .as[(Long, Long, Long, Long, Long)].collect()
+      .select("n_in", "n_quality_drop", "n_dup_drop", "n_fluency_drop",
+        "n_unscored", "n_accepted")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     val summed = statRows.reduce((a, b) =>
-      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
-    val whole = refStats.as[(Long, Long, Long, Long, Long)].head()
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5,
+        a._6 + b._6))
+    val whole = refStats
+      .select("n_in", "n_quality_drop", "n_dup_drop", "n_fluency_drop",
+        "n_unscored", "n_accepted")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(summed == whole, s"$summed != $whole")
-    assert(whole._1 == whole._2 + whole._3 + whole._4 + whole._5)
+    // conservation: in = drops + accepted (n_unscored is the
+    // no-reference-model SUBSET of n_fluency_drop, not a new stage)
+    assert(whole._1 == whole._2 + whole._3 + whole._4 + whole._6)
+    assert(whole._5 <= whole._4)
     // the funnel actually filters: at least two stages drop something
     assert(Seq(whole._2, whole._3, whole._4).count(_ > 0L) >= 2,
       s"stats $whole — funnel too permissive for a meaningful test")
