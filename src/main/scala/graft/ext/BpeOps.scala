@@ -33,8 +33,19 @@ import graft.ops.Canon
   *    accepted pair's operand — the conflict rule includes `ab`);
   * so applying the whole batch in ONE left-to-right pass equals applying
   * the pairs one-at-a-time in any order, and round count drops from
-  * O(vocab) to O(vocab / accepts-per-round) — measured ~4-5 accepts per
-  * round with C = 8 on the fixture corpus (64 merges in 14 rounds vs 64).
+  * O(vocab) to O(vocab / accepts-per-round) — measured ~14 accepts per
+  * round with C = 64 (1024 merges in 71 rounds on BpeScaleSpec's
+  * large-vocabulary corpus).
+  *
+  * INCREMENTAL PAIR-COUNT MAINTENANCE — the second axis, which takes
+  * per-round cost from O(corpus pairs) to O(affected pairs): the
+  * (a, b) → count table is carried across rounds and only the delta
+  * from words containing an accepted operand symbol is applied (old
+  * adjacencies subtracted, post-merge adjacencies added — see
+  * [[trainLoop]]). Measured wall for 64 / 256 / 1024 merges on the
+  * same corpus: 7.2 / 7.2 / 18.3 s — 16× the merges for 2.5× the
+  * wall, per-merge cost falling 113 → 18 ms as the affected-word set
+  * shrinks with pair rarity.
   *
   * Scale shape, mirroring the trained-IVF k-means pattern:
   *  - the ONE corpus-sized pass is the word count (keyed agg, map-side
@@ -42,12 +53,14 @@ import graft.ops.Canon
   *    vocabulary-sized, not corpus-sized;
   *  - each round's driver sync is [[bpeCandidates]] rows (the ranked
   *    candidates) — the k-means C-centroids sync point, never the data;
-  *  - merge application is a one-pass left-to-right fold per word
-  *    (array aggregate) testing membership in the round's accepted set.
-  *    Greedy one-pass equals the oracle's per-pair replacement because
-  *    of the non-interaction argument above; within one pair it equals
-  *    FIRST-OCCURRENCE replacement semantics (identical-symbol runs:
-  *    'aaaaa' → [aa aa a]), argued in BpeOpsSpec;
+  *  - merge application is a one-pass left-to-right scan per word (the
+  *    compiled [[graft.functions.BpeMergeFold]] expression — two hash
+  *    probes per position, batch-width-independent, whole-stage
+  *    codegen'd). Greedy one-pass equals the oracle's per-pair
+  *    replacement because of the non-interaction argument above;
+  *    within one pair it equals FIRST-OCCURRENCE replacement semantics
+  *    (identical-symbol runs: 'aaaaa' → [aa aa a]), argued in
+  *    BpeOpsSpec;
   *  - trained merges are an INDEX (built once per dataset, memoized with
   *    a data fingerprint like the IVF centroids), so encoding never
   *    re-trains.
@@ -66,17 +79,30 @@ import graft.ops.Canon
   */
 object BpeOps {
 
-  /** Total merges trained (the vocabulary-growth budget). */
-  val bpeMerges = 64
+  /** Total merges trained (the vocabulary-growth budget). A corpus can
+    * EXHAUST before the budget: once every remaining pair has been
+    * merged (each word one symbol) the chain goes dry and both the
+    * Spark loop and the oracle stop — the fixture's 31-word synthetic
+    * vocabulary dries up at 89 merges, so the budget's full width is
+    * exercised by BpeScaleSpec's large-vocabulary corpus instead.
+    */
+  val bpeMerges = 1024
 
   /** Max batch rounds (static — the oracle unrolls exactly this many;
-    * the Spark loop stops early once [[bpeMerges]] merges are accepted,
-    * which the oracle mirrors with its cumulative-count cap).
+    * the Spark loop stops early once [[bpeMerges]] merges are accepted
+    * or the pair stream dries, which the oracle mirrors with its
+    * cumulative-count cap / empty-candidate rounds). Sized to the
+    * FIXTURE's exhaustion point (~12 rounds at 64-wide batches) plus
+    * margin: rounds bound oracle size, not engine capability — both
+    * sides stop at the same static cap, so a corpus needing more
+    * rounds trains fewer merges but stays hash-equal, and the
+    * unbounded path (trainLoop's maxRounds parameter) is exercised to
+    * 1024+ merges by BpeScaleSpec's large-vocabulary corpus.
     */
-  val bpeRounds = 24
+  val bpeRounds = 16
 
   /** Candidate pairs ranked per round (the per-round driver-sync width). */
-  val bpeCandidates = 8
+  val bpeCandidates = 64
 
   private def tokenWords(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.documents(spark, sfDir)
@@ -110,9 +136,15 @@ object BpeOps {
   /** One-pass greedy merge of a whole NON-INTERACTING batch over a
     * symbol array — left-to-right; at each position at most one accepted
     * pair can match (operand symbols are disjoint across the batch).
+    *
+    * RETIRED from the hot path in favor of the compiled
+    * [[graft.functions.BpeMergeFold]] (this higher-order form runs
+    * interpreted and its when-chain scales with batch width); kept as
+    * the independently-derived twin the equivalence property in
+    * BpeOpsSpec checks the native expression against.
     */
-  private def mergeFoldBatch(sy: Column,
-                             pairs: Seq[(String, String, String)]): Column =
+  private[ext] def mergeFoldBatch(sy: Column,
+                                  pairs: Seq[(String, String, String)]): Column =
     aggregate(sy,
       array().cast("array<string>"),
       (acc, x) => {
@@ -125,18 +157,25 @@ object BpeOps {
         matched.otherwise(concat(acc, array(x)))
       })
 
-  /** Lineage truncation with DETERMINISTIC block release: materialize the
-    * frame's row RDD and rebuild a LogicalRDD-backed frame over it. Each
-    * round's frame derives from the last, and stacked fold-lambdas make
-    * re-ANALYSIS the dominant cost even when execution reads a cache;
-    * `localCheckpoint` would also truncate, but its blocks bypass the
-    * CacheManager, so `Dataset.unpersist` cannot free them and the
-    * per-round corpus generations would linger until RDD garbage
-    * collection. Holding the RDD handle lets the loop release each
-    * generation the moment the next one is materialized.
+  /** Lineage truncation with DETERMINISTIC block release: materialize
+    * the frame's row RDD via an EAGER `localCheckpoint` and rebuild a
+    * LogicalRDD-backed frame over it. Each round's frame derives from
+    * the last, so both the ANALYZED plan and the RDD DEPENDENCY CHAIN
+    * grow per round — persist() alone truncates neither (a persisted
+    * RDD still serializes its whole lineage into every task binary;
+    * at the ~130 rounds a 1024-merge run takes, task deserialization
+    * overflowed the stack), while localCheckpoint drops the
+    * dependencies once materialized, keeping task size O(1) in rounds.
+    * Its blocks bypass the CacheManager (`Dataset.unpersist` cannot
+    * free them), which is why the RDD HANDLE is returned: the loop
+    * releases each generation the moment the next one is materialized
+    * — safe because a truncated generation is self-contained and never
+    * re-read after its successor exists.
     */
   private def truncated(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = df.rdd
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
     rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
@@ -188,44 +227,81 @@ object BpeOps {
   /** TEST HOOK: drop the JVM memo (simulated restart for BpePersistSpec). */
   private[ext] def clearMemos(): Unit = mergeCache.clear()
 
-  private def trainLoop(spark: SparkSession, words: DataFrame)
+  /** Adjacent-pair occurrences of a (w, sy, f) frame, one row per
+    * occurrence weighted `sign`·f — the delta-stream form; the +1 case
+    * grouped by (a, b) is the classic pair-count table.
+    */
+  private def adjacencies(df: DataFrame, sign: Int): DataFrame =
+    df.select(posexplode(col("sy")).as(Seq("i", "a")), col("sy"), col("f"))
+      .filter(col("i") < size(col("sy")) - 1)
+      .select(col("a"), element_at(col("sy"), col("i") + 2).as("b"),
+        (col("f") * sign).as("pf"))
+
+  /** The per-round pair-count table, maintained INCREMENTALLY — the
+    * change that takes round cost from O(corpus pairs) to O(affected
+    * pairs) and makes a ≥1k-merge vocabulary trainable:
+    *
+    * instead of re-deriving pair counts from the whole word table every
+    * round, the table carries over and only the DELTA from words that
+    * actually contain an accepted pair's operand symbols is applied —
+    * their old adjacencies subtracted, their post-merge adjacencies
+    * added, zero rows dropped (the LmOps.lmIndexForget subtraction
+    * algebra, applied per training round). Merging (a,b)→ab inside
+    * `… x a b y …` only ever touches pairs adjacent to the merge site
+    * ((a,b) itself, (x,a)→(x,ab), (b,y)→(ab,y)), so the delta stream is
+    * merge-site-sized while the full recount is corpus-sized — and the
+    * affected-word prefilter (`arrays_overlap` on the batch's operand
+    * symbols) shrinks every round as pairs get rarer. Equality with the
+    * from-scratch recount after every round is property-pinned in
+    * BpeOpsSpec.
+    */
+  private[graft] def trainLoop(spark: SparkSession, words: DataFrame,
+                             budget: Int = bpeMerges,
+                             maxRounds: Int = bpeRounds,
+                             candWidth: Int = bpeCandidates)
       : Seq[(Int, Int, String, String, String, Long)] = {
     import spark.implicits._
     var (corpus, blocks) = truncated(
       words.select(col("w"), split(col("w"), "").as("sy"), col("f")))
+    var (pairs, pBlocks) = truncated(
+      adjacencies(corpus, 1).groupBy("a", "b").agg(sum("pf").as("pf")))
     val merges = Seq.newBuilder[(Int, Int, String, String, String, Long)]
     var total = 0
     var round = 0
     var dry = false
-    while (round < bpeRounds && total < bpeMerges && !dry) {
-      val cands = corpus
-        .select(posexplode(col("sy")).as(Seq("i", "a")), col("sy"), col("f"))
-        .filter(col("i") < size(col("sy")) - 1)
-        .select(col("a"), element_at(col("sy"), col("i") + 2).as("b"),
-          col("f"))
-        .groupBy("a", "b").agg(sum("f").as("pf"))
+    while (round < maxRounds && total < budget && !dry) {
+      val cands = pairs
         .orderBy(col("pf").desc, col("a").asc, col("b").asc)
-        .limit(bpeCandidates) // C driver-sync rows per round, like k-means
+        .limit(candWidth) // C driver-sync rows per round, like k-means
         .as[(String, String, Long)].collect().toSeq
       if (cands.isEmpty) dry = true // pairs ran dry: chain stops
       else {
-        val accepted = selectBatch(cands, bpeMerges - total)
+        val accepted = selectBatch(cands, budget - total)
         accepted.zipWithIndex.foreach { case ((a, b, ab, pf), slot) =>
           merges += ((total + slot, round, a, b, ab, pf))
         }
+        val ops = accepted.flatMap(t => Seq(t._1, t._2)).distinct
+        val hit = arrays_overlap(col("sy"), array(ops.map(lit): _*))
+        val foldC = graft.functions.BpeMergeFold(col("sy"),
+          accepted.map(t => (t._1, t._2, t._3)))
+        val affected = corpus.filter(hit)
+        val delta = adjacencies(affected, -1)
+          .union(adjacencies(
+            affected.select(col("w"), foldC.as("sy"), col("f")), 1))
+        val (nextPairs, nextPBlocks) = truncated(
+          pairs.union(delta).groupBy("a", "b").agg(sum("pf").as("pf"))
+            .filter(col("pf") > 0))
         val (next, nextBlocks) = truncated(
           corpus.select(col("w"),
-            mergeFoldBatch(col("sy"),
-              accepted.map(t => (t._1, t._2, t._3))).as("sy"),
-            col("f")))
-        blocks.unpersist(false)
-        corpus = next
-        blocks = nextBlocks
+            when(hit, foldC).otherwise(col("sy")).as("sy"), col("f")))
+        blocks.unpersist(false); pBlocks.unpersist(false)
+        corpus = next; blocks = nextBlocks
+        pairs = nextPairs; pBlocks = nextPBlocks
         total += accepted.size
         round += 1
       }
     }
-    blocks.unpersist(false)
+    blocks.unpersist(false); pBlocks.unpersist(false)
     merges.result()
   }
 
@@ -246,12 +322,14 @@ object BpeOps {
     * word → segment-count map (BPE segmentations are word-local): with
     * the merges known (memoized index), the segmentation re-applies the
     * per-round batch folds over the word table — vocabulary-sized work,
-    * in CHUNKS of [[encodeFoldChunk]] rounds per materialization so the
-    * expression tree stays shallow — and the corpus side is one explode
-    * plus a broadcast join against the vocabulary-sized length table.
+    * as ONE projection of nested compiled [[graft.functions
+    * .BpeMergeFold]] passes (rounds must apply in order — a later
+    * round's operands are earlier rounds' outputs — but each pass is a
+    * cheap compiled scan, so even a ≥1k-merge table is a single
+    * codegen'd stage, no per-chunk materializations) — and the corpus
+    * side is one explode plus a broadcast join against the
+    * vocabulary-sized length table.
     */
-  private val encodeFoldChunk = 4
-
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     // the word table is shared with training on a cache miss, so the
     // corpus-sized explode+count runs ONCE either way
@@ -259,19 +337,10 @@ object BpeOps {
     val merges = trainedMerges(spark, sfDir, Some(words))
     val rounds = merges.groupBy(_._2).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._1).map(m => (m._3, m._4, m._5)))
-    var (corpus, blocks) = truncated(
-      words.select(col("w"), split(col("w"), "").as("sy")))
-    rounds.grouped(encodeFoldChunk).foreach { chunk =>
-      val folded = chunk.foldLeft(col("sy")) { (sy, pairs) =>
-        mergeFoldBatch(sy, pairs)
-      }
-      val (next, nextBlocks) =
-        truncated(corpus.select(col("w"), folded.as("sy")))
-      blocks.unpersist(false)
-      corpus = next
-      blocks = nextBlocks
+    val folded = rounds.foldLeft(split(col("w"), "")) { (sy, pairs) =>
+      graft.functions.BpeMergeFold(sy, pairs)
     }
-    val wordLen = corpus.select(col("w"), size(col("sy")).as("n_sym"))
+    val wordLen = words.select(col("w"), size(folded).as("n_sym"))
     val docTokens = TextOps.documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
@@ -285,9 +354,7 @@ object BpeOps {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
-    val res = Canon.materialized(Canon.canonicalize(out), words)
-    blocks.unpersist(false)
-    res
+    Canon.materialized(Canon.canonicalize(out), words)
   }
 
   // ---- oracle SQL ------------------------------------------------------
@@ -305,16 +372,20 @@ object BpeOps {
     *  - p$r: adjacent-pair counts of corpus c$r (double-space form split
     *    back to a symbol list);
     *  - k$r: the top-[[bpeCandidates]] candidates, ranked;
-    *  - sel${r}_k: the greedy selection chain — one CTE per rank slot,
-    *    threading (accepted-symbol soup, accept count); condition
-    *    mirrors [[selectBatch]] exactly;
+    *  - sel$r: the greedy selection chain as ONE RECURSIVE CTE stepping
+    *    rank k-1 → k, threading (accepted-symbol soup, accept count);
+    *    condition mirrors [[selectBatch]] exactly. (A per-slot CTE chain
+    *    here — the pre-1k-merge form — put C CTEs per round in the WITH
+    *    list; at 48 rounds × 64 candidates DuckDB's binder choked on
+    *    the 3300-CTE statement, and the recursion is the same left fold
+    *    with one CTE per round);
     *  - acc$r: the accepted pairs with their within-round slot
-    *    (recovered as the n-value after acceptance);
-    *  - ap${r}_k … c${r+1}: the corpus with every accepted pair applied,
-    *    one `replace()` per slot in a chain of MATERIALIZED CTEs
-    *    (order-independent by the non-interaction argument; `replace`
-    *    is left-to-right non-overlapping ≡ the Spark fold under the
-    *    double-space delimiting).
+    *    (recovered as the n-step between consecutive selection states);
+    *  - c${r+1}: the corpus with every accepted pair applied — C slot
+    *    `replace()`s nested in one expression, one materialized CTE per
+    *    round (order-independent by the non-interaction argument;
+    *    `replace` is left-to-right non-overlapping ≡ the Spark fold
+    *    under the double-space delimiting).
     */
   private def roundCtes(r: Int): String = {
     val C = bpeCandidates
@@ -323,36 +394,45 @@ object BpeOps {
          |        AND strpos(s.syms, ' ' || x.a || ' ') = 0
          |        AND strpos(s.syms, ' ' || x.b || ' ') = 0
          |        AND strpos(s.syms, ' ' || x.ab || ' ') = 0""".stripMargin
-    val sels = (1 to C).map { k =>
-      s"""sel${r}_$k AS MATERIALIZED (
-         |  SELECT CASE WHEN $cond
+    val sels =
+      s"""sel$r AS (
+         |  SELECT 0 AS k, ' ' AS syms, 0 AS n
+         |  UNION ALL
+         |  SELECT s.k + 1,
+         |         CASE WHEN $cond
          |         THEN s.syms || x.a || ' ' || x.b || ' ' || x.ab || ' '
          |         ELSE s.syms END AS syms,
          |         s.n + CASE WHEN $cond
          |               THEN 1 ELSE 0 END AS n
-         |  FROM sel${r}_${k - 1} s CROSS JOIN tot$r t
-         |  LEFT JOIN (SELECT * FROM k$r WHERE rk = $k) x ON true)"""
-        .stripMargin
-    }.mkString(",\n")
-    val accArms = (1 to C).map { k =>
+         |  FROM sel$r s CROSS JOIN tot$r t
+         |  LEFT JOIN k$r x ON x.rk = s.k + 1
+         |  WHERE s.k < $C)""".stripMargin
+    val accArms =
       s"""  SELECT x.a, x.b, x.ab, x.pf, s1.n AS slot
-         |  FROM k$r x, sel${r}_${k - 1} s0, sel${r}_$k s1
-         |  WHERE x.rk = $k AND s1.n > s0.n""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    // one MATERIALIZED CTE per slot (a plain column reference per level;
-    // nesting coalesce(replace(inner…), inner) instead would double the
-    // inner expression per level — a 2^C evaluation blowup when DuckDB
-    // inlines it)
-    val applied = (1 to C).map { k =>
-      val src = if (k == 1) s"c$r" else s"ap${r}_${k - 1}"
-      val name = if (k == C) s"c${r + 1}" else s"ap${r}_$k"
-      s"""$name AS MATERIALIZED (
-         |  SELECT w,
-         |    coalesce(replace(s,
-         |      (SELECT ' ' || a || '  ' || b || ' ' FROM acc$r WHERE slot = $k),
-         |      (SELECT ' ' || ab || ' ' FROM acc$r WHERE slot = $k)), s) AS s,
-         |    f FROM $src)""".stripMargin
-    }.mkString(",\n")
+         |  FROM k$r x
+         |  JOIN sel$r s0 ON s0.k = x.rk - 1
+         |  JOIN sel$r s1 ON s1.k = x.rk
+         |  WHERE s1.n > s0.n""".stripMargin
+    // Batch application as a second recursive CTE stepping slot k-1 → k
+    // over the whole corpus (an identity step when slot k accepted
+    // nothing). Earlier forms — C materialized CTEs per round, then C
+    // nested replace() calls with two scalar subqueries per level —
+    // both made DuckDB's binder superlinear in rounds × C (the 48×64
+    // variant could not even EXPLAIN in five minutes); the recursion
+    // keeps one CTE and two expressions per round regardless of C.
+    val applied =
+      s"""ap$r AS (
+         |  SELECT 0 AS k, w, s, f FROM c$r
+         |  UNION ALL
+         |  SELECT a.k + 1, a.w,
+         |         CASE WHEN x.slot IS NULL THEN a.s
+         |              ELSE replace(a.s, ' ' || x.a || '  ' || x.b || ' ',
+         |                           ' ' || x.ab || ' ') END,
+         |         a.f
+         |  FROM ap$r a LEFT JOIN acc$r x ON x.slot = a.k + 1
+         |  WHERE a.k < $C),
+         |c${r + 1} AS MATERIALIZED (
+         |  SELECT w, s, f FROM ap$r WHERE k = $C)""".stripMargin
     s"""p$r AS (
        |  SELECT sy[i] AS a, sy[i+1] AS b, sum(f) AS pf
        |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS sy,
@@ -365,7 +445,6 @@ object BpeOps {
        |  FROM (SELECT * FROM p$r ORDER BY pf DESC, a ASC, b ASC
        |        LIMIT $bpeCandidates)),
        |tot$r AS MATERIALIZED (SELECT ${cumExpr(r)} AS tot),
-       |sel${r}_0 AS MATERIALIZED (SELECT ' ' AS syms, 0 AS n),
        |$sels,
        |acc$r AS MATERIALIZED (
        |$accArms),
@@ -394,7 +473,7 @@ object BpeOps {
 
   /** The full training chain in SQL, batch rounds unrolled. */
   val bpeTrainOracle: String =
-    s"""WITH
+    s"""WITH RECURSIVE
        |$oracleChainCtes
        |SELECT * FROM (
        |  ${(0 until bpeRounds)
@@ -419,7 +498,7 @@ object BpeOps {
        |  FROM dt JOIN wl USING (w) GROUP BY 1)""".stripMargin
 
   val bpeEncodeOracle: String =
-    s"""WITH
+    s"""WITH RECURSIVE
        |$oracleChainCtes,
        |$encodeCtes
        |SELECT documents.doc_id,
@@ -455,7 +534,7 @@ object BpeOps {
   }
 
   val compressionRatioOracle: String =
-    s"""WITH
+    s"""WITH RECURSIVE
        |$oracleChainCtes,
        |$encodeCtes
        |SELECT d.lang, count(*) AS n_docs,
@@ -509,7 +588,7 @@ object BpeOps {
 
   val packTokensOracle: String = {
     import CurationOps.{packBudgetTokens, packShards}
-    s"""WITH
+    s"""WITH RECURSIVE
        |$oracleChainCtes,
        |$encodeCtes,
        |pk AS (

@@ -80,19 +80,26 @@ class BpeOpsSpec extends SparkSpec {
           s"merge $i: got (r$r $a,$b,$f) expected (r$er $ea,$eb,$ef)")
         assert(ab == a + b && ab == eab)
     }
-    // the whole budget is trained (the round-6 weakness was a cap of 8)
-    assert(got.length == BpeOps.bpeMerges,
-      s"trained ${got.length} merges, want ${BpeOps.bpeMerges}")
+    // training runs to the budget OR to corpus exhaustion (the fixture's
+    // 31-word vocabulary dries at 89 merges; the reference recompute
+    // stops at exactly the same point — BpeScaleSpec exercises the full
+    // 1024 budget on a large synthetic vocabulary)
+    assert(got.length == expected.length &&
+      (got.length == BpeOps.bpeMerges || expected.length < BpeOps.bpeMerges),
+      s"trained ${got.length} merges, reference ${expected.length}, " +
+        s"budget ${BpeOps.bpeMerges}")
     // ... in strictly fewer rounds than merges — the batching win
     val roundsUsed = got.map(_._2).distinct.length
-    assert(roundsUsed * 2 < BpeOps.bpeMerges,
+    assert(roundsUsed * 2 < got.length,
       s"$roundsUsed rounds for ${got.length} merges — batching not engaged")
-    // within a round, accepted pairs are symbol-disjoint (the invariant
-    // that makes one-pass batch application sound)
+    // within a round, accepted pairs are symbol-disjoint ACROSS merges
+    // (the invariant that makes one-pass batch application sound; a
+    // single merge may repeat a symbol internally — (g,g)→gg is fine)
     got.groupBy(_._2).values.foreach { rnd =>
-      val syms = rnd.flatMap(m => Seq(m._3, m._4, m._5))
-      assert(syms.distinct.length == syms.length,
-        s"round ${rnd.head._2} accepted conflicting pairs")
+      val sets = rnd.map(m => Set(m._3, m._4, m._5)).toSeq
+      for (Seq(x, y) <- sets.combinations(2))
+        assert((x & y).isEmpty,
+          s"round ${rnd.head._2} accepted conflicting pairs: $x vs $y")
     }
     // later rounds must merge MERGED symbols (multi-char operands prove
     // the chain is really iterative, not one-shot pair counting)
@@ -182,6 +189,26 @@ class BpeOpsSpec extends SparkSpec {
       s
     }
     assert(replaceAllSingle(" a a a a a ", "a", "a", "aa").trim != "aa aa a")
+  }
+
+  test("native BpeMergeFold ≡ the higher-order lambda fold on every " +
+      "word shape (runs, overlaps, batch width, empties)") {
+    // the compiled expression replaced the interpreted aggregate() in
+    // the hot path; equivalence on a symbol-disjoint batch is the
+    // contract (plus first-occurrence behavior on identical-symbol runs)
+    val disjoint = Seq(("a", "a", "aa"), ("b", "c", "bc"),
+      ("d", "e", "de")) // {a,aa},{b,bc},{d,de} pairwise symbol-disjoint
+    val words = Seq("aaaaa", "abcde", "bcbcbc", "edcba", "aabbcc",
+      "", "a", "zz", "abcabcde", "dedede", "aaabc")
+    val df = words.toDF("w").select(col("w"), split(col("w"), "").as("sy"))
+    val viaNative = df.select(col("w"),
+        graft.functions.BpeMergeFold(col("sy"), disjoint).as("o"))
+      .as[(String, Seq[String])].collect().toMap
+    val viaLambda = df.select(col("w"),
+        BpeOps.mergeFoldBatch(col("sy"), disjoint).as("o"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(viaNative == viaLambda,
+      words.map(w => s"$w: ${viaNative(w)} vs ${viaLambda(w)}").mkString("; "))
   }
 
   test("selectBatch accepts by rank, rejects symbol conflicts, caps budget") {

@@ -93,7 +93,12 @@ class CodegenGateSpec extends SparkSpec {
         Seq("the", "quick brown", "", "fox jumps over")
           .toDF("g")
           .select(Md5Bucket(col("g"),
-            graft.ext.SampleOps.dsirBuckets).as("out"))))
+            graft.ext.SampleOps.dsirBuckets).as("out"))),
+      ("BpeMergeFold", () =>
+        Seq("banana", "aaaaa", "b", "", "cabab")
+          .toDF("w")
+          .select(BpeMergeFold(split(col("w"), ""),
+            Seq(("a", "n", "an"), ("c", "d", "cd"))).as("out"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */
