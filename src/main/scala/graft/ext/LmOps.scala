@@ -160,7 +160,15 @@ object LmOps {
             (col("n_bigrams") * lmScale).cast("double")))
   }
 
-  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `approxBounds` swaps the per-lang tercile cut points from exact
+    * `percentile` (the oracle/default path; buffers a value→count map
+    * per lang group) to Greenwald-Khanna `percentile_approx` (bounded
+    * memory; cut points move only within GK's rank contract,
+    * spec-pinned like winsorize's) — the hatch for petabyte-sized
+    * language groups.
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String,
+                        approxBounds: Boolean = false): DataFrame = {
     val (cAb, cA, voc) = trainTables(spark, sfDir)
     // every lang trains a model here (voc comes from the same corpus),
     // so the scored filter is an identity on this query's input — it
@@ -168,9 +176,14 @@ object LmOps {
     // feeds with unknown languages.
     val perDoc = scoreDocs(docToks(spark, sfDir), cAb, cA, voc)
       .filter(col("scored"))
-    val bounds = perDoc.groupBy("lang").agg(
-      percentile(col("mean_inv"), lit(1.0 / 3)).as("t1"),
-      percentile(col("mean_inv"), lit(2.0 / 3)).as("t2"))
+    val acc = lit(graft.ext.SketchOps.percentileAccuracy)
+    val bounds =
+      if (approxBounds) perDoc.groupBy("lang").agg(
+        percentile_approx(col("mean_inv"), lit(1.0 / 3), acc).as("t1"),
+        percentile_approx(col("mean_inv"), lit(2.0 / 3), acc).as("t2"))
+      else perDoc.groupBy("lang").agg(
+        percentile(col("mean_inv"), lit(1.0 / 3)).as("t1"),
+        percentile(col("mean_inv"), lit(2.0 / 3)).as("t2"))
     Canon.canonicalize(perDoc.join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"),
         col("n_bigrams"), col("mean_inv"),

@@ -147,19 +147,31 @@ object SampleOps {
     * wholesale in bucket 1.
     *
     * Scale shape: the winsorize pattern on the document stream — one
-    * bounded per-lang percentile agg (exact here; swap
-    * `percentile_approx` GK at petabyte group sizes) broadcast back
-    * over the scored stream, which itself never shuffles.
+    * bounded per-lang percentile agg broadcast back over the scored
+    * stream, which itself never shuffles. Exact `percentile` (the
+    * oracle/default path) buffers a value→count map per lang group; at
+    * petabyte group sizes pass `approxBounds = true` for
+    * Greenwald-Khanna `percentile_approx` bounds (bounded memory, rank
+    * error ≤ n/accuracy — the winsorize contract, spec-pinned): only
+    * the quartile CUT POINTS move within that rank tolerance, the
+    * bucketing rule is shared.
     */
-  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+  def curriculum(spark: SparkSession, sfDir: String,
+                 approxBounds: Boolean = false): DataFrame = {
     val scored = TextOps.withQualityScore(
       TextOps.documents(spark, sfDir)
         .withColumn("norm", TextOps.normText(col("text"))))
       .select(col("doc_id"), col("lang"), col("quality_score"))
-    val bounds = scored.groupBy("lang").agg(
-      percentile(col("quality_score"), lit(0.25)).as("q1"),
-      percentile(col("quality_score"), lit(0.5)).as("q2"),
-      percentile(col("quality_score"), lit(0.75)).as("q3"))
+    val acc = lit(SketchOps.percentileAccuracy)
+    val bounds =
+      if (approxBounds) scored.groupBy("lang").agg(
+        percentile_approx(col("quality_score"), lit(0.25), acc).as("q1"),
+        percentile_approx(col("quality_score"), lit(0.5), acc).as("q2"),
+        percentile_approx(col("quality_score"), lit(0.75), acc).as("q3"))
+      else scored.groupBy("lang").agg(
+        percentile(col("quality_score"), lit(0.25)).as("q1"),
+        percentile(col("quality_score"), lit(0.5)).as("q2"),
+        percentile(col("quality_score"), lit(0.75)).as("q3"))
     Canon.canonicalize(scored.join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("quality_score"),
         when(col("quality_score") <= col("q1"), 1L)
@@ -486,15 +498,26 @@ object SampleOps {
     * keep threshold is one global quantile broadcast back (GK sketch
     * hatch at 10¹⁰ docs, as curriculum documents).
     */
-  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
-    dsirWeightsFrom(TextOps.documents(spark, sfDir))
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  approxBounds: Boolean = false): DataFrame =
+    dsirWeightsFrom(TextOps.documents(spark, sfDir), approxBounds)
 
   /** The DSIR chain over an EXPLICIT (doc_id, …, text) frame — the
     * seam the empty-target-slice spec drives (a corpus where NO doc is
     * in the reference slice must still yield finite λ and boolean
     * `selected`, not NULLs — the coalesce below).
+    *
+    * `approxBounds` swaps the keep threshold's exact global
+    * `percentile` — a SINGLE-GROUP aggregation that funnels every
+    * per-doc score into one reducer's value map, the one
+    * executor-memory hazard in this chain at 10¹⁰ docs — for the
+    * Greenwald-Khanna `percentile_approx` sketch (bounded memory; the
+    * selected threshold moves only within GK's rank contract,
+    * spec-pinned like winsorize's).
     */
-  private[graft] def dsirWeightsFrom(documents: DataFrame): DataFrame = {
+  private[graft] def dsirWeightsFrom(documents: DataFrame,
+                                     approxBounds: Boolean = false)
+      : DataFrame = {
     val dt = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), CurationOps.toksCol.as("toks"))
@@ -536,8 +559,11 @@ object SampleOps {
       .withColumn("mean_ratio",
         col("w").cast("double") /
           (col("n_grams") * dsirScale).cast("double"))
-    val thr = pd.agg(
-      percentile(col("mean_ratio"), lit(dsirKeepQuantile)).as("t"))
+    val thr =
+      if (approxBounds) pd.agg(percentile_approx(col("mean_ratio"),
+        lit(dsirKeepQuantile), lit(SketchOps.percentileAccuracy)).as("t"))
+      else pd.agg(
+        percentile(col("mean_ratio"), lit(dsirKeepQuantile)).as("t"))
     val out = Canon.canonicalize(pd.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_grams"), col("mean_ratio"),
         (col("mean_ratio") >= col("t")).as("selected")))

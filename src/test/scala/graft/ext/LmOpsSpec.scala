@@ -85,6 +85,31 @@ class LmOpsSpec extends SparkSpec {
       allScores.sum / allScores.size)
   }
 
+  test("perplexity approx terciles stay within the GK rank-error of exact") {
+    // the winsorize/curriculum contract on the per-lang tercile cuts:
+    // cumulative bucket shares within n/accuracy + tie-run slack of
+    // k·n/3; bucketing monotone in score; schema/count shared
+    val approx = LmOps.perplexityBuckets(spark, sfDir, approxBounds = true)
+    val exact = LmOps.perplexityBuckets(spark, sfDir)
+    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.count() == exact.count())
+    val rows = approx.as[(Long, String, Long, Double, Long)].collect()
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      val maxTie = rs.groupBy(_._4).values.map(_.size).max
+      val slack = n.toDouble / graft.ext.SketchOps.percentileAccuracy + maxTie
+      val byScore = rs.sortBy(_._4)
+      assert(byScore.map(_._5).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), s"$lang: buckets not monotone")
+      for (k <- 1 to 2) {
+        val below = rs.count(_._5 <= k)
+        assert(math.abs(below - k * n / 3.0) <= slack,
+          s"$lang: |buckets<=$k| = $below, target ${k * n / 3.0}, " +
+            s"slack $slack")
+      }
+    }
+  }
+
   test("scoreDocs on a language with no reference model: row kept, " +
       "scored=false, NULL score — never silently dropped") {
     val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)

@@ -244,6 +244,59 @@ class SampleOpsSpec extends SparkSpec {
       s"kept $kept of ${docs.size}")
   }
 
+  test("curriculum approx bounds stay within the GK rank-error of exact") {
+    // the scale path may move the quartile CUT POINTS, but only within
+    // percentile_approx's rank contract (the winsorize pattern): the
+    // cumulative share of docs in buckets 1..k stays within
+    // n/accuracy + tie-run slack of k·n/4, and bucketing stays monotone
+    // in score. At fixture n the GK summary is near-exact, so this is
+    // a plumbing + contract check, not a divergence measurement.
+    val approx = SampleOps.curriculum(spark, sfDir, approxBounds = true)
+    val exact = SampleOps.curriculum(spark, sfDir)
+    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.count() == exact.count())
+    val rows = approx.as[(Long, String, Double, Long)].collect()
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      val maxTie = rs.groupBy(_._3).values.map(_.size).max
+      val slack = n.toDouble / SketchOps.percentileAccuracy + maxTie
+      // monotone: sort by score; bucket sequence must be non-decreasing
+      val byScore = rs.sortBy(_._3)
+      assert(byScore.map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), s"$lang: buckets not monotone")
+      for (k <- 1 to 3) {
+        val below = rs.count(_._4 <= k)
+        assert(math.abs(below - k * n / 4.0) <= slack,
+          s"$lang: |buckets<=$k| = $below, target ${k * n / 4.0}, " +
+            s"slack $slack")
+      }
+    }
+  }
+
+  test("dsir approx threshold stays within the GK rank-error of exact") {
+    val approx = SampleOps.dsirWeights(spark, sfDir, approxBounds = true)
+    val exact = SampleOps.dsirWeights(spark, sfDir)
+    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.count() == exact.count())
+    val rows = approx
+      .select("doc_id", "mean_ratio", "selected")
+      .as[(Long, Double, Boolean)].collect()
+    val n = rows.length
+    val maxTie = rows.groupBy(_._2).values.map(_.size).max
+    val slack = n.toDouble / SketchOps.percentileAccuracy + maxTie
+    // selection is an upper-tail cut: everything selected scores >=
+    // everything unselected (threshold semantics preserved) ...
+    val selMin = rows.filter(_._3).map(_._2).min
+    val unsMax = rows.filter(!_._3).map(_._2).max
+    assert(unsMax <= selMin || rows.count(r => r._2 == unsMax) > 1,
+      s"threshold not a clean cut: unselected max $unsMax > " +
+        s"selected min $selMin")
+    // ... and the cut's rank is within GK slack of the keep quantile
+    val kept = rows.count(_._3)
+    assert(math.abs((n - kept) - SampleOps.dsirKeepQuantile * n) <= slack,
+      s"kept $kept of $n, slack $slack")
+  }
+
   test("dsir weights on a corpus with an EMPTY target slice: finite " +
       "ratios and boolean selected, matching the count-based oracle") {
     // every doc_id ≡ 1 (mod lmRefMod): the target aggregate sums zero
