@@ -40,6 +40,8 @@ object SparkEntry {
     "q_html_extract" -> ((s, dir) => TextOps.htmlExtract(s, dir)),
     "q_model_score" -> ((s, dir) => ScoringOps.modelScore(s, dir)),
     "q_rerank" -> ((s, dir) => ScoringOps.rerank(s, dir)),
+    "q_quality_classifier" ->
+      ((s, dir) => ext.ClassifierOps.qualityClassifier(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
     "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
@@ -233,6 +235,7 @@ object SparkEntry {
     "q_html_extract" -> TextOps.htmlExtractOracle,
     "q_model_score" -> ScoringOps.modelScoreOracle,
     "q_rerank" -> ScoringOps.rerankOracle,
+    "q_quality_classifier" -> ext.ClassifierOps.qualityClassifierOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
     "q_source_diversity" -> SampleOps.sourceDiversityOracle,

@@ -1,0 +1,239 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Canon
+
+/** TRAINED model-based quality filtering — the classifier stage between
+  * heuristic filters and dedup in a pre-training pipeline (the
+  * GPT-3/fastText quality-classifier recipe: train a cheap linear model
+  * over hashed text features, run it over the whole crawl). This
+  * replaces the closed-form [[ScoringOps.QualityStub]] toy with a model
+  * whose weights are actually LEARNED from the corpus in-engine:
+  *
+  *  - **features**: hashed gram counts — unigram + bigram occurrences
+  *    bucketed to [[qcBuckets]] dims by the shared
+  *    [[graft.functions.Md5Bucket]] digest (the DSIR machinery);
+  *  - **labels**: weak supervision by DISTILLATION — y = 1 iff the
+  *    heuristic [[TextOps]] quality score clears
+  *    [[TextOps.curateQualityMin]]. Distilling a heuristic/LLM judge
+  *    into a fast hashed-feature model is the standard production
+  *    pattern (the expensive labeler touches a slice; the distilled
+  *    model touches everything);
+  *  - **model**: multinomial Naive Bayes over the hashed counts, in the
+  *    repo's exact-arithmetic discipline: per class y the add-one
+  *    smoothed INVERSE frequency `inv[b,y] = (tot_y + D)·S div
+  *    (c[b,y] + 1)` (integer fixed point — [[LmOps]]' surrogate trade:
+  *    mean inverse likelihood replaces the log-product, monotone per
+  *    token, bit-reproducible on any engine), and a document scores
+  *    `s_y = Σ_grams inv[bucket, y]` — the class with the SMALLER mean
+  *    inverse is the prediction, decided by integer comparison (equal
+  *    denominators cancel). Training is CLOSED-FORM — two keyed
+  *    aggregations, no iterations — which is why it beats fixed-point
+  *    SGD here: no learning-rate fragility, nothing to unroll, and the
+  *    DuckDB twin is exact by construction. NB over hashed grams IS a
+  *    linear scorer (s_y is linear in the count vector), trained where
+  *    least squares would need a D×D inverse SQL can't do exactly.
+  *
+  * The trained weights are a 2·[[qcBuckets]]-row TABLE; the scoring
+  * pass ships them through the production [[ScoringOps.batchScore]]
+  * seam (collect is bounded by 2·D rows — the k-means centroid-sync
+  * pattern), so the "swap a real model into the seam" path is the one
+  * under test: open() receives learned weights, scoreBatch re-derives
+  * the same features JVM-side, and the DuckDB oracle reproduces
+  * feature extraction, training AND inference end-to-end.
+  *
+  * Scale shape: training is one corpus-sized gram pass folding into a
+  * 2·D-row model (map-side combined keyed aggs — the DSIR histogram
+  * shape); inference is embarrassingly parallel over documents with
+  * the model broadcast inside the task closure. Both classes must be
+  * present in the training slice (require-guarded, the A1 fail-fast
+  * pattern) — a one-class corpus has nothing to separate.
+  */
+object ClassifierOps {
+
+  /** Hashed feature dimensionality (Md5Bucket modulus). */
+  val qcBuckets = 512
+
+  /** Fixed-point scale of the inverse-frequency weights. */
+  val qcScale = 1000000L
+
+  /** The trained weights: ((bucket, class) → inv_fp), complete over the
+    * 2·D grid. Bounded driver sync, like k-means centroids.
+    */
+  private[ext] def trainWeights(spark: SparkSession, sfDir: String)
+      : Map[(Int, Int), Long] = {
+    import spark.implicits._
+    val y = labels(spark, sfDir)
+    val db = gramBuckets(spark, sfDir)
+    val cnt = db.join(y, Seq("doc_id"))
+      .groupBy("b", "y").agg(count(lit(1)).as("c"))
+    val tot = db.join(y, Seq("doc_id"))
+      .groupBy("y").agg(count(lit(1)).as("t"))
+    val classes = tot.as[(Int, Long)].collect().toMap
+    require(classes.keySet == Set(0, 1),
+      s"quality classifier needs both classes in the training slice, " +
+        s"got ${classes.keySet}")
+    val grid = spark.range(qcBuckets).select(col("id").cast("int").as("b"))
+      .crossJoin(Seq(0, 1).toDF("y"))
+    grid.join(broadcast(tot), Seq("y"))
+      .join(cnt, Seq("b", "y"), "left")
+      .select(col("b"), col("y"), expr(
+        s"(t + $qcBuckets) * ${qcScale}L div (coalesce(c, 0L) + 1L)")
+        .as("inv"))
+      .as[(Int, Int, Long)].collect()
+      .map { case (b, cls, inv) => (b, cls) -> inv }.toMap
+  }
+
+  /** y = 1 iff the heuristic quality score clears the curation bar —
+    * the distillation label.
+    */
+  private def labels(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.withQualityScore(
+        TextOps.documents(spark, sfDir)
+          .withColumn("norm", TextOps.normText(col("text"))))
+      .select(col("doc_id"),
+        (col("quality_score") >= TextOps.curateQualityMin)
+          .cast("int").as("y"))
+
+  /** One row per gram OCCURRENCE (unigrams + bigrams), bucketed. */
+  private[ext] def gramBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), CurationOps.toksCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        explode(concat(CurationOps.grams(col("toks"), 1),
+          CurationOps.grams(col("toks"), 2))).as("g"))
+      .select(col("doc_id"),
+        graft.functions.Md5Bucket(col("g"), qcBuckets).cast("int").as("b"))
+
+  /** The trained model as a [[ScoringOps.BatchModel]]: weights learned
+    * in-engine ride the production batched-inference seam. scoreBatch
+    * re-derives the features JVM-side with the operator's exact
+    * tokenization rule (normText ≡ replaceAll+trim+lowercase on the
+    * ASCII fixture, grams ≡ sliding windows, bucket ≡ the shared
+    * Md5Bucket digest), so seam output is bit-identical to the
+    * DataFrame/SQL formulations.
+    */
+  final case class TrainedQualityModel(weights: Map[(Int, Int), Long])
+      extends ScoringOps.BatchModel[(Long, String), (Long, Long, Long, Long)] {
+    val name = "quality-nb-v1"
+    def open(): ScoringOps.BatchHandle[(Long, String), (Long, Long, Long, Long)] =
+      new ScoringOps.BatchHandle[(Long, String), (Long, Long, Long, Long)] {
+        def scoreBatch(batch: Seq[(Long, String)])
+            : Seq[(Long, Long, Long, Long)] =
+          batch.map { case (id, text) =>
+            val toks = text.replaceAll("\\s+", " ").trim
+              .toLowerCase(java.util.Locale.ROOT)
+              .split(" ").filter(_.nonEmpty).toSeq
+            val grams = toks ++
+              (if (toks.length >= 2) toks.sliding(2).map(_.mkString(" "))
+               else Iterator.empty)
+            var n = 0L; var s0 = 0L; var s1 = 0L
+            grams.foreach { g =>
+              val b = graft.functions.Md5Bucket
+                .bucket(UTF8String.fromString(g), qcBuckets).toInt
+              s0 += weights((b, 0)); s1 += weights((b, 1)); n += 1L
+            }
+            (id, n, s0, s1)
+          }
+        def close(): Unit = ()
+      }
+  }
+
+  /** q_quality_classifier: train on the whole fixture, score every
+    * (tokenizable) document through the batched seam, and emit per doc
+    * the label, both class mean-inverse scores (one final double
+    * division each — the LmOps output convention) and the integer-exact
+    * prediction `pred = s1 < s0` (smaller mean inverse under the
+    * positive class; denominators cancel).
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = trainWeights(spark, sfDir)
+    val in = TextOps.documents(spark, sfDir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val scored = ScoringOps.batchScore(in, TrainedQualityModel(w))
+      .toDF("doc_id", "n_grams", "s0", "s1")
+      .filter(col("n_grams") > 0)
+    Canon.canonicalize(scored
+      .join(labels(spark, sfDir), Seq("doc_id"))
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        col("n_grams"),
+        (col("s0").cast("double") /
+          (col("n_grams") * qcScale).cast("double")).as("mean_inv_neg"),
+        (col("s1").cast("double") /
+          (col("n_grams") * qcScale).cast("double")).as("mean_inv_pos"),
+        (col("s1") < col("s0")).as("pred")))
+  }
+
+  /** Md5 bucket in SQL with an explicit modulus (the SampleOps twin
+    * formula, parameterized).
+    */
+  private def bucketSql(g: String, buckets: Int): String = {
+    def d(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5($g), $i, 1)) - 1)"
+    s"((${d(1)} * 4096 + ${d(2)} * 256 + ${d(3)} * 16 + ${d(4)})" +
+      s" % $buckets)"
+  }
+
+  /** Feature extraction + training + inference, end-to-end in SQL.
+    * All divisions have non-negative operands, so DuckDB `//` (floor)
+    * equals Spark `div` (truncate).
+    */
+  val qualityClassifierOracle: String = {
+    import TextOps.normSql
+    s"""WITH ${TextOps.qualityCte},
+       |yl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN quality_score >= ${TextOps.curateQualityMin}
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM qs),
+       |dt AS (
+       |  SELECT doc_id, toks FROM (
+       |    SELECT doc_id,
+       |           list_filter(string_split($normSql, ' '), t -> t <> '')
+       |             AS toks
+       |    FROM documents)
+       |  WHERE len(toks) > 0),
+       |dg AS (
+       |  SELECT doc_id, u.g FROM dt, unnest(toks) AS u(g)
+       |  UNION ALL
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1]
+       |  FROM dt, unnest(range(1, len(toks))) AS r(i)),
+       |db AS MATERIALIZED (
+       |  SELECT doc_id, ${bucketSql("g", qcBuckets)} AS b FROM dg),
+       |cnt AS (
+       |  SELECT b, y, count(*) AS c
+       |  FROM db JOIN yl USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT y, count(*) AS t
+       |        FROM db JOIN yl USING (doc_id) GROUP BY 1),
+       |model AS MATERIALIZED (
+       |  SELECT g.b, cls.y,
+       |         ((t.t + $qcBuckets) * $qcScale)
+       |           // (coalesce(c.c, 0) + 1) AS inv
+       |  FROM range(0, $qcBuckets) g(b)
+       |  CROSS JOIN (VALUES (0), (1)) cls(y)
+       |  JOIN tot t ON t.y = cls.y
+       |  LEFT JOIN cnt c ON c.b = g.b AND c.y = cls.y),
+       |sc AS (
+       |  SELECT db.doc_id,
+       |         CAST(sum(CASE WHEN m.y = 0 THEN m.inv END) AS BIGINT) AS s0,
+       |         CAST(sum(CASE WHEN m.y = 1 THEN m.inv END) AS BIGINT) AS s1,
+       |         count(*) // 2 AS n
+       |  FROM db JOIN model m ON m.b = db.b
+       |  GROUP BY 1)
+       |SELECT sc.doc_id, CAST(y AS BIGINT) AS label,
+       |       CAST(n AS BIGINT) AS n_grams,
+       |       CAST(s0 AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
+       |         AS mean_inv_neg,
+       |       CAST(s1 AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
+       |         AS mean_inv_pos,
+       |       s1 < s0 AS pred
+       |FROM sc JOIN yl ON sc.doc_id = yl.doc_id""".stripMargin
+  }
+}

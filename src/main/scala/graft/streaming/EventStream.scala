@@ -412,17 +412,31 @@ object EventStream {
     * frame comes back PERSISTED (its stats were just counted off it);
     * the caller unpersists after consuming.
     */
+  /** @param modelGate optional TRAINED-classifier verdicts
+    *   (doc_id, pred) — [[graft.ext.ClassifierOps.qualityClassifier]]'s
+    *   output shape. When present, stage 1 additionally requires
+    *   pred = true (heuristic AND model must both accept — the GPT-3
+    *   two-filter recipe). A STATIC side input like the LM tables and
+    *   the LSH index, so the per-batch ≡ whole-feed invariant is
+    *   untouched (spec-asserted with the gate on).
+    */
   def ingestFunnelBatch(batch: DataFrame, sfDir: String,
                         cAb: DataFrame, cA: DataFrame, voc: DataFrame,
-                        qualityMin: Double, fluencyMax: Double)
+                        qualityMin: Double, fluencyMax: Double,
+                        modelGate: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     import graft.ext.{DedupOps, LmOps, TextOps}
     val scored = TextOps.withQualityScore(
         batch.withColumn("norm", TextOps.normText(col("text"))))
       .select(col("doc_id"), col("lang"), col("text"),
         col("quality_score"))
-    val qPassed = scored.filter(col("quality_score") >= qualityMin)
-      .select("doc_id", "lang", "text").persist()
+    val heuristicPassed = scored.filter(col("quality_score") >= qualityMin)
+      .select("doc_id", "lang", "text")
+    val qPassed = modelGate.fold(heuristicPassed)(g =>
+        heuristicPassed.join(
+          g.filter(col("pred")).select("doc_id"), Seq("doc_id"),
+          "left_semi"))
+      .persist()
     val dupIds = DedupOps.probeLshIndex(batch.sparkSession, sfDir,
         qPassed.select("doc_id", "text"))
       .select(col("batch_id").as("doc_id")).distinct()

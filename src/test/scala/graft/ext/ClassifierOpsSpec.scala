@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClassifierOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trained quality classifier beats the class prior and the seam " +
+      "output equals an independent DataFrame-path recompute") {
+    val out = ClassifierOps.qualityClassifier(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    // 1. it LEARNS: in-sample accuracy clears the majority-class prior
+    // by a real margin (measured ≥ +0.08 at all three fixture SFs)
+    val n = out.length
+    val pos = out.count(_._2 == 1L)
+    val prior = math.max(pos, n - pos).toDouble / n
+    val acc = out.count(r => r._6 == (r._2 == 1L)).toDouble / n
+    assert(acc >= prior + 0.05, s"acc $acc vs prior $prior — not learning")
+    // ... and it errs in BOTH directions (not a constant predictor)
+    assert(out.exists(_._6) && out.exists(!_._6))
+
+    // 2. the batched-seam inference (JVM tokenization inside the model)
+    // equals a recompute through the Spark expression path: gram buckets
+    // from the operator's own column expressions, weights from the
+    // trained map — a genuinely independent feature-extraction twin
+    val w = ClassifierOps.trainWeights(spark, sfDir)
+    val byDoc = ClassifierOps.gramBuckets(spark, sfDir)
+      .as[(Long, Int)].collect().groupBy(_._1)
+    val expected = byDoc.map { case (id, rows) =>
+      val s0 = rows.map(r => w((r._2, 0))).sum
+      val s1 = rows.map(r => w((r._2, 1))).sum
+      id -> ((rows.length.toLong, s0, s1))
+    }
+    assert(out.length == expected.size)
+    val scale = ClassifierOps.qcScale
+    out.foreach { case (id, _, ng, mNeg, mPos, pred) =>
+      val (en, es0, es1) = expected(id)
+      assert(ng == en, s"doc $id n_grams $ng != $en")
+      assert(mNeg == es0.toDouble / (en * scale).toDouble, s"doc $id s0")
+      assert(mPos == es1.toDouble / (en * scale).toDouble, s"doc $id s1")
+      assert(pred == (es1 < es0), s"doc $id pred")
+    }
+
+    // 3. the weights really are class-conditional (the two class rows
+    // differ somewhere — a degenerate model would collapse them)
+    assert((0 until ClassifierOps.qcBuckets)
+      .exists(b => w((b, 0)) != w((b, 1))))
+  }
+
+  test("ingest funnel composed with the trained model gate: accepted = " +
+      "ungated accepted ∩ model-positive; stats still conserve") {
+    import graft.streaming.EventStream
+    val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)
+    val feed = DedupOps.incrementalBatchDocs(spark, sfDir)
+      .join(TextOps.documents(spark, sfDir).select("doc_id", "lang"),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+    val verdicts = ClassifierOps.qualityClassifier(spark, sfDir)
+      .select("doc_id", "pred").persist()
+    val (gated, gStats) = EventStream.ingestFunnelBatch(
+      feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
+      EventStream.funnelFluencyMax, modelGate = Some(verdicts))
+    val (ungated, uStats) = EventStream.ingestFunnelBatch(
+      feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
+      EventStream.funnelFluencyMax)
+    val g = gated.select("doc_id").as[Long].collect().toSet
+    val u = ungated.select("doc_id").as[Long].collect().toSet
+    val posIds = verdicts.filter(col("pred")).select("doc_id")
+      .as[Long].collect().toSet
+    gated.unpersist(false); ungated.unpersist(false)
+    // the model gate sits in stage 1, upstream of dedup + fluency; a
+    // model-rejected doc can never be accepted, and a model-accepted
+    // doc's fate matches the ungated run WHEN the dedup stage is
+    // unaffected — which it is here, because dropping batch docs can
+    // only shrink the probe side (corpus-censused buckets are static)
+    assert(g == (u & posIds),
+      s"gated != ungated ∩ positive: missing=${((u & posIds) -- g).take(5)}" +
+        s" extra=${(g -- (u & posIds)).take(5)}")
+    assert(g.nonEmpty && g.size < u.size,
+      "gate fixture vacuous — nothing filtered or nothing left")
+    // conservation still holds with the gate on
+    val s = gStats.select("n_in", "n_quality_drop", "n_dup_drop",
+      "n_fluency_drop", "n_accepted")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s._1 == s._2 + s._3 + s._4 + s._5)
+    // the gate strictly tightened stage 1
+    val su = uStats.select("n_quality_drop").as[Long].head()
+    assert(s._2 > su)
+    verdicts.unpersist(false)
+  }
+}
