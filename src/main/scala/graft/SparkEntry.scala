@@ -48,6 +48,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
+    "q_lang_id_nb" -> ((s, dir) => ext.ClassifierOps.langIdNb(s, dir)),
     "q_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
     "q_corpus_curate" -> ((s, dir) => TextOps.corpusCurate(s, dir)),
     // token-budgeted overlapping chunks (embedding/training-window prep)
@@ -242,6 +243,7 @@ object SparkEntry {
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,
+    "q_lang_id_nb" -> ext.ClassifierOps.langIdNbOracle,
     "q_pii_scrub" -> TextOps.piiScrubOracle,
     "q_corpus_curate" -> TextOps.corpusCurateOracle,
     "q_doc_chunks" -> TextOps.docChunksOracle,

@@ -171,6 +171,130 @@ object ClassifierOps {
         (col("s1") < col("s0")).as("pred")))
   }
 
+  // ---- language ID: trained char-n-gram Naive Bayes -------------------
+
+  /** Char n-gram width of the language-ID profiles (the classic
+    * char-trigram NB — Cavnar & Trenkle's n-gram categorization shape).
+    */
+  val lidShingleLen = 3
+
+  /** TRAINED language identification — the upgrade from
+    * [[TextOps.langId]]'s hand-picked marker grams to per-language
+    * char-trigram profiles LEARNED from the reference slice (doc_id ≡ 0
+    * mod [[LmOps.lmRefMod]], the same hash-membership corpus the
+    * reference LM trains on), scored with the [[LmOps]] fixed-point
+    * discipline: a document's score under language L is the MEAN
+    * add-one-smoothed inverse trigram frequency of L's profile
+    * (exact-rational surrogate for NB log-likelihood, monotone per
+    * gram), and the prediction is the integer-exact argmin with a
+    * lexicographic language tie-break.
+    *
+    * Features are the shared [[graft.functions.ShingleHashes]] 62-bit
+    * char-window hashes (distinct = false — occurrences, not the set).
+    *
+    * FIXTURE CAVEAT, stated openly: the synthetic corpus draws every
+    * language's text from ONE shared vocabulary, so the lang label
+    * carries almost no textual signal and NO classifier can reach real
+    * accuracy here — the fixture gates the ARITHMETIC (hash-exact twin)
+    * and the spec asserts parity-or-better against the marker baseline;
+    * the capability claim (≈100% on languages that actually differ) is
+    * pinned by ClassifierOpsSpec's distinct-alphabet synthetic corpus
+    * through [[langIdNbFrom]].
+    *
+    * Scale shape: training folds the reference gram stream into a
+    * (langs × grams)-keyed count table (map-side combined); scoring is
+    * one explode + a langs-wide broadcast expansion + a per-(doc, lang)
+    * agg — no corpus self-join, langs is a constant.
+    */
+  def langIdNb(spark: SparkSession, sfDir: String): DataFrame =
+    langIdNbFrom(TextOps.documents(spark, sfDir))
+
+  def langIdNbFrom(docs: DataFrame): DataFrame = {
+    val d = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextOps.normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= lidShingleLen)
+    val grams = d.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("norm"), lidShingleLen,
+        distinct = false)).as("g"))
+    val refGrams = grams
+      .filter(col("doc_id") % LmOps.lmRefMod === 0)
+    val cnt = refGrams
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("lang").agg(sum("c").as("t"))
+    val voc = cnt.select("g").distinct()
+      .agg(count(lit(1)).as("v"))
+    val inv = expr(
+      s"(t + v) * ${qcScale}L div (coalesce(c, 0L) + 1L)")
+    val perLang = grams
+      .crossJoin(broadcast(tot.select(col("lang").as("ml"), col("t"))))
+      .join(cnt.select(col("lang").as("ml"), col("g"), col("c")),
+        Seq("ml", "g"), "left")
+      .crossJoin(broadcast(voc))
+      .groupBy("doc_id", "ml")
+      .agg(sum(inv).as("s_fp"), count(lit(1)).as("n"))
+    val best = perLang
+      .groupBy("doc_id")
+      .agg(min(struct(col("s_fp"), col("ml"), col("n"))).as("m"))
+      .select(col("doc_id"), col("m.ml").as("predicted_lang"),
+        col("m.n").as("n_grams"), col("m.s_fp").as("s_fp"))
+    Canon.canonicalize(best
+      .join(d.select(col("doc_id"), col("lang").as("labeled_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("labeled_lang"), col("n_grams"),
+        col("predicted_lang"),
+        (col("s_fp").cast("double") /
+          (col("n_grams") * qcScale).cast("double")).as("mean_inv")))
+  }
+
+  /** The char-trigram hash in SQL — generated from the same constants
+    * as ShingleHashes (the DedupOps twin formula at k = 3).
+    */
+  private def lidHashSql(norm: String, pos: String): String = {
+    val P = graft.functions.SimHash64.P
+    def fold(base: Int): String =
+      (0 until lidShingleLen).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"(($acc * $base + ord(substr($norm, $pos + $j, 1))) % $P)"
+      }
+    s"(${fold(31)} * ${1L << 31} + ${fold(37)})"
+  }
+
+  val langIdNbOracle: String = {
+    import TextOps.normSql
+    s"""WITH nd AS (
+       |  SELECT doc_id, lang, $normSql AS norm FROM documents),
+       |d AS (SELECT * FROM nd WHERE length(norm) >= $lidShingleLen),
+       |st AS MATERIALIZED (
+       |  SELECT doc_id, lang, ${lidHashSql("norm", "i")} AS g
+       |  FROM d, unnest(range(1, length(norm) - ${lidShingleLen - 2}))
+       |       AS t(i)),
+       |cnt AS MATERIALIZED (
+       |  SELECT lang, g, count(*) AS c FROM st
+       |  WHERE doc_id % ${LmOps.lmRefMod} = 0 GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t
+       |        FROM cnt GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT g) AS v FROM cnt),
+       |sc AS MATERIALIZED (
+       |  SELECT st.doc_id, m.lang AS ml,
+       |         CAST(sum((m.t + voc.v) * $qcScale
+       |                  // (coalesce(c.c, 0) + 1)) AS BIGINT) AS s_fp,
+       |         count(*) AS n
+       |  FROM st CROSS JOIN tot m CROSS JOIN voc
+       |  LEFT JOIN cnt c ON c.lang = m.lang AND c.g = st.g
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY s_fp ASC, ml ASC) AS r
+       |  FROM sc)
+       |SELECT rk.doc_id, d.lang AS labeled_lang,
+       |       CAST(n AS BIGINT) AS n_grams, ml AS predicted_lang,
+       |       CAST(s_fp AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
+       |         AS mean_inv
+       |FROM rk JOIN d ON rk.doc_id = d.doc_id
+       |WHERE r = 1""".stripMargin
+  }
+
   /** Md5 bucket in SQL with an explicit modulus (the SampleOps twin
     * formula, parameterized).
     */
