@@ -134,6 +134,9 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) => TextOps.collocations(s, dir)),
     // distributed BPE merge training (k-means-style driver-synced rounds)
     "q_bpe_train" -> ((s, dir) => ext.BpeOps.bpeTrain(s, dir)),
+    "q_bpe_train_merged" -> ((s, dir) => ext.BpeOps.bpeTrainMerged(s, dir)),
+    "q_bpe_train_forgotten" ->
+      ((s, dir) => ext.BpeOps.bpeTrainForgotten(s, dir)),
     // apply the trained merges: real per-doc BPE token counts
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
     "q_compression_ratio" -> ((s, dir) => ext.BpeOps.compressionRatio(s, dir)),
@@ -159,6 +162,9 @@ object SparkEntry {
     "q_embed_moments" -> ((s, dir) => VectorOps.embedMoments(s, dir)),
     "q_semantic_dedup" -> ((s, dir) => VectorOps.semanticDedup(s, dir)),
     // full-probe twin: provably ≡ brute force → shares the exact oracle
+    "q_ann_ivf_merged" -> ((s, dir) => VectorOps.annIvfMerged(s, dir)),
+    "q_ann_ivf_forgotten" ->
+      ((s, dir) => VectorOps.annIvfForgotten(s, dir)),
     "q_ann_ivf_fullprobe" ->
       ((s, dir) => VectorOps.annIvf(s, dir, nprobe = VectorOps.ivfCentroids)),
     // event-stream aggregation (batch forms of the streaming transforms)
@@ -299,6 +305,8 @@ object SparkEntry {
     "q_ngram_diversity" -> TextOps.ngramDiversityOracle,
     "q_collocations" -> TextOps.collocationsOracle,
     "q_bpe_train" -> ext.BpeOps.bpeTrainOracle,
+    "q_bpe_train_merged" -> ext.BpeOps.bpeTrainOracle,
+    "q_bpe_train_forgotten" -> ext.BpeOps.bpeTrainForgottenOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
     "q_compression_ratio" -> ext.BpeOps.compressionRatioOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
@@ -319,6 +327,8 @@ object SparkEntry {
     "q_domain_mixture" -> VectorOps.domainMixtureOracle,
     "q_embed_expectations" -> VectorOps.embedExpectationsOracle,
     "q_semantic_dedup" -> VectorOps.semanticDedupOracle,
+    "q_ann_ivf_merged" -> VectorOps.annIvfMergedOracle,
+    "q_ann_ivf_forgotten" -> VectorOps.annIvfForgottenOracle,
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_embed_lsh" -> VectorOps.embedLshOracle,

@@ -316,6 +316,143 @@ object BpeOps {
         .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq"))
   }
 
+  // ---- merge/forget lifecycle (word-count algebra + retrain) ----------
+
+  /** Word-frequency counts of an EXPLICIT (doc_id, …, text) frame — the
+    * lifecycle's unit of account. Word counts are ADDITIVE across
+    * disjoint document sets (and subtractive for deletions), which is
+    * what makes the BPE artifact lifecycle EXACT: the corpus-sized pass
+    * runs only over the batch, and retraining from an identical word
+    * table is deterministic, so merged/forgotten ≡ rebuilt holds
+    * bit-for-bit (unlike centroid codebooks, where removing a vector's
+    * influence has no closed form — see VectorOps' frozen-codebook
+    * documentation).
+    */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(explode(CurationOps.toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  private def lifecycleDone(dir: String): Boolean =
+    Seq("words", "merges").forall(t =>
+      new java.io.File(s"$dir/$t/_SUCCESS").exists())
+
+  /** The lifecycle's BASE corpus: even doc_ids. The odd half arrives
+    * later as the merge batch, so base ∪ batch = the whole fixture —
+    * which is why [[bpeTrainMerged]] can share [[bpeTrainOracle]].
+    */
+  private def baseHalf(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+
+  private def oddHalf(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
+
+  private def lifecycleDir(sfDir: String): String = {
+    val fp = Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"${graft.io.Artifacts.root}/bpe_index/" +
+      s"${tag}_base2_m${bpeMerges}_r${bpeRounds}_c${bpeCandidates}_$fp"
+  }
+
+  private def writeIndex(spark: SparkSession, dir: String,
+                         words: DataFrame): Unit = {
+    import spark.implicits._
+    words.write.mode("overwrite").parquet(s"$dir/words")
+    val persisted = spark.read.parquet(s"$dir/words")
+    spark.createDataset(trainLoop(spark, persisted))
+      .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+  }
+
+  /** Build (or SUCCESS-gated reuse) the base-half BPE index: the word
+    * table AND the merges trained from it, both persisted — the word
+    * table is the merge/forget ledger, the merges are the artifact
+    * consumers read.
+    */
+  def bpeIndex(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = lifecycleDir(sfDir)
+    if (!lifecycleDone(dir))
+      writeIndex(spark, dir, wordCounts(baseHalf(spark, sfDir)))
+    dir
+  }
+
+  /** MERGE a document batch into a persisted BPE index: batch word
+    * counts ADD to the stored word table (the base corpus is never
+    * re-tokenized — the LmOps count algebra), and the merges RETRAIN
+    * from the summed table (the verdict-sanctioned retrain-on-merge:
+    * training is vocabulary-sized and, with incremental pair
+    * maintenance, seconds — the corpus-sized pass is what the ledger
+    * avoids). Writes a NEW stamped `…_m_<tag>` dir; merged ≡ a
+    * from-scratch build over base ∪ batch EXACTLY (identical word
+    * table, deterministic trainer — BpeLifecycleSpec pins it).
+    */
+  def bpeIndexMerge(spark: SparkSession, sfDir: String,
+                    batchDocs: DataFrame, batchTag: String): String =
+    synchronized {
+      require(batchTag.matches("[A-Za-z0-9_-]+"),
+        s"batchTag must be path-safe, got '$batchTag'")
+      val base = bpeIndex(spark, sfDir)
+      val dir = s"${base}_m_$batchTag"
+      if (!lifecycleDone(dir)) {
+        val merged = spark.read.parquet(s"$base/words")
+          .union(wordCounts(batchDocs))
+          .groupBy("w").agg(sum("f").as("f"))
+        writeIndex(spark, dir, merged)
+      }
+      dir
+    }
+
+  /** FORGET a document batch from a persisted BPE index: the forgotten
+    * docs' word counts SUBTRACT from the stored ledger (zero rows
+    * dropped — re-derived from the forgotten text, the base corpus
+    * never re-read) and the merges retrain. `…_f_<tag>` dir; forgotten
+    * ≡ a build that never saw those documents, exactly.
+    */
+  def bpeIndexForget(spark: SparkSession, baseDir: String,
+                     forgetDocs: DataFrame, tag: String): String =
+    synchronized {
+      require(tag.matches("[A-Za-z0-9_-]+"),
+        s"tag must be path-safe, got '$tag'")
+      val dir = s"${baseDir}_f_$tag"
+      if (!lifecycleDone(dir)) {
+        val remaining = spark.read.parquet(s"$baseDir/words")
+          .union(wordCounts(forgetDocs)
+            .select(col("w"), (-col("f")).as("f")))
+          .groupBy("w").agg(sum("f").as("f"))
+          .filter(col("f") > 0)
+        writeIndex(spark, dir, remaining)
+      }
+      dir
+    }
+
+  /** The merge lifecycle as one query: base index on the even half,
+    * MERGE the odd half in, report the retrained merges — which must
+    * equal training on the whole fixture (summed ledger ≡ full count),
+    * so it SHARES [[bpeTrainOracle]].
+    */
+  def bpeTrainMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = bpeIndexMerge(spark, sfDir, oddHalf(spark, sfDir), "oddhalf")
+    Canon.canonicalize(spark.read.parquet(s"$dir/merges")
+      .as[(Int, Int, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+      .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq"))
+  }
+
+  /** The forget ROUND TRIP: merge the odd half in, then forget it —
+    * the retrained merges must equal a build that only ever saw the
+    * even half, which is what the slice-restricted oracle states.
+    */
+  def bpeTrainForgotten(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val merged = bpeIndexMerge(spark, sfDir, oddHalf(spark, sfDir), "oddhalf")
+    val dir = bpeIndexForget(spark, merged, oddHalf(spark, sfDir), "oddhalf")
+    Canon.canonicalize(spark.read.parquet(s"$dir/merges")
+      .as[(Int, Int, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+      .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq"))
+  }
+
   /** APPLIES the trained merges: per-document BPE token counts — the
     * real tokenizer-based counting beside TextOps' regex estimate, and
     * the train → encode loop closed. Encoding needs only the final
@@ -460,10 +597,14 @@ object BpeOps {
     * (measured 12+ min vs sub-second at sf0.01 on the 8-round
     * predecessor of this oracle).
     */
-  private val oracleChainCtes: String =
+  // a DEF (interpolated by vals declared at various points — the
+  // TextOps.normSql init-order discipline); `docCond` narrows the
+  // training corpus (the forget oracle's base-half restriction)
+  private def oracleChainCtesFor(docCond: String): String =
     s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS f FROM (
-       |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents)
+       |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents
+       |    WHERE $docCond)
        |  GROUP BY 1),
        |c0 AS MATERIALIZED (
        |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' '
@@ -471,16 +612,31 @@ object BpeOps {
        |  FROM w0),
        |${(0 until bpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
 
-  /** The full training chain in SQL, batch rounds unrolled. */
-  val bpeTrainOracle: String =
-    s"""WITH RECURSIVE
-       |$oracleChainCtes
-       |SELECT * FROM (
+  private val oracleChainCtes: String = oracleChainCtesFor("TRUE")
+
+  /** The merge-report SELECT over the unrolled rounds' acc tables. */
+  private def trainSelectTail: String =
+    s"""SELECT * FROM (
        |  ${(0 until bpeRounds)
         .map(r => s"SELECT CAST(t.tot + x.slot - 1 AS BIGINT) AS merge_idx, " +
           s"CAST($r AS BIGINT) AS batch_round, x.a, x.b, x.ab, " +
           s"CAST(x.pf AS BIGINT) AS pair_freq FROM acc$r x CROSS JOIN tot$r t")
         .mkString("\n  UNION ALL ")})""".stripMargin
+
+  /** The full training chain in SQL, batch rounds unrolled. */
+  val bpeTrainOracle: String =
+    s"""WITH RECURSIVE
+       |$oracleChainCtes
+       |$trainSelectTail""".stripMargin
+
+  /** [[bpeTrainOracle]] narrowed to the even-doc base half — the
+    * from-scratch statement of what the forget round trip must
+    * produce (the [[graft.ext.LmOps.ngramLmForgottenOracle]] pattern).
+    */
+  val bpeTrainForgottenOracle: String =
+    s"""WITH RECURSIVE
+       |${oracleChainCtesFor("doc_id % 2 = 0")}
+       |$trainSelectTail""".stripMargin
 
   /** The encode tail (word → symbol count, corpus probe, per-doc agg),
     * shared by the encode oracle and the compression-ratio rollup.

@@ -856,7 +856,7 @@ object DedupOps {
     ((key % MH.P) * MH.aCoef(0) + MH.bCoef(0)) % MH.P % 1000
   }
 
-  private def sideBucketSql(key: String): String = {
+  private[ext] def sideBucketSql(key: String): String = {
     import graft.functions.{MinHashSignature => MH}
     s"(((($key % ${MH.P}) * ${MH.aCoef(0)} + ${MH.bCoef(0)}) % ${MH.P}) % 1000)"
   }

@@ -360,18 +360,26 @@ object VectorOps {
     * assignment (`bucketed`: vec_id, v, cent_id), the probe set, and each
     * probe's `nprobe` nearest buckets (`pb`: probe_id, pv, bucket).
     */
-  private def ivfOraclePrefix(nprobe: Int): String = {
-    def assignCte(cents: String, out: String): String =
+  /** The generalized chain: `trainCond` slices the k-means training
+    * corpus (`et`), `postCond` the indexed/bucketed corpus (`ep`),
+    * `probesSql` defines the probe set — the fixture-wide family uses
+    * TRUE/TRUE/id-head; the index LIFECYCLE oracles slice by the
+    * DedupOps permille split with the codebook FROZEN on the base
+    * slice (training always reads `et`, whatever `ep` holds).
+    */
+  private def ivfChain(nprobe: Int, trainCond: String, postCond: String,
+                       probesSql: String): String = {
+    def assignCte(from: String, cents: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, v, cent_id FROM (
          |    SELECT e.vec_id, e.v, c.cent_id,
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosSql("c.cv", "e.v")} DESC, c.cent_id ASC) AS rn
-         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+         |    FROM $from e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
     val rounds = (0 until ivfIters).flatMap { r =>
       val (prev, a, nxt) = (s"c$r", s"a${r + 1}", s"c${r + 1}")
       Seq(
-        assignCte(prev, a),
+        assignCte("et", prev, a),
         s"""s${r + 1} AS (
            |  SELECT cent_id, i AS pos,
            |         CAST(sum(CAST(v[CAST(i AS INT)+1] AS DECIMAL(30,15)))
@@ -389,11 +397,12 @@ object VectorOps {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $ivfCentroids),
+       |et AS MATERIALIZED (SELECT * FROM e WHERE $trainCond),
+       |ep AS MATERIALIZED (SELECT * FROM e WHERE $postCond),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM et WHERE vec_id < $ivfCentroids),
        |${rounds.mkString(",\n")},
-       |${assignCte(fin, "bucketed")},
-       |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e
-       |           WHERE vec_id < $nProbes),
+       |${assignCte("ep", fin, "bucketed")},
+       |probes AS ($probesSql),
        |pb AS (
        |  SELECT probe_id, pv, cent_id AS bucket FROM (
        |    SELECT p.probe_id, p.pv, c.cent_id,
@@ -401,6 +410,10 @@ object VectorOps {
        |             ORDER BY ${cosSql("c.cv", "p.pv")} DESC, c.cent_id ASC) AS rn
        |    FROM probes p CROSS JOIN $fin c) WHERE rn <= $nprobe)""".stripMargin
   }
+
+  private def ivfOraclePrefix(nprobe: Int): String =
+    ivfChain(nprobe, "TRUE", "TRUE",
+      s"SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $nProbes")
 
   def annIvfOracle(nprobe: Int = 4): String =
     s"""${ivfOraclePrefix(nprobe)},
@@ -1457,4 +1470,208 @@ object VectorOps {
        |       CAST(n_total // $ivfCentroids AS DOUBLE) /
        |         CAST(n_docs AS DOUBLE) AS repeat_factor
        |FROM cc JOIN ts USING (cluster_id), tt""".stripMargin
+
+  // ---- persisted IVF index + merge/forget lifecycle -------------------
+
+  /** The ANN index's DELETE/UPSERT story, closing the artifact-lifecycle
+    * asymmetry with the LSH and LM indexes:
+    *
+    *  - the POSTING LISTS (vec_id, v, bucket) are per-vector state — a
+    *    vector's bucket is a pure function of its embedding and the
+    *    codebook — so MERGE is "encode the batch with the stored
+    *    codebook and append" and FORGET is an anti-join, both EXACTLY
+    *    equal to re-encoding the surviving corpus with the same
+    *    codebook (IvfLifecycleSpec pins the table equalities and the
+    *    merge-then-forget round trip back to base);
+    *  - the CODEBOOK (k-means centroids; the SQ8/PQ codebooks follow
+    *    identically, being pure per-vector functions of v + codebook)
+    *    is FROZEN across the lifecycle: removing one vector's influence
+    *    from an iteratively-trained quantizer has no closed inverse
+    *    (unlike the LM index's subtractive counts or the BPE ledger's
+    *    word algebra), so the honest contract is rebuild-with-
+    *    fingerprint — the artifact dir is stamped with the data
+    *    fingerprint, a refreshed corpus misses it and retrains, and
+    *    staleness between refreshes is an OBSERVABLE (the corpus-drift
+    *    gate wires `q_corpus_drift` to exactly this refresh decision).
+    *    Frozen-codebook probing stays CORRECT (it searches real
+    *    vectors; only recall degrades as the distribution drifts) —
+    *    the production trade every IVF deployment makes.
+    *
+    * Slices reuse the DedupOps permille split on vec_id: base corpus
+    * < 800‰, merge batch [800, 900)‰, probes ≥ 900‰.
+    */
+  private def allVecs(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  private def vecSideLt(permille: Int): Column =
+    DedupOps.sideBucket(col("vec_id")) < permille
+
+  private def ivfLcDone(dir: String): Boolean =
+    Seq("centroids", "postings").forall(t =>
+      new java.io.File(s"$dir/$t/_SUCCESS").exists())
+
+  /** Build (or SUCCESS-gated reuse) the base-slice IVF index: codebook
+    * trained on the base slice only, postings = the base slice encoded
+    * under it.
+    */
+  def ivfIndex(spark: SparkSession, sfDir: String): String = synchronized {
+    val fp = dataFingerprint(s"$sfDir/embeddings.parquet")
+    val dir = s"${ivfIndexDir(sfDir, fp)}_lc"
+    if (!ivfLcDone(dir)) {
+      val base = allVecs(spark, sfDir)
+        .filter(vecSideLt(DedupOps.incrementalCorpusPermille))
+        .persist()
+      trainedCentroids(base).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      assignNearest(base, spark.read.parquet(s"$dir/centroids"))
+        .select(col("vec_id"), col("v"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      base.unpersist(false)
+    }
+    dir
+  }
+
+  /** MERGE new vectors into a persisted IVF index: encode them with the
+    * STORED codebook (the base corpus is never re-read, the codebook
+    * never moves) and append to the postings. New stamped `…_m_<tag>`
+    * dir; merged ≡ re-encoding base ∪ batch under the same codebook.
+    */
+  def ivfIndexMerge(spark: SparkSession, sfDir: String,
+                    batchVecs: DataFrame, batchTag: String): String =
+    synchronized {
+      require(batchTag.matches("[A-Za-z0-9_-]+"),
+        s"batchTag must be path-safe, got '$batchTag'")
+      val base = ivfIndex(spark, sfDir)
+      val dir = s"${base}_m_$batchTag"
+      if (!ivfLcDone(dir)) {
+        val cents = spark.read.parquet(s"$base/centroids")
+        spark.read.parquet(s"$base/postings")
+          .union(assignNearest(batchVecs, cents)
+            .select(col("vec_id"), col("v"), col("bucket")))
+          .write.mode("overwrite").parquet(s"$dir/postings")
+        cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      }
+      dir
+    }
+
+  /** FORGET vectors from a persisted IVF index — postings are per-vector
+    * state, so the anti-join IS the re-encode of the surviving corpus
+    * (codebook untouched; see the lifecycle scaladoc for why centroid
+    * influence is rebuild-with-fingerprint, not subtracted). New
+    * stamped `…_f_<tag>` dir.
+    */
+  def ivfIndexForget(spark: SparkSession, baseDir: String,
+                     forgetIds: DataFrame, tag: String): String =
+    synchronized {
+      require(tag.matches("[A-Za-z0-9_-]+"),
+        s"tag must be path-safe, got '$tag'")
+      val dir = s"${baseDir}_f_$tag"
+      if (!ivfLcDone(dir)) {
+        spark.read.parquet(s"$baseDir/postings")
+          .join(broadcast(forgetIds.select("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .write.mode("overwrite").parquet(s"$dir/postings")
+        spark.read.parquet(s"$baseDir/centroids")
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+      }
+      dir
+    }
+
+  /** Probe an EXPLICIT (centroids, postings) index pair — the shared
+    * search tail every lifecycle state funnels through (the
+    * probeLshIndexTables pattern).
+    */
+  def probeIvfIndexTables(cents: DataFrame, postings: DataFrame,
+                          probes: DataFrame,
+                          nprobe: Int = 4): DataFrame = {
+    val wProbe = Window.partitionBy("probe_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val pb = probes.crossJoin(broadcast(cents))
+      .withColumn("cent_cos", cosine(col("cv"), col("pv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cent_id").as("bucket"))
+    val searched = postings
+      .join(broadcast(pb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("v")))
+      .select("probe_id", "vec_id", "cos")
+    Canon.canonicalize(TopK.perKey(searched, Seq("probe_id"),
+      Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc),
+      topK, rankCol = Some("rank"))
+      .select("probe_id", "rank", "vec_id", "cos"))
+  }
+
+  /** The lifecycle's probe set: the top permille slice, id-ordered head
+    * (deterministic at any SF).
+    */
+  private def lifecycleProbes(spark: SparkSession, sfDir: String): DataFrame =
+    allVecs(spark, sfDir)
+      .filter(!vecSideLt(DedupOps.mergeProbePermille))
+      .orderBy("vec_id").limit(nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+
+  private def midVecs(spark: SparkSession, sfDir: String): DataFrame =
+    allVecs(spark, sfDir)
+      .filter(vecSideLt(DedupOps.mergeProbePermille) &&
+        !vecSideLt(DedupOps.incrementalCorpusPermille))
+
+  /** Index-maintenance lifecycle query: build the base index, MERGE the
+    * middle slice in under the frozen codebook, probe with the top
+    * slice.
+    */
+  def annIvfMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ivfIndexMerge(spark, sfDir, midVecs(spark, sfDir),
+      s"p${DedupOps.mergeProbePermille}")
+    probeIvfIndexTables(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/postings"),
+      lifecycleProbes(spark, sfDir))
+  }
+
+  /** The forget ROUND TRIP: merge the middle slice, then forget it —
+    * probing must behave exactly as if those vectors never existed
+    * (postings back to base; codebook was frozen throughout).
+    */
+  def annIvfForgotten(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = ivfIndexMerge(spark, sfDir, midVecs(spark, sfDir),
+      s"p${DedupOps.mergeProbePermille}")
+    val dir = ivfIndexForget(spark, merged,
+      midVecs(spark, sfDir).select("vec_id"), "mid")
+    probeIvfIndexTables(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/postings"),
+      lifecycleProbes(spark, sfDir))
+  }
+
+  /** Lifecycle oracles: the generalized IVF chain with training frozen
+    * on the base slice and the postings slice at the lifecycle state —
+    * merged ≡ rebuilt/forgotten ≡ rebuilt are table-level facts
+    * (IvfLifecycleSpec), so the oracle just describes the rebuilt form.
+    */
+  private def lifecycleOracle(postPermille: Int): String = {
+    val sb = DedupOps.sideBucketSql("vec_id")
+    s"""${ivfChain(4,
+      s"$sb < ${DedupOps.incrementalCorpusPermille}",
+      s"$sb < $postPermille",
+      s"""SELECT vec_id AS probe_id, v AS pv FROM e
+         |  WHERE $sb >= ${DedupOps.mergeProbePermille}
+         |  ORDER BY vec_id LIMIT $nProbes""".stripMargin)},
+       |scored AS (
+       |  SELECT pb.probe_id, b.vec_id, ${cosSql("pb.pv", "b.v")} AS cos
+       |  FROM (SELECT vec_id, v, cent_id AS bucket FROM bucketed) b
+       |  JOIN pb ON b.bucket = pb.bucket
+       |  WHERE b.vec_id <> pb.probe_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $topK""".stripMargin
+  }
+
+  val annIvfMergedOracle: String =
+    lifecycleOracle(DedupOps.mergeProbePermille)
+
+  val annIvfForgottenOracle: String =
+    lifecycleOracle(DedupOps.incrementalCorpusPermille)
 }
