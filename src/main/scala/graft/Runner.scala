@@ -23,6 +23,38 @@ import graft.pipelines.{CustomerSalesReport, Ingestion, ProductPerformance,
   * startup seven times.
   */
 object Runner {
+
+  /** The INCREMENTAL daily path: classify the delta vs yesterday's
+    * snapshot, gate index freshness on the drift report, then re-score
+    * only added+changed docs and run the day's feed through the
+    * acceptance funnel — delta-sized work instead of a full corpus
+    * pass (see MicroQueries.snapshotDiff). Exposed as a method so the
+    * drift-gate drill can assert the chain ORDER: the gate sits before
+    * every task that probes a trained artifact.
+    */
+  private[graft] def incrementalChain(spark: SparkSession, sfDir: String)
+      : Seq[(String, () => Long)] = Seq(
+      "snapshot_diff" ->
+        (() => pipelines.MicroQueries.snapshotDiff(spark, sfDir).count()),
+      // distribution drift beside the row-level diff: the dashboard
+      // row that catches a crawler/filter regression in the same pass
+      "corpus_drift" ->
+        (() => pipelines.MicroQueries.corpusDrift(spark, sfDir).count()),
+      // ACT on the drift report BEFORE anything probes a trained
+      // artifact: distribution shift past the gate threshold means the
+      // persisted ANN/LM/LSH indexes are stale for today's feed — the
+      // gate throws, the fail-fast chain stops here, and the funnel
+      // below (which probes the LSH index and scores against the LM
+      // tables) never runs against them (drill: DriftGateSpec)
+      "drift_index_gate" ->
+        (() => { pipelines.MicroQueries.driftIndexGate(spark, sfDir); 1L }),
+      "incremental_score" ->
+        (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()),
+      // the day's feed through the full acceptance funnel: quality →
+      // persisted-index near-dup → reference-LM fluency (stats row)
+      "ingest_funnel" ->
+        (() => streaming.EventStream.ingestFunnelStats(spark, sfDir).count()))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val chain = args.drop(1).headOption.getOrElse("daily")
@@ -133,22 +165,7 @@ object Runner {
       }),
       "ann_index_refresh" -> (() => VectorOps.annIvfSq8(spark, sfDir).count()))
 
-    // the INCREMENTAL daily path: classify the delta vs yesterday's
-    // snapshot, then re-score only added+changed docs — delta-sized
-    // work instead of a full corpus pass (see MicroQueries.snapshotDiff)
-    val incremental: Seq[(String, () => Long)] = Seq(
-      "snapshot_diff" ->
-        (() => pipelines.MicroQueries.snapshotDiff(spark, sfDir).count()),
-      // distribution drift beside the row-level diff: the dashboard
-      // row that catches a crawler/filter regression in the same pass
-      "corpus_drift" ->
-        (() => pipelines.MicroQueries.corpusDrift(spark, sfDir).count()),
-      "incremental_score" ->
-        (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()),
-      // the day's feed through the full acceptance funnel: quality →
-      // persisted-index near-dup → reference-LM fluency (stats row)
-      "ingest_funnel" ->
-        (() => streaming.EventStream.ingestFunnelStats(spark, sfDir).count()))
+    val incremental = incrementalChain(spark, sfDir)
 
     // the PUBLISHING chain: persists the training-consumable artifacts
     // under a fresh version dir and commits them with ONE chain-level

@@ -655,8 +655,17 @@ object MicroQueries {
     */
   def corpusDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val d = graft.io.Tables.load(spark, sfDir, "documents")
-    val prev = documentsPrev(d)
-    val cur = d.select("doc_id", "lang", "source", "n_chars")
+    corpusDriftFrames(documentsPrev(d),
+      d.select("doc_id", "lang", "source", "n_chars"))
+  }
+
+  /** The drift report over EXPLICIT (prev, cur) snapshot frames — the
+    * seam the index-freshness gate's failure drill feeds a genuinely
+    * skewed "today" through (a mega-source crawl), where the fixture
+    * only ever supplies its synthetic small-delta day pair.
+    */
+  private[graft] def corpusDriftFrames(prev: DataFrame,
+                                       cur: DataFrame): DataFrame = {
     val charBucket = driftCharBounds.zipWithIndex.foldRight(
       lit(driftCharBounds.length)) { case ((bound, i), acc) =>
       when(col("n_chars") <= bound, i).otherwise(acc)
@@ -688,6 +697,51 @@ object MicroQueries {
       .unionByName(tv("n_chars_bucket", charBucket))
       .withColumn("drifted", col("tv") > driftTvMax)
     Canon.canonicalize(out)
+  }
+
+  /** Action threshold of the INDEX-FRESHNESS gate — deliberately above
+    * the [[driftTvMax]] dashboard flag: the 1% flag is an early warning
+    * a human reads; 5% is the auto-refresh trigger. (The fixture's
+    * synthetic day pair measures TV ≤ ~0.018 across features and SFs —
+    * its sampling noise trips the flag at small n but must NOT trip
+    * the refresh gate.)
+    */
+  val driftGateTvMax = 0.05
+
+  /** ACT on the drift telemetry — the lshRecallGate pattern applied to
+    * INDEX FRESHNESS, the rule "drift > ε ⇒ refresh the trained
+    * indexes": the persisted ANN postings/codebooks, LM count tables
+    * and LSH bands were built from a corpus snapshot; when today's
+    * distribution has moved past `tvMax` on any tracked feature, those
+    * artifacts are STALE for today's feed (frozen-codebook recall
+    * decays, reference-LM terciles shift — the staleness VectorOps'
+    * lifecycle scaladoc declares an observable), so the gate THROWS and
+    * the fail-fast chain never probes them; the resolution is a
+    * rebuild, which the fingerprint-stamped artifact dirs turn into
+    * retrain-on-next-touch. Within bounds it returns the worst TV.
+    * The collect is features-sized (3 rows).
+    */
+  def driftIndexGate(spark: SparkSession, sfDir: String,
+                     tvMax: Double = driftGateTvMax): Double =
+    driftIndexGateFrom(corpusDrift(spark, sfDir), tvMax)
+
+  /** Gate core over an explicit drift report — the drill seam
+    * ([[corpusDriftFrames]] of a skewed feed). */
+  private[graft] def driftIndexGateFrom(drift: DataFrame,
+                                        tvMax: Double): Double = {
+    val rows = drift.collect()
+    val worst = rows.maxBy(_.getAs[Double]("tv"))
+    val tv = worst.getAs[Double]("tv")
+    if (tv > tvMax)
+      throw new IllegalStateException(
+        f"[drift-index-gate] feature=${worst.getAs[String]("feature")} " +
+          f"tv=$tv%.4f exceeds tvMax=$tvMax%.4f — today's corpus has " +
+          "shifted distribution vs the snapshot the persisted indexes " +
+          "(ANN postings + frozen codebooks, LM counts, LSH bands) were " +
+          "built from; refusing to serve the stale index. Refresh " +
+          "ann_index/lm_index (fingerprint-stamped dirs retrain on next " +
+          "touch) before probing today's feed")
+    tv
   }
 
   val corpusDriftOracle: String = {
