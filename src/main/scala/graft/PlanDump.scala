@@ -81,7 +81,12 @@ object PlanDump {
       "embed_expectations" ->
         (() => ext.VectorOps.embedExpectations(spark, sf)),
       "ingest_funnel" ->
-        (() => streaming.EventStream.ingestFunnelStats(spark, sf)))
+        (() => streaming.EventStream.ingestFunnelStats(spark, sf)),
+      "quality_classifier" ->
+        (() => ext.ClassifierOps.qualityClassifier(spark, sf)),
+      "lang_id_nb" -> (() => ext.ClassifierOps.langIdNb(spark, sf)),
+      "bpe_train_merged" -> (() => ext.BpeOps.bpeTrainMerged(spark, sf)),
+      "ann_ivf_merged" -> (() => ext.VectorOps.annIvfMerged(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =
