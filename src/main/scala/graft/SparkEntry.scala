@@ -99,6 +99,8 @@ object SparkEntry {
     "q_edit_distance" -> ((s, dir) => DedupOps.editDistanceNearDup(s, dir)),
     // ingest-time flow: new batch probes the corpus LSH index
     "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
+    "q_dedup_clusters_incr" ->
+      ((s, dir) => DedupOps.dedupClustersIncremental(s, dir)),
     // same flow against the PERSISTED corpus LSH index (offline build)
     "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
     "q_minhash_lsh_merged" -> ((s, dir) => DedupOps.minhashLshMerged(s, dir)),
@@ -281,6 +283,7 @@ object SparkEntry {
     "q_split_leakage" -> DedupOps.splitLeakageOracle,
     "q_edit_distance" -> DedupOps.editDistanceOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
+    "q_dedup_clusters_incr" -> DedupOps.dedupClustersLshOracle,
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_minhash_lsh_merged" -> DedupOps.minhashLshMergedOracle,

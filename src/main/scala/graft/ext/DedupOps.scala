@@ -322,6 +322,91 @@ object DedupOps {
     Canon.materialized(Canon.canonicalize(result), pairs, pairSource)
   }
 
+  /** INCREMENTAL connected components — the dedup-CLUSTER lifecycle's
+    * merge half, closing the last lifecycle asymmetry (LSH/LM/BPE/IVF
+    * indexes all merge; clusters were rebuild-only): extend an existing
+    * components table with a batch of new near-dup pairs WITHOUT
+    * re-clustering the corpus.
+    *
+    * Quotient-graph argument for exactness: every existing component
+    * collapses to its representative (cluster_id = the component MIN),
+    * the new pairs' endpoints are remapped to representatives, CC runs
+    * on that CONDENSED graph only (batch-sized, not corpus-sized), and
+    * the two mappings compose. Because both levels pick the component
+    * minimum and min is associative, the composition equals
+    * [[clustersFromPairs]] over the UNION of old and new pairs,
+    * bit-for-bit — which is why [[dedupClustersIncremental]] can share
+    * `dedupClustersLshOracle`, and what ClustersMergeSpec pins across
+    * arbitrary pair splits.
+    *
+    * FORGET has no incremental form here, stated openly: removing a
+    * document can DISCONNECT a component (the opposite of min-compose),
+    * so delete propagation re-clusters the surviving pairs — which stay
+    * cheap to re-derive because the pair source is the persisted LSH
+    * index ([[lshIndexForget]] + re-cluster is the supported path).
+    *
+    * Scale shape: two broadcast-or-shuffled hash joins to condense
+    * (components keyed by doc_id), CC over batch-condensed edges (the
+    * adaptive union-find/label-propagation core), one join to re-root
+    * old members. The corpus-sized components table is never iterated —
+    * only re-pointed where its representative actually moved.
+    */
+  def clustersMerge(spark: SparkSession, components: DataFrame,
+                    newPairs: DataFrame,
+                    driverThreshold: Long = 1000000L): DataFrame = {
+    val comp = components.select(col("doc_id").cast("long"),
+      col("cluster_id").cast("long")).persist()
+    comp.count() // EAGER: three consumers below
+    val condensed = newPairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .join(comp.select(col("doc_id").as("id_a"),
+        col("cluster_id").as("rep_a")), Seq("id_a"), "left")
+      .join(comp.select(col("doc_id").as("id_b"),
+        col("cluster_id").as("rep_b")), Seq("id_b"), "left")
+      .select(coalesce(col("rep_a"), col("id_a")).as("id_a"),
+        coalesce(col("rep_b"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // CC over condensed nodes: old representatives and brand-new docs
+    val repMap = clustersFromPairs(spark, condensed, driverThreshold)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("new_id"))
+    // old members re-root where their representative moved …
+    val rePointed = comp
+      .join(repMap, comp("cluster_id") === repMap("rep"), "left")
+      .select(comp("doc_id"),
+        coalesce(col("new_id"), comp("cluster_id")).as("cluster_id"))
+    // … and batch docs unseen by the old clustering join fresh (an old
+    // representative is always a member of its own component, so the
+    // anti join keeps exactly the genuinely-new doc_ids)
+    val newDocs = repMap
+      .join(comp.select(col("doc_id").as("rep")), Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("new_id").as("cluster_id"))
+    Canon.materialized(
+      Canon.canonicalize(rePointed.unionByName(newDocs)), comp)
+  }
+
+  /** The cluster lifecycle as one hash-gated query: cluster YESTERDAY's
+    * corpus-internal pairs (both endpoints in the corpus slice), then
+    * MERGE today's remaining pairs in incrementally — the result must
+    * equal re-clustering the whole pair set from scratch, so it shares
+    * the from-scratch oracle.
+    */
+  def dedupClustersIncremental(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist()
+    pairs.count() // EAGER: two slice consumers
+    def inCorpus(c: Column) =
+      sideBucket(c) < incrementalCorpusPermille
+    val oldPairs = pairs
+      .filter(inCorpus(col("id_a")) && inCorpus(col("id_b")))
+    val newPairs = pairs
+      .filter(!(inCorpus(col("id_a")) && inCorpus(col("id_b"))))
+    val out = clustersMerge(spark,
+      clustersFromPairs(spark, oldPairs), newPairs)
+    Canon.materialized(out, pairs)
+  }
+
   private def unionFindLocal(spark: SparkSession,
                              pairs: DataFrame): DataFrame = {
     import spark.implicits._
