@@ -22,20 +22,31 @@ import graft.ops.Canon
   *    into a fast hashed-feature model is the standard production
   *    pattern (the expensive labeler touches a slice; the distilled
   *    model touches everything);
-  *  - **model**: multinomial Naive Bayes over the hashed counts, in the
-  *    repo's exact-arithmetic discipline: per class y the add-one
-  *    smoothed INVERSE frequency `inv[b,y] = (tot_y + D)·S div
-  *    (c[b,y] + 1)` (integer fixed point — [[LmOps]]' surrogate trade:
-  *    mean inverse likelihood replaces the log-product, monotone per
-  *    token, bit-reproducible on any engine), and a document scores
-  *    `s_y = Σ_grams inv[bucket, y]` — the class with the SMALLER mean
-  *    inverse is the prediction, decided by integer comparison (equal
-  *    denominators cancel). Training is CLOSED-FORM — two keyed
-  *    aggregations, no iterations — which is why it beats fixed-point
+  *  - **model**: per-bucket LIKELIHOOD RATIOS in the repo's
+  *    exact-arithmetic discipline — the weight of bucket b is the
+  *    add-one smoothed Bayes factor
+  *    `λ[b] = ((c₁+1)·(t₀+D))·S div ((c₀+1)·(t₁+D))` (integer fixed
+  *    point), a document scores `s = Σ_grams λ[bucket]`, and the
+  *    prediction is the integer-exact `s ≥ n·S` (mean ratio ≥ 1 — more
+  *    likely under the positive class per gram, on average). The ratio
+  *    form rather than two per-class mean-inverse scores deliberately:
+  *    both classes' totals normalize INSIDE each weight, so the
+  *    class-size artifact of comparing raw inverse-frequency sums (the
+  *    smaller class's sparser profile inflates its unseen-gram
+  *    penalties and the bigger class wins by coverage, not content —
+  *    measured as predict-the-prior on held-out docs) cancels. This is
+  *    the [[SampleOps.dsirWeights]] λ construction pointed at a label
+  *    instead of a target slice. Training is CLOSED-FORM — one keyed
+  *    aggregation, no iterations — which is why it beats fixed-point
   *    SGD here: no learning-rate fragility, nothing to unroll, and the
-  *    DuckDB twin is exact by construction. NB over hashed grams IS a
-  *    linear scorer (s_y is linear in the count vector), trained where
-  *    least squares would need a D×D inverse SQL can't do exactly.
+  *    DuckDB twin is exact by construction. A likelihood-ratio sum IS
+  *    a linear scorer over the count vector, trained where least
+  *    squares would need a D×D inverse SQL can't do exactly. A
+  *    LENGTH-BUCKET pseudo-gram (`##len_k`) rides the feature stream —
+  *    the label's dominant component is token volume, which a
+  *    length-normalized bag cannot see (fastText-style quality
+  *    classifiers add exactly this feature), and held-out
+  *    generalization is what the spec pins.
   *
   * The trained weights are a 2·[[qcBuckets]]-row TABLE; the scoring
   * pass ships them through the production [[ScoringOps.batchScore]]
@@ -57,40 +68,61 @@ object ClassifierOps {
   /** Hashed feature dimensionality (Md5Bucket modulus). */
   val qcBuckets = 512
 
-  /** Fixed-point scale of the inverse-frequency weights. */
+  /** Fixed-point scale of the likelihood-ratio weights. */
   val qcScale = 1000000L
 
-  /** The trained weights: ((bucket, class) → inv_fp), complete over the
-    * 2·D grid. Bounded driver sync, like k-means centroids.
+  /** Token-count thresholds of the length-bucket pseudo-gram (the
+    * driftCharBounds shape: `##len_k` with k = index of the first bound
+    * the count fits under, else bounds.length).
+    */
+  val qcLenBounds: Seq[Int] = Seq(8, 16, 32, 64, 128)
+
+  private[ext] def lenBucketOf(nToks: Int): Int = {
+    val i = qcLenBounds.indexWhere(nToks <= _)
+    if (i < 0) qcLenBounds.length else i
+  }
+
+  /** The trained weights: bucket → λ_fp likelihood ratio, complete over
+    * the D grid. Bounded driver sync, like k-means centroids.
     */
   private[ext] def trainWeights(spark: SparkSession, sfDir: String)
-      : Map[(Int, Int), Long] = {
+      : Map[Int, Long] =
+    trainWeightsOn(spark, labels(spark, sfDir), gramBuckets(spark, sfDir))
+
+  /** Training core over explicit label/feature frames — the held-out
+    * evaluation seam (train on one doc slice, score another; the
+    * generalization spec drives it).
+    */
+  private[ext] def trainWeightsOn(spark: SparkSession, y: DataFrame,
+                                  db: DataFrame): Map[Int, Long] = {
     import spark.implicits._
-    val y = labels(spark, sfDir)
-    val db = gramBuckets(spark, sfDir)
-    val cnt = db.join(y, Seq("doc_id"))
-      .groupBy("b", "y").agg(count(lit(1)).as("c"))
-    val tot = db.join(y, Seq("doc_id"))
-      .groupBy("y").agg(count(lit(1)).as("t"))
-    val classes = tot.as[(Int, Long)].collect().toMap
-    require(classes.keySet == Set(0, 1),
-      s"quality classifier needs both classes in the training slice, " +
-        s"got ${classes.keySet}")
+    val byB = db.join(y, Seq("doc_id"))
+      .groupBy("b").agg(
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+      .persist()
+    val (t0, t1) = byB.agg(sum("c0"), sum("c1"))
+      .as[(Option[Long], Option[Long])].head() match {
+      case (a, b) => (a.getOrElse(0L), b.getOrElse(0L))
+    }
+    require(t0 > 0 && t1 > 0,
+      s"quality classifier needs both classes in the training slice " +
+        s"(t0=$t0, t1=$t1)")
     val grid = spark.range(qcBuckets).select(col("id").cast("int").as("b"))
-      .crossJoin(Seq(0, 1).toDF("y"))
-    grid.join(broadcast(tot), Seq("y"))
-      .join(cnt, Seq("b", "y"), "left")
-      .select(col("b"), col("y"), expr(
-        s"(t + $qcBuckets) * ${qcScale}L div (coalesce(c, 0L) + 1L)")
-        .as("inv"))
-      .as[(Int, Int, Long)].collect()
-      .map { case (b, cls, inv) => (b, cls) -> inv }.toMap
+    val out = grid.join(byB, Seq("b"), "left")
+      .select(col("b"), expr(
+        s"""(coalesce(c1, 0L) + 1L) * ${t0 + qcBuckets}L * $qcScale
+           | div ((coalesce(c0, 0L) + 1L) * ${t1 + qcBuckets}L)"""
+          .stripMargin.replace("\n", "")).as("lam"))
+      .as[(Int, Long)].collect().toMap
+    byB.unpersist(false)
+    out
   }
 
   /** y = 1 iff the heuristic quality score clears the curation bar —
     * the distillation label.
     */
-  private def labels(spark: SparkSession, sfDir: String): DataFrame =
+  private[ext] def labels(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.withQualityScore(
         TextOps.documents(spark, sfDir)
           .withColumn("norm", TextOps.normText(col("text"))))
@@ -98,17 +130,25 @@ object ClassifierOps {
         (col("quality_score") >= TextOps.curateQualityMin)
           .cast("int").as("y"))
 
-  /** One row per gram OCCURRENCE (unigrams + bigrams), bucketed. */
-  private[ext] def gramBuckets(spark: SparkSession, sfDir: String): DataFrame =
+  /** One row per gram OCCURRENCE (unigrams + bigrams + the length
+    * pseudo-gram), bucketed.
+    */
+  private[ext] def gramBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val lenBucket = qcLenBounds.zipWithIndex.foldRight(
+      lit(qcLenBounds.length)) { case ((bound, i), acc) =>
+      when(size(col("toks")) <= bound, i).otherwise(acc)
+    }
     TextOps.documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), CurationOps.toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         explode(concat(CurationOps.grams(col("toks"), 1),
-          CurationOps.grams(col("toks"), 2))).as("g"))
+          CurationOps.grams(col("toks"), 2),
+          array(concat(lit("##len_"), lenBucket.cast("string"))))).as("g"))
       .select(col("doc_id"),
         graft.functions.Md5Bucket(col("g"), qcBuckets).cast("int").as("b"))
+  }
 
   /** The trained model as a [[ScoringOps.BatchModel]]: weights learned
     * in-engine ride the production batched-inference seam. scoreBatch
@@ -118,27 +158,29 @@ object ClassifierOps {
     * Md5Bucket digest), so seam output is bit-identical to the
     * DataFrame/SQL formulations.
     */
-  final case class TrainedQualityModel(weights: Map[(Int, Int), Long])
-      extends ScoringOps.BatchModel[(Long, String), (Long, Long, Long, Long)] {
-    val name = "quality-nb-v1"
-    def open(): ScoringOps.BatchHandle[(Long, String), (Long, Long, Long, Long)] =
-      new ScoringOps.BatchHandle[(Long, String), (Long, Long, Long, Long)] {
+  final case class TrainedQualityModel(weights: Map[Int, Long])
+      extends ScoringOps.BatchModel[(Long, String), (Long, Long, Long)] {
+    val name = "quality-lr-v1"
+    def open(): ScoringOps.BatchHandle[(Long, String), (Long, Long, Long)] =
+      new ScoringOps.BatchHandle[(Long, String), (Long, Long, Long)] {
         def scoreBatch(batch: Seq[(Long, String)])
-            : Seq[(Long, Long, Long, Long)] =
+            : Seq[(Long, Long, Long)] =
           batch.map { case (id, text) =>
             val toks = text.replaceAll("\\s+", " ").trim
               .toLowerCase(java.util.Locale.ROOT)
               .split(" ").filter(_.nonEmpty).toSeq
             val grams = toks ++
               (if (toks.length >= 2) toks.sliding(2).map(_.mkString(" "))
-               else Iterator.empty)
-            var n = 0L; var s0 = 0L; var s1 = 0L
+               else Iterator.empty) ++
+              (if (toks.nonEmpty) Seq(s"##len_${lenBucketOf(toks.length)}")
+               else Nil)
+            var n = 0L; var s = 0L
             grams.foreach { g =>
               val b = graft.functions.Md5Bucket
                 .bucket(UTF8String.fromString(g), qcBuckets).toInt
-              s0 += weights((b, 0)); s1 += weights((b, 1)); n += 1L
+              s += weights(b); n += 1L
             }
-            (id, n, s0, s1)
+            (id, n, s)
           }
         def close(): Unit = ()
       }
@@ -146,10 +188,9 @@ object ClassifierOps {
 
   /** q_quality_classifier: train on the whole fixture, score every
     * (tokenizable) document through the batched seam, and emit per doc
-    * the label, both class mean-inverse scores (one final double
-    * division each — the LmOps output convention) and the integer-exact
-    * prediction `pred = s1 < s0` (smaller mean inverse under the
-    * positive class; denominators cancel).
+    * the label, the mean likelihood ratio (one final double division —
+    * the LmOps output convention) and the integer-exact prediction
+    * `pred = s ≥ n·S` (mean Bayes factor at least 1).
     */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -158,17 +199,15 @@ object ClassifierOps {
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("text")).as[(Long, String)]
     val scored = ScoringOps.batchScore(in, TrainedQualityModel(w))
-      .toDF("doc_id", "n_grams", "s0", "s1")
+      .toDF("doc_id", "n_grams", "s")
       .filter(col("n_grams") > 0)
     Canon.canonicalize(scored
       .join(labels(spark, sfDir), Seq("doc_id"))
       .select(col("doc_id"), col("y").cast("long").as("label"),
         col("n_grams"),
-        (col("s0").cast("double") /
-          (col("n_grams") * qcScale).cast("double")).as("mean_inv_neg"),
-        (col("s1").cast("double") /
-          (col("n_grams") * qcScale).cast("double")).as("mean_inv_pos"),
-        (col("s1") < col("s0")).as("pred")))
+        (col("s").cast("double") /
+          (col("n_grams") * qcScale).cast("double")).as("mean_ratio"),
+        (col("s") >= col("n_grams") * qcScale).as("pred")))
   }
 
   // ---- language ID: trained char-n-gram Naive Bayes -------------------
@@ -328,36 +367,41 @@ object ClassifierOps {
        |  SELECT doc_id, u.g FROM dt, unnest(toks) AS u(g)
        |  UNION ALL
        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1]
-       |  FROM dt, unnest(range(1, len(toks))) AS r(i)),
+       |  FROM dt, unnest(range(1, len(toks))) AS r(i)
+       |  UNION ALL
+       |  SELECT doc_id, '##len_' || CAST(
+       |    CASE ${qcLenBounds.zipWithIndex
+        .map { case (b, i) => s"WHEN len(toks) <= $b THEN $i" }
+        .mkString(" ")}
+       |    ELSE ${qcLenBounds.length} END AS VARCHAR)
+       |  FROM dt),
        |db AS MATERIALIZED (
        |  SELECT doc_id, ${bucketSql("g", qcBuckets)} AS b FROM dg),
        |cnt AS (
-       |  SELECT b, y, count(*) AS c
-       |  FROM db JOIN yl USING (doc_id) GROUP BY 1, 2),
-       |tot AS (SELECT y, count(*) AS t
-       |        FROM db JOIN yl USING (doc_id) GROUP BY 1),
+       |  SELECT b,
+       |         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1,
+       |         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0
+       |  FROM db JOIN yl USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS t0,
+       |               CAST(sum(c1) AS BIGINT) AS t1 FROM cnt),
        |model AS MATERIALIZED (
-       |  SELECT g.b, cls.y,
-       |         ((t.t + $qcBuckets) * $qcScale)
-       |           // (coalesce(c.c, 0) + 1) AS inv
+       |  SELECT g.b,
+       |         ((coalesce(c.c1, 0) + 1) * (t.t0 + $qcBuckets) * $qcScale)
+       |           // ((coalesce(c.c0, 0) + 1) * (t.t1 + $qcBuckets)) AS lam
        |  FROM range(0, $qcBuckets) g(b)
-       |  CROSS JOIN (VALUES (0), (1)) cls(y)
-       |  JOIN tot t ON t.y = cls.y
-       |  LEFT JOIN cnt c ON c.b = g.b AND c.y = cls.y),
+       |  CROSS JOIN tot t
+       |  LEFT JOIN cnt c ON c.b = g.b),
        |sc AS (
        |  SELECT db.doc_id,
-       |         CAST(sum(CASE WHEN m.y = 0 THEN m.inv END) AS BIGINT) AS s0,
-       |         CAST(sum(CASE WHEN m.y = 1 THEN m.inv END) AS BIGINT) AS s1,
-       |         count(*) // 2 AS n
+       |         CAST(sum(m.lam) AS BIGINT) AS s,
+       |         count(*) AS n
        |  FROM db JOIN model m ON m.b = db.b
        |  GROUP BY 1)
        |SELECT sc.doc_id, CAST(y AS BIGINT) AS label,
        |       CAST(n AS BIGINT) AS n_grams,
-       |       CAST(s0 AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
-       |         AS mean_inv_neg,
-       |       CAST(s1 AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
-       |         AS mean_inv_pos,
-       |       s1 < s0 AS pred
+       |       CAST(s AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
+       |         AS mean_ratio,
+       |       s >= n * $qcScale AS pred
        |FROM sc JOIN yl ON sc.doc_id = yl.doc_id""".stripMargin
   }
 }

@@ -10,17 +10,17 @@ class ClassifierOpsSpec extends SparkSpec {
   test("trained quality classifier beats the class prior and the seam " +
       "output equals an independent DataFrame-path recompute") {
     val out = ClassifierOps.qualityClassifier(spark, sfDir)
-      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+      .as[(Long, Long, Long, Double, Boolean)].collect()
     assert(out.nonEmpty)
     // 1. it LEARNS: in-sample accuracy clears the majority-class prior
-    // by a real margin (measured ≥ +0.08 at all three fixture SFs)
+    // by a real margin
     val n = out.length
     val pos = out.count(_._2 == 1L)
     val prior = math.max(pos, n - pos).toDouble / n
-    val acc = out.count(r => r._6 == (r._2 == 1L)).toDouble / n
+    val acc = out.count(r => r._5 == (r._2 == 1L)).toDouble / n
     assert(acc >= prior + 0.05, s"acc $acc vs prior $prior — not learning")
     // ... and it errs in BOTH directions (not a constant predictor)
-    assert(out.exists(_._6) && out.exists(!_._6))
+    assert(out.exists(_._5) && out.exists(!_._5))
 
     // 2. the batched-seam inference (JVM tokenization inside the model)
     // equals a recompute through the Spark expression path: gram buckets
@@ -30,24 +30,50 @@ class ClassifierOpsSpec extends SparkSpec {
     val byDoc = ClassifierOps.gramBuckets(spark, sfDir)
       .as[(Long, Int)].collect().groupBy(_._1)
     val expected = byDoc.map { case (id, rows) =>
-      val s0 = rows.map(r => w((r._2, 0))).sum
-      val s1 = rows.map(r => w((r._2, 1))).sum
-      id -> ((rows.length.toLong, s0, s1))
+      id -> ((rows.length.toLong, rows.map(r => w(r._2)).sum))
     }
     assert(out.length == expected.size)
     val scale = ClassifierOps.qcScale
-    out.foreach { case (id, _, ng, mNeg, mPos, pred) =>
-      val (en, es0, es1) = expected(id)
+    out.foreach { case (id, _, ng, ratio, pred) =>
+      val (en, es) = expected(id)
       assert(ng == en, s"doc $id n_grams $ng != $en")
-      assert(mNeg == es0.toDouble / (en * scale).toDouble, s"doc $id s0")
-      assert(mPos == es1.toDouble / (en * scale).toDouble, s"doc $id s1")
-      assert(pred == (es1 < es0), s"doc $id pred")
+      assert(ratio == es.toDouble / (en * scale).toDouble, s"doc $id ratio")
+      assert(pred == (es >= en * scale), s"doc $id pred")
     }
 
-    // 3. the weights really are class-conditional (the two class rows
-    // differ somewhere — a degenerate model would collapse them)
-    assert((0 until ClassifierOps.qcBuckets)
-      .exists(b => w((b, 0)) != w((b, 1))))
+    // 3. the weights really discriminate (not all λ = S — a degenerate
+    // model would collapse to the constant ratio 1)
+    assert(w.values.exists(_ != scale) && w.values.exists(_ > scale) &&
+      w.values.exists(_ < scale))
+  }
+
+  test("quality classifier GENERALIZES: trained on two-thirds of the " +
+      "docs, it beats the class prior on the HELD-OUT third") {
+    // the flagship query's in-sample accuracy could in principle be
+    // memorization; this pins real signal transfer — weights never see
+    // the held-out slice (hash membership, partitioning-independent)
+    val y = ClassifierOps.labels(spark, sfDir)
+    val db = ClassifierOps.gramBuckets(spark, sfDir)
+    val trainCond = col("doc_id") % 3 =!= 0
+    val w = ClassifierOps.trainWeightsOn(spark,
+      y.filter(trainCond), db.filter(trainCond))
+    val heldLabels = y.filter(!trainCond)
+      .as[(Long, Int)].collect().toMap
+    val held = db.filter(!trainCond).as[(Long, Int)].collect()
+      .groupBy(_._1)
+    assert(held.nonEmpty)
+    val results = held.toSeq.map { case (id, rows) =>
+      val s = rows.map(r => w(r._2)).sum
+      (heldLabels(id) == 1,
+        s >= rows.length.toLong * ClassifierOps.qcScale)
+    }
+    val n = results.size
+    val pos = results.count(_._1)
+    val prior = math.max(pos, n - pos).toDouble / n
+    val acc = results.count(r => r._1 == r._2).toDouble / n
+    assert(acc >= prior + 0.03,
+      s"held-out acc $acc vs prior $prior (n=$n) — memorization, " +
+        "not generalization")
   }
 
   test("langIdNb on languages that actually differ: near-perfect, and " +
@@ -116,37 +142,56 @@ class ClassifierOpsSpec extends SparkSpec {
       .join(TextOps.documents(spark, sfDir).select("doc_id", "lang"),
         Seq("doc_id"))
       .select("doc_id", "lang", "text")
-    val verdicts = ClassifierOps.qualityClassifier(spark, sfDir)
-      .select("doc_id", "pred").persist()
-    val (gated, gStats) = EventStream.ingestFunnelBatch(
-      feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
-      EventStream.funnelFluencyMax, modelGate = Some(verdicts))
     val (ungated, uStats) = EventStream.ingestFunnelBatch(
       feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
       EventStream.funnelFluencyMax)
-    val g = gated.select("doc_id").as[Long].collect().toSet
     val u = ungated.select("doc_id").as[Long].collect().toSet
-    val posIds = verdicts.filter(col("pred")).select("doc_id")
+    ungated.unpersist(false)
+
+    // the EQUALITY LAW with the real trained model's verdicts: the gate
+    // sits in stage 1, upstream of dedup + fluency; a model-rejected
+    // doc can never be accepted, and a model-accepted doc's fate
+    // matches the ungated run (dropping batch docs only shrinks the
+    // probe side — corpus-censused buckets are static)
+    val real = ClassifierOps.qualityClassifier(spark, sfDir)
+      .select("doc_id", "pred").persist()
+    val (gatedReal, _) = EventStream.ingestFunnelBatch(
+      feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
+      EventStream.funnelFluencyMax, modelGate = Some(real))
+    val gReal = gatedReal.select("doc_id").as[Long].collect().toSet
+    val posReal = real.filter(col("pred")).select("doc_id")
       .as[Long].collect().toSet
-    gated.unpersist(false); ungated.unpersist(false)
-    // the model gate sits in stage 1, upstream of dedup + fluency; a
-    // model-rejected doc can never be accepted, and a model-accepted
-    // doc's fate matches the ungated run WHEN the dedup stage is
-    // unaffected — which it is here, because dropping batch docs can
-    // only shrink the probe side (corpus-censused buckets are static)
-    assert(g == (u & posIds),
-      s"gated != ungated ∩ positive: missing=${((u & posIds) -- g).take(5)}" +
-        s" extra=${(g -- (u & posIds)).take(5)}")
+    gatedReal.unpersist(false); real.unpersist(false)
+    assert(gReal == (u & posReal),
+      s"gated != ungated ∩ positive: " +
+        s"missing=${((u & posReal) -- gReal).take(5)} " +
+        s"extra=${(gReal -- (u & posReal)).take(5)}")
+    // (the trained model agrees with the heuristic on every accepted
+    // feed doc here — which is the distillation working, and why the
+    // FILTERING drill below uses synthetic verdicts instead)
+
+    // gate MECHANISM drill with disagreeing verdicts: a third of the
+    // docs model-rejected — the gate must actually remove them and the
+    // stats must still conserve with stage 1 strictly tightened
+    val synth = feed.select(col("doc_id"),
+      (col("doc_id") % 3 =!= 0).as("pred"))
+    val (gated, gStats) = EventStream.ingestFunnelBatch(
+      feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
+      EventStream.funnelFluencyMax, modelGate = Some(synth))
+    val g = gated.select("doc_id").as[Long].collect().toSet
+    gated.unpersist(false)
+    val posSynth = feed.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(g == (u & posSynth),
+      s"synthetic gate: missing=${((u & posSynth) -- g).take(5)} " +
+        s"extra=${(g -- (u & posSynth)).take(5)}")
     assert(g.nonEmpty && g.size < u.size,
-      "gate fixture vacuous — nothing filtered or nothing left")
-    // conservation still holds with the gate on
+      "synthetic gate vacuous — nothing filtered or nothing left")
     val s = gStats.select("n_in", "n_quality_drop", "n_dup_drop",
       "n_fluency_drop", "n_accepted")
       .as[(Long, Long, Long, Long, Long)].head()
     assert(s._1 == s._2 + s._3 + s._4 + s._5)
-    // the gate strictly tightened stage 1
     val su = uStats.select("n_quality_drop").as[Long].head()
-    assert(s._2 > su)
-    verdicts.unpersist(false)
+    assert(s._2 > su, "gate did not tighten stage 1")
   }
 }
