@@ -113,6 +113,40 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(langs.forall(l => !markers.contains(l)))
   }
 
+  test("langIdNb stays accurate under 4x language-size IMBALANCE " +
+      "(the size-bias probe the quality classifier's redesign came from)") {
+    // same disjoint alphabets, but one language dominates the corpus —
+    // the mean-inverse surrogate must not collapse to predicting the
+    // big language (smoothing-penalty asymmetry) on held-out docs
+    val langWords = Map(
+      "aa" -> Seq("abc", "bace", "cabba", "deca", "eadb"),
+      "nn" -> Seq("nop", "pqrs", "qonn", "rstq", "sunor"),
+      "xx" -> Seq("xyz", "zwyx", "wvzz", "vuwx", "yxvu"))
+    val sizes = Map("aa" -> 120, "nn" -> 30, "xx" -> 30)
+    val langOff = Map("aa" -> 0L, "nn" -> 1L, "xx" -> 2L)
+    val docs = sizes.toSeq.sortBy(_._1).flatMap { case (lang, count) =>
+      val ws = langWords(lang)
+      (0 until count).map { j =>
+        // ids distinct by construction (3j + per-lang offset), and 3j+k
+        // mod lmRefMod=5 cycles every residue, so each lang hits the
+        // reference slice
+        (3L * j + langOff(lang), lang,
+          (0 until 25).map(k => ws((j * 5 + k) % ws.length)).mkString(" "))
+      }
+    }.toDF("doc_id", "lang", "text")
+    val out = ClassifierOps.langIdNbFrom(docs)
+      .select("doc_id", "labeled_lang", "predicted_lang")
+      .as[(Long, String, String)].collect()
+    assert(out.length == 180)
+    val acc = out.count(r => r._2 == r._3).toDouble / out.length
+    assert(acc >= 0.9, s"imbalanced-language accuracy $acc")
+    // per-language: the SMALL languages must not be swallowed
+    out.groupBy(_._2).foreach { case (lang, rs) =>
+      val a = rs.count(r => r._2 == r._3).toDouble / rs.length
+      assert(a >= 0.8, s"lang $lang accuracy $a under imbalance")
+    }
+  }
+
   test("langIdNb fixture floor: above random guess, and the no-signal " +
       "caveat is real (NEITHER predictor clears the majority prior)") {
     // the fixture's five langs share one vocabulary — lang labels are
