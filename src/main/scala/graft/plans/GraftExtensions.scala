@@ -11,9 +11,11 @@ import graft.functions.{CosineSimilarity, HyperplaneBuckets,
 
 /** Session extensions: registers the engine's native functions for SQL use
   * (`SELECT cosine_similarity(a, b) ...`, `simhash64(tokens)`,
-  * `shingle_hashes(s, k[, distinct])`, `hyperplane_buckets(v)`). Activate
-  * with `spark.sql.extensions=graft.plans.GraftExtensions` or pass to
-  * `SparkSession.builder.withExtensions`.
+  * `shingle_hashes(s, k[, distinct])`, `hyperplane_buckets(v)`), the
+  * [[TopKRewriteRule]] optimizer rule (row_number-filter → sort-free
+  * [[TopKPerKey]]), and the [[TopKStrategy]] planner strategy that plans
+  * it. Activate with `spark.sql.extensions=graft.plans.GraftExtensions`
+  * or pass to `SparkSession.builder.withExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -30,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

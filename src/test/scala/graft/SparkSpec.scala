@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   val sfDir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")

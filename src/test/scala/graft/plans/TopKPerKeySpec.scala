@@ -12,11 +12,17 @@ class TopKPerKeySpec extends SparkSpec {
   test("native top-k equals window row_number <= k under a total order") {
     val sales = Retail.sales(spark, sfDir)
       .select("CUSTOMER_ID", "SALE_ID", "QUANTITY")
-    val viaWindow = sales
-      .withColumn("rn", row_number().over(Window.partitionBy("CUSTOMER_ID")
-        .orderBy(col("QUANTITY").desc, col("SALE_ID").asc)))
-      .filter(col("rn") <= 3).drop("rn")
-      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    // pin the reference side to the vanilla sort-based plan — with the
+    // TopKRewriteRule active (SparkSpec session) both sides would
+    // otherwise compile to the same operator and prove nothing
+    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+    val viaWindow =
+      try sales
+        .withColumn("rn", row_number().over(Window.partitionBy("CUSTOMER_ID")
+          .orderBy(col("QUANTITY").desc, col("SALE_ID").asc)))
+        .filter(col("rn") <= 3).drop("rn")
+        .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+      finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
     val viaNative = TopK.perKey(sales,
         Seq("CUSTOMER_ID"),
         Seq("QUANTITY" -> TopK.Desc, "SALE_ID" -> TopK.Asc), k = 3)
