@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
@@ -24,6 +26,7 @@ object PlanDump {
       "lsh_incr" -> (() => ext.DedupOps.minhashLshIncremental(spark, sf)),
       "asof" -> (() => ext.EventOps.asofJoin(spark, sf)),
       "dup_spans" -> (() => ext.DedupOps.dupSpans(spark, sf)),
+      "topk_rewrite" -> (() => pipelines.MicroQueries.topkRewrite(spark, sf)),
       "decon_bloom" -> (() => ext.CurationOps.decontaminateBloom(spark, sf)),
       "zorder_key" -> (() => pipelines.MicroQueries.zorderKey(spark, sf)),
       "band_join" -> (() => ext.EventOps.bandJoin(spark, sf)),

@@ -203,6 +203,7 @@ object SparkEntry {
     "q_null_repair" -> ((s, dir) => MicroQueries.nullRepair(s, dir)),
     "q_date_and_round" -> ((s, dir) => MicroQueries.dateAndRound(s, dir)),
     "q_topk_native" -> ((s, dir) => MicroQueries.topkNative(s, dir)),
+    "q_topk_rewrite" -> ((s, dir) => MicroQueries.topkRewrite(s, dir)),
     "q_pivot_status" -> ((s, dir) => MicroQueries.pivotStatus(s, dir)),
     "q_set_ops" -> ((s, dir) => MicroQueries.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => MicroQueries.semiAnti(s, dir)),
@@ -361,6 +362,7 @@ object SparkEntry {
     "q_null_repair" -> MicroQueries.nullRepairOracle,
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     "q_topk_native" -> MicroQueries.topkNativeOracle,
+    "q_topk_rewrite" -> MicroQueries.topkRewriteOracle,
     "q_pivot_status" -> MicroQueries.pivotStatusOracle,
     "q_set_ops" -> MicroQueries.setOpsOracle,
     "q_semi_anti" -> MicroQueries.semiAntiOracle,

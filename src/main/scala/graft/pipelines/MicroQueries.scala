@@ -155,6 +155,37 @@ object MicroQueries {
        |SELECT CUSTOMER_ID, SALE_ID, CAST(QUANTITY AS DOUBLE) AS QUANTITY
        |FROM ranked WHERE rn <= 3""".stripMargin
 
+  /** The same top-k phrased in the COMPOSABLE window idiom — the shape a
+    * library user writes without knowing the native operator exists. The
+    * session's TopKRewriteRule (graft.plans, injected via
+    * GraftExtensions) compiles it to TopKPerKey, so this query puts the
+    * optimizer rule itself under the DuckDB hash gate: a rewrite that
+    * changed row selection OR rank assignment in any way would go red
+    * here. TopKRewriteSpec asserts the plan is in fact rewritten
+    * (sort-free, no window exec) for this exact frame.
+    */
+  def topkRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sales = Retail.sales(spark, sfDir)
+      .select("CUSTOMER_ID", "SALE_ID", "QUANTITY")
+    val w = Window.partitionBy("CUSTOMER_ID")
+      .orderBy(col("QUANTITY").desc, col("SALE_ID").asc)
+    Canon.canonicalize(sales
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3))
+  }
+
+  val topkRewriteOracle: String =
+    s"""WITH ${Retail.sql.sales},
+       |ranked AS (
+       |  SELECT CUSTOMER_ID, SALE_ID, QUANTITY,
+       |         row_number() OVER (PARTITION BY CUSTOMER_ID
+       |           ORDER BY QUANTITY DESC, SALE_ID ASC) AS rn
+       |  FROM sales)
+       |SELECT CUSTOMER_ID, SALE_ID, CAST(QUANTITY AS DOUBLE) AS QUANTITY,
+       |       CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= 3""".stripMargin
+
   /** §2.9 date/scalar family: date_sub/add_months-style derives pinned to
     * the asOf snapshot (reference customer_sales_report_task.py:91–97 uses
     * current_date; pinned for determinism per SURVEY §7.4.1), plus

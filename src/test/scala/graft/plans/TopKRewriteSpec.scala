@@ -96,6 +96,15 @@ class TopKRewriteSpec extends SparkSpec {
     assert(topkNodes(q) == 0, "k=5000 > maxK=1000 must not rewrite")
   }
 
+  test("the gated q_topk_rewrite query compiles to the heap operator") {
+    val q = graft.pipelines.MicroQueries.topkRewrite(spark, sfDir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p.take(1200))
+    assert(!p.contains("Sort ") && !p.contains("WindowExec"),
+      s"q_topk_rewrite kept a sort/window:\n${p.take(1200)}")
+  }
+
   test("the supplier mart's rank===1 filter picks up the rewrite") {
     val mart = graft.pipelines.SupplierPerformance(spark, sfDir)
     assert(topkNodes(mart) == 1,
