@@ -45,6 +45,7 @@ object SparkEntry {
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
     "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
+    "q_temperature_mix" -> ((s, dir) => SampleOps.temperatureMix(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
@@ -249,6 +250,7 @@ object SparkEntry {
     "q_source_cap" -> TextOps.sourceCapOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
     "q_source_diversity" -> SampleOps.sourceDiversityOracle,
+    "q_temperature_mix" -> SampleOps.temperatureMixOracle,
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,

@@ -304,6 +304,78 @@ object SampleOps {
        |FROM c, t""".stripMargin
   }
 
+  /** Fixed-point scale for [[temperatureMix]]'s n^α numerators. BIGINT
+    * headroom: n_total·q must stay under 2⁶³ — fine to ~10⁹ docs at this
+    * scale; a 100 TB run drops scale a digit or lifts to DECIMAL(38)
+    * (the dsirScale note), shape unchanged.
+    */
+  val tempMixScale = 1000000L
+
+  /** TEMPERATURE-SCALED language sampling — the multilingual-pretraining
+    * standard (cf. mBERT/XLM-R exponent-smoothed sampling): p_l ∝ n_l^α,
+    * α ∈ (0,1), flattening the language distribution toward uniform as
+    * α → 0 so head languages stop drowning the tail. Emitted per
+    * α ∈ {1/2, 1/4} as iterated square roots — the repo's no-transcendental
+    * discipline: `sqrt` is IEEE-correctly-rounded in BOTH engines (unlike
+    * ln/pow, whose last bit is libm-specific), the numerators are
+    * fixed-point BIGINTs ⌊√n·scale⌋ summed exactly, `target_docs` is pure
+    * integer arithmetic (non-negative, so Spark `div` ≡ DuckDB `//`), and
+    * the only float ops in compared values are one division each for
+    * `weight` and `sample_rate`.
+    *
+    * Scale shape: one keyed count per lang (map-side combined), a
+    * per-alpha sum over the BOUNDED lang table, broadcast one-row total —
+    * the mixturePlan shape; nothing corpus-sized moves.
+    */
+  def temperatureMixOf(counts: DataFrame, total: DataFrame): DataFrame = {
+    val qOf: Column => Column = nd =>
+      floor(nd * lit(tempMixScale.toDouble)).cast("long")
+    val q = counts.select(col("lang"), col("n_docs"), lit("0.5").as("alpha"),
+        qOf(sqrt(col("n_docs").cast("double"))).as("q"))
+      .union(counts.select(col("lang"), col("n_docs"),
+        lit("0.25").as("alpha"),
+        qOf(sqrt(sqrt(col("n_docs").cast("double")))).as("q")))
+    val sums = q.groupBy("alpha").agg(sum("q").as("q_tot"))
+    Canon.canonicalize(q
+      .join(broadcast(sums), Seq("alpha"))
+      .crossJoin(broadcast(total))
+      .withColumn("target_docs", expr("n_total * q div q_tot"))
+      .select(col("lang"), col("alpha"), col("n_docs"),
+        (col("q").cast("double") / col("q_tot").cast("double"))
+          .as("weight"),
+        col("target_docs"),
+        (col("target_docs").cast("double") / col("n_docs").cast("double"))
+          .as("sample_rate")))
+  }
+
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+    temperatureMixOf(
+      d.groupBy("lang").agg(count(lit(1)).as("n_docs")),
+      d.agg(count(lit(1)).as("n_total")))
+  }
+
+  val temperatureMixOracle: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |t AS (SELECT count(*) AS n_total FROM documents),
+       |q AS (
+       |  SELECT lang, n_docs, '0.5' AS alpha,
+       |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * $tempMixScale.0)
+       |           AS BIGINT) AS q
+       |  FROM c
+       |  UNION ALL
+       |  SELECT lang, n_docs, '0.25' AS alpha,
+       |         CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+       |           * $tempMixScale.0) AS BIGINT) AS q
+       |  FROM c),
+       |s AS (SELECT alpha, sum(q) AS q_tot FROM q GROUP BY 1)
+       |SELECT q.lang, q.alpha, CAST(q.n_docs AS BIGINT) AS n_docs,
+       |       CAST(q.q AS DOUBLE) / CAST(s.q_tot AS DOUBLE) AS weight,
+       |       CAST(t.n_total * q.q // s.q_tot AS BIGINT) AS target_docs,
+       |       CAST(t.n_total * q.q // s.q_tot AS DOUBLE)
+       |         / CAST(q.n_docs AS DOUBLE) AS sample_rate
+       |FROM q JOIN s USING (alpha), t""".stripMargin
+
   /** Per-language SOURCE-DIVERSITY report: Simpson concentration
     * C = Σ n_s² / N² and its reciprocal, the effective source count —
     * the mixing-health number beside [[mixturePlan]]: a lang with 12

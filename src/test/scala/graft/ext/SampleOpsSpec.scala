@@ -343,4 +343,44 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens a skewed language head monotonically") {
+    // skewed synthetic counts — the fixture's langs are near-uniform, so
+    // the flattening property needs a 100:1 head/tail to show itself
+    val counts = Seq(("big", 10000L), ("mid", 900L), ("tiny", 100L))
+      .toDF("lang", "n_docs")
+    val total = counts.agg(sum("n_docs").as("n_total"))
+    val out = SampleOps.temperatureMixOf(counts, total)
+      .as[(String, String, Long, Double, Long, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._4).toMap).toMap
+    val raw = Map("big" -> 10000.0 / 11000, "mid" -> 900.0 / 11000,
+      "tiny" -> 100.0 / 11000)
+    for (l <- Seq("big", "mid", "tiny")) {
+      // α=1/2 weight ≈ √n / Σ√n (fixed-point floor costs < 1e-5)
+      val expect = math.sqrt(raw(l) * 11000) /
+        Seq(10000, 900, 100).map(n => math.sqrt(n.toDouble)).sum
+      assert(math.abs(out("0.5")(l) - expect) < 1e-5,
+        s"$l: ${out("0.5")(l)} vs $expect")
+    }
+    // flattening is monotone in α: head shrinks, tail grows
+    assert(out("0.5")("big") < raw("big") &&
+      out("0.25")("big") < out("0.5")("big"))
+    assert(out("0.5")("tiny") > raw("tiny") &&
+      out("0.25")("tiny") > out("0.5")("tiny"))
+    // per-alpha weights are a distribution
+    for (a <- Seq("0.5", "0.25"))
+      assert(math.abs(out(a).values.sum - 1.0) < 1e-9, s"alpha $a")
+  }
+
+  test("temperature mix target docs conserve the epoch budget") {
+    val out = SampleOps.temperatureMix(spark, sfDir)
+      .as[(String, String, Long, Double, Long, Double)].collect()
+    val nTotal = TextOps.documents(spark, sfDir).count()
+    for ((a, rows) <- out.groupBy(_._2)) {
+      val target = rows.map(_._5).sum
+      // Σ⌊N·q/Σq⌋ ≤ N with at most one doc of floor loss per lang
+      assert(target <= nTotal && target > nTotal - rows.length,
+        s"alpha $a: $target vs $nTotal")
+    }
+  }
+
 }
