@@ -142,6 +142,7 @@ object SparkEntry {
       ((s, dir) => ext.BpeOps.bpeTrainForgotten(s, dir)),
     // apply the trained merges: real per-doc BPE token counts
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
+    "q_wordpiece_encode" -> ((s, dir) => ext.BpeOps.wordpieceEncode(s, dir)),
     "q_compression_ratio" -> ((s, dir) => ext.BpeOps.compressionRatio(s, dir)),
     // packing budgeted in trained BPE tokens, not whitespace words
     "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
@@ -314,6 +315,7 @@ object SparkEntry {
     "q_bpe_train_merged" -> ext.BpeOps.bpeTrainOracle,
     "q_bpe_train_forgotten" -> ext.BpeOps.bpeTrainForgottenOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
+    "q_wordpiece_encode" -> ext.BpeOps.wordpieceEncodeOracle,
     "q_compression_ratio" -> ext.BpeOps.compressionRatioOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,

@@ -769,4 +769,122 @@ object BpeOps {
        |    AS BIGINT) AS pack_tokens
        |FROM pb""".stripMargin
   }
+
+  // ---- WordPiece greedy encoding over the trained vocabulary ----------
+
+  /** Unroll depth of the greedy oracle — every greedy step consumes at
+    * least one character, so this bounds the longest encodable word;
+    * [[wordpieceEncode]] enforces it loudly against the corpus.
+    */
+  val wpGreedySteps = 16
+
+  /** WordPiece-style GREEDY longest-match encoding over the SAME trained
+    * vocabulary BPE encoding replays (base characters + every accepted
+    * merge's output symbol): the BERT-family encode algorithm beside the
+    * GPT-family merge-order one. The two disagree on words where an
+    * early long match blocks the merge path's segmentation — having both
+    * lets a pipeline measure that disagreement before committing a
+    * loader to one. A word no vocabulary walk can cover becomes ONE
+    * `[UNK]` token (whole-word failure, the published WordPiece
+    * semantics); on the training corpus itself every character is in the
+    * vocabulary so n_unk_words is structurally 0 — the UNK path is
+    * exercised by spec on unseen alphabets.
+    *
+    * Scale shape = [[bpeEncode]]'s: the corpus pass is one explode +
+    * keyed count (map-side combined); greedy matching runs on the
+    * DISTINCT-WORD table only, inside whole-stage codegen
+    * ([[graft.functions.WordPieceGreedy]], vocabulary shipped in the
+    * expression like BpeMergeFold's pair table), and per-doc counts come
+    * back via a broadcast probe. The alphabet and merge table are the
+    * only driver-side syncs (both model-sized, the k-means-centroid
+    * class of bounded collect).
+    */
+  def wordpieceEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = tokenWords(spark, sfDir).persist()
+    val merges = trainedMerges(spark, sfDir, Some(words))
+    val baseChars = words
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq // alphabet-sized
+    val vocab = (baseChars ++ merges.map(_._5)).distinct
+    val maxW = Option(words.agg(max(length(col("w")))).head.get(0))
+      .fold(0)(_.asInstanceOf[Int])
+    require(maxW <= wpGreedySteps,
+      s"wordpieceEncode: corpus has a $maxW-char word but the greedy " +
+        s"oracle unrolls $wpGreedySteps steps; raise wpGreedySteps")
+    val pieces = graft.functions.WordPieceGreedy(col("w"), vocab)
+    val unkLit = graft.functions.WordPieceGreedy.defaultUnk
+    val wordLen = words.select(col("w"),
+      size(pieces).as("n_wp"),
+      array_contains(pieces, unkLit).as("unk"))
+    val docTokens = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
+    val out = TextOps.documents(spark, sfDir).select("doc_id")
+      .join(docTokens
+          .join(broadcast(wordLen), Seq("w"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_words"),
+            sum("n_wp").as("n_wp_tokens"),
+            sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_wp_tokens"), lit(0L)).as("n_wp_tokens"),
+        coalesce(col("n_unk_words"), lit(0L)).as("n_unk_words"))
+    Canon.materialized(Canon.canonicalize(out), words)
+  }
+
+  /** The greedy walk in SQL: the vocabulary CTE is base characters ∪
+    * accepted merge outputs (the same acc$r tables the training oracle
+    * reports), and each of the [[wpGreedySteps]] unrolled steps finds
+    * the longest vocabulary entry prefixing each word's remaining
+    * suffix via a prefix join + max — no recursion-with-aggregates,
+    * which recursive CTEs disallow. Whole-word UNK: a step with no
+    * match collapses the word to one token and flags it.
+    */
+  val wordpieceEncodeOracle: String = {
+    val steps = (0 until wpGreedySteps).map { i =>
+      s"""wm$i AS (
+         |  SELECT g.w, g.rem, g.n, g.unk,
+         |         max(CASE WHEN g.rem <> ''
+         |                   AND v.tok = substr(g.rem, 1, len(v.tok))
+         |                  THEN len(v.tok) END) AS bl
+         |  FROM wg$i g LEFT JOIN wvoc v
+         |    ON g.rem <> '' AND v.tok = substr(g.rem, 1, len(v.tok))
+         |  GROUP BY 1, 2, 3, 4),
+         |wg${i + 1} AS (
+         |  SELECT w,
+         |         CASE WHEN rem = '' OR bl IS NULL THEN ''
+         |              ELSE substr(rem, CAST(bl AS INT) + 1) END AS rem,
+         |         CASE WHEN rem = '' THEN n
+         |              WHEN bl IS NULL THEN 1
+         |              ELSE n + 1 END AS n,
+         |         CASE WHEN rem <> '' AND bl IS NULL THEN TRUE
+         |              ELSE unk END AS unk
+         |  FROM wm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |$oracleChainCtes,
+       |wvoc AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(string_split(w, '')) AS tok FROM w0
+       |  UNION
+       |  ${(0 until bpeRounds)
+          .map(r => s"SELECT ab AS tok FROM acc$r").mkString("\n  UNION ")}),
+       |wg0 AS (SELECT w, w AS rem, 0 AS n, FALSE AS unk FROM w0),
+       |$steps,
+       |wpl AS (SELECT w, n AS n_wp, unk FROM wg$wpGreedySteps),
+       |wdt AS (
+       |  SELECT doc_id, unnest(${CurationOps.toksSql}) AS w
+       |  FROM documents),
+       |wagg AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(n_wp) AS n_wp,
+       |         sum(CASE WHEN unk THEN 1 ELSE 0 END) AS n_unk
+       |  FROM wdt JOIN wpl USING (w) GROUP BY 1)
+       |SELECT documents.doc_id,
+       |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_wp, 0) AS BIGINT) AS n_wp_tokens,
+       |  CAST(coalesce(n_unk, 0) AS BIGINT) AS n_unk_words
+       |FROM documents LEFT JOIN wagg USING (doc_id)""".stripMargin
+  }
 }

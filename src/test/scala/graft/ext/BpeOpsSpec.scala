@@ -251,4 +251,51 @@ class BpeOpsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("wordpiece greedy matches a driver reimplementation; UNK on gaps") {
+    import graft.functions.WordPieceGreedy
+    val vocab = Seq("a", "b", "c", "ab", "bc", "abc", "bcb")
+    def refEncode(w: String): Seq[String] = {
+      val maxLen = vocab.map(_.length).max
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        val hit = (math.min(maxLen, w.length - pos) to 1 by -1)
+          .map(l => w.substring(pos, pos + l)).find(vocab.contains)
+        hit match {
+          case None => return Seq("[UNK]")
+          case Some(t) => out += t; pos += t.length
+        }
+      }
+      out.result()
+    }
+    val words = Seq("abc", "abcb", "cab", "bbb", "azb", "", "abcbcabc")
+    val got = words.toDF("w")
+      .select(col("w"), WordPieceGreedy(col("w"), vocab).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words)
+      assert(got(w) == refEncode(w), s"$w: ${got(w)} vs ${refEncode(w)}")
+    // the greedy/merge-order disagreement this operator exists to expose:
+    // greedy takes the longest prefix 'abc' + UNK-free tail, while a
+    // (b,c)-first merge path would segment a|bc|b
+    assert(got("abcb") == Seq("abc", "b"))
+    // unseen alphabet → whole-word UNK, not a partial emit
+    assert(got("azb") == Seq("[UNK]"))
+  }
+
+  test("wordpiece corpus encode: per-word consistency and zero UNKs") {
+    val enc = BpeOps.wordpieceEncode(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(enc.nonEmpty)
+    for ((id, nWords, nWp, nUnk) <- enc) {
+      assert(nUnk == 0, s"doc $id: UNK on the training corpus")
+      assert(nWp >= nWords, s"doc $id: a word produced < 1 piece")
+    }
+    // greedy over the BPE vocab can never need more pieces than
+    // characters; tie to the doc dimension
+    val chars = TextOps.documents(spark, sfDir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    for ((id, _, nWp, _) <- enc)
+      assert(nWp <= chars(id), s"doc $id: more pieces than characters")
+  }
+
 }

@@ -98,7 +98,13 @@ class CodegenGateSpec extends SparkSpec {
         Seq("banana", "aaaaa", "b", "", "cabab")
           .toDF("w")
           .select(BpeMergeFold(split(col("w"), ""),
-            Seq(("a", "n", "an"), ("c", "d", "cd"))).as("out"))))
+            Seq(("a", "n", "an"), ("c", "d", "cd"))).as("out"))),
+      ("WordPieceGreedy", () =>
+        Seq("lowest", "low", "er", "newest", "zz", "")
+          .toDF("w")
+          .select(WordPieceGreedy(col("w"),
+            Seq("l", "o", "w", "e", "s", "t", "n", "r",
+              "low", "est", "er")).as("out"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */
