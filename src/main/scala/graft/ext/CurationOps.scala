@@ -446,8 +446,13 @@ object CurationOps {
     Canon.canonicalize(out)
   }
 
-  val repetitionOracle: String =
-    s"""WITH d AS (
+  /** The repetition chain as a composable CTE block (ends in `f`, the
+    * per-doc fraction table) — shared by [[repetitionOracle]] and the
+    * preference-pair oracles ([[PrefOps]]), which use the fractions as
+    * one of two annotators.
+    */
+  private[graft] val repCtes: String =
+    s"""d AS (
        |  SELECT doc_id, $toksSql AS toks FROM documents),
        |g AS (
        |  SELECT doc_id, 1 AS k, u.gram FROM d, unnest(toks) AS u(gram)
@@ -480,7 +485,10 @@ object CurationOps {
        |    CASE WHEN coalesce(n3, 0) > 0
        |      THEN CAST(coalesce(dup3, 0) AS DOUBLE) / CAST(n3 AS DOUBLE)
        |      ELSE 0.0 END AS dup_trigram_frac
-       |  FROM documents LEFT JOIN s USING (doc_id))
+       |  FROM documents LEFT JOIN s USING (doc_id))""".stripMargin
+
+  val repetitionOracle: String =
+    s"""WITH $repCtes
        |SELECT *,
        |  top_bigram_frac > $topBigramFracMax
        |    OR dup_trigram_frac > $dupTrigramFracMax AS flagged

@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class PrefOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs =
+    TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+
+  test("pairing is consecutive, non-overlapping, and stratum-complete") {
+    val pairs = PrefOps.prefPairs(spark, sfDir)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+    val used = pairs.flatMap(p => Seq(p._3, p._4))
+    assert(used.distinct.length == used.length,
+      "a document appears in more than one pair")
+    // exactly floor(|stratum| / 2) pairs per (lang, source)
+    val expected = docs.groupBy(d => (d._2, d._3))
+      .view.mapValues(_.size / 2).toMap.filter(_._2 > 0)
+    val got = pairs.groupBy(_._2) // only lang in the output; recount via ids
+    val byStratum = {
+      val strat = docs.map(d => d._1 -> (d._2, d._3)).toMap
+      pairs.groupBy(p => strat(p._3)).view.mapValues(_.size).toMap
+    }
+    assert(byStratum == expected, s"$byStratum vs $expected")
+    // chosen and rejected always share a stratum and are doc_id-adjacent
+    // in the stratum's doc_id order
+    val strat = docs.map(d => d._1 -> (d._2, d._3)).toMap
+    for (p <- pairs)
+      assert(strat(p._3) == strat(p._4), s"cross-stratum pair $p")
+    assert(got.nonEmpty)
+  }
+
+  test("verdicts, margin, and agreement match a driver recompute") {
+    val q = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val r = CurationOps.repetition(spark, sfDir)
+      .select("doc_id", "dup_token_frac", "dup_trigram_frac")
+      .as[(Long, Double, Double)].collect()
+      .map(x => x._1 -> (x._2 + x._3)).toMap
+    val stratOrder = docs.groupBy(d => (d._2, d._3))
+      .view.mapValues(_.map(_._1).sorted).toMap
+    val expected = stratOrder.flatMap { case ((lang, src), ids) =>
+      ids.grouped(2).filter(_.size == 2).zipWithIndex.map {
+        case (pairIds, i) =>
+          val (a, b) = (pairIds(0), pairIds(1))
+          val chosenQ =
+            if (q(a) > q(b)) a else if (q(b) > q(a)) b else math.min(a, b)
+          val chosenR =
+            if (r(a) < r(b)) a else if (r(b) < r(a)) b else math.min(a, b)
+          (s"$lang#$src#${i + 1}", lang, chosenQ,
+            if (chosenQ == a) b else a,
+            math.abs(q(a) - q(b)), chosenQ == chosenR)
+      }
+    }.toSet
+    val gotPairs = PrefOps.prefPairs(spark, sfDir)
+      .as[(String, String, Long, Long, Double, Boolean)].collect().toSet
+    assert(gotPairs == expected)
+  }
+
+  test("length-bias audit is the exact rollup of the pair table") {
+    val nChars = docs.map(d => d._1 -> d._4).toMap
+    val pairs = PrefOps.prefPairs(spark, sfDir)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+    val expected = pairs.groupBy(_._2).map { case (lang, ps) =>
+      val agreed = ps.filter(_._6)
+      val longer = agreed.count(p => nChars(p._3) > nChars(p._4))
+      (lang, ps.length.toLong, agreed.length.toLong,
+        agreed.length.toDouble / ps.length.toDouble, longer.toLong,
+        if (agreed.nonEmpty) longer.toDouble / agreed.length.toDouble
+        else 0.0)
+    }.toSet
+    val got = PrefOps.prefLengthBias(spark, sfDir)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+}
