@@ -48,6 +48,7 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, dir) => SampleOps.temperatureMix(s, dir)),
     "q_pref_pairs" -> ((s, dir) => ext.PrefOps.prefPairs(s, dir)),
     "q_pref_length_bias" -> ((s, dir) => ext.PrefOps.prefLengthBias(s, dir)),
+    "q_source_winrate" -> ((s, dir) => ext.PrefOps.sourceWinRate(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
@@ -256,6 +257,7 @@ object SparkEntry {
     "q_temperature_mix" -> SampleOps.temperatureMixOracle,
     "q_pref_pairs" -> ext.PrefOps.prefPairsOracle,
     "q_pref_length_bias" -> ext.PrefOps.prefLengthBiasOracle,
+    "q_source_winrate" -> ext.PrefOps.sourceWinRateOracle,
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,

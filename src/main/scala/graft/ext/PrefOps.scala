@@ -121,6 +121,108 @@ object PrefOps {
         .otherwise(lit(0.0)).as("frac_chosen_longer")))
   }
 
+  /** Matches per source pair in the [[sourceWinRate]] tournament. */
+  val tournamentK = 20
+
+  /** SOURCE-QUALITY LEADERBOARD via a round-robin tournament: within
+    * each language, every pair of sources plays up to [[tournamentK]]
+    * matches — the i-th document (doc_id order) of one source against
+    * the i-th of the other, judged by the quality annotator (ties to
+    * the lower doc_id). Per (lang, source): matches, wins, the
+    * Laplace-smoothed win rate (wins+1)/(matches+2) — exact integer
+    * counts, ONE division — and the rank within the language. This is
+    * the "which sources actually produce better documents" artifact a
+    * curation pass reads before setting [[SampleOps.targetMixPermille]]
+    * shares or sourceCap limits: head-to-head document quality, not raw
+    * volume.
+    *
+    * Scale shape: the per-source head is `row_number ≤ K` — which the
+    * session's TopKRewriteRule compiles to the sort-free TopKPerKey
+    * heap — so the corpus contributes one keyed exchange and the
+    * tournament itself runs on |sources|·K rows per lang; the match
+    * join is rank-keyed (never all-docs × all-docs), and a source with
+    * no opponents (sole source in its lang) keeps its row with the
+    * 1/2 prior rate.
+    */
+  def sourceWinRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang", "source")
+      .join(TextOps.qualityScore(spark, sfDir)
+        .select("doc_id", "quality_score"), Seq("doc_id"))
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    val top = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= tournamentK)
+    val a = top.select(col("lang"), col("source").as("s1"), col("rn"),
+      col("doc_id").as("id1"), col("quality_score").as("q1"))
+    val b = top.select(col("lang").as("l2"), col("source").as("s2"),
+      col("rn").as("rn2"), col("doc_id").as("id2"),
+      col("quality_score").as("q2"))
+    val m = a.join(b, col("lang") === col("l2") &&
+        col("rn") === col("rn2") && col("s1") < col("s2"))
+      .withColumn("winner",
+        when(col("q1") > col("q2"), col("s1"))
+          .when(col("q2") > col("q1"), col("s2"))
+          .otherwise(when(col("id1") < col("id2"), col("s1"))
+            .otherwise(col("s2"))))
+    val sides = m.select(col("lang"), col("s1").as("source"),
+        (col("winner") === col("s1")).as("won"))
+      .union(m.select(col("lang"), col("s2").as("source"),
+        (col("winner") === col("s2")).as("won")))
+    val stats = sides.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_matches"),
+      sum(when(col("won"), 1L).otherwise(0L)).as("n_wins"))
+    val all = TextOps.documents(spark, sfDir)
+      .select("lang", "source").distinct()
+      .join(stats, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      .withColumn("win_rate",
+        (col("n_wins") + lit(1L)).cast("double") /
+          (col("n_matches") + lit(2L)).cast("double"))
+    Canon.canonicalize(all.withColumn("rank",
+      row_number().over(Window.partitionBy("lang")
+        .orderBy(col("win_rate").desc, col("source").asc))))
+  }
+
+  val sourceWinRateOracle: String =
+    s"""WITH ${TextOps.qualityCte},
+       |st AS (
+       |  SELECT d.doc_id, d.lang, d.source, qs.quality_score,
+       |         row_number() OVER (PARTITION BY d.lang, d.source
+       |                            ORDER BY d.doc_id) AS rn
+       |  FROM documents d JOIN qs ON d.doc_id = qs.doc_id),
+       |tp AS (SELECT * FROM st WHERE rn <= $tournamentK),
+       |mt AS (
+       |  SELECT a.lang, a.source AS s1, b.source AS s2,
+       |         CASE WHEN a.quality_score > b.quality_score THEN a.source
+       |              WHEN b.quality_score > a.quality_score THEN b.source
+       |              WHEN a.doc_id < b.doc_id THEN a.source
+       |              ELSE b.source END AS winner
+       |  FROM tp a JOIN tp b
+       |    ON a.lang = b.lang AND a.rn = b.rn AND a.source < b.source),
+       |sd AS (
+       |  SELECT lang, s1 AS source, winner = s1 AS won FROM mt
+       |  UNION ALL
+       |  SELECT lang, s2 AS source, winner = s2 AS won FROM mt),
+       |stat AS (
+       |  SELECT lang, source, count(*) AS n_matches,
+       |         sum(CASE WHEN won THEN 1 ELSE 0 END) AS n_wins
+       |  FROM sd GROUP BY 1, 2),
+       |base AS (SELECT DISTINCT lang, source FROM documents),
+       |wr AS (
+       |  SELECT base.lang, base.source,
+       |         CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches,
+       |         CAST(coalesce(n_wins, 0) AS BIGINT) AS n_wins,
+       |         CAST(coalesce(n_wins, 0) + 1 AS DOUBLE)
+       |           / CAST(coalesce(n_matches, 0) + 2 AS DOUBLE) AS win_rate
+       |  FROM base LEFT JOIN stat
+       |    ON base.lang = stat.lang AND base.source = stat.source)
+       |SELECT lang, source, n_matches, n_wins, win_rate,
+       |       CAST(row_number() OVER (PARTITION BY lang
+       |         ORDER BY win_rate DESC, source ASC) AS BIGINT) AS rank
+       |FROM wr""".stripMargin
+
   /** Shared oracle chain: annotator CTEs (quality `qs`, repetition `f`),
     * the window pairing, and the verdict projection `pv`.
     */

@@ -76,4 +76,43 @@ class PrefOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Long, Double)].collect().toSet
     assert(got == expected)
   }
+
+  test("source tournament matches a driver recompute; heads use the heap") {
+    val q = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val heads = docs.groupBy(d => (d._2, d._3))
+      .view.mapValues(_.map(_._1).sorted.take(PrefOps.tournamentK)).toMap
+    val matches = for {
+      ((lang, s1), ids1) <- heads.toSeq
+      ((l2, s2), ids2) <- heads.toSeq
+      if l2 == lang && s1 < s2
+      (a, b) <- ids1.zip(ids2)
+    } yield {
+      val winner =
+        if (q(a) > q(b)) s1
+        else if (q(b) > q(a)) s2
+        else if (a < b) s1 else s2
+      (lang, s1, s2, winner)
+    }
+    val stats = matches.flatMap { case (lang, s1, s2, wnr) =>
+      Seq((lang, s1, wnr == s1), (lang, s2, wnr == s2))
+    }.groupBy(x => (x._1, x._2)).view
+      .mapValues(v => (v.size.toLong, v.count(_._3).toLong)).toMap
+    val expected = docs.map(d => (d._2, d._3)).distinct.map { case key =>
+      val (n, wins) = stats.getOrElse(key, (0L, 0L))
+      (key._1, key._2, n, wins, (wins + 1).toDouble / (n + 2).toDouble)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (-r._5, r._2)).zipWithIndex.map {
+        case (r, i) => (r._1, r._2, r._3, r._4, r._5, (i + 1).toLong)
+      }
+    }.toSet
+    val frame = PrefOps.sourceWinRate(spark, sfDir)
+    val got = frame.as[(String, String, Long, Long, Double, Long)]
+      .collect().toSet
+    assert(got == expected)
+    // the rn <= K head compiles to the sort-free heap via the rewrite
+    val p = frame.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"),
+      "tournament head lost the heap operator")
+  }
 }
