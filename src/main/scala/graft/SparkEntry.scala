@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ext.{CurationOps, DedupOps, EventOps, GraphOps, MultimodalOps,
   SampleOps, ScoringOps, TextOps, VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
+  JsonlRoundTrip,
   MicroQueries, ProductPerformance, SupplierPerformance}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,6 +31,7 @@ object SparkEntry {
     "q_ingest_sales" -> ((s, dir) => Ingestion.sales(s, dir)),
     // io micro-queries
     "q_jdbc_roundtrip" -> ((s, dir) => JdbcRoundTrip(s, dir)),
+    "q_jsonl_roundtrip" -> ((s, dir) => JsonlRoundTrip(s, dir)),
     // LLM-pipeline text operators over `documents`
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir)),
     "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
@@ -242,6 +244,7 @@ object SparkEntry {
     "q_ingest_customers" -> Ingestion.customersOracle,
     "q_ingest_sales" -> Ingestion.salesOracle,
     "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
+    "q_jsonl_roundtrip" -> JsonlRoundTrip.oracle,
     "q_dedup_exact" -> TextOps.dedupExactOracle,
     "q_text_stats" -> TextOps.textStatsOracle,
     "q_dataset_card" -> TextOps.datasetCardOracle,

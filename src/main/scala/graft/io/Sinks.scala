@@ -44,4 +44,12 @@ object Sinks {
   def readLegacyDay(spark: SparkSession, legacyPath: String,
                     dayDt: String): DataFrame =
     spark.read.parquet(legacyPath).filter(col("DAY_DT") === dayDt)
+
+  /** JSONL (NDJSON) corpus sink — the interchange format LLM corpora
+    * ship in (one JSON object per line, one file per partition,
+    * overwrite). Pair with [[Sources.jsonl]] for the schema-declared,
+    * malformed-policy read-back.
+    */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

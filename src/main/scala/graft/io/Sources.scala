@@ -40,6 +40,25 @@ object Sources {
                 schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSONL (NDJSON) corpus source with declared schema AND an explicit
+    * malformed-line policy — the format LLM corpora actually ship in.
+    * `mode` is the standard Spark triad: FAILFAST (default here: a
+    * corrupt feed should stop an ingest loudly), DROPMALFORMED, or
+    * PERMISSIVE with `corruptCol` naming the capture column (the
+    * quarantine pattern — count the bad lines, keep the run). Reads are
+    * line-splittable, so a 100 TB JSONL directory parallelizes by file
+    * and by block like any text source.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+            mode: String = "FAILFAST",
+            corruptCol: Option[String] = None): DataFrame = {
+    val withCorrupt = corruptCol.fold(schema)(c =>
+      schema.add(c, org.apache.spark.sql.types.StringType))
+    val r = spark.read.schema(withCorrupt).option("mode", mode)
+    corruptCol.fold(r)(c => r.option("columnNameOfCorruptRecord", c))
+      .json(path)
+  }
+
   /** In-memory rows + explicit StructType (reference S6, dag.py:63–82). */
   def inMemory(spark: SparkSession, rows: Seq[Row],
                schema: StructType): DataFrame =
