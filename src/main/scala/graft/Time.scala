@@ -9,6 +9,7 @@ object Time {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,10 +23,54 @@ object Time {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for the optimizer-rule measurements (SURVEY §8.24):
+    // SPARK_GRAFT_TOPK_REWRITE=false times the vanilla window plans.
+    sys.env.get("SPARK_GRAFT_TOPK_REWRITE").foreach(v =>
+      spark.conf.set("spark.graft.topkRewrite.enabled", v))
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}
+
+/** A/B for the TopKRewriteRule in the LARGE-GROUP regime the heap
+  * operator exists for: top-k sales per ORDER_STATUS (a handful of
+  * groups, each a large fraction of the fact table), where the window
+  * formulation sorts every group end to end. `runMain graft.TimeTopK
+  * <sfDir> [k]` prints warm timings for rewrite on vs off in ONE
+  * session (same JIT, same cache state).
+  */
+object TimeTopK {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sfDir = args.head
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sales = graft.retail.Retail.sales(spark, sfDir)
+      .select("ORDER_STATUS", "SALE_ID", "QUANTITY")
+    def query = sales
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("ORDER_STATUS")
+        .orderBy(col("QUANTITY").desc, col("SALE_ID").asc)))
+      .filter(col("rn") <= k)
+    for (pass <- 1 to 3; on <- Seq(true, false)) {
+      spark.conf.set("spark.graft.topkRewrite.enabled", on.toString)
+      val t0 = System.nanoTime()
+      val n = query.count()
+      println(f"TOPK_AB pass=$pass rewrite=$on k=$k rows=$n " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
   }

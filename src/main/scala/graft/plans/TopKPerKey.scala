@@ -1,6 +1,7 @@
 package graft.plans
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
@@ -57,10 +58,68 @@ case class TopKPerKey(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, keys, order, child, maxKeys, rankAttr) =>
-      TopKPerKeyExec(k, keys, order, planLater(child), maxKeys,
-        rankAttr) :: Nil
+      // partial/final split (the aggregate pattern): the map-side pass
+      // prunes each INPUT partition to its local top-k per key before
+      // the exchange, so the shuffle carries ≤ k·|local keys| rows —
+      // without it, vanilla Spark's WindowGroupLimit partial pruning
+      // BEATS the heap on large groups (measured: TimeTopK, SURVEY
+      // §8.24) because this operator would ship the full input.
+      TopKPerKeyExec(k, keys, order,
+        TopKPerKeyPartialExec(k, keys, order, planLater(child), maxKeys),
+        maxKeys, rankAttr) :: Nil
     case _ => Nil
   }
+}
+
+/** Map-side partial top-k: per INPUT partition, retain each key's local
+  * top-k under the ordering (a superset of every key's global top-k
+  * contribution from this partition — heap filtering is closed under
+  * union). Emits rows unordered and unranked; the final
+  * [[TopKPerKeyExec]] beyond the exchange re-heaps and assigns ranks.
+  */
+case class TopKPerKeyPartialExec(k: Int, keys: Seq[Expression],
+                                 order: Seq[SortOrder], child: SparkPlan,
+                                 maxKeysPerPartition: Int)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    val maxKeys = maxKeysPerPartition
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .create(sortOrder, childOutput)
+      val heaps = mutable.HashMap.empty[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        if (!heaps.contains(key) && heaps.size >= maxKeys)
+          throw new IllegalStateException(
+            s"TopKPerKey(partial): more than $maxKeys distinct keys in " +
+              "one partition; per-key heaps do not spill. Raise " +
+              "maxKeysPerPartition only with the executor memory to back " +
+              s"it (state = (k+1)=$kk+1 rows x keys), or use the " +
+              "sort-based window formulation for high-cardinality keys.")
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          new java.util.PriorityQueue[InternalRow](kk + 1,
+            ordering.reversed()))
+        if (heap.size < kk) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): TopKPerKeyPartialExec = copy(child = newChild)
 }
 
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
