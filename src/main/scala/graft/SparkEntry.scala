@@ -211,6 +211,7 @@ object SparkEntry {
     "q_date_and_round" -> ((s, dir) => MicroQueries.dateAndRound(s, dir)),
     "q_topk_native" -> ((s, dir) => MicroQueries.topkNative(s, dir)),
     "q_topk_rewrite" -> ((s, dir) => MicroQueries.topkRewrite(s, dir)),
+    "q_topk_global" -> ((s, dir) => MicroQueries.topkGlobal(s, dir)),
     "q_pivot_status" -> ((s, dir) => MicroQueries.pivotStatus(s, dir)),
     "q_set_ops" -> ((s, dir) => MicroQueries.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => MicroQueries.semiAnti(s, dir)),
@@ -376,6 +377,7 @@ object SparkEntry {
     "q_date_and_round" -> MicroQueries.dateAndRoundOracle,
     "q_topk_native" -> MicroQueries.topkNativeOracle,
     "q_topk_rewrite" -> MicroQueries.topkRewriteOracle,
+    "q_topk_global" -> MicroQueries.topkGlobalOracle,
     "q_pivot_status" -> MicroQueries.pivotStatusOracle,
     "q_set_ops" -> MicroQueries.setOpsOracle,
     "q_semi_anti" -> MicroQueries.semiAntiOracle,

@@ -175,6 +175,34 @@ object MicroQueries {
       .filter(col("rn") <= 3))
   }
 
+  /** The GLOBAL top-k antipattern — `row_number().over(orderBy(...))`
+    * with no partition funnels the corpus through ONE task's sort — as
+    * a user would write it; the rule's second arm rewrites the window's
+    * input to Limit∘Sort so the plan is TakeOrderedAndProject
+    * (per-partition heap + merge of k rows per partition,
+    * TopKRewriteSpec-asserted), with ranks untouched.
+    */
+  def topkGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sales = Retail.sales(spark, sfDir)
+      .select("CUSTOMER_ID", "SALE_ID", "QUANTITY")
+    val w = Window.orderBy(col("QUANTITY").desc, col("SALE_ID").asc)
+    Canon.canonicalize(sales
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100))
+  }
+
+  val topkGlobalOracle: String =
+    s"""WITH ${Retail.sql.sales},
+       |ranked AS (
+       |  SELECT CUSTOMER_ID, SALE_ID, QUANTITY,
+       |         row_number() OVER (ORDER BY QUANTITY DESC, SALE_ID ASC)
+       |           AS rn
+       |  FROM sales)
+       |SELECT CUSTOMER_ID, SALE_ID, CAST(QUANTITY AS DOUBLE) AS QUANTITY,
+       |       CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= 100""".stripMargin
+
   val topkRewriteOracle: String =
     s"""WITH ${Retail.sql.sales},
        |ranked AS (

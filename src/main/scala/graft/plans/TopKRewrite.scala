@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral,
   LessThan, LessThanOrEqual, RowNumber, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
-  Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit,
+  LogicalPlan, Sort, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 
@@ -96,6 +96,41 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
                 }
                 Filter(cond, TopKPerKey(k, w.partitionSpec, w.orderSpec,
                   child, rankAttr = Some(rn)))
+              case _ => f
+            }
+          case _ => f
+        }
+
+      // GLOBAL top-k: `row_number().over(orderBy(o)) <= k` with NO
+      // partition spec is the single-partition-window antipattern — the
+      // whole input funnels through one task's sort. Rewriting the
+      // window's input to Limit(k) ∘ Sort lets Spark plan
+      // TakeOrderedAndProject (per-partition heap + driver merge of k
+      // rows per partition); the rank window then runs over k rows. The
+      // filter and window stay, so ranks and residual conjuncts are
+      // untouched — only the corpus-sized sort moves out of the single
+      // partition.
+      case f @ Filter(cond, w: Window)
+          if w.windowExpressions.size == 1 && w.partitionSpec.isEmpty &&
+            w.orderSpec.nonEmpty &&
+            // fixed-point guard: a child already shaped Limit∘Sort means
+            // this rule ran (Limit is the GlobalLimit∘LocalLimit extractor)
+            (w.child match {
+              case Limit(_, _) => false
+              case _ => true
+            }) =>
+        w.windowExpressions.head match {
+          case alias @ Alias(WindowExpression(_: RowNumber, _), _) =>
+            val rn = alias.toAttribute
+            bound(cond, rn) match {
+              case Some(k) if k >= 1 && k <= maxK =>
+                val child = w.child match {
+                  case wgl: WindowGroupLimit => wgl.child
+                  case c => c
+                }
+                Filter(cond, w.withNewChildren(Seq(Limit(
+                  org.apache.spark.sql.catalyst.expressions.Literal(k),
+                  Sort(w.orderSpec, global = true, child)))))
               case _ => f
             }
           case _ => f

@@ -90,6 +90,23 @@ class TopKRewriteSpec extends SparkSpec {
     assert(topkNodes(global) == 0, "global top-k is not this operator's job")
   }
 
+  test("global rn <= k becomes TakeOrderedAndProject, ranks intact") {
+    def query = sales.withColumn("rn", row_number().over(
+        Window.orderBy(col("QUANTITY").desc, col("SALE_ID").asc)))
+      .filter(col("rn") <= 7)
+    assert(topkNodes(query) == 0, "global top-k must not use per-key heaps")
+    query.collect()
+    val p = query.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"single-partition window sort survived:\n${p.take(1200)}")
+    val rewritten = query.as[(Long, Long, java.math.BigDecimal, Int)]
+      .collect().toSet
+    val vanilla = withRule(on = false) {
+      query.as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+    }
+    assert(rewritten == vanilla)
+  }
+
   test("maxK refuses huge-k rewrites (spill regime belongs to the sort)") {
     val q = sales.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 5000)
