@@ -27,6 +27,12 @@ object PlanDump {
       "asof" -> (() => ext.EventOps.asofJoin(spark, sf)),
       "dup_spans" -> (() => ext.DedupOps.dupSpans(spark, sf)),
       "topk_rewrite" -> (() => pipelines.MicroQueries.topkRewrite(spark, sf)),
+      "topk_global" -> (() => pipelines.MicroQueries.topkGlobal(spark, sf)),
+      "temperature_mix" -> (() => ext.SampleOps.temperatureMix(spark, sf)),
+      "wordpiece_encode" -> (() => ext.BpeOps.wordpieceEncode(spark, sf)),
+      "pref_pairs" -> (() => ext.PrefOps.prefPairs(spark, sf)),
+      "source_winrate" -> (() => ext.PrefOps.sourceWinRate(spark, sf)),
+      "jsonl_roundtrip" -> (() => pipelines.JsonlRoundTrip(spark, sf)),
       "decon_bloom" -> (() => ext.CurationOps.decontaminateBloom(spark, sf)),
       "zorder_key" -> (() => pipelines.MicroQueries.zorderKey(spark, sf)),
       "band_join" -> (() => ext.EventOps.bandJoin(spark, sf)),
