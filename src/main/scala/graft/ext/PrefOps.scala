@@ -121,6 +121,42 @@ object PrefOps {
         .otherwise(lit(0.0)).as("frac_chosen_longer")))
   }
 
+  /** Margin floor for [[prefExport]]: agreed pairs below it are too
+    * close to teach a reward model anything (fixture margins run
+    * ~0.02–0.26 with median ~0.10, so 0.05 genuinely splits).
+    */
+  val prefMarginMin = 0.05
+
+  /** The APPLY step that closes the detect→ship loop ([[prefPairs]]
+    * measures, this exports): the cleaned preference corpus a DPO/RLHF
+    * trainer consumes — only pairs BOTH annotators agree on, with a
+    * quality margin above [[prefMarginMin]], joined back to the two
+    * document texts. Two doc_id-keyed joins against the dimension;
+    * the pair table is already corpus-bounded.
+    */
+  def prefExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val txt = TextOps.documents(spark, sfDir).select("doc_id", "text")
+    val kept = prefPairs(spark, sfDir)
+      .filter(col("agree") && col("margin") >= prefMarginMin)
+    Canon.canonicalize(kept
+      .join(txt.select(col("doc_id").as("chosen_id"),
+        col("text").as("chosen_text")), Seq("chosen_id"))
+      .join(txt.select(col("doc_id").as("rejected_id"),
+        col("text").as("rejected_text")), Seq("rejected_id"))
+      .select("pair_id", "lang", "chosen_id", "rejected_id", "margin",
+        "chosen_text", "rejected_text"))
+  }
+
+  // lazy: prefCtes is declared later in the object (the TextOps.normSql
+  // init-order discipline — a plain val would interpolate null)
+  lazy val prefExportOracle: String =
+    s"""WITH $prefCtes
+       |SELECT o.pair_id, o.lang, o.chosen_id, o.rejected_id, o.margin,
+       |       dc.text AS chosen_text, dr.text AS rejected_text
+       |FROM pvo o JOIN documents dc ON o.chosen_id = dc.doc_id
+       |           JOIN documents dr ON o.rejected_id = dr.doc_id
+       |WHERE o.agree AND o.margin >= $prefMarginMin""".stripMargin
+
   /** Matches per source pair in the [[sourceWinRate]] tournament. */
   val tournamentK = 20
 

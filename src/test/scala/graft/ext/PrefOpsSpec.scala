@@ -77,6 +77,23 @@ class PrefOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("export ships exactly the agreed above-margin pairs with texts") {
+    val texts = TextOps.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val pairs = PrefOps.prefPairs(spark, sfDir)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+    val expected = pairs
+      .filter(p => p._6 && p._5 >= PrefOps.prefMarginMin)
+      .map(p => (p._1, p._2, p._3, p._4, p._5, texts(p._3), texts(p._4)))
+      .toSet
+    assert(expected.nonEmpty, "margin floor must not empty the fixture")
+    assert(expected.size < pairs.length, "margin floor must drop something")
+    val got = PrefOps.prefExport(spark, sfDir)
+      .as[(String, String, Long, Long, Double, String, String)]
+      .collect().toSet
+    assert(got == expected)
+  }
+
   test("source tournament matches a driver recompute; heads use the heap") {
     val q = TextOps.qualityScore(spark, sfDir)
       .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
