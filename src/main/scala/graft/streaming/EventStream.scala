@@ -162,6 +162,43 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_sha")
 
+  /** STREAMING JSONL ingest with quarantine — the streaming face of
+    * [[graft.io.Sources.jsonl]]'s PERMISSIVE policy: a JSONL landing
+    * directory is tailed as a file stream (new files picked up per
+    * micro-batch), parsed against the DECLARED schema, and split into
+    * two parquet sinks — parsed rows, and the corrupt lines captured
+    * whole for quarantine (count them, fix the producer, never lose
+    * them). Two independent single-source queries rather than one
+    * foreachBatch fan-out: each native parquet sink gets exactly-once
+    * through its own checkpoint + `_spark_metadata` manifest, with no
+    * idempotent-writer machinery to maintain. Restart-resume and
+    * split-equality with the batch reader are spec-asserted.
+    */
+  def jsonlIngest(spark: SparkSession, inDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  outDir: String, badDir: String, goodCk: String,
+                  badCk: String): (StreamingQuery, StreamingQuery) = {
+    val bad = "_corrupt_line"
+    def src = spark.readStream
+      .schema(schema.add(bad, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", bad)
+      .json(inDir)
+    val good = src.filter(col(bad).isNull).drop(bad)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", goodCk)
+      .outputMode(OutputMode.Append()).start()
+    // the quarantine frame keeps the parsed columns beside the raw line
+    // (all-null on corrupt rows, but their presence matters twice: Spark
+    // refuses plans referencing ONLY the corrupt column, and a triager
+    // wants to see any half-parse the PERMISSIVE reader salvaged)
+    val quarantine = src.filter(col(bad).isNotNull)
+      .writeStream.format("parquet")
+      .option("path", badDir).option("checkpointLocation", badCk)
+      .outputMode(OutputMode.Append()).start()
+    (good, quarantine)
+  }
+
   /** Watermarked stream-stream INTERVAL join — the streaming counterpart
     * of the batch as-of family (EventOps.asofJoin): every purchase joins
     * the same user's views from the preceding hour. Both sides carry
