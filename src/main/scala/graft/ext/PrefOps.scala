@@ -81,8 +81,11 @@ object PrefOps {
           .when(col("r_b") < col("r_a"), col("b_id"))
           .otherwise(least(col("a_id"), col("b_id"))))
     Canon.canonicalize(v.select(
-      concat_ws("#", col("lang"), col("source"), col("pair_idx"))
-        .as("pair_id"),
+      // concat, not concat_ws: NULL-propagating like the oracle's `||`,
+      // so a NULL lang/source would fail the hash gate loudly on both
+      // sides instead of diverging
+      concat(col("lang"), lit("#"), col("source"), lit("#"),
+        col("pair_idx").cast("string")).as("pair_id"),
       col("lang"),
       col("chosen_q").as("chosen_id"),
       when(col("chosen_q") === col("a_id"), col("b_id"))

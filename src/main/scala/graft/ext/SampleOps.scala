@@ -305,9 +305,12 @@ object SampleOps {
   }
 
   /** Fixed-point scale for [[temperatureMix]]'s n^α numerators. BIGINT
-    * headroom: n_total·q must stay under 2⁶³ — fine to ~10⁹ docs at this
-    * scale; a 100 TB run drops scale a digit or lifts to DECIMAL(38)
-    * (the dsirScale note), shape unchanged.
+    * headroom: n_total·q ≈ n^1.5·scale must stay under 2⁶³, which holds
+    * to ~4×10⁸ docs at this scale (NOT 10⁹ — q itself grows with √n); a
+    * 100 TB run drops scale a digit or lifts the multiply to DECIMAL(38)
+    * (the dsirScale note), shape unchanged. Overflow behavior differs
+    * loudly-vs-silently across engines (DuckDB errors, non-ANSI Spark
+    * wraps), so respect the bound rather than relying on the gate.
     */
   val tempMixScale = 1000000L
 

@@ -74,8 +74,21 @@ object TopKStrategy extends SparkStrategy {
 /** Map-side partial top-k: per INPUT partition, retain each key's local
   * top-k under the ordering (a superset of every key's global top-k
   * contribution from this partition — heap filtering is closed under
-  * union). Emits rows unordered and unranked; the final
-  * [[TopKPerKeyExec]] beyond the exchange re-heaps and assigns ranks.
+  * union; any row evicted here had ≥ k better same-key rows in the same
+  * partition, hence ≥ k better globally). Emits rows unordered and
+  * unranked; the final [[TopKPerKeyExec]] beyond the exchange re-heaps
+  * and assigns ranks.
+  *
+  * CAP SEMANTICS differ from the final pass deliberately: input
+  * partitions are UNCLUSTERED, so distinct keys per task can reach the
+  * full key cardinality regardless of parallelism — hard-failing here
+  * would reject queries the post-exchange operator handles fine (each
+  * reduce task sees only ~|keys|/partitions keys). The partial pass is
+  * an optimization, not the memory contract: past the cap it DEGRADES
+  * to pass-through (new keys flow to the exchange unfiltered; existing
+  * heaps keep pruning), exactly how Spark's own partial hash
+  * aggregation falls back under hash pressure. The final pass keeps the
+  * loud cap.
   */
 case class TopKPerKeyPartialExec(k: Int, keys: Seq[Expression],
                                  order: Seq[SortOrder], child: SparkPlan,
@@ -97,24 +110,26 @@ case class TopKPerKeyPartialExec(k: Int, keys: Seq[Expression],
         .create(sortOrder, childOutput)
       val heaps = mutable.HashMap.empty[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      // filtering phase: heap rows we retain state for, stream through
+      // rows whose keys exceed the cap
+      val passedThrough = iter.filter { row =>
         val key = keyProj(row)
-        if (!heaps.contains(key) && heaps.size >= maxKeys)
-          throw new IllegalStateException(
-            s"TopKPerKey(partial): more than $maxKeys distinct keys in " +
-              "one partition; per-key heaps do not spill. Raise " +
-              "maxKeysPerPartition only with the executor memory to back " +
-              s"it (state = (k+1)=$kk+1 rows x keys), or use the " +
-              "sort-based window formulation for high-cardinality keys.")
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new java.util.PriorityQueue[InternalRow](kk + 1,
-            ordering.reversed()))
-        if (heap.size < kk) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null && heaps.size < maxKeys) {
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1,
+            ordering.reversed())
+          heaps.put(key.copy(), heap) // copy only on first sight
+        }
+        if (heap == null) true // degraded: emit unfiltered
+        else {
+          if (heap.size < kk) heap.add(row.copy())
+          else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy())
+          }
+          false
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator().asScala)
+      passedThrough ++ heaps.valuesIterator.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 
@@ -156,16 +171,21 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
         java.util.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = keyProj(row)
-        if (!heaps.contains(key) && heaps.size >= maxKeys)
-          throw new IllegalStateException(
-            s"TopKPerKey: more than $maxKeys distinct keys in one " +
-              "partition; per-key heaps do not spill. Raise " +
-              "maxKeysPerPartition only with the executor memory to back " +
-              s"it (state = (k+1)=$kk+1 rows x keys), or use the " +
-              "sort-based window formulation for high-cardinality keys.")
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new java.util.PriorityQueue[InternalRow](kk + 1,
-            ordering.reversed()))
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          if (heaps.size >= maxKeys)
+            throw new IllegalStateException(
+              s"TopKPerKey: more than $maxKeys distinct keys in one " +
+                "partition; per-key heaps do not spill. Raise " +
+                "maxKeysPerPartition only with the executor memory to " +
+                s"back it (state = (k+1)=$kk+1 rows x keys), use the " +
+                "sort-based window formulation for high-cardinality " +
+                "keys, or — if this plan came from the optimizer " +
+                "rewrite — set spark.graft.topkRewrite.enabled=false.")
+          heap = new java.util.PriorityQueue[InternalRow](kk + 1,
+            ordering.reversed())
+          heaps.put(key.copy(), heap) // copy only on first sight
+        }
         if (heap.size < kk) heap.add(row.copy())
         else if (ordering.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy())

@@ -50,6 +50,18 @@ import org.apache.spark.sql.internal.SQLConf
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
+  /** Is there a Limit under `p`, looking through the narrow unary nodes
+    * sibling optimizer rules interpose (Project, Sort)? The global-arm
+    * idempotence guard.
+    */
+  private def hasLimitBelow(p: LogicalPlan): Boolean = p match {
+    case Limit(_, _) => true
+    case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      hasLimitBelow(proj.child)
+    case s: Sort => hasLimitBelow(s.child)
+    case _ => false
+  }
+
   /** Tightest upper bound on `rn` among the filter's conjuncts. */
   private def bound(cond: Expression, rn: Attribute): Option[Int] = {
     def split(e: Expression): Seq[Expression] = e match {
@@ -75,8 +87,8 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val conf = SQLConf.get
-    if (conf.getConfString("spark.graft.topkRewrite.enabled", "true")
-          != "true") return plan
+    if (!conf.getConfString("spark.graft.topkRewrite.enabled", "true")
+          .trim.equalsIgnoreCase("true")) return plan
     val maxK =
       conf.getConfString("spark.graft.topkRewrite.maxK", "1000").toInt
     plan.transform {
@@ -113,12 +125,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case f @ Filter(cond, w: Window)
           if w.windowExpressions.size == 1 && w.partitionSpec.isEmpty &&
             w.orderSpec.nonEmpty &&
-            // fixed-point guard: a child already shaped Limit∘Sort means
-            // this rule ran (Limit is the GlobalLimit∘LocalLimit extractor)
-            (w.child match {
-              case Limit(_, _) => false
-              case _ => true
-            }) =>
+            // fixed-point guard: a Limit anywhere below the window (even
+            // behind Projects/Sorts sibling rules interposed mid-batch)
+            // means this rule already ran — re-firing would nest a
+            // second, redundant Limit∘Sort
+            !TopKRewriteRule.hasLimitBelow(w.child) =>
         w.windowExpressions.head match {
           case alias @ Alias(WindowExpression(_: RowNumber, _), _) =>
             val rn = alias.toAttribute

@@ -37,6 +37,29 @@ class TopKPerKeySpec extends SparkSpec {
     assert(all.count() == sales.count())
   }
 
+  test("partial pass degrades to pass-through past the cap, result exact") {
+    // one input partition holds 13 distinct keys > cap 12: the map-side
+    // pass must degrade (pass the overflow key through unfiltered), NOT
+    // throw — input partitions are unclustered, so their key cardinality
+    // says nothing about post-exchange state. The final pass sees ≤ a
+    // few keys per reduce partition and stays under its cap.
+    // range's 4 splits each hold ~325 consecutive ids — every split sees
+    // all 13 residues (> cap). NOT repartition(1): SinglePartition
+    // trivially satisfies the clustering, so no exchange would separate
+    // the partial pass from the final one.
+    val df = spark.range(0, 1300).selectExpr("id % 13 AS k", "id AS v")
+    val top = TopK.perKey(df, Seq("k"), Seq("v" -> TopK.Desc), k = 2,
+      maxKeysPerPartition = 12)
+    val expected = (0L until 13L)
+      .flatMap(k => Seq((k, 1287 + k), (k, 1274 + k))).toSet
+    // AQE would coalesce this tiny shuffle to ONE reduce partition and
+    // re-concentrate all 13 keys into the final pass; pin it off so the
+    // exchange actually spreads keys below the cap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(top.as[(Long, Long)].collect().toSet == expected)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("key-cardinality cap fails loudly instead of accumulating state") {
     val sales = Retail.sales(spark, sfDir).select("CUSTOMER_ID", "SALE_ID")
     val capped = TopK.perKey(sales, Seq("SALE_ID"), // near-unique key
