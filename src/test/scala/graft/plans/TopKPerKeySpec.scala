@@ -77,6 +77,9 @@ class TopKPerKeySpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan.take(1500))
+    assert(plan.contains("TopKPerKeyPartial"),
+      s"map-side partial pass missing — the exchange would carry the " +
+        s"full input:\n${plan.take(1500)}")
     assert(!plan.contains("Sort "), s"unexpected sort:\n${plan.take(1500)}")
   }
 }
