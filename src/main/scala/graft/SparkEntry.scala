@@ -52,6 +52,7 @@ object SparkEntry {
     "q_pref_length_bias" -> ((s, dir) => ext.PrefOps.prefLengthBias(s, dir)),
     "q_source_winrate" -> ((s, dir) => ext.PrefOps.sourceWinRate(s, dir)),
     "q_pref_export" -> ((s, dir) => ext.PrefOps.prefExport(s, dir)),
+    "q_source_mix_shares" -> ((s, dir) => ext.PrefOps.sourceMixShares(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextOps.qualityScore(s, dir)),
     "q_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
@@ -264,6 +265,7 @@ object SparkEntry {
     "q_pref_length_bias" -> ext.PrefOps.prefLengthBiasOracle,
     "q_source_winrate" -> ext.PrefOps.sourceWinRateOracle,
     "q_pref_export" -> ext.PrefOps.prefExportOracle,
+    "q_source_mix_shares" -> ext.PrefOps.sourceMixSharesOracle,
     "q_fingerprint" -> TextOps.fingerprintOracle,
     "q_quality_score" -> TextOps.qualityScoreOracle,
     "q_lang_id" -> TextOps.langIdOracle,

@@ -224,8 +224,11 @@ object PrefOps {
         .orderBy(col("win_rate").desc, col("source").asc))))
   }
 
-  val sourceWinRateOracle: String =
-    s"""WITH ${TextOps.qualityCte},
+  /** The tournament chain as a composable CTE block (ends in `wr`) —
+    * shared by [[sourceWinRateOracle]] and [[sourceMixSharesOracle]].
+    */
+  private val winRateCtes: String =
+    s"""${TextOps.qualityCte},
        |st AS (
        |  SELECT d.doc_id, d.lang, d.source, qs.quality_score,
        |         row_number() OVER (PARTITION BY d.lang, d.source
@@ -256,11 +259,43 @@ object PrefOps {
        |         CAST(coalesce(n_wins, 0) + 1 AS DOUBLE)
        |           / CAST(coalesce(n_matches, 0) + 2 AS DOUBLE) AS win_rate
        |  FROM base LEFT JOIN stat
-       |    ON base.lang = stat.lang AND base.source = stat.source)
+       |    ON base.lang = stat.lang AND base.source = stat.source)""".stripMargin
+
+  val sourceWinRateOracle: String =
+    s"""WITH $winRateCtes
        |SELECT lang, source, n_matches, n_wins, win_rate,
        |       CAST(row_number() OVER (PARTITION BY lang
        |         ORDER BY win_rate DESC, source ASC) AS BIGINT) AS rank
        |FROM wr""".stripMargin
+
+  /** Tournament → MIXTURE SHARES: the composition that makes
+    * [[sourceWinRate]] actionable — per language, each source's share of
+    * the training mix in permille, proportional to its Laplace-smoothed
+    * win mass (n_wins + 1; the +1 keeps unplayed/sole sources at a
+    * uniform prior instead of zero). Pure integer arithmetic:
+    * ⌊1000·s / Σs⌋ per lang (non-negative, so Spark `div` ≡ DuckDB
+    * `//`), directly pluggable where
+    * [[SampleOps.targetMixPermille]]-style shares are consumed
+    * (mixturePlan's contract). Bounded frames end to end — the
+    * tournament output is |langs|·|sources| rows.
+    */
+  def sourceMixShares(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sourceWinRate(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_wins"))
+      .withColumn("s", col("n_wins") + lit(1L))
+    val tot = s.groupBy("lang").agg(sum("s").as("s_tot"))
+    Canon.canonicalize(s.join(broadcast(tot), Seq("lang"))
+      .withColumn("share_permille", expr("1000 * s div s_tot"))
+      .select("lang", "source", "n_wins", "share_permille"))
+  }
+
+  val sourceMixSharesOracle: String =
+    s"""WITH $winRateCtes,
+       |sm AS (SELECT lang, source, n_wins, n_wins + 1 AS s FROM wr),
+       |smt AS (SELECT lang, sum(s) AS s_tot FROM sm GROUP BY 1)
+       |SELECT sm.lang, sm.source, CAST(sm.n_wins AS BIGINT) AS n_wins,
+       |       CAST(1000 * sm.s // smt.s_tot AS BIGINT) AS share_permille
+       |FROM sm JOIN smt ON sm.lang = smt.lang""".stripMargin
 
   /** Shared oracle chain: annotator CTEs (quality `qs`, repetition `f`),
     * the window pairing, and the verdict projection `pv`.

@@ -94,6 +94,24 @@ class PrefOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mix shares are the exact integer permille of smoothed win mass") {
+    val wins = PrefOps.sourceWinRate(spark, sfDir)
+      .select("lang", "source", "n_wins")
+      .as[(String, String, Long)].collect()
+    val expected = wins.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val tot = rows.map(_._3 + 1).sum
+      rows.map(r => (lang, r._2, r._3, 1000L * (r._3 + 1) / tot))
+    }.toSet
+    val got = PrefOps.sourceMixShares(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected)
+    // per lang: shares form a near-partition of 1000 (floor loss < |sources|)
+    for ((lang, rows) <- got.groupBy(_._1)) {
+      val s = rows.toSeq.map(_._4).sum
+      assert(s <= 1000 && s > 1000 - rows.size, s"$lang shares sum $s")
+    }
+  }
+
   test("source tournament matches a driver recompute; heads use the heap") {
     val q = TextOps.qualityScore(spark, sfDir)
       .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
