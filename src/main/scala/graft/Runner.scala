@@ -33,13 +33,19 @@ object Runner {
     * every task that probes a trained artifact.
     */
   private[graft] def incrementalChain(spark: SparkSession, sfDir: String)
-      : Seq[(String, () => Long)] = Seq(
+      : Seq[(String, () => Long)] = {
+    // ONE drift aggregation serves both the dashboard count and the
+    // index gate (the gate consumes the same report via the
+    // driftIndexGateFrom seam) — persisted so the gate step reads the
+    // 3-row report, not a second full prev/cur corpus pass
+    lazy val drift = pipelines.MicroQueries.corpusDrift(spark, sfDir)
+      .persist()
+    Seq(
       "snapshot_diff" ->
         (() => pipelines.MicroQueries.snapshotDiff(spark, sfDir).count()),
       // distribution drift beside the row-level diff: the dashboard
       // row that catches a crawler/filter regression in the same pass
-      "corpus_drift" ->
-        (() => pipelines.MicroQueries.corpusDrift(spark, sfDir).count()),
+      "corpus_drift" -> (() => drift.count()),
       // ACT on the drift report BEFORE anything probes a trained
       // artifact: distribution shift past the gate threshold means the
       // persisted ANN/LM/LSH indexes are stale for today's feed — the
@@ -47,13 +53,19 @@ object Runner {
       // below (which probes the LSH index and scores against the LM
       // tables) never runs against them (drill: DriftGateSpec)
       "drift_index_gate" ->
-        (() => { pipelines.MicroQueries.driftIndexGate(spark, sfDir); 1L }),
+        (() => {
+          try pipelines.MicroQueries.driftIndexGateFrom(drift,
+            pipelines.MicroQueries.driftGateTvMax)
+          finally { drift.unpersist(false); () }
+          1L
+        }),
       "incremental_score" ->
         (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()),
       // the day's feed through the full acceptance funnel: quality →
       // persisted-index near-dup → reference-LM fluency (stats row)
       "ingest_funnel" ->
         (() => streaming.EventStream.ingestFunnelStats(spark, sfDir).count()))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

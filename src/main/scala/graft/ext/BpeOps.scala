@@ -171,11 +171,25 @@ object BpeOps {
     * releases each generation the moment the next one is materialized
     * — safe because a truncated generation is self-contained and never
     * re-read after its successor exists.
+    *
+    * CLUSTER CAVEAT: `localCheckpoint` trades fault tolerance for
+    * speed — its blocks live only on the executors that computed them,
+    * so losing an executor mid-training loses the generation with no
+    * lineage to recompute it and the job fails (acceptable in
+    * single-JVM local mode, where executor loss IS process death). On
+    * a real cluster, set a checkpoint dir
+    * (`sc.setCheckpointDir(...)`) and this method switches to a
+    * RELIABLE checkpoint (HDFS/object-store backed): each generation
+    * survives executor loss at the cost of one write per round —
+    * O(merge-table) sized rows, not corpus-sized, so the premium is
+    * small relative to the training scan.
     */
   private def truncated(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val sc = df.sparkSession.sparkContext
     val rdd = df.rdd
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    rdd.localCheckpoint()
+    if (!sc.isLocal && sc.getCheckpointDir.isDefined) rdd.checkpoint()
+    else rdd.localCheckpoint()
     rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }

@@ -26,7 +26,12 @@ object JsonlRoundTrip {
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = TextOps.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source", "n_chars")
-    val dir = s"target/jsonl/${new File(sfDir).getName}/documents"
+    // under the artifact root (not a CWD-relative path) so concurrent
+    // sessions with distinct roots cannot overwrite each other's
+    // round-trip dir mid-read, and running from another working
+    // directory doesn't scatter output
+    val dir = s"${graft.io.Artifacts.root}/jsonl/" +
+      s"${new File(sfDir).getName}/documents"
     Sinks.jsonl(docs, dir)
     Canon.canonicalize(
       Sources.jsonl(spark, dir, docs.schema, mode = "FAILFAST"))

@@ -89,8 +89,12 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     val conf = SQLConf.get
     if (!conf.getConfString("spark.graft.topkRewrite.enabled", "true")
           .trim.equalsIgnoreCase("true")) return plan
-    val maxK =
-      conf.getConfString("spark.graft.topkRewrite.maxK", "1000").toInt
+    // a malformed conf value must degrade to the default, not throw
+    // NumberFormatException out of the optimizer (which would fail
+    // EVERY query in the session, not just disable the rewrite)
+    val maxK = scala.util.Try(
+      conf.getConfString("spark.graft.topkRewrite.maxK", "1000").trim.toInt
+    ).getOrElse(1000)
     plan.transform {
       case f @ Filter(cond, w: Window)
           if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty &&

@@ -493,8 +493,14 @@ object EventStream {
     // docs whose lang has NO reference model — rejected not because
     // they scored badly but because nothing could score them; surfaced
     // as their own stat so a new-language feed is visible in telemetry
-    // instead of dissolving into n_fluency_drop
-    val nUnscored = lmScored.filter(!col("scored")).count()
+    // instead of dissolving into n_fluency_drop. Counted off `deduped`
+    // against the vocabulary table directly (not off lmScored) so a
+    // short unknown-lang doc with <2 tokens — which produces no bigram
+    // row at all — is still counted; this is also the oracle's
+    // population (deduped docs whose lang is absent from voc).
+    val nUnscored = deduped
+      .join(broadcast(voc.select("lang")), Seq("lang"), "left_anti")
+      .count()
     val spark = batch.sparkSession
     import spark.implicits._
     val stats = Seq((nIn, nIn - nQ, nQ - nD, nD - nA, nUnscored, nA)).toDF(
