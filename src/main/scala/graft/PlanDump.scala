@@ -93,6 +93,8 @@ object PlanDump {
         (() => streaming.EventStream.ingestFunnelStats(spark, sf)),
       "quality_classifier" ->
         (() => ext.ClassifierOps.qualityClassifier(spark, sf)),
+      "quality_classifier_ref" ->
+        (() => ext.ClassifierOps.qualityClassifierRef(spark, sf)),
       "lang_id_nb" -> (() => ext.ClassifierOps.langIdNb(spark, sf)),
       "bpe_train_merged" -> (() => ext.BpeOps.bpeTrainMerged(spark, sf)),
       "ann_ivf_merged" -> (() => ext.VectorOps.annIvfMerged(spark, sf)))

@@ -44,6 +44,8 @@ object SparkEntry {
     "q_rerank" -> ((s, dir) => ScoringOps.rerank(s, dir)),
     "q_quality_classifier" ->
       ((s, dir) => ext.ClassifierOps.qualityClassifier(s, dir)),
+    "q_quality_classifier_ref" ->
+      ((s, dir) => ext.ClassifierOps.qualityClassifierRef(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
     "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
@@ -257,6 +259,8 @@ object SparkEntry {
     "q_model_score" -> ScoringOps.modelScoreOracle,
     "q_rerank" -> ScoringOps.rerankOracle,
     "q_quality_classifier" -> ext.ClassifierOps.qualityClassifierOracle,
+    "q_quality_classifier_ref" ->
+      ext.ClassifierOps.qualityClassifierRefOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
     "q_source_diversity" -> SampleOps.sourceDiversityOracle,

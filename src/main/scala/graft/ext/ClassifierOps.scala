@@ -130,15 +130,38 @@ object ClassifierOps {
         (col("quality_score") >= TextOps.curateQualityMin)
           .cast("int").as("y"))
 
+  /** The CCNet/GPT-3 quality-filter label frame — reference-SLICE
+    * membership, NOT a distilled heuristic: positive = the clean slice
+    * the reference LM trains on (doc_id ≡ 0 mod [[LmOps.lmRefMod]] —
+    * [[LmOps]]'s hash-membership corpus, the stand-in for
+    * Wikipedia/WebText), negative = the equal-sized disjoint hash slice
+    * of the remaining crawl (doc_id ≡ 1). Docs outside both slices are
+    * scored but carry no training label — the whole point: the model
+    * generalizes "looks like the reference corpus" onto text no labeler
+    * touched, which makes it an INDEPENDENT second opinion beside the
+    * heuristic gate rather than a re-approximation of it
+    * (the round-8 circularity fix).
+    */
+  private[ext] def refLabelsFrom(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % LmOps.lmRefMod <= 1)
+      .select(col("doc_id"),
+        (col("doc_id") % LmOps.lmRefMod === 0).cast("int").as("y"))
+
   /** One row per gram OCCURRENCE (unigrams + bigrams + the length
     * pseudo-gram), bucketed.
     */
-  private[ext] def gramBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ext] def gramBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    gramBucketsFrom(TextOps.documents(spark, sfDir))
+
+  /** Feature core over an explicit docs frame — the synthetic-corpus
+    * capability seam (the langIdNbFrom pattern).
+    */
+  private[ext] def gramBucketsFrom(docs: DataFrame): DataFrame = {
     val lenBucket = qcLenBounds.zipWithIndex.foldRight(
       lit(qcLenBounds.length)) { case ((bound, i), acc) =>
       when(size(col("toks")) <= bound, i).otherwise(acc)
     }
-    TextOps.documents(spark, sfDir)
+    docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), CurationOps.toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
@@ -204,6 +227,45 @@ object ClassifierOps {
     Canon.canonicalize(scored
       .join(labels(spark, sfDir), Seq("doc_id"))
       .select(col("doc_id"), col("y").cast("long").as("label"),
+        col("n_grams"),
+        (col("s").cast("double") /
+          (col("n_grams") * qcScale).cast("double")).as("mean_ratio"),
+        (col("s") >= col("n_grams") * qcScale).as("pred")))
+  }
+
+  /** q_quality_classifier_ref: the INDEPENDENT-signal variant — same
+    * features, same closed-form training, same seam, but labels from
+    * [[refLabelsFrom]] (reference-slice membership, the CCNet/GPT-3
+    * construction) instead of the distilled heuristic. Trains on the
+    * two labeled hash slices, scores EVERY tokenizable document
+    * (including the 3/5 of the corpus no label touched), and tags each
+    * row with its slice (`ref`/`neg`/`rest`) so downstream can separate
+    * in-sample from genuinely extrapolated verdicts.
+    *
+    * FIXTURE CAVEAT (the langIdNb discipline): on the synthetic corpus,
+    * slice membership is a pure id hash with no textual correlate, so
+    * in-fixture accuracy against the slice label is memorization-only —
+    * the fixture gates the ARITHMETIC (hash-exact DuckDB twin);
+    * the capability claim (separating reference-like from crawl-like
+    * text the heuristic scores identically) is pinned by
+    * ClassifierOpsSpec's constant-heuristic synthetic corpus.
+    */
+  def qualityClassifierRef(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = TextOps.documents(spark, sfDir)
+    val w = trainWeightsOn(spark, refLabelsFrom(docs), gramBucketsFrom(docs))
+    val in = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val scored = ScoringOps.batchScore(in, TrainedQualityModel(w))
+      .toDF("doc_id", "n_grams", "s")
+      .filter(col("n_grams") > 0)
+    val m = LmOps.lmRefMod
+    Canon.canonicalize(scored
+      .select(col("doc_id"),
+        when(col("doc_id") % m === 0, "ref")
+          .when(col("doc_id") % m === 1, "neg")
+          .otherwise("rest").as("slice"),
         col("n_grams"),
         (col("s").cast("double") /
           (col("n_grams") * qcScale).cast("double")).as("mean_ratio"),
@@ -344,19 +406,17 @@ object ClassifierOps {
       s" % $buckets)"
   }
 
-  /** Feature extraction + training + inference, end-to-end in SQL.
+  /** The shared feature-extraction + training + inference CTE chain
+    * (`dt` tokens → `dg` grams → `db` buckets → `cnt`/`tot`/`model`
+    * trained weights over whatever `yl` label CTE precedes it → `sc`
+    * per-doc scores) — composed by both the distillation and the
+    * reference-slice oracles so the arithmetic exists exactly once.
     * All divisions have non-negative operands, so DuckDB `//` (floor)
     * equals Spark `div` (truncate).
     */
-  val qualityClassifierOracle: String = {
+  private def qcCoreCtes: String = {
     import TextOps.normSql
-    s"""WITH ${TextOps.qualityCte},
-       |yl AS (
-       |  SELECT doc_id,
-       |         CASE WHEN quality_score >= ${TextOps.curateQualityMin}
-       |              THEN 1 ELSE 0 END AS y
-       |  FROM qs),
-       |dt AS (
+    s"""dt AS (
        |  SELECT doc_id, toks FROM (
        |    SELECT doc_id,
        |           list_filter(string_split($normSql, ' '), t -> t <> '')
@@ -396,12 +456,43 @@ object ClassifierOps {
        |         CAST(sum(m.lam) AS BIGINT) AS s,
        |         count(*) AS n
        |  FROM db JOIN model m ON m.b = db.b
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  val qualityClassifierOracle: String =
+    s"""WITH ${TextOps.qualityCte},
+       |yl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN quality_score >= ${TextOps.curateQualityMin}
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM qs),
+       |$qcCoreCtes
        |SELECT sc.doc_id, CAST(y AS BIGINT) AS label,
        |       CAST(n AS BIGINT) AS n_grams,
        |       CAST(s AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
        |         AS mean_ratio,
        |       s >= n * $qcScale AS pred
        |FROM sc JOIN yl ON sc.doc_id = yl.doc_id""".stripMargin
+
+  /** Reference-slice labels + slice tag on every scored doc; training
+    * restricted to the two labeled slices by the `cnt` join, inference
+    * over the whole corpus.
+    */
+  val qualityClassifierRefOracle: String = {
+    val m = LmOps.lmRefMod
+    s"""WITH yl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $m = 0 THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE doc_id % $m <= 1),
+       |$qcCoreCtes
+       |SELECT sc.doc_id,
+       |       CASE WHEN sc.doc_id % $m = 0 THEN 'ref'
+       |            WHEN sc.doc_id % $m = 1 THEN 'neg'
+       |            ELSE 'rest' END AS slice,
+       |       CAST(n AS BIGINT) AS n_grams,
+       |       CAST(s AS DOUBLE) / CAST(n * $qcScale AS DOUBLE)
+       |         AS mean_ratio,
+       |       s >= n * $qcScale AS pred
+       |FROM sc""".stripMargin
   }
 }

@@ -453,9 +453,16 @@ object EventStream {
     *   (doc_id, pred) — [[graft.ext.ClassifierOps.qualityClassifier]]'s
     *   output shape. When present, stage 1 additionally requires
     *   pred = true (heuristic AND model must both accept — the GPT-3
-    *   two-filter recipe). A STATIC side input like the LM tables and
-    *   the LSH index, so the per-batch ≡ whole-feed invariant is
-    *   untouched (spec-asserted with the gate on).
+    *   two-filter recipe). Feed it
+    *   [[graft.ext.ClassifierOps.qualityClassifierRef]] verdicts for a
+    *   genuinely INDEPENDENT second opinion: that model's labels are
+    *   reference-slice membership (the CCNet construction), not a
+    *   distillation of the heuristic sitting beside it, so the two
+    *   gates encode different signals (spec: the constant-heuristic
+    *   synthetic corpus the ref classifier still separates). A STATIC
+    *   side input like the LM tables and the LSH index, so the
+    *   per-batch ≡ whole-feed invariant is untouched (spec-asserted
+    *   with the gate on).
     */
   def ingestFunnelBatch(batch: DataFrame, sfDir: String,
                         cAb: DataFrame, cA: DataFrame, voc: DataFrame,

@@ -76,6 +76,92 @@ class ClassifierOpsSpec extends SparkSpec {
         "not generalization")
   }
 
+  test("reference-slice classifier separates text the HEURISTIC provably " +
+      "cannot: constant quality score, disjoint gram styles, held out") {
+    // The circularity fix's capability pin. Every doc has EXACTLY the
+    // same heuristic ingredients — 120 tokens (term1 capped at 0.4),
+    // 24 stopwords (term2 = 0.3·0.2), zero punctuation (term3 = 0.3) —
+    // so quality_score is one constant across the corpus and the
+    // heuristic gate cannot rank any doc above any other. The
+    // reference slice (id ≡ 0 mod lmRefMod) is written in a "clean"
+    // vocabulary and the crawl in a disjoint "noisy" one; the
+    // ref-labeled classifier must recover that split on docs NO label
+    // touched (id % lmRefMod >= 2) — signal the heuristic does not
+    // encode, which is what makes it an independent funnel gate.
+    val cleanW = Seq("apple", "berry", "cider", "dough",
+      "eagle", "fable", "grape", "honey")
+    val noisyW = Seq("zxqwv", "kjhgf", "pqzxw", "vbnml",
+      "qwzxc", "xcvbq", "mnbvz", "llkjh")
+    val m = LmOps.lmRefMod.toInt
+    def text(ws: Seq[String], seed: Int): String =
+      (0 until 24).flatMap(g =>
+        (0 until 4).map(j => ws((seed + g * 4 + j) % ws.length)) :+ "the")
+        .mkString(" ")
+    val docs = (0 until 200).map { i =>
+      val clean = i % m == 0 || i % m == 2
+      (i.toLong, if (clean) text(cleanW, i) else text(noisyW, i))
+    }.toDF("doc_id", "text")
+
+    // 1. the heuristic really is blind here: ONE distinct score
+    val scores = TextOps.withQualityScore(
+        docs.withColumn("norm", TextOps.normText(col("text"))))
+      .select("quality_score").as[Double].collect()
+    assert(scores.distinct.length == 1,
+      s"heuristic not constant: ${scores.distinct.toSeq.take(3)}")
+
+    // 2. train on the two labeled slices, score everything through the
+    // production seam
+    val w = ClassifierOps.trainWeightsOn(spark,
+      ClassifierOps.refLabelsFrom(docs),
+      ClassifierOps.gramBucketsFrom(docs))
+    val h = ClassifierOps.TrainedQualityModel(w).open()
+    val verdicts = h.scoreBatch(
+        docs.as[(Long, String)].collect().toSeq)
+      .map { case (id, n, s) =>
+        id -> (s >= n * ClassifierOps.qcScale)
+      }.toMap
+    h.close()
+
+    // 3. held-out separation: clean extrapolated docs accepted, noisy
+    // rejected — perfectly, the vocabularies are disjoint
+    val held = (0 until 200).filter(_ % m >= 2)
+    assert(held.nonEmpty)
+    held.foreach { i =>
+      val clean = i % m == 2
+      assert(verdicts(i.toLong) == clean,
+        s"held-out doc $i (clean=$clean) misclassified — the " +
+          "reference-slice signal did not transfer")
+    }
+  }
+
+  test("ingest funnel gated by the REFERENCE-slice classifier obeys the " +
+      "equality law — the independent-signal gate wiring") {
+    import graft.streaming.EventStream
+    val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)
+    val feed = DedupOps.incrementalBatchDocs(spark, sfDir)
+      .join(TextOps.documents(spark, sfDir).select("doc_id", "lang"),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "text")
+    val (ungated, _) = EventStream.ingestFunnelBatch(
+      feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
+      EventStream.funnelFluencyMax)
+    val u = ungated.select("doc_id").as[Long].collect().toSet
+    ungated.unpersist(false)
+    val ref = ClassifierOps.qualityClassifierRef(spark, sfDir)
+      .select("doc_id", "pred").persist()
+    val (gated, _) = EventStream.ingestFunnelBatch(
+      feed, sfDir, cAb, cA, voc, TextOps.curateQualityMin,
+      EventStream.funnelFluencyMax, modelGate = Some(ref))
+    val g = gated.select("doc_id").as[Long].collect().toSet
+    val pos = ref.filter(col("pred")).select("doc_id")
+      .as[Long].collect().toSet
+    gated.unpersist(false); ref.unpersist(false)
+    assert(g == (u & pos),
+      s"ref-gated != ungated ∩ ref-positive: " +
+        s"missing=${((u & pos) -- g).take(5)} " +
+        s"extra=${(g -- (u & pos)).take(5)}")
+  }
+
   test("langIdNb on languages that actually differ: near-perfect, and " +
       "decisively above the marker baseline (which scores zero there)") {
     // three synthetic languages with DISJOINT character inventories —
