@@ -32,6 +32,7 @@ object PlanDump {
       "wordpiece_encode" -> (() => ext.BpeOps.wordpieceEncode(spark, sf)),
       "pref_pairs" -> (() => ext.PrefOps.prefPairs(spark, sf)),
       "source_winrate" -> (() => ext.PrefOps.sourceWinRate(spark, sf)),
+      "source_bt" -> (() => ext.PrefOps.sourceBt(spark, sf)),
       "jsonl_roundtrip" -> (() => pipelines.JsonlRoundTrip(spark, sf)),
       "decon_bloom" -> (() => ext.CurationOps.decontaminateBloom(spark, sf)),
       "zorder_key" -> (() => pipelines.MicroQueries.zorderKey(spark, sf)),

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_pref_pairs" -> ((s, dir) => ext.PrefOps.prefPairs(s, dir)),
     "q_pref_length_bias" -> ((s, dir) => ext.PrefOps.prefLengthBias(s, dir)),
     "q_source_winrate" -> ((s, dir) => ext.PrefOps.sourceWinRate(s, dir)),
+    "q_source_bt" -> ((s, dir) => ext.PrefOps.sourceBt(s, dir)),
     "q_pref_export" -> ((s, dir) => ext.PrefOps.prefExport(s, dir)),
     "q_source_mix_shares" -> ((s, dir) => ext.PrefOps.sourceMixShares(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
@@ -268,6 +269,7 @@ object SparkEntry {
     "q_pref_pairs" -> ext.PrefOps.prefPairsOracle,
     "q_pref_length_bias" -> ext.PrefOps.prefLengthBiasOracle,
     "q_source_winrate" -> ext.PrefOps.sourceWinRateOracle,
+    "q_source_bt" -> ext.PrefOps.sourceBtOracle,
     "q_pref_export" -> ext.PrefOps.prefExportOracle,
     "q_source_mix_shares" -> ext.PrefOps.sourceMixSharesOracle,
     "q_fingerprint" -> TextOps.fingerprintOracle,

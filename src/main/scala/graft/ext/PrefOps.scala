@@ -183,7 +183,12 @@ object PrefOps {
     * no opponents (sole source in its lang) keeps its row with the
     * 1/2 prior rate.
     */
-  def sourceWinRate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The tournament's match list — (lang, s1, s2, winner) with
+    * s1 < s2 — shared by the raw-win-rate leaderboard and the
+    * Bradley-Terry fit.
+    */
+  private def tournamentMatches(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     val d = TextOps.documents(spark, sfDir)
       .select("doc_id", "lang", "source")
       .join(TextOps.qualityScore(spark, sfDir)
@@ -196,32 +201,142 @@ object PrefOps {
     val b = top.select(col("lang").as("l2"), col("source").as("s2"),
       col("rn").as("rn2"), col("doc_id").as("id2"),
       col("quality_score").as("q2"))
-    val m = a.join(b, col("lang") === col("l2") &&
+    a.join(b, col("lang") === col("l2") &&
         col("rn") === col("rn2") && col("s1") < col("s2"))
       .withColumn("winner",
         when(col("q1") > col("q2"), col("s1"))
           .when(col("q2") > col("q1"), col("s2"))
           .otherwise(when(col("id1") < col("id2"), col("s1"))
             .otherwise(col("s2"))))
-    val sides = m.select(col("lang"), col("s1").as("source"),
+      .select("lang", "s1", "s2", "winner")
+  }
+
+  /** Per-(lang, source) match/win totals over the full source
+    * universe (unplayed sources kept at 0/0).
+    */
+  private def matchStats(matches: DataFrame, universe: DataFrame)
+      : DataFrame = {
+    val sides = matches.select(col("lang"), col("s1").as("source"),
         (col("winner") === col("s1")).as("won"))
-      .union(m.select(col("lang"), col("s2").as("source"),
+      .union(matches.select(col("lang"), col("s2").as("source"),
         (col("winner") === col("s2")).as("won")))
     val stats = sides.groupBy("lang", "source").agg(
       count(lit(1)).as("n_matches"),
       sum(when(col("won"), 1L).otherwise(0L)).as("n_wins"))
-    val all = TextOps.documents(spark, sfDir)
-      .select("lang", "source").distinct()
+    universe
       .join(stats, Seq("lang", "source"), "left")
       .select(col("lang"), col("source"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+  }
+
+  def sourceWinRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = matchStats(tournamentMatches(spark, sfDir),
+        TextOps.documents(spark, sfDir)
+          .select("lang", "source").distinct())
       .withColumn("win_rate",
         (col("n_wins") + lit(1L)).cast("double") /
           (col("n_matches") + lit(2L)).cast("double"))
     Canon.canonicalize(all.withColumn("rank",
       row_number().over(Window.partitionBy("lang")
         .orderBy(col("win_rate").desc, col("source").asc))))
+  }
+
+  /** Fixed-point scale of the Bradley-Terry strengths (π = [[btScale]]
+    * is the prior "average source").
+    */
+  val btScale = 1000000L
+
+  /** Minorize-maximize iterations of the BT fit — fixed and unrolled
+    * in the oracle (the pageRank discipline). Convergence is geometric
+    * on tournaments this shape; the spec pins that the ranking is
+    * already stable at this depth.
+    */
+  val btIters = 12
+
+  /** BRADLEY-TERRY strengths from a match list — the rating-model
+    * correction to raw win share. Raw (wins+1)/(matches+2) is biased
+    * under unbalanced schedules: a source that only played strong
+    * opponents is underrated, one that farmed the weakest is overrated
+    * (spec: a fixture where raw win-rate misranks and BT corrects).
+    * BT models P(s beats t) = π_s/(π_s+π_t) and the standard
+    * Zermelo/Hunter MM update
+    * `π_s ← W_s / Σ_t n_st/(π_s+π_t)` rates sources by WHO they beat,
+    * not how often.
+    *
+    * Arithmetic is the repo's fixed-point discipline — integer units
+    * of [[btScale]], every division non-negative (`div` ≡ DuckDB `//`),
+    * iterations a fixed [[btIters]] unrolled in the oracle. Smoothing
+    * is two VIRTUAL matches against a prior-strength opponent (one won:
+    * W̃ = wins+1, denominator gains `2·S²/(π_s+S)`) — the Bayesian BT
+    * prior that keeps every π positive and bounded and pins a sole
+    * unplayed source at EXACTLY the prior π = S at every iteration.
+    *
+    * Scale shape: Spark folds the corpus-sized match stream into the
+    * |langs|·|sources| win table and the per-lang ≤|sources|² pair-count
+    * table (both bounded corpus summaries — map-side combined keyed
+    * aggs); the [[btIters]]-round fixed point then runs on the DRIVER
+    * over the collected summaries — the k-means centroid-sync pattern.
+    * Iterating in DataFrame space would reference π three times per
+    * round (two den joins + the update), tripling the logical plan per
+    * iteration — exponential analysis cost by round 12; a driver loop
+    * over a bounded rating table is what a production system runs, and
+    * the arithmetic stays a Long-for-Long twin of the unrolled oracle
+    * CTEs (all operands non-negative, so `/` ≡ DuckDB `//`).
+    */
+  private[ext] def btStrengthsFrom(matches: DataFrame,
+                                   universe: DataFrame): DataFrame = {
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val s2 = btScale * btScale
+    // the corpus-sized tournament is computed ONCE; win table and
+    // pair counts both fold it down to bounded summaries
+    val m = matches.persist()
+    val wins = matchStats(m, universe)
+    // symmetric per-pair match counts: (lang, source, opp, n)
+    val pc = m.groupBy("lang", "s1", "s2")
+      .agg(count(lit(1)).as("n"))
+    val pairs = pc.select(col("lang"), col("s1").as("source"),
+        col("s2").as("opp"), col("n"))
+      .union(pc.select(col("lang"), col("s2").as("source"),
+        col("s1").as("opp"), col("n")))
+      .as[(String, String, String, Long)].collect()
+    val stats = wins.select("lang", "source", "n_matches", "n_wins")
+      .as[(String, String, Long, Long)].collect()
+    val opps = pairs.groupBy(p => (p._1, p._2))
+      .view.mapValues(_.map(p => ((p._1, p._3), p._4))).toMap
+    var pi: Map[(String, String), Long] =
+      stats.map(r => (r._1, r._2) -> btScale).toMap
+    for (_ <- 1 to btIters) {
+      val prev = pi
+      pi = stats.map { case (lang, src, _, w) =>
+        val k = (lang, src)
+        val den = opps.getOrElse(k, Array.empty[((String, String), Long)])
+          .map { case (ok, n) => n * s2 / (prev(k) + prev(ok)) }.sum
+        k -> (w + 1L) * s2 / (den + 2L * s2 / (prev(k) + btScale))
+      }.toMap
+    }
+    val out = stats.toSeq
+      .map(r => (r._1, r._2, r._3, r._4, pi((r._1, r._2))))
+      .toDF("lang", "source", "n_matches", "n_wins", "pi")
+    m.unpersist(false)
+    out
+  }
+
+  /** q_source_bt: the tournament leaderboard under the BT rating —
+    * rank by the exact integer strength (π desc, source asc), expose
+    * the strength as a double beside the raw counts.
+    */
+  def sourceBt(spark: SparkSession, sfDir: String): DataFrame = {
+    val bt = btStrengthsFrom(tournamentMatches(spark, sfDir),
+      TextOps.documents(spark, sfDir).select("lang", "source").distinct())
+    Canon.materialized(Canon.canonicalize(bt
+      .withColumn("rank", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("pi").desc, col("source").asc)))
+      .select(col("lang"), col("source"), col("n_matches"),
+        col("n_wins"),
+        (col("pi").cast("double") / lit(btScale.toDouble)).as("bt"),
+        col("rank"))), bt)
   }
 
   /** The tournament chain as a composable CTE block (ends in `wr`) —
@@ -268,33 +383,90 @@ object PrefOps {
        |         ORDER BY win_rate DESC, source ASC) AS BIGINT) AS rank
        |FROM wr""".stripMargin
 
-  /** Tournament → MIXTURE SHARES: the composition that makes
-    * [[sourceWinRate]] actionable — per language, each source's share of
-    * the training mix in permille, proportional to its Laplace-smoothed
-    * win mass (n_wins + 1; the +1 keeps unplayed/sole sources at a
-    * uniform prior instead of zero). Pure integer arithmetic:
-    * ⌊1000·s / Σs⌋ per lang (non-negative, so Spark `div` ≡ DuckDB
+  /** The BT iteration chain on top of `wr`/`mt` — ends in
+    * `bt[[btIters]]` with (lang, source, pi). Every arithmetic step
+    * mirrors [[btStrengthsFrom]] exactly: same integer literals, same
+    * floor/truncate-safe non-negative divisions.
+    */
+  private val btCtes: String = {
+    val s2 = btScale * btScale
+    val iters = (1 to btIters).map { k =>
+      val prev = s"bt${k - 1}"
+      s"""bt$k AS MATERIALIZED (
+         |  SELECT w.lang, w.source,
+         |         CAST((w.n_wins + 1) * $s2
+         |           // (coalesce(d.den, 0) + 2 * $s2 // (p.pi + $btScale))
+         |           AS BIGINT) AS pi
+         |  FROM wr w
+         |  JOIN $prev p ON p.lang = w.lang AND p.source = w.source
+         |  LEFT JOIN (
+         |    SELECT pc.lang, pc.source,
+         |           sum(pc.n * $s2 // (a.pi + b.pi)) AS den
+         |    FROM pc JOIN $prev a ON a.lang = pc.lang
+         |                        AND a.source = pc.source
+         |            JOIN $prev b ON b.lang = pc.lang
+         |                        AND b.source = pc.opp
+         |    GROUP BY 1, 2) d
+         |    ON d.lang = w.lang AND d.source = w.source)""".stripMargin
+    }.mkString(",\n")
+    s"""pcd AS (
+       |  SELECT lang, s1, s2, count(*) AS n FROM mt GROUP BY 1, 2, 3),
+       |pc AS (
+       |  SELECT lang, s1 AS source, s2 AS opp, n FROM pcd
+       |  UNION ALL
+       |  SELECT lang, s2 AS source, s1 AS opp, n FROM pcd),
+       |bt0 AS MATERIALIZED (
+       |  SELECT lang, source, CAST($btScale AS BIGINT) AS pi FROM wr),
+       |$iters""".stripMargin
+  }
+
+  val sourceBtOracle: String =
+    s"""WITH $winRateCtes,
+       |$btCtes
+       |SELECT wr.lang, wr.source, wr.n_matches, wr.n_wins,
+       |       CAST(pi AS DOUBLE) / $btScale.0 AS bt,
+       |       CAST(row_number() OVER (PARTITION BY wr.lang
+       |         ORDER BY pi DESC, wr.source ASC) AS BIGINT) AS rank
+       |FROM wr JOIN bt$btIters b
+       |  ON wr.lang = b.lang AND wr.source = b.source""".stripMargin
+
+  /** Tournament → MIXTURE SHARES: the composition that makes the
+    * leaderboard actionable — per language, each source's share of
+    * the training mix in permille, proportional to its
+    * BRADLEY-TERRY strength (π from [[btStrengthsFrom]] — the
+    * schedule-corrected rating, not raw win mass, so a source that
+    * only ever faced strong opponents is no longer under-allocated;
+    * the BT prior keeps unplayed/sole sources at the uniform-prior
+    * strength instead of zero). Pure integer arithmetic:
+    * ⌊1000·π / Σπ⌋ per lang (non-negative, so Spark `div` ≡ DuckDB
     * `//`), directly pluggable where
     * [[SampleOps.targetMixPermille]]-style shares are consumed
     * (mixturePlan's contract). Bounded frames end to end — the
     * tournament output is |langs|·|sources| rows.
     */
   def sourceMixShares(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = sourceWinRate(spark, sfDir)
-      .select(col("lang"), col("source"), col("n_wins"))
-      .withColumn("s", col("n_wins") + lit(1L))
-    val tot = s.groupBy("lang").agg(sum("s").as("s_tot"))
-    Canon.canonicalize(s.join(broadcast(tot), Seq("lang"))
-      .withColumn("share_permille", expr("1000 * s div s_tot"))
-      .select("lang", "source", "n_wins", "share_permille"))
+    val bt = btStrengthsFrom(tournamentMatches(spark, sfDir),
+      TextOps.documents(spark, sfDir).select("lang", "source").distinct())
+    val s = bt.select(col("lang"), col("source"), col("n_wins"),
+      col("pi"))
+    val tot = s.groupBy("lang").agg(sum("pi").as("pi_tot"))
+    Canon.materialized(Canon.canonicalize(
+      s.join(broadcast(tot), Seq("lang"))
+        .withColumn("share_permille", expr("1000 * pi div pi_tot"))
+        .select("lang", "source", "n_wins", "share_permille")), bt)
   }
 
   val sourceMixSharesOracle: String =
     s"""WITH $winRateCtes,
-       |sm AS (SELECT lang, source, n_wins, n_wins + 1 AS s FROM wr),
-       |smt AS (SELECT lang, sum(s) AS s_tot FROM sm GROUP BY 1)
+       |$btCtes,
+       |sm AS (
+       |  SELECT wr.lang, wr.source, wr.n_wins, b.pi
+       |  FROM wr JOIN bt$btIters b
+       |    ON wr.lang = b.lang AND wr.source = b.source),
+       |smt AS (SELECT lang, sum(pi) AS pi_tot FROM sm GROUP BY 1)
        |SELECT sm.lang, sm.source, CAST(sm.n_wins AS BIGINT) AS n_wins,
-       |       CAST(1000 * sm.s // smt.s_tot AS BIGINT) AS share_permille
+       |       CAST(1000 * sm.pi // smt.pi_tot AS BIGINT)
+       |         AS share_permille
        |FROM sm JOIN smt ON sm.lang = smt.lang""".stripMargin
 
   /** Shared oracle chain: annotator CTEs (quality `qs`, repetition `f`),

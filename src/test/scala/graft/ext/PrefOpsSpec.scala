@@ -94,13 +94,87 @@ class PrefOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("mix shares are the exact integer permille of smoothed win mass") {
+  /** Driver twin of the fixed-point MM iteration in
+    * [[PrefOps.btStrengthsFrom]] — same integer units, same virtual
+    * prior matches, Long `/` ≡ Spark `div` on the non-negative
+    * operands.
+    */
+  private def btDriver(matches: Seq[(String, String, String, String)],
+                       universe: Seq[(String, String)])
+      : Map[(String, String), Long] = {
+    val s1 = PrefOps.btScale
+    val s2 = s1 * s1
+    val stats = matches.flatMap { case (lang, a, b, wnr) =>
+      Seq(((lang, a), wnr == a), ((lang, b), wnr == b))
+    }.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    val pc = matches.groupBy(m => (m._1, m._2, m._3)).view
+      .mapValues(_.size.toLong).toSeq
+      .flatMap { case ((lang, a, b), n) =>
+        Seq(((lang, a), (lang, b), n), ((lang, b), (lang, a), n))
+      }
+    var pi = universe.map(k => k -> s1).toMap
+    for (_ <- 1 to PrefOps.btIters) {
+      val prev = pi
+      pi = universe.map { k =>
+        val den = pc.collect { case (s, t, n) if s == k =>
+          n * s2 / (prev(s) + prev(t))
+        }.sum
+        val (_, w) = stats.getOrElse(k, (0L, 0L))
+        k -> (w + 1) * s2 / (den + 2 * s2 / (prev(k) + s1))
+      }.toMap
+    }
+    pi
+  }
+
+  /** The tournament match list, recomputed on the driver (the
+    * sourceWinRate recompute's derivation, shared by the BT tests).
+    */
+  private def driverMatches: Seq[(String, String, String, String)] = {
+    val q = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val heads = docs.groupBy(d => (d._2, d._3))
+      .view.mapValues(_.map(_._1).sorted.take(PrefOps.tournamentK)).toMap
+    for {
+      ((lang, sa), ids1) <- heads.toSeq
+      ((l2, sb), ids2) <- heads.toSeq
+      if l2 == lang && sa < sb
+      (a, b) <- ids1.zip(ids2)
+    } yield {
+      val winner =
+        if (q(a) > q(b)) sa
+        else if (q(b) > q(a)) sb
+        else if (a < b) sa else sb
+      (lang, sa, sb, winner)
+    }
+  }
+
+  test("BT strengths and ranks match the driver fixed-point twin") {
+    val universe = docs.map(d => (d._2, d._3)).distinct
+    val pi = btDriver(driverMatches, universe)
+    val expected = pi.toSeq.groupBy(_._1._1).toSeq.flatMap {
+      case (_, rows) =>
+        rows.sortBy { case ((_, src), p) => (-p, src) }.zipWithIndex
+          .map { case (((lang, src), p), i) =>
+            (lang, src, p.toDouble / PrefOps.btScale.toDouble,
+              (i + 1).toLong)
+          }
+    }.toSet
+    val got = PrefOps.sourceBt(spark, sfDir)
+      .select("lang", "source", "bt", "rank")
+      .as[(String, String, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("mix shares are the exact integer permille of BT strength") {
+    val universe = docs.map(d => (d._2, d._3)).distinct
+    val pi = btDriver(driverMatches, universe)
     val wins = PrefOps.sourceWinRate(spark, sfDir)
       .select("lang", "source", "n_wins")
       .as[(String, String, Long)].collect()
     val expected = wins.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
-      val tot = rows.map(_._3 + 1).sum
-      rows.map(r => (lang, r._2, r._3, 1000L * (r._3 + 1) / tot))
+      val tot = rows.map(r => pi((lang, r._2))).sum
+      rows.map(r => (lang, r._2, r._3, 1000L * pi((lang, r._2)) / tot))
     }.toSet
     val got = PrefOps.sourceMixShares(spark, sfDir)
       .as[(String, String, Long, Long)].collect().toSet
@@ -109,6 +183,63 @@ class PrefOpsSpec extends SparkSpec {
     for ((lang, rows) <- got.groupBy(_._1)) {
       val s = rows.toSeq.map(_._4).sum
       assert(s <= 1000 && s > 1000 - rows.size, s"$lang shares sum $s")
+    }
+  }
+
+  test("BT corrects the unbalanced-schedule misranking raw win rate " +
+      "makes, and a sole source sits exactly at the prior") {
+    // the schedule-bias fixture: y_upset only ever plays the proven
+    // strong source and wins 60% of 20; x_bully farms the floor —
+    // 20 matches against the weakest source, winning 15. Raw Laplace
+    // win rate crowns x_bully (16/22 ≈ .73 vs s_strong's 19/32 ≈ .59
+    // vs y_upset's 13/22 ≈ .59) — strength of schedule is invisible
+    // to win share. BT sees WHO was beaten: 75% over the floor pins
+    // π_x at ~3·π_floor, far below the proven strong source. (The
+    // bully must have real losses — an UNBEATEN source is correctly
+    // rated high by BT however weak its schedule, since only the
+    // virtual prior loss anchors it.)
+    val lang = "xx"
+    val matches =
+      (1 to 20).map(i => (lang, "s_strong", "y_upset",
+        if (i <= 12) "y_upset" else "s_strong")) ++
+      (1 to 20).map(i => (lang, "x_bully", "z_floor",
+        if (i <= 15) "x_bully" else "z_floor")) ++
+      (1 to 10).map(_ => (lang, "s_strong", "z_floor", "s_strong"))
+    val universe = Seq(lang -> "s_strong", lang -> "y_upset",
+      lang -> "x_bully", lang -> "z_floor", lang -> "solo_src")
+    val mDf = matches.toDF("lang", "s1", "s2", "winner")
+    val uDf = universe.toDF("lang", "source")
+    val out = PrefOps.btStrengthsFrom(mDf, uDf)
+      .select("source", "n_matches", "n_wins", "pi")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out.values.foreach(v => assert(v._3 > 0L))
+
+    // raw win rates (the misrank): x_bully on top
+    def raw(s: String) =
+      (out(s)._2 + 1).toDouble / (out(s)._1 + 2).toDouble
+    assert(raw("x_bully") > raw("s_strong") &&
+      raw("s_strong") > raw("y_upset"),
+      s"fixture lost its misrank: ${universe.map(u => raw(u._2))}")
+
+    // BT: y_upset (beats the strong source 60%) outranks both, and
+    // x_bully (only ever beat the floor) falls below s_strong
+    val pi = out.view.mapValues(_._3).toMap
+    assert(pi("y_upset") > pi("s_strong"),
+      s"BT did not reward beating the strong source: $pi")
+    assert(pi("s_strong") > pi("x_bully"),
+      s"BT still overrates the floor-farmer: $pi")
+    assert(pi("x_bully") > pi("z_floor"), s"BT order broke at the tail: $pi")
+
+    // sole source: exactly the prior at every iteration (w̃=1 and the
+    // virtual matches are its whole schedule — the 1/2-prior law)
+    assert(pi("solo_src") == PrefOps.btScale,
+      s"sole source drifted off the prior: ${pi("solo_src")}")
+
+    // the driver twin agrees with the DataFrame fixed point
+    val twin = btDriver(matches, universe)
+    universe.foreach { k =>
+      assert(twin(k) == pi(k._2), s"driver twin diverged at $k")
     }
   }
 
