@@ -182,7 +182,12 @@ object BpeOps {
     * RELIABLE checkpoint (HDFS/object-store backed): each generation
     * survives executor loss at the cost of one write per round —
     * O(merge-table) sized rows, not corpus-sized, so the premium is
-    * small relative to the training scan.
+    * small relative to the training scan. Spark never deletes reliable
+    * checkpoint dirs on unpersist (only the opt-in
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` GC hook does,
+    * non-deterministically), so [[release]] deletes the released
+    * generation's dir explicitly — otherwise a long training loop
+    * accumulates one directory per generation on the store.
     */
   private def truncated(df: DataFrame): (DataFrame, RDD[Row]) = {
     val sc = df.sparkSession.sparkContext
@@ -192,6 +197,22 @@ object BpeOps {
     else rdd.localCheckpoint()
     rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Frees a retired generation: drop its cached blocks, and — on the
+    * reliable-checkpoint path — delete its checkpoint directory (local
+    * checkpoints report no file; the delete is a no-op there). Callers
+    * only release a generation AFTER its successor has materialized,
+    * so the deleted data is never re-read.
+    */
+  private def release(rdd: RDD[Row]): Unit = {
+    rdd.unpersist(false)
+    rdd.getCheckpointFile.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(rdd.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    }
   }
 
   /** Trained merges are a per-dataset artifact, like IVF centroids: the
@@ -308,14 +329,14 @@ object BpeOps {
         val (next, nextBlocks) = truncated(
           corpus.select(col("w"),
             when(hit, foldC).otherwise(col("sy")).as("sy"), col("f")))
-        blocks.unpersist(false); pBlocks.unpersist(false)
+        release(blocks); release(pBlocks)
         corpus = next; blocks = nextBlocks
         pairs = nextPairs; pBlocks = nextPBlocks
         total += accepted.size
         round += 1
       }
     }
-    blocks.unpersist(false); pBlocks.unpersist(false)
+    release(blocks); release(pBlocks)
     merges.result()
   }
 

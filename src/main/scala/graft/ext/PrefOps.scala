@@ -247,6 +247,15 @@ object PrefOps {
     */
   val btScale = 1000000L
 
+  /** Hard cap on distinct sources per lang in the BT tournament — the
+    * all-pairs match join and the driver-side pair fold are
+    * |sources|² per lang, which is the operator's INTENT (curated
+    * source tags, dozens) and a trap at web-domain cardinality.
+    * [[btStrengthsFrom]] fails loudly over this bound before running
+    * any quadratic work (spec: PrefOpsSpec's over-cap universe).
+    */
+  val btMaxSourcesPerLang = 64L
+
   /** Minorize-maximize iterations of the BT fit — fixed and unrolled
     * in the oracle (the pageRank discipline). Convergence is geometric
     * on tournaments this shape; the spec pins that the ranking is
@@ -288,6 +297,21 @@ object PrefOps {
                                    universe: DataFrame): DataFrame = {
     val spark = matches.sparkSession
     import spark.implicits._
+    // Loud cardinality gate BEFORE any tournament work runs: the match
+    // join is all-pairs over sources within a lang and the driver fold
+    // holds the |langs|·|sources|² pair table, so both are only sane at
+    // curated source-TAG cardinality. Pointing this at web-domain-sized
+    // sources must fail with instructions, not quadratic silently — the
+    // TopKPerKey key-cap discipline. The check itself is one keyed agg
+    // over the bounded (lang, source) universe.
+    val maxSrc = universe.groupBy("lang").count().as[(String, Long)]
+      .collect().map(_._2).foldLeft(0L)(math.max)
+    require(maxSrc <= btMaxSourcesPerLang,
+      s"bradley-terry tournament: a lang has $maxSrc distinct sources, " +
+        s"over the $btMaxSourcesPerLang cap — the all-pairs match join " +
+        "and the driver-side pair fold are |sources|^2 per lang. Rate " +
+        "curated source TAGS, or pre-bucket sources (e.g. by registered " +
+        "domain -> tag) before fitting.")
     val s2 = btScale * btScale
     // the corpus-sized tournament is computed ONCE; win table and
     // pair counts both fold it down to bounded summaries
@@ -313,7 +337,12 @@ object PrefOps {
         val k = (lang, src)
         val den = opps.getOrElse(k, Array.empty[((String, String), Long)])
           .map { case (ok, n) => n * s2 / (prev(k) + prev(ok)) }.sum
-        k -> (w + 1L) * s2 / (den + 2L * s2 / (prev(k) + btScale))
+        // clamped to one fixed-point unit: an extreme schedule (many
+        // matches against near-zero-π opponents) could floor a π to 0,
+        // and two zero-π sources sharing a pair would then divide by
+        // zero next round; GREATEST(1, ...) mirrors this in the oracle
+        k -> math.max(1L,
+          (w + 1L) * s2 / (den + 2L * s2 / (prev(k) + btScale)))
       }.toMap
     }
     val out = stats.toSeq
@@ -394,8 +423,8 @@ object PrefOps {
       val prev = s"bt${k - 1}"
       s"""bt$k AS MATERIALIZED (
          |  SELECT w.lang, w.source,
-         |         CAST((w.n_wins + 1) * $s2
-         |           // (coalesce(d.den, 0) + 2 * $s2 // (p.pi + $btScale))
+         |         CAST(GREATEST(1, (w.n_wins + 1) * $s2
+         |           // (coalesce(d.den, 0) + 2 * $s2 // (p.pi + $btScale)))
          |           AS BIGINT) AS pi
          |  FROM wr w
          |  JOIN $prev p ON p.lang = w.lang AND p.source = w.source

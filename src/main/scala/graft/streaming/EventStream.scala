@@ -501,10 +501,13 @@ object EventStream {
     // they scored badly but because nothing could score them; surfaced
     // as their own stat so a new-language feed is visible in telemetry
     // instead of dissolving into n_fluency_drop. Counted off `deduped`
-    // against the vocabulary table directly (not off lmScored) so a
-    // short unknown-lang doc with <2 tokens — which produces no bigram
-    // row at all — is still counted; this is also the oracle's
-    // population (deduped docs whose lang is absent from voc).
+    // against the vocabulary table directly (not off lmScored) so even
+    // a ZERO-token unknown-lang doc — which produces no lm row at all
+    // (a 1-token doc still yields the BOS bigram) — is counted; the
+    // oracle mirrors exactly this population (deduped docs whose
+    // documents.lang is absent from voc, no tokenizability requirement),
+    // so the twins agree for ANY caller-supplied qualityMin, not just
+    // thresholds that happen to exclude zero-token docs.
     val nUnscored = deduped
       .join(broadcast(voc.select("lang")), Seq("lang"), "left_anti")
       .count()
@@ -566,8 +569,8 @@ object EventStream {
        |  SELECT dd.doc_id FROM dedup dd JOIN scd USING (doc_id)
        |  WHERE mean_inv <= $funnelFluencyMax),
        |unsc AS (
-       |  SELECT dd.doc_id FROM dedup dd JOIN dt USING (doc_id)
-       |  WHERE dt.lang NOT IN (SELECT lang FROM voc))
+       |  SELECT dd.doc_id FROM dedup dd JOIN documents d USING (doc_id)
+       |  WHERE d.lang NOT IN (SELECT lang FROM voc))
        |SELECT
        |  (SELECT count(*) FROM feed) AS n_in,
        |  (SELECT count(*) FROM feed) - (SELECT count(*) FROM qpass)

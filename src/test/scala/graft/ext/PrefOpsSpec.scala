@@ -121,7 +121,7 @@ class PrefOpsSpec extends SparkSpec {
           n * s2 / (prev(s) + prev(t))
         }.sum
         val (_, w) = stats.getOrElse(k, (0L, 0L))
-        k -> (w + 1) * s2 / (den + 2 * s2 / (prev(k) + s1))
+        k -> math.max(1L, (w + 1) * s2 / (den + 2 * s2 / (prev(k) + s1)))
       }.toMap
     }
     pi
@@ -241,6 +241,27 @@ class PrefOpsSpec extends SparkSpec {
     universe.foreach { k =>
       assert(twin(k) == pi(k._2), s"driver twin diverged at $k")
     }
+  }
+
+  test("BT refuses a lang with more sources than the cap, loudly, " +
+      "before any tournament work") {
+    // the |sources|² tournament is only sane at curated-tag cardinality;
+    // web-domain-sized universes must fail with instructions, not
+    // quadratic silently (the TopKPerKey key-cap discipline)
+    val n = PrefOps.btMaxSourcesPerLang.toInt + 1
+    val universe = (1 to n).map(i => ("xx", f"src_$i%04d")).toDF(
+      "lang", "source")
+    val matches = Seq(("xx", "a", "b", "a")).toDF("lang", "s1", "s2",
+      "winner")
+    val e = intercept[IllegalArgumentException] {
+      PrefOps.btStrengthsFrom(matches, universe)
+    }
+    assert(e.getMessage.contains(s"${PrefOps.btMaxSourcesPerLang} cap"),
+      s"cap message missing: ${e.getMessage}")
+    // one under the cap still fits
+    val ok = PrefOps.btStrengthsFrom(matches,
+      (1 to n - 1).map(i => ("xx", f"src_$i%04d")).toDF("lang", "source"))
+    assert(ok.count() == (n - 1).toLong)
   }
 
   test("source tournament matches a driver recompute; heads use the heap") {
