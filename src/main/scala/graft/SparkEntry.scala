@@ -112,6 +112,10 @@ object SparkEntry {
     "q_minhash_lsh_incr" -> ((s, dir) => DedupOps.minhashLshIncremental(s, dir)),
     "q_dedup_clusters_incr" ->
       ((s, dir) => DedupOps.dedupClustersIncremental(s, dir)),
+    // cluster lifecycle closed: merge the batch in, FORGET it again —
+    // must equal the never-merged base clustering
+    "q_dedup_clusters_forgotten" ->
+      ((s, dir) => DedupOps.dedupClustersForgotten(s, dir)),
     // same flow against the PERSISTED corpus LSH index (offline build)
     "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
     "q_minhash_lsh_merged" -> ((s, dir) => DedupOps.minhashLshMerged(s, dir)),
@@ -308,6 +312,7 @@ object SparkEntry {
     "q_edit_distance" -> DedupOps.editDistanceOracle,
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
     "q_dedup_clusters_incr" -> DedupOps.dedupClustersLshOracle,
+    "q_dedup_clusters_forgotten" -> DedupOps.dedupClustersForgottenOracle,
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_minhash_lsh_merged" -> DedupOps.minhashLshMergedOracle,

@@ -339,11 +339,11 @@ object DedupOps {
     * `dedupClustersLshOracle`, and what ClustersMergeSpec pins across
     * arbitrary pair splits.
     *
-    * FORGET has no incremental form here, stated openly: removing a
-    * document can DISCONNECT a component (the opposite of min-compose),
-    * so delete propagation re-clusters the surviving pairs — which stay
-    * cheap to re-derive because the pair source is the persisted LSH
-    * index ([[lshIndexForget]] + re-cluster is the supported path).
+    * FORGET is the other half: removing a document can DISCONNECT a
+    * component (the opposite of min-compose), so exact delete
+    * propagation must re-cluster — but [[clustersForget]] re-clusters
+    * ONLY the components that contain a forgotten doc (batch-sized),
+    * not the corpus.
     *
     * Scale shape: two broadcast-or-shuffled hash joins to condense
     * (components keyed by doc_id), CC over batch-condensed edges (the
@@ -384,6 +384,75 @@ object DedupOps {
       Canon.canonicalize(rePointed.unionByName(newDocs)), comp)
   }
 
+  /** BATCH-SIZED cluster FORGET — the delete half of the cluster
+    * lifecycle, closing the one asymmetry left after [[clustersMerge]]
+    * (LSH/LM/BPE/IVF artifacts all both merge AND forget; clusters
+    * merged but forgot only by corpus re-cluster). Removing a document
+    * can DISCONNECT its component, and removing the min-id member
+    * renames it, so affected components must genuinely re-cluster —
+    * but ONLY those components:
+    *
+    *  1. `affected`  = distinct cluster_ids containing a forgotten doc
+    *     (≤ |gone| rows);
+    *  2. components NOT in `affected` pass through UNTOUCHED — no
+    *     member was removed, and a near-dup pair never spans two
+    *     components, so their pair graph is exactly what it was;
+    *  3. affected components re-cluster from `pairSource` restricted
+    *     to their SURVIVING members (endpoint restriction IS component
+    *     restriction, same argument), via the adaptive
+    *     [[clustersFromPairs]] core. A survivor whose every pair died
+    *     with the forgotten docs becomes a singleton and DROPS out —
+    *     exactly what a from-scratch clustering of the surviving pair
+    *     graph produces.
+    *
+    * Exactness: the union of (2) and (3) is bit-for-bit
+    * [[clustersFromPairs]] over the surviving pair graph
+    * (ClustersForgetSpec pins forget(merge(base, X), X) ≡ base across
+    * arbitrary splits, disconnection and representative-loss included).
+    * Pair-LEVEL forget semantics (e.g. LSH bucket-cap census shifts
+    * under deletion) are the INDEX's own forget story
+    * ([[lshIndexForget]]); this operator forgets at the component level
+    * of a realized pair graph — at 100 TB, the persisted LSH index's
+    * pair list.
+    *
+    * Scale shape: the corpus-sized components table is touched by two
+    * keyed semi/anti joins and never iterated; re-cluster work is
+    * bounded by the affected MEMBER count (|gone| × max family size —
+    * batch-sized for batch-sized deletes, families being tiny cliques),
+    * and the pair restriction is two semi joins AQE broadcasts when the
+    * survivor set is measured small.
+    */
+  def clustersForget(spark: SparkSession, components: DataFrame,
+                     gone: DataFrame, pairSource: DataFrame,
+                     driverThreshold: Long = 1000000L): DataFrame = {
+    val comp = components.select(col("doc_id").cast("long"),
+      col("cluster_id").cast("long")).persist()
+    comp.count() // EAGER: three consumers below
+    val goneIds = gone.select(col("doc_id").cast("long"))
+      .distinct().persist()
+    goneIds.count() // EAGER: membership probe + survivor anti join
+    val affected = comp.join(goneIds, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().persist()
+    affected.count() // EAGER: untouched anti + member semi consumers
+    val untouched = comp.join(affected, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    val survivors = comp.join(affected, Seq("cluster_id"), "left_semi")
+      .join(goneIds, Seq("doc_id"), "left_anti")
+      .select("doc_id").persist()
+    survivors.count() // EAGER: both endpoint restrictions
+    val survivorPairs = pairSource
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .join(survivors.withColumnRenamed("doc_id", "id_a"),
+        Seq("id_a"), "left_semi")
+      .join(survivors.withColumnRenamed("doc_id", "id_b"),
+        Seq("id_b"), "left_semi")
+    val reclustered = clustersFromPairs(spark, survivorPairs,
+      driverThreshold)
+    Canon.materialized(
+      Canon.canonicalize(untouched.unionByName(reclustered)),
+      comp, goneIds, affected, survivors, reclustered)
+  }
+
   /** The cluster lifecycle as one hash-gated query: cluster YESTERDAY's
     * corpus-internal pairs (both endpoints in the corpus slice), then
     * MERGE today's remaining pairs in incrementally — the result must
@@ -406,6 +475,50 @@ object DedupOps {
       clustersFromPairs(spark, oldPairs), newPairs)
     Canon.materialized(out, pairs)
   }
+
+  /** The cluster lifecycle CLOSED as one hash-gated query: cluster
+    * yesterday's corpus-internal pairs, MERGE today's pairs in
+    * ([[clustersMerge]]), then FORGET today's docs again
+    * ([[clustersForget]]) — the result must equal the base clustering,
+    * as if the batch had never touched the component table. The oracle
+    * states exactly that from scratch: the full LSH pair graph
+    * restricted to corpus-side endpoints, clustered by transitive
+    * closure — it never sees the merge OR the forget, so round-trip
+    * residue of any kind (a stale re-pointed member, a surviving
+    * batch-only pair, a lost disconnection) breaks the hash.
+    */
+  def dedupClustersForgotten(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist()
+    pairs.count() // EAGER: slice consumers + the forget restriction
+    def inCorpus(c: Column) =
+      sideBucket(c) < incrementalCorpusPermille
+    val oldPairs = pairs
+      .filter(inCorpus(col("id_a")) && inCorpus(col("id_b")))
+    val newPairs = pairs
+      .filter(!(inCorpus(col("id_a")) && inCorpus(col("id_b"))))
+    val merged = clustersMerge(spark,
+      clustersFromPairs(spark, oldPairs), newPairs)
+    val gone = documents(spark, sfDir)
+      .filter(!inCorpus(col("doc_id")))
+      .select("doc_id")
+    val out = clustersForget(spark, merged, gone, pairs)
+    Canon.materialized(out, pairs, merged)
+  }
+
+  /** Never-existed statement: corpus-internal pairs only, clustered
+    * from scratch.
+    */
+  lazy val dedupClustersForgottenOracle: String =
+    s"""WITH RECURSIVE $minhashLshCte,
+       |spairs AS (
+       |  SELECT id_a, id_b FROM lpairs
+       |  WHERE ${sideBucketSql("id_a")} < $incrementalCorpusPermille
+       |    AND ${sideBucketSql("id_b")} < $incrementalCorpusPermille),
+       |${clusterCte("spairs")}
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
 
   private def unionFindLocal(spark: SparkSession,
                              pairs: DataFrame): DataFrame = {
