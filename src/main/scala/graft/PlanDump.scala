@@ -98,7 +98,10 @@ object PlanDump {
         (() => ext.ClassifierOps.qualityClassifierRef(spark, sf)),
       "lang_id_nb" -> (() => ext.ClassifierOps.langIdNb(spark, sf)),
       "bpe_train_merged" -> (() => ext.BpeOps.bpeTrainMerged(spark, sf)),
-      "ann_ivf_merged" -> (() => ext.VectorOps.annIvfMerged(spark, sf)))
+      "ann_ivf_merged" -> (() => ext.VectorOps.annIvfMerged(spark, sf)),
+      "retrieval_eval" -> (() => ext.ScoringOps.retrievalEval(spark, sf)),
+      "clusters_forgotten" ->
+        (() => ext.DedupOps.dedupClustersForgotten(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

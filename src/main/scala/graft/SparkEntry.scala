@@ -42,6 +42,9 @@ object SparkEntry {
     "q_html_extract" -> ((s, dir) => TextOps.htmlExtract(s, dir)),
     "q_model_score" -> ((s, dir) => ScoringOps.modelScore(s, dir)),
     "q_rerank" -> ((s, dir) => ScoringOps.rerank(s, dir)),
+    // nDCG@k / MRR over the three text rankings — the annRecall
+    // analogue for the retrieval stack
+    "q_retrieval_eval" -> ((s, dir) => ScoringOps.retrievalEval(s, dir)),
     "q_quality_classifier" ->
       ((s, dir) => ext.ClassifierOps.qualityClassifier(s, dir)),
     "q_quality_classifier_ref" ->
@@ -263,6 +266,7 @@ object SparkEntry {
     "q_html_extract" -> TextOps.htmlExtractOracle,
     "q_model_score" -> ScoringOps.modelScoreOracle,
     "q_rerank" -> ScoringOps.rerankOracle,
+    "q_retrieval_eval" -> ScoringOps.retrievalEvalOracle,
     "q_quality_classifier" -> ext.ClassifierOps.qualityClassifierOracle,
     "q_quality_classifier_ref" ->
       ext.ClassifierOps.qualityClassifierRefOracle,

@@ -170,9 +170,19 @@ object ScoringOps {
     * order via the TopKPerKey heap, consistent with every other
     * rank in the repo.
     */
-  def rerank(spark: SparkSession, sfDir: String): DataFrame = {
+  def rerank(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(
+      rerankTopFrom(spark, sfDir, TextOps.bm25(spark, sfDir))
+        .select("lang", "rerank", "doc_id", "bm25_rank", "model_score"))
+
+  /** The rerank stage over an already-built BM25 top list (any frame
+    * with lang, doc_id, rank) — ONE definition serves [[rerank]] and
+    * [[retrievalEval]] so the two queries rank identically.
+    */
+  private[ext] def rerankTopFrom(spark: SparkSession, sfDir: String,
+                                 bmTop: DataFrame): DataFrame = {
     import spark.implicits._
-    val top = TextOps.bm25(spark, sfDir)
+    val top = bmTop
       .select(col("lang"), col("doc_id"), col("rank").as("bm25_rank"))
     val withText = top.join(
       TextOps.documents(spark, sfDir).select("doc_id", "text"),
@@ -182,20 +192,19 @@ object ScoringOps {
       QualityStub).toDF("doc_id", "raw_score", "model_score")
     val joined = withText.select("lang", "doc_id", "bm25_rank")
       .join(scored.select("doc_id", "model_score"), Seq("doc_id"))
-    Canon.canonicalize(graft.plans.TopK.perKey(joined,
+    graft.plans.TopK.perKey(joined,
       Seq("lang"),
       Seq("model_score" -> graft.plans.TopK.Desc,
         "doc_id" -> graft.plans.TopK.Asc),
       TextOps.bm25TopK, rankCol = Some("rerank"))
-      .select("lang", "rerank", "doc_id", "bm25_rank", "model_score"))
   }
 
-  /** Composes the SHARED bm25 chain with the stub-model arithmetic
-    * restricted to the shortlist — neither side duplicated.
+  /** The rerank chain as composable CTEs (assumes `bmtop` exists; ends
+    * in `reranked`) — shared by [[rerankOracle]] and
+    * [[retrievalEvalOracle]].
     */
-  def rerankOracle: String =
-    s"""WITH ${TextOps.bm25Cte},
-       |bmt AS MATERIALIZED (SELECT * FROM bmtop),
+  private def rerankCtes: String =
+    s"""bmt AS MATERIALIZED (SELECT * FROM bmtop),
        |sn AS (
        |  SELECT d.doc_id, ${TextOps.normSql} AS norm
        |  FROM documents d JOIN bmt b ON d.doc_id = b.doc_id),
@@ -214,7 +223,14 @@ object ScoringOps {
        |reranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY lang
        |            ORDER BY model_score DESC, doc_id ASC) AS rerank
-       |  FROM rr)
+       |  FROM rr)""".stripMargin
+
+  /** Composes the SHARED bm25 chain with the stub-model arithmetic
+    * restricted to the shortlist — neither side duplicated.
+    */
+  def rerankOracle: String =
+    s"""WITH ${TextOps.bm25Cte},
+       |$rerankCtes
        |SELECT lang, rerank, doc_id, bm25_rank, model_score
        |FROM reranked WHERE rerank <= ${TextOps.bm25TopK}""".stripMargin
 
@@ -231,4 +247,152 @@ object ScoringOps {
        |       CAST(raw AS DOUBLE) / CAST(raw + 1000 AS DOUBLE)
        |         AS model_score
        |FROM f""".stripMargin
+
+  // ---- retrieval-quality telemetry (nDCG@k / MRR) ---------------------
+
+  /** Fixed-point unit of the nDCG discounts and reciprocal ranks — the
+    * repo's integer-sum discipline: per-rank quantities become exact
+    * Longs, group sums are order-free, ONE double division at the end.
+    */
+  val ndcgScale = 1000000000L
+
+  /** The rank-discount table 1/log2(r+1) for r = 1..k, in [[ndcgScale]]
+    * units. Computed ONCE here and inlined as the SAME integer literals
+    * into the Spark plan and the oracle SQL (the ShingleHashes
+    * coefficient discipline), so no engine ever evaluates a logarithm
+    * inside a compared value.
+    */
+  private[ext] val ndcgDiscFp: Seq[(Int, Long)] =
+    (1 to TextOps.bm25TopK).map { r =>
+      r -> (ndcgScale.toDouble * math.log(2.0) / math.log(r + 1.0)).toLong
+    }
+
+  /** RETRIEVAL-QUALITY TELEMETRY: nDCG@k and MRR for each of the three
+    * text-retrieval rankings (bm25, rerank, rrf) — the text stack's
+    * analogue of [[graft.ext.VectorOps.annRecall]]: rankers produce
+    * lists, THIS measures them, per (system, lang).
+    *
+    * Relevance labels are deterministic and ranker-independent: a doc's
+    * grade is the number of the lang's query terms it contains (the
+    * bm25 query being the lang's two top-df tokens, grades are 0/1/2),
+    * derived from the SAME tf/terms frames the bm25 chain builds — no
+    * second tokenization to drift. Gains are the standard 2^rel − 1
+    * (0/1/3), discounts the shared fixed-point table, the ideal list
+    * (for the nDCG denominator) is the corpus-wide relevance ranking
+    * truncated at k. MRR's reciprocal rank is an exact integer division
+    * in [[ndcgScale]] units. All sums are Long sums; each output metric
+    * is one final double division, bit-equal across engines.
+    *
+    * Scale shape: the three list frames are k-per-lang (bounded); the
+    * only corpus-sized work is the shared bm25 chain itself and the
+    * relevance agg (one keyed count off the already-built tf frame,
+    * semi-joined to the broadcast 2-term query table). The ideal
+    * ranking runs on the |relevant docs per lang| ≤ df(top terms)
+    * subset via the TopKPerKey heap, never a global sort.
+    */
+  def retrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (bmTop, terms, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    val rel = tf
+      .join(broadcast(terms.select("lang", "token")), Seq("lang", "token"))
+      .groupBy("lang", "doc_id").agg(count(lit(1)).as("rel"))
+      .persist()
+    rel.count() // EAGER: list grading + ideal ranking
+    val lists = bmTop
+      .select(lit("bm25").as("system"), col("lang"),
+        col("rank").cast("long").as("rank"), col("doc_id"))
+      .unionByName(rerankTopFrom(spark, sfDir, bmTop)
+        .select(lit("rerank").as("system"), col("lang"),
+          col("rerank").cast("long").as("rank"), col("doc_id")))
+      .unionByName(TextOps.rrfTopFrom(spark, sfDir, bmTop)
+        .select(lit("rrf").as("system"), col("lang"),
+          col("rank").cast("long").as("rank"), col("doc_id")))
+    val disc = ndcgDiscFp.map { case (r, d) => (r.toLong, d) }
+      .toDF("rank", "dfp")
+    val gainFp = when(col("rel") === 2, 3L).when(col("rel") === 1, 1L)
+      .otherwise(0L) * col("dfp")
+    val agg = lists
+      .join(rel, Seq("lang", "doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .join(broadcast(disc), Seq("rank"))
+      .groupBy("system", "lang").agg(
+        sum(gainFp).as("dcg_fp"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_graded"),
+        min(when(col("rel") > 0, col("rank"))).as("fr"))
+    val ideal = graft.plans.TopK.perKey(rel, Seq("lang"),
+        Seq("rel" -> graft.plans.TopK.Desc,
+          "doc_id" -> graft.plans.TopK.Asc),
+        TextOps.bm25TopK, rankCol = Some("irank"))
+      .join(broadcast(disc.withColumnRenamed("rank", "irank")),
+        Seq("irank"))
+      .groupBy("lang").agg(sum(gainFp).as("idcg_fp"))
+    val out = agg.join(broadcast(ideal), Seq("lang"))
+      .select(col("system"), col("lang"), col("n_graded"),
+        coalesce(col("fr"), lit(0L)).as("first_rank"),
+        (col("dcg_fp").cast("double") / col("idcg_fp").cast("double"))
+          .as("ndcg"),
+        (expr(s"CASE WHEN fr IS NULL THEN 0L ELSE $ndcgScale div fr END")
+          .cast("double") / lit(ndcgScale.toDouble)).as("mrr"))
+    Canon.materialized(Canon.canonicalize(out), rel, tf, dl)
+  }
+
+  /** Composes the shared bm25/rerank/rrf CTE chains with the grading
+    * arithmetic — integer gains × the inlined discount table, exact
+    * BIGINT sums, one double division per metric.
+    */
+  def retrievalEvalOracle: String = {
+    val discVals = ndcgDiscFp
+      .map { case (r, d) => s"($r, CAST($d AS BIGINT))" }.mkString(", ")
+    s"""WITH ${TextOps.bm25Cte},
+       |$rerankCtes,
+       |${TextOps.rrfCtes},
+       |disc(rank, dfp) AS (VALUES $discVals),
+       |rel AS MATERIALIZED (
+       |  SELECT tf.lang, tf.doc_id, count(*) AS rel
+       |  FROM tf JOIN terms
+       |    ON tf.lang = terms.lang AND tf.token = terms.token
+       |  GROUP BY 1, 2),
+       |lists AS (
+       |  SELECT 'bm25' AS system, lang, rank, doc_id FROM bmt
+       |  UNION ALL
+       |  SELECT 'rerank', lang, rerank, doc_id FROM reranked
+       |  WHERE rerank <= ${TextOps.bm25TopK}
+       |  UNION ALL
+       |  SELECT 'rrf', lang, rank, doc_id FROM rranked
+       |  WHERE rank <= ${TextOps.rrfTopK}),
+       |wd AS (
+       |  SELECT l.system, l.lang, l.rank,
+       |         coalesce(r.rel, 0) AS rel, d.dfp
+       |  FROM lists l
+       |  LEFT JOIN rel r ON l.lang = r.lang AND l.doc_id = r.doc_id
+       |  JOIN disc d ON l.rank = d.rank),
+       |agg AS (
+       |  SELECT system, lang,
+       |         CAST(sum(CASE WHEN rel = 2 THEN 3 * dfp
+       |                       WHEN rel = 1 THEN dfp ELSE 0 END)
+       |           AS BIGINT) AS dcg_fp,
+       |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_graded,
+       |         min(CASE WHEN rel > 0 THEN rank END) AS fr
+       |  FROM wd GROUP BY 1, 2),
+       |ideal AS (
+       |  SELECT lang, rel,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY rel DESC, doc_id ASC) AS irank
+       |  FROM rel),
+       |idcg AS (
+       |  SELECT i.lang,
+       |         CAST(sum(CASE WHEN rel = 2 THEN 3 * dfp ELSE dfp END)
+       |           AS BIGINT) AS idcg_fp
+       |  FROM ideal i JOIN disc d ON i.irank = d.rank
+       |  GROUP BY 1)
+       |SELECT a.system, a.lang, a.n_graded,
+       |       CAST(coalesce(a.fr, 0) AS BIGINT) AS first_rank,
+       |       CAST(a.dcg_fp AS DOUBLE) / CAST(c.idcg_fp AS DOUBLE)
+       |         AS ndcg,
+       |       CAST(CASE WHEN a.fr IS NULL THEN 0
+       |                 ELSE $ndcgScale // a.fr END AS DOUBLE)
+       |         / CAST($ndcgScale AS DOUBLE) AS mrr
+       |FROM agg a JOIN idcg c ON a.lang = c.lang""".stripMargin
+  }
 }

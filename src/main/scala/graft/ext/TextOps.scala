@@ -1071,19 +1071,21 @@ object TextOps {
     * and add in slot order, so the score is bit-deterministic.
     */
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val (top, tf, dl) = bm25Top(spark, sfDir)
+    val (top, _, tf, dl) = bm25Top(spark, sfDir)
     Canon.materialized(
       Canon.canonicalize(top.select("lang", "rank", "doc_id", "score")),
       tf, dl)
   }
 
   /** The BM25 chain up to the per-lang ranked top-k list — shared by
-    * the standalone query and the RRF fusion so the two scorings can
-    * never drift. Returns the persisted tf/dl frames; the caller
-    * releases them via [[Canon.materialized]].
+    * the standalone query, the RRF fusion, and the retrieval-eval
+    * telemetry so the scorings can never drift. Also returns the
+    * per-lang query-term frame (the relevance-label basis for
+    * [[graft.ext.ScoringOps.retrievalEval]]) and the persisted tf/dl
+    * frames; the caller releases the latter via [[Canon.materialized]].
     */
-  private def bm25Top(spark: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[ext] def bm25Top(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
@@ -1122,7 +1124,7 @@ object TextOps {
       Seq("score" -> graft.plans.TopK.Desc,
         "doc_id" -> graft.plans.TopK.Asc),
       bm25TopK, rankCol = Some("rank"))
-    (top, tf, dl)
+    (top, terms, tf, dl)
   }
 
   /** Shared CTE chain ending in `bmtop` (lang, rank, doc_id, score) —
@@ -1205,7 +1207,20 @@ object TextOps {
     * plans as their standalone queries.
     */
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
-    val (bmTop, tf, dl) = bm25Top(spark, sfDir)
+    val (bmTop, _, tf, dl) = bm25Top(spark, sfDir)
+    Canon.materialized(
+      Canon.canonicalize(rrfTopFrom(spark, sfDir, bmTop)
+        .select("lang", "rank", "doc_id", "rrf")),
+      tf, dl)
+  }
+
+  /** The fusion stage over an already-built BM25 top list — ONE
+    * definition serves [[rrfFusion]] and the retrieval-eval telemetry
+    * ([[graft.ext.ScoringOps.retrievalEval]]), so the ranking those two
+    * queries see cannot drift.
+    */
+  private[ext] def rrfTopFrom(spark: SparkSession, sfDir: String,
+                              bmTop: DataFrame): DataFrame = {
     val qual = withQualityScore(documents(spark, sfDir)
       .withColumn("norm", normText(col("text"))))
       .select(col("doc_id"), col("lang"), col("quality_score"))
@@ -1221,19 +1236,19 @@ object TextOps {
       .join(qTop.select(col("lang"), col("doc_id"), col("rank").as("r_q")),
         Seq("lang", "doc_id"), "full_outer")
       .withColumn("rrf", rr(col("r_bm")) + rr(col("r_q")))
-    val top = graft.plans.TopK.perKey(
+    graft.plans.TopK.perKey(
       fused.select("lang", "doc_id", "rrf"), Seq("lang"),
       Seq("rrf" -> graft.plans.TopK.Desc,
         "doc_id" -> graft.plans.TopK.Asc),
       rrfTopK, rankCol = Some("rank"))
-    Canon.materialized(
-      Canon.canonicalize(top.select("lang", "rank", "doc_id", "rrf")),
-      tf, dl)
   }
 
-  val rrfFusionOracle: String =
-    s"""WITH $bm25Cte,
-       |qf AS (
+  /** The RRF chain as composable CTEs (assumes `bmtop` exists; ends in
+    * `rranked`) — shared by [[rrfFusionOracle]] and the retrieval-eval
+    * oracle.
+    */
+  private[ext] def rrfCtes: String =
+    s"""qf AS (
        |  SELECT doc_id, lang,
        |    CAST(len(regexp_extract_all($normSql, '$wordPat')) AS DOUBLE) AS n_tokens,
        |    CAST(len(regexp_extract_all($normSql, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) AS n_stop,
@@ -1258,7 +1273,11 @@ object TextOps {
        |rranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY lang
        |            ORDER BY rrf DESC, doc_id ASC) AS rank
-       |  FROM pool)
+       |  FROM pool)""".stripMargin
+
+  val rrfFusionOracle: String =
+    s"""WITH $bm25Cte,
+       |$rrfCtes
        |SELECT lang, rank, doc_id, rrf FROM rranked
        |WHERE rank <= $rrfTopK""".stripMargin
 }

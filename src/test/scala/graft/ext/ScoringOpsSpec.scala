@@ -128,4 +128,78 @@ class ScoringOpsSpec extends SparkSpec {
     }
   }
 
+  test("retrievalEval equals a driver recompute of nDCG/MRR from the " +
+      "public rankings and independently derived relevance labels") {
+    // driver-side relevance: tokenize with the shared rule, take each
+    // lang's two top-df tokens (df desc, token asc — the bm25 query),
+    // grade docs by how many they contain
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val docToks = docs.map { case (id, lang, text) =>
+      val norm = text.replaceAll("\\s+", " ").trim
+        .toLowerCase(java.util.Locale.ROOT)
+      (id, lang, norm.split(" ").filter(_.nonEmpty).toSet)
+    }
+    val terms: Map[String, Seq[String]] = docToks.groupBy(_._2)
+      .view.mapValues { ds =>
+        ds.flatMap(_._3.map(t => t -> 1)).groupBy(_._1)
+          .view.mapValues(_.size).toSeq
+          .sortBy { case (t, df) => (-df, t) }.take(2).map(_._1)
+      }.toMap
+    val rel: Map[(String, Long), Long] = docToks.map {
+      case (id, lang, toks) =>
+        (lang, id) -> terms(lang).count(toks.contains).toLong
+    }.filter(_._2 > 0).toMap
+
+    // the three ranked lists, via the PUBLIC operators
+    val lists: Seq[(String, String, Long, Long)] =
+      TextOps.bm25(spark, sfDir).as[(String, Long, Long, Double)]
+        .collect().toSeq
+        .map { case (lang, rank, id, _) => ("bm25", lang, rank, id) } ++
+      ScoringOps.rerank(spark, sfDir)
+        .as[(String, Long, Long, Long, Double)].collect().toSeq
+        .map { case (lang, rr, id, _, _) => ("rerank", lang, rr, id) } ++
+      TextOps.rrfFusion(spark, sfDir).as[(String, Long, Long, Double)]
+        .collect().toSeq
+        .map { case (lang, rank, id, _) => ("rrf", lang, rank, id) }
+
+    val disc = ScoringOps.ndcgDiscFp.map { case (r, d) => r.toLong -> d }
+      .toMap
+    val k = TextOps.bm25TopK
+    def gain(r: Long): Long = if (r == 2) 3L else if (r == 1) 1L else 0L
+    val idcg: Map[String, Long] = rel.toSeq
+      .map { case ((lang, id), r) => (lang, id, r) }.groupBy(_._1)
+      .view.mapValues { ds =>
+        ds.sortBy(d => (-d._3, d._2)).take(k).zipWithIndex
+          .map { case ((_, _, r), i) => gain(r) * disc(i + 1L) }.sum
+      }.toMap
+    val expected = lists.groupBy(l => (l._1, l._2)).map {
+      case ((sys, lang), rows) =>
+        val graded = rows.map(r => (r._3, rel.getOrElse((lang, r._4), 0L)))
+        val dcg = graded.map { case (rk, r) => gain(r) * disc(rk) }.sum
+        val fr = graded.filter(_._2 > 0).map(_._1).sorted.headOption
+        (sys, lang,
+          graded.count(_._2 > 0).toLong,
+          fr.getOrElse(0L),
+          dcg.toDouble / idcg(lang).toDouble,
+          fr.fold(0.0)(f =>
+            (ScoringOps.ndcgScale / f).toDouble /
+              ScoringOps.ndcgScale.toDouble))
+    }.toSet
+
+    val got = ScoringOps.retrievalEval(spark, sfDir)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // structural invariants: one row per (system, lang); bm25's top doc
+    // always contains a query term (its score is positive), so its MRR
+    // is exactly 1; every nDCG is in (0, 1]
+    assert(got.map(r => (r._1, r._2)).size == got.size)
+    got.filter(_._1 == "bm25").foreach { r =>
+      assert(r._4 == 1L && r._6 == 1.0, r.toString)
+    }
+    got.foreach(r => assert(r._5 > 0.0 && r._5 <= 1.0, r.toString))
+  }
+
 }
