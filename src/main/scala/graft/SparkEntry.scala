@@ -160,6 +160,10 @@ object SparkEntry {
     // apply the trained merges: real per-doc BPE token counts
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
     "q_wordpiece_encode" -> ((s, dir) => ext.BpeOps.wordpieceEncode(s, dir)),
+    // byte-fallback encode against the digit-holed vocabulary: zero
+    // UNK by construction, fallback exercised on real fixture words
+    "q_wordpiece_bytefallback" ->
+      ((s, dir) => ext.BpeOps.wordpieceEncodeByteFallback(s, dir)),
     "q_compression_ratio" -> ((s, dir) => ext.BpeOps.compressionRatio(s, dir)),
     // packing budgeted in trained BPE tokens, not whitespace words
     "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
@@ -345,6 +349,8 @@ object SparkEntry {
     "q_bpe_train_forgotten" -> ext.BpeOps.bpeTrainForgottenOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
     "q_wordpiece_encode" -> ext.BpeOps.wordpieceEncodeOracle,
+    "q_wordpiece_bytefallback" ->
+      ext.BpeOps.wordpieceEncodeByteFallbackOracle,
     "q_compression_ratio" -> ext.BpeOps.compressionRatioOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,

@@ -922,4 +922,122 @@ object BpeOps {
        |  CAST(coalesce(n_unk, 0) AS BIGINT) AS n_unk_words
        |FROM documents LEFT JOIN wagg USING (doc_id)""".stripMargin
   }
+
+  // ---- byte-fallback encoding ----------------------------------------
+
+  /** BYTE-FALLBACK encoding — the guarantee shipped tokenizers
+    * (SentencePiece / Llama-family) actually make: ANY UTF-8 input
+    * encodes with ZERO unknown tokens, because a position no vocabulary
+    * entry matches consumes one code point and emits its UTF-8 bytes as
+    * `<0xNN>` tokens, then greedy matching RESUMES mid-word —
+    * [[wordpieceEncode]]'s whole-word [UNK] collapse replaced by a
+    * byte-exact escape hatch ([[graft.functions.WordPieceGreedy]] with
+    * `byteFallback = true`; the spec round-trips arbitrary UTF-8 —
+    * Greek, CJK, astral emoji — back to the original bytes).
+    *
+    * On the training corpus every character is in vocabulary, which
+    * would leave the fallback path structurally unexercised — so THIS
+    * query encodes against the vocabulary with every entry containing
+    * a digit or the letter 'e' removed (a deterministic hole — 'e'
+    * because the fixture corpus happens to be digit-free — putting
+    * those characters out-of-alphabet exactly as a new script would
+    * be), making real fixture words take the byte path mid-word and
+    * resume. Per doc: word count, total byte-fallback token count,
+    * words that needed ≥1 byte escape. Scale shape identical to
+    * [[wordpieceEncode]] (distinct-word table encode inside codegen,
+    * broadcast probe back).
+    */
+  def wordpieceEncodeByteFallback(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val words = tokenWords(spark, sfDir).persist()
+    val merges = trainedMerges(spark, sfDir, Some(words))
+    val baseChars = words
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq // alphabet-sized
+    // the deterministic fallback hole (ASCII-range check, the exact
+    // twin of the oracle's [e0-9] regex)
+    val vocab = (baseChars ++ merges.map(_._5)).distinct
+      .filterNot(_.exists(c => c == 'e' || (c >= '0' && c <= '9')))
+    val maxW = Option(words.agg(max(length(col("w")))).head.get(0))
+      .fold(0)(_.asInstanceOf[Int])
+    require(maxW <= wpGreedySteps,
+      s"byte-fallback encode: corpus has a $maxW-char word but the " +
+        s"greedy oracle unrolls $wpGreedySteps steps; raise wpGreedySteps")
+    val pieces = graft.functions.WordPieceGreedy.byteFallback(col("w"),
+      vocab)
+    val wordLen = words.select(col("w"),
+      size(pieces).as("n_bf"),
+      exists(pieces, p => p.startsWith("<0x")).as("fb"))
+    val docTokens = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
+    val out = TextOps.documents(spark, sfDir).select("doc_id")
+      .join(docTokens
+          .join(broadcast(wordLen), Seq("w"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_words"),
+            sum("n_bf").as("n_bf_tokens"),
+            sum(when(col("fb"), 1L).otherwise(0L)).as("n_fallback_words")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bf_tokens"), lit(0L)).as("n_bf_tokens"),
+        coalesce(col("n_fallback_words"), lit(0L)).as("n_fallback_words"))
+    Canon.materialized(Canon.canonicalize(out), words)
+  }
+
+  /** The greedy walk with the byte escape: a step with no match
+    * consumes one character and adds its UTF-8 byte count (DuckDB
+    * `strlen` = byte length; the Spark twin is the expression's
+    * per-byte emission), then continues — no whole-word collapse. The
+    * vocabulary CTE is the shared one minus digit-bearing entries.
+    */
+  val wordpieceEncodeByteFallbackOracle: String = {
+    val steps = (0 until wpGreedySteps).map { i =>
+      s"""bm$i AS (
+         |  SELECT g.w, g.rem, g.n, g.fb,
+         |         max(CASE WHEN g.rem <> ''
+         |                   AND v.tok = substr(g.rem, 1, len(v.tok))
+         |                  THEN len(v.tok) END) AS bl
+         |  FROM bg$i g LEFT JOIN bvoc v
+         |    ON g.rem <> '' AND v.tok = substr(g.rem, 1, len(v.tok))
+         |  GROUP BY 1, 2, 3, 4),
+         |bg${i + 1} AS (
+         |  SELECT w,
+         |         CASE WHEN rem = '' THEN ''
+         |              WHEN bl IS NULL THEN substr(rem, 2)
+         |              ELSE substr(rem, CAST(bl AS INT) + 1) END AS rem,
+         |         CASE WHEN rem = '' THEN n
+         |              WHEN bl IS NULL THEN n + strlen(substr(rem, 1, 1))
+         |              ELSE n + 1 END AS n,
+         |         CASE WHEN rem <> '' AND bl IS NULL THEN TRUE
+         |              ELSE fb END AS fb
+         |  FROM bm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |$oracleChainCtes,
+       |bvoc AS MATERIALIZED (
+       |  SELECT tok FROM (
+       |    SELECT DISTINCT unnest(string_split(w, '')) AS tok FROM w0
+       |    UNION
+       |    ${(0 until bpeRounds)
+          .map(r => s"SELECT ab AS tok FROM acc$r").mkString("\n    UNION ")})
+       |  WHERE NOT regexp_matches(tok, '[e0-9]')),
+       |bg0 AS (SELECT w, w AS rem, 0 AS n, FALSE AS fb FROM w0),
+       |$steps,
+       |bfl AS (SELECT w, n AS n_bf, fb FROM bg$wpGreedySteps),
+       |bdt AS (
+       |  SELECT doc_id, unnest(${CurationOps.toksSql}) AS w
+       |  FROM documents),
+       |bagg AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(n_bf) AS n_bf,
+       |         sum(CASE WHEN fb THEN 1 ELSE 0 END) AS n_fb
+       |  FROM bdt JOIN bfl USING (w) GROUP BY 1)
+       |SELECT documents.doc_id,
+       |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_bf, 0) AS BIGINT) AS n_bf_tokens,
+       |  CAST(coalesce(n_fb, 0) AS BIGINT) AS n_fallback_words
+       |FROM documents LEFT JOIN bagg USING (doc_id)""".stripMargin
+  }
 }

@@ -29,8 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * compiled scan with at most `maxLen` hash probes per emitted piece
   * and stays inside whole-stage codegen (CodegenGateSpec-gated).
   */
+/** @param byteFallback when true, a position no vocabulary entry
+  *   matches consumes ONE code point and emits its UTF-8 bytes as
+  *   `<0xNN>` tokens (the SentencePiece/Llama byte-fallback guarantee:
+  *   any UTF-8 input encodes with zero UNK), then matching RESUMES on
+  *   the rest of the word — instead of the whole-word `unk` collapse.
+  */
 case class WordPieceGreedy(child: Expression, vocab: Seq[String],
-                           unk: String = WordPieceGreedy.defaultUnk)
+                           unk: String = WordPieceGreedy.defaultUnk,
+                           byteFallback: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -46,7 +53,7 @@ case class WordPieceGreedy(child: Expression, vocab: Seq[String],
   override def prettyName: String = "wordpiece_greedy"
 
   @transient private lazy val table =
-    new WordPieceGreedy.Vocab(vocab.toArray, unk)
+    new WordPieceGreedy.Vocab(vocab.toArray, unk, byteFallback)
 
   override protected def nullSafeEval(w: Any): Any =
     WordPieceGreedy.encode(w.asInstanceOf[UTF8String], table)
@@ -72,7 +79,8 @@ object WordPieceGreedy {
     * lazily per JVM) with the max entry length that bounds the probe
     * window.
     */
-  final class Vocab(private val words: Array[String], unkStr: String)
+  final class Vocab(private val words: Array[String], unkStr: String,
+                    val byteFallback: Boolean = false)
       extends Serializable {
     @transient lazy val set: java.util.HashSet[UTF8String] = {
       val s = new java.util.HashSet[UTF8String](words.length * 2)
@@ -98,13 +106,29 @@ object WordPieceGreedy {
         val cand = w.substring(pos, pos + len)
         if (v.set.contains(cand)) hit = cand else len -= 1
       }
-      if (hit == null) return new GenericArrayData(Array[Any](v.unk))
-      out += hit
-      pos += hit.numChars()
+      if (hit == null) {
+        if (!v.byteFallback)
+          return new GenericArrayData(Array[Any](v.unk))
+        // consume ONE code point, emit its UTF-8 bytes, keep matching
+        val bytes = w.substring(pos, pos + 1).getBytes
+        var i = 0
+        while (i < bytes.length) {
+          out += UTF8String.fromString(f"<0x${bytes(i) & 0xFF}%02X>")
+          i += 1
+        }
+        pos += 1
+      } else {
+        out += hit
+        pos += hit.numChars()
+      }
     }
     new GenericArrayData(out.toArray)
   }
 
   def apply(c: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(WordPieceGreedy(ColumnBridge.expression(c), vocab))
+
+  def byteFallback(c: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(WordPieceGreedy(ColumnBridge.expression(c), vocab,
+      byteFallback = true))
 }

@@ -298,4 +298,71 @@ class BpeOpsSpec extends SparkSpec {
       assert(nWp <= chars(id), s"doc $id: more pieces than characters")
   }
 
+  test("byte fallback: zero UNK on arbitrary UTF-8, and the pieces " +
+      "round-trip to the original bytes") {
+    import graft.functions.WordPieceGreedy
+    val vocab = Seq("a", "b", "ab", "he", "llo")
+    // Latin with diacritics, Greek, CJK, and an ASTRAL emoji (4-byte
+    // UTF-8, a surrogate pair in the JVM) — none matchable beyond the
+    // ascii vocab entries
+    val words = Seq("ab12", "héllo", "καλημέρα", "日本語ab", "a😀b", "𝕏")
+    val got = words.toDF("w")
+      .select(col("w"),
+        WordPieceGreedy.byteFallback(col("w"), vocab).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    val byteTok = "<0x([0-9A-F]{2})>".r
+    for (w <- words) {
+      val pieces = got(w)
+      assert(!pieces.contains("[UNK]"), s"$w: $pieces")
+      // decode: byte tokens to their byte, others to their UTF-8 bytes
+      val bytes = pieces.flatMap {
+        case byteTok(h) => Seq(Integer.parseInt(h, 16).toByte)
+        case t =>
+          assert(vocab.contains(t), s"$w: non-vocab piece $t")
+          t.getBytes("UTF-8").toSeq
+      }.toArray
+      assert(new String(bytes, "UTF-8") == w,
+        s"$w round-trip broke: $pieces")
+    }
+    // mid-word escape and RESUME: greedy matches 'ab', bytes the
+    // digits, never collapses the word
+    assert(got("ab12") == Seq("ab", "<0x31>", "<0x32>"))
+    // an astral code point is ONE fallback unit of four bytes
+    assert(got("𝕏").length == 4 && got("𝕏").forall(_.startsWith("<0x")))
+    // with full coverage the flag is equivalent to plain wordpiece
+    val both = Seq("abab", "ab").toDF("w")
+      .select(WordPieceGreedy(col("w"), vocab).as("p"),
+        WordPieceGreedy.byteFallback(col("w"), vocab).as("q"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (p, q) => assert(p == q) }
+  }
+
+  test("byte-fallback corpus encode: no word collapses, fallback " +
+      "words are exactly the hole-bearing ones") {
+    val enc = BpeOps.wordpieceEncodeByteFallback(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(enc.nonEmpty)
+    // driver truth: which docs contain hole-character ('e' or digit)
+    // words, and the shared word counts
+    val docs = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val words = docs.map { case (id, text) =>
+      val norm = text.replaceAll("\\s+", " ").trim
+        .toLowerCase(java.util.Locale.ROOT)
+      id -> norm.split(" ").filter(_.nonEmpty).toSeq
+    }.toMap
+    var fallbackSeen = 0L
+    for ((id, nWords, nBf, nFb) <- enc) {
+      assert(nWords == words(id).size.toLong, s"doc $id word count")
+      val expFb = words(id)
+        .count(_.exists(c => c == 'e' || (c >= '0' && c <= '9'))).toLong
+      assert(nFb == expFb, s"doc $id: fallback words $nFb != $expFb")
+      // every word still yields >= 1 piece — nothing collapsed to UNK
+      assert(nBf >= nWords, s"doc $id")
+      fallbackSeen += nFb
+    }
+    assert(fallbackSeen > 0L,
+      "fixture never exercised the fallback path — the vocab hole is gone")
+  }
+
 }
