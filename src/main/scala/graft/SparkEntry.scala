@@ -159,6 +159,9 @@ object SparkEntry {
       ((s, dir) => ext.BpeOps.bpeTrainForgotten(s, dir)),
     // apply the trained merges: real per-doc BPE token counts
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
+    // DoReMi-lite: excess reference-LM loss -> multiplicative mix
+    // reweighting in mixturePlan's contract
+    "q_doremi_mix" -> ((s, dir) => ext.SampleOps.doremiMix(s, dir)),
     "q_wordpiece_encode" -> ((s, dir) => ext.BpeOps.wordpieceEncode(s, dir)),
     // byte-fallback encode against the digit-holed vocabulary: zero
     // UNK by construction, fallback exercised on real fixture words
@@ -348,6 +351,7 @@ object SparkEntry {
     "q_bpe_train_merged" -> ext.BpeOps.bpeTrainOracle,
     "q_bpe_train_forgotten" -> ext.BpeOps.bpeTrainForgottenOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
+    "q_doremi_mix" -> ext.SampleOps.doremiMixOracle,
     "q_wordpiece_encode" -> ext.BpeOps.wordpieceEncodeOracle,
     "q_wordpiece_bytefallback" ->
       ext.BpeOps.wordpieceEncodeByteFallbackOracle,

@@ -689,4 +689,148 @@ object SampleOps {
        |       mean_ratio >= t AS selected
        |FROM sc, thr""".stripMargin
   }
+
+  // ---- DoReMi-lite mixture reweighting --------------------------------
+
+  /** Fixed-point unit of the DoReMi factor arithmetic; steps are
+    * clamped to ±[[doremiScale]]/2 so one round's multiplier stays in
+    * [0.5, 1.5].
+    */
+  val doremiScale = 1000000L
+
+  /** Multiplicative-update rounds — unrolled in the oracle (the
+    * pageRank/BT discipline).
+    */
+  val doremiRounds = 8
+
+  /** DOREMI-LITE mixture reweighting (cf. DoReMi, Xie et al. 2023):
+    * reweight the per-source training mix by EXCESS FLUENCY LOSS under
+    * the reference n-gram LM — the published algorithm's shape with the
+    * reference-LM surprise standing in for the proxy/reference loss
+    * gap, composing [[graft.ext.LmOps]] scoring with [[mixturePlan]]'s
+    * share contract:
+    *
+    *  - per source: token-weighted mean surprise `F_s = Σ sum_fp / Σ n`
+    *    over the doc scores (exact integer division of the fixed-point
+    *    LM internals — never the per-doc double), and the corpus-wide
+    *    `F`; `excess_s = F_s − F` (positive = this source is HARDER
+    *    than average under the reference model, so DoReMi upweights
+    *    it — those are the domains with the most left to learn);
+    *  - multiplicative update: [[doremiRounds]] rounds of
+    *    `w ← w · (scale + step_s) / scale` from `w₀ = n_docs`, where
+    *    `step_s` is the relative excess `excess·scale / 2F` clamped to
+    *    ±scale/2 — sign-and-magnitude so every division is
+    *    non-negative (Spark `div` ≡ DuckDB `//`);
+    *  - normalize to permille → target_docs / repeat_factor, exactly
+    *    [[mixturePlan]]'s output contract, so the reweighted mix plugs
+    *    in wherever the static plan does.
+    *
+    * Scale shape: the corpus contributes the LM scoring pass; sources
+    * fold to a |sources|-row stats table and the whole update chain
+    * runs on that bounded frame (no driver sync at all — the rounds
+    * are eight chained projections). BIGINT headroom: w ≤ n_docs·1.5⁸
+    * ≈ 26·n_docs, times the 1.5·10⁶ factor pre-division — safe to
+    * ~2·10¹¹ docs per source.
+    */
+  def doremiMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)
+    val docs = TextOps.documents(spark, sfDir)
+    val perDoc = LmOps.scoreDocs(LmOps.withToks(docs), cAb, cA, voc)
+      .filter(col("scored"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val bySrc = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("sum_fp").as("s_fp"),
+      sum("n_bigrams").as("n_bg"))
+    Canon.canonicalize(doremiFromStats(bySrc))
+  }
+
+  /** The update chain over a (source, n_docs, s_fp, n_bg) stats frame —
+    * the seam the spec drives with constructed fixtures whose integer
+    * chain it recomputes by hand.
+    */
+  private[ext] def doremiFromStats(bySrc: DataFrame): DataFrame = {
+    val half = doremiScale / 2
+    val totals = bySrc.agg(sum("s_fp").as("st_fp"),
+      sum("n_bg").as("nt_bg"))
+    var w = bySrc.crossJoin(broadcast(totals))
+      .withColumn("f_s", expr("s_fp div n_bg"))
+      .withColumn("f_c", expr("st_fp div nt_bg"))
+      .withColumn("excess_fp", col("f_s") - col("f_c"))
+      .withColumn("step", expr(
+        s"CASE WHEN excess_fp < 0 THEN -1L ELSE 1L END" +
+          s" * (abs(excess_fp) * ${doremiScale}L div (2L * f_c))"))
+      .withColumn("factor", expr(
+        s"${doremiScale}L + greatest(-${half}L, least(${half}L, step))"))
+      .withColumn("w", col("n_docs"))
+    for (_ <- 1 to doremiRounds)
+      w = w.withColumn("w", expr(s"w * factor div ${doremiScale}L"))
+    val tot = w.agg(sum("w").as("w_tot"), sum("n_docs").as("n_total"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("1000L * w div w_tot"))
+      .withColumn("target_docs",
+        expr("share_permille * n_total div 1000L"))
+      .select(col("source"), col("n_docs"),
+        (col("excess_fp").cast("double") /
+          lit(LmOps.lmScale.toDouble)).as("excess"),
+        col("share_permille"), col("target_docs"),
+        (col("target_docs").cast("double") / col("n_docs").cast("double"))
+          .as("repeat_factor"))
+  }
+
+  /** Composes the LM scoring CTE chain (integer `pd` internals, not the
+    * per-doc double) with the unrolled update — same integer literals,
+    * every division non-negative.
+    */
+  def doremiMixOracle: String = {
+    val half = doremiScale / 2
+    val rounds = (1 to doremiRounds).map { r =>
+      s"""dw$r AS (
+         |  SELECT source, n_docs, excess_fp, factor,
+         |         w * factor // $doremiScale AS w
+         |  FROM dw${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${LmOps.lmScoreCtes},
+       |sdoc AS (
+       |  SELECT d.source, p.sum_fp, p.n
+       |  FROM pd p JOIN documents d USING (doc_id)),
+       |bysrc AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(sum_fp) AS BIGINT) AS s_fp,
+       |         CAST(sum(n) AS BIGINT) AS n_bg
+       |  FROM sdoc GROUP BY 1),
+       |dtot AS (
+       |  SELECT CAST(sum(s_fp) AS BIGINT) AS st_fp,
+       |         CAST(sum(n_bg) AS BIGINT) AS nt_bg
+       |  FROM bysrc),
+       |dfx AS (
+       |  SELECT source, n_docs,
+       |         (s_fp // n_bg) - (st_fp // nt_bg) AS excess_fp,
+       |         st_fp // nt_bg AS f_c
+       |  FROM bysrc, dtot),
+       |dfac AS (
+       |  SELECT source, n_docs, excess_fp,
+       |         $doremiScale + greatest(-$half, least($half,
+       |           (CASE WHEN excess_fp < 0 THEN -1 ELSE 1 END)
+       |             * (abs(excess_fp) * $doremiScale // (2 * f_c))))
+       |           AS factor
+       |  FROM dfx),
+       |dw0 AS (
+       |  SELECT source, n_docs, excess_fp, factor,
+       |         CAST(n_docs AS BIGINT) AS w
+       |  FROM dfac),
+       |$rounds,
+       |dwt AS (
+       |  SELECT CAST(sum(w) AS BIGINT) AS w_tot,
+       |         CAST(sum(n_docs) AS BIGINT) AS n_total
+       |  FROM dw$doremiRounds)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(excess_fp AS DOUBLE) / ${LmOps.lmScale}.0 AS excess,
+       |       CAST(1000 * w // w_tot AS BIGINT) AS share_permille,
+       |       CAST((1000 * w // w_tot) * n_total // 1000 AS BIGINT)
+       |         AS target_docs,
+       |       CAST((1000 * w // w_tot) * n_total // 1000 AS DOUBLE)
+       |         / CAST(n_docs AS DOUBLE) AS repeat_factor
+       |FROM dw$doremiRounds, dwt""".stripMargin
+  }
 }

@@ -383,4 +383,80 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  /** Driver twin of the doremiFromStats integer chain. */
+  private def doremiDriver(stats: Seq[(String, Long, Long, Long)])
+      : Map[String, (Long, Long, Long)] = {
+    val sc = SampleOps.doremiScale
+    val half = sc / 2
+    val fC = stats.map(_._3).sum / stats.map(_._4).sum
+    val rows = stats.map { case (src, nDocs, sFp, nBg) =>
+      val excess = sFp / nBg - fC
+      val step = (if (excess < 0) -1L else 1L) *
+        (math.abs(excess) * sc / (2 * fC))
+      val factor = sc + math.max(-half, math.min(half, step))
+      var w = nDocs
+      for (_ <- 1 to SampleOps.doremiRounds) w = w * factor / sc
+      (src, nDocs, excess, w)
+    }
+    val wTot = rows.map(_._4).sum
+    val nTotal = rows.map(_._2).sum
+    rows.map { case (src, nDocs, excess, w) =>
+      val share = 1000L * w / wTot
+      src -> ((excess, share, share * nTotal / 1000L))
+    }.toMap
+  }
+
+  test("doremiFromStats equals the driver twin on a constructed " +
+      "fixture; hard sources gain share, fluent ones lose it") {
+    // three sources, identical sizes so direction is isolated from
+    // volume: 'hard' is 2x the corpus surprise, 'easy' half of it,
+    // 'mid' exactly at it
+    val stats = Seq(
+      ("hard", 100L, 8000000000L, 100L),  // F_s = 8e7
+      ("mid",  100L, 4000000000L, 100L),  // F_s = 4e7
+      ("easy", 100L, 2000000000L, 100L))  // F_s = 2e7
+    // corpus F = 14e9 / 300 ≈ 4.667e7
+    val got = SampleOps.doremiFromStats(
+        stats.toDF("source", "n_docs", "s_fp", "n_bg"))
+      .select(col("source"), col("n_docs"), col("share_permille"),
+        col("target_docs"), col("excess"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val exp = doremiDriver(stats)
+    for ((src, (excess, share, target)) <- exp) {
+      val (_, gShare, gTarget, gExcess) = got(src)
+      assert(gShare == share && gTarget == target,
+        s"$src: got ${got(src)}, expected ($share, $target)")
+      assert(gExcess == excess.toDouble / LmOps.lmScale.toDouble, src)
+    }
+    // direction: the above-average source is upweighted past its
+    // natural third, the below-average one downweighted, monotone in
+    // excess
+    assert(got("hard")._2 > 334L, got.toString)
+    assert(got("easy")._2 < 333L, got.toString)
+    assert(got("hard")._2 > got("mid")._2 &&
+      got("mid")._2 > got("easy")._2, got.toString)
+    // conservation: permille partition up to floor loss
+    val sum = got.values.map(_._2).sum
+    assert(sum <= 1000L && sum > 1000L - stats.size, sum.toString)
+  }
+
+  test("q_doremi_mix conserves the permille partition and the " +
+      "mixturePlan output contract on the fixture") {
+    val out = SampleOps.doremiMix(spark, sfDir)
+      .as[(String, Long, Double, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val nTotal = out.map(_._2).sum
+    val shares = out.map(_._4)
+    assert(shares.sum <= 1000L && shares.sum > 1000L - out.length,
+      shares.mkString(","))
+    for ((src, nDocs, _, share, target, rf) <- out) {
+      assert(target == share * nTotal / 1000L, src)
+      assert(rf == target.toDouble / nDocs.toDouble, src)
+    }
+    // excess is centered: at least one source on each side unless the
+    // corpus is perfectly uniform
+    assert(out.map(_._3).max >= 0.0 && out.map(_._3).min <= 0.0)
+  }
+
 }
