@@ -119,6 +119,12 @@ object SparkEntry {
     // must equal the never-merged base clustering
     "q_dedup_clusters_forgotten" ->
       ((s, dir) => DedupOps.dedupClustersForgotten(s, dir)),
+    // persisted EXACT-dedup hash ledger: probe a re-crawl batch, and
+    // the merge→forget round trip back to the never-merged base
+    "q_sha_ledger_probe" ->
+      ((s, dir) => ext.LedgerOps.shaLedgerProbeQuery(s, dir)),
+    "q_sha_ledger_forgotten" ->
+      ((s, dir) => ext.LedgerOps.shaLedgerForgottenQuery(s, dir)),
     // same flow against the PERSISTED corpus LSH index (offline build)
     "q_minhash_lsh_indexed" -> ((s, dir) => DedupOps.minhashLshIndexed(s, dir)),
     "q_minhash_lsh_merged" -> ((s, dir) => DedupOps.minhashLshMerged(s, dir)),
@@ -324,6 +330,8 @@ object SparkEntry {
     "q_minhash_lsh_incr" -> DedupOps.minhashLshIncrementalOracle,
     "q_dedup_clusters_incr" -> DedupOps.dedupClustersLshOracle,
     "q_dedup_clusters_forgotten" -> DedupOps.dedupClustersForgottenOracle,
+    "q_sha_ledger_probe" -> ext.LedgerOps.shaLedgerProbeOracle,
+    "q_sha_ledger_forgotten" -> ext.LedgerOps.shaLedgerForgottenOracle,
     // indexed probe is semantics-identical → shares the incremental oracle
     "q_minhash_lsh_indexed" -> DedupOps.minhashLshIncrementalOracle,
     "q_minhash_lsh_merged" -> DedupOps.minhashLshMergedOracle,

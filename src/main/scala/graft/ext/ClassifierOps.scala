@@ -109,10 +109,16 @@ object ClassifierOps {
       s"quality classifier needs both classes in the training slice " +
         s"(t0=$t0, t1=$t1)")
     val grid = spark.range(qcBuckets).select(col("id").cast("int").as("b"))
+    // DECIMAL(38,0) intermediates: the numerator is count·total·scale —
+    // three corpus-scaled factors whose BIGINT product overflows at
+    // ~100× the bench corpus (caught by the ×100 posture run). The
+    // integer quotient is unchanged and fits BIGINT (λ ≤ (t1+D)·S).
     val out = grid.join(byB, Seq("b"), "left")
       .select(col("b"), expr(
-        s"""(coalesce(c1, 0L) + 1L) * ${t0 + qcBuckets}L * $qcScale
-           | div ((coalesce(c0, 0L) + 1L) * ${t1 + qcBuckets}L)"""
+        s"""CAST(CAST(coalesce(c1, 0L) + 1L AS DECIMAL(38,0))
+           | * ${t0 + qcBuckets}L * $qcScale
+           | div (CAST(coalesce(c0, 0L) + 1L AS DECIMAL(38,0))
+           | * ${t1 + qcBuckets}L) AS BIGINT)"""
           .stripMargin.replace("\n", "")).as("lam"))
       .as[(Int, Long)].collect().toMap
     byB.unpersist(false)
@@ -326,8 +332,14 @@ object ClassifierOps {
     val tot = cnt.groupBy("lang").agg(sum("c").as("t"))
     val voc = cnt.select("g").distinct()
       .agg(count(lit(1)).as("v"))
+    // DECIMAL(38,0) product: (t+v)·S overflows BIGINT once a language
+    // holds ≳9e12 reference grams (the 100 TB regime); the quotient is
+    // unchanged. The per-doc SUM of quotients stays BIGINT-safe until
+    // ~1e12 grams/lang × 1e3 grams/doc — rescale qcScale before that.
     val inv = expr(
-      s"(t + v) * ${qcScale}L div (coalesce(c, 0L) + 1L)")
+      s"""CAST(CAST(t + v AS DECIMAL(38,0)) * ${qcScale}L
+         | div (coalesce(c, 0L) + 1L) AS BIGINT)"""
+        .stripMargin.replace("\n", ""))
     val perLang = grams
       .crossJoin(broadcast(tot.select(col("lang").as("ml"), col("t"))))
       .join(cnt.select(col("lang").as("ml"), col("g"), col("c")),
@@ -378,7 +390,7 @@ object ClassifierOps {
        |voc AS (SELECT count(DISTINCT g) AS v FROM cnt),
        |sc AS MATERIALIZED (
        |  SELECT st.doc_id, m.lang AS ml,
-       |         CAST(sum((m.t + voc.v) * $qcScale
+       |         CAST(sum(CAST(m.t + voc.v AS HUGEINT) * $qcScale
        |                  // (coalesce(c.c, 0) + 1)) AS BIGINT) AS s_fp,
        |         count(*) AS n
        |  FROM st CROSS JOIN tot m CROSS JOIN voc
@@ -446,8 +458,10 @@ object ClassifierOps {
        |               CAST(sum(c1) AS BIGINT) AS t1 FROM cnt),
        |model AS MATERIALIZED (
        |  SELECT g.b,
-       |         ((coalesce(c.c1, 0) + 1) * (t.t0 + $qcBuckets) * $qcScale)
-       |           // ((coalesce(c.c0, 0) + 1) * (t.t1 + $qcBuckets)) AS lam
+       |         CAST((CAST(coalesce(c.c1, 0) + 1 AS HUGEINT)
+       |                * (t.t0 + $qcBuckets) * $qcScale)
+       |           // (CAST(coalesce(c.c0, 0) + 1 AS HUGEINT)
+       |                * (t.t1 + $qcBuckets)) AS BIGINT) AS lam
        |  FROM range(0, $qcBuckets) g(b)
        |  CROSS JOIN tot t
        |  LEFT JOIN cnt c ON c.b = g.b),
