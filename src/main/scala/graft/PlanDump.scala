@@ -30,6 +30,7 @@ object PlanDump {
       "topk_global" -> (() => pipelines.MicroQueries.topkGlobal(spark, sf)),
       "temperature_mix" -> (() => ext.SampleOps.temperatureMix(spark, sf)),
       "wordpiece_encode" -> (() => ext.BpeOps.wordpieceEncode(spark, sf)),
+      "unigram_encode" -> (() => ext.UnigramOps.unigramEncode(spark, sf)),
       "pref_pairs" -> (() => ext.PrefOps.prefPairs(spark, sf)),
       "source_winrate" -> (() => ext.PrefOps.sourceWinRate(spark, sf)),
       "source_bt" -> (() => ext.PrefOps.sourceBt(spark, sf)),

@@ -174,6 +174,11 @@ object SparkEntry {
     "q_wordpiece_bytefallback" ->
       ((s, dir) => ext.BpeOps.wordpieceEncodeByteFallback(s, dir)),
     "q_compression_ratio" -> ((s, dir) => ext.BpeOps.compressionRatio(s, dir)),
+    // unigram-LM (SentencePiece-style) tokenizer: hard-EM trained
+    // piece table + globally-optimal Viterbi encode — the third
+    // tokenizer family beside BPE replay and WordPiece greedy
+    "q_unigram_train" -> ((s, dir) => ext.UnigramOps.unigramTrain(s, dir)),
+    "q_unigram_encode" -> ((s, dir) => ext.UnigramOps.unigramEncode(s, dir)),
     // packing budgeted in trained BPE tokens, not whitespace words
     "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
@@ -364,6 +369,8 @@ object SparkEntry {
     "q_wordpiece_bytefallback" ->
       ext.BpeOps.wordpieceEncodeByteFallbackOracle,
     "q_compression_ratio" -> ext.BpeOps.compressionRatioOracle,
+    "q_unigram_train" -> ext.UnigramOps.unigramTrainOracle,
+    "q_unigram_encode" -> ext.UnigramOps.unigramEncodeOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,

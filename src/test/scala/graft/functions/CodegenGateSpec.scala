@@ -104,7 +104,14 @@ class CodegenGateSpec extends SparkSpec {
           .toDF("w")
           .select(WordPieceGreedy(col("w"),
             Seq("l", "o", "w", "e", "s", "t", "n", "r",
-              "low", "est", "er")).as("out"))))
+              "low", "est", "er")).as("out"))),
+      ("UnigramViterbi", () =>
+        Seq("lowest", "low", "er", "newest", "zz", "")
+          .toDF("w")
+          .select(UnigramViterbi(col("w"),
+            Seq("l" -> 9L, "o" -> 9L, "w" -> 9L, "e" -> 9L, "s" -> 9L,
+              "t" -> 9L, "n" -> 9L, "r" -> 9L, "low" -> 5L, "est" -> 4L,
+              "er" -> 3L)).as("out"))))
   }
 
   /** Collect under a conf overlay, restoring prior values afterwards. */
