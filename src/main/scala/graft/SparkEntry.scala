@@ -179,6 +179,11 @@ object SparkEntry {
     // tokenizer family beside BPE replay and WordPiece greedy
     "q_unigram_train" -> ((s, dir) => ext.UnigramOps.unigramTrain(s, dir)),
     "q_unigram_encode" -> ((s, dir) => ext.UnigramOps.unigramEncode(s, dir)),
+    // word-ledger lifecycle: merge odd half in (≡ full train), then
+    // the forget round trip back to the even-half-only build
+    "q_unigram_merged" -> ((s, dir) => ext.UnigramOps.unigramMerged(s, dir)),
+    "q_unigram_forgotten" ->
+      ((s, dir) => ext.UnigramOps.unigramForgotten(s, dir)),
     // packing budgeted in trained BPE tokens, not whitespace words
     "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
@@ -371,6 +376,8 @@ object SparkEntry {
     "q_compression_ratio" -> ext.BpeOps.compressionRatioOracle,
     "q_unigram_train" -> ext.UnigramOps.unigramTrainOracle,
     "q_unigram_encode" -> ext.UnigramOps.unigramEncodeOracle,
+    "q_unigram_merged" -> ext.UnigramOps.unigramMergedOracle,
+    "q_unigram_forgotten" -> ext.UnigramOps.unigramForgottenOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,

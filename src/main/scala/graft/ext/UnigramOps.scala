@@ -143,6 +143,11 @@ object UnigramOps {
       : Seq[(String, Long, Long)] = {
     val w = words.persist()
     w.count()
+    val maxW = Option(w.agg(max(length(col("w")))).head().get(0))
+      .fold(0)(_.asInstanceOf[Int])
+    require(maxW <= uniWordSteps,
+      s"unigram: corpus has a $maxW-char word but the DP oracle " +
+        s"unrolls $uniWordSteps steps; raise uniWordSteps")
     val seed = seedCounts(w).persist()
     seed.count()
     val alphabet = seed.filter(length(col("p")) === 1)
@@ -178,13 +183,7 @@ object UnigramOps {
         s"${tag}_p${uniMaxPiece}_s${uniSeedBudget}_b${uniBudget}" +
         s"_r${uniRounds}_$fp/pieces"
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-        val words = tokenWords(spark, sfDir)
-        val maxW = Option(words.agg(max(length(col("w")))).head.get(0))
-          .fold(0)(_.asInstanceOf[Int])
-        require(maxW <= uniWordSteps,
-          s"unigram: corpus has a $maxW-char word but the DP oracle " +
-            s"unrolls $uniWordSteps steps; raise uniWordSteps")
-        val trained = trainLoop(spark, words)
+        val trained = trainLoop(spark, tokenWords(spark, sfDir))
         spark.createDataset(trained).toDF("piece", "cnt", "cost_fp")
           .coalesce(1).write.mode("overwrite").parquet(dir)
       }
@@ -236,6 +235,132 @@ object UnigramOps {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
         coalesce(col("n_single"), lit(0L)).as("n_single"))
     Canon.materialized(Canon.canonicalize(out), words)
+  }
+
+  // ---- artifact lifecycle ----------------------------------------------
+
+  /** Word-frequency counts of an explicit document frame — the
+    * lifecycle's unit of account, additive across disjoint sets and
+    * subtractive for deletions (the [[BpeOps]] / [[LmOps]] count
+    * algebra), which is what makes merge/forget EXACT: retraining from
+    * an identical word ledger is deterministic, so merged/forgotten ≡
+    * rebuilt holds bit-for-bit.
+    */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(explode(CurationOps.toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  private def lifecycleDone(dir: String): Boolean =
+    Seq("words", "pieces").forall(t =>
+      new java.io.File(s"$dir/$t/_SUCCESS").exists())
+
+  /** Lifecycle BASE corpus: even doc_ids; the odd half arrives later
+    * as the merge batch, so base ∪ batch = the whole fixture — which
+    * is why [[unigramMerged]] shares [[unigramTrainOracle]].
+    */
+  private def baseHalf(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+
+  private def oddHalf(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
+
+  private def lifecycleDir(sfDir: String): String = {
+    val fp = Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"${graft.io.Artifacts.root}/unigram_index/" +
+      s"${tag}_base2_p${uniMaxPiece}_s${uniSeedBudget}_b${uniBudget}" +
+      s"_r${uniRounds}_$fp"
+  }
+
+  private def writeIndex(spark: SparkSession, dir: String,
+                         words: DataFrame): Unit = {
+    import spark.implicits._
+    words.write.mode("overwrite").parquet(s"$dir/words")
+    val persisted = spark.read.parquet(s"$dir/words")
+    spark.createDataset(trainLoop(spark, persisted))
+      .toDF("piece", "cnt", "cost_fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pieces")
+  }
+
+  /** Build (or SUCCESS-gated reuse) the base-half unigram index: the
+    * word ledger AND the piece table trained from it.
+    */
+  def unigramIndex(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = lifecycleDir(sfDir)
+      if (!lifecycleDone(dir))
+        writeIndex(spark, dir, wordCounts(baseHalf(spark, sfDir)))
+      dir
+    }
+
+  /** MERGE a document batch into a persisted unigram index: batch word
+    * counts ADD to the ledger (base corpus never re-tokenized), pieces
+    * retrain from the summed table — vocabulary-sized work plus one
+    * batch-sized tokenization. New stamped `…_m_<tag>` dir.
+    */
+  def unigramIndexMerge(spark: SparkSession, sfDir: String,
+                        batchDocs: DataFrame, batchTag: String): String =
+    synchronized {
+      require(batchTag.matches("[A-Za-z0-9_-]+"),
+        s"batchTag must be path-safe, got '$batchTag'")
+      val base = unigramIndex(spark, sfDir)
+      val dir = s"${base}_m_$batchTag"
+      if (!lifecycleDone(dir)) {
+        val merged = spark.read.parquet(s"$base/words")
+          .union(wordCounts(batchDocs))
+          .groupBy("w").agg(sum("f").as("f"))
+        writeIndex(spark, dir, merged)
+      }
+      dir
+    }
+
+  /** FORGET a document batch: its word counts SUBTRACT from the
+    * ledger (zero rows dropped), pieces retrain. `…_f_<tag>` dir;
+    * forgotten ≡ a build that never saw those documents, exactly.
+    */
+  def unigramIndexForget(spark: SparkSession, baseDir: String,
+                         forgetDocs: DataFrame, tag: String): String =
+    synchronized {
+      require(tag.matches("[A-Za-z0-9_-]+"),
+        s"tag must be path-safe, got '$tag'")
+      val dir = s"${baseDir}_f_$tag"
+      if (!lifecycleDone(dir)) {
+        val remaining = spark.read.parquet(s"$baseDir/words")
+          .union(wordCounts(forgetDocs)
+            .select(col("w"), (-col("f")).as("f")))
+          .groupBy("w").agg(sum("f").as("f"))
+          .filter(col("f") > 0)
+        writeIndex(spark, dir, remaining)
+      }
+      dir
+    }
+
+  private def readPieces(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Canon.canonicalize(spark.read.parquet(s"$dir/pieces")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+      .toDF("piece", "cnt", "cost_fp"))
+  }
+
+  /** Merge lifecycle as one query: base index on the even half, MERGE
+    * the odd half in, report the retrained pieces — must equal
+    * training on the whole fixture (summed ledger ≡ full count), so it
+    * SHARES [[unigramTrainOracle]].
+    */
+  def unigramMerged(spark: SparkSession, sfDir: String): DataFrame =
+    readPieces(spark,
+      unigramIndexMerge(spark, sfDir, oddHalf(spark, sfDir), "oddhalf"))
+
+  /** Forget ROUND TRIP: merge the odd half in, then forget it — the
+    * retrained pieces must equal a build that only ever saw the even
+    * half (the slice-restricted oracle).
+    */
+  def unigramForgotten(spark: SparkSession, sfDir: String): DataFrame = {
+    val merged =
+      unigramIndexMerge(spark, sfDir, oddHalf(spark, sfDir), "oddhalf")
+    readPieces(spark,
+      unigramIndexForget(spark, merged, oddHalf(spark, sfDir), "oddhalf"))
   }
 
   // ---- oracles ---------------------------------------------------------
@@ -310,12 +435,15 @@ object UnigramOps {
       .stripMargin
 
   /** Shared chain: words → seed model pc0 → EM round 1 → pc1 → EM
-    * round 2 → pc2 (the final model both queries consume).
+    * round 2 → pc2 (the final model both queries consume). `docCond`
+    * narrows the training corpus (the forget oracle's base-half
+    * restriction — the [[BpeOps]] oracleChainCtesFor discipline).
     */
-  private def chainCtes: String =
+  private def chainCtesFor(docCond: String): String =
     s"""w0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
-       |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents)
+       |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents
+       |    WHERE $docCond)
        |  GROUP BY 1),
        |seed AS MATERIALIZED (
        |  SELECT substr(s, 1, CAST(l AS INT)) AS p, CAST(sum(f) AS BIGINT)
@@ -346,9 +474,20 @@ object UnigramOps {
        |${dpCtes("b", "pc1")},
        |${modelCtes("b", "2")}""".stripMargin
 
+  private def chainCtes: String = chainCtesFor("TRUE")
+
   val unigramTrainOracle: String =
     s"""WITH
        |$chainCtes
+       |SELECT p AS piece, cnt, cost AS cost_fp FROM pc2""".stripMargin
+
+  /** Merged ≡ full-fixture training (ledger sum ≡ full count). */
+  val unigramMergedOracle: String = unigramTrainOracle
+
+  /** Forgotten ≡ a build that only ever saw the even half. */
+  val unigramForgottenOracle: String =
+    s"""WITH
+       |${chainCtesFor("doc_id % 2 = 0")}
        |SELECT p AS piece, cnt, cost AS cost_fp FROM pc2""".stripMargin
 
   val unigramEncodeOracle: String =

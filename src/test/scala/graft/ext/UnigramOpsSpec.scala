@@ -143,6 +143,32 @@ class UnigramOpsSpec extends SparkSpec {
       s"motif word fell back to chars: ${enc("kurakura")}")
   }
 
+  test("lifecycle: merged == rebuilt, forget(merge(base,X),X) == base") {
+    val batch = Seq((900001L, "kurakura zemizemi"),
+      (900002L, "kurazemi kurakura"), (900003L, "qvxw zemi"))
+      .toDF("doc_id", "text")
+    val baseDir = UnigramOps.unigramIndex(spark, sfDir)
+    val mergedDir =
+      UnigramOps.unigramIndexMerge(spark, sfDir, batch, "specbatch")
+    val forgotDir =
+      UnigramOps.unigramIndexForget(spark, mergedDir, batch, "specbatch")
+    def pieces(dir: String): Seq[(String, Long, Long)] =
+      spark.read.parquet(s"$dir/pieces")
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // forget round trip lands exactly on the never-merged base
+    assert(pieces(forgotDir) == pieces(baseDir))
+    // merged == a from-scratch build over base ∪ batch
+    val unionWords = TextOps.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .union(batch)
+      .select(explode(CurationOps.toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val rebuilt = UnigramOps.trainLoop(spark, unionWords).sortBy(_._1)
+    assert(pieces(mergedDir) == rebuilt)
+    // and the merge actually changed the model (batch words counted)
+    assert(pieces(mergedDir) != pieces(baseDir))
+  }
+
   test("trainLoop is deterministic and the artifact round-trips") {
     val words = Seq("kurakura", "zemizemi", "kurazemi", "kura", "zemi")
       .zipWithIndex.flatMap { case (w, i) => Seq.fill(i + 2)(w) }
