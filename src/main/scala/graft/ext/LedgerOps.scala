@@ -249,6 +249,38 @@ object LedgerOps {
     out
   }
 
+  /** Streaming ADMISSION step: probe micro-batch `batchId` against the
+    * ledger chain left by batches 0..batchId-1, hand back the verdicts,
+    * and MERGE the batch in so the next micro-batch sees it — the
+    * daily-crawl admission loop as an exactly-once streaming fold.
+    *
+    * Replay-safe by construction: batch ids are stable across restarts
+    * (checkpointed), the chain dir is a pure function of (feedTag,
+    * batchId) (`base_m_<feed>-b0_m_<feed>-b1…`) — `feedTag` must be
+    * 1:1 with the stream's CHECKPOINT, because batch ids only mean
+    * anything relative to one checkpoint — the merge is SUCCESS-gated
+    * (a replayed
+    * merge is skipped, not re-applied), and the probe reads immutable
+    * prior dirs — so a crash anywhere between probe, merge, and sink
+    * write replays to byte-identical verdicts. Because merge algebra is
+    * exact, the final chained ledger ≡ one merge of the concatenated
+    * feed, and for id-ordered feeds the verdict union ≡ the one-shot
+    * whole-feed probe (LedgerOpsSpec pins both across a restart).
+    */
+  def shaLedgerAdmit(spark: SparkSession, sfDir: String, feedTag: String,
+                     batch: DataFrame, batchId: Long): DataFrame = {
+    require(feedTag.matches("[A-Za-z0-9_-]+"),
+      s"feedTag must be path-safe, got '$feedTag'")
+    val base = shaLedger(spark, sfDir)
+    val prev = (0L until batchId)
+      .foldLeft(base)((d, j) => s"${d}_m_$feedTag-b$j")
+    require(done(prev),
+      s"ledger chain broken before batch $batchId: $prev incomplete")
+    val verdicts = shaLedgerProbe(spark, prev, batch)
+    shaLedgerMerge(spark, prev, batch, s"$feedTag-b$batchId")
+    verdicts
+  }
+
   // ---- gated lifecycle queries ---------------------------------------
 
   /** The probe batch both gated queries use: the mod-10=5 slice, with

@@ -295,6 +295,35 @@ object EventStream {
       }
       .start()
 
+  /** Ingest-time EXACT-dup ADMISSION: each micro-batch is probed
+    * against the persisted SHA ledger chain and then MERGED into it
+    * ([[graft.ext.LedgerOps.shaLedgerAdmit]]) — the daily-crawl
+    * admission loop as a streaming fold, completing the dedup pair
+    * beside [[lshProbeToParquet]] (near-dup) the way the batch ledger
+    * completes it beside the LSH index. Verdicts land in batch-id-keyed
+    * overwrite partitions (the replay discipline above); the ledger
+    * merge itself is SUCCESS-gated, so probe, merge, and sink are each
+    * idempotent under foreachBatch's at-least-once replay. `feedTag`
+    * must be 1:1 with `checkpointDir` — batch ids only mean anything
+    * relative to one checkpoint. Stream ≡ one-shot whole-feed probe
+    * and chained ledger ≡ one-merge ledger are spec-asserted across a
+    * stop/restart (LedgerOpsSpec).
+    */
+  def shaAdmitToParquet(docs: DataFrame, sfDir: String, feedTag: String,
+                        outDir: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.LedgerOps
+          .shaLedgerAdmit(batch.sparkSession, sfDir, feedTag, batch,
+            batchId)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/admit_batch=$batchId")
+      }
+      .start()
+
   /** Streaming data-contract gate: [[graft.ops.Quality.expectations]]
     * evaluated on EVERY micro-batch via foreachBatch, each report row
     * stamped with the batch id and landed exactly-once (idempotent

@@ -95,6 +95,69 @@ class LedgerOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming admission ≡ one-shot probe + one-merge ledger " +
+      "across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sha_admit").toFile
+    base.deleteOnExit()
+    val (out, ck) = (s"$base/out", s"$base/ck")
+    // unique feed tag per run: chain dirs are keyed by (feed, batch id)
+    val feed = s"specfeed${System.nanoTime()}"
+
+    // the gated probe batch, in doc_id order, plus a synthetic pair
+    // whose sha is NEW to the ledger and SPLIT across the two
+    // micro-batches — the cross-batch dup only the admission fold
+    // (not a stateless per-batch probe) can catch
+    val slice = LedgerOps.recycledBatch(spark, sfDir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mid = slice.length / 2
+    val first = slice.take(mid) :+ ((900000001L, "zz qq zz"))
+    val second = slice.drop(mid) :+ ((900000005L, "zz qq zz"))
+
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.EventStream.shaAdmitToParquet(
+      in1.toDF().toDF("doc_id", "text"), sfDir, feed, out, ck)
+    try {
+      in1.addData(first.toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData(first.toSeq) // offsets before the checkpoint re-add
+    val q2 = graft.streaming.EventStream.shaAdmitToParquet(
+      in2.toDF().toDF("doc_id", "text"), sfDir, feed, out, ck)
+    try {
+      in2.addData(second.toSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "text_sha", "dup_of", "is_dup")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val whole = (first ++ second).toSeq.toDF("doc_id", "text")
+    val oneShot = LedgerOps.shaLedgerProbe(spark,
+        LedgerOps.shaLedger(spark, sfDir), whole)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == oneShot,
+      s"missing=${(oneShot -- streamed).take(3)} " +
+        s"extra=${(streamed -- oneShot).take(3)}")
+    // the cross-batch dup fired: the later synthetic doc points at the
+    // earlier one, admitted a micro-batch before it
+    assert(streamed.exists(v => v._1 == 900000005L &&
+      v._3 == 900000001L && v._4 == 1L), "cross-batch dup missed")
+    // chained ledger ≡ ONE merge of the concatenated feed
+    val chained = Seq(0, 1).foldLeft(LedgerOps.shaLedger(spark, sfDir))(
+      (d, j) => s"${d}_m_$feed-b$j")
+    val oneMerge = LedgerOps.shaLedgerMerge(spark,
+      LedgerOps.shaLedger(spark, sfDir), whole, s"$feed-all")
+    for (t <- Seq("rows", "groups"))
+      assert(sameRows(spark.read.parquet(s"$chained/$t"),
+          spark.read.parquet(s"$oneMerge/$t")),
+        s"chained $t ≠ one-merge $t")
+  }
+
   test("forgetting a keeper re-elects the smallest survivor") {
     val docs = Seq(
       (1L, "shared content"), (4L, "shared content"),
