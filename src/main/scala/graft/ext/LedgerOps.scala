@@ -130,7 +130,15 @@ object LedgerOps {
     synchronized {
       require(batchTag.matches("[A-Za-z0-9_-]+"),
         s"batchTag must be path-safe, got '$batchTag'")
-      val dir = s"${baseDir}_m_$batchTag"
+      mergeInto(spark, baseDir, s"${baseDir}_m_$batchTag", batchDocs)
+    }
+
+  /** Merge body with an explicit target dir (SUCCESS-gated) — the
+    * admission chain names generations flatly, so it cannot reuse
+    * [[shaLedgerMerge]]'s append-to-the-name convention.
+    */
+  private def mergeInto(spark: SparkSession, baseDir: String,
+                        dir: String, batchDocs: DataFrame): String = {
       if (!done(dir)) {
         val baseRows = readRows(spark, baseDir)
         val baseGroups = readGroups(spark, baseDir)
@@ -255,16 +263,17 @@ object LedgerOps {
     * daily-crawl admission loop as an exactly-once streaming fold.
     *
     * Replay-safe by construction: batch ids are stable across restarts
-    * (checkpointed), the chain dir is a pure function of (feedTag,
-    * batchId) (`base_m_<feed>-b0_m_<feed>-b1…`) — `feedTag` must be
-    * 1:1 with the stream's CHECKPOINT, because batch ids only mean
+    * (checkpointed), each generation lives in a FLAT dir that is a
+    * pure function of (feedTag, batchId) (`<base>__feed_<tag>/g<id>` —
+    * flat, not appended to the previous name, so the path stays
+    * constant-length over an unbounded feed) — `feedTag` must be 1:1
+    * with the stream's CHECKPOINT, because batch ids only mean
     * anything relative to one checkpoint — the merge is SUCCESS-gated
-    * (a replayed
-    * merge is skipped, not re-applied), and the probe reads immutable
-    * prior dirs — so a crash anywhere between probe, merge, and sink
-    * write replays to byte-identical verdicts. Because merge algebra is
-    * exact, the final chained ledger ≡ one merge of the concatenated
-    * feed, and for id-ordered feeds the verdict union ≡ the one-shot
+    * (a replayed merge is skipped, not re-applied), and the probe
+    * reads immutable prior dirs — so a crash anywhere between probe,
+    * merge, and sink write replays to byte-identical verdicts. Because
+    * merge algebra is exact, every generation ≡ one merge of the feed
+    * so far, and for id-ordered feeds the verdict union ≡ the one-shot
     * whole-feed probe (LedgerOpsSpec pins both across a restart).
     */
   def shaLedgerAdmit(spark: SparkSession, sfDir: String, feedTag: String,
@@ -272,14 +281,19 @@ object LedgerOps {
     require(feedTag.matches("[A-Za-z0-9_-]+"),
       s"feedTag must be path-safe, got '$feedTag'")
     val base = shaLedger(spark, sfDir)
-    val prev = (0L until batchId)
-      .foldLeft(base)((d, j) => s"${d}_m_$feedTag-b$j")
+    val gen = feedGenDir(base, feedTag) _
+    val prev = if (batchId == 0L) base else gen(batchId - 1)
     require(done(prev),
       s"ledger chain broken before batch $batchId: $prev incomplete")
     val verdicts = shaLedgerProbe(spark, prev, batch)
-    shaLedgerMerge(spark, prev, batch, s"$feedTag-b$batchId")
+    synchronized { mergeInto(spark, prev, gen(batchId), batch) }
     verdicts
   }
+
+  /** Flat per-generation dir of an admission feed (spec seam). */
+  private[ext] def feedGenDir(baseDir: String, feedTag: String)
+                             (batchId: Long): String =
+    s"${baseDir}__feed_$feedTag/g$batchId"
 
   // ---- gated lifecycle queries ---------------------------------------
 

@@ -148,8 +148,8 @@ class LedgerOpsSpec extends SparkSpec {
     assert(streamed.exists(v => v._1 == 900000005L &&
       v._3 == 900000001L && v._4 == 1L), "cross-batch dup missed")
     // chained ledger ≡ ONE merge of the concatenated feed
-    val chained = Seq(0, 1).foldLeft(LedgerOps.shaLedger(spark, sfDir))(
-      (d, j) => s"${d}_m_$feed-b$j")
+    val chained =
+      LedgerOps.feedGenDir(LedgerOps.shaLedger(spark, sfDir), feed)(1L)
     val oneMerge = LedgerOps.shaLedgerMerge(spark,
       LedgerOps.shaLedger(spark, sfDir), whole, s"$feed-all")
     for (t <- Seq("rows", "groups"))
