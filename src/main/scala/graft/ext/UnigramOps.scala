@@ -24,9 +24,18 @@ import graft.ops.Canon
   *    chars, occurrence-counted weighted by word frequency; single
   *    chars all kept (coverage), multi-char pieces capped to the
   *    [[uniSeedBudget]] best by (count desc, piece asc).
-  *  - piece cost = `T·SCALE div count` — the monotone integer
-  *    surrogate for -log p ([[LmOps]]' mean-inverse-frequency trick);
-  *    T = that round's total retained count.
+  *  - piece cost = `floor(sqrt(sqrt(T·2²⁴ div count)) · 2¹⁰)` — the
+  *    QUARTER-POWER inverse frequency, computed with the repo's no-ln
+  *    iterated-sqrt trick (sqrt is IEEE-correctly-rounded in BOTH
+  *    engines; the integer division is exact; one final floor). The
+  *    exponent matters, not just monotonicity: a LINEAR inverse
+  *    frequency over-punishes rarer-but-longer pieces so badly that
+  *    on natural frequency distributions the optimal segmentation
+  *    degenerates to single characters (chars are ~10-40× more
+  *    frequent than the syllables containing them, and 4·T/c_char <
+  *    2·T/c_syl) — UnigramScaleSpec caught exactly that. x^(1/4)
+  *    compresses the rarity penalty the way log does, so frequent
+  *    multi-char pieces win cells, while staying bit-reproducible.
   *  - E-step: Viterbi-segment every DISTINCT word under current costs
   *    ([[graft.functions.UnigramViterbi]], codegen'd); piece emissions
   *    weighted by word frequency are the new counts.
@@ -48,11 +57,11 @@ import graft.ops.Canon
   * [[BpeOps.trainedMerges]] / LSH-index contract): a new JVM reloads
   * instead of retraining.
   *
-  * Fixed-point bounds are guarded loudly: costs ≤ T·SCALE and the DP
-  * accumulates ≤ [[uniWordSteps]] of them, so training `require`s
-  * T < Long.Max / SCALE / (2·steps) — at SCALE=2^20 that is ~5·10^11
-  * corpus word occurrences per trained tokenizer, and past it the fix
-  * is rescaling SCALE, not silent overflow.
+  * Fixed-point bounds are guarded loudly: the pre-root numerator is
+  * T·2²⁴, so training `require`s T < Long.Max / 2²⁴ ≈ 5·10^11 corpus
+  * word occurrences per trained tokenizer — past it the fix is
+  * shrinking the pre-scale, not silent overflow. Post-root costs are
+  * tiny (≤ (T·2²⁴)^(1/4)·2¹⁰ ≈ 7·10^7), so DP sums can never overflow.
   */
 object UnigramOps {
 
@@ -72,8 +81,12 @@ object UnigramOps {
   /** Hard-EM rounds (seed model counts as round 0). */
   val uniRounds = 2
 
-  /** Fixed-point scale for costs (power of two; div stays exact). */
-  val uniScale = 1L << 20
+  /** Fixed-point pre-scale under the quarter root (power of two; the
+    * div is exact integer arithmetic) and the post-root resolution
+    * multiplier (2¹⁰ sub-steps per ×e^(1/4) of rarity).
+    */
+  val uniQuarterPow = 1L << 24
+  val uniCostRes = 1L << 10
 
   /** Oracle DP unroll depth = max word length the twins support. */
   val uniWordSteps = 8
@@ -103,16 +116,24 @@ object UnigramOps {
       .groupBy("p").agg(sum("f").as("cnt"))
 
   /** Cost table from retained counts; the `require` is the fixed-point
-    * overflow guard (see scaladoc).
+    * overflow guard (see scaladoc). The double round trip is safe to
+    * twin: BIGINT→DOUBLE conversion, sqrt, multiplication by a power
+    * of two, and floor are each IEEE-deterministic and identical in
+    * Spark, the JVM, and DuckDB.
     */
   private def costsOf(entries: Seq[(String, Long)])
       : Seq[(String, Long, Long)] = {
     val t = entries.iterator.map(_._2).sum
     require(t > 0, "unigram: empty training corpus")
-    require(t < Long.MaxValue / uniScale / (2L * uniWordSteps),
+    require(t < Long.MaxValue / uniQuarterPow,
       s"unigram: corpus total $t exceeds the fixed-point budget at " +
-        s"SCALE=$uniScale; shrink SCALE or shard the trainer")
-    entries.map { case (p, c) => (p, c, t * uniScale / c) }
+        s"pre-scale=$uniQuarterPow; shrink the pre-scale or shard the " +
+        "trainer")
+    entries.map { case (p, c) =>
+      val x = t * uniQuarterPow / c
+      (p, c, math.floor(
+        math.sqrt(math.sqrt(x.toDouble)) * uniCostRes).toLong)
+    }
   }
 
   /** One hard-EM round: segment the distinct-word table under `model`,
@@ -120,7 +141,8 @@ object UnigramOps {
     * vocabulary), smooth singles, prune multis, reprice.
     */
   private def emRound(words: DataFrame, alphabet: Seq[String],
-                      model: Seq[(String, Long, Long)])
+                      model: Seq[(String, Long, Long)],
+                      budget: Int)
       : Seq[(String, Long, Long)] = {
     val pieces = graft.functions.UnigramViterbi(col("w"),
       model.map(e => (e._1, e._3)))
@@ -134,12 +156,17 @@ object UnigramOps {
     val multis = emitted.iterator
       .filter { case (p, _) => p.length > 1 }
       .toSeq.sortBy { case (p, c) => (-c, p) }
-      .take(uniBudget)
+      .take(budget)
     costsOf(singles ++ multis)
   }
 
-  /** Full training chain on a words frame (spec seam). */
-  private[ext] def trainLoop(spark: SparkSession, words: DataFrame)
+  /** Full training chain on a words frame (spec seam; budgets
+    * parameterized for the scale suite, defaults = the gated model).
+    */
+  private[ext] def trainLoop(spark: SparkSession, words: DataFrame,
+                             seedBudget: Int = uniSeedBudget,
+                             budget: Int = uniBudget,
+                             rounds: Int = uniRounds)
       : Seq[(String, Long, Long)] = {
     val w = words.persist()
     w.count()
@@ -155,11 +182,11 @@ object UnigramOps {
     val singles0 = seed.filter(length(col("p")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val multis0 = seed.filter(length(col("p")) > 1)
-      .orderBy(col("cnt").desc, col("p").asc).limit(uniSeedBudget)
+      .orderBy(col("cnt").desc, col("p").asc).limit(seedBudget)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     seed.unpersist(false)
     var model = costsOf(singles0 ++ multis0)
-    for (_ <- 0 until uniRounds) model = emRound(w, alphabet, model)
+    for (_ <- 0 until rounds) model = emRound(w, alphabet, model, budget)
     w.unpersist(false)
     model
   }
@@ -176,11 +203,11 @@ object UnigramOps {
       : Seq[(String, Long, Long)] = {
     import spark.implicits._
     val fp = Fingerprint.ofPath(s"$sfDir/documents.parquet")
-    val key = s"$sfDir#$uniMaxPiece#$uniSeedBudget#$uniBudget#$uniRounds#$fp"
+    val key = s"$sfDir#q4#$uniMaxPiece#$uniSeedBudget#$uniBudget#$uniRounds#$fp"
     Option(pieceCache.get(key)).getOrElse {
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
       val dir = s"${graft.io.Artifacts.root}/unigram_index/" +
-        s"${tag}_p${uniMaxPiece}_s${uniSeedBudget}_b${uniBudget}" +
+        s"${tag}_q4_p${uniMaxPiece}_s${uniSeedBudget}_b${uniBudget}" +
         s"_r${uniRounds}_$fp/pieces"
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
         val trained = trainLoop(spark, tokenWords(spark, sfDir))
@@ -269,7 +296,7 @@ object UnigramOps {
     val fp = Fingerprint.ofPath(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
     s"${graft.io.Artifacts.root}/unigram_index/" +
-      s"${tag}_base2_p${uniMaxPiece}_s${uniSeedBudget}_b${uniBudget}" +
+      s"${tag}_base2_q4_p${uniMaxPiece}_s${uniSeedBudget}_b${uniBudget}" +
       s"_r${uniRounds}_$fp"
   }
 
@@ -430,7 +457,8 @@ object UnigramOps {
        |  WHERE rn <= $uniBudget),
        |pc$out AS MATERIALIZED (
        |  SELECT p, cnt,
-       |         CAST((t.t * $uniScale) // cnt AS BIGINT) AS cost
+       |         CAST(floor(sqrt(sqrt(CAST((t.t * $uniQuarterPow) // cnt
+       |           AS DOUBLE))) * $uniCostRes) AS BIGINT) AS cost
        |  FROM m$out, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM m$out) t)"""
       .stripMargin
 
@@ -467,7 +495,8 @@ object UnigramOps {
        |  WHERE rn <= $uniSeedBudget),
        |pc0 AS MATERIALIZED (
        |  SELECT p, cnt,
-       |         CAST((t.t * $uniScale) // cnt AS BIGINT) AS cost
+       |         CAST(floor(sqrt(sqrt(CAST((t.t * $uniQuarterPow) // cnt
+       |           AS DOUBLE))) * $uniCostRes) AS BIGINT) AS cost
        |  FROM m0, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM m0) t),
        |${dpCtes("a", "pc0")},
        |${modelCtes("a", "1")},
