@@ -184,6 +184,9 @@ object SparkEntry {
     "q_unigram_merged" -> ((s, dir) => ext.UnigramOps.unigramMerged(s, dir)),
     "q_unigram_forgotten" ->
       ((s, dir) => ext.UnigramOps.unigramForgotten(s, dir)),
+    // tokenizer-coverage drift: single-char-emission share under the
+    // frozen model, baseline vs a reversed-token drift proxy
+    "q_unigram_drift" -> ((s, dir) => ext.UnigramOps.unigramDrift(s, dir)),
     // packing budgeted in trained BPE tokens, not whitespace words
     "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
@@ -378,6 +381,7 @@ object SparkEntry {
     "q_unigram_encode" -> ext.UnigramOps.unigramEncodeOracle,
     "q_unigram_merged" -> ext.UnigramOps.unigramMergedOracle,
     "q_unigram_forgotten" -> ext.UnigramOps.unigramForgottenOracle,
+    "q_unigram_drift" -> ext.UnigramOps.unigramDriftOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,

@@ -264,6 +264,71 @@ object UnigramOps {
     Canon.materialized(Canon.canonicalize(out), words)
   }
 
+  /** Share of single-char pieces the drifted batch must exceed,
+    * relative to the corpus baseline, for the gate to fire (×N in
+    * exact cross-multiplied integers — no division in the compared
+    * predicate).
+    */
+  val uniDriftFactor = 3L
+
+  /** TOKENIZER-COVERAGE DRIFT GATE — the [[graft.pipelines]]
+    * driftIndexGate analogue for the tokenizer artifact: under a
+    * frozen unigram model, text the vocabulary fits segments into
+    * multi-char pieces, while text from a shifted distribution falls
+    * back to single characters (the model's coverage floor). A rising
+    * single-char emission share on a new batch is therefore a direct,
+    * label-free staleness signal — the number a 100 TB pipeline reads
+    * before deciding to retrain its tokenizer.
+    *
+    * The gated query measures the baseline share on the training
+    * corpus itself and the drifted share on a deterministic drift
+    * proxy (the odd-doc half with every token REVERSED — same
+    * alphabet, so coverage never fails, but the piece inventory
+    * misses), and fires when the drifted share exceeds
+    * [[uniDriftFactor]]× the baseline by exact integer
+    * cross-multiplication (DECIMAL(38,0)-widened: emission counts are
+    * corpus-scaled, and BIGINT×BIGINT products are exactly what the
+    * ×100 posture run caught overflowing in the classifier).
+    *
+    * Scale shape: two codegen'd segmentation passes over
+    * distinct-word tables + one global sum each; the model is already
+    * trained (artifact) — the gate itself is ledger-bounded work.
+    */
+  def unigramDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = trainedPieces(spark, sfDir)
+    val pieces = graft.functions.UnigramViterbi(col("w"),
+      model.map(e => (e._1, e._3)))
+    def stats(words: DataFrame): DataFrame =
+      words.select(pieces.as("pcs"), col("f"))
+        .select(explode(col("pcs")).as("p"), col("f"))
+        .agg(sum(col("f")).as("n_emits"),
+          sum(when(length(col("p")) === 1, col("f")).otherwise(0L))
+            .as("n_single"))
+    val drifted = documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .repartition(col("doc_id"))
+      .select(explode(CurationOps.toksCol).as("t"))
+      .select(reverse(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val b = stats(tokenWords(spark, sfDir))
+      .select(col("n_emits").as("base_emits"),
+        col("n_single").as("base_single"))
+    val d = stats(drifted)
+      .select(col("n_emits").as("drift_emits"),
+        col("n_single").as("drift_single"))
+    val out = b.crossJoin(d).select(
+      col("base_emits"), col("base_single"),
+      col("drift_emits"), col("drift_single"),
+      (col("base_single").cast("double") /
+        col("base_emits").cast("double")).as("base_share"),
+      (col("drift_single").cast("double") /
+        col("drift_emits").cast("double")).as("drift_share"),
+      (col("drift_single").cast("decimal(38,0)") * col("base_emits") >
+        col("base_single").cast("decimal(38,0)") * col("drift_emits") *
+          uniDriftFactor).as("drift_gate"))
+    Canon.canonicalize(out)
+  }
+
   // ---- artifact lifecycle ----------------------------------------------
 
   /** Word-frequency counts of an explicit document frame — the
@@ -392,14 +457,16 @@ object UnigramOps {
 
   // ---- oracles ---------------------------------------------------------
 
-  /** DP + backtrace CTE block: segment every w0 word under cost table
-    * `pc`, emitting `dp$tag$k` cells, `bt$tag$k` walk steps, and the
-    * per-word stats view `wl$tag` (n pieces / n single-char pieces).
-    * One CTE per unrolled position — the [[BpeOps]] recursion-free
-    * unroll discipline; per-cell winner via `row_number() OVER
-    * (ORDER BY v, n, ptr)`, the expression's exact tie-break.
+  /** DP + backtrace CTE block: segment every `wt` word under cost
+    * table `pc`, emitting `dp$tag$k` cells, `bt$tag$k` walk steps, and
+    * the per-word stats view `wl$tag` (n pieces / n single-char
+    * pieces). One CTE per unrolled position — the [[BpeOps]]
+    * recursion-free unroll discipline; per-cell winner via
+    * `row_number() OVER (ORDER BY v, n, ptr)`, the expression's exact
+    * tie-break.
     */
-  private def dpCtes(tag: String, pc: String): String = {
+  private def dpCtes(tag: String, pc: String,
+                     wt: String = "w0"): String = {
     val dp = (1 to uniWordSteps).map { k =>
       s"""dp$tag$k AS MATERIALIZED (
          |  SELECT * FROM dp$tag${k - 1}
@@ -425,9 +492,9 @@ object UnigramOps {
     }.mkString(",\n")
     s"""dp${tag}0 AS (
        |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS v, 0 AS n, 0 AS ptr
-       |  FROM w0),
+       |  FROM $wt),
        |$dp,
-       |bt${tag}0 AS (SELECT w, f, len(w) AS pos FROM w0),
+       |bt${tag}0 AS (SELECT w, f, len(w) AS pos FROM $wt),
        |$bt,
        |em$tag AS MATERIALIZED (
        |  SELECT p, f, w FROM (
@@ -518,6 +585,39 @@ object UnigramOps {
     s"""WITH
        |${chainCtesFor("doc_id % 2 = 0")}
        |SELECT p AS piece, cnt, cost AS cost_fp FROM pc2""".stripMargin
+
+  /** Drift twin: the full-fixture model chain, the base encode, a
+    * reversed-odd-half word table encoded under the SAME model, and
+    * the cross-multiplied gate (HUGEINT-widened products).
+    */
+  val unigramDriftOracle: String =
+    s"""WITH
+       |$chainCtes,
+       |${dpCtes("e", "pc2")},
+       |wr AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT reverse(w) AS w FROM (
+       |      SELECT unnest(${CurationOps.toksSql}) AS w FROM documents
+       |      WHERE doc_id % 2 = 1))
+       |  GROUP BY 1),
+       |${dpCtes("r", "pc2", "wr")},
+       |bstat AS (
+       |  SELECT CAST(sum(f) AS BIGINT) AS be,
+       |         CAST(sum(CASE WHEN len(p) = 1 THEN f ELSE 0 END)
+       |           AS BIGINT) AS bs
+       |  FROM eme),
+       |dstat AS (
+       |  SELECT CAST(sum(f) AS BIGINT) AS de,
+       |         CAST(sum(CASE WHEN len(p) = 1 THEN f ELSE 0 END)
+       |           AS BIGINT) AS ds
+       |  FROM emr)
+       |SELECT be AS base_emits, bs AS base_single,
+       |       de AS drift_emits, ds AS drift_single,
+       |       CAST(bs AS DOUBLE) / CAST(be AS DOUBLE) AS base_share,
+       |       CAST(ds AS DOUBLE) / CAST(de AS DOUBLE) AS drift_share,
+       |       (CAST(ds AS HUGEINT) * be >
+       |        CAST(bs AS HUGEINT) * de * $uniDriftFactor) AS drift_gate
+       |FROM bstat, dstat""".stripMargin
 
   val unigramEncodeOracle: String =
     s"""WITH

@@ -169,6 +169,36 @@ class UnigramOpsSpec extends SparkSpec {
     assert(pieces(mergedDir) != pieces(baseDir))
   }
 
+  test("drift gate: same-distribution text is silent, shifted text " +
+      "fires, fixture proxy fires") {
+    // model on a motif corpus; measure single-char emission share on
+    // (a) more text from the same distribution, (b) motif-reversed
+    // text — the operator's exact arithmetic, synthetic seam
+    val words = (Seq.fill(40)("kurakura") ++ Seq.fill(40)("zemizemi") ++
+      Seq.fill(30)("kurazemi")).toDF("w")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val model = UnigramOps.trainLoop(spark, words)
+    def share(ws: Seq[String]): (Long, Long) = {
+      val enc = encodeNative(ws.distinct, model.map(e => (e._1, e._3)))
+      val emits = ws.map(w => enc(w).size.toLong).sum
+      val singles = ws.map(w => enc(w).count(_.length == 1).toLong).sum
+      (emits, singles)
+    }
+    val (sameE, sameS) = share(Seq("kurakura", "zemizemi", "kurazemi"))
+    val (drifE, drifS) = share(
+      Seq("kurakura", "zemizemi", "kurazemi").map(_.reverse))
+    def gate(bs: Long, be: Long, ds: Long, de: Long): Boolean =
+      BigInt(ds) * be > BigInt(bs) * de * UnigramOps.uniDriftFactor
+    assert(!gate(sameS, sameE, sameS, sameE), "gate fired on baseline")
+    assert(gate(sameS, sameE, drifS, drifE),
+      s"gate silent on shifted text: base $sameS/$sameE drift $drifS/$drifE")
+    // and the fixture-gated operator itself: reversed-token proxy fires
+    val row = UnigramOps.unigramDrift(spark, sfDir).collect().head
+    assert(row.getAs[Boolean]("drift_gate"))
+    assert(row.getAs[Double]("drift_share") >
+      row.getAs[Double]("base_share"))
+  }
+
   test("trainLoop is deterministic and the artifact round-trips") {
     val words = Seq("kurakura", "zemizemi", "kurazemi", "kura", "zemi")
       .zipWithIndex.flatMap { case (w, i) => Seq.fill(i + 2)(w) }
