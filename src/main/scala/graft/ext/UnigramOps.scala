@@ -196,8 +196,8 @@ object UnigramOps {
 
   /** Trained (piece, cnt, cost_fp) table for a fixture dir — JVM memo
     * over a SUCCESS-gated fingerprint-stamped parquet artifact (the
-    * [[BpeOps.trainedMerges]] contract; UnigramPersistSpec-pinned
-    * reload ≡ retrain).
+    * [[BpeOps.trainedMerges]] contract; UnigramOpsSpec pins the
+    * artifact round trip).
     */
   private[ext] def trainedPieces(spark: SparkSession, sfDir: String)
       : Seq[(String, Long, Long)] = {
