@@ -59,6 +59,15 @@ object Runner {
           finally { drift.unpersist(false); () }
           1L
         }),
+      // same rule for the TOKENIZER artifact: the frozen piece table
+      // must still cover today's feed (fallback-emission share vs the
+      // training baseline) before anything encodes with it
+      "tokenizer_drift_gate" ->
+        (() => {
+          ext.UnigramOps.tokenizerDriftGate(spark, sfDir,
+            ext.DedupOps.incrementalBatchDocs(spark, sfDir))
+          1L
+        }),
       "incremental_score" ->
         (() => pipelines.MicroQueries.incrementalScore(spark, sfDir).count()),
       // the day's feed through the full acceptance funnel: quality →

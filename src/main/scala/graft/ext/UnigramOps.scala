@@ -329,6 +329,53 @@ object UnigramOps {
     Canon.canonicalize(out)
   }
 
+  /** Weighted (emissions, fallback emissions) of a words frame under a
+    * model — fallback = single-char pieces PLUS whole-word [UNK]s, so
+    * a batch in a genuinely NEW script (chars outside the model's
+    * alphabet, which the byte-coverage smoothing cannot have seen)
+    * counts as drifted rather than hiding behind the UNK token's
+    * 5-char length.
+    */
+  private def emitStats(words: DataFrame,
+                        model: Seq[(String, Long, Long)]): (Long, Long) = {
+    val pieces = graft.functions.UnigramViterbi(col("w"),
+      model.map(e => (e._1, e._3)))
+    val unk = graft.functions.WordPieceGreedy.defaultUnk
+    val r = words.select(pieces.as("pcs"), col("f"))
+      .select(explode(col("pcs")).as("p"), col("f"))
+      .agg(sum(col("f")).as("e"),
+        sum(when(length(col("p")) === 1 || col("p") === unk, col("f"))
+          .otherwise(0L)).as("s"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** CHAIN-FACING fail-fast form of the drift gate ([[unigramDrift]]
+    * is the gated telemetry twin): segments an explicit batch under
+    * the frozen model and THROWS when its fallback-emission share
+    * exceeds [[uniDriftFactor]]× the training-corpus baseline — the
+    * [[graft.pipelines.MicroQueries.driftIndexGate]] contract (the
+    * incremental chain stops before anything encodes with a stale
+    * tokenizer). Returns the batch share for the dashboard row.
+    */
+  def tokenizerDriftGate(spark: SparkSession, sfDir: String,
+                         batchDocs: DataFrame): Double = {
+    val model = trainedPieces(spark, sfDir)
+    val (be, bs) = emitStats(tokenWords(spark, sfDir), model)
+    val batchWords = batchDocs.repartition(col("doc_id"))
+      .select(explode(CurationOps.toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val (de, ds) = emitStats(batchWords, model)
+    val share = if (de == 0L) 0.0 else ds.toDouble / de.toDouble
+    if (BigInt(ds) * be > BigInt(bs) * de * uniDriftFactor)
+      throw new IllegalStateException(
+        f"tokenizer-drift-gate: batch fallback share $share%.3f exceeds " +
+          s"${uniDriftFactor}× the training baseline ($bs/$be) — the " +
+          "frozen tokenizer artifact is stale for this feed; retrain " +
+          "before encoding")
+    share
+  }
+
   // ---- artifact lifecycle ----------------------------------------------
 
   /** Word-frequency counts of an explicit document frame — the

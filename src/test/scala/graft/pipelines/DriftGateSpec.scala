@@ -53,6 +53,37 @@ class DriftGateSpec extends SparkSpec {
     assert(gate < names.indexOf("incremental_score"))
   }
 
+  test("tokenizer drift gate: fixture feed passes; a shifted-script " +
+      "feed refuses the stale tokenizer; chain order holds") {
+    // healthy: the incremental batch is same-distribution text — the
+    // gate returns its share without throwing
+    val batch = graft.ext.DedupOps.incrementalBatchDocs(spark, sfDir)
+    val healthy =
+      graft.ext.UnigramOps.tokenizerDriftGate(spark, sfDir, batch)
+    assert(healthy >= 0.0 && healthy <= 1.0)
+
+    // drill: the feed arrives in a shifted script (reversed tokens —
+    // same alphabet, missed piece inventory) — the gate ABORTS with
+    // the retrain directive before anything encodes with the artifact
+    val drifted = batch.select(col("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => reverse(t))).as("text"))
+    val ex = intercept[IllegalStateException] {
+      graft.ext.UnigramOps.tokenizerDriftGate(spark, sfDir, drifted)
+    }
+    assert(ex.getMessage.contains("tokenizer-drift-gate"))
+    assert(ex.getMessage.contains("stale"))
+
+    // chain order: the tokenizer gate sits with the index gate, before
+    // every task that encodes or scores under trained artifacts
+    val names = graft.Runner.incrementalChain(spark, sfDir).map(_._1)
+    val tok = names.indexOf("tokenizer_drift_gate")
+    assert(tok >= 0, s"tokenizer gate missing from chain $names")
+    assert(names.indexOf("drift_index_gate") < tok)
+    assert(tok < names.indexOf("incremental_score"), s"chain $names")
+    assert(tok < names.indexOf("ingest_funnel"), s"chain $names")
+  }
+
   test("a drifted feed stops the chain loop before the funnel runs") {
     // drive the chain's own fail-fast loop shape with the gate task
     // replaced by the drilled (drifted) gate: tasks after it never run
