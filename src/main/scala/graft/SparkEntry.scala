@@ -187,6 +187,10 @@ object SparkEntry {
     // tokenizer-coverage drift: single-char-emission share under the
     // frozen model, baseline vs a reversed-token drift proxy
     "q_unigram_drift" -> ((s, dir) => ext.UnigramOps.unigramDrift(s, dir)),
+    // per-lang fertility under the trained unigram model — the
+    // side-by-side read against q_compression_ratio (BPE)
+    "q_unigram_fertility" ->
+      ((s, dir) => ext.UnigramOps.unigramFertility(s, dir)),
     // packing budgeted in trained BPE tokens, not whitespace words
     "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
@@ -382,6 +386,7 @@ object SparkEntry {
     "q_unigram_merged" -> ext.UnigramOps.unigramMergedOracle,
     "q_unigram_forgotten" -> ext.UnigramOps.unigramForgottenOracle,
     "q_unigram_drift" -> ext.UnigramOps.unigramDriftOracle,
+    "q_unigram_fertility" -> ext.UnigramOps.unigramFertilityOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,

@@ -264,6 +264,33 @@ object UnigramOps {
     Canon.materialized(Canon.canonicalize(out), words)
   }
 
+  /** Per-lang unigram FERTILITY: chars-per-piece and the single-char
+    * share under the trained model — [[BpeOps.compressionRatio]]'s
+    * twin for this family, so freezing a tokenizer is a side-by-side
+    * read of q_compression_ratio (BPE) vs q_unigram_fertility on the
+    * same corpus. Scale shape: the encode chain dominates; the rollup
+    * is one lang-keyed agg.
+    */
+  def unigramFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = unigramEncode(spark, sfDir)
+    val docs = documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+    Canon.canonicalize(enc.join(docs, Seq("doc_id"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_pieces").as("sum_pieces"),
+        sum("n_single").as("sum_single"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        col("sum_pieces"), col("sum_single"),
+        (col("sum_chars").cast("double") /
+          greatest(col("sum_pieces").cast("double"), lit(1.0)))
+          .as("chars_per_piece"),
+        (col("sum_single").cast("double") /
+          greatest(col("sum_pieces").cast("double"), lit(1.0)))
+          .as("single_share")))
+  }
+
   /** Share of single-char pieces the drifted batch must exceed,
     * relative to the corpus baseline, for the gate to fire (×N in
     * exact cross-multiplied integers — no division in the compared
@@ -632,6 +659,32 @@ object UnigramOps {
     s"""WITH
        |${chainCtesFor("doc_id % 2 = 0")}
        |SELECT p AS piece, cnt, cost AS cost_fp FROM pc2""".stripMargin
+
+  /** Fertility twin: the encode chain's per-doc rollup grouped by
+    * lang, with the same greatest-guarded double divisions.
+    */
+  val unigramFertilityOracle: String =
+    s"""WITH
+       |$chainCtes,
+       |${dpCtes("e", "pc2")},
+       |wdt AS (
+       |  SELECT doc_id, unnest(${CurationOps.toksSql}) AS w
+       |  FROM documents),
+       |wagg AS (
+       |  SELECT doc_id, sum(n_p) AS n_pieces, sum(n_s) AS n_single
+       |  FROM wdt JOIN wle USING (w) GROUP BY 1)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(coalesce(wagg.n_pieces, 0)) AS BIGINT) AS sum_pieces,
+       |  CAST(sum(coalesce(wagg.n_single, 0)) AS BIGINT) AS sum_single,
+       |  CAST(sum(d.n_chars) AS DOUBLE) /
+       |    greatest(CAST(sum(coalesce(wagg.n_pieces, 0)) AS DOUBLE), 1.0)
+       |    AS chars_per_piece,
+       |  CAST(sum(coalesce(wagg.n_single, 0)) AS DOUBLE) /
+       |    greatest(CAST(sum(coalesce(wagg.n_pieces, 0)) AS DOUBLE), 1.0)
+       |    AS single_share
+       |FROM documents d LEFT JOIN wagg USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
 
   /** Drift twin: the full-fixture model chain, the base encode, a
     * reversed-odd-half word table encoded under the SAME model, and

@@ -199,6 +199,30 @@ class UnigramOpsSpec extends SparkSpec {
       row.getAs[Double]("base_share"))
   }
 
+  test("fertility rollup equals a driver recompute off the encode") {
+    val enc = UnigramOps.unigramEncode(spark, sfDir)
+      .select("doc_id", "n_pieces", "n_single")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, p, s) => id -> ((p, s)) }.toMap
+    val docs = TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      val chars = rows.map(_._3).sum
+      val pieces = rows.map(r => enc(r._1)._1).sum
+      val singles = rows.map(r => enc(r._1)._2).sum
+      lang -> ((rows.size.toLong, chars, pieces, singles,
+        chars.toDouble / math.max(pieces.toDouble, 1.0),
+        singles.toDouble / math.max(pieces.toDouble, 1.0)))
+    }
+    val got = UnigramOps.unigramFertility(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == expected)
+    // non-vacuous: the model compresses the fixture somewhere
+    assert(got.values.exists(_._5 > 1.0), s"no lang compresses: $got")
+  }
+
   test("trainLoop is deterministic and the artifact round-trips") {
     val words = Seq("kurakura", "zemizemi", "kurazemi", "kura", "zemi")
       .zipWithIndex.flatMap { case (w, i) => Seq.fill(i + 2)(w) }
