@@ -320,6 +320,13 @@ object UnigramOps {
     * Scale shape: two codegen'd segmentation passes over
     * distinct-word tables + one global sum each; the model is already
     * trained (artifact) — the gate itself is ledger-bounded work.
+    *
+    * NOTE the deliberate divergence from [[tokenizerDriftGate]]'s
+    * fallback definition: the chain gate also counts whole-word [UNK]s
+    * (a new-script batch must read as drifted), while THIS query's
+    * share counts single chars only — its reversed-token proxy shares
+    * the training alphabet, so an [UNK] is structurally impossible
+    * here and the term would be dead weight in the oracle.
     */
   def unigramDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val model = trainedPieces(spark, sfDir)
