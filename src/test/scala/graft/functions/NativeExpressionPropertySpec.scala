@@ -151,6 +151,57 @@ class NativeExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("UnigramViterbi == driver DP on arbitrary words and cost tables") {
+    import spark.implicits._
+    // mirror of the expression's contract: lexicographic
+    // (cost, pieces, start) minimum over in-vocab covers, [UNK] on an
+    // unreachable cell, [] on the empty word
+    def ref(w: String, costs: Map[String, Long]): Seq[String] = {
+      if (w.isEmpty) return Seq.empty
+      val maxLen = if (costs.isEmpty) 0 else costs.keys.map(_.length).max
+      val inf = Long.MaxValue
+      val v = Array.fill(w.length + 1)(inf); v(0) = 0L
+      val n = new Array[Int](w.length + 1)
+      val ptr = new Array[Int](w.length + 1)
+      for (pos <- 1 to w.length;
+           j <- math.max(0, pos - maxLen) until pos if v(j) != inf)
+        costs.get(w.substring(j, pos)).foreach { c =>
+          val cv = v(j) + c; val cn = n(j) + 1
+          if (cv < v(pos) || (cv == v(pos) && cn < n(pos))) {
+            v(pos) = cv; n(pos) = cn; ptr(pos) = j
+          }
+        }
+      if (v(w.length) == inf) return Seq(WordPieceGreedy.defaultUnk)
+      var acc = List.empty[String]; var pos = w.length
+      while (pos > 0) { acc ::= w.substring(ptr(pos), pos); pos = ptr(pos) }
+      acc
+    }
+    val word: Gen[String] =
+      Gen.listOf(Gen.choose('a', 'e')).map(_.take(10).mkString)
+    val piece: Gen[(String, Long)] = for {
+      len <- Gen.choose(2, 5)
+      cs <- Gen.listOfN(len, Gen.choose('a', 'e'))
+      cost <- Gen.choose(1L, 60L)
+    } yield (cs.mkString, cost)
+    val modelGen: Gen[Seq[(String, Long)]] = for {
+      multis <- Gen.listOfN(12, piece)
+      // only SOME single chars: uncoverable words exercise [UNK]
+      charCosts <- Gen.listOfN(4, Gen.choose(1L, 99L))
+    } yield "abcd".zip(charCosts).map { case (c, x) => (c.toString, x) } ++
+      multis.distinctBy(_._1)
+    for (i <- 0 until 12) {
+      val model = cases(modelGen, 1 + i).last
+      val words = cases(Gen.listOfN(10, word), 20 + i).last.distinct
+      val costs = model.toMap
+      val native = words.toDF("w")
+        .select(col("w"), UnigramViterbi(col("w"), model).as("pcs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      for (w <- words)
+        assert(native(w) == ref(w, costs),
+          s"diverged on '$w' under $model: ${native(w)} vs ${ref(w, costs)}")
+    }
+  }
+
   test("Md5Bucket == the composed hex-digit formula the oracle runs") {
     import spark.implicits._
     val B = graft.ext.SampleOps.dsirBuckets
