@@ -158,6 +158,13 @@ object Runner {
         (() => ext.CurationOps.packSequences(spark, sfDir).count()),
       // tokenizer-coverage telemetry under the frozen vocab budget
       "oov_rate" -> (() => TextOps.oovRate(spark, sfDir).count()),
+      // the tokenizer-freeze decision inputs, side by side: BPE vs
+      // unigram fertility on the same corpus (first run trains/loads
+      // both SUCCESS-gated artifacts, so the chain materializes every
+      // tokenizer the pipeline can encode with)
+      "tokenizer_fertility" -> (() =>
+        ext.BpeOps.compressionRatio(spark, sfDir).count() +
+          ext.UnigramOps.unigramFertility(spark, sfDir).count()),
       // LM fluency terciles + DSIR importance weights: the two
       // content-based selection signals, stamped before the split
       "fluency_buckets" ->
