@@ -105,6 +105,11 @@ object UnigramOps {
     */
   private def seedCounts(words: DataFrame): DataFrame =
     words
+      // corpus tokenization never yields '' but an explicit spec/
+      // lifecycle frame could; sequence(1, 0) DESCENDS in Spark (step
+      // inferred -1), so an empty word would emit junk seeds silently
+      // where the oracle's range() form emits none — drop for parity
+      .filter(length(col("w")) > 0)
       .select(col("w"), col("f"),
         explode(expr("sequence(1, char_length(w))")).as("i"))
       .select(col("f"),
