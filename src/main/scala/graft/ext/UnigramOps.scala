@@ -97,6 +97,14 @@ object UnigramOps {
     documents(spark, sfDir)
       .repartition(col("doc_id"))
       .select(explode(CurationOps.toksCol).as("w"))
+      // invariant: word tables never contain '' — toksCol already drops
+      // empties, but every consumer (seed, encode wl, drift) relies on
+      // it, so it is enforced where the table is built, not per caller.
+      // An empty word would (a) emit junk seeds via sequence(1, 0)
+      // descending, (b) appear in encode's wl on the Spark side only
+      // (UnigramViterbi returns [] ⇒ n_p=0 row) while the oracle's
+      // backtrace omits it.
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
 
   /** (piece, count) seed: all substrings up to [[uniMaxPiece]] chars.
@@ -105,11 +113,8 @@ object UnigramOps {
     */
   private def seedCounts(words: DataFrame): DataFrame =
     words
-      // corpus tokenization never yields '' but an explicit spec/
-      // lifecycle frame could; sequence(1, 0) DESCENDS in Spark (step
-      // inferred -1), so an empty word would emit junk seeds silently
-      // where the oracle's range() form emits none — drop for parity
-      .filter(length(col("w")) > 0)
+      // no-empty-words invariant enforced by the word-table builders
+      // (tokenWords / wordCounts) — see tokenWords
       .select(col("w"), col("f"),
         explode(expr("sequence(1, char_length(w))")).as("i"))
       .select(col("f"),
@@ -427,6 +432,7 @@ object UnigramOps {
   private def wordCounts(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
       .select(explode(CurationOps.toksCol).as("w"))
+      .filter(length(col("w")) > 0) // no-empty-words invariant (tokenWords)
       .groupBy("w").agg(count(lit(1)).as("f"))
 
   private def lifecycleDone(dir: String): Boolean =
