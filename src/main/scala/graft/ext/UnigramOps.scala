@@ -180,11 +180,18 @@ object UnigramOps {
       : Seq[(String, Long, Long)] = {
     val w = words.persist()
     w.count()
-    val maxW = Option(w.agg(max(length(col("w")))).head().get(0))
-      .fold(0)(_.asInstanceOf[Int])
+    val lenRow = w.agg(max(length(col("w"))), min(length(col("w")))).head()
+    val maxW = Option(lenRow.get(0)).fold(0)(_.asInstanceOf[Int])
+    val minW = Option(lenRow.get(1)).fold(1)(_.asInstanceOf[Int])
     require(maxW <= uniWordSteps,
       s"unigram: corpus has a $maxW-char word but the DP oracle " +
         s"unrolls $uniWordSteps steps; raise uniWordSteps")
+    // the no-empty-words invariant (see tokenWords) must hold for any
+    // externally supplied frame too: '' would seed zero-length pieces
+    // via a descending sequence(1, 0) on the Spark side only.
+    require(minW > 0,
+      "unigram: words frame contains an empty word; filter " +
+        "length(w) > 0 before calling trainLoop")
     val seed = seedCounts(w).persist()
     seed.count()
     val alphabet = seed.filter(length(col("p")) === 1)
@@ -353,6 +360,7 @@ object UnigramOps {
       .repartition(col("doc_id"))
       .select(explode(CurationOps.toksCol).as("t"))
       .select(reverse(col("t")).as("w"))
+      .filter(length(col("w")) > 0) // no-empty-words invariant (tokenWords)
       .groupBy("w").agg(count(lit(1)).as("f"))
     val b = stats(tokenWords(spark, sfDir))
       .select(col("n_emits").as("base_emits"),
@@ -408,6 +416,7 @@ object UnigramOps {
     val (be, bs) = emitStats(tokenWords(spark, sfDir), model)
     val batchWords = batchDocs.repartition(col("doc_id"))
       .select(explode(CurationOps.toksCol).as("w"))
+      .filter(length(col("w")) > 0) // no-empty-words invariant (tokenWords)
       .groupBy("w").agg(count(lit(1)).as("f"))
     val (de, ds) = emitStats(batchWords, model)
     val share = if (de == 0L) 0.0 else ds.toDouble / de.toDouble
