@@ -77,8 +77,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // artifact_tier: whether telemetry/lifecycle queries read the
+    // persisted shared artifacts (LSH pairs, bm25 tf) instead of
+    // rebuilding their chains — the build cost stays measured in the
+    // designated builder queries (q_minhash_lsh, q_bm25).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runsN,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runsN,"artifact_tier":${graft.io.Artifacts.sharedTier},"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a stdout tail, which truncates the
     // per-query map once enough queries exist; persist the full record

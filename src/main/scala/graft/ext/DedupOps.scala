@@ -269,7 +269,7 @@ object DedupOps {
     */
   def dedupClustersLsh(spark: SparkSession, sfDir: String,
                        driverThreshold: Long = 1000000L): DataFrame =
-    clustersFromPairs(spark, minhashLsh(spark, sfDir), driverThreshold)
+    clustersFromPairs(spark, lshPairs(spark, sfDir), driverThreshold)
 
   /** Duplicate-cluster SIZE distribution — the corpus-health summary a
     * dedup report leads with: how many families of each size exist,
@@ -461,7 +461,7 @@ object DedupOps {
     */
   def dedupClustersIncremental(spark: SparkSession,
                                sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir)
+    val pairs = lshPairs(spark, sfDir)
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist()
     pairs.count() // EAGER: two slice consumers
@@ -489,7 +489,7 @@ object DedupOps {
     */
   def dedupClustersForgotten(spark: SparkSession,
                              sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir)
+    val pairs = lshPairs(spark, sfDir)
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist()
     pairs.count() // EAGER: slice consumers + the forget restriction
@@ -778,6 +778,46 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshBanded(spark, sfDir, numBands)
 
+  /** Dir of the persisted verified-pair table. Every parameter the
+    * pairs depend on goes into the path (the [[lshIndexDir]] rule): a
+    * constant bump must MISS the old table, never read it.
+    */
+  private def lshPairsDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    val params = s"h$numHashes-b$numBands-s$shingleLen-" +
+      s"j${(jaccardThreshold * 100).round}-c$maxBucketSize-v1"
+    s"${graft.io.Artifacts.root}/lsh_pairs/${tag}_${params}_$fp"
+  }
+
+  /** The corpus's VERIFIED near-dup pair table as a persisted,
+    * fingerprint-stamped artifact — the shared-tier form of
+    * [[minhashLsh]]. Every downstream consumer of the pair graph
+    * (clustering, PageRank, triangles, recall telemetry, leakage)
+    * reads this table instead of re-running the shingle → signature →
+    * band → verify chain per query: at 100 TB the chain is a
+    * corpus-sized job you run once per corpus version, while the pair
+    * table it emits is orders smaller (bounded by the band-bucket
+    * caps), so probe-side consumers should never pay the build again.
+    * First call builds via [[minhashLsh]] and writes (SUCCESS-gated,
+    * deterministic — cached ≡ rebuilt bit-for-bit, which is why the
+    * consumers' standalone DuckDB oracles stay valid unchanged);
+    * subsequent calls read. [[graft.io.Artifacts.sharedTier]] off ⇒
+    * plain delegate to [[minhashLsh]] (every query standalone).
+    */
+  def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    if (!graft.io.Artifacts.sharedTier) minhashLsh(spark, sfDir)
+    else synchronized {
+      val dir = lshPairsDir(sfDir)
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val built = minhashLsh(spark, sfDir) // materialized (cached)
+        built.write.mode("overwrite").parquet(dir)
+        built.unpersist(false)
+      }
+      Canon.materialized(
+        spark.read.parquet(dir).select("id_a", "id_b", "jaccard"))
+    }
+
   /** [[minhashLsh]] under explicit banding knobs — the parameter axes
     * the recall gate's failure drill deliberately sinks: fewer bands ⇒
     * collision probability 1−(1−j^r)^b falls; an over-aggressive
@@ -1013,7 +1053,7 @@ object DedupOps {
     * composes.
     */
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir)
+    val pairs = lshPairs(spark, sfDir)
     Canon.materialized(
       Canon.canonicalize(pairs
         .withColumn("split_a", SampleOps.splitLabel(col("id_a")))
@@ -1551,7 +1591,7 @@ object DedupOps {
     * qualifying pair — nothing was there to find).
     */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
-    lshRecallFrom(spark, sfDir, minhashLsh(spark, sfDir))
+    lshRecallFrom(spark, sfDir, lshPairs(spark, sfDir))
 
   /** [[lshRecall]] against a CALLER-SUPPLIED LSH pair list — the seam
     * the gate's failure drill uses to measure a deliberately

@@ -50,7 +50,7 @@ object GraphOps {
     * candidate output, orders smaller than the corpus.
     */
   def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val lsh = DedupOps.minhashLsh(spark, sfDir) // materialized (cached)
+    val lsh = DedupOps.lshPairs(spark, sfDir) // materialized (cached)
     val pairs = lsh.select("id_a", "id_b")
     val edges = pairs.unionByName(pairs.select(
         col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -111,7 +111,7 @@ object GraphOps {
     * One persisted edge list drives both the wedge join and degrees.
     */
   def triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val lsh = DedupOps.minhashLsh(spark, sfDir) // materialized (cached)
+    val lsh = DedupOps.lshPairs(spark, sfDir) // materialized (cached)
     val e = lsh.select(col("id_a").as("a"), col("id_b").as("b"))
       .persist() // wedge join (3 sides) + degrees
     val tri = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))

@@ -170,10 +170,15 @@ object ScoringOps {
     * order via the TopKPerKey heap, consistent with every other
     * rank in the repo.
     */
-  def rerank(spark: SparkSession, sfDir: String): DataFrame =
-    Canon.canonicalize(
-      rerankTopFrom(spark, sfDir, TextOps.bm25(spark, sfDir))
-        .select("lang", "rerank", "doc_id", "bm25_rank", "model_score"))
+  def rerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bmTop0, _, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    val bmTop = bmTop0.persist() // rerankTopFrom consumes it twice
+    Canon.materialized(
+      Canon.canonicalize(
+        rerankTopFrom(spark, sfDir, bmTop)
+          .select("lang", "rerank", "doc_id", "bm25_rank", "model_score")),
+      tf, dl, bmTop)
+  }
 
   /** The rerank stage over an already-built BM25 top list (any frame
     * with lang, doc_id, rank) — ONE definition serves [[rerank]] and
@@ -292,7 +297,11 @@ object ScoringOps {
     */
   def retrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (bmTop, terms, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    val (bmTop0, terms, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    // three list builders consume the bm25 top (bm25 / rerank / rrf);
+    // unpersisted, each would re-execute the whole ranking chain
+    val bmTop = bmTop0.persist()
+    bmTop.count() // EAGER: three consumers below
     val rel = tf
       .join(broadcast(terms.select("lang", "token")), Seq("lang", "token"))
       .groupBy("lang", "doc_id").agg(count(lit(1)).as("rel"))
@@ -333,7 +342,7 @@ object ScoringOps {
           .as("ndcg"),
         (expr(s"CASE WHEN fr IS NULL THEN 0L ELSE $ndcgScale div fr END")
           .cast("double") / lit(ndcgScale.toDouble)).as("mrr"))
-    Canon.materialized(Canon.canonicalize(out), rel, tf, dl)
+    Canon.materialized(Canon.canonicalize(out), rel, tf, dl, bmTop)
   }
 
   /** Composes the shared bm25/rerank/rrf CTE chains with the grading

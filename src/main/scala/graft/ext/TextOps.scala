@@ -1071,11 +1071,53 @@ object TextOps {
     * and add in slot order, so the score is bit-deterministic.
     */
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {
-    val (top, _, tf, dl) = bm25Top(spark, sfDir)
+    // the DESIGNATED BUILDER query of the bm25 family: always rebuilds
+    // the tf postings from the corpus so the bench keeps measuring the
+    // tokenize+aggregate build cost; the downstream rankers (rerank,
+    // rrf, retrieval eval) read the shared tier instead.
+    val (top, _, tf, dl) = bm25Top(spark, sfDir, useTier = false)
     Canon.materialized(
       Canon.canonicalize(top.select("lang", "rank", "doc_id", "score")),
       tf, dl)
   }
+
+  /** Dir of the persisted tf postings ([[lshPairsDir]] rule: every
+    * parameter in the path; the tokenizer is [[CurationOps.toksCol]],
+    * versioned by the tag).
+    */
+  private def bm25TfDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"${graft.io.Artifacts.root}/bm25_tf/${tag}_toks1_$fp"
+  }
+
+  private def buildTf(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(CurationOps.toksCol).as("token"))
+      .groupBy("lang", "doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** The (lang, doc_id, token, tf) postings table, shared-tier form:
+    * the corpus tokenization is the expensive half of every text
+    * ranker, and it is a pure function of the corpus — so it is built
+    * once (SUCCESS-gated, fingerprint-stamped) and every ranker after
+    * the first reads it. Derived frames (dl, df, per-lang stats) are
+    * keyed rollups of THIS table, orders smaller than the token
+    * stream, and stay in-memory per query. All downstream arithmetic
+    * is single-valued or integer-summed per group, so tier ≡ rebuilt
+    * bit-for-bit and the standalone oracles stay valid.
+    */
+  private[ext] def tfPostings(spark: SparkSession, sfDir: String,
+                              useTier: Boolean): DataFrame =
+    if (!useTier || !graft.io.Artifacts.sharedTier) buildTf(spark, sfDir)
+    else synchronized {
+      val dir = bm25TfDir(sfDir)
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        buildTf(spark, sfDir).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).select("lang", "doc_id", "token", "tf")
+    }
 
   /** The BM25 chain up to the per-lang ranked top-k list — shared by
     * the standalone query, the RRF fusion, and the retrieval-eval
@@ -1084,14 +1126,10 @@ object TextOps {
     * [[graft.ext.ScoringOps.retrievalEval]]) and the persisted tf/dl
     * frames; the caller releases the latter via [[Canon.materialized]].
     */
-  private[ext] def bm25Top(spark: SparkSession, sfDir: String)
+  private[ext] def bm25Top(spark: SparkSession, sfDir: String,
+                           useTier: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val toks = documents(spark, sfDir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        explode(CurationOps.toksCol).as("token"))
-    val tf = toks.groupBy("lang", "doc_id", "token")
-      .agg(count(lit(1)).as("tf")).persist()
+    val tf = tfPostings(spark, sfDir, useTier).persist()
     val dl = tf.groupBy("lang", "doc_id")
       .agg(sum("tf").as("dl")).persist()
     val stats = dl.groupBy("lang").agg(
