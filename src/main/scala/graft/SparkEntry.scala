@@ -165,6 +165,8 @@ object SparkEntry {
       ((s, dir) => ext.BpeOps.bpeTrainForgotten(s, dir)),
     // apply the trained merges: real per-doc BPE token counts
     "q_bpe_encode" -> ((s, dir) => ext.BpeOps.bpeEncode(s, dir)),
+    "q_bpe_bytes_train" -> ((s, dir) => ext.BpeOps.bpeBytesTrain(s, dir)),
+    "q_bpe_bytes_encode" -> ((s, dir) => ext.BpeOps.bpeBytesEncode(s, dir)),
     // DoReMi-lite: excess reference-LM loss -> multiplicative mix
     // reweighting in mixturePlan's contract
     "q_doremi_mix" -> ((s, dir) => ext.SampleOps.doremiMix(s, dir)),
@@ -376,6 +378,8 @@ object SparkEntry {
     "q_bpe_train_merged" -> ext.BpeOps.bpeTrainOracle,
     "q_bpe_train_forgotten" -> ext.BpeOps.bpeTrainForgottenOracle,
     "q_bpe_encode" -> ext.BpeOps.bpeEncodeOracle,
+    "q_bpe_bytes_train" -> ext.BpeOps.bpeBytesTrainOracle,
+    "q_bpe_bytes_encode" -> ext.BpeOps.bpeBytesEncodeOracle,
     "q_doremi_mix" -> ext.SampleOps.doremiMixOracle,
     "q_wordpiece_encode" -> ext.BpeOps.wordpieceEncodeOracle,
     "q_wordpiece_bytefallback" ->

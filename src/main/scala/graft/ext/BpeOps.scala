@@ -293,11 +293,12 @@ object BpeOps {
   private[graft] def trainLoop(spark: SparkSession, words: DataFrame,
                              budget: Int = bpeMerges,
                              maxRounds: Int = bpeRounds,
-                             candWidth: Int = bpeCandidates)
+                             candWidth: Int = bpeCandidates,
+                             symbolize: Column => Column = split(_, ""))
       : Seq[(Int, Int, String, String, String, Long)] = {
     import spark.implicits._
     var (corpus, blocks) = truncated(
-      words.select(col("w"), split(col("w"), "").as("sy"), col("f")))
+      words.select(col("w"), symbolize(col("w")).as("sy"), col("f")))
     var (pairs, pBlocks) = truncated(
       adjacencies(corpus, 1).groupBy("a", "b").agg(sum("pf").as("pf")))
     val merges = Seq.newBuilder[(Int, Int, String, String, String, Long)]
@@ -349,6 +350,102 @@ object BpeOps {
     Canon.canonicalize(
       trainedMerges(spark, sfDir)
         .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq"))
+  }
+
+  // ---- byte-level arm (the GPT-2 construction) ------------------------
+
+  /** UTF-8 BYTE symbolization: each byte of the word as a
+    * two-uppercase-hex-digit atom (the cross-engine-stable stand-in
+    * for GPT-2's byte↔printable-unicode bijection — both `hex()`s emit
+    * identical uppercase hex of the UTF-8 bytes, and hex atoms are
+    * ASCII so the candidate tie-break collates identically). Starting
+    * from bytes instead of characters makes EVERY string coverable
+    * with zero UNK before any fallback: the 256 possible atoms are the
+    * whole alphabet, merges only ever concatenate them, and
+    * `unhex(concat(symbols))` losslessly reconstructs the word
+    * (BpeBytesSpec round-trips Greek/CJK/astral fixtures).
+    */
+  private[ext] def byteSymbols(w: Column): Column =
+    regexp_extract_all(hex(w), lit(".."), lit(0))
+
+  /** [[trainedMerges]]' byte-arm twin: same memo + SUCCESS-gated disk
+    * tier, own artifact dir (byte and char merges are different
+    * vocabularies over the same corpus).
+    */
+  private[ext] def trainedByteMerges(spark: SparkSession, sfDir: String,
+                                     words: Option[DataFrame] = None)
+      : Seq[(Int, Int, String, String, String, Long)] = {
+    import spark.implicits._
+    val fp = Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val key = s"bytes#$sfDir#$bpeMerges#$bpeRounds#$bpeCandidates#$fp"
+    Option(mergeCache.get(key)).getOrElse {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+      val dir = s"${graft.io.Artifacts.root}/bpe_index/" +
+        s"${tag}_bytes_m${bpeMerges}_r${bpeRounds}_c${bpeCandidates}_$fp" +
+        "/merges"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val trained = trainLoop(spark,
+          words.getOrElse(tokenWords(spark, sfDir)),
+          symbolize = byteSymbols)
+        spark.createDataset(trained)
+          .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      }
+      val loaded = spark.read.parquet(dir)
+        .as[(Int, Int, String, String, String, Long)]
+        .collect().toSeq.sortBy(_._1)
+      mergeCache.put(key, loaded)
+      loaded
+    }
+  }
+
+  /** BYTE-LEVEL BPE training — the fourth tokenizer arm: the same
+    * batched-greedy trainer ([[trainLoop]]) run over UTF-8 byte atoms
+    * instead of characters, so the vocabulary it grows can cover any
+    * script with zero UNK (what GPT-2-style tokenizers guarantee by
+    * construction, vs the WordPiece byte-escape FALLBACK which punts
+    * unmatched positions). Same output contract as [[bpeTrain]].
+    */
+  def bpeBytesTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Canon.canonicalize(
+      trainedByteMerges(spark, sfDir)
+        .toDF("merge_idx", "batch_round", "a", "b", "ab", "pair_freq"))
+  }
+
+  /** Per-doc byte-BPE encode telemetry: word count, raw UTF-8 byte
+    * count, and byte-BPE token count under the trained byte merges —
+    * [[bpeEncode]]'s byte-arm twin (n_bytes is the zero-merge
+    * baseline, so n_bytes − n_bpe_tokens is exactly the compression
+    * the learned merges buy).
+    */
+  def bpeBytesEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = tokenWords(spark, sfDir).persist()
+    val merges = trainedByteMerges(spark, sfDir, Some(words))
+    val rounds = merges.groupBy(_._2).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._1).map(m => (m._3, m._4, m._5)))
+    val folded = rounds.foldLeft(byteSymbols(col("w"))) { (sy, pairs) =>
+      graft.functions.BpeMergeFold(sy, pairs)
+    }
+    val wordLen = words.select(col("w"),
+      octet_length(col("w")).cast("long").as("n_b"),
+      size(folded).cast("long").as("n_sym"))
+    val docTokens = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(CurationOps.toksCol).as("w"))
+    val out = TextOps.documents(spark, sfDir).select("doc_id")
+      .join(docTokens
+          .join(broadcast(wordLen), Seq("w"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_words"),
+            sum("n_b").as("n_bytes"),
+            sum("n_sym").as("n_bpe_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+    Canon.materialized(Canon.canonicalize(out), words)
   }
 
   // ---- merge/forget lifecycle (word-count algebra + retrain) ----------
@@ -635,19 +732,30 @@ object BpeOps {
   // a DEF (interpolated by vals declared at various points — the
   // TextOps.normSql init-order discipline); `docCond` narrows the
   // training corpus (the forget oracle's base-half restriction)
-  private def oracleChainCtesFor(docCond: String): String =
+  // `symSql` is the initial symbolization (a SQL list expression over
+  // `w`): characters for the classic arm, UTF-8 hex-byte pairs for the
+  // byte arm — the ONLY thing the two chains differ in.
+  private def oracleChainCtesFor(docCond: String,
+                                 symSql: String = "string_split(w, '')")
+      : String =
     s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS f FROM (
        |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents
        |    WHERE $docCond)
        |  GROUP BY 1),
        |c0 AS MATERIALIZED (
-       |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+       |  SELECT w, ' ' || array_to_string($symSql, '  ') || ' '
        |           AS s, f
        |  FROM w0),
        |${(0 until bpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
 
   private val oracleChainCtes: String = oracleChainCtesFor("TRUE")
+
+  /** The byte-arm chain: identical round machinery, hex-pair init
+    * (both engines' hex() = uppercase hex of the UTF-8 bytes).
+    */
+  private def oracleChainCtesBytes: String =
+    oracleChainCtesFor("TRUE", "regexp_extract_all(hex(w), '..')")
 
   /** The merge-report SELECT over the unrolled rounds' acc tables. */
   private def trainSelectTail: String =
@@ -694,6 +802,38 @@ object BpeOps {
        |$encodeCtes
        |SELECT documents.doc_id,
        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** The byte-arm training chain in SQL — [[bpeTrainOracle]] with the
+    * hex-pair init.
+    */
+  def bpeBytesTrainOracle: String =
+    s"""WITH RECURSIVE
+       |$oracleChainCtesBytes
+       |$trainSelectTail""".stripMargin
+
+  /** Byte-arm encode oracle: adds the raw byte count (`strlen` = UTF-8
+    * octets in DuckDB, `octet_length` on the Spark side).
+    */
+  def bpeBytesEncodeOracle: String =
+    s"""WITH RECURSIVE
+       |$oracleChainCtesBytes,
+       |wl AS (
+       |  SELECT w, CAST(strlen(w) AS BIGINT) AS n_b,
+       |         len(list_filter(string_split(s, ' '), x -> x <> ''))
+       |           AS n_sym
+       |  FROM c$bpeRounds),
+       |dt AS (
+       |  SELECT doc_id, unnest(${CurationOps.toksSql}) AS w
+       |  FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(n_b) AS n_bytes,
+       |         sum(n_sym) AS n_bpe
+       |  FROM dt JOIN wl USING (w) GROUP BY 1)
+       |SELECT documents.doc_id,
+       |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_bytes, 0) AS BIGINT) AS n_bytes,
        |  CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents LEFT JOIN agg USING (doc_id)""".stripMargin
 
