@@ -50,6 +50,8 @@ object SparkEntry {
     "q_quality_classifier_ref" ->
       ((s, dir) => ext.ClassifierOps.qualityClassifierRef(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
+    "q_domain_rollup" -> ((s, dir) => ext.DomainOps.domainRollup(s, dir)),
+    "q_domain_cap" -> ((s, dir) => ext.DomainOps.domainCap(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
     "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
     "q_temperature_mix" -> ((s, dir) => SampleOps.temperatureMix(s, dir)),
@@ -303,6 +305,8 @@ object SparkEntry {
     "q_quality_classifier_ref" ->
       ext.ClassifierOps.qualityClassifierRefOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,
+    "q_domain_rollup" -> ext.DomainOps.domainRollupOracle,
+    "q_domain_cap" -> ext.DomainOps.domainCapOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
     "q_source_diversity" -> SampleOps.sourceDiversityOracle,
     "q_temperature_mix" -> SampleOps.temperatureMixOracle,

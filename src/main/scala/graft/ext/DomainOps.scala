@@ -1,0 +1,213 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Canon
+
+/** URL → registered-domain canonicalization and per-domain governance
+  * rollups — the crawl-side budgeting axis `source` cannot provide: a
+  * crawl's provenance is a URL, and per-DOMAIN doc/token counts and
+  * duplicate rates are what source caps and mixture weights key on in
+  * a web-scale corpus (cf. the per-source machinery at
+  * [[TextOps.sourceCap]] / [[SampleOps.mixturePlan]]).
+  *
+  * The fixture corpus carries no URL column, so the query SEEDS one
+  * deterministically per document (five shapes exercising scheme case,
+  * `www.` prefixes, ports, paths/queries/fragments and two-level
+  * TLDs), built by identical string arithmetic in both engines — the
+  * ShingleHashes inline-constant discipline applied to strings. A
+  * deployment replaces [[urlOf]] with its real URL column; everything
+  * downstream is column-generic.
+  *
+  * REGISTERED-DOMAIN APPROXIMATION (documented, no public-suffix-list
+  * dependency): lowercase; strip scheme, one leading `www.`, port and
+  * path/query/fragment; then keep the last TWO host labels, or the
+  * last THREE when the last two form one of [[twoLevelSuffixes]] — a
+  * small inlined subset of the PSL's two-level suffixes. Divergences
+  * from the full PSL (e.g. `blogspot.com.au` is itself a public
+  * suffix there) are accepted and documented here: the approximation
+  * is stable, dependency-free, and identical in both engines.
+  *
+  * Scale shape: canonicalization is a per-row codegen'd string
+  * projection (no shuffle); the rollup is one keyed aggregation on
+  * the registered domain with map-side combine, joined to the
+  * exact-duplicate SHA table ([[TextOps.dedupExact]] semantics) that
+  * is itself one keyed aggregation — two shuffles total at any scale,
+  * both on bounded-cardinality keys (domains, SHAs).
+  */
+object DomainOps {
+
+  /** Two-level suffixes recognized by the approximation (see object
+    * scaladoc for the contract and its documented PSL divergences).
+    */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.in", "co.nz", "com.br", "com.mx")
+
+  /** Deterministic seeded URL: five shapes keyed on doc_id % 5. */
+  private[ext] def urlOf: Column = {
+    val id = col("doc_id").cast("string")
+    val m = (col("doc_id") % 5).cast("int")
+    when(m === 0, concat(lit("https://www."), col("source"),
+        lit(".example.com/p/"), id))
+      .when(m === 1, concat(lit("http://news."), col("source"),
+        lit(".co.uk/a?id="), id))
+      .when(m === 2, concat(lit("HTTPS://CDN-"),
+        (col("doc_id") % 7).cast("string"), lit("."), col("source"),
+        lit(".ORG:8443/x/y")))
+      .when(m === 3, concat(lit("https://"), col("source"),
+        (col("doc_id") % 3).cast("string"), lit(".blogspot.com.au/p#f")))
+      .otherwise(concat(lit("http://www.m."), col("source"), lit(".io/")))
+  }
+
+  /** The seeded URL in DuckDB SQL — the string twin of [[urlOf]].
+    * NOTE: this string is interpolated into templates that call
+    * `stripMargin` themselves, so no line may START with `|` (a
+    * leading `||` concat would be eaten by the outer strip) — the
+    * concat operators sit at line ENDS.
+    */
+  private[ext] val urlSql: String =
+    """CASE doc_id % 5
+      |  WHEN 0 THEN 'https://www.' || source || '.example.com/p/' || doc_id
+      |  WHEN 1 THEN 'http://news.' || source || '.co.uk/a?id=' || doc_id
+      |  WHEN 2 THEN 'HTTPS://CDN-' || (doc_id % 7) || '.' || source ||
+      |              '.ORG:8443/x/y'
+      |  WHEN 3 THEN 'https://' || source || (doc_id % 3) ||
+      |              '.blogspot.com.au/p#f'
+      |  ELSE 'http://www.m.' || source || '.io/'
+      |END""".stripMargin
+
+  /** Canonical host: lowercase, scheme stripped, cut at the first of
+    * `/ ? # :` (path/query/fragment/port), one leading `www.` removed.
+    */
+  private[ext] def canonicalHost(url: Column): Column =
+    regexp_replace(
+      regexp_extract(
+        regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://", ""),
+        "^[^/?#:]*", 0),
+      "^www\\.", "")
+
+  private[ext] def canonicalHostSql(url: String): String =
+    s"""regexp_replace(
+       |  regexp_extract(
+       |    regexp_replace(lower($url), '^[a-z][a-z0-9+.-]*://', ''),
+       |    '^[^/?#:]*'),
+       |  '^www\\.', '')""".stripMargin
+
+  /** Registered domain under the two-level-suffix approximation. */
+  private[ext] def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(n >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  private[ext] def registeredDomainSql(host: String): String = {
+    val suffixes = twoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""CASE
+       |  WHEN len(string_split($host, '.')) >= 3
+       |       AND array_to_string(string_split($host, '.')[-2:], '.')
+       |           IN ($suffixes)
+       |  THEN array_to_string(string_split($host, '.')[-3:], '.')
+       |  WHEN len(string_split($host, '.')) >= 2
+       |  THEN array_to_string(string_split($host, '.')[-2:], '.')
+       |  ELSE $host
+       |END""".stripMargin
+  }
+
+  /** Per-registered-domain governance rollup: document count, token
+    * count, exact-duplicate document count (docs whose normalized-text
+    * SHA occurs more than once IN THE CORPUS — the
+    * [[TextOps.dedupExact]] notion, attributed back to domains), and
+    * the duplicate rate — the table a crawl budget reads before
+    * assigning per-domain caps or mixture weights.
+    */
+  def domainRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+      .select(col("doc_id"),
+        registeredDomain(canonicalHost(urlOf)).as("domain"),
+        size(filter(split(col("norm"), " "), t => t =!= ""))
+          .cast("long").as("n_toks"),
+        sha2(col("norm"), 256).as("text_sha"))
+      .persist()
+    val dupSha = d.groupBy("text_sha")
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("text_sha")
+    // NO broadcast hint: the duplicated-SHA set is corpus-bounded, not
+    // model-bounded — a plain shuffled hash join on the SHA key scales
+    val out = d
+      .join(dupSha.withColumn("is_dup", lit(1L)),
+        Seq("text_sha"), "left")
+      .groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+    Canon.materialized(Canon.canonicalize(out), d)
+  }
+
+  val domainRollupOracle: String = {
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         ${registeredDomainSql(canonicalHostSql(urlSql))} AS domain,
+       |         CAST(len(list_filter(
+       |           string_split(${TextOps.normSql}, ' '), t -> t <> ''))
+       |           AS BIGINT) AS n_toks,
+       |         sha256(${TextOps.normSql}) AS text_sha
+       |  FROM documents),
+       |dup AS (
+       |  SELECT text_sha FROM base GROUP BY 1 HAVING count(*) > 1)
+       |SELECT domain,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN dup.text_sha IS NULL THEN 0 ELSE 1 END)
+       |         AS BIGINT) AS n_dup_docs,
+       |       CAST(sum(CASE WHEN dup.text_sha IS NULL THEN 0 ELSE 1 END)
+       |         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+       |FROM base LEFT JOIN dup ON base.text_sha = dup.text_sha
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Per-DOMAIN quality cap — [[TextOps.sourceCap]] keyed on the
+    * registered domain instead of `source`: keep each domain's
+    * [[TextOps.sourceCapK]] highest-quality documents. The heap-based
+    * TopKPerKey plan makes the cap one exchange on the domain key
+    * whatever the corpus size.
+    */
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.withQualityScore(
+        TextOps.documents(spark, sfDir)
+          .withColumn("norm", TextOps.normText(col("text"))))
+      .select(col("doc_id"),
+        registeredDomain(canonicalHost(urlOf)).as("domain"),
+        col("quality_score"))
+    Canon.canonicalize(graft.plans.TopK.perKey(scored, Seq("domain"),
+      Seq("quality_score" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc), k = TextOps.sourceCapK))
+  }
+
+  val domainCapOracle: String =
+    s"""WITH ${TextOps.qualityCte},
+       |qd AS (
+       |  SELECT doc_id,
+       |         ${registeredDomainSql(canonicalHostSql(urlSql))} AS domain,
+       |         quality_score
+       |  FROM qs),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY domain
+       |    ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |  FROM qd)
+       |SELECT doc_id, domain, quality_score
+       |FROM r WHERE rn <= ${TextOps.sourceCapK}""".stripMargin
+}

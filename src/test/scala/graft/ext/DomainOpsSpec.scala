@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The URL-canonicalization contract on handcrafted URLs — the edge
+  * cases the seeded fixture shapes exercise plus the ones they don't
+  * (schemeless, single-label hosts, deep subdomains, query-only
+  * tails), and the rollup's duplicate attribution on a constructed
+  * corpus.
+  */
+class DomainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def domainsOf(urls: Seq[String]): Map[String, String] = {
+    val out = urls.toDF("u").select(col("u"),
+        DomainOps.registeredDomain(DomainOps.canonicalHost(col("u")))
+          .as("d"))
+      .as[(String, String)].collect().toMap
+    out
+  }
+
+  test("registered-domain extraction on handcrafted URLs") {
+    val cases = Map(
+      "https://www.example.com/p/1" -> "example.com",
+      "http://news.bbc.co.uk/a?id=2" -> "bbc.co.uk",
+      "HTTPS://CDN-3.Host.ORG:8443/x/y" -> "host.org",
+      "https://blog4.blogspot.com.au/p#f" -> "blogspot.com.au",
+      // last-2-labels approximation: the 'm.' subdomain folds away
+      "http://www.m.site.io/" -> "site.io",
+      // beyond the seeded shapes:
+      "example.com/no-scheme" -> "example.com",
+      "https://localhost:8080/x" -> "localhost",
+      "ftp://a.b.c.d.example.org/f" -> "example.org",
+      "https://www.gov.uk" -> "gov.uk",
+      "http://x.co.jp?q=1" -> "x.co.jp",
+      "https://deep.sub.tree.ac.uk#top" -> "tree.ac.uk")
+    val got = domainsOf(cases.keys.toSeq)
+    for ((u, want) <- cases)
+      assert(got(u) == want, s"registeredDomain('$u')")
+  }
+
+  test("www is stripped once, as a label prefix only") {
+    val got = domainsOf(Seq(
+      "https://www.www.example.com/", // second www survives the strip
+      "https://wwwexample.com/"))     // no dot: not a www. prefix
+    assert(got("https://www.www.example.com/") == "example.com")
+    assert(got("https://wwwexample.com/") == "wwwexample.com")
+  }
+
+  test("rollup groups hosts by registered domain and attributes dups") {
+    // seeded shapes: doc_id % 5 == 0 docs all collapse to example.com
+    // regardless of source; 1 -> <source>.co.uk; 4 -> <source>.io
+    val out = DomainOps.domainRollup(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.contains("example.com"), out.keys.toString)
+    val nDocs = out.values.map(_._2).sum
+    val corpus = TextOps.documents(spark, sfDir).count()
+    assert(nDocs == corpus, "every doc lands in exactly one domain")
+    for ((d, r) <- out) {
+      assert(r._4 <= r._2, s"$d: dup docs cannot exceed docs")
+      assert(r._5 >= 0.0 && r._5 <= 1.0, s"$d: dup_rate in [0,1]")
+    }
+    // exact-dup totals must agree with the corpus-wide SHA ledger
+    val expectDups = TextOps.dedupExact(spark, sfDir)
+      .filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).as[Long].head()
+    assert(out.values.map(_._4).sum == expectDups,
+      "per-domain dup docs must sum to the corpus-wide count")
+  }
+}
