@@ -138,6 +138,9 @@ object SparkEntry {
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_dup_spans_apply" -> ((s, dir) => DedupOps.dupSpansApply(s, dir)),
+    "q_dup_spans_50" -> ((s, dir) => DedupOps.dupSpanRuns(s, dir)),
+    "q_dup_spans_50_apply" ->
+      ((s, dir) => DedupOps.dupSpansApplyLong(s, dir)),
     "q_decontaminate_spans" ->
       ((s, dir) => CurationOps.decontaminateSpans(s, dir)),
     // detect -> REMOVE: the cleaned corpus after LSH clustering
@@ -363,6 +366,8 @@ object SparkEntry {
     "q_ann_recall" -> VectorOps.annRecallOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
+    "q_dup_spans_50" -> DedupOps.dupSpanRunsOracle,
+    "q_dup_spans_50_apply" -> DedupOps.dupSpansApplyLongOracle,
     "q_decontaminate_spans" -> CurationOps.decontaminateSpansOracle,
     "q_dedup_apply" -> DedupOps.dedupApplyOracle,
     "q_dedup_apply_best" -> DedupOps.dedupApplyBestOracle,

@@ -2073,14 +2073,15 @@ object DedupOps {
   def dupSpansApply(spark: SparkSession, sfDir: String): DataFrame =
     dupSpansApplyDocs(documents(spark, sfDir))
 
-  private[ext] def dupSpansApplyDocs(docs: DataFrame): DataFrame = {
+  private[ext] def dupSpansApplyDocs(docs: DataFrame,
+                                     w: Int = spanTokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import CurationOps.{grams, toksCol}
     val d = docs.repartition(col("doc_id"))
       .select(col("doc_id"), toksCol.as("toks"))
       .persist() // span scan + token stream + n_tokens base
     val spanRows = d.select(col("doc_id"),
-        posexplode(grams(col("toks"), spanTokens)).as(Seq("i0", "gram")))
+        posexplode(grams(col("toks"), w)).as(Seq("i0", "gram")))
       .select(col("doc_id"), col("i0"), md5(col("gram")).as("gh"))
       .repartition(col("gh"))
       .persist() // gh stats + losing-span attach share one exchange
@@ -2092,7 +2093,7 @@ object DedupOps {
       .select("gh", "doc_id")
     val removedPos = spanRows.join(losing, Seq("gh", "doc_id"))
       .select(col("doc_id"),
-        explode(sequence(col("i0"), col("i0") + lit(spanTokens - 1)))
+        explode(sequence(col("i0"), col("i0") + lit(w - 1)))
           .as("pos"))
       .distinct()
     Canon.materialized(
@@ -2128,8 +2129,9 @@ object DedupOps {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
-  val dupSpansApplyOracle: String = {
-    val w = spanTokens
+  val dupSpansApplyOracle: String = dupSpansApplyOracleFor(spanTokens)
+
+  private[ext] def dupSpansApplyOracleFor(w: Int): String = {
     s"""WITH d AS (
        |  SELECT doc_id, ${CurationOps.toksSql} AS toks FROM documents),
        |g AS (
@@ -2200,4 +2202,134 @@ object DedupOps {
        |  FROM base LEFT JOIN per USING (doc_id))
        |SELECT *, dup_span_frac > $dupSpanFracMax AS flagged FROM f""".stripMargin
   }
+
+  // ---- long-span exact-substring dedup (maximal-match extension) ------
+
+  /** Seed length of the LONG-span pass — the ~50-token spans the
+    * exact-substring dedup literature targets (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * spans this long are near-certainly true copies, not phrase-level
+    * coincidence, so surgery at this granularity is safe by default
+    * where [[spanTokens]]-gram surgery needs the fraction gate.
+    */
+  val longSpanTokens = 50
+
+  /** MAXIMAL duplicated-region telemetry — [[dupSpans]] upgraded from
+    * fixed-gram counting to the Lee-et-al maximal-match semantics: a
+    * `w`-token seed gram that appears in more than one document marks
+    * its token interval as duplicated, and overlapping or adjacent
+    * marked intervals within a document MERGE into maximal runs (the
+    * greedy extension: consecutive duplicated seeds at start positions
+    * ≤ `w` apart chain into one region, so a 120-token verbatim copy
+    * reports as ONE run of length 120, not 71 overlapping grams).
+    * Per doc: run count, tokens covered by any run, the longest run,
+    * and the covered fraction.
+    *
+    * Scale shape: one wide exchange on the gram hash (the [[dupSpans]]
+    * plan) to find cross-doc seeds, then the run merge is a per-doc
+    * window over the doc's OWN duplicated seed positions — keyed by
+    * doc, bounded by doc length, no corpus-sized sort. The lag/
+    * running-sum interval merge is the standard distributed
+    * interval-union shape.
+    */
+  def dupSpanRuns(spark: SparkSession, sfDir: String,
+                  w: Int = longSpanTokens): DataFrame =
+    dupSpanRunsDocs(documents(spark, sfDir), w)
+
+  private[ext] def dupSpanRunsDocs(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import CurationOps.{grams, toksCol}
+    val d = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), toksCol.as("toks"))
+      .persist() // seed scan + n_tokens base
+    val spanRows = d.select(col("doc_id"),
+        posexplode(grams(col("toks"), w)).as(Seq("i0", "gram")))
+      .select(col("doc_id"), col("i0"), md5(col("gram")).as("gh"))
+      .repartition(col("gh"))
+      .persist() // cross-doc stats + covered-position attach
+    val dupGh = spanRows.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("gh")
+    val covered = spanRows.join(dupGh, Seq("gh"))
+      .select("doc_id", "i0")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i0")
+    // intervals [i0, i0+w-1]; a gap of more than w start positions
+    // means the previous interval ends before this one starts
+    val runs = covered
+      .withColumn("brk",
+        when(col("i0") - lag("i0", 1).over(byDoc) > w, 1).otherwise(0))
+      .withColumn("run_id", sum("brk").over(byDoc))
+      .groupBy("doc_id", "run_id")
+      .agg(min("i0").as("s"), max("i0").as("e"))
+      .select(col("doc_id"), (col("e") - col("s") + w).cast("long").as("len"))
+    val perDoc = runs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_runs"),
+      sum("len").as("n_dup_tokens"),
+      max("len").as("max_run_len"))
+    val out = d
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("max_run_len"), lit(0L)).as("max_run_len"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+    Canon.materialized(Canon.canonicalize(out), d, spanRows)
+  }
+
+  /** Long-span surgery: [[dupSpansApplyDocs]] at [[longSpanTokens]] —
+    * remove every token inside a losing ≥50-token duplicated span
+    * (keep-first by min doc_id), stitch survivors back.
+    */
+  def dupSpansApplyLong(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansApplyDocs(documents(spark, sfDir), longSpanTokens)
+
+  private[ext] def dupSpanRunsOracleFor(w: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${CurationOps.toksSql} AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS i0,
+       |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')) AS gh
+       |  FROM d, unnest(range(1, len(toks) - ${w - 2})) AS r(i)),
+       |dup AS (
+       |  SELECT gh FROM (SELECT gh, doc_id FROM g GROUP BY 1, 2)
+       |  GROUP BY gh HAVING count(*) > 1),
+       |cov AS (SELECT doc_id, i0 FROM g JOIN dup USING (gh)),
+       |l AS (
+       |  SELECT doc_id, i0,
+       |    CASE WHEN i0 - lag(i0) OVER (PARTITION BY doc_id ORDER BY i0)
+       |           > $w THEN 1 ELSE 0 END AS brk
+       |  FROM cov),
+       |rr AS (
+       |  SELECT doc_id, i0,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i0) AS run_id
+       |  FROM l),
+       |runs AS (
+       |  SELECT doc_id, run_id, min(i0) AS s, max(i0) AS e
+       |  FROM rr GROUP BY 1, 2),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_runs,
+       |         sum(e - s + $w) AS n_dup_tokens,
+       |         max(e - s + $w) AS max_run_len
+       |  FROM runs GROUP BY 1),
+       |base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d)
+       |SELECT base.doc_id, n_tokens,
+       |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+       |  CAST(coalesce(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       |  CAST(coalesce(max_run_len, 0) AS BIGINT) AS max_run_len,
+       |  CASE WHEN n_tokens > 0
+       |    THEN CAST(coalesce(n_dup_tokens, 0) AS DOUBLE)
+       |           / CAST(n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS dup_token_frac
+       |FROM base LEFT JOIN per USING (doc_id)""".stripMargin
+
+  val dupSpanRunsOracle: String = dupSpanRunsOracleFor(longSpanTokens)
+
+  val dupSpansApplyLongOracle: String =
+    dupSpansApplyOracleFor(longSpanTokens)
 }
