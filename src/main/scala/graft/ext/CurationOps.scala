@@ -35,7 +35,7 @@ object CurationOps {
     * shared tokenization of every operator in this file (and its DuckDB
     * twin, [[toksSql]]).
     */
-  private[ext] def toksCol: Column =
+  private[graft] def toksCol: Column =
     filter(split(normText(col("text")), " "), t => t =!= "")
 
   // def for the same init-cycle reason as TextOps.normSql (see there)

@@ -216,7 +216,7 @@ object UnigramOps {
     * [[BpeOps.trainedMerges]] contract; UnigramOpsSpec pins the
     * artifact round trip).
     */
-  private[ext] def trainedPieces(spark: SparkSession, sfDir: String)
+  private[graft] def trainedPieces(spark: SparkSession, sfDir: String)
       : Seq[(String, Long, Long)] = {
     import spark.implicits._
     val fp = Fingerprint.ofPath(s"$sfDir/documents.parquet")
@@ -672,6 +672,22 @@ object UnigramOps {
        |${modelCtes("b", "2")}""".stripMargin
 
   private def chainCtes: String = chainCtesFor("TRUE")
+
+  /** Composable TOKEN-TELEMETRY chain for an explicit accepted-doc-id
+    * table (the admission seam: [[graft.streaming.EventStream
+    * .ingestFunnelBatch]] counts tokens of what it admits): the full
+    * trained-model chain plus a Viterbi encode of the accepted docs'
+    * word table. Consumers read `wt_acc` (word, f) and `wlt` (word,
+    * n_p, n_s): total tokens = Σ f·n_p, total words = Σ f.
+    */
+  private[graft] def acceptedTokenCtes(acceptedTable: String): String =
+    s"""$chainCtes,
+       |wt_acc AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(${CurationOps.toksSql}) AS w FROM documents
+       |    WHERE doc_id IN (SELECT doc_id FROM $acceptedTable))
+       |  GROUP BY 1),
+       |${dpCtes("t", "pc2", "wt_acc")}""".stripMargin
 
   val unigramTrainOracle: String =
     s"""WITH

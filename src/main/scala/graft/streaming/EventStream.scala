@@ -542,9 +542,30 @@ object EventStream {
       .count()
     val spark = batch.sparkSession
     import spark.implicits._
-    val stats = Seq((nIn, nIn - nQ, nQ - nD, nD - nA, nUnscored, nA)).toDF(
+    // TOKENIZER-AT-ADMISSION: tokens are what the training budget is
+    // denominated in, so the funnel reports what it just admitted in
+    // token units, not only doc units — accepted docs' words segmented
+    // under the FROZEN corpus unigram model (a static side input like
+    // the LM tables, so per-batch ≡ whole-feed still holds; the drift
+    // gate beside this seam is what catches the model going stale).
+    // Two bounded scalar aggregates; the corpus is never touched.
+    val uniModel = graft.ext.UnigramOps.trainedPieces(spark, sfDir)
+    val accWords = accepted
+      .select(explode(graft.ext.CurationOps.toksCol).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val pieces = graft.functions.UnigramViterbi(col("w"),
+      uniModel.map(e => (e._1, e._3)))
+    val tokRow = accWords
+      .select(col("f"), size(pieces).cast("long").as("n_p"))
+      .agg(coalesce(sum(col("f")), lit(0L)),
+        coalesce(sum(col("f") * col("n_p")), lit(0L))).head()
+    val (nWords, nTokens) = (tokRow.getLong(0), tokRow.getLong(1))
+    val fertility = nTokens.toDouble / math.max(nWords, 1L).toDouble
+    val stats = Seq((nIn, nIn - nQ, nQ - nD, nD - nA, nUnscored, nA,
+      nWords, nTokens, fertility)).toDF(
       "n_in", "n_quality_drop", "n_dup_drop", "n_fluency_drop",
-      "n_unscored", "n_accepted")
+      "n_unscored", "n_accepted", "n_tok_words", "n_tokens", "fertility")
     qPassed.unpersist(false); deduped.unpersist(false)
     lmScored.unpersist(false)
     (accepted, stats)
@@ -599,7 +620,12 @@ object EventStream {
        |  WHERE mean_inv <= $funnelFluencyMax),
        |unsc AS (
        |  SELECT dd.doc_id FROM dedup dd JOIN documents d USING (doc_id)
-       |  WHERE d.lang NOT IN (SELECT lang FROM voc))
+       |  WHERE d.lang NOT IN (SELECT lang FROM voc)),
+       |${graft.ext.UnigramOps.acceptedTokenCtes("flu")},
+       |tokstat AS (
+       |  SELECT CAST(coalesce(sum(a.f), 0) AS BIGINT) AS n_tok_words,
+       |         CAST(coalesce(sum(a.f * l.n_p), 0) AS BIGINT) AS n_tokens
+       |  FROM wt_acc a JOIN wlt l USING (w))
        |SELECT
        |  (SELECT count(*) FROM feed) AS n_in,
        |  (SELECT count(*) FROM feed) - (SELECT count(*) FROM qpass)
@@ -609,7 +635,11 @@ object EventStream {
        |  (SELECT count(*) FROM dedup) - (SELECT count(*) FROM flu)
        |    AS n_fluency_drop,
        |  (SELECT count(*) FROM unsc) AS n_unscored,
-       |  (SELECT count(*) FROM flu) AS n_accepted""".stripMargin
+       |  (SELECT count(*) FROM flu) AS n_accepted,
+       |  n_tok_words, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) /
+       |    greatest(CAST(n_tok_words AS DOUBLE), 1.0) AS fertility
+       |FROM tokstat""".stripMargin
   }
 
   /** Convenience: file-source stream over the events fixture (a real

@@ -556,6 +556,22 @@ class EventStreamSpec extends SparkSpec {
     // the funnel actually filters: at least two stages drop something
     assert(Seq(whole._2, whole._3, whole._4).count(_ > 0L) >= 2,
       s"stats $whole — funnel too permissive for a meaningful test")
+
+    // tokenizer-at-admission: per-batch token/word counts sum to the
+    // whole-feed counts (the frozen model makes them doc-additive),
+    // and every batch's fertility is exactly its tokens/words ratio
+    val tokRows = spark.read.parquet(s"$out/f/stats_batch=*")
+      .select("n_tok_words", "n_tokens", "fertility")
+      .as[(Long, Long, Double)].collect()
+    val (sw, st) = (tokRows.map(_._1).sum, tokRows.map(_._2).sum)
+    val (ww, wt) = refStats.select("n_tok_words", "n_tokens")
+      .as[(Long, Long)].head()
+    assert((sw, st) == ((ww, wt)), s"token sums ($sw,$st) != ($ww,$wt)")
+    assert(wt > 0L, "admitted docs must carry tokens — vacuous otherwise")
+    assert(wt >= ww, "unigram fertility is >= 1 token per word")
+    for ((w, t, f) <- tokRows)
+      assert(f == t.toDouble / math.max(w, 1L).toDouble,
+        s"fertility $f != $t/$w")
   }
 
 }
