@@ -250,6 +250,7 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) => MultimodalOps.frameSamples(s, dir)),
     "q_image_neardup" -> ((s, dir) => MultimodalOps.imageNearDup(s, dir)),
     "q_video_neardup" -> ((s, dir) => MultimodalOps.videoNearDup(s, dir)),
+    "q_audio_neardup" -> ((s, dir) => MultimodalOps.audioNearDup(s, dir)),
     // operator-family micro-queries (SURVEY §7.2.6)
     "q_scan_project" -> ((s, dir) => MicroQueries.scanProject(s, dir)),
     "q_normalize_rename" -> ((s, dir) => MicroQueries.normalizeRename(s, dir)),
@@ -441,6 +442,7 @@ object SparkEntry {
     "q_multimodal_frames" -> MultimodalOps.frameSamplesOracle,
     "q_image_neardup" -> MultimodalOps.imageNearDupOracle,
     "q_video_neardup" -> MultimodalOps.videoNearDupOracle,
+    "q_audio_neardup" -> MultimodalOps.audioNearDupOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,
     "q_normalize_rename" -> MicroQueries.normalizeRenameOracle,
     "q_dup_detect" -> MicroQueries.dupDetectOracle,

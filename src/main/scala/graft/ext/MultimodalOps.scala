@@ -132,10 +132,21 @@ object MultimodalOps {
     */
   def imageNearDup(spark: SparkSession, sfDir: String,
                    maxChunkBucket: Int = DedupOps.simhashMaxChunkBucket)
-      : DataFrame = {
-    val d = imageHashes(spark, sfDir).persist()
+      : DataFrame =
+    hammingNearDup(imageHashes(spark, sfDir)
+      .withColumnRenamed("phash", "sig"), maxChunkBucket)
+
+  /** The 64-bit Hamming chunk-band near-dup pipeline over ANY
+    * (doc_id, sig) fingerprint frame — shared by [[imageNearDup]] and
+    * [[audioNearDup]] so the banding/cap/verify machinery cannot
+    * diverge between modalities (the clustersFromPairs composition
+    * rule applied to fingerprints).
+    */
+  private def hammingNearDup(sigs: DataFrame,
+                             maxChunkBucket: Int): DataFrame = {
+    val d = sigs.persist()
     val chunked = d.select(col("doc_id"),
-        posexplode(array(DedupOps.chunkValExprs(col("phash")): _*)))
+        posexplode(array(DedupOps.chunkValExprs(col("sig")): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "cval")
       .persist() // bucket-size filter + both self-join sides
@@ -151,9 +162,9 @@ object MultimodalOps {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct() // same pair may collide in several chunks
     val withSigs = candidates
-      .join(d.select(col("doc_id").as("id_a"), col("phash").as("ph_a")),
+      .join(d.select(col("doc_id").as("id_a"), col("sig").as("ph_a")),
         Seq("id_a"))
-      .join(d.select(col("doc_id").as("id_b"), col("phash").as("ph_b")),
+      .join(d.select(col("doc_id").as("id_b"), col("sig").as("ph_b")),
         Seq("id_b"))
     Canon.materialized(
       Canon.canonicalize(withSigs
@@ -164,52 +175,47 @@ object MultimodalOps {
       d, chunked)
   }
 
+  /** Per-payload 64-bit spectral-band audio fingerprints (the
+    * [[graft.functions.AudioFp64]] native expression over the binary
+    * payload column). A map-side codegen'd projection — no exchange.
+    */
+  def audioFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .repartition(col("doc_id")) // one-split source; hashing is the cost
+      .select(col("doc_id"),
+        graft.functions.AudioFp64(col("text").cast("binary")).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Audio near-duplicate pairs at Hamming ≤
+    * [[DedupOps.simhashMaxHamming]] over the spectral-band
+    * fingerprints — [[imageNearDup]]'s plan with the audio
+    * fingerprint swapped in: same 9-chunk pigeonhole banding, same
+    * mega-bucket cap, same exact Hamming verify. At scale the payload
+    * never moves: the banding shuffle carries (chunk, cval, doc_id)
+    * rows only, fingerprints attach late on bare ids.
+    */
+  def audioNearDup(spark: SparkSession, sfDir: String,
+                   maxChunkBucket: Int = DedupOps.simhashMaxChunkBucket)
+      : DataFrame =
+    hammingNearDup(audioFingerprints(spark, sfDir), maxChunkBucket)
+
   /** Full DuckDB oracle for [[imageNearDup]]: the dHash construction
     * (hex-nibble byte reads, nearest-neighbor sample positions, the 64
     * adjacent-comparison bits) and the whole chunk-band/cap/verify
     * pipeline, generated from the same constants as the Spark plan —
     * the SimHash oracle pattern applied to the binary payload.
     */
-  val imageNearDupOracle: String = {
-    import graft.functions.ImageHash64.{cols, samples, rows => gridRows}
+  /** The chunk-band/cap/verify pipeline in SQL over a `sigs`
+    * (doc_id, sig) CTE — the oracle twin of [[hammingNearDup]], shared
+    * by the image and audio oracles.
+    */
+  private def chunkBandTailSql: String = {
     import DedupOps.{chunkBits, chunkWidth, simhashChunks,
       simhashMaxChunkBucket, simhashMaxHamming}
-    // percentile grid: v[k] = the (⌊k·n/72⌋)-th smallest byte — an
-    // order statistic over the sorted byte list (1-based list indexing)
-    val sampleExprs = (0 until samples).map { k =>
-      s"srt[($k * n) // $samples + 1]"
-    }
-    val bitTerms = (0 until gridRows).flatMap { r =>
-      (0 until cols - 1).map { c =>
-        // v is 1-based; sample index r*cols+c
-        s"""CASE WHEN v[${r * cols + c + 2}] > v[${r * cols + c + 1}]
-           |  THEN CAST(${1L << (r * (cols - 1) + c)} AS BIGINT)
-           |  ELSE 0 END""".stripMargin
-      }
-    }
     val maskCases = (0 until simhashChunks)
       .map(i => s"WHEN $i THEN ${(1L << chunkWidth(i)) - 1L}")
       .mkString(" ")
-    s"""WITH b AS (
-       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
-       |         octet_length(encode(text)) AS n
-       |  FROM documents
-       |  WHERE octet_length(encode(text)) > 0),
-       |sb AS (
-       |  SELECT doc_id, n,
-       |         list_sort(list_transform(range(0, n), i ->
-       |           (strpos('0123456789abcdef',
-       |              substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
-       |           + strpos('0123456789abcdef',
-       |              substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1)) AS srt
-       |  FROM b),
-       |sv AS (
-       |  SELECT doc_id, [${sampleExprs.mkString(",\n    ")}] AS v
-       |  FROM sb),
-       |sigs AS (
-       |  SELECT doc_id, ${bitTerms.mkString("\n  + ")} AS sig
-       |  FROM sv),
-       |chunked AS (
+    s"""chunked AS (
        |  SELECT doc_id, i AS chunk,
        |         (sig >> CAST($chunkBits * i AS INT))
        |           & (CASE i $maskCases END) AS cval
@@ -232,6 +238,86 @@ object MultimodalOps {
        |FROM cand c JOIN sigs a ON c.id_a = a.doc_id
        |            JOIN sigs b ON c.id_b = b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
+  }
+
+  val imageNearDupOracle: String = {
+    import graft.functions.ImageHash64.{cols, samples, rows => gridRows}
+    // percentile grid: v[k] = the (⌊k·n/72⌋)-th smallest byte — an
+    // order statistic over the sorted byte list (1-based list indexing)
+    val sampleExprs = (0 until samples).map { k =>
+      s"srt[($k * n) // $samples + 1]"
+    }
+    val bitTerms = (0 until gridRows).flatMap { r =>
+      (0 until cols - 1).map { c =>
+        // v is 1-based; sample index r*cols+c
+        s"""CASE WHEN v[${r * cols + c + 2}] > v[${r * cols + c + 1}]
+           |  THEN CAST(${1L << (r * (cols - 1) + c)} AS BIGINT)
+           |  ELSE 0 END""".stripMargin
+      }
+    }
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) > 0),
+       |sb AS (
+       |  SELECT doc_id, n,
+       |         list_sort(list_transform(range(0, n), i ->
+       |           (strpos('0123456789abcdef',
+       |              substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+       |           + strpos('0123456789abcdef',
+       |              substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1)) AS srt
+       |  FROM b),
+       |sv AS (
+       |  SELECT doc_id, [${sampleExprs.mkString(",\n    ")}] AS v
+       |  FROM sb),
+       |sigs AS (
+       |  SELECT doc_id, ${bitTerms.mkString("\n  + ")} AS sig
+       |  FROM sv),
+       |$chunkBandTailSql""".stripMargin
+  }
+
+  /** Full DuckDB oracle for [[audioNearDup]]: byte decode from hex,
+    * the per-(frame, band) signed Walsh sums, the 64 band-difference
+    * comparison bits ([[graft.functions.AudioFp64]]'s arithmetic
+    * regenerated from the same constants), then the shared chunk
+    * pipeline.
+    */
+  val audioNearDupOracle: String = {
+    import graft.functions.AudioFp64.{bands, frames}
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) > 0),
+       |sm AS (
+       |  SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+       |         CAST((strpos('0123456789abcdef',
+       |             substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+       |           + strpos('0123456789abcdef',
+       |             substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1
+       |           AS BIGINT) AS s
+       |  FROM b, UNNEST(range(0, n)) AS t(i)),
+       |en AS (
+       |  SELECT doc_id, (i * $frames) // n AS f, bd,
+       |         CAST(sum(CASE WHEN ((i >> CAST(bd AS INT)) & 1) = 0
+       |                       THEN s ELSE -s END) AS BIGINT) AS e
+       |  FROM sm, UNNEST(range(0, $bands)) AS g(bd)
+       |  GROUP BY 1, 2, 3),
+       |bv(bit, v) AS (
+       |  VALUES ${(0 until 64)
+        .map(k => s"(CAST($k AS BIGINT), CAST(${1L << k} AS BIGINT))")
+        .mkString(",\n    ")}),
+       |sigs AS (
+       |  SELECT a.doc_id,
+       |         CAST(coalesce(sum(CASE WHEN abs(b2.e) > abs(a.e)
+       |           THEN bv.v ELSE 0 END), 0) AS BIGINT) AS sig
+       |  FROM en a JOIN en b2
+       |    ON a.doc_id = b2.doc_id AND a.f = b2.f AND b2.bd = a.bd + 1
+       |  JOIN bv ON bv.bit = a.f * ${bands - 1} + a.bd
+       |  WHERE a.bd < ${bands - 1}
+       |  GROUP BY 1),
+       |$chunkBandTailSql""".stripMargin
   }
 
   /** Minimum shared sampled-frame fingerprints for a video pair, and the

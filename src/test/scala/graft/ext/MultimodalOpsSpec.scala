@@ -48,6 +48,68 @@ class MultimodalOpsSpec extends SparkSpec {
       "image near-dup degenerated into an all-pairs join:\n" + p.take(1500))
   }
 
+  test("audioNearDup equals a driver-side brute force over model prints") {
+    // independent model of the Walsh band fingerprint: per-(frame,
+    // band) signed sums computed with BigInt folds, then the 64
+    // band-difference comparisons — not the array-walk implementation
+    def model(bytes: Array[Byte]): Long = {
+      import graft.functions.AudioFp64.{bands, frames}
+      val idx = bytes.indices
+      def energy(f: Int, b: Int): BigInt =
+        idx.filter(i => i.toLong * frames / bytes.length == f)
+          .map(i => BigInt(bytes(i) & 0xff) *
+            (if (((i >> b) & 1) == 0) 1 else -1))
+          .sum
+      var sig = 0L
+      for (f <- 0 until frames; b <- 0 until bands - 1)
+        if (energy(f, b + 1).abs > energy(f, b).abs)
+          sig |= 1L << (f * (bands - 1) + b)
+      sig
+    }
+    val raw = graft.io.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.getBytes("UTF-8").nonEmpty)
+    val prints = raw.map { case (id, t) => id -> model(t.getBytes("UTF-8")) }
+    val got = MultimodalOps.audioFingerprints(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == prints.toMap, "native AudioFp64 diverges from model")
+    val expected = (for {
+      (a, ha) <- prints; (b, hb) <- prints if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= DedupOps.simhashMaxHamming
+    } yield (a, b, d.toLong)).toSet
+    val pairs = MultimodalOps.audioNearDup(spark, sfDir,
+        maxChunkBucket = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} extra=${(pairs -- expected).take(5)}")
+    val p = MultimodalOps.audioNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "audio near-dup degenerated into an all-pairs join:\n" + p.take(1500))
+  }
+
+  test("AudioFp64 separates clones-with-noise from unrelated payloads") {
+    // a near-clone (a few byte-level edits of the same 'signal') must
+    // land within the verify threshold; unrelated noise must not
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(4096)(i =>
+      (128 + 90 * math.sin(i / 17.0) + 30 * math.sin(i / 3.0)).toByte)
+    val clone = base.clone()
+    for (_ <- 0 until 40) {
+      val i = rnd.nextInt(base.length)
+      clone(i) = (clone(i) + rnd.nextInt(9) - 4).toByte
+    }
+    val other = Array.tabulate(4096)(_ => rnd.nextInt(256).toByte)
+    def fp(b: Array[Byte]) = graft.functions.AudioFp64.hash(b)
+    val dClone = java.lang.Long.bitCount(fp(base) ^ fp(clone))
+    val dOther = java.lang.Long.bitCount(fp(base) ^ fp(other))
+    assert(dClone <= DedupOps.simhashMaxHamming,
+      s"clone drifted $dClone bits — fingerprint too brittle")
+    assert(dOther > DedupOps.simhashMaxHamming,
+      s"unrelated payload only $dOther bits away — fingerprint too lax")
+  }
+
   test("decodeStub: per-partition batched decode emits typed metadata") {
     val payload1 = "hello world, a binary payload stand-in"
     val payloads = Seq((1L, payload1), (2L, "x")).toDF("doc_id", "text")

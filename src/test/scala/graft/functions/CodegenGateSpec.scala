@@ -76,6 +76,10 @@ class CodegenGateSpec extends SparkSpec {
         Seq("the quick brown fox", "lorem ipsum", "x", "")
           .toDF("text")
           .select(ImageHash64(col("text").cast("binary")).as("out"))),
+      ("AudioFp64", () =>
+        Seq("the quick brown fox", "lorem ipsum", "x", "")
+          .toDF("text")
+          .select(AudioFp64(col("text").cast("binary")).as("out"))),
       ("RandomProject", () =>
         Seq(Seq(0.25, -0.5, 0.75, 1.0), Seq(-1.0, 0.0, 0.5, -0.25))
           .toDF("v")
