@@ -80,9 +80,13 @@ object Runner {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val chain = args.drop(1).headOption.getOrElse("daily")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER lets the same chain run against a real
+    // cluster manager (the multi-node smoke: spark://host:7077);
+    // default stays the harness's local mode
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // bucketed fact scans emit per-bucket sort order (Bucketing writes
