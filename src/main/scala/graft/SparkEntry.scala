@@ -52,6 +52,7 @@ object SparkEntry {
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_domain_rollup" -> ((s, dir) => ext.DomainOps.domainRollup(s, dir)),
     "q_domain_cap" -> ((s, dir) => ext.DomainOps.domainCap(s, dir)),
+    "q_domain_mix" -> ((s, dir) => ext.DomainOps.domainMix(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
     "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
     "q_temperature_mix" -> ((s, dir) => SampleOps.temperatureMix(s, dir)),
@@ -311,6 +312,7 @@ object SparkEntry {
     "q_source_cap" -> TextOps.sourceCapOracle,
     "q_domain_rollup" -> ext.DomainOps.domainRollupOracle,
     "q_domain_cap" -> ext.DomainOps.domainCapOracle,
+    "q_domain_mix" -> ext.DomainOps.domainMixOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
     "q_source_diversity" -> SampleOps.sourceDiversityOracle,
     "q_temperature_mix" -> SampleOps.temperatureMixOracle,

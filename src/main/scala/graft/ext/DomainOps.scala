@@ -127,7 +127,12 @@ object DomainOps {
     * the duplicate rate — the table a crawl budget reads before
     * assigning per-domain caps or mixture weights.
     */
-  def domainRollup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-domain (n_docs, n_tokens, n_dup_docs) counts — the shared
+    * core of [[domainRollup]] and [[domainMix]]. Returned MATERIALIZED;
+    * callers release via [[Canon.materialized]].
+    */
+  private def domainCounts(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     val d = TextOps.documents(spark, sfDir)
       .repartition(col("doc_id"))
       .withColumn("norm", TextOps.normText(col("text")))
@@ -143,22 +148,30 @@ object DomainOps {
       .select("text_sha")
     // NO broadcast hint: the duplicated-SHA set is corpus-bounded, not
     // model-bounded — a plain shuffled hash join on the SHA key scales
-    val out = d
-      .join(dupSha.withColumn("is_dup", lit(1L)),
-        Seq("text_sha"), "left")
-      .groupBy("domain").agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_toks").as("n_tokens"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
-      .select(col("domain"), col("n_docs"), col("n_tokens"),
-        col("n_dup_docs"),
-        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
-          .as("dup_rate"))
-    Canon.materialized(Canon.canonicalize(out), d)
+    Canon.materialized(
+      d.join(dupSha.withColumn("is_dup", lit(1L)),
+          Seq("text_sha"), "left")
+        .groupBy("domain").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs")),
+      d)
   }
 
-  val domainRollupOracle: String = {
-    s"""WITH base AS MATERIALIZED (
+  def domainRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = domainCounts(spark, sfDir)
+    val out = c.select(col("domain"), col("n_docs"), col("n_tokens"),
+      col("n_dup_docs"),
+      (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+        .as("dup_rate"))
+    Canon.materialized(Canon.canonicalize(out), c)
+  }
+
+  /** The shared base→dup→per-domain-counts CTE chain (ends in `per`:
+    * domain, n_docs, n_tokens, n_dup_docs).
+    */
+  private def domainCountCtes: String =
+    s"""base AS MATERIALIZED (
        |  SELECT doc_id,
        |         ${registeredDomainSql(canonicalHostSql(urlSql))} AS domain,
        |         CAST(len(list_filter(
@@ -167,17 +180,65 @@ object DomainOps {
        |         sha256(${TextOps.normSql}) AS text_sha
        |  FROM documents),
        |dup AS (
-       |  SELECT text_sha FROM base GROUP BY 1 HAVING count(*) > 1)
-       |SELECT domain,
-       |       count(*) AS n_docs,
-       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-       |       CAST(sum(CASE WHEN dup.text_sha IS NULL THEN 0 ELSE 1 END)
-       |         AS BIGINT) AS n_dup_docs,
-       |       CAST(sum(CASE WHEN dup.text_sha IS NULL THEN 0 ELSE 1 END)
-       |         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
-       |FROM base LEFT JOIN dup ON base.text_sha = dup.text_sha
-       |GROUP BY 1""".stripMargin
+       |  SELECT text_sha FROM base GROUP BY 1 HAVING count(*) > 1),
+       |per AS MATERIALIZED (
+       |  SELECT domain,
+       |         count(*) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN dup.text_sha IS NULL THEN 0 ELSE 1 END)
+       |           AS BIGINT) AS n_dup_docs
+       |  FROM base LEFT JOIN dup ON base.text_sha = dup.text_sha
+       |  GROUP BY 1)""".stripMargin
+
+  val domainRollupOracle: String =
+    s"""WITH $domainCountCtes
+       |SELECT domain, n_docs, n_tokens, n_dup_docs,
+       |       CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |         AS dup_rate
+       |FROM per""".stripMargin
+
+  /** DUP-RATE-AWARE per-domain mixture plan — the crawl-budget logic
+    * [[graft.ext.SampleOps.mixturePlan]] applies per `source`, keyed
+    * on the registered domain and weighted by UNIQUE document mass:
+    * a domain's target share ∝ (n_docs − n_dup_docs), so heavily
+    * duplicated domains are demoted in exact proportion to their
+    * duplicate load — the signal [[domainRollup]] measures, ACTED on.
+    * Integer permille arithmetic (truncating div, both engines), one
+    * final double division for repeat_factor.
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = domainCounts(spark, sfDir)
+      .withColumn("eff_docs", col("n_docs") - col("n_dup_docs"))
+    val tot = c.agg(sum("eff_docs").as("t_eff"),
+      sum("n_docs").as("n_total"))
+    val out = c.crossJoin(broadcast(tot))
+      .withColumn("target_permille",
+        expr("eff_docs * 1000 div greatest(t_eff, 1L)"))
+      .withColumn("target_docs",
+        expr("target_permille * n_total div 1000"))
+      .select(col("domain"), col("n_docs"), col("n_dup_docs"),
+        col("eff_docs"), col("target_permille"), col("target_docs"),
+        (col("target_docs").cast("double") / col("n_docs").cast("double"))
+          .as("repeat_factor"))
+    Canon.materialized(Canon.canonicalize(out), c)
   }
+
+  val domainMixOracle: String =
+    s"""WITH $domainCountCtes,
+       |e AS (SELECT *, n_docs - n_dup_docs AS eff_docs FROM per),
+       |t AS (
+       |  SELECT CAST(sum(eff_docs) AS BIGINT) AS t_eff,
+       |         CAST(sum(n_docs) AS BIGINT) AS n_total
+       |  FROM e)
+       |SELECT domain, n_docs, n_dup_docs,
+       |       CAST(eff_docs AS BIGINT) AS eff_docs,
+       |       CAST(eff_docs * 1000 // greatest(t_eff, 1) AS BIGINT)
+       |         AS target_permille,
+       |       CAST((eff_docs * 1000 // greatest(t_eff, 1)) * n_total // 1000
+       |         AS BIGINT) AS target_docs,
+       |       CAST((eff_docs * 1000 // greatest(t_eff, 1)) * n_total // 1000
+       |         AS DOUBLE) / CAST(n_docs AS DOUBLE) AS repeat_factor
+       |FROM e, t""".stripMargin
 
   /** Per-DOMAIN quality cap — [[TextOps.sourceCap]] keyed on the
     * registered domain instead of `source`: keep each domain's

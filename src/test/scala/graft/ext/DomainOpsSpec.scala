@@ -70,4 +70,27 @@ class DomainOpsSpec extends SparkSpec {
     assert(out.values.map(_._4).sum == expectDups,
       "per-domain dup docs must sum to the corpus-wide count")
   }
+
+  test("domainMix: unique-mass shares, truncation-bounded, demotes dups") {
+    val rows = DomainOps.domainMix(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val tEff = rows.map(_._4).sum
+    for ((d, nDocs, nDup, eff, pm, td, rf) <- rows) {
+      assert(eff == nDocs - nDup, s"$d eff")
+      // truncating div: share never exceeds the exact proportion
+      assert(pm == eff * 1000 / math.max(tEff, 1L), s"$d permille")
+      assert(td <= nDocs * rows.map(_._2).sum, s"$d target bound")
+      assert(rf >= 0.0, s"$d repeat factor")
+    }
+    // permille conservation under truncation: within #domains of 1000
+    val pmSum = rows.map(_._5).sum
+    assert(pmSum <= 1000 && pmSum > 1000 - rows.length,
+      s"permille sum $pmSum out of truncation band")
+    // shares are monotone in UNIQUE mass, not raw mass: a dup-heavy
+    // domain ranks by what it uniquely contributes
+    for (a <- rows; b <- rows if a._4 > b._4)
+      assert(a._5 >= b._5,
+        s"${a._1} (eff ${a._4}) ranked below ${b._1} (eff ${b._4})")
+  }
 }
