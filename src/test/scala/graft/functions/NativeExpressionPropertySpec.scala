@@ -202,6 +202,35 @@ class NativeExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("AudioFp64 == BigInt band-energy model on arbitrary payloads") {
+    import spark.implicits._
+    import graft.functions.AudioFp64.{bands, frames}
+    // arbitrary byte payloads incl. high bytes (the expression reads
+    // raw bytes, not text — no ASCII restriction here)
+    val bytesGen: Gen[Array[Byte]] =
+      Gen.choose(1, 300).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+          .map(_.toArray))
+    def model(bytes: Array[Byte]): Long = {
+      def energy(f: Int, b: Int): BigInt =
+        bytes.indices.filter(i => i.toLong * frames / bytes.length == f)
+          .map(i => BigInt(bytes(i) & 0xff) *
+            (if (((i >> b) & 1) == 0) 1 else -1)).sum
+      var sig = 0L
+      for (f <- 0 until frames; b <- 0 until bands - 1)
+        if (energy(f, b + 1).abs > energy(f, b).abs)
+          sig |= 1L << (f * (bands - 1) + b)
+      sig
+    }
+    for (payloads <- cases(Gen.listOfN(6, bytesGen), 12)) {
+      val df = payloads.map(b => Tuple1(b)).toDF("p")
+      val native = df.select(AudioFp64(col("p")).as("h"))
+        .as[Long].collect().toSeq
+      assert(native == payloads.map(model),
+        s"diverged on ${payloads.map(_.toSeq)}")
+    }
+  }
+
   test("Md5Bucket == the composed hex-digit formula the oracle runs") {
     import spark.implicits._
     val B = graft.ext.SampleOps.dsirBuckets
