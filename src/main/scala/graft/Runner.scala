@@ -147,6 +147,10 @@ object Runner {
       // the surgery step: repeated spans cut, first occurrence kept
       "dup_spans_apply" ->
         (() => DedupOps.dupSpansApply(spark, sfDir).count()),
+      // the Lee-et-al long-span pass: maximal >=50-token duplicated
+      // regions (safe-by-default surgery granularity; see dupSpanRuns)
+      "dup_span_runs" ->
+        (() => DedupOps.dupSpanRuns(spark, sfDir).count()),
       // classifier-quality scores through the batched inference seam
       "model_score" -> (() => ext.ScoringOps.modelScore(spark, sfDir).count()),
       "decontaminate" ->
