@@ -209,7 +209,11 @@ object MultimodalOps {
     * (doc_id, sig) CTE — the oracle twin of [[hammingNearDup]], shared
     * by the image and audio oracles.
     */
-  private def chunkBandTailSql: String = {
+  /** The band/cap/candidate/verify chain as CTEs only, ending in
+    * `vpairs` (id_a, id_b, hamming) — composable by the recall
+    * telemetry as well as the near-dup oracles.
+    */
+  private def chunkBandPairCtes: String = {
     import DedupOps.{chunkBits, chunkWidth, simhashChunks,
       simhashMaxChunkBucket, simhashMaxHamming}
     val maskCases = (0 until simhashChunks)
@@ -232,13 +236,19 @@ object MultimodalOps {
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM kc x JOIN kc y
        |    ON x.chunk = y.chunk AND x.cval = y.cval
-       |       AND x.doc_id < y.doc_id)
-       |SELECT c.id_a, c.id_b,
-       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-       |FROM cand c JOIN sigs a ON c.id_a = a.doc_id
-       |            JOIN sigs b ON c.id_b = b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
+       |       AND x.doc_id < y.doc_id),
+       |vpairs AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM cand c JOIN sigs a ON c.id_a = a.doc_id
+       |              JOIN sigs b ON c.id_b = b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming)"""
+      .stripMargin
   }
+
+  private def chunkBandTailSql: String =
+    s"""$chunkBandPairCtes
+       |SELECT id_a, id_b, hamming FROM vpairs""".stripMargin
 
   val imageNearDupOracle: String = {
     import graft.functions.ImageHash64.{cols, samples, rows => gridRows}
@@ -283,9 +293,12 @@ object MultimodalOps {
     * regenerated from the same constants), then the shared chunk
     * pipeline.
     */
-  val audioNearDupOracle: String = {
+  /** The byte-decode → band-energy → signature chain as CTEs ending in
+    * `sigs` (doc_id, sig) — shared by the near-dup and recall oracles.
+    */
+  private def audioSigCtes: String = {
     import graft.functions.AudioFp64.{bands, frames}
-    s"""WITH b AS (
+    s"""b AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
        |         octet_length(encode(text)) AS n
        |  FROM documents
@@ -308,7 +321,7 @@ object MultimodalOps {
        |  VALUES ${(0 until 64)
         .map(k => s"(CAST($k AS BIGINT), CAST(${1L << k} AS BIGINT))")
         .mkString(",\n    ")}),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        |  SELECT a.doc_id,
        |         CAST(coalesce(sum(CASE WHEN abs(b2.e) > abs(a.e)
        |           THEN bv.v ELSE 0 END), 0) AS BIGINT) AS sig
@@ -316,8 +329,96 @@ object MultimodalOps {
        |    ON a.doc_id = b2.doc_id AND a.f = b2.f AND b2.bd = a.bd + 1
        |  JOIN bv ON bv.bit = a.f * ${bands - 1} + a.bd
        |  WHERE a.bd < ${bands - 1}
-       |  GROUP BY 1),
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  val audioNearDupOracle: String =
+    s"""WITH $audioSigCtes,
        |$chunkBandTailSql""".stripMargin
+
+  /** Deterministic sample size of the audio recall telemetry. */
+  val audioRecallSample = 256
+
+  /** RECALL TELEMETRY for the audio near-dup banding — the
+    * [[graft.ext.DedupOps.lshRecall]] shape for the Hamming-LSH
+    * family: on a deterministic hash-ordered sample, count the exact
+    * Hamming-≤-threshold pairs, the banded operator's pairs restricted
+    * to the sample, and their overlap. The pigeonhole argument makes
+    * the banding 100 % recall BEFORE the mega-bucket cap; what this
+    * measures is exactly the cap-induced loss — the ×100 replica run
+    * showed pair counts FALLING at scale as clone families blow past
+    * the bucket cap, and this is the dashboard row that makes that
+    * loss visible instead of silent.
+    *
+    * Scale shape: the sample is a TakeOrderedAndProject (distributed
+    * heap, no global sort); exact pairing is sample² — bounded by the
+    * [[audioRecallSample]] constant, never corpus-sized; the banded
+    * side reuses the operator's own bounded plan.
+    */
+  def audioRecall(spark: SparkSession, sfDir: String,
+                  bucketCap: Int = DedupOps.simhashMaxChunkBucket)
+      : DataFrame = {
+    val sigs = audioFingerprints(spark, sfDir)
+    val keyed = sigs.withColumn("h",
+      ((col("doc_id") % SampleOps.P) * SampleOps.A + SampleOps.B)
+        % SampleOps.P)
+    val samp = keyed.orderBy(col("h").asc, col("doc_id").asc)
+      .limit(audioRecallSample)
+      .select("doc_id", "sig").persist()
+    val exact = samp.as("x").join(samp.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= DedupOps.simhashMaxHamming)
+      .select("id_a", "id_b").persist()
+    val ids = samp.select("doc_id")
+    val banded = audioNearDup(spark, sfDir, bucketCap)
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .select("id_a", "id_b").persist()
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nb = banded.agg(count(lit(1)).as("n_banded"))
+    val nc = exact.join(banded, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = ne.crossJoin(nb).crossJoin(nc).select(
+      col("n_exact"), col("n_banded"), col("n_common"),
+      when(col("n_exact") > 0,
+        col("n_common").cast("double") / col("n_exact").cast("double"))
+        .otherwise(lit(1.0)).as("recall"))
+    Canon.materialized(Canon.canonicalize(out), samp, exact, banded)
+  }
+
+  val audioRecallOracle: String = {
+    import graft.ext.SampleOps.{A, B, P}
+    s"""WITH $audioSigCtes,
+       |keyed AS (
+       |  SELECT doc_id, sig, ((doc_id % $P) * $A + $B) % $P AS h
+       |  FROM sigs),
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id, sig FROM keyed
+       |  ORDER BY h ASC, doc_id ASC LIMIT $audioRecallSample),
+       |exact AS MATERIALIZED (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM samp x JOIN samp y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sig, y.sig))
+       |          <= ${DedupOps.simhashMaxHamming}),
+       |$chunkBandPairCtes,
+       |bp AS MATERIALIZED (
+       |  SELECT v.id_a, v.id_b FROM vpairs v
+       |  JOIN samp sa ON v.id_a = sa.doc_id
+       |  JOIN samp sb ON v.id_b = sb.doc_id)
+       |SELECT
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM bp) AS n_banded,
+       |  (SELECT count(*) FROM exact JOIN bp USING (id_a, id_b))
+       |    AS n_common,
+       |  CASE WHEN (SELECT count(*) FROM exact) > 0
+       |    THEN CAST((SELECT count(*) FROM exact JOIN bp
+       |               USING (id_a, id_b)) AS DOUBLE)
+       |           / CAST((SELECT count(*) FROM exact) AS DOUBLE)
+       |    ELSE 1.0 END AS recall""".stripMargin
   }
 
   /** Minimum shared sampled-frame fingerprints for a video pair, and the

@@ -89,6 +89,30 @@ class MultimodalOpsSpec extends SparkSpec {
       "audio near-dup degenerated into an all-pairs join:\n" + p.take(1500))
   }
 
+  test("audioRecall: pigeonhole 100% with cap off; cap=1 sinks it") {
+    import org.apache.spark.sql.functions.col
+    // cap wide open: <= 8 differing bits leave >= 1 of 9 chunks
+    // agreeing, so the banding finds EVERY exact pair — recall 1.0
+    val open = MultimodalOps.audioRecall(spark, sfDir,
+        bucketCap = Int.MaxValue)
+      .as[(Long, Long, Long, Double)].head()
+    assert(open._1 > 0L, "sample holds no exact pairs — vacuous")
+    assert(open._2 == open._1 && open._3 == open._1 && open._4 == 1.0,
+      s"cap-off recall must be exactly 1.0: $open")
+    // cap = 1: every bucket holding a pair needs size >= 2, so every
+    // pairing bucket is dropped — recall 0 by construction
+    val sunk = MultimodalOps.audioRecall(spark, sfDir, bucketCap = 1)
+      .as[(Long, Long, Long, Double)].head()
+    assert(sunk._2 == 0L && sunk._4 == 0.0,
+      s"cap=1 must drop every pair: $sunk")
+    // the default cap sits between the extremes and the telemetry
+    // reports whatever it costs — banded pairs are always a subset of
+    // the exact pairs (the verify filter), never an overcount
+    val dflt = MultimodalOps.audioRecall(spark, sfDir)
+      .as[(Long, Long, Long, Double)].head()
+    assert(dflt._2 == dflt._3 && dflt._2 <= dflt._1, dflt.toString)
+  }
+
   test("AudioFp64 separates clones-with-noise from unrelated payloads") {
     // a near-clone (a few byte-level edits of the same 'signal') must
     // land within the verify threshold; unrelated noise must not
