@@ -217,24 +217,50 @@ object Runner {
         m.artifacts.size.toLong
       }))
 
+    // the BACKFILL chain (scheduler semantics the reference delegates
+    // to Airflow): replay the ingestion layer for a RANGE of logical
+    // dates — one DAY_DT dynamic-partition overwrite per (entity, day),
+    // so a re-run of any day is idempotent by the Sinks.doubleWrite
+    // contract and never touches neighboring days' partitions. Dates
+    // come from argv[2] as a comma list; marts rebuild once at the end
+    // off the current raw snapshot (the last day's overwrite), matching
+    // the reference DAG's ingest-then-transform shape per run.
+    val backfillDates = args.drop(2).headOption
+      .map(_.split(",").toSeq).getOrElse(Seq(Ingestion.asOf))
+    val backfill: Seq[(String, () => Long)] =
+      backfillDates.flatMap(d => Seq(
+        s"ingest_suppliers@$d" ->
+          (() => Ingestion.suppliers(spark, sfDir, d).count()),
+        s"ingest_products@$d" ->
+          (() => Ingestion.products(spark, sfDir, d).count()),
+        s"ingest_customers@$d" ->
+          (() => Ingestion.customers(spark, sfDir, d).count()),
+        s"ingest_sales@$d" ->
+          (() => Ingestion.sales(spark, sfDir, d).count()))) ++ Seq(
+        "supplier_performance" ->
+          (() => SupplierPerformance(spark, sfDir).count()),
+        "product_performance" ->
+          (() => ProductPerformance(spark, sfDir).count()),
+        "customer_sales_report" ->
+          (() => CustomerSalesReport(spark, sfDir).count()))
+
     val tasks = chain match {
       case "daily" => daily
       case "corpus" => corpus
       case "incremental" => incremental
       case "publish" => publish
+      case "backfill" => backfill
       case other =>
         System.err.println(s"[runner] unknown chain '$other' " +
-          "(expected daily|corpus|incremental|publish)")
+          "(expected daily|corpus|incremental|publish|backfill)")
         spark.stop(); sys.exit(2); Seq.empty
     }
 
     try {
-      tasks.foreach { case (name, run) =>
-        val t0 = System.nanoTime()
-        val rows = run()
-        println(f"[runner] $name ok rows=$rows " +
-          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-      }
+      runChain(tasks,
+        maxRetries = sys.env.getOrElse("SPARK_GRAFT_TASK_RETRIES", "0").toInt,
+        backoffMs = sys.env.getOrElse("SPARK_GRAFT_RETRY_BACKOFF_MS", "0")
+          .toLong)
     } catch {
       case e: Throwable =>
         System.err.println(s"[runner] FAILED: $e")
@@ -243,4 +269,39 @@ object Runner {
     }
     spark.stop()
   }
+
+  /** The chain loop with BOUNDED PER-TASK RETRY (the Airflow
+    * `retries`/`retry_delay` semantics the reference configures at
+    * ingestion_dag.py — here in-engine): a task gets 1 + `maxRetries`
+    * attempts with linear backoff; exhausting them lets the LAST
+    * attempt's exception propagate, which aborts the chain fail-fast
+    * exactly as before (retries default to 0, so existing behavior is
+    * byte-identical unless opted in). Safe to retry by construction:
+    * every task in every chain is either a read-only aggregation or an
+    * idempotent overwrite (the doubleWrite/artifact-dir contracts), so
+    * a failed attempt leaves nothing a second attempt can double-apply.
+    */
+  private[graft] def runChain(tasks: Seq[(String, () => Long)],
+                              maxRetries: Int = 0,
+                              backoffMs: Long = 0L,
+                              log: String => Unit = println): Unit =
+    tasks.foreach { case (name, run) =>
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val t0 = System.nanoTime()
+        try {
+          val rows = run()
+          log(f"[runner] $name ok rows=$rows " +
+            f"sec=${(System.nanoTime() - t0) / 1e9}%.2f" +
+            (if (attempt > 0) s" attempts=${attempt + 1}" else ""))
+          done = true
+        } catch {
+          case e: Throwable if attempt < maxRetries =>
+            attempt += 1
+            log(s"[runner] $name attempt $attempt failed: $e — retrying")
+            if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+        }
+      }
+    }
 }

@@ -95,15 +95,16 @@ object Ingestion {
                       targetCols: Seq[String], pk: String,
                       rawPath: String, legacyPath: String,
                       spark: SparkSession,
-                      rawIncludesDayDt: Boolean = false): DataFrame = {
+                      rawIncludesDayDt: Boolean = false,
+                      day: String = asOf): DataFrame = {
     val conformed = Normalize.selectCols(
       Normalize.normalizeColumnNames( // P1
         Normalize.renameAll(extracted, renames)), // P2
       targetCols) // P3
-      .withColumn("DAY_DT", to_date(lit(asOf)))
+      .withColumn("DAY_DT", to_date(lit(day)))
     Quality.requireUnique(conformed, Seq(pk)) // A1 fail-fast gate
     Sinks.doubleWrite(conformed, rawPath, legacyPath, rawIncludesDayDt)
-    Canon.canonicalize(Sinks.readLegacyDay(spark, legacyPath, asOf))
+    Canon.canonicalize(Sinks.readLegacyDay(spark, legacyPath, day))
   }
 
   // ---- suppliers (REST, unsecured) — reference ingestion_task.py:15–76
@@ -115,14 +116,15 @@ object Ingestion {
     StructField("supplier id", LongType), StructField("supplier name", StringType),
     StructField("contact", StringType), StructField("region", StringType)))
 
-  def suppliers(spark: SparkSession, sfDir: String): DataFrame = {
+  def suppliers(spark: SparkSession, sfDir: String,
+                day: String = asOf): DataFrame = {
     val extracted = viaRest(spark, Retail.suppliers(spark, sfDir),
       "suppliers", suppliersRaw, secured = false, suppliersSchema,
       workDir(sfDir, "suppliers/feed_staging"))
     conform(extracted, Map("contact" -> "contact details"),
       Seq("SUPPLIER_ID", "SUPPLIER_NAME", "CONTACT_DETAILS", "REGION"),
       "SUPPLIER_ID", workDir(sfDir, "suppliers/raw"),
-      workDir(sfDir, "suppliers/legacy"), spark)
+      workDir(sfDir, "suppliers/legacy"), spark, day = day)
   }
 
   // ---- products (REST, unsecured) — reference ingestion_task.py:79–151
@@ -140,7 +142,8 @@ object Ingestion {
     StructField("stock quantity", IntegerType),
     StructField("reorder level", IntegerType)))
 
-  def products(spark: SparkSession, sfDir: String): DataFrame = {
+  def products(spark: SparkSession, sfDir: String,
+               day: String = asOf): DataFrame = {
     val extracted = viaRest(spark, Retail.products(spark, sfDir),
       "products", productsRaw, secured = false, productsSchema,
       workDir(sfDir, "products/feed_staging"))
@@ -148,7 +151,7 @@ object Ingestion {
       Seq("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "SELLING_PRICE",
         "COST_PRICE", "STOCK_QUANTITY", "REORDER_LEVEL"),
       "PRODUCT_ID", workDir(sfDir, "products/raw"),
-      workDir(sfDir, "products/legacy"), spark)
+      workDir(sfDir, "products/legacy"), spark, day = day)
   }
 
   // ---- customers (REST + OAuth2) — reference ingestion_task.py:154–215
@@ -161,14 +164,15 @@ object Ingestion {
     StructField("city", StringType), StructField("email", StringType),
     StructField("phone", StringType)))
 
-  def customers(spark: SparkSession, sfDir: String): DataFrame = {
+  def customers(spark: SparkSession, sfDir: String,
+                day: String = asOf): DataFrame = {
     val extracted = viaRest(spark, Retail.customers(spark, sfDir),
       "customers", customersRaw, secured = true, customersSchema,
       workDir(sfDir, "customers/feed_staging"))
     conform(extracted, Map("phone" -> "phone number"),
       Seq("CUSTOMER_ID", "NAME", "CITY", "EMAIL", "PHONE_NUMBER"),
       "CUSTOMER_ID", workDir(sfDir, "customers/raw"),
-      workDir(sfDir, "customers/legacy"), spark)
+      workDir(sfDir, "customers/legacy"), spark, day = day)
   }
 
   // ---- sales (bulk CSV, declared schema) — reference ingestion_task.py:218–295
@@ -183,7 +187,8 @@ object Ingestion {
     StructField("order status", StringType),
     StructField("payment mode", StringType)))
 
-  def sales(spark: SparkSession, sfDir: String): DataFrame = {
+  def sales(spark: SparkSession, sfDir: String,
+            day: String = asOf): DataFrame = {
     // Synthesize the daily CSV drop (the reference reads
     // gs://meta-morph-flow/{yyyymmdd}/sales_{yyyymmdd}.csv), then ingest it
     // through the declared-schema CSV source — executors read it directly.
@@ -228,7 +233,8 @@ object Ingestion {
         "PAYMENT_MODE"),
       "SALE_ID", workDir(sfDir, "sales/raw"),
       workDir(sfDir, "sales/legacy"), spark,
-      rawIncludesDayDt = true) // reference defect #4 parity, SURVEY §2.13.4
+      rawIncludesDayDt = true, // reference defect #4 parity, SURVEY §2.13.4
+      day = day)
   }
 
   // ---- oracles: read-back of the day's legacy partition == entity + DAY_DT
