@@ -253,6 +253,7 @@ object SparkEntry {
     "q_video_neardup" -> ((s, dir) => MultimodalOps.videoNearDup(s, dir)),
     "q_audio_neardup" -> ((s, dir) => MultimodalOps.audioNearDup(s, dir)),
     "q_audio_recall" -> ((s, dir) => MultimodalOps.audioRecall(s, dir)),
+    "q_image_recall" -> ((s, dir) => MultimodalOps.imageRecall(s, dir)),
     // operator-family micro-queries (SURVEY §7.2.6)
     "q_scan_project" -> ((s, dir) => MicroQueries.scanProject(s, dir)),
     "q_normalize_rename" -> ((s, dir) => MicroQueries.normalizeRename(s, dir)),
@@ -447,6 +448,7 @@ object SparkEntry {
     "q_video_neardup" -> MultimodalOps.videoNearDupOracle,
     "q_audio_neardup" -> MultimodalOps.audioNearDupOracle,
     "q_audio_recall" -> MultimodalOps.audioRecallOracle,
+    "q_image_recall" -> MultimodalOps.imageRecallOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,
     "q_normalize_rename" -> MicroQueries.normalizeRenameOracle,
     "q_dup_detect" -> MicroQueries.dupDetectOracle,

@@ -250,7 +250,10 @@ object MultimodalOps {
     s"""$chunkBandPairCtes
        |SELECT id_a, id_b, hamming FROM vpairs""".stripMargin
 
-  val imageNearDupOracle: String = {
+  /** The dHash signature chain as CTEs ending in `sigs` — shared by
+    * the image near-dup and recall oracles.
+    */
+  private def imageSigCtes: String = {
     import graft.functions.ImageHash64.{cols, samples, rows => gridRows}
     // percentile grid: v[k] = the (⌊k·n/72⌋)-th smallest byte — an
     // order statistic over the sorted byte list (1-based list indexing)
@@ -265,7 +268,7 @@ object MultimodalOps {
            |  ELSE 0 END""".stripMargin
       }
     }
-    s"""WITH b AS (
+    s"""b AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
        |         octet_length(encode(text)) AS n
        |  FROM documents
@@ -281,11 +284,14 @@ object MultimodalOps {
        |sv AS (
        |  SELECT doc_id, [${sampleExprs.mkString(",\n    ")}] AS v
        |  FROM sb),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id, ${bitTerms.mkString("\n  + ")} AS sig
-       |  FROM sv),
-       |$chunkBandTailSql""".stripMargin
+       |  FROM sv)""".stripMargin
   }
+
+  val imageNearDupOracle: String =
+    s"""WITH $imageSigCtes,
+       |$chunkBandTailSql""".stripMargin
 
   /** Full DuckDB oracle for [[audioNearDup]]: byte decode from hex,
     * the per-(frame, band) signed Walsh sums, the 64 band-difference
@@ -357,8 +363,26 @@ object MultimodalOps {
     */
   def audioRecall(spark: SparkSession, sfDir: String,
                   bucketCap: Int = DedupOps.simhashMaxChunkBucket)
-      : DataFrame = {
-    val sigs = audioFingerprints(spark, sfDir)
+      : DataFrame =
+    hammingRecall(audioFingerprints(spark, sfDir),
+      audioNearDup(spark, sfDir, bucketCap))
+
+  /** [[audioRecall]]'s image twin — same sample, same question: what
+    * did the cap cost against exact Hamming on the sample.
+    */
+  def imageRecall(spark: SparkSession, sfDir: String,
+                  bucketCap: Int = DedupOps.simhashMaxChunkBucket)
+      : DataFrame =
+    hammingRecall(imageHashes(spark, sfDir)
+        .withColumnRenamed("phash", "sig"),
+      imageNearDup(spark, sfDir, bucketCap))
+
+  /** The recall-measure core over ANY (doc_id, sig) fingerprint frame
+    * and its banded pair output — one definition for every Hamming-LSH
+    * family member.
+    */
+  private def hammingRecall(sigs: DataFrame,
+                            bandedPairs: DataFrame): DataFrame = {
     val keyed = sigs.withColumn("h",
       ((col("doc_id") % SampleOps.P) * SampleOps.A + SampleOps.B)
         % SampleOps.P)
@@ -372,7 +396,7 @@ object MultimodalOps {
       .filter(col("hamming") <= DedupOps.simhashMaxHamming)
       .select("id_a", "id_b").persist()
     val ids = samp.select("doc_id")
-    val banded = audioNearDup(spark, sfDir, bucketCap)
+    val banded = bandedPairs
       .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
         "left_semi")
       .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
@@ -387,13 +411,16 @@ object MultimodalOps {
       when(col("n_exact") > 0,
         col("n_common").cast("double") / col("n_exact").cast("double"))
         .otherwise(lit(1.0)).as("recall"))
-    Canon.materialized(Canon.canonicalize(out), samp, exact, banded)
+    Canon.materialized(Canon.canonicalize(out),
+      samp, exact, banded, bandedPairs)
   }
 
-  val audioRecallOracle: String = {
+  /** The sample/exact/banded/counts recall tail over a `sigs` CTE —
+    * shared by the audio and image recall oracles.
+    */
+  private def hammingRecallTailSql: String = {
     import graft.ext.SampleOps.{A, B, P}
-    s"""WITH $audioSigCtes,
-       |keyed AS (
+    s"""keyed AS (
        |  SELECT doc_id, sig, ((doc_id % $P) * $A + $B) % $P AS h
        |  FROM sigs),
        |samp AS MATERIALIZED (
@@ -420,6 +447,14 @@ object MultimodalOps {
        |           / CAST((SELECT count(*) FROM exact) AS DOUBLE)
        |    ELSE 1.0 END AS recall""".stripMargin
   }
+
+  val audioRecallOracle: String =
+    s"""WITH $audioSigCtes,
+       |$hammingRecallTailSql""".stripMargin
+
+  val imageRecallOracle: String =
+    s"""WITH $imageSigCtes,
+       |$hammingRecallTailSql""".stripMargin
 
   /** Minimum shared sampled-frame fingerprints for a video pair, and the
     * mega-common-frame guard: a fingerprint appearing in more than
