@@ -202,6 +202,7 @@ object SparkEntry {
     // packing budgeted in trained BPE tokens, not whitespace words
     "q_pack_tokens" -> ((s, dir) => ext.BpeOps.packTokens(s, dir)),
     "q_simhash_neardup" -> ((s, dir) => DedupOps.simhashNearDup(s, dir)),
+    "q_simhash_recall" -> ((s, dir) => DedupOps.simhashRecall(s, dir)),
     "q_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(s, dir)),
     "q_hard_negatives" -> ((s, dir) => VectorOps.hardNegatives(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
@@ -407,6 +408,7 @@ object SparkEntry {
     "q_unigram_fertility" -> ext.UnigramOps.unigramFertilityOracle,
     "q_pack_tokens" -> ext.BpeOps.packTokensOracle,
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
+    "q_simhash_recall" -> DedupOps.simhashRecallOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
     "q_heavy_hitters" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,

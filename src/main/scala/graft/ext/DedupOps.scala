@@ -1927,11 +1927,15 @@ object DedupOps {
     * from the same constants as the Spark plan (chunk widths/masks
     * included), so the cap's recall trade reproduces identically.
     */
-  val simhashNearDupOracle: String = {
+  /** The simhash signature → lang-blocked band → verify chain as CTEs
+    * ending in `spairs` (lang, id_a, id_b, hamming) — shared by the
+    * near-dup and recall oracles.
+    */
+  private def simhashChainCtes: String = {
     val maskCases = (0 until simhashChunks)
       .map(i => s"WHEN $i THEN ${(1L << chunkWidth(i)) - 1L}")
       .mkString(" ")
-    s"""WITH nd AS (
+    s"""nd AS (
        |  SELECT doc_id, lang,
        |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |  FROM documents),
@@ -1970,12 +1974,98 @@ object DedupOps {
        |  SELECT DISTINCT x.lang, x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM kc x JOIN kc y
        |    ON x.lang = y.lang AND x.chunk = y.chunk AND x.cval = y.cval
-       |       AND x.doc_id < y.doc_id)
-       |SELECT c.lang, c.id_a, c.id_b,
-       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-       |FROM cand c JOIN sigs a ON c.id_a = a.doc_id
-       |            JOIN sigs b ON c.id_b = b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming""".stripMargin
+       |       AND x.doc_id < y.doc_id),
+       |spairs AS MATERIALIZED (
+       |  SELECT c.lang, c.id_a, c.id_b,
+       |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM cand c JOIN sigs a ON c.id_a = a.doc_id
+       |              JOIN sigs b ON c.id_b = b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxHamming)"""
+      .stripMargin
+  }
+
+  val simhashNearDupOracle: String =
+    s"""WITH $simhashChainCtes
+       |SELECT lang, id_a, id_b, hamming FROM spairs""".stripMargin
+
+  /** Recall telemetry for the simhash banding — the text member of the
+    * Hamming-LSH family's recall row (cf. [[lshRecall]] for MinHash and
+    * [[graft.ext.MultimodalOps.audioRecall]]/imageRecall): exact
+    * Hamming-≤-threshold SAME-LANG pairs on a deterministic sample (the
+    * operator's contract never proposes cross-lang pairs) vs the banded
+    * operator's pairs restricted to the sample. Measures precisely the
+    * mega-bucket cap's cost. Sample via TakeOrderedAndProject; exact
+    * pairing bounded by the sample constant.
+    */
+  def simhashRecall(spark: SparkSession, sfDir: String,
+                    bucketCap: Int = simhashMaxChunkBucket): DataFrame = {
+    val sampleN = graft.ext.MultimodalOps.audioRecallSample
+    val sigs = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.SimHash64(split(col("norm"), " ")).as("sig"))
+    val keyed = sigs.withColumn("h",
+      ((col("doc_id") % SampleOps.P) * SampleOps.A + SampleOps.B)
+        % SampleOps.P)
+    val samp = keyed.orderBy(col("h").asc, col("doc_id").asc)
+      .limit(sampleN)
+      .select("doc_id", "lang", "sig").persist()
+    val exact = samp.as("x").join(samp.as("y"),
+        col("x.doc_id") < col("y.doc_id")
+          && col("x.lang") === col("y.lang"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= simhashMaxHamming)
+      .select("id_a", "id_b").persist()
+    val ids = samp.select("doc_id")
+    val banded = simhashNearDup(spark, sfDir, bucketCap)
+      .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .select("id_a", "id_b").persist()
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nb = banded.agg(count(lit(1)).as("n_banded"))
+    val nc = exact.join(banded, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = ne.crossJoin(nb).crossJoin(nc).select(
+      col("n_exact"), col("n_banded"), col("n_common"),
+      when(col("n_exact") > 0,
+        col("n_common").cast("double") / col("n_exact").cast("double"))
+        .otherwise(lit(1.0)).as("recall"))
+    Canon.materialized(Canon.canonicalize(out), samp, exact, banded)
+  }
+
+  val simhashRecallOracle: String = {
+    val (sA, sB, sP) = (SampleOps.A, SampleOps.B, SampleOps.P)
+    val sampleN = graft.ext.MultimodalOps.audioRecallSample
+    s"""WITH $simhashChainCtes,
+       |keyed AS (
+       |  SELECT doc_id, lang, sig, ((doc_id % $sP) * $sA + $sB) % $sP AS h
+       |  FROM sigs),
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id, lang, sig FROM keyed
+       |  ORDER BY h ASC, doc_id ASC LIMIT $sampleN),
+       |exact AS MATERIALIZED (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM samp x JOIN samp y
+       |    ON x.doc_id < y.doc_id AND x.lang = y.lang
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= $simhashMaxHamming),
+       |bp AS MATERIALIZED (
+       |  SELECT v.id_a, v.id_b FROM spairs v
+       |  JOIN samp sa ON v.id_a = sa.doc_id
+       |  JOIN samp sb ON v.id_b = sb.doc_id)
+       |SELECT
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM bp) AS n_banded,
+       |  (SELECT count(*) FROM exact JOIN bp USING (id_a, id_b))
+       |    AS n_common,
+       |  CASE WHEN (SELECT count(*) FROM exact) > 0
+       |    THEN CAST((SELECT count(*) FROM exact JOIN bp
+       |               USING (id_a, id_b)) AS DOUBLE)
+       |           / CAST((SELECT count(*) FROM exact) AS DOUBLE)
+       |    ELSE 1.0 END AS recall""".stripMargin
   }
 
   // ---- cross-document duplicated spans --------------------------------
