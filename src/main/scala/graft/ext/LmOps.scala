@@ -96,6 +96,40 @@ object LmOps {
     (cAb, cA, voc)
   }
 
+  private def lmTrainDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"${graft.io.Artifacts.root}/lm_train/${tag}_m${lmRefMod}_$fp"
+  }
+
+  /** [[trainTables]] through the shared artifact tier: the reference
+    * LM's bigram counts and per-lang vocab sizes are pure functions of
+    * the corpus, re-derived today by every consumer (the funnel, the
+    * DoReMi weighter, the tercile bucketer) — persisted once
+    * (SUCCESS-gated, fingerprint-stamped) they become a read. `cA`
+    * derives from the persisted `cab` by one keyed rollup.
+    * q_ngram_lm stays on the build path (the family's designated
+    * builder, the q_bm25 rule); tier off ⇒ plain delegate.
+    */
+  private[graft] def trainTablesShared(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    if (!graft.io.Artifacts.sharedTier) trainTables(spark, sfDir)
+    else synchronized {
+      val dir = lmTrainDir(sfDir)
+      val done = Seq("cab", "voc").forall(t =>
+        new java.io.File(s"$dir/$t/_SUCCESS").exists())
+      if (!done) {
+        val (cAb, _, voc) = trainTables(spark, sfDir)
+        cAb.write.mode("overwrite").parquet(s"$dir/cab")
+        voc.write.mode("overwrite").parquet(s"$dir/voc")
+      }
+      val cAb = spark.read.parquet(s"$dir/cab")
+        .select("lang", "a", "b", "c_ab")
+      val cA = cAb.groupBy("lang", "a").agg(sum("c_ab").as("c_a"))
+      val voc = spark.read.parquet(s"$dir/voc").select("lang", "v")
+      (cAb, cA, voc)
+    }
+
   /** TRAINED-MODEL REPORT: the [[lmTopK]] highest-count bigrams per
     * language (count desc, lexicographic tiebreak) — the artifact a
     * model registry would store, exercised through the in-repo TopK
@@ -169,7 +203,7 @@ object LmOps {
     */
   def perplexityBuckets(spark: SparkSession, sfDir: String,
                         approxBounds: Boolean = false): DataFrame = {
-    val (cAb, cA, voc) = trainTables(spark, sfDir)
+    val (cAb, cA, voc) = trainTablesShared(spark, sfDir)
     // every lang trains a model here (voc comes from the same corpus),
     // so the scored filter is an identity on this query's input — it
     // exists to keep the tercile math well-defined for callers scoring

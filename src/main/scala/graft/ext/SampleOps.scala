@@ -733,7 +733,7 @@ object SampleOps {
     * ~2·10¹¹ docs per source.
     */
   def doremiMix(spark: SparkSession, sfDir: String): DataFrame = {
-    val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)
+    val (cAb, cA, voc) = LmOps.trainTablesShared(spark, sfDir)
     val docs = TextOps.documents(spark, sfDir)
     val perDoc = LmOps.scoreDocs(LmOps.withToks(docs), cAb, cA, voc)
       .filter(col("scored"))

@@ -589,7 +589,7 @@ object EventStream {
     */
   def ingestFunnelStats(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ext.{DedupOps, LmOps, TextOps}
-    val (cAb, cA, voc) = LmOps.trainTables(spark, sfDir)
+    val (cAb, cA, voc) = LmOps.trainTablesShared(spark, sfDir)
     val feed = DedupOps.incrementalBatchDocs(spark, sfDir)
       .join(TextOps.documents(spark, sfDir).select("doc_id", "lang"),
         Seq("doc_id"))
