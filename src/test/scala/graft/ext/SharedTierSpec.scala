@@ -63,6 +63,30 @@ class SharedTierSpec extends SparkSpec {
     } finally System.clearProperty("graft.artifact.root")
   }
 
+  test("trainTablesShared tier == standalone LM tables; second call reads") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("lm-train-tier").toString
+    System.setProperty("graft.artifact.root", tmp)
+    try {
+      def sets(t: (org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame)) = (
+        t._1.as[(String, String, String, Long)].collect().toSet,
+        t._2.as[(String, String, Long)].collect().toSet,
+        t._3.as[(String, Long)].collect().toSet)
+      val standalone = sets(LmOps.trainTables(spark, sfDir))
+      val first = sets(LmOps.trainTablesShared(spark, sfDir))
+      assert(first == standalone, "tier LM tables must equal standalone")
+      val root = s"$tmp/lm_train"
+      assert(new File(root).isDirectory, "no persisted LM artifact")
+      val before = mtimes(root)
+      val second = sets(LmOps.trainTablesShared(spark, sfDir))
+      assert(second == standalone)
+      assert(mtimes(root) == before,
+        "second call must READ the artifact, not rebuild/rewrite it")
+    } finally System.clearProperty("graft.artifact.root")
+  }
+
   test("kill switch forces the standalone path (nothing written)") {
     val tmp = java.nio.file.Files
       .createTempDirectory("tier-off").toString
@@ -71,10 +95,13 @@ class SharedTierSpec extends SparkSpec {
     try {
       DedupOps.lshPairs(spark, sfDir).count()
       TextOps.tfPostings(spark, sfDir, useTier = true).count()
+      LmOps.trainTablesShared(spark, sfDir)._1.count()
       assert(!new File(s"$tmp/lsh_pairs").exists(),
         "tier off must not write pair artifacts")
       assert(!new File(s"$tmp/bm25_tf").exists(),
         "tier off must not write tf artifacts")
+      assert(!new File(s"$tmp/lm_train").exists(),
+        "tier off must not write LM artifacts")
     } finally {
       System.clearProperty("graft.artifact.root")
       System.clearProperty("graft.shared.artifacts")
