@@ -255,6 +255,7 @@ object SparkEntry {
     "q_audio_neardup" -> ((s, dir) => MultimodalOps.audioNearDup(s, dir)),
     "q_audio_recall" -> ((s, dir) => MultimodalOps.audioRecall(s, dir)),
     "q_image_recall" -> ((s, dir) => MultimodalOps.imageRecall(s, dir)),
+    "q_video_recall" -> ((s, dir) => MultimodalOps.videoRecall(s, dir)),
     // operator-family micro-queries (SURVEY §7.2.6)
     "q_scan_project" -> ((s, dir) => MicroQueries.scanProject(s, dir)),
     "q_normalize_rename" -> ((s, dir) => MicroQueries.normalizeRename(s, dir)),
@@ -451,6 +452,7 @@ object SparkEntry {
     "q_audio_neardup" -> MultimodalOps.audioNearDupOracle,
     "q_audio_recall" -> MultimodalOps.audioRecallOracle,
     "q_image_recall" -> MultimodalOps.imageRecallOracle,
+    "q_video_recall" -> MultimodalOps.videoRecallOracle,
     "q_scan_project" -> MicroQueries.scanProjectOracle,
     "q_normalize_rename" -> MicroQueries.normalizeRenameOracle,
     "q_dup_detect" -> MicroQueries.dupDetectOracle,

@@ -503,9 +503,12 @@ object MultimodalOps {
     Canon.materialized(Canon.canonicalize(out), f)
   }
 
-  /** Oracle composed over the [[frameSamplesOracle]] CTE prefix. */
-  val videoNearDupOracle: String =
-    s"""WITH d AS (
+  /** The frame-fingerprint → cap → shared-frame-pair chain as CTEs
+    * (ends in `pairs`; `fr`/`per_doc` also consumable) — shared by the
+    * video near-dup and recall oracles.
+    */
+  private def videoChainCtes: String =
+    s"""d AS (
        |  SELECT doc_id, hex(encode(text)) AS content_hex,
        |         octet_length(encode(text)) // $frameBytes AS n_frames
        |  FROM documents),
@@ -524,17 +527,100 @@ object MultimodalOps {
        |    SELECT frame_md5 FROM fr GROUP BY 1
        |    HAVING count(*) <= $videoFrameBucketCap) k
        |  ON fr.frame_md5 = k.frame_md5),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
        |  FROM kept x JOIN kept y
        |    ON x.frame_md5 = y.frame_md5 AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2
-       |  HAVING count(*) >= $videoSharedFramesMin)
+       |  HAVING count(*) >= $videoSharedFramesMin)""".stripMargin
+
+  val videoNearDupOracle: String =
+    s"""WITH $videoChainCtes
        |SELECT p.id_a, p.id_b, p.n_shared,
        |       CAST(p.n_shared AS DOUBLE)
        |         / CAST(least(a.nf, b.nf) AS DOUBLE) AS overlap
        |FROM pairs p JOIN per_doc a ON p.id_a = a.doc_id
        |             JOIN per_doc b ON p.id_b = b.doc_id""".stripMargin
+
+  /** Recall telemetry for the video shared-frame pairing — the fourth
+    * and last near-dup family recall row (MinHash / simhash / image /
+    * audio / video): exact ≥-[[videoSharedFramesMin]]-shared-frame
+    * pairs on a deterministic doc sample, computed WITHOUT the
+    * mega-common-frame cap, vs the capped operator's pairs restricted
+    * to the sample — the price of dropping intro-card/black-frame
+    * fingerprints, measured instead of assumed. Exact pairing is
+    * bounded by sample² frame rows, never corpus-sized.
+    */
+  def videoRecall(spark: SparkSession, sfDir: String,
+                  bucketCap: Int = videoFrameBucketCap): DataFrame = {
+    val f = frameSamples(spark, sfDir)
+      .select("doc_id", "frame_md5").distinct().persist()
+    val keyed = f.select("doc_id").distinct()
+      .withColumn("h",
+        ((col("doc_id") % SampleOps.P) * SampleOps.A + SampleOps.B)
+          % SampleOps.P)
+    val samp = keyed.orderBy(col("h").asc, col("doc_id").asc)
+      .limit(audioRecallSample)
+      .select("doc_id").persist()
+    val sf = f.join(samp, Seq("doc_id"), "left_semi").persist()
+    val exact = sf.as("x").join(sf.as("y"),
+        col("x.frame_md5") === col("y.frame_md5") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= videoSharedFramesMin)
+      .select("id_a", "id_b").persist()
+    val banded = videoNearDup(spark, sfDir, bucketCap)
+      .join(samp.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(samp.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .select("id_a", "id_b").persist()
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nb = banded.agg(count(lit(1)).as("n_banded"))
+    val nc = exact.join(banded, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = ne.crossJoin(nb).crossJoin(nc).select(
+      col("n_exact"), col("n_banded"), col("n_common"),
+      when(col("n_exact") > 0,
+        col("n_common").cast("double") / col("n_exact").cast("double"))
+        .otherwise(lit(1.0)).as("recall"))
+    Canon.materialized(Canon.canonicalize(out), f, samp, sf, exact, banded)
+  }
+
+  val videoRecallOracle: String = {
+    val (sA, sB, sP) = (SampleOps.A, SampleOps.B, SampleOps.P)
+    s"""WITH $videoChainCtes,
+       |keyed AS (
+       |  SELECT doc_id, ((doc_id % $sP) * $sA + $sB) % $sP AS h
+       |  FROM (SELECT DISTINCT doc_id FROM fr)),
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id FROM keyed
+       |  ORDER BY h ASC, doc_id ASC LIMIT $audioRecallSample),
+       |sfr AS MATERIALIZED (
+       |  SELECT fr.doc_id, fr.frame_md5
+       |  FROM fr JOIN samp USING (doc_id)),
+       |exact AS MATERIALIZED (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM sfr x JOIN sfr y
+       |    ON x.frame_md5 = y.frame_md5 AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $videoSharedFramesMin),
+       |bp AS MATERIALIZED (
+       |  SELECT p.id_a, p.id_b FROM pairs p
+       |  JOIN samp sa ON p.id_a = sa.doc_id
+       |  JOIN samp sb ON p.id_b = sb.doc_id)
+       |SELECT
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM bp) AS n_banded,
+       |  (SELECT count(*) FROM exact JOIN bp USING (id_a, id_b))
+       |    AS n_common,
+       |  CASE WHEN (SELECT count(*) FROM exact) > 0
+       |    THEN CAST((SELECT count(*) FROM exact JOIN bp
+       |               USING (id_a, id_b)) AS DOUBLE)
+       |           / CAST((SELECT count(*) FROM exact) AS DOUBLE)
+       |    ELSE 1.0 END AS recall""".stripMargin
+  }
 
   /** ??? in spirit: the decode seam. Batched per partition exactly like a
     * real codec call (one library handle per partition, vectorized loop);
