@@ -77,6 +77,10 @@ object SparkEntry {
     "q_line_boilerplate" -> ((s, dir) => CurationOps.lineBoilerplate(s, dir)),
     "q_line_boilerplate_apply" ->
       ((s, dir) => CurationOps.lineBoilerplateApply(s, dir)),
+    // global keep-first paragraph dedup (FineWeb recipe; threshold-free)
+    "q_paragraph_dedup" -> ((s, dir) => ext.ParaOps.paragraphDedup(s, dir)),
+    "q_paragraph_dedup_apply" ->
+      ((s, dir) => ext.ParaOps.paragraphDedupApply(s, dir)),
     // the published Gopher heuristic filter battery, one scan
     "q_gopher_rules" -> ((s, dir) => CurationOps.gopherRules(s, dir)),
     // similar-length batches: padding-minimizing inference batching
@@ -338,6 +342,8 @@ object SparkEntry {
     "q_boilerplate_apply" -> CurationOps.boilerplateApplyOracle,
     "q_line_boilerplate" -> CurationOps.lineBoilerplateOracle,
     "q_line_boilerplate_apply" -> CurationOps.lineBoilerplateApplyOracle,
+    "q_paragraph_dedup" -> ext.ParaOps.paragraphDedupOracle,
+    "q_paragraph_dedup_apply" -> ext.ParaOps.paragraphDedupApplyOracle,
     "q_gopher_rules" -> CurationOps.gopherRulesOracle,
     "q_length_batches" -> CurationOps.lengthBatchesOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
