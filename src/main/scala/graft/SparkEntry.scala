@@ -53,6 +53,8 @@ object SparkEntry {
     "q_domain_rollup" -> ((s, dir) => ext.DomainOps.domainRollup(s, dir)),
     "q_domain_cap" -> ((s, dir) => ext.DomainOps.domainCap(s, dir)),
     "q_domain_mix" -> ((s, dir) => ext.DomainOps.domainMix(s, dir)),
+    // crawl front door: URL heuristics that run before any text exists
+    "q_url_filter" -> ((s, dir) => ext.DomainOps.urlFilter(s, dir)),
     "q_mixture_plan" -> ((s, dir) => SampleOps.mixturePlan(s, dir)),
     "q_source_diversity" -> ((s, dir) => SampleOps.sourceDiversity(s, dir)),
     "q_temperature_mix" -> ((s, dir) => SampleOps.temperatureMix(s, dir)),
@@ -86,6 +88,8 @@ object SparkEntry {
     // similar-length batches: padding-minimizing inference batching
     "q_length_batches" -> ((s, dir) => CurationOps.lengthBatches(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
+    // per-doc first-seen gram share: prices redundancy in corpus order
+    "q_doc_novelty" -> ((s, dir) => CurationOps.docNovelty(s, dir)),
     "q_contamination" -> ((s, dir) => CurationOps.contaminationScore(s, dir)),
     // Bloom pre-filtered twin: identical rows, broadcast-scale-safe path
     "q_decontaminate_bloom" ->
@@ -96,12 +100,16 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, dir) => SampleOps.stratifiedSample(s, dir)),
     "q_weighted_sample" -> ((s, dir) => SampleOps.weightedSample(s, dir)),
     "q_curriculum" -> ((s, dir) => SampleOps.curriculum(s, dir)),
+    // greedy best-quality-first selection under a corpus token budget
+    "q_budget_select" -> ((s, dir) => SampleOps.budgetSelect(s, dir)),
     "q_sample_k_per_lang" -> ((s, dir) => SampleOps.sampleKPerStratum(s, dir)),
     // deterministic per-source epoch weighting (data-mixing upsampler)
     "q_mixture_repeat" -> ((s, dir) => SampleOps.mixtureRepeat(s, dir)),
     "q_shard_assign" -> ((s, dir) => SampleOps.shardAssign(s, dir)),
     // DSIR: hashed-n-gram importance weights vs the clean target slice
     "q_dsir_weights" -> ((s, dir) => SampleOps.dsirWeights(s, dir)),
+    // the weights acted on: hash-deterministic proportional resample
+    "q_dsir_sample" -> ((s, dir) => SampleOps.dsirSample(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
     // MG-candidate + exact-verify heavy hitters ≡ topTokens when the
@@ -321,6 +329,7 @@ object SparkEntry {
     "q_domain_rollup" -> ext.DomainOps.domainRollupOracle,
     "q_domain_cap" -> ext.DomainOps.domainCapOracle,
     "q_domain_mix" -> ext.DomainOps.domainMixOracle,
+    "q_url_filter" -> ext.DomainOps.urlFilterOracle,
     "q_mixture_plan" -> SampleOps.mixturePlanOracle,
     "q_source_diversity" -> SampleOps.sourceDiversityOracle,
     "q_temperature_mix" -> SampleOps.temperatureMixOracle,
@@ -347,6 +356,7 @@ object SparkEntry {
     "q_gopher_rules" -> CurationOps.gopherRulesOracle,
     "q_length_batches" -> CurationOps.lengthBatchesOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
+    "q_doc_novelty" -> CurationOps.docNoveltyOracle,
     "q_contamination" -> CurationOps.contaminationScoreOracle,
     // exact-verified Bloom variant is row-identical → shares the oracle
     "q_decontaminate_bloom" -> CurationOps.decontaminateOracle,
@@ -358,10 +368,12 @@ object SparkEntry {
     "q_stratified_sample" -> SampleOps.stratifiedSampleOracle,
     "q_weighted_sample" -> SampleOps.weightedSampleOracle,
     "q_curriculum" -> SampleOps.curriculumOracle,
+    "q_budget_select" -> SampleOps.budgetSelectOracle,
     "q_sample_k_per_lang" -> SampleOps.sampleKPerStratumOracle,
     "q_mixture_repeat" -> SampleOps.mixtureRepeatOracle,
     "q_shard_assign" -> SampleOps.shardAssignOracle,
     "q_dsir_weights" -> SampleOps.dsirWeightsOracle,
+    "q_dsir_sample" -> SampleOps.dsirSampleOracle,
     "q_ngram_jaccard" -> DedupOps.jaccardBlockedOracle,
     "q_minhash_lsh" -> DedupOps.minhashLshOracle,
     "q_split_leakage" -> DedupOps.splitLeakageOracle,

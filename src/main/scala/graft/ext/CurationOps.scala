@@ -570,6 +570,62 @@ object CurationOps {
        |WHERE doc_id % $decontBenchMod <> 0""".stripMargin
   }
 
+  /** Per-document n-gram NOVELTY — the corpus-order memorization
+    * telemetry: for each doc, the share of its distinct
+    * [[decontGramTokens]]-token grams whose FIRST corpus occurrence
+    * (min doc_id over owners) is this doc. Low novelty means the doc
+    * restates earlier content — the per-doc rollup of the signal
+    * [[graft.ext.DedupOps.dupSpans]] reports span-by-span, and the
+    * doc-granular complement of keep-first paragraph dedup
+    * ([[graft.ext.ParaOps]]): those REMOVE redundancy, this PRICES it
+    * for selection/weighting (e.g. as a [[SampleOps.budgetSelect]]
+    * quality ingredient).
+    *
+    * Scale shape: explode distinct grams per doc (md5-keyed so the
+    * exchange is fixed-width), ONE gram-keyed min-aggregation with
+    * map-side combine for the first-owner table, one gram-keyed join
+    * back, one doc-keyed rollup — all hash exchanges linear in corpus
+    * grams; no all-pairs, no sort.
+    */
+  def docNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .repartition(col("doc_id")) // single-split fixture; explode is narrow
+      .select(col("doc_id"), toksCol.as("toks"))
+    val ex = d.select(col("doc_id"),
+      explode(array_distinct(grams(col("toks"), decontGramTokens)))
+        .as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val firstOwner = ex.groupBy("gh").agg(min("doc_id").as("first_doc"))
+    val out = ex.join(firstOwner, Seq("gh"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_rate",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+    Canon.canonicalize(out)
+  }
+
+  val docNoveltyOracle: String = {
+    val g = decontGramTokens
+    s"""WITH nd AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |ng AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(list_slice(toks, i, i + ${g - 1}), ' ')) AS gh
+       |  FROM nd, unnest(range(1, len(toks) - ${g - 2})) AS r(i)),
+       |nf AS (
+       |  SELECT gh, min(doc_id) AS first_doc FROM ng GROUP BY 1)
+       |SELECT ng.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(count(*) FILTER (WHERE nf.first_doc = ng.doc_id)
+       |         AS BIGINT) AS n_novel,
+       |       CAST(count(*) FILTER (WHERE nf.first_doc = ng.doc_id)
+       |         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
+       |FROM ng JOIN nf USING (gh)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** SPAN-LEVEL decontamination APPLY: instead of dropping a
     * contaminated training document wholesale ([[decontaminate]] flags,
     * a curation pass drops), CUT the contaminated spans out — every

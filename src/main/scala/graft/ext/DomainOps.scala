@@ -258,6 +258,149 @@ object DomainOps {
         "doc_id" -> graft.plans.TopK.Asc), k = TextOps.sourceCapK))
   }
 
+  // ---- URL quality filter (crawl front-door heuristics) ---------------
+
+  /** Blocklist terms: a URL containing any of them is dropped outright
+    * (the C4/RefinedWeb URL-blocklist pass, reduced to an inlined list —
+    * a deployment swaps in its curated list; the match is a plain
+    * substring scan either way).
+    */
+  val urlBlocklist: Seq[String] = Seq("casino", "lottery", "free-download")
+
+  /** Heuristic thresholds: hosts with ≥ [[urlMaxHostDigits]] digits are
+    * machine-generated spam mirrors; paths with ≥ [[urlMaxPathDepth]]
+    * segments are crawler traps; query strings longer than
+    * [[urlMaxQueryLen]] chars are affiliate/tracking links.
+    */
+  val urlMaxHostDigits = 4
+  val urlMaxPathDepth = 5
+  val urlMaxQueryLen = 20
+
+  /** Seeded URL for the FILTER query: the five [[urlOf]] shapes plus
+    * three adversarial ones (blocklisted host, trap-depth path,
+    * tracking query), keyed on doc_id % 8 so every shape appears at
+    * every fixture scale.
+    */
+  private[ext] def urlFullOf: Column = {
+    val id = col("doc_id").cast("string")
+    val m = (col("doc_id") % 8).cast("int")
+    when(m === 0, concat(lit("https://www."), col("source"),
+        lit(".example.com/p/"), id))
+      .when(m === 1, concat(lit("http://news."), col("source"),
+        lit(".co.uk/a?id="), id))
+      .when(m === 2, concat(lit("HTTPS://CDN-"),
+        (col("doc_id") % 7).cast("string"), lit("."), col("source"),
+        lit(".ORG:8443/x/y")))
+      .when(m === 3, concat(lit("https://"), col("source"),
+        (col("doc_id") % 3).cast("string"), lit(".blogspot.com.au/p#f")))
+      .when(m === 4, concat(lit("http://win-casino-"), id, lit(".bet"),
+        (col("doc_id") % 10).cast("string"), lit(".com/claim/"), id))
+      .when(m === 5, concat(lit("https://"), col("source"),
+        lit(".net/a/b/c/d/e/f/"), id))
+      .when(m === 6, concat(lit("http://tracker."), col("source"),
+        lit(".io/r?utm_source=aff&utm_campaign="), id, lit("&click="), id))
+      .otherwise(concat(lit("http://www.m."), col("source"), lit(".io/")))
+  }
+
+  /** The seeded filter URL in DuckDB SQL — string twin of [[urlFullOf]]
+    * (same leading-`|` caution as [[urlSql]]).
+    */
+  private[ext] val urlFullSql: String =
+    """CASE doc_id % 8
+      |  WHEN 0 THEN 'https://www.' || source || '.example.com/p/' || doc_id
+      |  WHEN 1 THEN 'http://news.' || source || '.co.uk/a?id=' || doc_id
+      |  WHEN 2 THEN 'HTTPS://CDN-' || (doc_id % 7) || '.' || source ||
+      |              '.ORG:8443/x/y'
+      |  WHEN 3 THEN 'https://' || source || (doc_id % 3) ||
+      |              '.blogspot.com.au/p#f'
+      |  WHEN 4 THEN 'http://win-casino-' || doc_id || '.bet' ||
+      |              (doc_id % 10) || '.com/claim/' || doc_id
+      |  WHEN 5 THEN 'https://' || source || '.net/a/b/c/d/e/f/' || doc_id
+      |  WHEN 6 THEN 'http://tracker.' || source ||
+      |              '.io/r?utm_source=aff&utm_campaign=' || doc_id ||
+      |              '&click=' || doc_id
+      |  ELSE 'http://www.m.' || source || '.io/'
+      |END""".stripMargin
+
+  /** The path portion (first `/` after the host up to `?`/`#`), empty
+    * when the URL has no path.
+    */
+  private[ext] def urlPath(url: Column): Column =
+    regexp_extract(
+      regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://", ""),
+      "/[^?#]*", 0)
+
+  /** The query string including its `?`, empty when absent. */
+  private[ext] def urlQuery(url: Column): Column =
+    regexp_extract(url, "\\?[^#]*", 0)
+
+  /** URL quality filter — the crawl front door: per-document URL
+    * heuristics that run BEFORE any text is fetched or scored, which
+    * is what makes them the cheapest filter in the pipeline (pure
+    * string projections; at 100 TB this pass is shuffle-free and
+    * reads only the URL column). Four published heuristics: substring
+    * blocklist, digit-heavy host, crawler-trap path depth, and
+    * tracking-length query strings; `keep` is their conjunction.
+    */
+  def urlFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = TextOps.documents(spark, sfDir)
+      .select(col("doc_id"), urlFullOf.as("url"))
+      .withColumn("host", canonicalHost(col("url")))
+      .withColumn("path", urlPath(col("url")))
+    val blockHit = urlBlocklist
+      .map(t => lower(col("url")).contains(t))
+      .reduce(_ || _)
+    val out = base
+      .withColumn("domain", registeredDomain(col("host")))
+      .withColumn("flag_blocklist", blockHit)
+      .withColumn("flag_digit_host",
+        (length(col("host")) -
+          length(regexp_replace(col("host"), "[0-9]", "")))
+          >= urlMaxHostDigits)
+      .withColumn("flag_deep_path",
+        (length(col("path")) -
+          length(regexp_replace(col("path"), "/", "")))
+          >= urlMaxPathDepth)
+      .withColumn("flag_long_query",
+        length(urlQuery(col("url"))) > urlMaxQueryLen)
+      .withColumn("keep",
+        !col("flag_blocklist") && !col("flag_digit_host") &&
+          !col("flag_deep_path") && !col("flag_long_query"))
+      .select("doc_id", "url", "domain", "flag_blocklist",
+        "flag_digit_host", "flag_deep_path", "flag_long_query", "keep")
+    Canon.canonicalize(out)
+  }
+
+  val urlFilterOracle: String = {
+    val blockSql = urlBlocklist
+      .map(t => s"contains(lower(url), '$t')").mkString(" OR ")
+    s"""WITH u AS (
+       |  SELECT doc_id, $urlFullSql AS url FROM documents),
+       |h AS (
+       |  SELECT doc_id, url,
+       |         ${canonicalHostSql("url")} AS host,
+       |         regexp_extract(
+       |           regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+       |           '/[^?#]*') AS path
+       |  FROM u),
+       |f AS (
+       |  SELECT doc_id, url,
+       |         ${registeredDomainSql("host")} AS domain,
+       |         ($blockSql) AS flag_blocklist,
+       |         (length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))
+       |           >= $urlMaxHostDigits AS flag_digit_host,
+       |         (length(path) - length(replace(path, '/', '')))
+       |           >= $urlMaxPathDepth AS flag_deep_path,
+       |         length(regexp_extract(url, '\\?[^#]*')) > $urlMaxQueryLen
+       |           AS flag_long_query
+       |  FROM h)
+       |SELECT doc_id, url, domain, flag_blocklist, flag_digit_host,
+       |       flag_deep_path, flag_long_query,
+       |       (NOT flag_blocklist AND NOT flag_digit_host AND
+       |        NOT flag_deep_path AND NOT flag_long_query) AS keep
+       |FROM f""".stripMargin
+  }
+
   val domainCapOracle: String =
     s"""WITH ${TextOps.qualityCte},
        |qd AS (

@@ -169,9 +169,11 @@ object ParaOps {
        |         (p.ord = k.keep_ord) AS kept
        |  FROM pex p JOIN pkeep k USING (sha))
        |SELECT doc_id,
-       |       array_to_string(
-       |         coalesce(list(para ORDER BY pos) FILTER (WHERE kept), []),
-       |         chr(10)) AS cleaned,
+       |       -- coalesce at STRING level: DuckDB's array_to_string is
+       |       -- NULL for an empty list where Spark's array_join is ''
+       |       coalesce(array_to_string(
+       |         list(para ORDER BY pos) FILTER (WHERE kept),
+       |         chr(10)), '') AS cleaned,
        |       CAST(count(*) AS BIGINT) AS n_paras,
        |       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT)
        |         AS n_removed

@@ -593,6 +593,27 @@ object SampleOps {
   private[graft] def dsirWeightsFrom(documents: DataFrame,
                                      approxBounds: Boolean = false)
       : DataFrame = {
+    val (pd, hist) = dsirDocWeights(documents)
+    val thr =
+      if (approxBounds) pd.agg(percentile_approx(col("mean_ratio"),
+        lit(dsirKeepQuantile), lit(SketchOps.percentileAccuracy)).as("t"))
+      else pd.agg(
+        percentile(col("mean_ratio"), lit(dsirKeepQuantile)).as("t"))
+    val out = Canon.canonicalize(pd.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_grams"), col("mean_ratio"),
+        (col("mean_ratio") >= col("t")).as("selected")))
+    Canon.materialized(out, hist)
+  }
+
+  /** The shared DSIR per-doc weight frame (doc_id, w, n_grams,
+    * mean_ratio) plus the persisted gram histogram the caller must
+    * release ([[graft.ops.Canon.materialized]]) — the seam
+    * [[dsirWeightsFrom]] (quantile cut) and [[dsirSample]]
+    * (proportional resample) both read, so the λ arithmetic exists
+    * exactly once.
+    */
+  private[graft] def dsirDocWeights(documents: DataFrame)
+      : (DataFrame, DataFrame) = {
     val dt = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), CurationOps.toksCol.as("toks"))
@@ -634,20 +655,45 @@ object SampleOps {
       .withColumn("mean_ratio",
         col("w").cast("double") /
           (col("n_grams") * dsirScale).cast("double"))
-    val thr =
-      if (approxBounds) pd.agg(percentile_approx(col("mean_ratio"),
-        lit(dsirKeepQuantile), lit(SketchOps.percentileAccuracy)).as("t"))
-      else pd.agg(
-        percentile(col("mean_ratio"), lit(dsirKeepQuantile)).as("t"))
-    val out = Canon.canonicalize(pd.crossJoin(broadcast(thr))
+    (pd, hist)
+  }
+
+  /** DSIR importance RESAMPLING — the weights ACTED on, proportionally:
+    * where [[dsirWeights]]' `selected` is a top-quantile cut (keep the
+    * best 25%), this accepts each doc with probability proportional to
+    * its importance ratio, normalized so the best doc is accepted with
+    * probability 1 — the paper's sampling step, made deterministic and
+    * partition-independent by drawing the "uniform" from the affine
+    * hash [[bucket]] of doc_id (the [[trainValTestSplit]] discipline:
+    * no RNG state, reproducible on any engine).
+    *
+    * Exactness: acceptance is the INTEGER cross-multiplication
+    * `bucket(doc_id) · n_i · w_max < 1000 · w_i · n_max` — equivalent
+    * to bucket/1000 < mean_i/mean_max with zero floating-point in the
+    * decision (the ratio doubles appear only in the REPORT column).
+    * The (w_max, n_max) pair is the argmax doc's (ties → min doc_id).
+    * Products stay ≤ ~10¹⁴ on fixture cardinalities; a 100 TB corpus
+    * widens the comparison to DECIMAL(38,0) the way the classifier's λ
+    * did (ClassifierOps, round-10 overflow fix).
+    */
+  def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pd, hist) = dsirDocWeights(TextOps.documents(spark, sfDir))
+    val best = pd
+      .orderBy(col("mean_ratio").desc, col("doc_id").asc).limit(1)
+      .select(col("w").as("w_max"), col("n_grams").as("n_max"))
+    val out = Canon.canonicalize(pd.crossJoin(broadcast(best))
       .select(col("doc_id"), col("n_grams"), col("mean_ratio"),
-        (col("mean_ratio") >= col("t")).as("selected")))
+        (bucket(col("doc_id")) * col("n_grams") * col("w_max") <
+          lit(buckets.toLong) * col("w") * col("n_max")).as("accepted")))
     Canon.materialized(out, hist)
   }
 
-  val dsirWeightsOracle: String = {
+  /** The shared DSIR CTE chain (dt → … → pd → sc) — the SQL twin of
+    * [[dsirDocWeights]], composed by both DSIR oracles.
+    */
+  private def dsirCtes: String = {
     import TextOps.normSql
-    s"""WITH dt AS (
+    s"""dt AS (
        |  SELECT doc_id, toks FROM (
        |    SELECT doc_id,
        |           list_filter(string_split($normSql, ' '), t -> t <> '')
@@ -681,14 +727,31 @@ object SampleOps {
        |  SELECT doc_id, n_grams,
        |         CAST(w AS DOUBLE) /
        |           CAST(n_grams * $dsirScale AS DOUBLE) AS mean_ratio
-       |  FROM pd),
+       |  FROM pd)""".stripMargin
+  }
+
+  val dsirWeightsOracle: String =
+    s"""WITH $dsirCtes,
        |thr AS (
        |  SELECT quantile_cont(mean_ratio, CAST($dsirKeepQuantile AS DOUBLE))
        |    AS t FROM sc)
        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, mean_ratio,
        |       mean_ratio >= t AS selected
        |FROM sc, thr""".stripMargin
-  }
+
+  val dsirSampleOracle: String =
+    s"""WITH $dsirCtes,
+       |mx AS (
+       |  SELECT w AS w_max, n_grams AS n_max FROM pd
+       |  ORDER BY CAST(w AS DOUBLE) /
+       |             CAST(n_grams * $dsirScale AS DOUBLE) DESC,
+       |           doc_id ASC
+       |  LIMIT 1)
+       |SELECT sc.doc_id, CAST(sc.n_grams AS BIGINT) AS n_grams,
+       |       sc.mean_ratio,
+       |       (${bucketSql("sc.doc_id")}) * sc.n_grams * w_max
+       |         < $buckets * pd.w * n_max AS accepted
+       |FROM sc JOIN pd USING (doc_id), mx""".stripMargin
 
   // ---- DoReMi-lite mixture reweighting --------------------------------
 
@@ -833,4 +896,94 @@ object SampleOps {
        |         / CAST(n_docs AS DOUBLE) AS repeat_factor
        |FROM dw$doremiRounds, dwt""".stripMargin
   }
+
+  // ---- token-budget greedy selection ----------------------------------
+
+  /** Budget as a permille of total corpus tokens (truncating integer
+    * arithmetic in both engines).
+    */
+  val budgetPermille = 400L
+
+  /** Quality buckets for the selection histogram: floor(score * 1000).
+    * The bucket index is monotone in the score, so bucket-major order
+    * composed with within-bucket (score desc, doc_id) order IS the
+    * global greedy order — which is what lets the plan skip the global
+    * sort (see [[budgetSelect]]).
+    */
+  private[ext] def qBucket(score: Column): Column =
+    floor(score * 1000.0).cast("long")
+
+  /** Token-budget greedy selection — "spend [[budgetPermille]]‰ of the
+    * corpus's token mass on the highest-quality documents": docs are
+    * taken in (quality_score desc, doc_id asc) order while the running
+    * token total stays within budget (a doc is kept iff the total
+    * INCLUDING it fits).
+    *
+    * Scale shape (the [[graft.ops.LoyaltyTiers]] adaptive-histogram
+    * discipline — the semantics are a global prefix, the PLAN is not a
+    * global sort): bucket every doc by floor(score·1000); ONE keyed
+    * aggregation builds the ≤1001-row bucket histogram, whose windowed
+    * cumulative is driver-scale regardless of corpus size; every bucket
+    * strictly above the threshold is kept with a broadcast-join filter
+    * (no sort anywhere), and only the SINGLE straddling bucket — ~1/1000
+    * of the corpus — pays a within-bucket running-sum window. At 100 TB
+    * that is a scan + one map-side-combined agg + one window over 0.1%
+    * of the data, vs. the naive plan's full-corpus total-order sort.
+    */
+  def budgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.withQualityScore(
+        TextOps.documents(spark, sfDir)
+          .repartition(col("doc_id"))
+          .withColumn("norm", TextOps.normText(col("text"))))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_toks"),
+        col("quality_score"))
+      .withColumn("bucket", qBucket(col("quality_score")))
+    val tot = scored.agg(
+      expr(s"sum(n_toks) * $budgetPermille div 1000").as("budget"))
+    val hist = scored.groupBy("bucket").agg(sum("n_toks").as("btoks"))
+    // tokens in strictly-higher buckets; the window runs over ≤1001 rows
+    val wAbove = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("above",
+      coalesce(sum("btoks").over(wAbove), lit(0L)))
+    val annotated = scored
+      .join(broadcast(cum), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+    val fullKeep = annotated
+      .filter(col("above") + col("btoks") <= col("budget"))
+    val straddle = annotated.filter(
+      col("above") <= col("budget") &&
+        col("above") + col("btoks") > col("budget"))
+    val wRun = Window.partitionBy("bucket")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundKeep = straddle
+      .withColumn("run", sum("n_toks").over(wRun))
+      .filter(col("above") + col("run") <= col("budget"))
+      .drop("run")
+    Canon.canonicalize(
+      fullKeep.union(boundKeep).select("doc_id", "n_toks", "quality_score"))
+  }
+
+  /** The oracle states the SEMANTICS directly — the global greedy
+    * prefix via one corpus-order window — which is exactly the plan
+    * [[budgetSelect]] refuses to run at scale.
+    */
+  val budgetSelectOracle: String =
+    s"""WITH ${TextOps.qualityCte},
+       |bd AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_toks, quality_score
+       |  FROM qs),
+       |bt AS (
+       |  SELECT CAST(sum(n_toks) * $budgetPermille // 1000 AS BIGINT)
+       |    AS budget FROM bd),
+       |bw AS (
+       |  SELECT doc_id, n_toks, quality_score,
+       |         sum(n_toks) OVER (
+       |           ORDER BY quality_score DESC, doc_id ASC
+       |           ROWS UNBOUNDED PRECEDING) AS ctoks
+       |  FROM bd)
+       |SELECT doc_id, n_toks, quality_score
+       |FROM bw, bt WHERE ctoks <= budget""".stripMargin
 }

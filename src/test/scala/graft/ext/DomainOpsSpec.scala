@@ -93,4 +93,32 @@ class DomainOpsSpec extends SparkSpec {
       assert(a._5 >= b._5,
         s"${a._1} (eff ${a._4}) ranked below ${b._1} (eff ${b._4})")
   }
+
+  test("urlFilter flags each heuristic and keep is their conjunction") {
+    val rows = DomainOps.urlFilter(spark, sfDir)
+      .as[(Long, String, String, Boolean, Boolean, Boolean, Boolean,
+        Boolean)].collect()
+    assert(rows.nonEmpty)
+    for ((id, url, _, bl, dh, dp, lq, keep) <- rows) {
+      assert(keep == (!bl && !dh && !dp && !lq), s"doc $id keep")
+      val host = url.toLowerCase
+        .replaceFirst("^[a-z][a-z0-9+.-]*://", "")
+        .takeWhile(c => !"/?#:".contains(c))
+        .replaceFirst("^www\\.", "")
+      assert(bl == DomainOps.urlBlocklist
+        .exists(url.toLowerCase.contains), s"doc $id blocklist")
+      assert(dh == (host.count(_.isDigit)
+        >= DomainOps.urlMaxHostDigits), s"doc $id digit host: $host")
+      if (id % 8 == 5) assert(dp, s"doc $id trap path must flag")
+      if (id % 8 == 6) assert(lq, s"doc $id tracking query must flag")
+      if (id % 8 == 0 || id % 8 == 7) assert(keep, s"doc $id clean shape")
+    }
+    // digit-host threshold boundary is exercised both ways by shape 4
+    val s4 = rows.filter(_._1 % 8 == 4)
+    if (s4.exists(_._1 >= 100) && s4.exists(_._1 < 100)) {
+      assert(s4.filter(_._1 >= 100).forall(_._5), ">=4 digit hosts flag")
+      assert(s4.filter(r => r._1 < 100 && r._1 % 10 > 0)
+        .forall(!_._5), "3-digit hosts stay")
+    }
+  }
 }

@@ -459,4 +459,58 @@ class SampleOpsSpec extends SparkSpec {
     assert(out.map(_._3).max >= 0.0 && out.map(_._3).min <= 0.0)
   }
 
+  test("dsirSample: integer-exact proportional acceptance, argmax " +
+      "always accepted, quantile cut and resample agree on weights") {
+    val w = SampleOps.dsirWeights(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val s = SampleOps.dsirSample(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(s.nonEmpty && s.length == w.size)
+    // the report columns are byte-identical across the two queries
+    for ((id, n, mr, _) <- s)
+      assert((w(id)._2, w(id)._3) == ((n, mr)), s"doc $id weight drift")
+    // argmax doc accepted with probability 1
+    val top = s.maxBy(r => (r._3, -r._1))
+    assert(top._4, "max-ratio doc must always be accepted")
+    // acceptance is monotone-consistent: same hash bucket + higher
+    // ratio can only flip reject→accept, never accept→reject
+    def bucketOf(id: Long): Long = {
+      val p = graft.functions.MinHashSignature.P
+      val a = graft.functions.MinHashSignature.aCoef(0)
+      val b = graft.functions.MinHashSignature.bCoef(0)
+      ((id % p) * a + b) % p % 1000L
+    }
+    for (pair <- s.sortBy(_._3).sliding(2).map(_.toSeq)
+         if pair.size == 2 && bucketOf(pair(0)._1) == bucketOf(pair(1)._1))
+      assert(!pair(0)._4 || pair(1)._4,
+        s"monotonicity ${pair(0)._1} vs ${pair(1)._1}")
+    // acceptance is non-trivial on the fixture: both outcomes occur
+    assert(s.exists(_._4) && s.exists(!_._4))
+  }
+
+  test("budgetSelect equals the brute-force greedy prefix") {
+    val scored = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score")
+      .as[(Long, Long, Double)].collect()
+    val budget = scored.map(_._2).sum * SampleOps.budgetPermille / 1000L
+    val greedy = scored.sortBy(r => (-r._3, r._1))
+      .scanLeft((0L, 0L, 0.0, 0L)) { case ((c, _, _, _), (id, t, q)) =>
+        (c + t, id, q, t)
+      }.drop(1)
+      .takeWhile(_._1 <= budget)
+      .map(r => (r._2, r._4, r._3)).toSet
+    val got = SampleOps.budgetSelect(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == greedy, s"selection mismatch: got ${got.size}, " +
+      s"want ${greedy.size}, budget $budget")
+    // non-triviality: the budget actually bites on the fixture
+    assert(got.size < scored.length && got.nonEmpty)
+    // maximality: the next doc in greedy order would exceed the budget
+    val kept = got.map(_._1)
+    val spent = got.toSeq.map(_._2).sum
+    val next = scored.sortBy(r => (-r._3, r._1)).find(r => !kept(r._1))
+    for ((_, t, _) <- next) assert(spent + t > budget, "prefix maximal")
+  }
+
 }
