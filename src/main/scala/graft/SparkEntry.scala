@@ -112,6 +112,8 @@ object SparkEntry {
     "q_dsir_sample" -> ((s, dir) => SampleOps.dsirSample(s, dir)),
     // similarity / near-dup operators over `documents` + `embeddings`
     "q_top_tokens" -> ((s, dir) => TextOps.topTokens(s, dir)),
+    // Zipf/hapax spectrum: per-band type and occurrence mass
+    "q_freq_spectrum" -> ((s, dir) => TextOps.freqSpectrum(s, dir)),
     // MG-candidate + exact-verify heavy hitters ≡ topTokens when the
     // MG bound clears (it does at every fixture scale)
     "q_heavy_hitters" -> ((s, dir) => ext.SketchOps.heavyHitters(s, dir)),
@@ -429,6 +431,7 @@ object SparkEntry {
     "q_simhash_neardup" -> DedupOps.simhashNearDupOracle,
     "q_simhash_recall" -> DedupOps.simhashRecallOracle,
     "q_top_tokens" -> TextOps.topTokensOracle,
+    "q_freq_spectrum" -> TextOps.freqSpectrumOracle,
     "q_heavy_hitters" -> TextOps.topTokensOracle,
     "q_tfidf" -> TextOps.tfIdfOracle,
     "q_dedup_clusters" -> DedupOps.dedupClustersOracle,

@@ -1362,7 +1362,20 @@ object DedupOps {
       require(batchTag.matches("[A-Za-z0-9_-]+"),
         s"batchTag must be path-safe, got '$batchTag'")
       val dir = s"${baseDir}_m_$batchTag"
-      if (!indexDone(dir)) {
+      lshIndexMergeCore(spark, baseDir, dir, batchDocs)
+      dir
+    }
+
+  /** The merge body against an EXPLICIT output dir — shared by the
+    * stamped-name merge above and the admission fold's flat
+    * per-generation dirs ([[lshAdmit]]), SUCCESS-gated either way so a
+    * replay is skipped, never re-applied.
+    */
+  private def lshIndexMergeCore(spark: SparkSession, baseDir: String,
+                                outDir: String,
+                                batchDocs: DataFrame): Unit =
+    synchronized {
+      if (!indexDone(outDir)) {
         val (_, baseSh, baseSigs) = readLshIndex(spark, baseDir)
         val withNorm = batchDocs.select(col("doc_id"), col("text"))
           .repartition(col("doc_id"))
@@ -1372,17 +1385,16 @@ object DedupOps {
           graft.functions.MinHashSignature(col("sh")).as("sig"))
         baseSigs.union(bSigs).groupBy("doc_id")
           .agg(graft.functions.SignatureMin.column(col("sig")).as("sig"))
-          .write.mode("overwrite").parquet(s"$dir/sigs")
+          .write.mode("overwrite").parquet(s"$outDir/sigs")
         baseSh.union(bSets.select(col("doc_id"), col("sh")))
           .groupBy("doc_id")
           .agg(array_sort(array_distinct(flatten(collect_list(col("sh")))))
             .as("sh"))
-          .write.mode("overwrite").parquet(s"$dir/shingles")
+          .write.mode("overwrite").parquet(s"$outDir/shingles")
         bSets.unpersist(false)
-        bandsOfSigs(spark.read.parquet(s"$dir/sigs"))
-          .write.mode("overwrite").parquet(s"$dir/bands")
+        bandsOfSigs(spark.read.parquet(s"$outDir/sigs"))
+          .write.mode("overwrite").parquet(s"$outDir/bands")
       }
-      dir
     }
 
   /** FORGET a set of doc_ids from a persisted index — delete
@@ -1569,6 +1581,128 @@ object DedupOps {
         .filter(col("jaccard") >= jaccardThreshold)
         .select("batch_id", "corpus_id", "jaccard")),
       batch, batchBands)
+  }
+
+  // ---- streaming near-dup ADMISSION fold ------------------------------
+
+  /** Verified LSH self-pairs over an ARBITRARY (doc_id, text) frame —
+    * the WITHIN-batch half of [[lshAdmit]]: the [[minhashLsh]] chain
+    * (shingle → signature → band → bucket-cap → exact verify) with the
+    * frame itself as the census corpus. A micro-batch is small, so
+    * every stage here is batch-sized.
+    */
+  private[ext] def selfPairsOf(batchDocs: DataFrame): DataFrame = {
+    val withNorm = batchDocs.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+    val d = shingleSets(withNorm).persist()
+    val banded = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"),
+        graft.functions.MinHashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), col("band"),
+        bucketExpr(col("sig"), col("band")).as("bucket"))
+      .persist()
+    val keptBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val kept = banded.join(keptBuckets, Seq("band", "bucket"))
+    val candidates = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+    Canon.materialized(
+      Canon.canonicalize(withSets
+        .filter(sizeRatioAtLeast(size(col("sh_a")), size(col("sh_b")),
+          jaccardThreshold))
+        .withColumn("jaccard", pairJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select("id_a", "id_b", "jaccard")),
+      d, banded)
+  }
+
+  /** Flat per-generation dir of an admission feed (the
+    * [[graft.ext.LedgerOps]] feedGenDir discipline: a pure function of
+    * (feedTag, batchId), constant path length over an unbounded feed).
+    */
+  private[ext] def lshFeedGenDir(baseDir: String, feedTag: String)
+                                (batchId: Long): String =
+    s"${baseDir}__feed_$feedTag/g$batchId"
+
+  /** Ingest-time NEAR-dup ADMISSION step — the LSH analogue of
+    * [[graft.ext.LedgerOps.shaLedgerAdmit]], completing the admission
+    * pair (exact + near) the way the batch ledger completes it beside
+    * the batch index: probe micro-batch `batchId` against the index
+    * chain left by batches 0..batchId−1, decide admission, and MERGE
+    * the ADMITTED documents in so the next micro-batch sees them.
+    *
+    * Admission policy (deterministic, order-independent within a
+    * batch): a document is REJECTED `reason='corpus'` when it has a
+    * verified near-dup in the prior index chain, REJECTED
+    * `reason='batch'` when it is a non-minimum member of a
+    * within-batch near-dup cluster ([[clustersFromPairs]] over
+    * [[selfPairsOf]] — cluster-min canonicalization, NOT sequential
+    * greedy: the verdict is a function of the batch set, not of row
+    * order), and ADMITTED otherwise. A family whose cluster minimum is
+    * itself corpus-rejected admits nobody — its content is already
+    * represented. `dup_of` points at the corpus keeper (min corpus id
+    * over its verified pairs), else the cluster minimum, else −1.
+    *
+    * Replay-safe exactly as the SHA fold: batch ids are checkpointed,
+    * each generation is a flat SUCCESS-gated dir keyed by (feedTag,
+    * batchId), probes read immutable prior dirs, and only ADMITTED
+    * docs merge forward — so a crash between probe, merge and sink
+    * replays to byte-identical verdicts. The bucket-cap census stays
+    * on the index side ([[probeLshIndexTables]]), so per-batch ≡
+    * whole-feed censusing holds unconditionally.
+    */
+  def lshAdmit(spark: SparkSession, sfDir: String, feedTag: String,
+               batch: DataFrame, batchId: Long): DataFrame = {
+    require(feedTag.matches("[A-Za-z0-9_-]+"),
+      s"feedTag must be path-safe, got '$feedTag'")
+    lshIndex(spark, sfDir) // ensure the base index exists
+    val base = lshIndexDir(sfDir)
+    val gen = lshFeedGenDir(base, feedTag) _
+    val prev = if (batchId == 0L) base else gen(batchId - 1)
+    require(indexDone(prev),
+      s"index chain broken before batch $batchId: $prev incomplete")
+    val b = batch.select(col("doc_id"), col("text")).persist()
+    b.count()
+    val (pBands, pSh, _) = readLshIndex(spark, prev)
+    val idxPairs = probeLshIndexTables(spark, pBands, pSh, b)
+    val idxHit = idxPairs.groupBy("batch_id")
+      .agg(min("corpus_id").as("corpus_keep"))
+      .withColumnRenamed("batch_id", "doc_id")
+    val clusters = clustersFromPairs(spark, selfPairsOf(b))
+      .select(col("doc_id"), col("cluster_id"))
+    val verdicts = b.select("doc_id")
+      .join(idxHit, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("batch_rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("admitted",
+        col("corpus_keep").isNull && col("doc_id") === col("batch_rep"))
+      .withColumn("reason",
+        when(col("corpus_keep").isNotNull, lit("corpus"))
+          .when(col("doc_id") =!= col("batch_rep"), lit("batch"))
+          .otherwise(lit("admitted")))
+      .withColumn("dup_of",
+        coalesce(col("corpus_keep"),
+          when(col("doc_id") =!= col("batch_rep"), col("batch_rep")),
+          lit(-1L)))
+      .select("doc_id", "admitted", "reason", "dup_of")
+    val out = Canon.materialized(Canon.canonicalize(verdicts), idxPairs)
+    val admittedDocs = b.join(
+      out.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+    lshIndexMergeCore(spark, prev, gen(batchId), admittedDocs)
+    b.unpersist(false)
+    out
   }
 
   // ---- LSH recall telemetry -------------------------------------------

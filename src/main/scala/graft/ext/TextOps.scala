@@ -452,6 +452,66 @@ object TextOps {
        |SELECT lang, rank, token, doc_freq FROM ranked
        |WHERE rank <= $topTokensK""".stripMargin
 
+  /** Corpus FREQUENCY SPECTRUM — the Zipf/hapax dashboard row: bucket
+    * every vocabulary type by the binary order of magnitude of its
+    * occurrence count (band = bit length of freq, so band 1 is exactly
+    * the hapax legomena) and report type/occurrence mass per band. A
+    * healthy natural corpus is Zipfian (hapax-heavy types, head-heavy
+    * occurrences); machine-generated or template spam shows up as a
+    * collapsed spectrum before any per-doc filter can see it.
+    *
+    * The band is INTEGER arithmetic in both engines — `length(bin(f))`
+    * — deliberately instead of floor(log2): both engines' `bin` is
+    * exact while float log2 wavers at power-of-two boundaries.
+    *
+    * Scale shape: one token-keyed count with map-side combine (the
+    * vocabulary pass), one ≤64-row band rollup, one broadcast of the
+    * two totals. Nothing here is corpus-order-dependent.
+    */
+  def freqSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    val occ = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(explode(filter(split(normText(col("text")), " "),
+        t => t =!= "")).as("token"))
+    val tf = occ.groupBy("token").agg(count(lit(1)).as("freq"))
+    val bands = tf
+      .withColumn("band", length(bin(col("freq"))).cast("long"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_types"),
+        sum("freq").as("n_occurrences"))
+    val tot = bands.agg(sum("n_types").as("t_types"),
+      sum("n_occurrences").as("t_occ"))
+    Canon.canonicalize(bands.crossJoin(broadcast(tot)).select(
+      col("band"), col("n_types"), col("n_occurrences"),
+      (col("n_types").cast("double") / col("t_types").cast("double"))
+        .as("type_share"),
+      (col("n_occurrences").cast("double") / col("t_occ").cast("double"))
+        .as("occ_share")))
+  }
+
+  val freqSpectrumOracle: String =
+    s"""WITH fo AS (
+       |  SELECT t.token FROM documents,
+       |       unnest(string_split($normSql, ' ')) AS t(token)
+       |  WHERE t.token <> ''),
+       |ftf AS (
+       |  SELECT token, count(*) AS freq FROM fo GROUP BY 1),
+       |fb AS (
+       |  SELECT CAST(length(bin(freq)) AS BIGINT) AS band,
+       |         CAST(count(*) AS BIGINT) AS n_types,
+       |         CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |  FROM ftf GROUP BY 1),
+       |ft AS (
+       |  SELECT CAST(sum(n_types) AS BIGINT) AS t_types,
+       |         CAST(sum(n_occurrences) AS BIGINT) AS t_occ
+       |  FROM fb)
+       |SELECT band, n_types, n_occurrences,
+       |       CAST(n_types AS DOUBLE) / CAST(t_types AS DOUBLE)
+       |         AS type_share,
+       |       CAST(n_occurrences AS DOUBLE) / CAST(t_occ AS DOUBLE)
+       |         AS occ_share
+       |FROM fb, ft""".stripMargin
+
   val tfIdfK = 5
 
   /** Per-doc top-K tokens by tf·idf. idf is the RATIONAL surrogate

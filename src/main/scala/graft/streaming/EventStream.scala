@@ -324,6 +324,35 @@ object EventStream {
       }
       .start()
 
+  /** Ingest-time NEAR-dup ADMISSION: each micro-batch is probed
+    * against the persisted LSH index chain, admission verdicts land in
+    * batch-id-keyed overwrite partitions, and the ADMITTED documents
+    * merge forward so the next micro-batch sees them
+    * ([[graft.ext.DedupOps.lshAdmit]]) — the near-dup half of the
+    * admission pair beside [[shaAdmitToParquet]] (exact), closing the
+    * last probe-only asymmetry: [[lshProbeToParquet]] reports against
+    * a FROZEN index, this one folds the stream into it. `feedTag` must
+    * be 1:1 with `checkpointDir` (batch ids only mean anything
+    * relative to one checkpoint); probe, merge and sink are each
+    * idempotent under foreachBatch's at-least-once replay
+    * (SUCCESS-gated generations, per-batch overwrite partitions).
+    * Stream ≡ batch-mode fold and the cross-batch near-dup catch are
+    * spec-asserted across a stop/restart (LshAdmitSpec).
+    */
+  def lshAdmitToParquet(docs: DataFrame, sfDir: String, feedTag: String,
+                        outDir: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.DedupOps
+          .lshAdmit(batch.sparkSession, sfDir, feedTag, batch, batchId)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/admit_batch=$batchId")
+      }
+      .start()
+
   /** Streaming data-contract gate: [[graft.ops.Quality.expectations]]
     * evaluated on EVERY micro-batch via foreachBatch, each report row
     * stamped with the batch id and landed exactly-once (idempotent

@@ -386,4 +386,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(exp))
   }
 
+  test("freqSpectrum: bands partition the vocabulary, bit-length " +
+      "banding, shares conserve") {
+    val rows = TextOps.freqSpectrum(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // brute-force the vocabulary from the fixture
+    val tf = TextOps.documents(spark, sfDir)
+      .select(explode(split(TextOps.normText(col("text")), " "))
+        .as("t")).filter(col("t") =!= "")
+      .groupBy("t").count().as[(String, Long)].collect()
+    val wantBands = tf.groupBy(r => java.lang.Long.toBinaryString(r._2)
+      .length.toLong)
+    assert(rows.map(_._1).toSet == wantBands.keySet)
+    for ((band, nTypes, nOcc, tShare, oShare) <- rows) {
+      val w = wantBands(band)
+      assert(nTypes == w.length.toLong, s"band $band types")
+      assert(nOcc == w.map(_._2).sum, s"band $band occurrences")
+      assert(tShare == nTypes.toDouble / tf.length, s"band $band tshare")
+      assert(oShare == nOcc.toDouble / tf.map(_._2).sum, s"band $band oshare")
+    }
+    // the corpus is word salad over a bounded vocabulary, but the band
+    // arithmetic itself must place any freq-1 type in band 1
+    assert(rows.map(_._2).sum == tf.length.toLong)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+  }
+
 }
