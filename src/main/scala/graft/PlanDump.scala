@@ -28,6 +28,13 @@ object PlanDump {
       "dup_spans" -> (() => ext.DedupOps.dupSpans(spark, sf)),
       "topk_rewrite" -> (() => pipelines.MicroQueries.topkRewrite(spark, sf)),
       "topk_global" -> (() => pipelines.MicroQueries.topkGlobal(spark, sf)),
+      "paragraph_dedup_apply" ->
+        (() => ext.ParaOps.paragraphDedupApply(spark, sf)),
+      "url_filter" -> (() => ext.DomainOps.urlFilter(spark, sf)),
+      "budget_select" -> (() => ext.SampleOps.budgetSelect(spark, sf)),
+      "doc_novelty" -> (() => ext.CurationOps.docNovelty(spark, sf)),
+      "freq_spectrum" -> (() => ext.TextOps.freqSpectrum(spark, sf)),
+      "dsir_sample" -> (() => ext.SampleOps.dsirSample(spark, sf)),
       "temperature_mix" -> (() => ext.SampleOps.temperatureMix(spark, sf)),
       "wordpiece_encode" -> (() => ext.BpeOps.wordpieceEncode(spark, sf)),
       "unigram_encode" -> (() => ext.UnigramOps.unigramEncode(spark, sf)),

@@ -45,6 +45,9 @@ object SparkEntry {
     // nDCG@k / MRR over the three text rankings — the annRecall
     // analogue for the retrieval stack
     "q_retrieval_eval" -> ((s, dir) => ScoringOps.retrievalEval(s, dir)),
+    // lexical + dense arms fused by RRF; dense query = top BM25 doc's
+    // embedding (pseudo-relevance feedback, deterministic)
+    "q_hybrid_search" -> ((s, dir) => ScoringOps.hybridSearch(s, dir)),
     "q_quality_classifier" ->
       ((s, dir) => ext.ClassifierOps.qualityClassifier(s, dir)),
     "q_quality_classifier_ref" ->
@@ -324,6 +327,7 @@ object SparkEntry {
     "q_model_score" -> ScoringOps.modelScoreOracle,
     "q_rerank" -> ScoringOps.rerankOracle,
     "q_retrieval_eval" -> ScoringOps.retrievalEvalOracle,
+    "q_hybrid_search" -> ScoringOps.hybridSearchOracle,
     "q_quality_classifier" -> ext.ClassifierOps.qualityClassifierOracle,
     "q_quality_classifier_ref" ->
       ext.ClassifierOps.qualityClassifierRefOracle,

@@ -595,6 +595,7 @@ object CurationOps {
       explode(array_distinct(grams(col("toks"), decontGramTokens)))
         .as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .persist() // fan-out: first-owner agg + the attribution join
     val firstOwner = ex.groupBy("gh").agg(min("doc_id").as("first_doc"))
     val out = ex.join(firstOwner, Seq("gh"))
       .groupBy("doc_id").agg(
@@ -603,7 +604,7 @@ object CurationOps {
           .as("n_novel"))
       .withColumn("novelty_rate",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
-    Canon.canonicalize(out)
+    Canon.materialized(Canon.canonicalize(out), ex)
   }
 
   val docNoveltyOracle: String = {

@@ -939,6 +939,7 @@ object SampleOps {
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_toks"),
         col("quality_score"))
       .withColumn("bucket", qBucket(col("quality_score")))
+      .persist() // fan-out: totals + histogram + both keep branches
     val tot = scored.agg(
       expr(s"sum(n_toks) * $budgetPermille div 1000").as("budget"))
     val hist = scored.groupBy("bucket").agg(sum("n_toks").as("btoks"))
@@ -962,8 +963,10 @@ object SampleOps {
       .withColumn("run", sum("n_toks").over(wRun))
       .filter(col("above") + col("run") <= col("budget"))
       .drop("run")
-    Canon.canonicalize(
-      fullKeep.union(boundKeep).select("doc_id", "n_toks", "quality_score"))
+    Canon.materialized(
+      Canon.canonicalize(fullKeep.union(boundKeep)
+        .select("doc_id", "n_toks", "quality_score")),
+      scored)
   }
 
   /** The oracle states the SEMANTICS directly — the global greedy

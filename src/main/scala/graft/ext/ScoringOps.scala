@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Canon
@@ -403,5 +403,105 @@ object ScoringOps {
        |                 ELSE $ndcgScale // a.fr END AS DOUBLE)
        |         / CAST($ndcgScale AS DOUBLE) AS mrr
        |FROM agg a JOIN idcg c ON a.lang = c.lang""".stripMargin
+  }
+  // ---- hybrid text + vector retrieval ---------------------------------
+
+  /** HYBRID SEARCH — the modern RAG retrieval shape: a lexical arm
+    * (the shared BM25 chain, [[graft.ext.TextOps.bm25Top]]) and a
+    * dense arm fused by reciprocal-rank fusion. The dense arm's query
+    * vector is the embedding of the lang's TOP BM25 document —
+    * pseudo-relevance feedback ("more like the best lexical match"),
+    * which keeps the query deterministic and engine-checkable while
+    * exercising exactly the production join: doc_id-aligned embeddings
+    * attached to the text corpus, cosine against a broadcast query,
+    * per-lang top-k through the sort-free heap, RRF with the lexical
+    * list. The query document itself is excluded from the dense arm
+    * (cos(q,q)=1 tells nobody anything; the lexical arm still carries
+    * it).
+    *
+    * Scale shape: the BM25 arm is the shared-tier postings chain; the
+    * dense arm is ONE doc_id-keyed join (lang attach), a broadcast of
+    * ≤ n_langs query vectors, a codegen'd cosine projection and a
+    * bounded heap — the corpus embedding table is scanned once and
+    * never shuffled. Fusion touches only the two top-k lists.
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.{TextOps, VectorOps}
+    val (bmTop, _, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    val ev = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .join(TextOps.documents(spark, sfDir).select("doc_id", "lang"),
+        Seq("doc_id"))
+    val q1 = bmTop.filter(col("rank") === 1)
+      .select(col("lang"), col("doc_id").as("q_doc"))
+    val qv = ev.join(q1,
+        ev("doc_id") === q1("q_doc") && ev("lang") === q1("lang"))
+      .select(ev("lang"), col("v").as("qv"), col("q_doc"))
+    val scored = ev.join(broadcast(qv), Seq("lang"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("v")))
+    val vTop = graft.plans.TopK.perKey(
+      scored.select("lang", "doc_id", "cos"), Seq("lang"),
+      Seq("cos" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc),
+      TextOps.bm25TopK, rankCol = Some("vrank"))
+    def rr(rank: Column): Column =
+      coalesce(lit(1.0) /
+        (lit(TextOps.rrfK).cast("double") + rank.cast("double")), lit(0.0))
+    val fused = bmTop.select(col("lang"), col("doc_id"),
+        col("rank").as("r_bm"))
+      .join(vTop.select(col("lang"), col("doc_id"),
+          col("vrank").as("r_v")),
+        Seq("lang", "doc_id"), "full_outer")
+      .withColumn("rrf", rr(col("r_bm")) + rr(col("r_v")))
+    val top = graft.plans.TopK.perKey(
+      fused.select("lang", "doc_id", "rrf"), Seq("lang"),
+      Seq("rrf" -> graft.plans.TopK.Desc,
+        "doc_id" -> graft.plans.TopK.Asc),
+      TextOps.rrfTopK, rankCol = Some("rank"))
+    Canon.materialized(
+      Canon.canonicalize(top.select("lang", "rank", "doc_id", "rrf")),
+      tf, dl)
+  }
+
+  val hybridSearchOracle: String = {
+    import graft.ext.{TextOps, VectorOps}
+    s"""WITH ${TextOps.bm25Cte},
+       |hev AS MATERIALIZED (
+       |  SELECT d.lang, e.vec_id AS doc_id,
+       |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |hq1 AS (SELECT lang, doc_id AS q_doc FROM bmtop WHERE rank = 1),
+       |hqv AS (
+       |  SELECT hev.lang, hev.v AS qv, hq1.q_doc
+       |  FROM hev JOIN hq1 ON hev.lang = hq1.lang
+       |                   AND hev.doc_id = hq1.q_doc),
+       |hvs AS (
+       |  SELECT hev.lang, hev.doc_id,
+       |         ${VectorOps.cosSql("hqv.qv", "hev.v")} AS cos
+       |  FROM hev JOIN hqv ON hev.lang = hqv.lang
+       |  WHERE hev.doc_id <> hqv.q_doc),
+       |hvr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY cos DESC, doc_id ASC) AS vrank
+       |  FROM hvs),
+       |hvt AS (SELECT lang, doc_id, vrank FROM hvr
+       |        WHERE vrank <= ${TextOps.bm25TopK}),
+       |hf AS (
+       |  SELECT coalesce(b.lang, t.lang) AS lang,
+       |         coalesce(b.doc_id, t.doc_id) AS doc_id,
+       |         coalesce(1.0 / (CAST(${TextOps.rrfK} AS DOUBLE)
+       |                         + CAST(b.rank AS DOUBLE)), 0.0)
+       |           + coalesce(1.0 / (CAST(${TextOps.rrfK} AS DOUBLE)
+       |                             + CAST(t.vrank AS DOUBLE)), 0.0) AS rrf
+       |  FROM bmtop b FULL OUTER JOIN hvt t
+       |    ON b.lang = t.lang AND b.doc_id = t.doc_id),
+       |hr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY rrf DESC, doc_id ASC) AS rank
+       |  FROM hf)
+       |SELECT lang, rank, doc_id, rrf FROM hr
+       |WHERE rank <= ${TextOps.rrfTopK}""".stripMargin
   }
 }

@@ -479,14 +479,17 @@ object TextOps {
       .groupBy("band").agg(
         count(lit(1)).as("n_types"),
         sum("freq").as("n_occurrences"))
+      .persist() // ≤64 rows; totals + final read — one vocabulary pass
     val tot = bands.agg(sum("n_types").as("t_types"),
       sum("n_occurrences").as("t_occ"))
-    Canon.canonicalize(bands.crossJoin(broadcast(tot)).select(
-      col("band"), col("n_types"), col("n_occurrences"),
-      (col("n_types").cast("double") / col("t_types").cast("double"))
-        .as("type_share"),
-      (col("n_occurrences").cast("double") / col("t_occ").cast("double"))
-        .as("occ_share")))
+    Canon.materialized(
+      Canon.canonicalize(bands.crossJoin(broadcast(tot)).select(
+        col("band"), col("n_types"), col("n_occurrences"),
+        (col("n_types").cast("double") / col("t_types").cast("double"))
+          .as("type_share"),
+        (col("n_occurrences").cast("double") / col("t_occ").cast("double"))
+          .as("occ_share"))),
+      bands)
   }
 
   val freqSpectrumOracle: String =

@@ -67,7 +67,7 @@ object VectorOps {
   }
 
   /** The identical computation in DuckDB SQL over `$a`/`$b` double lists. */
-  private def cosSql(a: String, b: String): String =
+  private[ext] def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, x) -> acc + x) /
        | (sqrt(list_reduce(list_transform($a, x -> x * x), (acc, x) -> acc + x)) *
        |  sqrt(list_reduce(list_transform($b, x -> x * x), (acc, x) -> acc + x)))""".stripMargin

@@ -29,11 +29,18 @@ object CorpusChain {
     */
   val artifactTasks: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq(
+      // crawl front door: URL verdicts exist before any text op runs
+      "url_filter" -> ((s, d) => graft.ext.DomainOps.urlFilter(s, d)),
       "gopher_rules" -> ((s, d) => graft.ext.CurationOps.gopherRules(s, d)),
       "corpus_curate" -> ((s, d) => TextOps.corpusCurate(s, d)),
+      // paragraph-granular keep-first rewrite ahead of span surgery
+      "paragraph_dedup_apply" ->
+        ((s, d) => graft.ext.ParaOps.paragraphDedupApply(s, d)),
       "dup_spans_apply" -> ((s, d) => DedupOps.dupSpansApply(s, d)),
       "model_score" -> ((s, d) => ScoringOps.modelScore(s, d)),
       "dsir_weights" -> ((s, d) => SampleOps.dsirWeights(s, d)),
+      // token-budget selection sits between scoring and the split
+      "budget_select" -> ((s, d) => SampleOps.budgetSelect(s, d)),
       "train_split" -> ((s, d) => SampleOps.trainValTestSplit(s, d)),
       "shard_assign" -> ((s, d) => SampleOps.shardAssign(s, d)))
 

@@ -202,4 +202,59 @@ class ScoringOpsSpec extends SparkSpec {
     got.foreach(r => assert(r._5 > 0.0 && r._5 <= 1.0, r.toString))
   }
 
+  test("hybridSearch: dense arm is cosine-vs-top-BM25-doc, fusion is " +
+      "exact RRF of the two arms") {
+    import org.apache.spark.sql.functions._
+    val (bmTop, _, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    val bm = bmTop.select("lang", "doc_id", "rank")
+      .as[(String, Long, Int)].collect()
+    tf.unpersist(false); dl.unpersist(false)
+    val docLang = TextOps.documents(spark, sfDir)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val vecs = ext0Embeddings()
+    // brute-force dense arm per lang
+    val q1 = bm.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val dense = q1.flatMap { case (lang, qd) =>
+      val qv = vecs(qd)
+      vecs.toSeq
+        .filter { case (id, _) => docLang(id) == lang && id != qd }
+        .map { case (id, v) => (lang, id, cos(qv, v)) }
+        .sortBy(r => (-r._3, r._2))
+        .take(TextOps.bm25TopK)
+        .zipWithIndex.map { case ((l, id, _), i) => (l, id) -> (i + 1) }
+    }
+    // brute-force fusion
+    def rr(r: Option[Int]): Double =
+      r.fold(0.0)(x => 1.0 / (TextOps.rrfK.toDouble + x.toDouble))
+    val bmMap = bm.map(r => (r._1, r._2) -> r._3).toMap
+    val keys = bmMap.keySet ++ dense.keySet
+    val expect = keys.groupBy(_._1).flatMap { case (lang, ks) =>
+      ks.toSeq.map { k =>
+        (k._1, k._2, rr(bmMap.get(k)) + rr(dense.get(k)))
+      }.sortBy(r => (-r._3, r._2))
+        .take(TextOps.rrfTopK)
+        .zipWithIndex.map { case ((l, id, s), i) => (l, i + 1L, id, s) }
+    }.toSet
+    val got = ScoringOps.hybridSearch(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // the fused list actually mixes arms on the fixture: some doc in
+    // the hybrid top-k is absent from the BM25 top-k
+    assert(got.exists(r => !bmMap.contains((r._1, r._3))),
+      "dense arm never contributed")
+  }
+
+  private def ext0Embeddings(): Map[Long, Array[Double]] = {
+    import org.apache.spark.sql.functions._
+    VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+  }
 }
