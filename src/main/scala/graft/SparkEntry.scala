@@ -48,10 +48,15 @@ object SparkEntry {
     // lexical + dense arms fused by RRF; dense query = top BM25 doc's
     // embedding (pseudo-relevance feedback, deterministic)
     "q_hybrid_search" -> ((s, dir) => ScoringOps.hybridSearch(s, dir)),
+    // MMR diversification of the hybrid pool (greedy, oracle-unrolled)
+    "q_mmr_rerank" -> ((s, dir) => ScoringOps.mmrRerank(s, dir)),
     "q_quality_classifier" ->
       ((s, dir) => ext.ClassifierOps.qualityClassifier(s, dir)),
     "q_quality_classifier_ref" ->
       ((s, dir) => ext.ClassifierOps.qualityClassifierRef(s, dir)),
+    // reliability diagram: does the filter's threshold mean what it says
+    "q_classifier_calibration" ->
+      ((s, dir) => ext.ClassifierOps.classifierCalibration(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_domain_rollup" -> ((s, dir) => ext.DomainOps.domainRollup(s, dir)),
     "q_domain_cap" -> ((s, dir) => ext.DomainOps.domainCap(s, dir)),
@@ -328,7 +333,10 @@ object SparkEntry {
     "q_rerank" -> ScoringOps.rerankOracle,
     "q_retrieval_eval" -> ScoringOps.retrievalEvalOracle,
     "q_hybrid_search" -> ScoringOps.hybridSearchOracle,
+    "q_mmr_rerank" -> ScoringOps.mmrRerankOracle,
     "q_quality_classifier" -> ext.ClassifierOps.qualityClassifierOracle,
+    "q_classifier_calibration" ->
+      ext.ClassifierOps.classifierCalibrationOracle,
     "q_quality_classifier_ref" ->
       ext.ClassifierOps.qualityClassifierRefOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,

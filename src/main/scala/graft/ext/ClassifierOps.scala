@@ -221,22 +221,78 @@ object ClassifierOps {
     * the LmOps output convention) and the integer-exact prediction
     * `pred = s ≥ n·S` (mean Bayes factor at least 1).
     */
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val w = trainWeights(spark, sfDir)
-    val in = TextOps.documents(spark, sfDir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    val scored = ScoringOps.batchScore(in, TrainedQualityModel(w))
-      .toDF("doc_id", "n_grams", "s")
-      .filter(col("n_grams") > 0)
-    Canon.canonicalize(scored
-      .join(labels(spark, sfDir), Seq("doc_id"))
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(scoredLabeled(spark, sfDir)
       .select(col("doc_id"), col("y").cast("long").as("label"),
         col("n_grams"),
         (col("s").cast("double") /
           (col("n_grams") * qcScale).cast("double")).as("mean_ratio"),
         (col("s") >= col("n_grams") * qcScale).as("pred")))
+
+  /** Trained scores joined to the distilled labels — the shared core of
+    * [[qualityClassifier]] and [[classifierCalibration]] (one training +
+    * scoring pass, two reports).
+    */
+  private def scoredLabeled(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val w = trainWeights(spark, sfDir)
+    val in = TextOps.documents(spark, sfDir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    ScoringOps.batchScore(in, TrainedQualityModel(w))
+      .toDF("doc_id", "n_grams", "s")
+      .filter(col("n_grams") > 0)
+      .join(labels(spark, sfDir), Seq("doc_id"))
+  }
+
+  /** Calibration probability bins. */
+  val calibBuckets = 10L
+
+  /** Fixed-point unit of the calibration probability
+    * p = s / (s + n·[[qcScale]]) — the Bayes-factor score mapped to
+    * (0,1) by r/(1+r).
+    */
+  val calibScale = 1000000L
+
+  /** CLASSIFIER CALIBRATION — the reliability diagram every deployed
+    * filter needs before its scores can gate a corpus: documents
+    * binned by predicted probability (decile of the fixed-point
+    * p = s/(s + n·S)), each bin reporting volume, mean confidence and
+    * OBSERVED positive rate; |avg_conf − pos_rate| is the per-bin
+    * calibration gap whose volume-weighted sum is ECE. A
+    * well-calibrated filter's threshold means what it says; a
+    * miscalibrated one silently shifts the quality bar.
+    *
+    * Numeric discipline (the [[trainWeightsOn]] precedent): p is an
+    * integer-exact DECIMAL(38,0) quotient per document (BIGINT s·10⁶
+    * overflows once s carries corpus-scaled λ sums), bins and both
+    * numerators are order-independent INTEGER sums, and doubles appear
+    * only in the final per-bin divisions — so the table is
+    * bit-deterministic under any partitioning.
+    */
+  def classifierCalibration(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val withP = scoredLabeled(spark, sfDir)
+      .withColumn("p_fp", expr(
+        s"""CAST(CAST(s AS DECIMAL(38,0)) * $calibScale
+           | div (CAST(s AS DECIMAL(38,0))
+           |      + CAST(n_grams AS DECIMAL(38,0)) * $qcScale)
+           | AS BIGINT)""".stripMargin.replace("\n", "")))
+      .withColumn("bucket", expr(s"p_fp * $calibBuckets div $calibScale"))
+    Canon.canonicalize(withP.groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum("p_fp").as("conf_fp"),
+        sum(col("y").cast("long")).as("n_pos"))
+      .select(col("bucket"), col("n_docs"),
+        (col("conf_fp").cast("double") /
+          (col("n_docs") * calibScale).cast("double")).as("avg_conf"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("pos_rate"),
+        abs(col("conf_fp").cast("double") /
+            (col("n_docs") * calibScale).cast("double") -
+          col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("abs_gap")))
   }
 
   /** q_quality_classifier_ref: the INDEPENDENT-signal variant — same
@@ -487,6 +543,37 @@ object ClassifierOps {
        |         AS mean_ratio,
        |       s >= n * $qcScale AS pred
        |FROM sc JOIN yl ON sc.doc_id = yl.doc_id""".stripMargin
+
+  val classifierCalibrationOracle: String =
+    s"""WITH ${TextOps.qualityCte},
+       |yl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN quality_score >= ${TextOps.curateQualityMin}
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM qs),
+       |$qcCoreCtes,
+       |cal AS (
+       |  SELECT yl.y,
+       |         CAST(CAST(s AS HUGEINT) * $calibScale
+       |           // (CAST(s AS HUGEINT) + CAST(n AS HUGEINT) * $qcScale)
+       |           AS BIGINT) AS p_fp
+       |  FROM sc JOIN yl ON sc.doc_id = yl.doc_id),
+       |cb AS (
+       |  SELECT p_fp * $calibBuckets // $calibScale AS bucket,
+       |         count(*) AS n_docs,
+       |         CAST(sum(p_fp) AS BIGINT) AS conf_fp,
+       |         CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM cal GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(conf_fp AS DOUBLE) / CAST(n_docs * $calibScale AS DOUBLE)
+       |         AS avg_conf,
+       |       CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate,
+       |       abs(CAST(conf_fp AS DOUBLE)
+       |             / CAST(n_docs * $calibScale AS DOUBLE)
+       |           - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |         AS abs_gap
+       |FROM cb""".stripMargin
 
   /** Reference-slice labels + slice tag on every scored doc; training
     * restricted to the two labeled slices by the `cnt` join, inference

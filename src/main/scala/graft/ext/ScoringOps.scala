@@ -465,10 +465,12 @@ object ScoringOps {
       tf, dl)
   }
 
-  val hybridSearchOracle: String = {
+  /** The hybrid CTE chain (assumes bm25Cte ran; ends in `hr`) — shared
+    * by [[hybridSearchOracle]] and the MMR oracle.
+    */
+  private def hybridCtes: String = {
     import graft.ext.{TextOps, VectorOps}
-    s"""WITH ${TextOps.bm25Cte},
-       |hev AS MATERIALIZED (
+    s"""       |hev AS MATERIALIZED (
        |  SELECT d.lang, e.vec_id AS doc_id,
        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
@@ -500,8 +502,139 @@ object ScoringOps {
        |hr AS (
        |  SELECT *, row_number() OVER (PARTITION BY lang
        |            ORDER BY rrf DESC, doc_id ASC) AS rank
-       |  FROM hf)
+       |  FROM hf)""".stripMargin
+  }
+
+  val hybridSearchOracle: String =
+    s"""WITH ${graft.ext.TextOps.bm25Cte},
+       |$hybridCtes
        |SELECT lang, rank, doc_id, rrf FROM hr
-       |WHERE rank <= ${TextOps.rrfTopK}""".stripMargin
+       |WHERE rank <= ${graft.ext.TextOps.rrfTopK}""".stripMargin
+  // ---- MMR diversification over the hybrid pool -----------------------
+
+  /** MMR RERANK — maximal marginal relevance over the hybrid top-k
+    * pool (Carbonell & Goldstein's greedy): pick
+    * argmax 0.7·rel − 0.3·max_sim_to_selected each round, where rel is
+    * the dense-arm cosine to the lang's query vector and the pairwise
+    * similarities live inside the pool. Retrieval returns near-dups
+    * together by construction; diversification is the standard last
+    * step before a RAG context window, and it completes the stack
+    * (bm25 → rerank → rrf → hybrid → MMR).
+    *
+    * Scale shape: relevances and the pairwise cosine table are ENGINE
+    * work over the pool only (≤ k rows per lang; the corpus is never
+    * touched beyond the hybrid chain that built the pool). The greedy
+    * selection itself runs on the driver over that model-bounded table
+    * (k·langs rows — the bounded-driver-sync discipline): MMR is
+    * inherently sequential in k, and k is a UI-sized constant, so
+    * distributing the loop would ship k rounds of barriers to save
+    * kilobytes. The oracle unrolls the same k−1 rounds as CTEs (the
+    * pageRank/BT discipline); driver and oracle share the identical
+    * double expression 0.7·rel − 0.3·msim.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.{TextOps, VectorOps}
+    val pool = hybridSearch(spark, sfDir).select(col("lang"), col("doc_id"))
+    val ev = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .join(TextOps.documents(spark, sfDir).select("doc_id", "lang"),
+        Seq("doc_id"))
+    val (bmTop, _, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    val q1 = bmTop.filter(col("rank") === 1)
+      .select(col("lang"), col("doc_id").as("q_doc"))
+    val qv = ev.join(q1,
+        ev("doc_id") === q1("q_doc") && ev("lang") === q1("lang"))
+      .select(ev("lang"), col("v").as("qv"))
+    val prel = pool.join(ev, Seq("lang", "doc_id"))
+      .join(broadcast(qv), Seq("lang"))
+      .withColumn("rel", VectorOps.cosine(col("qv"), col("v")))
+      .select("lang", "doc_id", "rel", "v").persist()
+    val rels = prel.select("lang", "doc_id", "rel")
+      .as[(String, Long, Double)].collect()
+    val pairRows = prel.as("a").join(prel.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.lang"), col("a.doc_id").as("da"),
+        col("b.doc_id").as("db"),
+        VectorOps.cosine(col("a.v"), col("b.v")).as("cos"))
+      .as[(String, Long, Long, Double)].collect()
+    tf.unpersist(false); dl.unpersist(false); prel.unpersist(false)
+    val sim = pairRows.flatMap(p =>
+      Seq(((p._1, p._2, p._3), p._4), ((p._1, p._3, p._2), p._4))).toMap
+    val out = rels.groupBy(_._1).toSeq.flatMap { case (lang, rs) =>
+      val rel = rs.map(r => r._2 -> r._3).toMap
+      var remaining = rs.map(_._2).toSet
+      var selected = Vector.empty[Long]
+      val picks =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+      while (remaining.nonEmpty && selected.size < TextOps.rrfTopK) {
+        val scoredC = remaining.toSeq.map { c =>
+          val msim = if (selected.isEmpty) 0.0
+            else selected.map(sid => sim((lang, c, sid))).max
+          (c, 0.7 * rel(c) - 0.3 * msim)
+        }
+        val (pick, score) = scoredC.minBy { case (c, m) => (-m, c) }
+        selected :+= pick
+        remaining -= pick
+        picks += ((lang, selected.size.toLong, pick, score))
+      }
+      picks
+    }
+    Canon.canonicalize(
+      spark.createDataFrame(out).toDF("lang", "rank", "doc_id", "mmr"))
+  }
+
+  val mmrRerankOracle: String = {
+    import graft.ext.{TextOps, VectorOps}
+    val rounds = (1 until TextOps.rrfTopK).map { r =>
+      s"""mcand$r AS (
+         |  SELECT p.lang, p.doc_id, p.rel
+         |  FROM mprel p LEFT JOIN msel${r - 1} s
+         |    ON p.lang = s.lang AND p.doc_id = s.doc_id
+         |  WHERE s.doc_id IS NULL),
+         |mms$r AS (
+         |  SELECT c.lang, c.doc_id, c.rel, max(pp.cos) AS msim
+         |  FROM mcand$r c
+         |  JOIN msel${r - 1} s ON s.lang = c.lang
+         |  JOIN mpair pp ON pp.lang = c.lang
+         |   AND ((pp.da = c.doc_id AND pp.db = s.doc_id)
+         |     OR (pp.da = s.doc_id AND pp.db = c.doc_id))
+         |  GROUP BY 1, 2, 3),
+         |mpick$r AS (
+         |  SELECT lang, doc_id, ${r + 1} AS rank,
+         |         0.7 * rel - 0.3 * msim AS mmr
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |          ORDER BY 0.7 * rel - 0.3 * msim DESC, doc_id ASC) AS rn
+         |        FROM mms$r) WHERE rn = 1),
+         |msel$r AS MATERIALIZED (
+         |  SELECT lang, doc_id, rank, mmr FROM msel${r - 1}
+         |  UNION ALL SELECT lang, doc_id, rank, mmr FROM mpick$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TextOps.bm25Cte},
+       |$hybridCtes,
+       |mpool AS (
+       |  SELECT lang, doc_id FROM hr WHERE rank <= ${TextOps.rrfTopK}),
+       |mprel AS MATERIALIZED (
+       |  SELECT p.lang, p.doc_id,
+       |         ${VectorOps.cosSql("hqv.qv", "hev.v")} AS rel, hev.v
+       |  FROM mpool p
+       |  JOIN hev ON hev.lang = p.lang AND hev.doc_id = p.doc_id
+       |  JOIN hqv ON hqv.lang = p.lang),
+       |mpair AS MATERIALIZED (
+       |  SELECT a.lang, a.doc_id AS da, b.doc_id AS db,
+       |         ${VectorOps.cosSql("a.v", "b.v")} AS cos
+       |  FROM mprel a JOIN mprel b
+       |    ON a.lang = b.lang AND a.doc_id < b.doc_id),
+       |msel0 AS MATERIALIZED (
+       |  SELECT lang, doc_id, 1 AS rank, 0.7 * rel - 0.3 * 0.0 AS mmr
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+       |          ORDER BY 0.7 * rel - 0.3 * 0.0 DESC, doc_id ASC) AS rn
+       |        FROM mprel) WHERE rn = 1),
+       |$rounds
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, mmr
+       |FROM msel${TextOps.rrfTopK - 1}""".stripMargin
   }
 }

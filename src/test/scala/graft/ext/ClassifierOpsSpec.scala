@@ -314,4 +314,30 @@ class ClassifierOpsSpec extends SparkSpec {
     val su = uStats.select("n_quality_drop").as[Long].head()
     assert(s._2 > su, "gate did not tighten stage 1")
   }
+
+  test("classifierCalibration: decile bounds, volume conservation, " +
+      "bucket>=5 iff pred") {
+    val cal = ClassifierOps.classifierCalibration(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(cal.nonEmpty)
+    val cls = ClassifierOps.qualityClassifier(spark, sfDir)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // every scored+labeled doc lands in exactly one bin
+    assert(cal.map(_._2).sum == cls.length.toLong)
+    for ((b, n, conf, rate, gap) <- cal) {
+      assert(b >= 0 && b < ClassifierOps.calibBuckets, s"bucket $b")
+      assert(n > 0)
+      // mean confidence sits inside its own bin (fixed-point floor)
+      assert(conf >= b.toDouble / 10.0 && conf < (b + 1).toDouble / 10.0,
+        s"bucket $b avg_conf $conf outside bin")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(gap - math.abs(conf - rate)) < 1e-12)
+    }
+    // the truncating fixed-point p is EXACTLY consistent with pred:
+    // p_fp >= 500000 <=> s >= n*S <=> pred, so the upper-half bins
+    // hold exactly the predicted-positive docs
+    val upperMass = cal.filter(_._1 >= 5).map(_._2).sum
+    assert(upperMass == cls.count(_._5).toLong,
+      s"upper-bin mass $upperMass != predicted positives")
+  }
 }

@@ -257,4 +257,54 @@ class ScoringOpsSpec extends SparkSpec {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .as[(Long, Array[Double])].collect().toMap
   }
+  test("mmrRerank equals an independent greedy over the hybrid pool " +
+      "and actually reorders it") {
+    import org.apache.spark.sql.functions._
+    val hybrid = ScoringOps.hybridSearch(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    val pool = hybrid.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    val vecs = ext0Embeddings()
+    val (bmTop, _, tf, dl) = TextOps.bm25Top(spark, sfDir)
+    val q1 = bmTop.filter(col("rank") === 1)
+      .select("lang", "doc_id").as[(String, Long)].collect().toMap
+    tf.unpersist(false); dl.unpersist(false)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = pool.flatMap { case (lang, ids) =>
+      val qvec = vecs(q1(lang))
+      val rel = ids.map(id => id -> cos(qvec, vecs(id))).toMap
+      var remaining = ids.toSet
+      var selected = Vector.empty[Long]
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Double)]
+      while (remaining.nonEmpty && selected.size < TextOps.rrfTopK) {
+        val scoredC = remaining.toSeq.map { c =>
+          val msim = if (selected.isEmpty) 0.0
+            else selected.map(sid => cos(vecs(c), vecs(sid))).max
+          (c, 0.7 * rel(c) - 0.3 * msim)
+        }
+        val (pick, score) = scoredC.minBy { case (c, m) => (-m, c) }
+        selected :+= pick; remaining -= pick
+        picks += ((lang, selected.size.toLong, pick, score))
+      }
+      picks
+    }.toSet
+    val got = ScoringOps.mmrRerank(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // diversification bites: at least one lang's MMR order differs from
+    // the hybrid RRF order beyond rank 1
+    val mmrOrder = got.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.toSeq.sortBy(_._2).map(_._3)
+    }
+    assert(pool.exists { case (l, ids) => mmrOrder(l) != ids },
+      "MMR never reordered the hybrid list")
+  }
 }
