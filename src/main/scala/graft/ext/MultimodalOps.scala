@@ -503,6 +503,34 @@ object MultimodalOps {
     Canon.materialized(Canon.canonicalize(out), f)
   }
 
+  private def videoPairsDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    val params =
+      s"fb$frameBytes-st$frameSampleStep-c$videoFrameBucketCap-" +
+        s"m$videoSharedFramesMin-v1"
+    s"${graft.io.Artifacts.root}/video_pairs/${tag}_${params}_$fp"
+  }
+
+  /** The verified shared-frame pair table as a persisted artifact —
+    * the [[graft.ext.DedupOps.lshPairs]] contract applied to the video
+    * family (SUCCESS gate, kill switch, cached ≡ rebuilt).
+    * [[videoNearDup]] stays the designated builder; the recall row
+    * reads this tier instead of re-deriving the frame chain.
+    */
+  def videoPairs(spark: SparkSession, sfDir: String): DataFrame =
+    if (!graft.io.Artifacts.sharedTier) videoNearDup(spark, sfDir)
+    else synchronized {
+      val dir = videoPairsDir(sfDir)
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        val built = videoNearDup(spark, sfDir) // materialized (cached)
+        built.write.mode("overwrite").parquet(dir)
+        built.unpersist(false)
+      }
+      graft.ops.Canon.materialized(spark.read.parquet(dir)
+        .select("id_a", "id_b", "n_shared", "overlap"))
+    }
+
   /** The frame-fingerprint → cap → shared-frame-pair chain as CTEs
     * (ends in `pairs`; `fr`/`per_doc` also consumable) — shared by the
     * video near-dup and recall oracles.
@@ -570,7 +598,12 @@ object MultimodalOps {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= videoSharedFramesMin)
       .select("id_a", "id_b").persist()
-    val banded = videoNearDup(spark, sfDir, bucketCap)
+    // production cap ⇒ the shared pair tier (tier ≡ rebuilt is its own
+    // contract); custom caps exercise the live chain
+    val bandedSrc =
+      if (bucketCap == videoFrameBucketCap) videoPairs(spark, sfDir)
+      else videoNearDup(spark, sfDir, bucketCap)
+    val banded = bandedSrc
       .join(samp.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
         "left_semi")
       .join(samp.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),

@@ -87,6 +87,50 @@ class SharedTierSpec extends SparkSpec {
     } finally System.clearProperty("graft.artifact.root")
   }
 
+  test("simhashPairs tier == standalone simhashNearDup; second call reads") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("simhash-pairs-tier").toString
+    System.setProperty("graft.artifact.root", tmp)
+    try {
+      val standalone = DedupOps.simhashNearDup(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val first = DedupOps.simhashPairs(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(first == standalone,
+        "tier pairs must equal the standalone build")
+      val root = s"$tmp/simhash_pairs"
+      assert(new File(root).isDirectory, "no persisted pair artifact")
+      val before = mtimes(root)
+      val second = DedupOps.simhashPairs(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(second == standalone)
+      assert(mtimes(root) == before,
+        "second call must READ the artifact, not rebuild/rewrite it")
+    } finally System.clearProperty("graft.artifact.root")
+  }
+
+  test("videoPairs tier == standalone videoNearDup; second call reads") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("video-pairs-tier").toString
+    System.setProperty("graft.artifact.root", tmp)
+    try {
+      val standalone = MultimodalOps.videoNearDup(spark, sfDir)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val first = MultimodalOps.videoPairs(spark, sfDir)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(first == standalone,
+        "tier pairs must equal the standalone build")
+      val root = s"$tmp/video_pairs"
+      assert(new File(root).isDirectory, "no persisted pair artifact")
+      val before = mtimes(root)
+      val second = MultimodalOps.videoPairs(spark, sfDir)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(second == standalone)
+      assert(mtimes(root) == before,
+        "second call must READ the artifact, not rebuild/rewrite it")
+    } finally System.clearProperty("graft.artifact.root")
+  }
+
   test("kill switch forces the standalone path (nothing written)") {
     val tmp = java.nio.file.Files
       .createTempDirectory("tier-off").toString
@@ -96,12 +140,18 @@ class SharedTierSpec extends SparkSpec {
       DedupOps.lshPairs(spark, sfDir).count()
       TextOps.tfPostings(spark, sfDir, useTier = true).count()
       LmOps.trainTablesShared(spark, sfDir)._1.count()
+      DedupOps.simhashPairs(spark, sfDir).count()
+      MultimodalOps.videoPairs(spark, sfDir).count()
       assert(!new File(s"$tmp/lsh_pairs").exists(),
         "tier off must not write pair artifacts")
       assert(!new File(s"$tmp/bm25_tf").exists(),
         "tier off must not write tf artifacts")
       assert(!new File(s"$tmp/lm_train").exists(),
         "tier off must not write LM artifacts")
+      assert(!new File(s"$tmp/simhash_pairs").exists(),
+        "tier off must not write simhash pair artifacts")
+      assert(!new File(s"$tmp/video_pairs").exists(),
+        "tier off must not write video pair artifacts")
     } finally {
       System.clearProperty("graft.artifact.root")
       System.clearProperty("graft.shared.artifacts")
