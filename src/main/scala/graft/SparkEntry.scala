@@ -309,6 +309,10 @@ object SparkEntry {
     "q_percentiles" -> ((s, dir) => EventOps.groupPercentiles(s, dir)),
     "q_expectations" -> ((s, dir) => MicroQueries.expectations(s, dir)),
     "q_pseudonymize" -> ((s, dir) => EventOps.pseudonymize(s, dir)),
+    // one-call right-to-be-forgotten sweep across all six persisted
+    // artifact tiers, audited against never-ingested state per tier
+    "q_takedown_sweep" ->
+      ((s, dir) => ext.GovernanceOps.takedownSweepQuery(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -513,6 +517,7 @@ object SparkEntry {
     "q_percentiles" -> EventOps.groupPercentilesOracle,
     "q_expectations" -> MicroQueries.expectationsOracle,
     "q_pseudonymize" -> EventOps.pseudonymizeOracle,
+    "q_takedown_sweep" -> ext.GovernanceOps.takedownSweepOracle,
     // Every query carries an oracle — including the approximate family
     // (deterministic twin-hash pipelines) and trained-IVF ANN (the Lloyd
     // rounds are unrolled into the oracle SQL itself).

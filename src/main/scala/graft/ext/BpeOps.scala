@@ -474,7 +474,19 @@ object BpeOps {
     * which is why [[bpeTrainMerged]] can share [[bpeTrainOracle]].
     */
   private def baseHalf(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+    inBaseSlice(TextOps.documents(spark, sfDir))
+
+  /** Membership predicate of the persisted index's ingest population
+    * (the [[bpeIndex]] build slice), owned beside the builder so the
+    * takedown coordinator's clip ([[GovernanceOps.takedownSweep]])
+    * can never drift from the build — subtractive word-ledger forgets
+    * are only exact for documents the ledger actually counted.
+    */
+  private[ext] def inBaseSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
+
+  /** SQL twin of [[inBaseSlice]] for never-existed oracles. */
+  private[ext] val baseSliceSql: String = "doc_id % 2 = 0"
 
   private def oddHalf(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)

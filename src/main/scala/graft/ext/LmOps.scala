@@ -275,7 +275,7 @@ object LmOps {
   /** Persisted-index layout dir — fingerprinted like the LSH index so a
     * fixture or parameter change MISSES the old artifact.
     */
-  private def lmIndexDir(sfDir: String): String = {
+  private[ext] def lmIndexDir(sfDir: String): String = {
     val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
     s"${graft.io.Artifacts.root}/lm_index/${tag}_m${lmRefMod}_$fp"
@@ -290,7 +290,20 @@ object LmOps {
     * (≡ 5 mod 10) arrives later as the merge batch.
     */
   private def baseRefDocs(spark: SparkSession, sfDir: String): DataFrame =
-    TextOps.documents(spark, sfDir).filter(col("doc_id") % 10 === 0)
+    inBaseSlice(TextOps.documents(spark, sfDir))
+
+  /** Membership predicate of the PERSISTED index's ingest population —
+    * the slice [[lmIndex]] builds from. Owned here (beside the
+    * builder) so the takedown coordinator's clip
+    * ([[GovernanceOps.takedownSweep]]) can never drift from the build:
+    * subtractive forgets are only exact for documents the ledger
+    * actually counted.
+    */
+  private[ext] def inBaseSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 0)
+
+  /** SQL twin of [[inBaseSlice]] for never-existed oracles. */
+  private[ext] val baseSliceSql: String = "doc_id % 10 = 0"
 
   private def mergeBatchDocs(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.documents(spark, sfDir).filter(col("doc_id") % 10 === 5)
@@ -302,7 +315,7 @@ object LmOps {
     * union cannot tell whether a token survives a deletion, a count can
     * — subtract and drop the zeros.
     */
-  private def countTables(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[ext] def countTables(docs: DataFrame): (DataFrame, DataFrame) = {
     val d = withToks(docs.repartition(col("doc_id"))) // single-split fixture
     val cAb = bigrams(d).groupBy("lang", "a", "b")
       .agg(count(lit(1)).as("c_ab"))
@@ -461,7 +474,7 @@ object LmOps {
   /** Same chain with an arbitrary reference-slice predicate — the
     * forget oracle narrows it to the base half.
     */
-  private def lmCteBodyFor(refCond: String): String = {
+  private[ext] def lmCteBodyFor(refCond: String): String = {
     import CurationOps.toksSql
     s"""dt AS (
        |  SELECT doc_id, lang, toks, ['$lmBos'] || toks AS arr

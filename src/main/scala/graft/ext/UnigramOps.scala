@@ -453,7 +453,17 @@ object UnigramOps {
     * is why [[unigramMerged]] shares [[unigramTrainOracle]].
     */
   private def baseHalf(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+    inBaseSlice(documents(spark, sfDir))
+
+  /** Membership predicate of the persisted index's ingest population
+    * (the [[unigramIndex]] build slice), owned beside the builder so
+    * the takedown coordinator's clip
+    * ([[GovernanceOps.takedownSweep]]) can never drift from the
+    * build — subtractive word-ledger forgets are only exact for
+    * documents the ledger actually counted.
+    */
+  private[ext] def inBaseSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 0)
 
   private def oddHalf(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir).filter(col("doc_id") % 2 === 1)

@@ -1,0 +1,110 @@
+package graft.ext
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The one-call takedown sweep: every persisted derived tier gets a
+  * stamped forget generation, doc-keyed tiers provably contain no
+  * forgotten id, count-ledger tiers land EXACTLY on the
+  * never-ingested state (subtractive forget ≡ rebuild on survivors),
+  * a takedown naming only never-ingested docs is a provable no-op on
+  * the ledgers (the clip rule), and a replayed sweep reads instead of
+  * re-applying.
+  */
+class GovernanceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mtimes(root: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new File(root)).map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  private def assertSameRows(got: DataFrame, want: DataFrame,
+                             what: String): Unit = {
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"$what diverges from the never-ingested state")
+  }
+
+  test("takedown sweep hits all six tiers, exact on ledgers, replays as reads") {
+    val tag = s"sweep${System.nanoTime()}"
+    val docs = TextOps.documents(spark, sfDir)
+    val gone = docs.filter(col("doc_id") % 20 === 0)
+    val goneIds = gone.select("doc_id").as[Long].collect().toSet
+    assert(goneIds.nonEmpty)
+
+    val dirs = GovernanceOps.takedownSweep(spark, sfDir, gone, tag)
+    assert(dirs.keySet == GovernanceOps.takedownTiers.toSet)
+    for ((t, d) <- dirs)
+      assert(new File(d).isDirectory, s"$t dir missing: $d")
+
+    // doc-keyed tiers: no forgotten id survives in any table
+    def idsIn(path: String, idCol: String): Set[Long] =
+      spark.read.parquet(path).select(idCol).as[Long].collect().toSet
+    assert(idsIn(s"${dirs("sha_ledger")}/rows", "doc_id")
+      .intersect(goneIds).isEmpty, "sha rows still hold forgotten ids")
+    val keepers = spark.read.parquet(s"${dirs("sha_ledger")}/groups")
+      .select("keep_doc_id").as[Long].collect().toSet
+    assert(keepers.intersect(goneIds).isEmpty,
+      "sha groups still keep a forgotten doc")
+    for (t <- Seq("bands", "shingles", "sigs"))
+      assert(idsIn(s"${dirs("lsh_index")}/$t", "doc_id")
+        .intersect(goneIds).isEmpty, s"lsh $t still holds forgotten ids")
+    assert(idsIn(s"${dirs("ivf_index")}/postings", "vec_id")
+      .intersect(goneIds).isEmpty, "ivf postings still hold forgotten ids")
+
+    // count-ledger tiers: EXACTLY the never-ingested state — the word
+    // ledgers equal a fresh count over (base slice minus forgotten),
+    // the LM bigram table equals countTables on the surviving slice
+    val survivors = docs.filter(col("doc_id") % 20 =!= 0)
+    val wordLedger = survivors.filter(col("doc_id") % 2 === 0)
+      .select(explode(CurationOps.toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    for (t <- Seq("bpe_index", "unigram_index"))
+      assertSameRows(
+        spark.read.parquet(s"${dirs(t)}/words").select("w", "f"),
+        wordLedger, s"$t word ledger")
+    val (wantCab, _) =
+      LmOps.countTables(LmOps.inBaseSlice(survivors))
+    assertSameRows(
+      spark.read.parquet(s"${dirs("lm_index")}/cab")
+        .select("lang", "a", "b", "c_ab"),
+      wantCab, "lm bigram table")
+
+    // replay: same tag returns the same dirs and touches nothing
+    val before = dirs.map { case (t, d) => t -> mtimes(d) }
+    val again = GovernanceOps.takedownSweep(spark, sfDir, gone, tag)
+    assert(again == dirs, "replayed sweep must return the same dirs")
+    for ((t, d) <- dirs)
+      assert(mtimes(d) == before(t),
+        s"replayed sweep rewrote $t — SUCCESS gate failed")
+  }
+
+  test("clip rule: never-ingested docs are a no-op on the count ledgers") {
+    // doc_id % 10 = 3 is odd and ≢ 0 mod 10 — outside the LM (%10=0)
+    // and BPE/unigram (%2=0) ingest slices. An unclipped subtractive
+    // forget would corrupt shared words' mass here (the bug this
+    // pins); the clip makes all three ledgers bit-identical to base.
+    val tag = s"noop${System.nanoTime()}"
+    val outside = TextOps.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 3)
+    assert(outside.count() > 0)
+    val dirs = GovernanceOps.takedownSweep(spark, sfDir, outside, tag)
+
+    def table(dir: String, t: String): DataFrame =
+      spark.read.parquet(s"$dir/$t")
+    assertSameRows(table(dirs("bpe_index"), "words"),
+      table(BpeOps.bpeIndex(spark, sfDir), "words"), "bpe ledger (no-op)")
+    assertSameRows(table(dirs("unigram_index"), "words"),
+      table(UnigramOps.unigramIndex(spark, sfDir), "words"),
+      "unigram ledger (no-op)")
+    assertSameRows(table(dirs("lm_index"), "cab"),
+      spark.read.parquet(s"${LmOps.lmIndexDir(sfDir)}/cab"),
+      "lm cab (no-op)")
+  }
+}
