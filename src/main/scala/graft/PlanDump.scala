@@ -109,7 +109,10 @@ object PlanDump {
       "ann_ivf_merged" -> (() => ext.VectorOps.annIvfMerged(spark, sf)),
       "retrieval_eval" -> (() => ext.ScoringOps.retrievalEval(spark, sf)),
       "clusters_forgotten" ->
-        (() => ext.DedupOps.dedupClustersForgotten(spark, sf)))
+        (() => ext.DedupOps.dedupClustersForgotten(spark, sf)),
+      "code_detect" -> (() => ext.CodeOps.codeDetect(spark, sf)),
+      "embed_decontaminate" ->
+        (() => ext.VectorOps.embedDecontaminate(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

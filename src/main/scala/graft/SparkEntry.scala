@@ -93,6 +93,8 @@ object SparkEntry {
       ((s, dir) => ext.ParaOps.paragraphDedupApply(s, dir)),
     // the published Gopher heuristic filter battery, one scan
     "q_gopher_rules" -> ((s, dir) => CurationOps.gopherRules(s, dir)),
+    // code-vs-prose routing signals (StarCoder-style), seeded shapes
+    "q_code_detect" -> ((s, dir) => ext.CodeOps.codeDetect(s, dir)),
     // similar-length batches: padding-minimizing inference batching
     "q_length_batches" -> ((s, dir) => CurationOps.lengthBatches(s, dir)),
     "q_decontaminate" -> ((s, dir) => CurationOps.decontaminate(s, dir)),
@@ -229,6 +231,10 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) => VectorOps.hardNegatives(s, dir)),
     "q_embed_neardup" -> ((s, dir) => VectorOps.embedNearDup(s, dir)),
     "q_embed_lsh" -> ((s, dir) => VectorOps.embedLsh(s, dir)),
+    // semantic benchmark decontamination: sign-LSH candidates, exact
+    // cosine verify, per-doc strongest offending benchmark example
+    "q_embed_decontaminate" ->
+      ((s, dir) => VectorOps.embedDecontaminate(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -372,6 +378,7 @@ object SparkEntry {
     "q_paragraph_dedup" -> ext.ParaOps.paragraphDedupOracle,
     "q_paragraph_dedup_apply" -> ext.ParaOps.paragraphDedupApplyOracle,
     "q_gopher_rules" -> CurationOps.gopherRulesOracle,
+    "q_code_detect" -> ext.CodeOps.codeDetectOracle,
     "q_length_batches" -> CurationOps.lengthBatchesOracle,
     "q_decontaminate" -> CurationOps.decontaminateOracle,
     "q_doc_novelty" -> CurationOps.docNoveltyOracle,
@@ -468,6 +475,7 @@ object SparkEntry {
     "q_ann_ivf_fullprobe" -> VectorOps.cosineTopKOracle,
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_embed_lsh" -> VectorOps.embedLshOracle,
+    "q_embed_decontaminate" -> VectorOps.embedDecontaminateOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

@@ -270,6 +270,106 @@ object VectorOps {
        |WHERE cos >= $nearDupThreshold""".stripMargin
   }
 
+  /** Benchmark-membership modulus/residue for SEMANTIC decontamination:
+    * vec_id ≡ 6 (mod 25) is "the embedded eval benchmark" (4% — an
+    * eval set is tiny next to the corpus; deterministic
+    * hash-membership, the SampleOps rule). Residue 6 is the slice cut
+    * so that verified sketch-collision pairs CROSS the benchmark
+    * boundary at all three fixture SFs — any other residue risks a
+    * vacuous (empty-but-matching) gate at sf0.001.
+    */
+  val decontamBenchMod = 25
+  val decontamBenchRes = 6
+
+  /** SEMANTIC (embedding-space) benchmark decontamination — the modern
+    * complement of the n-gram recipes in [[CurationOps]]
+    * (q_decontaminate*): an eval example can leak into training data
+    * as a PARAPHRASE that shares no 8-gram, but its embedding still
+    * lands next to the benchmark's. Flag every corpus vector whose
+    * cosine to ANY benchmark vector reaches [[nearDupThreshold]],
+    * reporting the strongest offending benchmark example per doc
+    * (cos DESC, bench_id ASC — deterministic argmax via the in-repo
+    * TopK heap, k=1).
+    *
+    * Plan shape at 100 TB: the corpus is sketched ONCE (codegen'd
+    * [[graft.functions.HyperplaneBuckets]] projection, no exchange);
+    * the benchmark side is eval-sized, so its band/bucket table and
+    * its raw vectors both BROADCAST — the candidate join and the
+    * verify attach never shuffle the corpus. Work is
+    * candidate-bounded, not |corpus|×|bench| (the brute-force shape
+    * this replaces): only bucket collisions pay a cosine. Approximate
+    * in LSH recall, exact in verification — and fully oracled because
+    * the hyperplanes are the deterministic twin-family arithmetic.
+    */
+  def embedDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val isBench = col("vec_id") % decontamBenchMod === decontamBenchRes
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist() // sketch pass + verify attach, both sides
+    val banded = e.select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneBuckets(col("v")))
+          .as(Seq("band", "bucket")))
+      .persist() // corpus and bench candidate sides
+    val candidates = banded.filter(!isBench).as("c")
+      .join(broadcast(banded.filter(isBench)
+          .withColumnRenamed("vec_id", "bench_id").as("b")),
+        col("c.band") === col("b.band") &&
+          col("c.bucket") === col("b.bucket"))
+      .select(col("c.vec_id").as("vec_id"), col("bench_id"))
+      .distinct() // a pair may collide in several bands
+    val scored = candidates
+      .join(e, Seq("vec_id")) // corpus-keyed: co-partitioned attach
+      .join(broadcast(e.filter(isBench)
+        .select(col("vec_id").as("bench_id"), col("v").as("bv"))),
+        Seq("bench_id"))
+      .withColumn("cos", cosine(col("v"), col("bv")))
+      .filter(col("cos") >= nearDupThreshold)
+    val worst = TopK.perKey(scored.select("vec_id", "bench_id", "cos"),
+      Seq("vec_id"), Seq("cos" -> TopK.Desc, "bench_id" -> TopK.Asc), 1)
+    Canon.materialized(
+      Canon.canonicalize(worst.select("vec_id", "bench_id", "cos")),
+      e, banded)
+  }
+
+  /** Twin-arithmetic oracle: same hyperplane bits, banding, asymmetric
+    * corpus×bench candidate join, exact cosine verify, and rank-1
+    * argmax as [[embedDecontaminate]].
+    */
+  val embedDecontaminateOracle: String = {
+    import graft.functions.{HyperplaneBuckets => HB}
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(0, len(v)), i ->
+       |             v[CAST(i AS INT) + 1] *
+       |             (CAST((${HB.A} * (j * len(v) + i + 1) + ${HB.B})
+       |                   % ${HB.P} AS DOUBLE) / ${HB.P} - 0.5))),
+       |           (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e, UNNEST(range(0, ${HB.numBits})) AS t(j)),
+       |bk AS (
+       |  SELECT vec_id, j // ${HB.bitsPerBand} AS band,
+       |         sum(bit << CAST(j % ${HB.bitsPerBand} AS INT)) AS bucket
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+       |  FROM bk c JOIN bk b ON c.band = b.band AND c.bucket = b.bucket
+       |  WHERE b.vec_id % $decontamBenchMod = $decontamBenchRes
+       |    AND c.vec_id % $decontamBenchMod <> $decontamBenchRes),
+       |p AS (
+       |  SELECT cand.vec_id, cand.bench_id,
+       |         ${cosSql("ec.v", "eb.v")} AS cos
+       |  FROM cand JOIN e ec ON cand.vec_id = ec.vec_id
+       |            JOIN e eb ON cand.bench_id = eb.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY cos DESC, bench_id ASC) AS rank
+       |  FROM p WHERE cos >= $nearDupThreshold)
+       |SELECT vec_id, bench_id, cos FROM ranked WHERE rank = 1""".stripMargin
+  }
+
   val ivfCentroids = 16
   val ivfIters = 3
 

@@ -379,4 +379,50 @@ class VectorOpsSpec extends SparkSpec {
     assert(report.values.forall(!_._4))
   }
 
+  test("embedDecontaminate ≡ independent sketch+argmax recomputation") {
+    val out = VectorOps.embedDecontaminate(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    // slice separation, threshold, one row per contaminated doc
+    assert(out.forall { case (v, b, c) =>
+      v % VectorOps.decontamBenchMod != VectorOps.decontamBenchRes &&
+        b % VectorOps.decontamBenchMod == VectorOps.decontamBenchRes &&
+        c >= VectorOps.nearDupThreshold })
+    assert(out.map(_._1).size == out.size, "k=1 argmax must be unique")
+
+    // independent recomputation: same sketch expression, then a plain
+    // Scala candidate intersect + left-fold cosine + argmax — a second
+    // code path over collected data, no TopK heap, no joins
+    val e = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    val sketch = e.select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneBuckets(col("v")))
+          .as(Seq("band", "bucket")))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val na = a.foldLeft(0.0)((s, x) => s + x * x)
+      val nb = b.foldLeft(0.0)((s, x) => s + x * x)
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (bench, corpus) = vecs.keys.toSeq.partition(
+      _ % VectorOps.decontamBenchMod == VectorOps.decontamBenchRes)
+    val want = corpus.flatMap { v =>
+      val hits = bench
+        .filter(b => sketch(v).exists(sketch(b).contains))
+        .map(b => (b, cos(vecs(v), vecs(b))))
+        .filter(_._2 >= VectorOps.nearDupThreshold)
+      if (hits.isEmpty) None
+      else Some {
+        val (b, c) = hits.minBy { case (bid, cc) => (-cc, bid) }
+        (v, b, c)
+      }
+    }.toSet
+    assert(want.nonEmpty, "fixture flags nothing — the gate is vacuous")
+    assert(out == want, s"diverges: extra=${out.diff(want)} " +
+      s"missing=${want.diff(out)}")
+  }
+
 }
