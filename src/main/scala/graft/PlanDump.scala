@@ -112,7 +112,8 @@ object PlanDump {
         (() => ext.DedupOps.dedupClustersForgotten(spark, sf)),
       "code_detect" -> (() => ext.CodeOps.codeDetect(spark, sf)),
       "embed_decontaminate" ->
-        (() => ext.VectorOps.embedDecontaminate(spark, sf)))
+        (() => ext.VectorOps.embedDecontaminate(spark, sf)),
+      "bitext_mine" -> (() => ext.BitextOps.bitextMine(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

@@ -235,6 +235,8 @@ object SparkEntry {
     // cosine verify, per-doc strongest offending benchmark example
     "q_embed_decontaminate" ->
       ((s, dir) => VectorOps.embedDecontaminate(s, dir)),
+    // margin-based bitext mining (ratio margin over sign-LSH candidates)
+    "q_bitext_mine" -> ((s, dir) => ext.BitextOps.bitextMine(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -476,6 +478,7 @@ object SparkEntry {
     "q_embed_neardup" -> VectorOps.embedNearDupOracle,
     "q_embed_lsh" -> VectorOps.embedLshOracle,
     "q_embed_decontaminate" -> VectorOps.embedDecontaminateOracle,
+    "q_bitext_mine" -> ext.BitextOps.bitextMineOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,
