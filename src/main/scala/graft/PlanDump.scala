@@ -113,7 +113,8 @@ object PlanDump {
       "code_detect" -> (() => ext.CodeOps.codeDetect(spark, sf)),
       "embed_decontaminate" ->
         (() => ext.VectorOps.embedDecontaminate(spark, sf)),
-      "bitext_mine" -> (() => ext.BitextOps.bitextMine(spark, sf)))
+      "bitext_mine" -> (() => ext.BitextOps.bitextMine(spark, sf)),
+      "hll_distinct" -> (() => ext.SketchOps.hllDistinct(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

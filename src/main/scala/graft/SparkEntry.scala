@@ -237,6 +237,10 @@ object SparkEntry {
       ((s, dir) => VectorOps.embedDecontaminate(s, dir)),
     // margin-based bitext mining (ratio margin over sign-LSH candidates)
     "q_bitext_mine" -> ((s, dir) => ext.BitextOps.bitextMine(s, dir)),
+    // register-explicit HLL over the gram key space, fully oracle-gated
+    "q_hll_distinct" -> ((s, dir) => ext.SketchOps.hllDistinct(s, dir)),
+    // four doc-shard sketches merged by pointwise max ≡ whole-corpus
+    "q_hll_merged" -> ((s, dir) => ext.SketchOps.hllMerged(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -479,6 +483,9 @@ object SparkEntry {
     "q_embed_lsh" -> VectorOps.embedLshOracle,
     "q_embed_decontaminate" -> VectorOps.embedDecontaminateOracle,
     "q_bitext_mine" -> ext.BitextOps.bitextMineOracle,
+    "q_hll_distinct" -> ext.SketchOps.hllDistinctOracle,
+    // the merged sketch must equal the NEVER-sharded oracle
+    "q_hll_merged" -> ext.SketchOps.hllDistinctOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

@@ -24,10 +24,13 @@ import graft.ops.Canon
   * bounds against the exact twins plus determinism — exactly the
   * contract a user of the sketch gets (see SketchOpsSpec).
   *
-  * The one exception is [[heavyHitters]]: its sketch (Misra-Gries) only
-  * GENERATES candidates and an exact pass verifies them, so its output
-  * is exact whenever the MG bound clears — it ships as a driver query
-  * sharing the exact topTokens oracle.
+  * Two exceptions ship as gated driver queries: [[heavyHitters]], whose
+  * sketch (Misra-Gries) only GENERATES candidates that an exact pass
+  * verifies — output exact whenever the MG bound clears, sharing the
+  * exact topTokens oracle — and the register-explicit HLL family
+  * ([[hllDistinct]]/[[hllMerged]]), which rebuilds the sketch on an
+  * md5 hash both engines share so even its register table is
+  * oracle-checkable.
   */
 object SketchOps {
 
@@ -195,5 +198,171 @@ object SketchOps {
       TextOps.topTokensK, rankCol = Some("rank"))
     graft.ops.Canon.canonicalize(
       top.select("lang", "rank", "token", "doc_freq"))
+  }
+
+  // ---- oracle-gated register-explicit HLL ------------------------------
+
+  /** The engine-native HLL++ above trades oracle-checkability for
+    * convenience (register layouts are engine-internal). This family is
+    * the opposite trade: a REGISTER-EXPLICIT HyperLogLog whose hash is
+    * md5 — available bit-identically in both engines — so the whole
+    * sketch, register table included, carries a full DuckDB oracle.
+    * Stream: per-lang [[CurationOps.decontGramTokens]]-token shingles —
+    * the dedup key space, whose cardinality is exactly what prices a
+    * near-dup pass at 100 TB (the fixture's word vocabulary is ~31
+    * types/lang; the gram space is 3k–95k, a real sketch regime).
+    *
+    * Register r of lang L holds max over grams hashing to r of
+    * (leading zeros of the next [[hllRegW]] hash bits) + 1: index =
+    * first 2 hex digits of md5, rank from hex digits 3–12 via the
+    * `length(bin(v))` bit-length identity (integer in both engines; the
+    * [[TextOps.freqSpectrum]] discipline — float log2 wavers at
+    * power-of-two boundaries). The harmonic denominator is EXACT
+    * integer arithmetic: Σ 2^(41−rank) as BIGINT (order-independent
+    * where the textbook Σ2^−rank double sum is not; max term 256·2⁴¹ ≈
+    * 5.6e14), and the estimate is ONE double division at the end.
+    *
+    * Why this matters at scale: per-(lang) state is 256 registers
+    * regardless of gram cardinality, partial-aggregates map-side
+    * (`max` combines), and registers MERGE by pointwise max —
+    * [[hllMerged]] builds four doc-shard sketches and proves
+    * merged ≡ whole by sharing [[hllDistinctOracle]] verbatim (the
+    * driver hash-compares the merged sketch against the never-sharded
+    * oracle). `exact_distinct` rides along so the gated output itself
+    * prices the estimator's error (raw, uncorrected; the
+    * linear-counting small-range correction needs ln(), whose last-ulp
+    * behavior is libm-specific — it stays in the spec, not the oracle).
+    */
+  val hllRegM = 256
+  val hllRegW = 40
+  val hllMaxRank: Int = hllRegW + 1
+
+  /** α_m·m²·2⁴¹ for m = 256, as ONE Scala double literal interpolated
+    * into both twins (Double.toString round-trips, both engines parse
+    * to the identical bits).
+    */
+  val hllAlphaScaled: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+
+  private val hexDigits = "0123456789abcdef"
+
+  /** Shared SQL snippet: register index = first 2 hex digits of `$h`. */
+  private[ext] def hllIdxSql(h: String): String =
+    s"((instr('$hexDigits', substr($h, 1, 1)) - 1) * 16 + " +
+      s"(instr('$hexDigits', substr($h, 2, 1)) - 1))"
+
+  /** Shared SQL snippet: hex digits 3..12 of `$h` as a 40-bit BIGINT. */
+  private[ext] def hllV40Sql(h: String): String =
+    // CAST every multiplier: the small ones fit in INT and ANSI
+    // INT×INT would overflow at digit value 15 (e.g. 15 · 16⁷)
+    (3 to 12).map(i =>
+      s"(instr('$hexDigits', substr($h, $i, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (12 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  /** Per-(lang, register) max rank over the gram stream of `docs`.
+    * Per-doc `array_distinct` only thins the stream — a register max is
+    * duplicate-insensitive, so the oracle need not mirror it.
+    */
+  private[ext] def hllRegisters(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("lang"), explode(array_distinct(CurationOps.grams(
+        CurationOps.toksCol, CurationOps.decontGramTokens))).as("gram"))
+      .select(col("lang"), md5(col("gram")).as("gh"))
+      .select(col("lang"), expr(hllIdxSql("gh")).as("idx"),
+        expr(hllV40Sql("gh")).as("v"))
+      .withColumn("rank", when(col("v") === 0L, lit(hllMaxRank))
+        .otherwise(lit(hllMaxRank) - length(bin(col("v")))))
+      .groupBy("lang", "idx").agg(max("rank").as("rank"))
+
+  /** (lang, register-table) → the gated summary row. */
+  private def hllSummary(regs: DataFrame, exact: DataFrame): DataFrame =
+    regs.groupBy("lang").agg(
+        count(lit(1)).as("n_registers"),
+        max("rank").as("max_rank"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $hllMaxRank - rank)"))
+          .as("denom_hit"))
+      .withColumn("n_zero", lit(hllRegM.toLong) - col("n_registers"))
+      .withColumn("denom",
+        col("denom_hit") + col("n_zero") * (1L << hllMaxRank))
+      .withColumn("est_raw",
+        lit(hllAlphaScaled) / col("denom").cast("double"))
+      .join(exact, Seq("lang"))
+      .withColumn("rel_err",
+        abs(col("est_raw") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"))
+      .select("lang", "n_registers", "n_zero", "max_rank", "denom",
+        "est_raw", "exact_distinct", "rel_err")
+
+  private def hllExact(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("lang"), explode(array_distinct(CurationOps.grams(
+        CurationOps.toksCol, CurationOps.decontGramTokens))).as("gram"))
+      .groupBy("lang").agg(countDistinct("gram").as("exact_distinct"))
+
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = TextOps.documents(spark, sfDir)
+    graft.ops.Canon.canonicalize(
+      hllSummary(hllRegisters(docs), hllExact(docs)))
+  }
+
+  /** Shard-union proof: four doc-shard register tables merged by
+    * pointwise max must equal the never-sharded sketch — the driver
+    * gate enforces it by hash-comparing this against
+    * [[hllDistinctOracle]] built on the whole corpus.
+    */
+  val hllShards = 4
+
+  def hllMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = TextOps.documents(spark, sfDir)
+    val merged = (0 until hllShards)
+      .map(s => hllRegisters(docs.filter(col("doc_id") % hllShards === s)))
+      .reduce(_ union _)
+      .groupBy("lang", "idx").agg(max("rank").as("rank"))
+    graft.ops.Canon.canonicalize(hllSummary(merged, hllExact(docs)))
+  }
+
+  val hllDistinctOracle: String = {
+    val g = CurationOps.decontGramTokens
+    s"""WITH nd AS (
+       |  SELECT doc_id, lang, ${CurationOps.toksSql} AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT lang,
+       |    array_to_string(list_slice(toks, i, i + ${g - 1}), ' ') AS gram
+       |  FROM nd, unnest(range(1, len(toks) - ${g - 2})) AS r(i)),
+       |hashed AS (
+       |  SELECT lang, ${hllIdxSql("md5(gram)")} AS idx,
+       |         ${hllV40Sql("md5(gram)")} AS v
+       |  FROM grams),
+       |regs AS (
+       |  SELECT lang, idx,
+       |         max(CASE WHEN v = 0 THEN $hllMaxRank
+       |             ELSE $hllMaxRank - length(bin(v)) END) AS rank
+       |  FROM hashed GROUP BY 1, 2),
+       |summ AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
+       |         CAST(max(rank) AS BIGINT) AS max_rank,
+       |         CAST(sum(CAST(1 AS BIGINT) << ($hllMaxRank - rank))
+       |              AS BIGINT) AS denom_hit
+       |  FROM regs GROUP BY 1),
+       |ex AS (
+       |  SELECT lang, CAST(count(DISTINCT gram) AS BIGINT)
+       |           AS exact_distinct
+       |  FROM grams GROUP BY 1)
+       |SELECT s.lang, s.n_registers, $hllRegM - s.n_registers AS n_zero,
+       |       s.max_rank,
+       |       s.denom_hit + ($hllRegM - s.n_registers) *
+       |         ${1L << 41} AS denom,
+       |       $hllAlphaScaled /
+       |         CAST(s.denom_hit + ($hllRegM - s.n_registers) *
+       |              ${1L << 41} AS DOUBLE) AS est_raw,
+       |       ex.exact_distinct,
+       |       abs($hllAlphaScaled /
+       |           CAST(s.denom_hit + ($hllRegM - s.n_registers) *
+       |                ${1L << 41} AS DOUBLE) -
+       |           CAST(ex.exact_distinct AS DOUBLE)) /
+       |         CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+       |FROM summ s JOIN ex USING (lang)""".stripMargin
   }
 }

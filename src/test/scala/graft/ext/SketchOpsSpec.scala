@@ -115,4 +115,65 @@ class SketchOpsSpec extends SparkSpec {
         s"$k freq=${truth(k)} > n/m=${n / m} evicted from MG summary")
     }
   }
+
+  test("register HLL ≡ plain-Scala md5 register recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = SketchOps.hllRegisters(TextOps.documents(spark, sfDir))
+      .as[(String, Int, Int)].collect()
+      .map { case (l, i, r) => (l, i) -> r }.toMap
+    val grams = TextOps.documents(spark, sfDir)
+      .select(col("lang"), explode(array_distinct(CurationOps.grams(
+        CurationOps.toksCol, CurationOps.decontGramTokens))).as("gram"))
+      .as[(String, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = scala.collection.mutable.Map.empty[(String, Int), Int]
+    for ((lang, g) <- grams) {
+      md.reset()
+      val h = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val idx = Integer.parseInt(h.substring(0, 2), 16)
+      val v = java.lang.Long.parseLong(h.substring(2, 12), 16)
+      val rank =
+        if (v == 0L) SketchOps.hllMaxRank
+        else SketchOps.hllMaxRank - java.lang.Long.toBinaryString(v).length
+      val k = (lang, idx)
+      want(k) = math.max(want.getOrElse(k, 0), rank)
+    }
+    assert(got == want.toMap,
+      s"registers diverge: extra=${got.toSet.diff(want.toSet)} " +
+        s"missing=${want.toSet.diff(got.toSet)}")
+  }
+
+  test("shard-merged registers ≡ whole-corpus registers, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val docs = TextOps.documents(spark, sfDir)
+    val whole = SketchOps.hllRegisters(docs)
+      .as[(String, Int, Int)].collect().toSet
+    val merged = (0 until SketchOps.hllShards)
+      .map(s => SketchOps.hllRegisters(
+        docs.filter(col("doc_id") % SketchOps.hllShards === s)))
+      .reduce(_ union _)
+      .groupBy("lang", "idx").agg(max("rank").as("rank"))
+      .as[(String, Int, Int)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("corrected register-HLL estimate within 25% of exact per lang") {
+    val rows = SketchOps.hllDistinct(spark, sfDir)
+      .select("lang", "n_zero", "est_raw", "exact_distinct")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((lang, nZero, raw, exact) <- rows) {
+      // the standard small-range correction (linear counting) uses ln,
+      // whose last-ulp behavior is libm-specific — applied HERE, not in
+      // the oracle-gated output
+      val m = SketchOps.hllRegM.toDouble
+      val corrected =
+        if (raw <= 2.5 * m && nZero > 0) m * math.log(m / nZero)
+        else raw
+      val relErr = math.abs(corrected - exact) / exact
+      assert(relErr < 0.25,
+        s"$lang: corrected=$corrected exact=$exact relErr=$relErr")
+    }
+  }
 }
