@@ -241,6 +241,8 @@ object SparkEntry {
     "q_hll_distinct" -> ((s, dir) => ext.SketchOps.hllDistinct(s, dir)),
     // four doc-shard sketches merged by pointwise max ≡ whole-corpus
     "q_hll_merged" -> ((s, dir) => ext.SketchOps.hllMerged(s, dir)),
+    // precision/recall/F1 operating curve over the classifier deciles
+    "q_classifier_pr" -> ((s, dir) => ext.ClassifierOps.classifierPr(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -486,6 +488,7 @@ object SparkEntry {
     "q_hll_distinct" -> ext.SketchOps.hllDistinctOracle,
     // the merged sketch must equal the NEVER-sharded oracle
     "q_hll_merged" -> ext.SketchOps.hllDistinctOracle,
+    "q_classifier_pr" -> ext.ClassifierOps.classifierPrOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

@@ -295,6 +295,57 @@ object ClassifierOps {
           .as("abs_gap")))
   }
 
+  /** PRECISION-RECALL threshold sweep — the operating-curve row that
+    * turns [[classifierCalibration]]'s reliability diagram into a
+    * deployment decision: for each decile threshold t = k/10 on the
+    * same fixed-point probability p = s/(s + n·S), the confusion
+    * counts (tp/fp/fn/tn) and precision/recall/F1 of "keep docs with
+    * p ≥ t". A corpus filter is tuned by picking the point on this
+    * curve that spends the token budget at the precision the mix can
+    * afford — without the sweep, the threshold is folklore.
+    *
+    * Shape: one doc-level pass (the shared [[scoredLabeled]] seam),
+    * one ≤10-row per-bucket rollup, and a grid × bucket inequality
+    * join over ELEVEN total rows — the sweep costs nothing beyond the
+    * classifier chain itself. All counts are exact integers
+    * (threshold test p_fp ≥ k·10⁵ ⇔ bucket ≥ k under integer div);
+    * precision/recall/F1 are final double ratios with zero-guards
+    * mirrored in both twins.
+    */
+  def classifierPr(spark: SparkSession, sfDir: String): DataFrame = {
+    val withP = scoredLabeled(spark, sfDir)
+      .withColumn("p_fp", expr(
+        s"""CAST(CAST(s AS DECIMAL(38,0)) * $calibScale
+           | div (CAST(s AS DECIMAL(38,0))
+           |      + CAST(n_grams AS DECIMAL(38,0)) * $qcScale)
+           | AS BIGINT)""".stripMargin.replace("\n", "")))
+      .withColumn("bucket", expr(s"p_fp * $calibBuckets div $calibScale"))
+    val byBucket = withP.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("y").cast("long")).as("n_pos"))
+    val tot = byBucket.agg(sum("n_docs").as("td"), sum("n_pos").as("tpa"))
+    val grid = spark.range(calibBuckets).select(col("id").as("k"))
+    val sweep = grid.join(byBucket, col("bucket") >= col("k"), "left")
+      .groupBy("k").agg(
+        coalesce(sum("n_pos"), lit(0L)).as("tp"),
+        coalesce(sum("n_docs"), lit(0L)).as("n_above"))
+      .crossJoin(tot)
+      .withColumn("precision", when(col("n_above") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("n_above").cast("double")))
+      .withColumn("recall", when(col("tpa") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("tpa").cast("double")))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+    Canon.canonicalize(sweep.select(col("k"),
+      (col("k") * (calibScale / calibBuckets)).as("thr_fp"),
+      col("tp"), (col("n_above") - col("tp")).as("fp"),
+      (col("tpa") - col("tp")).as("fn"),
+      (col("td") - col("n_above")).as("tn"),
+      col("precision"), col("recall"), col("f1")))
+  }
+
   /** q_quality_classifier_ref: the INDEPENDENT-signal variant — same
     * features, same closed-form training, same seam, but labels from
     * [[refLabelsFrom]] (reference-slice membership, the CCNet/GPT-3
@@ -574,6 +625,51 @@ object ClassifierOps {
        |           - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
        |         AS abs_gap
        |FROM cb""".stripMargin
+
+  val classifierPrOracle: String =
+    s"""WITH ${TextOps.qualityCte},
+       |yl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN quality_score >= ${TextOps.curateQualityMin}
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM qs),
+       |$qcCoreCtes,
+       |cal AS (
+       |  SELECT yl.y,
+       |         CAST(CAST(s AS HUGEINT) * $calibScale
+       |           // (CAST(s AS HUGEINT) + CAST(n AS HUGEINT) * $qcScale)
+       |           AS BIGINT) AS p_fp
+       |  FROM sc JOIN yl ON sc.doc_id = yl.doc_id),
+       |cb AS (
+       |  SELECT p_fp * $calibBuckets // $calibScale AS bucket,
+       |         count(*) AS n_docs,
+       |         CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM cal GROUP BY 1),
+       |ptot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+       |                CAST(sum(n_pos) AS BIGINT) AS tpa FROM cb),
+       |sweep AS (
+       |  SELECT g.k,
+       |         CAST(coalesce(sum(cb.n_pos), 0) AS BIGINT) AS tp,
+       |         CAST(coalesce(sum(cb.n_docs), 0) AS BIGINT) AS n_above
+       |  FROM range(0, $calibBuckets) g(k)
+       |  LEFT JOIN cb ON cb.bucket >= g.k
+       |  GROUP BY 1),
+       |pr AS (
+       |  SELECT s.k, s.tp, s.n_above, t.td, t.tpa,
+       |         CASE WHEN s.n_above = 0 THEN 0.0
+       |              ELSE CAST(s.tp AS DOUBLE) / CAST(s.n_above AS DOUBLE)
+       |         END AS precision,
+       |         CASE WHEN t.tpa = 0 THEN 0.0
+       |              ELSE CAST(s.tp AS DOUBLE) / CAST(t.tpa AS DOUBLE)
+       |         END AS recall
+       |  FROM sweep s CROSS JOIN ptot t)
+       |SELECT k, k * ${calibScale / calibBuckets} AS thr_fp, tp,
+       |       n_above - tp AS fp, tpa - tp AS fn, td - n_above AS tn,
+       |       precision, recall,
+       |       CASE WHEN precision + recall = 0 THEN 0.0
+       |            ELSE 2.0 * precision * recall / (precision + recall)
+       |       END AS f1
+       |FROM pr""".stripMargin
 
   /** Reference-slice labels + slice tag on every scored doc; training
     * restricted to the two labeled slices by the `cnt` join, inference

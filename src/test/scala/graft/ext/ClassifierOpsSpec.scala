@@ -340,4 +340,39 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(upperMass == cls.count(_._5).toLong,
       s"upper-bin mass $upperMass != predicted positives")
   }
+
+  test("PR sweep is exactly the cumulative view of the calibration bins") {
+    val cal = ClassifierOps.classifierCalibration(spark, sfDir)
+      .select("bucket", "n_docs", "pos_rate")
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, n, rate) =>
+        // pos_rate = n_pos/n_docs in doubles; n_pos is a small exact
+        // integer, so the round-trip is exact
+        (b, n, math.round(rate * n))
+      }
+    val td = cal.map(_._2).sum
+    val tpa = cal.map(_._3).sum
+    val got = ClassifierOps.classifierPr(spark, sfDir)
+      .select("k", "thr_fp", "tp", "fp", "fn", "tn",
+        "precision", "recall", "f1")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until ClassifierOps.calibBuckets))
+    for ((k, thr, tp, fp, fn, tn, p, r, f1) <- got) {
+      val above = cal.filter(_._1 >= k)
+      assert(thr == k * 100000L)
+      assert(tp == above.map(_._3).sum, s"k=$k tp")
+      assert(fp == above.map(_._2).sum - tp, s"k=$k fp")
+      assert(fn == tpa - tp, s"k=$k fn")
+      assert(tn == td - above.map(_._2).sum, s"k=$k tn")
+      val ep = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp).toDouble
+      val er = if (tpa == 0) 0.0 else tp.toDouble / tpa.toDouble
+      assert(math.abs(p - ep) < 1e-12 && math.abs(r - er) < 1e-12)
+      val ef1 = if (ep + er == 0.0) 0.0 else 2.0 * ep * er / (ep + er)
+      assert(math.abs(f1 - ef1) < 1e-12)
+    }
+    // the sweep is a real curve on the fixture: recall strictly falls
+    // somewhere and precision moves — not a constant table
+    assert(got.map(_._8).distinct.length > 1, "recall never moves")
+  }
 }
