@@ -270,6 +270,99 @@ object LmOps {
        |                 ELSE 3 END AS BIGINT) AS bucket
        |FROM scd s JOIN bnd ON s.lang = bnd.lang""".stripMargin
 
+  /** Share of each document's most-surprising bigrams the min-K
+    * statistic averages over (the published recipe's K = 20%).
+    */
+  val minKPct = 20L
+
+  /** Per-lang quantile below which a doc's min-K statistic flags it as
+    * a suspected member of the reference corpus.
+    */
+  val minKFlagQuantile = 0.25
+
+  /** MIN-K% PROB membership inference (Shi et al., "Detecting
+    * Pretraining Data from Large Language Models") — the
+    * contamination/memorization detector that needs NO n-gram overlap:
+    * a document the model trained on is well-predicted even at its
+    * LEAST-probable positions, so the average probability of its K%
+    * worst tokens is anomalously high. Re-expressed on the reference
+    * bigram LM's fixed-point surprisals: per document take the
+    * m = ⌈n·K/100⌉ LARGEST `inv` values (inv = scaled inverse smoothed
+    * probability — large inv ⇔ surprising) and average them; a LOW
+    * tail mean says even this doc's hardest bigrams are easy for the
+    * model — membership evidence. The fixture carries ground truth by
+    * construction (the LM trains on doc_id ≡ 0 mod [[lmRefMod]]), so
+    * `in_ref` rides along and the spec measures real separation.
+    *
+    * Numeric discipline: the tail SUM is exact integer arithmetic and
+    * — because it sums the m largest VALUES — tie-invariant, so the
+    * window's arbitrary tie order cannot leak into the output; the
+    * mean and the per-lang flag quantile are the only doubles (the
+    * perplexityBuckets percentile twin). The per-doc window sorts
+    * partitions bounded by document length, never corpus-scaled.
+    */
+  def minKProb(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cAb, cA, voc) = trainTablesShared(spark, sfDir)
+    val inv = expr(
+      s"(coalesce(c_a, 0L) + v) * ${lmScale}L div (coalesce(c_ab, 0L) + 1L)")
+    val bg = bigrams(docToks(spark, sfDir))
+      .join(cAb, Seq("lang", "a", "b"), "left")
+      .join(cA, Seq("lang", "a"), "left")
+      .join(broadcast(voc), Seq("lang")) // inner: unscorable langs drop
+      .select(col("doc_id"), col("lang"), inv.as("inv"))
+      .persist() // rank pass + per-doc count pass
+    val ranked = bg.withColumn("r", row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("inv").desc)))
+    val perDoc = bg.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("m", expr(s"(n * $minKPct + 99L) div 100L"))
+    val stat = perDoc.join(ranked.select("doc_id", "inv", "r"), "doc_id")
+      .filter(col("r") <= col("m"))
+      .groupBy("doc_id", "lang", "n", "m")
+      .agg(sum("inv").as("tail_fp"))
+      .withColumn("mink_inv", col("tail_fp").cast("double") /
+        (col("m") * lmScale).cast("double"))
+    val q = stat.groupBy("lang")
+      .agg(percentile(col("mink_inv"), lit(minKFlagQuantile)).as("q25"))
+    Canon.materialized(
+      Canon.canonicalize(stat.join(broadcast(q), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n").as("n_bigrams"),
+          col("m").as("m_tail"), col("mink_inv"),
+          (col("doc_id") % lmRefMod === 0).as("in_ref"),
+          (col("mink_inv") <= col("q25")).as("suspect"))),
+      bg)
+  }
+
+  val minKProbOracle: String =
+    s"""WITH $lmScoreCtes,
+       |mrk AS (
+       |  SELECT doc_id, lang, inv,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY inv DESC) AS r
+       |  FROM sc),
+       |mtail AS (
+       |  SELECT p.doc_id, p.lang, p.n,
+       |         (p.n * $minKPct + 99) // 100 AS m,
+       |         CAST(sum(k.inv) AS BIGINT) AS tail_fp
+       |  FROM pd p JOIN mrk k ON k.doc_id = p.doc_id
+       |    AND k.r <= (p.n * $minKPct + 99) // 100
+       |  GROUP BY 1, 2, 3),
+       |mstat AS (
+       |  SELECT doc_id, lang, n, m,
+       |         CAST(tail_fp AS DOUBLE) / CAST(m * $lmScale AS DOUBLE)
+       |           AS mink_inv
+       |  FROM mtail),
+       |mq AS (
+       |  SELECT lang, quantile_cont(mink_inv,
+       |           CAST($minKFlagQuantile AS DOUBLE)) AS q25
+       |  FROM mstat GROUP BY 1)
+       |SELECT s.doc_id, s.lang, CAST(n AS BIGINT) AS n_bigrams,
+       |       CAST(m AS BIGINT) AS m_tail, mink_inv,
+       |       s.doc_id % $lmRefMod = 0 AS in_ref,
+       |       mink_inv <= mq.q25 AS suspect
+       |FROM mstat s JOIN mq ON s.lang = mq.lang""".stripMargin
+
   // ---- persisted LM index + count-merge lifecycle ---------------------
 
   /** Persisted-index layout dir — fingerprinted like the LSH index so a

@@ -192,4 +192,43 @@ class LmOpsSpec extends SparkSpec {
     } finally System.clearProperty("graft.artifact.root")
   }
 
+
+  test("minKProb: tail-mean dominance, exact m, quantile flag, and real membership separation") {
+    val mk = LmOps.minKProb(spark, sfDir)
+      .select("doc_id", "lang", "n_bigrams", "m_tail", "mink_inv",
+        "in_ref", "suspect")
+      .as[(Long, String, Long, Long, Double, Boolean, Boolean)].collect()
+    assert(mk.nonEmpty)
+    // m = ceil(n * K / 100), exactly
+    for ((_, _, n, m, _, _, _) <- mk)
+      assert(m == (n * LmOps.minKPct + 99) / 100)
+    // the min-K statistic averages the LARGEST surprisals, so it
+    // dominates the same doc's overall mean — cross-query invariant
+    // against the gated perplexity output
+    val meanInv = LmOps.perplexityBuckets(spark, sfDir)
+      .select("doc_id", "mean_inv").as[(Long, Double)].collect().toMap
+    for ((id, _, _, _, mink, _, _) <- mk)
+      assert(mink >= meanInv(id) - 1e-9, s"doc $id tail mean below mean")
+    // suspect ⇔ mink_inv ≤ per-lang 25th percentile (Spark percentile
+    // interpolation, recomputed here from the collected statistics)
+    for ((lang, rows) <- mk.groupBy(_._2)) {
+      val xs = rows.map(_._5).sorted
+      val pos = LmOps.minKFlagQuantile * (xs.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      val q25 = xs(lo) + (pos - lo) * (xs(hi) - xs(lo))
+      for ((id, _, _, _, mink, _, sus) <- rows)
+        assert(sus == (mink <= q25), s"doc $id flag vs quantile $q25")
+    }
+    // membership inference WORKS on the fixture: the LM's own training
+    // slice scores lower min-K surprise and is flagged far more often
+    val (ref, non) = mk.partition(_._6)
+    assert(ref.nonEmpty && non.nonEmpty)
+    def mean(a: Array[Double]) = a.sum / a.length
+    assert(mean(ref.map(_._5)) < mean(non.map(_._5)),
+      "reference-slice docs must score lower min-K surprise")
+    val refRate = ref.count(_._7).toDouble / ref.length
+    val nonRate = non.count(_._7).toDouble / non.length
+    assert(refRate > 2 * nonRate,
+      s"suspect rate ref=$refRate non=$nonRate: no separation")
+  }
 }
