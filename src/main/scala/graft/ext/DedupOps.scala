@@ -844,6 +844,64 @@ object DedupOps {
       d, banded)
   }
 
+  /** PRE-FLIGHT LSH COST CENSUS — the planner row a 100 TB dedup run
+    * computes BEFORE committing to the candidate self-join: per band,
+    * the bucket-size histogram folded to the numbers that size the
+    * pair stage — Σ C(bsz,2) uncapped (`pairs_raw`: what the join
+    * would generate with no mega-bucket cap), the same sum restricted
+    * to buckets within [[maxBucketSize]] (`pairs_capped`: what the
+    * operator will actually pay), the docs and bucket count the cap
+    * excludes (`dropped_docs`/`n_mega` — the recall price, the number
+    * q_lsh_recall then measures), and `max_bsz` (the straggler bound:
+    * the largest single task the pair join would schedule). Cost is
+    * ONE keyed aggregation over the banded table — the quadratic
+    * stage is never touched, which is the entire point: the census is
+    * how the cap gets TUNED instead of guessed when the corpus is too
+    * big to re-run. All counts exact BIGINT (n·(n−1) div 2).
+    */
+  def lshCostCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .withColumn("norm", TextOps.normText(col("text")))
+    val d = shingleSets(docs).persist() // sig projection is the cost
+    val sigs = d.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("sh")).as("sig"))
+    val bsz = bandsOfSigs(sigs).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val pairsOf = expr("n * (n - 1) div 2")
+    val out = bsz.groupBy("band").agg(
+      count(lit(1)).as("n_buckets"),
+      max("n").as("max_bsz"),
+      sum(pairsOf).as("pairs_raw"),
+      sum(when(col("n") <= maxBucketSize, pairsOf).otherwise(0L))
+        .as("pairs_capped"),
+      sum(when(col("n") > maxBucketSize, col("n")).otherwise(0L))
+        .as("dropped_docs"),
+      sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)).as("n_mega"))
+    Canon.materialized(
+      Canon.canonicalize(out.select("band", "n_buckets", "max_bsz",
+        "pairs_raw", "pairs_capped", "dropped_docs", "n_mega")),
+      d)
+  }
+
+  val lshCostCensusOracle: String =
+    s"""WITH $minhashLshCte,
+       |cbsz AS (
+       |  SELECT band, bucket, count(*) AS n
+       |  FROM banded GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(max(n) AS BIGINT) AS max_bsz,
+       |       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_raw,
+       |       CAST(sum(CASE WHEN n <= $maxBucketSize
+       |                     THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+       |         AS pairs_capped,
+       |       CAST(sum(CASE WHEN n > $maxBucketSize THEN n ELSE 0 END)
+       |            AS BIGINT) AS dropped_docs,
+       |       CAST(sum(CASE WHEN n > $maxBucketSize THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_mega
+       |FROM cbsz GROUP BY 1""".stripMargin
+
   /** The LSH candidate machinery shared by [[minhashLsh]] and
     * [[editDistanceNearDup]]: normalized docs, the persisted shingle
     * table, the persisted banded rows, and the deduplicated candidate

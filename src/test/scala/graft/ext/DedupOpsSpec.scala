@@ -411,4 +411,47 @@ class DedupOpsSpec extends SparkSpec {
       assert(sim >= DedupOps.editSimThreshold)
     }
   }
+
+  test("lshCostCensus ≡ plain-Scala histogram fold; bounds the real candidate count") {
+    import org.apache.spark.sql.functions._
+    val census = DedupOps.lshCostCensus(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // independent recomputation: collect the banded rows and fold the
+    // per-band bucket histogram in plain Scala
+    val docs = DedupOps.documents(spark, sfDir)
+      .withColumn("norm", TextOps.normText(col("text")))
+    val sigs = DedupOps.shingleSets(docs).select(col("doc_id"),
+      graft.functions.MinHashSignature(col("sh")).as("sig"))
+    val banded = DedupOps.bandsOfSigs(sigs)
+      .as[(Long, Int, Long)].collect()
+    val cap = DedupOps.maxBucketSize
+    val want = banded.groupBy(_._2).map { case (band, rows) =>
+      val sizes = rows.groupBy(_._3).values.map(_.length.toLong).toSeq
+      def pairs(n: Long) = n * (n - 1) / 2
+      band.toLong -> ((band.toLong, sizes.length.toLong, sizes.max,
+        sizes.map(pairs).sum,
+        sizes.filter(_ <= cap).map(pairs).sum,
+        sizes.filter(_ > cap).sum,
+        sizes.count(_ > cap).toLong))
+    }
+    assert(census == want, "census diverges from histogram fold")
+
+    // capped pair mass is an upper bound on the operator's actual
+    // DISTINCT candidate count (a pair may collide in several bands)
+    val actualPairs = DedupOps.minhashLsh(spark, sfDir).count()
+    val cappedMass = census.values.map(_._5).sum
+    assert(cappedMass >= actualPairs,
+      s"capped mass $cappedMass < verified pairs $actualPairs")
+
+    // internal consistency: no mega-buckets ⇔ raw == capped, dropped == 0
+    for ((band, (_, _, _, raw, capped, dropped, mega)) <- census) {
+      if (mega == 0L) {
+        assert(raw == capped && dropped == 0L, s"band $band")
+      } else {
+        assert(raw > capped && dropped > cap, s"band $band")
+      }
+    }
+  }
 }
