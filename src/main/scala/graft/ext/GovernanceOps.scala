@@ -185,4 +185,61 @@ object GovernanceOps {
        |        < ${DedupOps.incrementalCorpusPermille}
        |  AND vec_id % 20 <> 0""".stripMargin
   }
+
+  // ---- k-anonymity release suppression ---------------------------------
+
+  /** Minimum documents a (lang, source) cell needs before its source
+    * is NAMED in a released rollup.
+    */
+  val kAnonMinDocs = 10L
+
+  /** Label of the suppression bucket every under-k cell folds into. */
+  val kAnonOther = "__other__"
+
+  /** K-ANONYMITY RELEASE — the dataset-card discipline for publishing
+    * per-source statistics: a rollup cell naming a source with very
+    * few documents can identify a contributor (small crawl feeds,
+    * single-site sources), so cells with fewer than [[kAnonMinDocs]]
+    * docs are suppressed and folded, mass-conserving, into one
+    * [[kAnonOther]] row per lang. The fold row is released regardless
+    * of its own size: it aggregates ≥1 suppressed sources and names
+    * none of them, which is the property k-anonymity wants (n_cells
+    * says how many sources it hides — the auditor's number). Totals
+    * are conserved by construction: suppression REASSIGNS mass, never
+    * deletes it, so the released table still sums to the corpus.
+    *
+    * Scale shape: two keyed aggregations, the second over the
+    * cell table (≤ |langs|·|sources| rows — metadata-sized); the
+    * corpus is scanned once. All counts exact integers.
+    */
+  def kanonRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("lang"), col("source"),
+        size(CurationOps.toksCol).cast("long").as("n_toks"))
+      .groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val released = cells
+      .withColumn("rel_source",
+        when(col("n_docs") >= kAnonMinDocs, col("source"))
+          .otherwise(lit(kAnonOther)))
+      .groupBy(col("lang"), col("rel_source").as("source"))
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_cells"))
+    Canon.canonicalize(released)
+  }
+
+  val kanonReleaseOracle: String =
+    s"""WITH kc AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |         CAST(sum(len(${CurationOps.toksSql})) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang,
+       |       CASE WHEN n_docs >= $kAnonMinDocs THEN source
+       |            ELSE '$kAnonOther' END AS source,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_cells
+       |FROM kc GROUP BY 1, 2""".stripMargin
 }

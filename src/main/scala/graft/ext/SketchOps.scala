@@ -275,8 +275,8 @@ object SketchOps {
         .otherwise(lit(hllMaxRank) - length(bin(col("v")))))
       .groupBy("lang", "idx").agg(max("rank").as("rank"))
 
-  /** (lang, register-table) → the gated summary row. */
-  private def hllSummary(regs: DataFrame, exact: DataFrame): DataFrame =
+  /** (lang, register-table) → estimator columns; no exact twin. */
+  private[ext] def hllSummaryCore(regs: DataFrame): DataFrame =
     regs.groupBy("lang").agg(
         count(lit(1)).as("n_registers"),
         max("rank").as("max_rank"),
@@ -287,6 +287,10 @@ object SketchOps {
         col("denom_hit") + col("n_zero") * (1L << hllMaxRank))
       .withColumn("est_raw",
         lit(hllAlphaScaled) / col("denom").cast("double"))
+
+  /** (lang, register-table) → the gated summary row. */
+  private def hllSummary(regs: DataFrame, exact: DataFrame): DataFrame =
+    hllSummaryCore(regs)
       .join(exact, Seq("lang"))
       .withColumn("rel_err",
         abs(col("est_raw") - col("exact_distinct").cast("double")) /
@@ -364,5 +368,77 @@ object SketchOps {
        |           CAST(ex.exact_distinct AS DOUBLE)) /
        |         CAST(ex.exact_distinct AS DOUBLE) AS rel_err
        |FROM summ s JOIN ex USING (lang)""".stripMargin
+  }
+
+  // ---- streaming cardinality fold --------------------------------------
+
+  /** Fingerprinted base-sketch dir — the lshIndexDir rule: any fixture
+    * change misses the old artifact.
+    */
+  private[ext] def hllBaseDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"target/hll_index/${tag}_m${hllRegM}_w${hllRegW}_$fp"
+  }
+
+  private def regsDone(dir: String): Boolean =
+    new java.io.File(s"$dir/_SUCCESS").exists()
+
+  /** Build-or-reuse the PERSISTED corpus register sketch (the
+    * SUCCESS-gated artifact-tier discipline). 256 registers per lang —
+    * the whole artifact is KB-sized at any corpus size, which is the
+    * point of carrying a sketch instead of the key set.
+    */
+  def hllIndex(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val dir = hllBaseDir(sfDir)
+      if (!regsDone(dir))
+        hllRegisters(TextOps.documents(spark, sfDir))
+          .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+
+  private[ext] def hllGenDir(base: String, feedTag: String)(
+      id: Long): String = s"${base}_feed_${feedTag}_gen$id"
+
+  /** Streaming CARDINALITY fold — the ingest dashboard's "how many
+    * distinct grams has this corpus seen, as of this batch" row,
+    * maintained without ever re-touching the corpus: micro-batch N's
+    * register table merges (pointwise max — HLL's defining algebra)
+    * into the SUCCESS-gated generation left by batches 0..N−1, seeded
+    * by the persisted corpus sketch. State is 256 registers per lang
+    * REGARDLESS of feed length — the streaming twin of what makes the
+    * sketch the 100 TB cardinality primitive. Idempotent under
+    * foreachBatch's at-least-once replay: a re-run batch finds its
+    * generation SUCCESS-gated and re-reads instead of re-merging
+    * (merge with max is idempotent anyway — the gate makes it also
+    * cheap). Returns the batch's summary row per lang, batch-stamped.
+    *
+    * `batch` must carry (doc_id, lang, text). Estimates are monotone
+    * non-decreasing across batches by construction (registers only
+    * grow), which the spec asserts along with stream ≡ batch and
+    * fold ≡ one-shot-union register equality across a restart.
+    */
+  def hllFold(spark: SparkSession, sfDir: String, feedTag: String,
+              batch: DataFrame, batchId: Long): DataFrame = {
+    require(feedTag.matches("[A-Za-z0-9_-]+"),
+      s"feedTag must be path-safe, got '$feedTag'")
+    hllIndex(spark, sfDir) // ensure the base sketch exists
+    val base = hllBaseDir(sfDir)
+    val gen = hllGenDir(base, feedTag) _
+    val prev = if (batchId == 0L) base else gen(batchId - 1)
+    require(regsDone(prev),
+      s"sketch chain broken before batch $batchId: $prev incomplete")
+    val out = gen(batchId)
+    if (!regsDone(out))
+      spark.read.parquet(prev)
+        .union(hllRegisters(batch))
+        .groupBy("lang", "idx").agg(max("rank").as("rank"))
+        .write.mode("overwrite").parquet(out)
+    graft.ops.Canon.canonicalize(
+      hllSummaryCore(spark.read.parquet(out))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "lang", "n_registers", "n_zero",
+          "max_rank", "denom", "est_raw"))
   }
 }

@@ -353,6 +353,32 @@ object EventStream {
       }
       .start()
 
+  /** Ingest-time CARDINALITY telemetry: each micro-batch's register
+    * sketch merges into the persisted corpus sketch chain
+    * ([[graft.ext.SketchOps.hllFold]]) and the running per-lang
+    * distinct-gram estimate lands in a batch-id-keyed overwrite
+    * partition — the sketch member of the admission-fold family
+    * beside [[shaAdmitToParquet]] (exact dedup) and
+    * [[lshAdmitToParquet]] (near-dup). State is 256 registers per
+    * lang regardless of feed length; probe, merge and sink are each
+    * idempotent under foreachBatch's at-least-once replay
+    * (SUCCESS-gated generations, per-batch overwrite partitions).
+    * `feedTag` must be 1:1 with `checkpointDir`.
+    */
+  def hllFoldToParquet(docs: DataFrame, sfDir: String, feedTag: String,
+                       outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.SketchOps
+          .hllFold(batch.sparkSession, sfDir, feedTag, batch, batchId)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/card_batch=$batchId")
+      }
+      .start()
+
   /** Streaming data-contract gate: [[graft.ops.Quality.expectations]]
     * evaluated on EVERY micro-batch via foreachBatch, each report row
     * stamped with the batch id and landed exactly-once (idempotent

@@ -107,4 +107,46 @@ class GovernanceOpsSpec extends SparkSpec {
       spark.read.parquet(s"${LmOps.lmIndexDir(sfDir)}/cab"),
       "lm cab (no-op)")
   }
+
+  test("kanonRelease: conservation, no named under-k cell, exact fold") {
+    import org.apache.spark.sql.functions._
+    val raw = TextOps.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        size(CurationOps.toksCol).cast("long").as("t"))
+      .as[(String, String, Long)].collect()
+    val cells = raw.groupBy(r => (r._1, r._2)).map { case ((l, src), rs) =>
+      (l, src, rs.length.toLong, rs.map(_._3).sum)
+    }.toSeq
+    val rel = GovernanceOps.kanonRelease(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect()
+
+    // released NAMED cells are exactly the >= k cells, values intact
+    val named = rel.filter(_._2 != GovernanceOps.kAnonOther)
+    assert(named.forall(_._3 >= GovernanceOps.kAnonMinDocs))
+    assert(named.forall(_._5 == 1L), "named rows fold exactly one cell")
+    val wantNamed = cells.filter(_._3 >= GovernanceOps.kAnonMinDocs)
+      .map(c => (c._1, c._2, c._3, c._4, 1L)).toSet
+    assert(named.toSet == wantNamed)
+
+    // the fold row per lang carries exactly the suppressed cells' mass
+    for ((lang, rows) <- cells.groupBy(_._1)) {
+      val supp = rows.filter(_._3 < GovernanceOps.kAnonMinDocs)
+      val other = rel.find(r =>
+        r._1 == lang && r._2 == GovernanceOps.kAnonOther)
+      if (supp.isEmpty) assert(other.isEmpty, s"$lang spurious fold row")
+      else {
+        val o = other.getOrElse(fail(s"$lang missing fold row"))
+        assert(o._3 == supp.map(_._3).sum && o._4 == supp.map(_._4).sum
+          && o._5 == supp.length.toLong, s"$lang fold mismatch")
+      }
+    }
+    // suppression reassigns, never deletes: totals conserve per lang
+    for ((lang, rows) <- rel.groupBy(_._1)) {
+      val rawL = cells.filter(_._1 == lang)
+      assert(rows.map(_._3).sum == rawL.map(_._3).sum)
+      assert(rows.map(_._4).sum == rawL.map(_._4).sum)
+    }
+    // both paths live on the fixture
+    assert(named.nonEmpty && rel.exists(_._2 == GovernanceOps.kAnonOther))
+  }
 }

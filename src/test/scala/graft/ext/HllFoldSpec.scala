@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming cardinality-fold contract ([[SketchOps.hllFold]] +
+  * EventStream.hllFoldToParquet): monotone estimates, chained
+  * generations ≡ one union-merge ≡ from-scratch sketch of the union,
+  * SUCCESS-gated replay idempotence, and stream ≡ batch across a
+  * stop/restart.
+  */
+class HllFoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic feed docs: novel vocabulary (movs registers), one batch
+  // introducing a brand-new language group
+  private def b0: Seq[(Long, String, String)] = Seq(
+    (920000000L, "en", (1 to 20).map(i => s"hfa${i}tok").mkString(" ")),
+    (920000001L, "xx", (1 to 20).map(i => s"hfb${i}tok").mkString(" ")))
+  // ~300 novel grams: the corpus-seeded en registers are saturated to
+  // rank ≈ log₂(grams/256), so a single new gram only moves one with
+  // probability ~2^-rank — hundreds make the strict-rise assertion
+  // deterministic-in-practice (verified green at the spec SF)
+  private def b1: Seq[(Long, String, String)] = Seq(
+    (920000002L, "en", (1 to 300).map(i => s"hfc${i}tok").mkString(" ")))
+
+  private def df(b: Seq[(Long, String, String)]) =
+    b.toDF("doc_id", "lang", "text")
+
+  test("fold: monotone estimates, chain ≡ one merge ≡ union sketch, replay idempotent") {
+    val feed = s"hllspec${System.nanoTime()}"
+    val s0 = SketchOps.hllFold(spark, sfDir, feed, df(b0), 0L)
+      .as[(Long, String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    val s1 = SketchOps.hllFold(spark, sfDir, feed, df(b1), 1L)
+      .as[(Long, String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._2 -> r).toMap
+
+    // the new-language group appears from batch 0 onward
+    assert(s0.contains("xx") && s1.contains("xx"))
+    // registers only grow → denom non-increasing, estimate monotone
+    for ((lang, r1) <- s1; r0 <- s0.get(lang)) {
+      assert(r1._6 <= r0._6, s"$lang denom grew")
+      assert(r1._7 >= r0._7, s"$lang estimate fell")
+    }
+    // batch 1 adds novel en grams → en estimate strictly rises
+    assert(s1("en")._7 > s0("en")._7)
+
+    // chained generation 1 ≡ from-scratch sketch of corpus ∪ feed
+    val gen1 = spark.read.parquet(
+      SketchOps.hllGenDir(SketchOps.hllBaseDir(sfDir), feed)(1L))
+      .as[(String, Int, Int)].collect().toSet
+    val unioned = SketchOps.hllRegisters(
+      TextOps.documents(spark, sfDir).select("doc_id", "lang", "text")
+        .unionByName(df(b0 ++ b1)))
+      .as[(String, Int, Int)].collect().toSet
+    assert(gen1 == unioned, "chained generations diverge from the " +
+      "from-scratch sketch of the union")
+
+    // replay: batch 0 re-runs against the gated generation — identical
+    val s0b = SketchOps.hllFold(spark, sfDir, feed, df(b0), 0L)
+      .as[(Long, String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(s0b == s0)
+  }
+
+  test("stream ≡ batch-mode fold across a stop/restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val feedBatch = s"hllspecb${System.nanoTime()}"
+    val want =
+      (SketchOps.hllFold(spark, sfDir, feedBatch, df(b0), 0L).collect() ++
+        SketchOps.hllFold(spark, sfDir, feedBatch, df(b1), 1L).collect())
+        .map(_.toSeq).toSet
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll_fold").toFile
+    dir.deleteOnExit()
+    val (out, ck) = (s"$dir/out", s"$dir/ck")
+    val feedStream = s"hllspecs${System.nanoTime()}"
+
+    val in1 = MemoryStream[(Long, String, String)]
+    val q1 = graft.streaming.EventStream.hllFoldToParquet(
+      in1.toDF().toDF("doc_id", "lang", "text"), sfDir, feedStream,
+      out, ck)
+    try {
+      in1.addData(b0)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val in2 = MemoryStream[(Long, String, String)]
+    in2.addData(b0) // offsets before the checkpoint re-add
+    val q2 = graft.streaming.EventStream.hllFoldToParquet(
+      in2.toDF().toDF("doc_id", "lang", "text"), sfDir, feedStream,
+      out, ck)
+    try {
+      in2.addData(b1)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("batch_id", "lang", "n_registers", "n_zero", "max_rank",
+        "denom", "est_raw")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == want)
+  }
+}
