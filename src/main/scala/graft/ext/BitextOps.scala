@@ -65,9 +65,10 @@ object BitextOps {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .join(docs, Seq("vec_id"))
       .persist() // sketch pass + two vector attaches
-    val banded = e.select(col("vec_id"), col("lang"),
+    val banded = VectorOps.capSignBuckets(
+      e.select(col("vec_id"), col("lang"),
         posexplode(graft.functions.HyperplaneBuckets(col("v")))
-          .as(Seq("band", "bucket")))
+          .as(Seq("band", "bucket"))))
       .persist() // source and target candidate sides
     val cand = banded.filter(col("lang") =!= bitextTgtLang).as("s")
       .join(banded.filter(col("lang") === bitextTgtLang).as("t"),
@@ -136,9 +137,13 @@ object BitextOps {
        |  SELECT vec_id, lang, j // ${HB.bitsPerBand} AS band,
        |         sum(bit << CAST(j % ${HB.bitsPerBand} AS INT)) AS bucket
        |  FROM bits GROUP BY 1, 2, 3),
+       |keptb AS (
+       |  SELECT bk.* FROM bk JOIN ${VectorOps.capSignSql("bk")} kc
+       |    ON bk.band = kc.band AND bk.bucket = kc.bucket),
        |cand AS (
        |  SELECT DISTINCT s.vec_id AS src_id, s.lang, t.vec_id AS tgt_id
-       |  FROM bk s JOIN bk t ON s.band = t.band AND s.bucket = t.bucket
+       |  FROM keptb s JOIN keptb t
+       |    ON s.band = t.band AND s.bucket = t.bucket
        |  WHERE s.lang <> '$bitextTgtLang' AND t.lang = '$bitextTgtLang'),
        |scored AS (
        |  SELECT src_id, tgt_id, lang, cos,

@@ -201,6 +201,37 @@ object VectorOps {
        |SELECT CAST(label AS BIGINT) AS label, id_a, id_b, cos FROM p
        |WHERE cos >= $nearDupThreshold""".stripMargin
 
+  /** Mega-bucket cap for the sign-LSH family (embedLsh,
+    * embedDecontaminate, BitextOps) — the [[DedupOps.maxBucketSize]]
+    * discipline the MinHash/Hamming families already follow: a
+    * (band, bucket) cell shared by hundreds of vectors signals a
+    * low-information sketch slice, and its candidate pairs grow
+    * QUADRATICALLY in cell density — measured concretely when the ×100
+    * posture fixture (identical replicated vectors) multiplied every
+    * cell by 100 and the candidate joins by 10⁴. 512 is inert at every
+    * gated SF (max observed cell is 87 at sf0.1) and bounds the
+    * adversarial-density case; genuinely similar pairs still collide
+    * in their other bands.
+    */
+  val signBucketCap = 512
+
+  /** Drop over-cap (band, bucket) cells — census over the WHOLE banded
+    * table (one keyed agg; the lshCostCensus shape).
+    */
+  private[ext] def capSignBuckets(banded: DataFrame): DataFrame =
+    banded.join(
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= signBucketCap)
+        .select("band", "bucket"),
+      Seq("band", "bucket"))
+
+  /** The shared `HAVING`-census twin of [[capSignBuckets]] over a bk
+    * CTE named `$bk`.
+    */
+  private[ext] def capSignSql(bk: String): String =
+    s"""(SELECT band, bucket FROM $bk GROUP BY band, bucket
+       |   HAVING count(*) <= $signBucketCap)""".stripMargin
+
   /** Sign-LSH (random-hyperplane) embedding near-dup: banded 64-bit
     * hyperplane sketch → band-bucket candidate pairs → exact cosine
     * verification. The UNBLOCKED scale path: `embedNearDup`'s label
@@ -214,9 +245,9 @@ object VectorOps {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist() // sketch pass + both candidate-attach joins
-    val banded = e.select(col("vec_id"),
+    val banded = capSignBuckets(e.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneBuckets(col("v")))
-        .as(Seq("band", "bucket")))
+        .as(Seq("band", "bucket"))))
       .persist() // both sides of the candidate self-join
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -257,9 +288,12 @@ object VectorOps {
        |  SELECT vec_id, j // ${HB.bitsPerBand} AS band,
        |         sum(bit << CAST(j % ${HB.bitsPerBand} AS INT)) AS bucket
        |  FROM bits GROUP BY 1, 2),
+       |keptb AS (
+       |  SELECT bk.* FROM bk JOIN ${capSignSql("bk")} kc
+       |    ON bk.band = kc.band AND bk.bucket = kc.bucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM bk a JOIN bk b
+       |  FROM keptb a JOIN keptb b
        |    ON a.band = b.band AND a.bucket = b.bucket
        |       AND a.vec_id < b.vec_id),
        |p AS (
@@ -306,9 +340,9 @@ object VectorOps {
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist() // sketch pass + verify attach, both sides
-    val banded = e.select(col("vec_id"),
+    val banded = capSignBuckets(e.select(col("vec_id"),
         posexplode(graft.functions.HyperplaneBuckets(col("v")))
-          .as(Seq("band", "bucket")))
+          .as(Seq("band", "bucket"))))
       .persist() // corpus and bench candidate sides
     val candidates = banded.filter(!isBench).as("c")
       .join(broadcast(banded.filter(isBench)
@@ -353,9 +387,13 @@ object VectorOps {
        |  SELECT vec_id, j // ${HB.bitsPerBand} AS band,
        |         sum(bit << CAST(j % ${HB.bitsPerBand} AS INT)) AS bucket
        |  FROM bits GROUP BY 1, 2),
+       |keptb AS (
+       |  SELECT bk.* FROM bk JOIN ${capSignSql("bk")} kc
+       |    ON bk.band = kc.band AND bk.bucket = kc.bucket),
        |cand AS (
        |  SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
-       |  FROM bk c JOIN bk b ON c.band = b.band AND c.bucket = b.bucket
+       |  FROM keptb c JOIN keptb b
+       |    ON c.band = b.band AND c.bucket = b.bucket
        |  WHERE b.vec_id % $decontamBenchMod = $decontamBenchRes
        |    AND c.vec_id % $decontamBenchMod <> $decontamBenchRes),
        |p AS (

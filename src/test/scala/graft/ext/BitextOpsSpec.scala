@@ -40,6 +40,15 @@ class BitextOpsSpec extends SparkSpec {
           .as(Seq("band", "bucket")))
       .as[(Long, Int, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    // mirror the mega-bucket cap (inert at this SF, but the contract
+    // includes it); cells censused over docs present in BOTH tables —
+    // exactly the banded frame the operator caps
+    val cellSize = sketch.filter(kv => docsLang.contains(kv._1))
+      .values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def shared(a: Long, b: Long): Boolean =
+      sketch(a).exists(c =>
+        cellSize(c) <= VectorOps.signBucketCap && sketch(b).contains(c))
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
       val na = a.foldLeft(0.0)((s, x) => s + x * x)
@@ -52,7 +61,7 @@ class BitextOpsSpec extends SparkSpec {
     // retrieved candidates with positive quantized cosine
     val scored = (for {
       s <- srcs; t <- tgts
-      if sketch(s).exists(sketch(t).contains)
+      if shared(s, t)
       c = cos(e(s), e(t))
       cq = math.floor(c * BitextOps.bitextCosScale).toLong
       if cq > 0L

@@ -401,6 +401,13 @@ class VectorOpsSpec extends SparkSpec {
           .as(Seq("band", "bucket")))
       .as[(Long, Int, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    // mirror the mega-bucket cap (inert at this SF, but the contract
+    // includes it)
+    val cellSize = sketch.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def shared(a: Long, b: Long): Boolean =
+      sketch(a).exists(c =>
+        cellSize(c) <= VectorOps.signBucketCap && sketch(b).contains(c))
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
       val na = a.foldLeft(0.0)((s, x) => s + x * x)
@@ -411,7 +418,7 @@ class VectorOpsSpec extends SparkSpec {
       _ % VectorOps.decontamBenchMod == VectorOps.decontamBenchRes)
     val want = corpus.flatMap { v =>
       val hits = bench
-        .filter(b => sketch(v).exists(sketch(b).contains))
+        .filter(b => shared(v, b))
         .map(b => (b, cos(vecs(v), vecs(b))))
         .filter(_._2 >= VectorOps.nearDupThreshold)
       if (hits.isEmpty) None
