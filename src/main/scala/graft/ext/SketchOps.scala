@@ -260,20 +260,29 @@ object SketchOps {
         s"CAST(${1L << (4 * (12 - i))} AS BIGINT)")
       .mkString("(", " + ", ")")
 
-  /** Per-(lang, register) max rank over the gram stream of `docs`.
-    * Per-doc `array_distinct` only thins the stream — a register max is
-    * duplicate-insensitive, so the oracle need not mirror it.
+  /** (doc_id, lang, gram) stream — one explode shared by the register
+    * and exact passes. Per-doc `array_distinct` only thins the stream —
+    * a register max and a global distinct are both duplicate-
+    * insensitive, so the oracle need not mirror it.
     */
-  private[ext] def hllRegisters(docs: DataFrame): DataFrame =
+  private def hllGrams(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id"))
-      .select(col("lang"), explode(array_distinct(CurationOps.grams(
-        CurationOps.toksCol, CurationOps.decontGramTokens))).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(CurationOps.grams(
+          CurationOps.toksCol, CurationOps.decontGramTokens))).as("gram"))
+
+  /** Per-(lang, register) max rank over a gram stream. */
+  private def registersOfGrams(grams: DataFrame): DataFrame =
+    grams
       .select(col("lang"), md5(col("gram")).as("gh"))
       .select(col("lang"), expr(hllIdxSql("gh")).as("idx"),
         expr(hllV40Sql("gh")).as("v"))
       .withColumn("rank", when(col("v") === 0L, lit(hllMaxRank))
         .otherwise(lit(hllMaxRank) - length(bin(col("v")))))
       .groupBy("lang", "idx").agg(max("rank").as("rank"))
+
+  private[ext] def hllRegisters(docs: DataFrame): DataFrame =
+    registersOfGrams(hllGrams(docs))
 
   /** (lang, register-table) → estimator columns; no exact twin. */
   private[ext] def hllSummaryCore(regs: DataFrame): DataFrame =
@@ -298,16 +307,16 @@ object SketchOps {
       .select("lang", "n_registers", "n_zero", "max_rank", "denom",
         "est_raw", "exact_distinct", "rel_err")
 
-  private def hllExact(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
-      .select(col("lang"), explode(array_distinct(CurationOps.grams(
-        CurationOps.toksCol, CurationOps.decontGramTokens))).as("gram"))
-      .groupBy("lang").agg(countDistinct("gram").as("exact_distinct"))
+  private def hllExact(grams: DataFrame): DataFrame =
+    grams.groupBy("lang").agg(countDistinct("gram").as("exact_distinct"))
 
   def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = TextOps.documents(spark, sfDir)
-    graft.ops.Canon.canonicalize(
-      hllSummary(hllRegisters(docs), hllExact(docs)))
+    val grams = hllGrams(TextOps.documents(spark, sfDir))
+      .persist() // register pass + exact-distinct pass
+    Canon.materialized(
+      Canon.canonicalize(
+        hllSummary(registersOfGrams(grams), hllExact(grams))),
+      grams)
   }
 
   /** Shard-union proof: four doc-shard register tables merged by
@@ -318,12 +327,16 @@ object SketchOps {
   val hllShards = 4
 
   def hllMerged(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = TextOps.documents(spark, sfDir)
+    val grams = hllGrams(TextOps.documents(spark, sfDir))
+      .persist() // four shard register passes + the exact pass
     val merged = (0 until hllShards)
-      .map(s => hllRegisters(docs.filter(col("doc_id") % hllShards === s)))
+      .map(s => registersOfGrams(
+        grams.filter(col("doc_id") % hllShards === s)))
       .reduce(_ union _)
       .groupBy("lang", "idx").agg(max("rank").as("rank"))
-    graft.ops.Canon.canonicalize(hllSummary(merged, hllExact(docs)))
+    Canon.materialized(
+      Canon.canonicalize(hllSummary(merged, hllExact(grams))),
+      grams)
   }
 
   val hllDistinctOracle: String = {
