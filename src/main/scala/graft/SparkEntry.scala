@@ -249,6 +249,8 @@ object SparkEntry {
     "q_lsh_cost" -> ((s, dir) => ext.DedupOps.lshCostCensus(s, dir)),
     // k-anonymity release: under-k source cells fold into __other__
     "q_kanon_release" -> ((s, dir) => ext.GovernanceOps.kanonRelease(s, dir)),
+    // dominant principal component by exact-integer matrix squaring
+    "q_pca_power" -> ((s, dir) => ext.VectorOps.pcaPower(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -498,6 +500,7 @@ object SparkEntry {
     "q_min_k_prob" -> ext.LmOps.minKProbOracle,
     "q_lsh_cost" -> ext.DedupOps.lshCostCensusOracle,
     "q_kanon_release" -> ext.GovernanceOps.kanonReleaseOracle,
+    "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

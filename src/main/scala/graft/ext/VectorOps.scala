@@ -1812,4 +1812,193 @@ object VectorOps {
 
   val annIvfForgottenOracle: String =
     lifecycleOracle(DedupOps.incrementalCorpusPermille)
+
+  // ---- exact-integer dominant component (power iteration) -------------
+
+  /** Embedding dimensionality the PCA family is specialized to. */
+  val pcaDim = 64
+
+  /** Fixed-point quantization scale for [[pcaPower]]. */
+  val pcaScale = 1000000L
+
+  /** Matrix-squaring rounds: the final operator applies G^(2^10) —
+    * slow-eigengap-proof where plain k-step power iteration is not
+    * (measured: gap 1.017 at sf0.1 needs ~500 plain steps; 10
+    * squarings reach cos 1.00000000 against a float eigensolver at
+    * all three SFs).
+    */
+  val pcaSquarings = 10
+
+  /** Renormalization width: entries truncate (sign-preserving shift)
+    * to under 2^20 before each squaring, so squared sums stay under
+    * 64·2^40 = 2^46 — exact BIGINT arithmetic throughout.
+    */
+  val pcaRenormBits = 20
+
+  /** Loud BIGINT ceiling for the Gram accumulation: N·(3.5·10⁶)² must
+    * clear Long range with headroom. Past this, widen the accumulator
+    * to DECIMAL — the ×100-posture overflow lesson applied as a
+    * fail-fast instead of silent wraparound.
+    */
+  val pcaMaxVectors = 500000L
+
+  private def bitLen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x).toInt
+
+  /** Sign-preserving truncating shift — the EXACT operation the oracle
+    * spells as CASE WHEN m >= 0 THEN m >> s ELSE -((-m) >> s) END.
+    */
+  private def tshift(x: Long, s: Int): Long =
+    if (x >= 0L) x >> s else -((-x) >> s)
+
+  /** DOMINANT PRINCIPAL COMPONENT of the embedding table — uncentered
+    * (second-moment) PCA by power iteration, in EXACT INTEGER
+    * arithmetic end to end: embeddings quantize to floor(x·10⁶), the
+    * 64×64 Gram matrix accumulates per partition and reduces (integer
+    * sums — order-independent where float matrix products are not),
+    * and the iteration runs as [[pcaSquarings]] truncated matrix
+    * squarings (G^1024) so a slow eigengap cannot stall it. Truncation
+    * is part of the OPERATOR DEFINITION — both twins perform the
+    * identical sign-preserving shifts, so the gate compares exact
+    * integers; closeness to the float eigenvector is a SPEC property
+    * (cos ≥ 0.999 against a Scala-side eigensolve).
+    *
+    * Scale shape: the only corpus-sized work is the Gram accumulation —
+    * mapPartitions folding each partition into a fixed 4096-cell Long
+    * array (the per-partition-state case the architecture reserves
+    * mapPartitions for), one tiny reduce; the 64×64 squarings are
+    * model-sized driver arithmetic, exactly like the k-means
+    * centroid sync. At 100 TB the accumulator widens to DECIMAL —
+    * [[pcaMaxVectors]] fails loudly at the Long ceiling instead.
+    *
+    * Output: per dimension the exact integer component `w` (the gate's
+    * real payload), the unit-normalized double, and the Rayleigh
+    * eigenvalue of the ORIGINAL Gram at the found direction (integer
+    * quotient, then one double division by the scale²).
+    */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = embeddings(spark, sfDir)
+      .select(transform(asDouble(col("embedding")),
+        x => floor(x * pcaScale.toDouble)).as("qv"))
+      .as[Seq[Long]]
+    val partials = q.mapPartitions { it =>
+      val acc = new Array[Long](pcaDim * pcaDim)
+      var n = 0L
+      it.foreach { v =>
+        require(v.length == pcaDim, s"expected $pcaDim dims, got ${v.length}")
+        val a = v.toArray
+        var i = 0
+        while (i < pcaDim) {
+          var j = 0
+          while (j < pcaDim) { acc(i * pcaDim + j) += a(i) * a(j); j += 1 }
+          i += 1
+        }
+        n += 1L
+      }
+      Iterator.single((acc, n))
+    }
+    val (g, nVecs) = partials.reduce { (x, y) =>
+      val merged = new Array[Long](pcaDim * pcaDim)
+      var k = 0
+      while (k < merged.length) { merged(k) = x._1(k) + y._1(k); k += 1 }
+      (merged, x._2 + y._2)
+    }
+    require(nVecs <= pcaMaxVectors,
+      s"$nVecs vectors: Gram accumulation needs a DECIMAL widening " +
+        s"past $pcaMaxVectors (Long overflow ceiling)")
+
+    // model-sized driver arithmetic from here on (the centroid-sync rule)
+    var m = g.clone()
+    for (_ <- 0 until pcaSquarings) {
+      val s = m.map(math.abs).max
+      val sh = math.max(bitLen(s) - pcaRenormBits, 0)
+      val r = m.map(tshift(_, sh))
+      val sq = new Array[Long](pcaDim * pcaDim)
+      var i = 0
+      while (i < pcaDim) {
+        var j = 0
+        while (j < pcaDim) {
+          var acc = 0L
+          var k = 0
+          while (k < pcaDim) { acc += r(i * pcaDim + k) * r(k * pcaDim + j); k += 1 }
+          sq(i * pcaDim + j) = acc
+          j += 1
+        }
+        i += 1
+      }
+      m = sq
+    }
+    val wRaw = Array.tabulate(pcaDim)(i =>
+      (0 until pcaDim).map(j => m(i * pcaDim + j)).sum)
+    val wSh = math.max(bitLen(wRaw.map(math.abs).max) - pcaRenormBits, 0)
+    val w = wRaw.map(tshift(_, wSh))
+    val wtw = w.map(x => x * x).sum // < 64·2^40, exact in Long AND double
+    val norm = math.sqrt(wtw.toDouble)
+    val ray = {
+      var num = BigInt(0)
+      var i = 0
+      while (i < pcaDim) {
+        var j = 0
+        while (j < pcaDim) {
+          num += BigInt(w(i)) * g(i * pcaDim + j) * w(j)
+          j += 1
+        }
+        i += 1
+      }
+      (num / BigInt(wtw)).toLong // λ ≈ 1e13 ≪ Long range
+    }
+    val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
+    Canon.canonicalize(
+      (0 until pcaDim).map(i =>
+          (i.toLong, w(i), w(i).toDouble / norm, ray, lam))
+        .toDF("dim", "w", "component", "lam_fp", "lam"))
+  }
+
+  /** The identical arithmetic unrolled in SQL: quantization, the
+    * integer Gram, ten truncated squarings, the final matvec against
+    * ones, the output renormalization, and the Rayleigh quotient.
+    */
+  val pcaPowerOracle: String = {
+    val sq = (1 to pcaSquarings).map { k =>
+      val p = if (k == 1) "pg0" else s"pm${k - 1}"
+      s"""ps$k AS (SELECT greatest(length(bin(max(abs(m)))) - $pcaRenormBits, 0)
+         |           AS sh FROM $p),
+         |pr$k AS (SELECT i, j, CASE WHEN m >= 0 THEN m >> sh
+         |                ELSE -((-m) >> sh) END AS m FROM $p, ps$k),
+         |pm$k AS MATERIALIZED (
+         |        SELECT a.i, b.j, CAST(sum(a.m * b.m) AS BIGINT) AS m
+         |        FROM pr$k a JOIN pr$k b ON a.j = b.i GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pq AS (
+       |  SELECT list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * $pcaScale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pg0 AS MATERIALIZED (
+       |  SELECT i, j, CAST(sum(qv[CAST(i AS INT) + 1]
+       |                  * qv[CAST(j AS INT) + 1]) AS BIGINT) AS m
+       |  FROM pq, range(0, $pcaDim) t1(i), range(0, $pcaDim) t2(j)
+       |  GROUP BY 1, 2),
+       |$sq,
+       |pw0 AS (SELECT i AS dim, CAST(sum(m) AS BIGINT) AS w
+       |        FROM pm$pcaSquarings GROUP BY 1),
+       |pwsh AS (SELECT greatest(length(bin(max(abs(w)))) - $pcaRenormBits,
+       |           0) AS sh FROM pw0),
+       |pw AS MATERIALIZED (
+       |       SELECT dim, CASE WHEN w >= 0 THEN w >> sh
+       |              ELSE -((-w) >> sh) END AS w FROM pw0, pwsh),
+       |pnorm AS (SELECT sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm,
+       |                 CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS wtw
+       |          FROM pw),
+       |pray AS (
+       |  SELECT CAST(
+       |    (SELECT sum(CAST(a.w AS HUGEINT) * g.m * b.w)
+       |     FROM pw a JOIN pg0 g ON g.i = a.dim JOIN pw b ON g.j = b.dim)
+       |    // (SELECT wtw FROM pnorm) AS BIGINT) AS lam_fp)
+       |SELECT pw.dim, pw.w,
+       |       CAST(pw.w AS DOUBLE) / pnorm.nrm AS component,
+       |       pray.lam_fp,
+       |       CAST(pray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
+       |FROM pw, pnorm, pray""".stripMargin
+  }
 }

@@ -432,4 +432,43 @@ class VectorOpsSpec extends SparkSpec {
       s"missing=${want.diff(out)}")
   }
 
+
+  test("pcaPower finds the float eigensolver's dominant direction") {
+    val out = VectorOps.pcaPower(spark, sfDir)
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1)
+    assert(out.length == VectorOps.pcaDim)
+    // renormalized integer components stay under the 2^20 bound
+    assert(out.forall(r => math.abs(r._2) < (1L << 20)))
+    // unit norm
+    val n2 = out.map(r => r._3 * r._3).sum
+    assert(math.abs(n2 - 1.0) < 1e-12, s"norm² $n2")
+
+    // float reference: plain power iteration on the float Gram, run to
+    // convergence (64×64 — milliseconds), squared to kill the sign and
+    // the slow-gap problem: iterate v <- G(Gv) and normalize
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[Seq[Double]].collect()
+    val d = VectorOps.pcaDim
+    val g = Array.ofDim[Double](d, d)
+    for (v <- vecs; i <- 0 until d; j <- 0 until d)
+      g(i)(j) += v(i) * v(j)
+    def matvec(x: Array[Double]) =
+      Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * x(j)).sum)
+    var v = Array.fill(d)(1.0)
+    for (_ <- 0 until 4000) {
+      val gv = matvec(v)
+      val nrm = math.sqrt(gv.map(x => x * x).sum)
+      v = gv.map(_ / nrm)
+    }
+    val cos = math.abs(out.map(_._3).zip(v).map { case (a, b) => a * b }.sum)
+    assert(cos >= 0.999, s"cos vs float eigensolve: $cos")
+
+    // Rayleigh eigenvalue ≈ float top eigenvalue (the quantization and
+    // the integer quotient cost at most ~1%)
+    val lamFloat = v.zip(matvec(v)).map { case (a, b) => a * b }.sum
+    val lam = out.head._5
+    assert(math.abs(lam - lamFloat) / lamFloat < 0.01,
+      s"lambda $lam vs float $lamFloat")
+  }
 }
