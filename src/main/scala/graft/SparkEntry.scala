@@ -251,6 +251,8 @@ object SparkEntry {
     "q_kanon_release" -> ((s, dir) => ext.GovernanceOps.kanonRelease(s, dir)),
     // dominant principal component by exact-integer matrix squaring
     "q_pca_power" -> ((s, dir) => ext.VectorOps.pcaPower(s, dir)),
+    // per-doc projection onto the dominant component (outlier axis)
+    "q_pca_project" -> ((s, dir) => ext.VectorOps.pcaProject(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -501,6 +503,7 @@ object SparkEntry {
     "q_lsh_cost" -> ext.DedupOps.lshCostCensusOracle,
     "q_kanon_release" -> ext.GovernanceOps.kanonReleaseOracle,
     "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
+    "q_pca_project" -> ext.VectorOps.pcaProjectOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

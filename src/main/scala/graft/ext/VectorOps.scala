@@ -1877,6 +1877,21 @@ object VectorOps {
     */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (_, w, norm, ray) = pcaModel(spark, sfDir)
+    val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
+    Canon.canonicalize(
+      (0 until pcaDim).map(i =>
+          (i.toLong, w(i), w(i).toDouble / norm, ray, lam))
+        .toDF("dim", "w", "component", "lam_fp", "lam"))
+  }
+
+  /** The trained model: (Gram, renormalized integer component, its
+    * double norm, Rayleigh eigenvalue) — the seam [[pcaPower]] and
+    * [[pcaProject]] share so the arithmetic exists once.
+    */
+  private[ext] def pcaModel(spark: SparkSession, sfDir: String)
+      : (Array[Long], Array[Long], Double, Long) = {
+    import spark.implicits._
     val q = embeddings(spark, sfDir)
       .select(transform(asDouble(col("embedding")),
         x => floor(x * pcaScale.toDouble)).as("qv"))
@@ -1947,18 +1962,14 @@ object VectorOps {
       }
       (num / BigInt(wtw)).toLong // λ ≈ 1e13 ≪ Long range
     }
-    val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
-    Canon.canonicalize(
-      (0 until pcaDim).map(i =>
-          (i.toLong, w(i), w(i).toDouble / norm, ray, lam))
-        .toDF("dim", "w", "component", "lam_fp", "lam"))
+    (g, w, norm, ray)
   }
 
   /** The identical arithmetic unrolled in SQL: quantization, the
     * integer Gram, ten truncated squarings, the final matvec against
     * ones, the output renormalization, and the Rayleigh quotient.
     */
-  val pcaPowerOracle: String = {
+  private def pcaCtes: String = {
     val sq = (1 to pcaSquarings).map { k =>
       val p = if (k == 1) "pg0" else s"pm${k - 1}"
       s"""ps$k AS (SELECT greatest(length(bin(max(abs(m)))) - $pcaRenormBits, 0)
@@ -1970,8 +1981,8 @@ object VectorOps {
          |        FROM pr$k a JOIN pr$k b ON a.j = b.i GROUP BY 1, 2)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH pq AS (
-       |  SELECT list_transform(embedding, x ->
+    s"""pq AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
        |    CAST(floor(CAST(x AS DOUBLE) * $pcaScale) AS BIGINT)) AS qv
        |  FROM embeddings),
        |pg0 AS MATERIALIZED (
@@ -1994,11 +2005,49 @@ object VectorOps {
        |  SELECT CAST(
        |    (SELECT sum(CAST(a.w AS HUGEINT) * g.m * b.w)
        |     FROM pw a JOIN pg0 g ON g.i = a.dim JOIN pw b ON g.j = b.dim)
-       |    // (SELECT wtw FROM pnorm) AS BIGINT) AS lam_fp)
+       |    // (SELECT wtw FROM pnorm) AS BIGINT) AS lam_fp)""".stripMargin
+  }
+
+  val pcaPowerOracle: String =
+    s"""WITH $pcaCtes
        |SELECT pw.dim, pw.w,
        |       CAST(pw.w AS DOUBLE) / pnorm.nrm AS component,
        |       pray.lam_fp,
        |       CAST(pray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
        |FROM pw, pnorm, pray""".stripMargin
+
+  /** Per-document projection onto the dominant component — the
+    * outlier-axis/decorrelation telemetry a curation dashboard reads
+    * next to the component itself: proj = vᵀŵ in original embedding
+    * units. The integer dot (quantized vector · integer component,
+    * ≤ 64·2^22·2^20 = 2^48) is the gate's payload; the division by
+    * ‖w‖·scale is the one double op, identical in both twins. Spark
+    * side is a codegen'd 64-term literal sum — the model is
+    * driver-known (the centroid-sync rule), so no join attaches it.
+    */
+  def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, w, norm, _) = pcaModel(spark, sfDir)
+    val dot = (0 until pcaDim)
+      .map(i => s"qv[$i] * ${w(i)}L").mkString(" + ")
+    Canon.canonicalize(embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(asDouble(col("embedding")),
+          x => floor(x * pcaScale.toDouble)).as("qv"))
+      .withColumn("proj_fp", expr(dot))
+      .withColumn("proj",
+        col("proj_fp").cast("double") / lit(norm * pcaScale.toDouble))
+      .select("vec_id", "proj_fp", "proj"))
   }
+
+  val pcaProjectOracle: String =
+    s"""WITH $pcaCtes,
+       |pdot AS (
+       |  SELECT vec_id,
+       |         CAST(sum(qv[CAST(pw.dim AS INT) + 1] * pw.w) AS BIGINT)
+       |           AS proj_fp
+       |  FROM pq, pw GROUP BY 1)
+       |SELECT vec_id, proj_fp,
+       |       CAST(proj_fp AS DOUBLE) /
+       |         ((SELECT nrm FROM pnorm) * $pcaScale.0) AS proj
+       |FROM pdot""".stripMargin
 }

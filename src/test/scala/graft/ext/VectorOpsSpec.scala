@@ -471,4 +471,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(lam - lamFloat) / lamFloat < 0.01,
       s"lambda $lam vs float $lamFloat")
   }
+
+  test("pcaProject: exact dot recomputation; projection energy ≈ λ") {
+    val (_, w, norm, _) = VectorOps.pcaModel(spark, sfDir)
+    val rows = VectorOps.pcaProject(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rows.length == vecs.size)
+    for ((id, fp, proj) <- rows) {
+      val q = vecs(id).map(x => math.floor(x * 1e6).toLong)
+      val want = q.zip(w).map { case (a, b) => a * b }.sum
+      assert(fp == want, s"vec $id integer dot")
+      assert(proj == fp.toDouble / (norm * 1e6), s"vec $id double")
+    }
+    // Rayleigh identity: Σ proj² = ŵᵀGŵ ≈ λ (quantization ≲ 1%)
+    val energy = rows.map(r => r._3 * r._3).sum
+    val lam = VectorOps.pcaPower(spark, sfDir)
+      .select("lam").as[Double].head()
+    assert(math.abs(energy - lam) / lam < 0.01,
+      s"projection energy $energy vs λ $lam")
+  }
 }
