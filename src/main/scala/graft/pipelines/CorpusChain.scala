@@ -33,6 +33,9 @@ object CorpusChain {
       "url_filter" -> ((s, d) => graft.ext.DomainOps.urlFilter(s, d)),
       "gopher_rules" -> ((s, d) => graft.ext.CurationOps.gopherRules(s, d)),
       "corpus_curate" -> ((s, d) => TextOps.corpusCurate(s, d)),
+      // pre-flight pair-cost census: the cap audit is ON RECORD before
+      // any dedup pass commits to its candidate join
+      "lsh_cost" -> ((s, d) => DedupOps.lshCostCensus(s, d)),
       // paragraph-granular keep-first rewrite ahead of span surgery
       "paragraph_dedup_apply" ->
         ((s, d) => graft.ext.ParaOps.paragraphDedupApply(s, d)),
@@ -42,7 +45,12 @@ object CorpusChain {
       // token-budget selection sits between scoring and the split
       "budget_select" -> ((s, d) => SampleOps.budgetSelect(s, d)),
       "train_split" -> ((s, d) => SampleOps.trainValTestSplit(s, d)),
-      "shard_assign" -> ((s, d) => SampleOps.shardAssign(s, d)))
+      "shard_assign" -> ((s, d) => SampleOps.shardAssign(s, d)),
+      // dataset-card statistics published WITH the corpus: gram-space
+      // cardinality (sketch + exact) and the k-anonymized source rollup
+      "hll_card" -> ((s, d) => graft.ext.SketchOps.hllDistinct(s, d)),
+      "kanon_release" ->
+        ((s, d) => graft.ext.GovernanceOps.kanonRelease(s, d)))
 
   private def sfTag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
