@@ -253,6 +253,8 @@ object SparkEntry {
     "q_pca_power" -> ((s, dir) => ext.VectorOps.pcaPower(s, dir)),
     // per-doc projection onto the dominant component (outlier axis)
     "q_pca_project" -> ((s, dir) => ext.VectorOps.pcaProject(s, dir)),
+    // top-2 components via integer deflation of the Gram
+    "q_pca_top2" -> ((s, dir) => ext.VectorOps.pcaTop2(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -504,6 +506,7 @@ object SparkEntry {
     "q_kanon_release" -> ext.GovernanceOps.kanonReleaseOracle,
     "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,
+    "q_pca_top2" -> ext.VectorOps.pcaTop2Oracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

@@ -494,4 +494,48 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(energy - lam) / lam < 0.01,
       s"projection energy $energy vs λ $lam")
   }
+
+  test("pcaTop2: second direction matches the float eigensolver, orthogonal to the first") {
+    val out = VectorOps.pcaTop2(spark, sfDir)
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+    val c2 = out.filter(_._1 == 2L).sortBy(_._2).map(_._4)
+    assert(c1.length == VectorOps.pcaDim && c2.length == VectorOps.pcaDim)
+    // deflation leaves ≤ ~2^-19 of λ1 — near-orthogonal components
+    val dot12 = c1.zip(c2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-4, s"|c1·c2| = ${math.abs(dot12)}")
+
+    // float reference (same shape as the pcaPower spec, deflated)
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[Seq[Double]].collect()
+    val d = VectorOps.pcaDim
+    val g = Array.ofDim[Double](d, d)
+    for (v <- vecs; i <- 0 until d; j <- 0 until d)
+      g(i)(j) += v(i) * v(j)
+    def power(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(d)(1.0)
+      var lam = 0.0
+      for (_ <- 0 until 4000) {
+        val gv = Array.tabulate(d)(i =>
+          (0 until d).map(j => m(i)(j) * v(j)).sum)
+        lam = v.zip(gv).map { case (a, b) => a * b }.sum
+        val nrm = math.sqrt(gv.map(x => x * x).sum)
+        v = gv.map(_ / nrm)
+      }
+      (v, lam)
+    }
+    val (v1, l1) = power(g)
+    val g2 = Array.tabulate(d, d)((i, j) => g(i)(j) - l1 * v1(i) * v1(j))
+    val (v2, l2) = power(g2)
+    val cos2 = math.abs(c2.zip(v2).map { case (a, b) => a * b }.sum)
+    assert(cos2 >= 0.999, s"cos(second component, float) = $cos2")
+    val lam2 = out.find(_._1 == 2L).get._6
+    assert(math.abs(lam2 - l2) / l2 < 0.01, s"λ2 $lam2 vs float $l2")
+    // component 1 rows are byte-identical to q_pca_power's
+    val p1 = VectorOps.pcaPower(spark, sfDir)
+      .as[(Long, Long, Double, Long, Double)].collect().toSet
+    assert(out.filter(_._1 == 1L)
+      .map(r => (r._2, r._3, r._4, r._5, r._6)).toSet == p1)
+  }
 }
