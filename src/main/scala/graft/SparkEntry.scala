@@ -255,6 +255,8 @@ object SparkEntry {
     "q_pca_project" -> ((s, dir) => ext.VectorOps.pcaProject(s, dir)),
     // top-2 components via integer deflation of the Gram
     "q_pca_top2" -> ((s, dir) => ext.VectorOps.pcaTop2(s, dir)),
+    // sign-LSH recall vs exact cosine on a bounded hash sample
+    "q_embed_recall" -> ((s, dir) => ext.VectorOps.embedRecall(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -507,6 +509,7 @@ object SparkEntry {
     "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,
     "q_pca_top2" -> ext.VectorOps.pcaTop2Oracle,
+    "q_embed_recall" -> ext.VectorOps.embedRecallOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

@@ -270,9 +270,9 @@ object VectorOps {
     * hyperplane components, signed projections, banding, candidate join,
     * and the bit-exact cosine verify.
     */
-  val embedLshOracle: String = {
+  private[ext] def signLshCtes: String = {
     import graft.functions.{HyperplaneBuckets => HB}
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |bits AS (
@@ -299,10 +299,15 @@ object VectorOps {
        |p AS (
        |  SELECT c.id_a, c.id_b, ${cosSql("ea.v", "eb.v")} AS cos
        |  FROM cand c JOIN e ea ON c.id_a = ea.vec_id
-       |              JOIN e eb ON c.id_b = eb.vec_id)
-       |SELECT id_a, id_b, cos FROM p
-       |WHERE cos >= $nearDupThreshold""".stripMargin
+       |              JOIN e eb ON c.id_b = eb.vec_id),
+       |slp AS MATERIALIZED (
+       |  SELECT id_a, id_b, cos FROM p
+       |  WHERE cos >= $nearDupThreshold)""".stripMargin
   }
+
+  val embedLshOracle: String =
+    s"""WITH $signLshCtes
+       |SELECT id_a, id_b, cos FROM slp""".stripMargin
 
   /** Benchmark-membership modulus/residue for SEMANTIC decontamination:
     * vec_id ≡ 6 (mod 25) is "the embedded eval benchmark" (4% — an
@@ -2136,4 +2141,80 @@ object VectorOps {
        |       qray.lam_fp,
        |       CAST(qray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
        |FROM qw, qnorm, qray""".stripMargin
+
+  /** Sample width for [[embedRecall]] — 200 keeps the exact side at
+    * C(200,2) ≈ 20k cosines (constant at any corpus size) while the
+    * fixture realization still holds qualifying pairs at all 3 SFs
+    * (9/2/3 — measured before choosing the width).
+    */
+  val embedRecallSample = 200
+
+  /** SIGN-LSH QUALITY TELEMETRY — the recall row that completes the
+    * family set (minhash/simhash/audio/image/video already carry one):
+    * end-to-end recall of [[embedLsh]] (banding + mega-bucket cap)
+    * against exact pairwise cosine over a bounded deterministic
+    * hash-order sample — the [[DedupOps.lshRecall]] recipe pointed at
+    * the embedding space. One output row: n_exact / n_lsh / n_common /
+    * recall (1.0 when the sample holds no qualifying pair).
+    */
+  def embedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.SampleOps.{A, B, P}
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val keyed = e.withColumn("h",
+      ((col("vec_id") % P) * A + B) % P)
+    val samp = keyed.orderBy(col("h").asc, col("vec_id").asc)
+      .limit(embedRecallSample)
+      .select("vec_id", "v").persist()
+    val exact = samp.as("x").join(samp.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= nearDupThreshold)
+      .select("id_a", "id_b").persist()
+    val ids = samp.select("vec_id")
+    val lsh = embedLsh(spark, sfDir)
+      .join(ids.withColumnRenamed("vec_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(ids.withColumnRenamed("vec_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .select("id_a", "id_b").persist()
+    val out = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(exact.join(lsh, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        when(col("n_exact") > 0,
+          col("n_common").cast("double") / col("n_exact").cast("double"))
+          .otherwise(lit(1.0)).as("recall"))
+    Canon.materialized(Canon.canonicalize(out), samp, exact, lsh)
+  }
+
+  val embedRecallOracle: String = {
+    import graft.ext.SampleOps.{A, B, P}
+    s"""WITH $signLshCtes,
+       |ekeyed AS (
+       |  SELECT vec_id, v, ((vec_id % $P) * $A + $B) % $P AS h FROM e),
+       |esamp AS MATERIALIZED (
+       |  SELECT vec_id, v FROM ekeyed
+       |  ORDER BY h ASC, vec_id ASC LIMIT $embedRecallSample),
+       |eexact AS MATERIALIZED (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM esamp x JOIN esamp y ON x.vec_id < y.vec_id
+       |  WHERE ${cosSql("x.v", "y.v")} >= $nearDupThreshold),
+       |ebp AS MATERIALIZED (
+       |  SELECT s.id_a, s.id_b FROM slp s
+       |  JOIN esamp a ON s.id_a = a.vec_id
+       |  JOIN esamp b ON s.id_b = b.vec_id)
+       |SELECT
+       |  (SELECT count(*) FROM eexact) AS n_exact,
+       |  (SELECT count(*) FROM ebp) AS n_lsh,
+       |  (SELECT count(*) FROM eexact JOIN ebp USING (id_a, id_b))
+       |    AS n_common,
+       |  CASE WHEN (SELECT count(*) FROM eexact) > 0
+       |    THEN CAST((SELECT count(*) FROM eexact JOIN ebp
+       |               USING (id_a, id_b)) AS DOUBLE)
+       |           / CAST((SELECT count(*) FROM eexact) AS DOUBLE)
+       |    ELSE 1.0 END AS recall""".stripMargin
+  }
 }

@@ -538,4 +538,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L)
       .map(r => (r._2, r._3, r._4, r._5, r._6)).toSet == p1)
   }
+
+  test("embedRecall ≡ collected-data recomputation; counts consistent") {
+    import graft.ext.SampleOps.{A, B, P}
+    val row = VectorOps.embedRecall(spark, sfDir)
+      .as[(Long, Long, Long, Double)].head()
+    val (nExact, nLsh, nCommon, recall) = row
+    assert(nCommon <= math.min(nExact, nLsh))
+    assert(nExact > 0, "vacuous sample — widen embedRecallSample")
+    assert(recall == nCommon.toDouble / nExact.toDouble)
+
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val samp = vecs.keys.toSeq
+      .sortBy(id => (((id % P) * A + B) % P, id))
+      .take(VectorOps.embedRecallSample).toSet
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = samp.toSeq.sorted
+    val exact = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= VectorOps.nearDupThreshold
+    } yield (ids(i), ids(j))).toSet
+    val lsh = VectorOps.embedLsh(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter(p => samp(p._1) && samp(p._2)).toSet
+    assert(nExact == exact.size && nLsh == lsh.size &&
+      nCommon == exact.intersect(lsh).size)
+  }
 }
