@@ -257,6 +257,11 @@ object SparkEntry {
     "q_pca_top2" -> ((s, dir) => ext.VectorOps.pcaTop2(s, dir)),
     // sign-LSH recall vs exact cosine on a bounded hash sample
     "q_embed_recall" -> ((s, dir) => ext.VectorOps.embedRecall(s, dir)),
+    // Hamming-1 multi-probe variant: ~9x candidates, measured lift
+    "q_embed_lsh_mp" ->
+      ((s, dir) => ext.VectorOps.embedLshMultiProbe(s, dir)),
+    "q_embed_recall_mp" ->
+      ((s, dir) => ext.VectorOps.embedRecallMultiProbe(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -510,6 +515,8 @@ object SparkEntry {
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,
     "q_pca_top2" -> ext.VectorOps.pcaTop2Oracle,
     "q_embed_recall" -> ext.VectorOps.embedRecallOracle,
+    "q_embed_lsh_mp" -> ext.VectorOps.embedLshMultiProbeOracle,
+    "q_embed_recall_mp" -> ext.VectorOps.embedRecallMultiProbeOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

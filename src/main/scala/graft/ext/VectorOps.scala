@@ -2157,7 +2157,15 @@ object VectorOps {
     * the embedding space. One output row: n_exact / n_lsh / n_common /
     * recall (1.0 when the sample holds no qualifying pair).
     */
-  def embedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  def embedRecall(spark: SparkSession, sfDir: String): DataFrame =
+    embedRecallFrom(spark, sfDir, embedLsh(spark, sfDir))
+
+  /** [[embedRecall]] against a CALLER-SUPPLIED verified-pair frame —
+    * the seam the multi-probe variant reuses so both recall rows
+    * measure against the identical exact side.
+    */
+  private def embedRecallFrom(spark: SparkSession, sfDir: String,
+                              pairs: DataFrame): DataFrame = {
     import graft.ext.SampleOps.{A, B, P}
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -2173,7 +2181,7 @@ object VectorOps {
       .filter(col("cos") >= nearDupThreshold)
       .select("id_a", "id_b").persist()
     val ids = samp.select("vec_id")
-    val lsh = embedLsh(spark, sfDir)
+    val lsh = pairs
       .join(ids.withColumnRenamed("vec_id", "id_a"), Seq("id_a"),
         "left_semi")
       .join(ids.withColumnRenamed("vec_id", "id_b"), Seq("id_b"),
@@ -2190,10 +2198,9 @@ object VectorOps {
     Canon.materialized(Canon.canonicalize(out), samp, exact, lsh)
   }
 
-  val embedRecallOracle: String = {
+  private def embedRecallTailSql(pairsCte: String): String = {
     import graft.ext.SampleOps.{A, B, P}
-    s"""WITH $signLshCtes,
-       |ekeyed AS (
+    s"""ekeyed AS (
        |  SELECT vec_id, v, ((vec_id % $P) * $A + $B) % $P AS h FROM e),
        |esamp AS MATERIALIZED (
        |  SELECT vec_id, v FROM ekeyed
@@ -2203,7 +2210,7 @@ object VectorOps {
        |  FROM esamp x JOIN esamp y ON x.vec_id < y.vec_id
        |  WHERE ${cosSql("x.v", "y.v")} >= $nearDupThreshold),
        |ebp AS MATERIALIZED (
-       |  SELECT s.id_a, s.id_b FROM slp s
+       |  SELECT s.id_a, s.id_b FROM $pairsCte s
        |  JOIN esamp a ON s.id_a = a.vec_id
        |  JOIN esamp b ON s.id_b = b.vec_id)
        |SELECT
@@ -2217,4 +2224,91 @@ object VectorOps {
        |           / CAST((SELECT count(*) FROM eexact) AS DOUBLE)
        |    ELSE 1.0 END AS recall""".stripMargin
   }
+
+  val embedRecallOracle: String =
+    s"""WITH $signLshCtes,
+       |${embedRecallTailSql("slp")}""".stripMargin
+
+  /** MULTI-PROBE sign-LSH — the recall lever [[embedRecall]] prices:
+    * besides its exact bucket, each (vec, band) also probes the 8
+    * Hamming-1 neighbor buckets (one flipped sketch bit), the
+    * classic multi-probe LSH trade — ~9× candidate work for a
+    * per-band collision probability of p⁸ + 8p⁷(1−p) instead of p⁸
+    * (at the 0.4-cosine threshold: ~0.72 vs ~0.19 expected recall
+    * over 8 bands; [[embedRecallMultiProbe]] reports the realized
+    * lift). Exact verification unchanged; the probe expansion happens
+    * on capped cells only, so the mega-bucket bound still holds.
+    */
+  def embedLshMultiProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HyperplaneBuckets => HB}
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val banded = capSignBuckets(e.select(col("vec_id"),
+        posexplode(HB(col("v"))).as(Seq("band", "bucket"))))
+      .persist() // exact side + probe-expansion source
+    val probeKeys = col("bucket") +: (0 until HB.bitsPerBand)
+      .map(b => col("bucket").bitwiseXOR(lit(1 << b)))
+    val probes = banded.select(col("vec_id"), col("band"),
+      explode(array(probeKeys: _*)).as("bucket"))
+    val candidates = probes.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
+      .distinct()
+    val withVecs = candidates
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")),
+        Seq("id_b"))
+    Canon.materialized(
+      Canon.canonicalize(withVecs
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= nearDupThreshold)
+        .select("id_a", "id_b", "cos")),
+      e, banded)
+  }
+
+  /** CTE suffix: multi-probe candidates + verify, ending at `mpp`. */
+  private def multiProbeCtes: String = {
+    import graft.functions.{HyperplaneBuckets => HB}
+    s"""mprob AS (
+       |  SELECT vec_id, band,
+       |         CASE WHEN k = 0 THEN bucket
+       |              ELSE xor(bucket, 1 << CAST(k - 1 AS INT)) END
+       |           AS bucket
+       |  FROM keptb, range(0, ${HB.bitsPerBand + 1}) t(k)),
+       |mcand AS (
+       |  SELECT DISTINCT least(p.vec_id, q.vec_id) AS id_a,
+       |         greatest(p.vec_id, q.vec_id) AS id_b
+       |  FROM mprob p JOIN keptb q
+       |    ON p.band = q.band AND p.bucket = q.bucket
+       |       AND p.vec_id <> q.vec_id),
+       |mpp AS MATERIALIZED (
+       |  SELECT id_a, id_b, cos FROM (
+       |    SELECT c.id_a, c.id_b, ${cosSql("ea.v", "eb.v")} AS cos
+       |    FROM mcand c JOIN e ea ON c.id_a = ea.vec_id
+       |                 JOIN e eb ON c.id_b = eb.vec_id)
+       |  WHERE cos >= $nearDupThreshold)""".stripMargin
+  }
+
+  val embedLshMultiProbeOracle: String =
+    s"""WITH $signLshCtes,
+       |$multiProbeCtes
+       |SELECT id_a, id_b, cos FROM mpp""".stripMargin
+
+  /** The multi-probe recall row — same sample, same exact side as
+    * [[embedRecall]]: the realized recall lift of probing Hamming-1
+    * neighbor buckets, next to its ~9× candidate cost.
+    */
+  def embedRecallMultiProbe(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    embedRecallFrom(spark, sfDir, embedLshMultiProbe(spark, sfDir))
+
+  val embedRecallMultiProbeOracle: String =
+    s"""WITH $signLshCtes,
+       |$multiProbeCtes,
+       |${embedRecallTailSql("mpp")}""".stripMargin
 }

@@ -571,4 +571,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(nExact == exact.size && nLsh == lsh.size &&
       nCommon == exact.intersect(lsh).size)
   }
+
+  test("multi-probe sign-LSH: superset of single-probe, measured recall lift") {
+    val single = VectorOps.embedLsh(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = VectorOps.embedLshMultiProbe(spark, sfDir)
+    val multiPairs = multi.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    // the exact bucket is probe k=0, so single-probe pairs are a subset
+    assert(single.subsetOf(multiPairs),
+      s"lost pairs: ${single.diff(multiPairs)}")
+    assert(multiPairs.size > single.size,
+      "multi-probe found nothing new on the fixture")
+    // every emitted pair still passed the exact verify
+    assert(multi.filter(col("cos") < VectorOps.nearDupThreshold)
+      .count() == 0)
+    // the recall row moves in the right direction
+    val r1 = VectorOps.embedRecall(spark, sfDir)
+      .select("recall").as[Double].head()
+    val r2 = VectorOps.embedRecallMultiProbe(spark, sfDir)
+      .select("recall").as[Double].head()
+    assert(r2 >= r1, s"multi-probe recall $r2 below single-probe $r1")
+    assert(r2 > r1, "fixture shows no lift — probe expansion inert")
+  }
 }
