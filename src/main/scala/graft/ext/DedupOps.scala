@@ -1694,6 +1694,14 @@ object DedupOps {
                                 (batchId: Long): String =
     s"${baseDir}__feed_$feedTag/g$batchId"
 
+  /** Retire old LSH admission generations ([[graft.io.Generations]]
+    * retention contract; completeness = the index's own three-table
+    * SUCCESS gate).
+    */
+  def lshFeedGc(sfDir: String, feedTag: String, keepLast: Int): Seq[Long] =
+    graft.io.Generations.gc(lshIndexDir(sfDir), feedTag, keepLast,
+      indexDone)
+
   /** Ingest-time NEAR-dup ADMISSION step — the LSH analogue of
     * [[graft.ext.LedgerOps.shaLedgerAdmit]], completing the admission
     * pair (exact + near) the way the batch ledger completes it beside

@@ -412,7 +412,14 @@ object SketchOps {
     }
 
   private[ext] def hllGenDir(base: String, feedTag: String)(
-      id: Long): String = s"${base}_feed_${feedTag}_gen$id"
+      id: Long): String = s"${base}__feed_$feedTag/g$id"
+
+  /** Retire old sketch generations — the [[graft.io.Generations]]
+    * retention contract with parquet-_SUCCESS completeness.
+    */
+  def hllGc(sfDir: String, feedTag: String, keepLast: Int): Seq[Long] =
+    graft.io.Generations.gc(hllBaseDir(sfDir), feedTag, keepLast,
+      dir => new java.io.File(s"$dir/_SUCCESS").exists())
 
   /** Streaming CARDINALITY fold — the ingest dashboard's "how many
     * distinct grams has this corpus seen, as of this batch" row,

@@ -105,4 +105,33 @@ class HllFoldSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == want)
   }
+
+  test("generation GC: keeps the head, deletes the tail, bounds replay loudly") {
+    val feed = s"hllgc${System.nanoTime()}"
+    def fold(b: Seq[(Long, String, String)], id: Long) =
+      SketchOps.hllFold(spark, sfDir, feed, df(b), id)
+    fold(b0, 0L); fold(b1, 1L)
+    fold(Seq((920000009L, "en",
+      (1 to 20).map(i => s"hfd${i}tok").mkString(" "))), 2L)
+    val base = SketchOps.hllBaseDir(sfDir)
+    assert(graft.io.Generations.list(base, feed) == Seq(0L, 1L, 2L))
+
+    val deleted = SketchOps.hllGc(sfDir, feed, keepLast = 1)
+    assert(deleted == Seq(0L, 1L))
+    assert(graft.io.Generations.list(base, feed) == Seq(2L))
+
+    // the head still folds forward
+    val s3 = fold(Seq((920000010L, "en",
+      (1 to 20).map(i => s"hfe${i}tok").mkString(" "))), 3L)
+    assert(s3.collect().nonEmpty)
+    // a replay deeper than the retention fails LOUDLY, never silently
+    val e = intercept[IllegalArgumentException] {
+      fold(b1, 1L)
+    }
+    assert(e.getMessage.contains("chain broken"))
+    // GC is idempotent and never touches the base sketch
+    assert(SketchOps.hllGc(sfDir, feed, keepLast = 1).isEmpty ||
+      SketchOps.hllGc(sfDir, feed, keepLast = 1).isEmpty)
+    assert(new java.io.File(s"$base/_SUCCESS").exists())
+  }
 }
