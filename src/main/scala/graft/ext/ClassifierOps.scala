@@ -321,8 +321,10 @@ object ClassifierOps {
            | AS BIGINT)""".stripMargin.replace("\n", "")))
       .withColumn("bucket", expr(s"p_fp * $calibBuckets div $calibScale"))
     val byBucket = withP.groupBy("bucket").agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("y").cast("long")).as("n_pos"))
+        count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_pos"))
+      .persist() // ≤10 rows, but its lineage is the whole classifier
+                 // chain — totals and the sweep must not re-train
     val tot = byBucket.agg(sum("n_docs").as("td"), sum("n_pos").as("tpa"))
     val grid = spark.range(calibBuckets).select(col("id").as("k"))
     val sweep = grid.join(byBucket, col("bucket") >= col("k"), "left")
@@ -338,12 +340,14 @@ object ClassifierOps {
         when(col("precision") + col("recall") === 0.0, lit(0.0))
           .otherwise(lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
-    Canon.canonicalize(sweep.select(col("k"),
-      (col("k") * (calibScale / calibBuckets)).as("thr_fp"),
-      col("tp"), (col("n_above") - col("tp")).as("fp"),
-      (col("tpa") - col("tp")).as("fn"),
-      (col("td") - col("n_above")).as("tn"),
-      col("precision"), col("recall"), col("f1")))
+    Canon.materialized(
+      Canon.canonicalize(sweep.select(col("k"),
+        (col("k") * (calibScale / calibBuckets)).as("thr_fp"),
+        col("tp"), (col("n_above") - col("tp")).as("fp"),
+        (col("tpa") - col("tp")).as("fn"),
+        (col("td") - col("n_above")).as("tn"),
+        col("precision"), col("recall"), col("f1"))),
+      byBucket)
   }
 
   /** q_quality_classifier_ref: the INDEPENDENT-signal variant — same
