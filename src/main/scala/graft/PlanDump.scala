@@ -114,7 +114,13 @@ object PlanDump {
       "embed_decontaminate" ->
         (() => ext.VectorOps.embedDecontaminate(spark, sf)),
       "bitext_mine" -> (() => ext.BitextOps.bitextMine(spark, sf)),
-      "hll_distinct" -> (() => ext.SketchOps.hllDistinct(spark, sf)))
+      "hll_distinct" -> (() => ext.SketchOps.hllDistinct(spark, sf)),
+      "min_k_prob" -> (() => ext.LmOps.minKProb(spark, sf)),
+      "classifier_pr" -> (() => ext.ClassifierOps.classifierPr(spark, sf)),
+      "lsh_cost" -> (() => ext.DedupOps.lshCostCensus(spark, sf)),
+      "kanon_release" -> (() => ext.GovernanceOps.kanonRelease(spark, sf)),
+      "pca_project" -> (() => ext.VectorOps.pcaProject(spark, sf)),
+      "embed_lsh_mp" -> (() => ext.VectorOps.embedLshMultiProbe(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =
