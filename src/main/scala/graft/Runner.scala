@@ -244,15 +244,41 @@ object Runner {
         "customer_sales_report" ->
           (() => CustomerSalesReport(spark, sfDir).count()))
 
+    // the MAINTENANCE chain: retire feed generations past the retention
+    // depth across every admission-fold family (Generations contract:
+    // retention bounds replay depth, deeper replays fail loudly).
+    // SPARK_GRAFT_GC_KEEP overrides the default depth of 3.
+    val gcKeep = sys.env.get("SPARK_GRAFT_GC_KEEP").map(_.toInt).getOrElse(3)
+    def gcCount(m: Map[String, Seq[Long]]): Long = {
+      m.foreach { case (tag, ids) =>
+        println(s"[runner] gc: feed '$tag' retired gens ${ids.mkString(",")}")
+      }
+      m.values.map(_.size.toLong).sum
+    }
+    val maintenance: Seq[(String, () => Long)] = Seq(
+      "gc_lsh_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
+        ext.DedupOps.lshIndexDir(sfDir), gcKeep,
+        dir => Seq("bands", "shingles", "sigs").forall(t =>
+          new java.io.File(s"$dir/$t/_SUCCESS").exists())))),
+      "gc_sha_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
+        ext.LedgerOps.ledgerDir(sfDir), gcKeep,
+        dir => Seq("rows", "groups").forall(t =>
+          new java.io.File(s"$dir/$t/_SUCCESS").exists())))),
+      "gc_hll_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
+        ext.SketchOps.hllBaseDir(sfDir), gcKeep,
+        dir => new java.io.File(s"$dir/_SUCCESS").exists()))))
+
     val tasks = chain match {
       case "daily" => daily
       case "corpus" => corpus
       case "incremental" => incremental
       case "publish" => publish
       case "backfill" => backfill
+      case "maintenance" => maintenance
       case other =>
         System.err.println(s"[runner] unknown chain '$other' " +
-          "(expected daily|corpus|incremental|publish|backfill)")
+          "(expected daily|corpus|incremental|publish|backfill|" +
+          "maintenance)")
         spark.stop(); sys.exit(2); Seq.empty
     }
 

@@ -1312,7 +1312,7 @@ object DedupOps {
     */
   private def lshIndexRoot = s"${graft.io.Artifacts.root}/lsh_index"
 
-  private[ext] def lshIndexDir(sfDir: String): String = {
+  private[graft] def lshIndexDir(sfDir: String): String = {
     val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
     // every parameter the stored bands/shingles depend on goes into the

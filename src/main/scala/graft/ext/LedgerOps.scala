@@ -47,7 +47,7 @@ object LedgerOps {
   /** Stamped base-ledger dir: fixture fingerprint + slice params, so a
     * data or parameter change misses the old artifact.
     */
-  private[ext] def ledgerDir(sfDir: String): String = {
+  private[graft] def ledgerDir(sfDir: String): String = {
     val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
     s"$ledgerRootDir/${tag}_$fp"
@@ -294,6 +294,13 @@ object LedgerOps {
   private[ext] def feedGenDir(baseDir: String, feedTag: String)
                              (batchId: Long): String =
     s"${baseDir}__feed_$feedTag/g$batchId"
+
+  /** Retire old SHA-ledger admission generations
+    * ([[graft.io.Generations]] retention contract; completeness = the
+    * ledger's own rows/groups SUCCESS gate).
+    */
+  def feedGc(sfDir: String, feedTag: String, keepLast: Int): Seq[Long] =
+    graft.io.Generations.gc(ledgerDir(sfDir), feedTag, keepLast, done)
 
   // ---- gated lifecycle queries ---------------------------------------
 

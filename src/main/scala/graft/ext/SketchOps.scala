@@ -388,7 +388,7 @@ object SketchOps {
   /** Fingerprinted base-sketch dir — the lshIndexDir rule: any fixture
     * change misses the old artifact.
     */
-  private[ext] def hllBaseDir(sfDir: String): String = {
+  private[graft] def hllBaseDir(sfDir: String): String = {
     val fp = graft.io.Fingerprint.ofPath(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
     s"target/hll_index/${tag}_m${hllRegM}_w${hllRegW}_$fp"

@@ -24,6 +24,28 @@ object Generations {
   private def feedDir(baseDir: String, feedTag: String): File =
     new File(s"${baseDir}__feed_$feedTag")
 
+  /** Feed tags that have generation chains beside this base artifact
+    * (feed dirs are SIBLINGS of the base, named
+    * `<base>__feed_<tag>`).
+    */
+  def feeds(baseDir: String): Seq[String] = {
+    val base = new File(baseDir)
+    val prefix = base.getName + "__feed_"
+    Option(Option(base.getParentFile).getOrElse(new File("."))
+        .listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getName.drop(prefix.length)).sorted
+  }
+
+  /** [[gc]] across every feed of a base artifact — the scheduled-
+    * maintenance form. Returns deleted ids per feed tag.
+    */
+  def gcAll(baseDir: String, keepLast: Int,
+            complete: String => Boolean): Map[String, Seq[Long]] =
+    feeds(baseDir).map(tag =>
+      tag -> gc(baseDir, tag, keepLast, complete))
+      .filter(_._2.nonEmpty).toMap
+
   /** Generation ids present under the feed dir, sorted ascending;
     * incomplete ones (by the caller's predicate) included — callers
     * see crash debris too.
