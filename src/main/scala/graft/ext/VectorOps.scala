@@ -1840,12 +1840,13 @@ object VectorOps {
     */
   val pcaRenormBits = 20
 
-  /** Loud BIGINT ceiling for the Gram accumulation: N·(3.5·10⁶)² must
-    * clear Long range with headroom. Past this, widen the accumulator
-    * to DECIMAL — the ×100-posture overflow lesson applied as a
-    * fail-fast instead of silent wraparound.
+  /** Coarse quantization scale — the documented widening path past the
+    * Long ceiling: dropping the scale 10³× buys 10⁶× headroom in the
+    * Gram sums at the cost of coarser quantization, and the spec
+    * proves the found direction agrees with the fine scale's
+    * (cos ≥ 0.999 on the fixture).
     */
-  val pcaMaxVectors = 500000L
+  val pcaScaleCoarse = 1000L
 
   private def bitLen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x).toInt
 
@@ -1883,6 +1884,7 @@ object VectorOps {
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (_, w, norm, ray) = pcaModel(spark, sfDir)
+    // (identical arithmetic to the oracle at pcaScale = 10^6)
     val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
     Canon.canonicalize(
       (0 until pcaDim).map(i =>
@@ -1895,37 +1897,55 @@ object VectorOps {
     * [[pcaProject]] share so the arithmetic exists once.
     */
   private[ext] def pcaModel(spark: SparkSession, sfDir: String)
+      : (Array[Long], Array[Long], Double, Long) =
+    pcaModelAt(spark, sfDir, pcaScale)
+
+  /** [[pcaModel]] at an explicit quantization scale. Overflow safety is
+    * an exact POST-HOC CERTIFICATE, not a guessed constant: the Gram
+    * pass also tracks the max |quantized component| and the row count —
+    * both small counters a wrapped sum cannot corrupt — and every Gram
+    * entry is bounded by n·maxq², so `n·maxq² ≤ Long.Max/2` proves no
+    * accumulation wrapped. Past the ceiling, callers drop to
+    * [[pcaScaleCoarse]] (10⁶× more headroom; direction agreement
+    * spec-pinned) — coarser quantization IS the widening, no DECIMAL
+    * shuffle needed.
+    */
+  private[ext] def pcaModelAt(spark: SparkSession, sfDir: String,
+                              scale: Long)
       : (Array[Long], Array[Long], Double, Long) = {
     import spark.implicits._
     val q = embeddings(spark, sfDir)
       .select(transform(asDouble(col("embedding")),
-        x => floor(x * pcaScale.toDouble)).as("qv"))
+        x => floor(x * scale.toDouble)).as("qv"))
       .as[Seq[Long]]
     val partials = q.mapPartitions { it =>
       val acc = new Array[Long](pcaDim * pcaDim)
       var n = 0L
+      var maxq = 0L
       it.foreach { v =>
         require(v.length == pcaDim, s"expected $pcaDim dims, got ${v.length}")
         val a = v.toArray
         var i = 0
         while (i < pcaDim) {
+          if (math.abs(a(i)) > maxq) maxq = math.abs(a(i))
           var j = 0
           while (j < pcaDim) { acc(i * pcaDim + j) += a(i) * a(j); j += 1 }
           i += 1
         }
         n += 1L
       }
-      Iterator.single((acc, n))
+      Iterator.single((acc, n, maxq))
     }
-    val (g, nVecs) = partials.reduce { (x, y) =>
+    val (g, nVecs, maxQ) = partials.reduce { (x, y) =>
       val merged = new Array[Long](pcaDim * pcaDim)
       var k = 0
       while (k < merged.length) { merged(k) = x._1(k) + y._1(k); k += 1 }
-      (merged, x._2 + y._2)
+      (merged, x._2 + y._2, math.max(x._3, y._3))
     }
-    require(nVecs <= pcaMaxVectors,
-      s"$nVecs vectors: Gram accumulation needs a DECIMAL widening " +
-        s"past $pcaMaxVectors (Long overflow ceiling)")
+    require(BigInt(nVecs) * maxQ * maxQ <= BigInt(Long.MaxValue / 2),
+      s"Gram certificate failed: $nVecs vectors at max|q|=$maxQ " +
+        s"could exceed Long range — retrain at a coarser scale " +
+        s"(pcaScaleCoarse = $pcaScaleCoarse buys 10^6x headroom)")
 
     // model-sized driver arithmetic from here on (the centroid-sync rule)
     val w = dominantVec(g)

@@ -594,4 +594,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(r2 >= r1, s"multi-probe recall $r2 below single-probe $r1")
     assert(r2 > r1, "fixture shows no lift — probe expansion inert")
   }
+
+  test("coarse-scale PCA (the overflow widening path) finds the same direction") {
+    val (_, wf, nf, rayF) = VectorOps.pcaModel(spark, sfDir)
+    val (_, wc, nc, rayC) =
+      VectorOps.pcaModelAt(spark, sfDir, VectorOps.pcaScaleCoarse)
+    val fine = wf.map(_ / nf)
+    val coarse = wc.map(_ / nc)
+    val cos = math.abs(fine.zip(coarse).map { case (a, b) => a * b }.sum)
+    assert(cos >= 0.999, s"coarse-scale direction diverges: cos $cos")
+    // eigenvalues live on different fixed-point scales; compare in
+    // embedding units
+    val lf = rayF.toDouble / (VectorOps.pcaScale.toDouble *
+      VectorOps.pcaScale.toDouble)
+    val lc = rayC.toDouble / (VectorOps.pcaScaleCoarse.toDouble *
+      VectorOps.pcaScaleCoarse.toDouble)
+    assert(math.abs(lf - lc) / lf < 0.01, s"lambda $lf vs coarse $lc")
+  }
 }
