@@ -262,6 +262,9 @@ object SparkEntry {
       ((s, dir) => ext.VectorOps.embedLshMultiProbe(s, dir)),
     "q_embed_recall_mp" ->
       ((s, dir) => ext.VectorOps.embedRecallMultiProbe(s, dir)),
+    // decontamination with bench-side multi-probe (broadcast side ×9)
+    "q_embed_decontaminate_mp" ->
+      ((s, dir) => ext.VectorOps.embedDecontaminateMultiProbe(s, dir)),
     "q_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     // IVF-SQ8: int8-coded index, asymmetric coarse scan, exact rescore
     "q_ann_ivf_sq8" -> ((s, dir) => VectorOps.annIvfSq8(s, dir)),
@@ -517,6 +520,8 @@ object SparkEntry {
     "q_embed_recall" -> ext.VectorOps.embedRecallOracle,
     "q_embed_lsh_mp" -> ext.VectorOps.embedLshMultiProbeOracle,
     "q_embed_recall_mp" -> ext.VectorOps.embedRecallMultiProbeOracle,
+    "q_embed_decontaminate_mp" ->
+      ext.VectorOps.embedDecontaminateMultiProbeOracle,
     "q_events_daily" -> EventOps.eventsDailyOracle,
     "q_events_sessions" -> EventOps.eventsSessionsOracle,
     "q_funnel" -> EventOps.funnelOracle,

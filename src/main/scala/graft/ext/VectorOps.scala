@@ -340,18 +340,43 @@ object VectorOps {
     * in LSH recall, exact in verification — and fully oracled because
     * the hyperplanes are the deterministic twin-family arithmetic.
     */
-  def embedDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+  def embedDecontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    embedDecontaminateCore(spark, sfDir, multiProbe = false)
+
+  /** Hamming-1 multi-probe variant: the probe expansion runs on the
+    * BENCHMARK side — the eval-sized, broadcast side — so the extra
+    * recall (the side where recall matters most: a missed leak trains
+    * on the eval set) costs a ×9 on a table that was already
+    * negligible, and the corpus still never shuffles.
+    */
+  def embedDecontaminateMultiProbe(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    embedDecontaminateCore(spark, sfDir, multiProbe = true)
+
+  private def embedDecontaminateCore(spark: SparkSession, sfDir: String,
+                                     multiProbe: Boolean): DataFrame = {
+    import graft.functions.{HyperplaneBuckets => HB}
     val isBench = col("vec_id") % decontamBenchMod === decontamBenchRes
     val e = embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist() // sketch pass + verify attach, both sides
     val banded = capSignBuckets(e.select(col("vec_id"),
-        posexplode(graft.functions.HyperplaneBuckets(col("v")))
+        posexplode(HB(col("v")))
           .as(Seq("band", "bucket"))))
       .persist() // corpus and bench candidate sides
+    val benchSide = {
+      val base = banded.filter(isBench)
+        .withColumnRenamed("vec_id", "bench_id")
+      if (!multiProbe) base
+      else {
+        val probeKeys = col("bucket") +: (0 until HB.bitsPerBand)
+          .map(b => col("bucket").bitwiseXOR(lit(1 << b)))
+        base.select(col("bench_id"), col("band"),
+          explode(array(probeKeys: _*)).as("bucket"))
+      }
+    }
     val candidates = banded.filter(!isBench).as("c")
-      .join(broadcast(banded.filter(isBench)
-          .withColumnRenamed("vec_id", "bench_id").as("b")),
+      .join(broadcast(benchSide.as("b")),
         col("c.band") === col("b.band") &&
           col("c.bucket") === col("b.bucket"))
       .select(col("c.vec_id").as("vec_id"), col("bench_id"))
@@ -374,8 +399,20 @@ object VectorOps {
     * corpus×bench candidate join, exact cosine verify, and rank-1
     * argmax as [[embedDecontaminate]].
     */
-  val embedDecontaminateOracle: String = {
+  val embedDecontaminateOracle: String = decontamOracleAt(multiProbe = false)
+
+  val embedDecontaminateMultiProbeOracle: String =
+    decontamOracleAt(multiProbe = true)
+
+  private def decontamOracleAt(multiProbe: Boolean): String = {
     import graft.functions.{HyperplaneBuckets => HB}
+    val benchSide =
+      if (!multiProbe) "keptb"
+      else s"""(SELECT vec_id, band,
+         |     CASE WHEN k = 0 THEN bucket
+         |          ELSE xor(bucket, 1 << CAST(k - 1 AS INT)) END AS bucket
+         |   FROM keptb, range(0, ${HB.bitsPerBand + 1}) t(k))"""
+        .stripMargin
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -397,7 +434,7 @@ object VectorOps {
        |    ON bk.band = kc.band AND bk.bucket = kc.bucket),
        |cand AS (
        |  SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
-       |  FROM keptb c JOIN keptb b
+       |  FROM keptb c JOIN $benchSide b
        |    ON c.band = b.band AND c.bucket = b.bucket
        |  WHERE b.vec_id % $decontamBenchMod = $decontamBenchRes
        |    AND c.vec_id % $decontamBenchMod <> $decontamBenchRes),
