@@ -249,6 +249,9 @@ object SparkEntry {
     "q_lsh_cost" -> ((s, dir) => ext.DedupOps.lshCostCensus(s, dir)),
     // k-anonymity release: under-k source cells fold into __other__
     "q_kanon_release" -> ((s, dir) => ext.GovernanceOps.kanonRelease(s, dir)),
+    // the streaming cardinality fold itself, oracle-gated via a
+    // deterministic two-batch feed
+    "q_hll_fold_gate" -> ((s, dir) => ext.SketchOps.hllFoldGate(s, dir)),
     // dominant principal component by exact-integer matrix squaring
     "q_pca_power" -> ((s, dir) => ext.VectorOps.pcaPower(s, dir)),
     // per-doc projection onto the dominant component (outlier axis)
@@ -514,6 +517,7 @@ object SparkEntry {
     "q_min_k_prob" -> ext.LmOps.minKProbOracle,
     "q_lsh_cost" -> ext.DedupOps.lshCostCensusOracle,
     "q_kanon_release" -> ext.GovernanceOps.kanonReleaseOracle,
+    "q_hll_fold_gate" -> ext.SketchOps.hllFoldGateOracle,
     "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,
     "q_pca_top2" -> ext.VectorOps.pcaTop2Oracle,

@@ -461,4 +461,77 @@ object SketchOps {
         .select("batch_id", "lang", "n_registers", "n_zero",
           "max_rank", "denom", "est_raw"))
   }
+
+  /** GATED twin of the streaming fold: a deterministic two-batch feed
+    * (each half of the corpus re-enters with a per-batch token prefix,
+    * so every batch contributes fresh grams) folds into the "gate"
+    * feed chain, and the per-batch running summaries are the output —
+    * which makes the STREAMING cardinality path itself
+    * oracle-hash-checked, not just spec'd: the oracle recomputes each
+    * generation as the from-scratch sketch of corpus ∪ feed-prefix
+    * (the merge law the spec proves is what makes that equality
+    * valid). SUCCESS-gated generations make re-runs byte-identical.
+    */
+  def hllFoldGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = TextOps.documents(spark, sfDir)
+    def batch(k: Int) = docs.filter(col("doc_id") % 2 === k)
+      .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"),
+        concat(lit(s"hfgate$k "), col("text")).as("text"))
+    Canon.canonicalize(
+      hllFold(spark, sfDir, "gate", batch(0), 0L)
+        .union(hllFold(spark, sfDir, "gate", batch(1), 1L)))
+  }
+
+  /** Register + summary CTE chain over a docs relation `$docsSql`
+    * (must expose doc_id, lang, text), names prefixed `$pre` — ends at
+    * `${pre}summ` (lang, n_registers, max_rank, denom_hit).
+    */
+  private def hllSummCtes(pre: String, docsSql: String): String = {
+    val g = CurationOps.decontGramTokens
+    s"""${pre}nd AS (
+       |  SELECT doc_id, lang, ${CurationOps.toksSql} AS toks
+       |  FROM ($docsSql)),
+       |${pre}grams AS (
+       |  SELECT lang,
+       |    array_to_string(list_slice(toks, i, i + ${g - 1}), ' ') AS gram
+       |  FROM ${pre}nd, unnest(range(1, len(toks) - ${g - 2})) AS r(i)),
+       |${pre}hashed AS (
+       |  SELECT lang, ${hllIdxSql("md5(gram)")} AS idx,
+       |         ${hllV40Sql("md5(gram)")} AS v
+       |  FROM ${pre}grams),
+       |${pre}regs AS (
+       |  SELECT lang, idx,
+       |         max(CASE WHEN v = 0 THEN $hllMaxRank
+       |             ELSE $hllMaxRank - length(bin(v)) END) AS rank
+       |  FROM ${pre}hashed GROUP BY 1, 2),
+       |${pre}summ AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
+       |         CAST(max(rank) AS BIGINT) AS max_rank,
+       |         CAST(sum(CAST(1 AS BIGINT) << ($hllMaxRank - rank))
+       |              AS BIGINT) AS denom_hit
+       |  FROM ${pre}regs GROUP BY 1)""".stripMargin
+  }
+
+  private def hllGateArm(pre: String, batchId: Int): String =
+    s"""SELECT CAST($batchId AS BIGINT) AS batch_id, lang, n_registers,
+       |       $hllRegM - n_registers AS n_zero, max_rank,
+       |       denom_hit + ($hllRegM - n_registers) * ${1L << 41} AS denom,
+       |       $hllAlphaScaled /
+       |         CAST(denom_hit + ($hllRegM - n_registers) *
+       |              ${1L << 41} AS DOUBLE) AS est_raw
+       |FROM ${pre}summ""".stripMargin
+
+  val hllFoldGateOracle: String = {
+    def feed(k: Int) =
+      s"""SELECT doc_id, lang, 'hfgate$k ' || text AS text
+         | FROM documents WHERE doc_id % 2 = $k""".stripMargin
+    s"""WITH ${hllSummCtes("g0",
+        s"SELECT doc_id, lang, text FROM documents UNION ALL ${feed(0)}")},
+       |${hllSummCtes("g1",
+        s"SELECT doc_id, lang, text FROM documents UNION ALL ${feed(0)}" +
+          s" UNION ALL ${feed(1)}")}
+       |${hllGateArm("g0", 0)}
+       |UNION ALL
+       |${hllGateArm("g1", 1)}""".stripMargin
+  }
 }
