@@ -237,6 +237,9 @@ object SparkEntry {
       ((s, dir) => VectorOps.embedDecontaminate(s, dir)),
     // margin-based bitext mining (ratio margin over sign-LSH candidates)
     "q_bitext_mine" -> ((s, dir) => ext.BitextOps.bitextMine(s, dir)),
+    "q_bitext_recall" -> ((s, dir) => ext.BitextOps.bitextRecall(s, dir)),
+    "q_bitext_recall_mp" ->
+      ((s, dir) => ext.BitextOps.bitextRecallMultiProbe(s, dir)),
     // register-explicit HLL over the gram key space, fully oracle-gated
     "q_hll_distinct" -> ((s, dir) => ext.SketchOps.hllDistinct(s, dir)),
     // four doc-shard sketches merged by pointwise max ≡ whole-corpus
@@ -510,6 +513,8 @@ object SparkEntry {
     "q_embed_lsh" -> VectorOps.embedLshOracle,
     "q_embed_decontaminate" -> VectorOps.embedDecontaminateOracle,
     "q_bitext_mine" -> ext.BitextOps.bitextMineOracle,
+    "q_bitext_recall" -> ext.BitextOps.bitextRecallOracle,
+    "q_bitext_recall_mp" -> ext.BitextOps.bitextRecallMultiProbeOracle,
     "q_hll_distinct" -> ext.SketchOps.hllDistinctOracle,
     // the merged sketch must equal the NEVER-sharded oracle
     "q_hll_merged" -> ext.SketchOps.hllDistinctOracle,
