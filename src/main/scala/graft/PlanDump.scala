@@ -120,7 +120,10 @@ object PlanDump {
       "lsh_cost" -> (() => ext.DedupOps.lshCostCensus(spark, sf)),
       "kanon_release" -> (() => ext.GovernanceOps.kanonRelease(spark, sf)),
       "pca_project" -> (() => ext.VectorOps.pcaProject(spark, sf)),
-      "embed_lsh_mp" -> (() => ext.VectorOps.embedLshMultiProbe(spark, sf)))
+      "embed_lsh_mp" -> (() => ext.VectorOps.embedLshMultiProbe(spark, sf)),
+      "bitext_recall" -> (() => ext.BitextOps.bitextRecall(spark, sf)),
+      "semantic_dedup_abtt" ->
+        (() => ext.VectorOps.semanticDedupAbtt(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

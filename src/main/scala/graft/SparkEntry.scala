@@ -261,6 +261,9 @@ object SparkEntry {
     "q_pca_project" -> ((s, dir) => ext.VectorOps.pcaProject(s, dir)),
     // top-2 components via integer deflation of the Gram
     "q_pca_top2" -> ((s, dir) => ext.VectorOps.pcaTop2(s, dir)),
+    "q_pca_topk" -> ((s, dir) => ext.VectorOps.pcaTopk(s, dir)),
+    "q_semantic_dedup_abtt" ->
+      ((s, dir) => ext.VectorOps.semanticDedupAbtt(s, dir)),
     // sign-LSH recall vs exact cosine on a bounded hash sample
     "q_embed_recall" -> ((s, dir) => ext.VectorOps.embedRecall(s, dir)),
     // Hamming-1 multi-probe variant: ~9x candidates, measured lift
@@ -526,6 +529,8 @@ object SparkEntry {
     "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,
     "q_pca_top2" -> ext.VectorOps.pcaTop2Oracle,
+    "q_pca_topk" -> ext.VectorOps.pcaTopkOracle,
+    "q_semantic_dedup_abtt" -> ext.VectorOps.semanticDedupAbttOracle,
     "q_embed_recall" -> ext.VectorOps.embedRecallOracle,
     "q_embed_lsh_mp" -> ext.VectorOps.embedLshMultiProbeOracle,
     "q_embed_recall_mp" -> ext.VectorOps.embedRecallMultiProbeOracle,

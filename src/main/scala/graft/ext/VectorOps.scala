@@ -2149,55 +2149,239 @@ object VectorOps {
     * second eigenvector at all three SFs, |ĉ₁·ĉ₂| ≤ 10⁻⁶, λ₂ matching
     * numpy to 4+ digits). 128 rows: comp ∈ {1,2} × 64 dims.
     */
-  def pcaTop2(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (g, w1, norm1, ray1) = pcaModel(spark, sfDir)
-    val wtw1 = w1.map(x => x * x).sum
-    val g2 = Array.tabulate(pcaDim * pcaDim) { k =>
+  def pcaTop2(spark: SparkSession, sfDir: String): DataFrame =
+    pcaComponentRows(spark, sfDir, 2)
+
+  /** Integer deflation step — G′ = G − (λ·w·wᵀ) div wᵀw, entrywise
+    * truncating quotient (part of the operator definition, identical
+    * in both twins). Shared by [[pcaTop2]] and [[pcaTopk]].
+    */
+  private def deflate(g: Array[Long], w: Array[Long], ray: Long)
+      : Array[Long] = {
+    val wtw = w.map(x => x * x).sum
+    Array.tabulate(pcaDim * pcaDim) { k =>
       val (i, j) = (k / pcaDim, k % pcaDim)
-      val d = BigInt(ray1) * w1(i) * w1(j)
-      val q = (d.abs / wtw1).toLong
+      val d = BigInt(ray) * w(i) * w(j)
+      val q = (d.abs / wtw).toLong
       g(k) - (if (d.signum >= 0) q else -q)
     }
-    val w2 = dominantVec(g2)
-    val (norm2, ray2) = rayleighOf(g2, w2)
-    def rows(comp: Long, w: Array[Long], norm: Double, ray: Long) = {
-      val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
-      (0 until pcaDim).map(i =>
-        (comp, i.toLong, w(i), w(i).toDouble / norm, ray, lam))
-    }
-    Canon.canonicalize(
-      (rows(1L, w1, norm1, ray1) ++ rows(2L, w2, norm2, ray2))
-        .toDF("comp", "dim", "w", "component", "lam_fp", "lam"))
   }
 
-  val pcaTop2Oracle: String =
-    s"""WITH $pcaCtes,
-       |qg0 AS MATERIALIZED (
+  /** Top-`k` eigenpairs by iterated deflation: component 1 from the
+    * [[pcaModel]] seam (one corpus Gram pass, memoized arithmetic),
+    * each subsequent component from the deflated Gram through the same
+    * truncated-squaring chain. Model-sized driver arithmetic beyond
+    * the single Gram pass.
+    */
+  private[ext] def pcaModels(spark: SparkSession, sfDir: String, k: Int)
+      : Seq[(Array[Long], Double, Long)] = {
+    val (g0, w1, norm1, ray1) = pcaModel(spark, sfDir)
+    val out = Seq.newBuilder[(Array[Long], Double, Long)]
+    out += ((w1, norm1, ray1))
+    var g = g0
+    var w = w1
+    var ray = ray1
+    for (_ <- 2 to k) {
+      g = deflate(g, w, ray)
+      w = dominantVec(g)
+      val (norm, r) = rayleighOf(g, w)
+      ray = r
+      out += ((w, norm, r))
+    }
+    out.result()
+  }
+
+  private def pcaComponentRows(spark: SparkSession, sfDir: String,
+                               k: Int): DataFrame = {
+    import spark.implicits._
+    val models = pcaModels(spark, sfDir, k)
+    Canon.canonicalize(
+      models.zipWithIndex.flatMap { case ((w, norm, ray), c) =>
+        val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
+        (0 until pcaDim).map(i =>
+          ((c + 1).toLong, i.toLong, w(i), w(i).toDouble / norm, ray, lam))
+      }.toDF("comp", "dim", "w", "component", "lam_fp", "lam"))
+  }
+
+  /** Components reported by [[pcaTopk]]. Four is where this fixture's
+    * spectrum stops being separable by a 20-bit deflation ladder —
+    * see the pcaTopk scaladoc.
+    */
+  val pcaTopKComponents = 4
+
+  /** TOP-K PRINCIPAL COMPONENTS — [[pcaTop2]]'s integer-deflation
+    * ladder iterated to [[pcaTopKComponents]]: after extracting each
+    * eigenpair, the Gram deflates by the entrywise truncating quotient
+    * and the truncated-squaring chain re-runs. Each deflation leaves
+    * ~2⁻¹⁹·λ of residual energy along the removed direction, so the
+    * ladder is trustworthy while λ_{c+1} ≫ 2⁻¹⁹·Σλ_{≤c} — comfortably
+    * true for 4 components on this spectrum (spec: per-component
+    * cosine vs a float eigensolver ≥ 0.999, pairwise |ĉᵢ·ĉⱼ| ≤ 10⁻⁴,
+    * λ within 1%). 256 rows: comp ∈ {1..4} × 64 dims; the comp ∈
+    * {1,2} rows are byte-identical to [[pcaTop2]]'s by construction.
+    */
+  def pcaTopk(spark: SparkSession, sfDir: String): DataFrame =
+    pcaComponentRows(spark, sfDir, pcaTopKComponents)
+
+  /** Deflation CTE: `$outG` = `$srcG` − (λ·w·wᵀ) div wᵀw using the
+    * component chain prefixed `$compPre`.
+    */
+  private def deflateSql(srcG: String, compPre: String,
+                         outG: String): String =
+    s"""$outG AS MATERIALIZED (
        |  SELECT d.i, d.j,
        |         d.m - (CASE WHEN d.d >= 0
-       |                THEN CAST(d.d // pnorm.wtw AS BIGINT)
-       |                ELSE -CAST((-d.d) // pnorm.wtw AS BIGINT)
+       |                THEN CAST(d.d // ${compPre}norm.wtw AS BIGINT)
+       |                ELSE -CAST((-d.d) // ${compPre}norm.wtw AS BIGINT)
        |                END) AS m
        |  FROM (SELECT g.i, g.j, g.m,
-       |               CAST(pray.lam_fp AS HUGEINT) * a.w * b.w AS d
-       |        FROM pg0 g JOIN pw a ON a.dim = g.i
-       |                   JOIN pw b ON b.dim = g.j
-       |        CROSS JOIN pray) d
-       |  CROSS JOIN pnorm),
-       |${pcaChainSql("qg0", "q")},
-       |${pcaTailSql("qg0", "q")}
-       |SELECT CAST(1 AS BIGINT) AS comp, pw.dim, pw.w,
-       |       CAST(pw.w AS DOUBLE) / pnorm.nrm AS component,
-       |       pray.lam_fp,
-       |       CAST(pray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
-       |FROM pw, pnorm, pray
-       |UNION ALL
-       |SELECT CAST(2 AS BIGINT) AS comp, qw.dim, qw.w,
-       |       CAST(qw.w AS DOUBLE) / qnorm.nrm AS component,
-       |       qray.lam_fp,
-       |       CAST(qray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
-       |FROM qw, qnorm, qray""".stripMargin
+       |               CAST(${compPre}ray.lam_fp AS HUGEINT) * a.w * b.w AS d
+       |        FROM $srcG g JOIN ${compPre}w a ON a.dim = g.i
+       |                   JOIN ${compPre}w b ON b.dim = g.j
+       |        CROSS JOIN ${compPre}ray) d
+       |  CROSS JOIN ${compPre}norm)""".stripMargin
+
+  /** One component's output block from the chain prefixed `$p`. */
+  private def pcaCompSelect(c: Int, p: String): String =
+    s"""SELECT CAST($c AS BIGINT) AS comp, ${p}w.dim, ${p}w.w,
+       |       CAST(${p}w.w AS DOUBLE) / ${p}norm.nrm AS component,
+       |       ${p}ray.lam_fp,
+       |       CAST(${p}ray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
+       |FROM ${p}w, ${p}norm, ${p}ray""".stripMargin
+
+  /** Deflation-ladder CTE prefixes, in component order: component c
+    * uses prefix [[pcaLadderPrefixes]](c-1); its Gram is `pg0` for
+    * c = 1 and `<prefix>g0` after.
+    */
+  private val pcaLadderPrefixes = Seq("p", "q", "r", "s")
+
+  /** The full k-component oracle: [[pcaCtes]] (component 1), then per
+    * further component one deflation CTE + one squaring chain + tail.
+    */
+  private def pcaLadderOracle(k: Int): String = {
+    require(k <= pcaLadderPrefixes.length, s"no prefix for component $k")
+    val extra = (2 to k).map { c =>
+      val prev = pcaLadderPrefixes(c - 2)
+      val p = pcaLadderPrefixes(c - 1)
+      val srcG = if (c == 2) "pg0" else s"${prev}g0"
+      s"""${deflateSql(srcG, prev, s"${p}g0")},
+         |${pcaChainSql(s"${p}g0", p)},
+         |${pcaTailSql(s"${p}g0", p)}""".stripMargin
+    }
+    val selects = (1 to k)
+      .map(c => pcaCompSelect(c, pcaLadderPrefixes(c - 1)))
+      .mkString("\nUNION ALL\n")
+    s"""WITH $pcaCtes${if (extra.nonEmpty) ",\n" else ""}${extra
+        .mkString(",\n")}
+       |$selects""".stripMargin
+  }
+
+  val pcaTop2Oracle: String = pcaLadderOracle(2)
+
+  val pcaTopkOracle: String = pcaLadderOracle(pcaTopKComponents)
+
+  /** SEMANTIC DEDUP UNDER ALL-BUT-THE-TOP WHITENING — the published
+    * embedding post-processing (Mu & Viswanath 2018: subtract the
+    * dominant principal directions, which encode corpus-wide common
+    * variance rather than content) applied to the SemDeDup verdicts:
+    * same k-means bucket decomposition as [[semanticDedup]] (clusters
+    * exist for WORK decomposition, not truth — reusing them isolates
+    * exactly the whitening effect on the similarity test), but the
+    * intra-cluster near-dup verdict scores cos(v′ₐ, v′ᵦ) over
+    *
+    *   v′ = v − (v·ŵ₁)ŵ₁ − (v·ŵ₂)ŵ₂
+    *
+    * with ŵ₁, ŵ₂ the top-2 integer-PCA directions. The projections
+    * ride the [[pcaProject]] arithmetic — EXACT integer dots
+    * (order-independent), one double division each — and the
+    * per-element subtraction is the same left-associated double
+    * expression in both twins, so the whitened cosine is twin-exact.
+    *
+    * Scale shape: one Gram pass (memoized with the PCA family), the
+    * whitening is an elementwise map (no shuffle), and pairing stays
+    * intra-cluster/salted — the [[semanticDedup]] plan with 64
+    * codegen'd subtraction terms on top. Output: surviving
+    * (vec_id, bucket), same contract as [[semanticDedup]] — diffing
+    * the two survivor sets IS the anisotropy-correction report.
+    */
+  def semanticDedupAbtt(spark: SparkSession, sfDir: String): DataFrame = {
+    val models = pcaModels(spark, sfDir, 2)
+    val Seq((w1, n1, _), (w2, n2, _)) = models
+    val bucketed = bucketedAssignments(spark, sfDir).persist()
+    def fpDot(w: Array[Long]): Column = expr(
+      (0 until pcaDim).map(i => s"qv[$i] * ${w(i)}L").mkString(" + "))
+    val whitened = bucketed
+      .withColumn("qv",
+        transform(col("v"), x => floor(x * lit(pcaScale.toDouble))))
+      .withColumn("d1",
+        fpDot(w1).cast("double") / lit(n1 * pcaScale.toDouble))
+      .withColumn("d2",
+        fpDot(w2).cast("double") / lit(n2 * pcaScale.toDouble))
+      .select(col("vec_id"), col("bucket"),
+        array((0 until pcaDim).map(i =>
+          col("v")(i) - col("d1") * lit(w1(i).toDouble / n1)
+            - col("d2") * lit(w2(i).toDouble / n2)): _*).as("v"))
+    val clusters =
+      DedupOps.clustersFromPairs(spark, semanticPairs(whitened))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    Canon.materialized(
+      Canon.canonicalize(
+        bucketed.select(col("vec_id"), col("bucket"))
+          .join(losers, Seq("vec_id"), "left_anti")),
+      bucketed, clusters)
+  }
+
+  val semanticDedupAbttOracle: String = {
+    val kmeans = ivfOraclePrefix(4).stripPrefix("WITH ")
+    val ladder = pcaLadderOracle(2)
+    // reuse the ladder's CTE chain (everything between WITH and the
+    // final component SELECT) inside this query's RECURSIVE block
+    val pcaChain = ladder
+      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
+      .stripSuffix(",")
+    s"""WITH RECURSIVE $kmeans,
+       |${pcaChain.stripSuffix(",")},
+       |wl AS (
+       |  SELECT
+       |    (SELECT list(CAST(w AS DOUBLE) / (SELECT nrm FROM pnorm)
+       |       ORDER BY dim) FROM pw) AS c1,
+       |    (SELECT list(CAST(w AS DOUBLE) / (SELECT nrm FROM qnorm)
+       |       ORDER BY dim) FROM qw) AS c2),
+       |pdots AS (
+       |  SELECT vec_id,
+       |    CAST(sum(qv[CAST(pw.dim AS INT) + 1] * pw.w) AS BIGINT) AS fp1
+       |  FROM pq, pw GROUP BY 1),
+       |qdots AS (
+       |  SELECT vec_id,
+       |    CAST(sum(qv[CAST(qw.dim AS INT) + 1] * qw.w) AS BIGINT) AS fp2
+       |  FROM pq, qw GROUP BY 1),
+       |whitepre AS (
+       |  SELECT b.vec_id, b.cent_id, b.v,
+       |         CAST(pd.fp1 AS DOUBLE) /
+       |           ((SELECT nrm FROM pnorm) * $pcaScale.0) AS d1,
+       |         CAST(qd.fp2 AS DOUBLE) /
+       |           ((SELECT nrm FROM qnorm) * $pcaScale.0) AS d2
+       |  FROM bucketed b JOIN pdots pd ON b.vec_id = pd.vec_id
+       |                  JOIN qdots qd ON b.vec_id = qd.vec_id),
+       |white AS MATERIALIZED (
+       |  SELECT vec_id, cent_id,
+       |    list_transform(range(0, $pcaDim), i ->
+       |      v[CAST(i AS INT) + 1]
+       |        - d1 * c1[CAST(i AS INT) + 1]
+       |        - d2 * c2[CAST(i AS INT) + 1]) AS v
+       |  FROM whitepre CROSS JOIN wl),
+       |spairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM white a JOIN white b
+       |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= $nearDupThreshold),
+       |${DedupOps.clusterCte("spairs")},
+       |losers AS (
+       |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |SELECT bk.vec_id, CAST(bk.cent_id AS BIGINT) AS bucket
+       |FROM bucketed bk ANTI JOIN losers l ON bk.vec_id = l.doc_id""".stripMargin
+  }
 
   /** Sample width for [[embedRecall]] — 200 keeps the exact side at
     * C(200,2) ≈ 20k cosines (constant at any corpus size) while the

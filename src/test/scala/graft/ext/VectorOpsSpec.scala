@@ -539,6 +539,114 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r._2, r._3, r._4, r._5, r._6)).toSet == p1)
   }
 
+  test("pcaTopk: every rung matches a float deflate+power reference") {
+    val k = VectorOps.pcaTopKComponents
+    val out = VectorOps.pcaTopk(spark, sfDir)
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+    val comps = (1 to k).map(c =>
+      out.filter(_._1 == c.toLong).sortBy(_._2).map(_._4))
+    assert(comps.forall(_.length == VectorOps.pcaDim))
+    // pairwise near-orthogonality across the whole ladder
+    for (i <- 0 until k; j <- (i + 1) until k) {
+      val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-4, s"|c${i + 1}·c${j + 1}| = $dot")
+    }
+
+    // float reference: deflate+power iterated k times
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[Seq[Double]].collect()
+    val d = VectorOps.pcaDim
+    var g = Array.tabulate(d, d)((i, j) =>
+      vecs.foldLeft(0.0)((s, v) => s + v(i) * v(j)))
+    def power(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(d)(1.0)
+      var lam = 0.0
+      for (_ <- 0 until 4000) {
+        val gv = Array.tabulate(d)(i =>
+          (0 until d).map(j => m(i)(j) * v(j)).sum)
+        lam = v.zip(gv).map { case (a, b) => a * b }.sum
+        val nrm = math.sqrt(gv.map(x => x * x).sum)
+        v = gv.map(_ / nrm)
+      }
+      (v, lam)
+    }
+    for (c <- 1 to k) {
+      val (v, l) = power(g)
+      val cos = math.abs(
+        comps(c - 1).zip(v).map { case (a, b) => a * b }.sum)
+      assert(cos >= 0.999, s"cos(component $c, float) = $cos")
+      val lam = out.find(_._1 == c.toLong).get._6
+      assert(math.abs(lam - l) / l < 0.01, s"λ$c $lam vs float $l")
+      g = Array.tabulate(d, d)((i, j) => g(i)(j) - l * v(i) * v(j))
+    }
+
+    // the comp ∈ {1,2} rows are byte-identical to q_pca_top2's
+    val t2 = VectorOps.pcaTop2(spark, sfDir)
+      .as[(Long, Long, Long, Double, Long, Double)].collect().toSet
+    assert(out.filter(_._1 <= 2L).toSet == t2)
+  }
+
+  test("semanticDedupAbtt ≡ whiten+pair+union-find recomputation") {
+    val out = VectorOps.semanticDedupAbtt(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+
+    val models = VectorOps.pcaModels(spark, sfDir, 2)
+    val bucketed = VectorOps.bucketedAssignments(spark, sfDir)
+      .as[(Long, Seq[Double], Long)].collect()
+    // whiten exactly as the operator: quantized integer dot, one
+    // double division, left-associated subtraction
+    def whiten(v: Seq[Double]): Array[Double] = {
+      val qv = v.map(x => math.floor(x * VectorOps.pcaScale).toLong)
+      val ds = models.map { case (w, n, _) =>
+        qv.zip(w).map { case (a, b) => a * b }.sum.toDouble /
+          (n * VectorOps.pcaScale.toDouble)
+      }
+      Array.tabulate(v.length)(i =>
+        v(i) - ds(0) * (models(0)._1(i).toDouble / models(0)._2)
+          - ds(1) * (models(1)._1(i).toDouble / models(1)._2))
+    }
+    val white = bucketed.map { case (id, v, b) => (id, whiten(v), b) }
+    // whitened vectors are near-orthogonal to the removed directions
+    // (exact up to the 10^-6 projection quantization)
+    for ((_, wv, _) <- white.take(50); (w, n, _) <- models) {
+      val proj = wv.zip(w).map { case (a, b) => a * b / n }.sum
+      val nrm = math.sqrt(wv.map(x => x * x).sum)
+      assert(math.abs(proj) / nrm < 1e-4, s"residual projection $proj")
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = for {
+      (ia, va, ba) <- white; (ib, vb, bb) <- white
+      if ba == bb && ia < ib && cos(va, vb) >= VectorOps.nearDupThreshold
+    } yield (ia, ib)
+    // independent union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(id => find(id) != id).toSet
+    val want = bucketed.collect {
+      case (id, _, b) if !losers.contains(id) => (id, b)
+    }.toSet
+    assert(out == want,
+      s"extra=${out.diff(want).take(5)} missing=${want.diff(out).take(5)}")
+
+    // non-vacuous on the fixture: whitening changes at least one verdict
+    val plain = VectorOps.semanticDedup(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(out != plain, "whitening changed no dedup verdict — vacuous")
+  }
+
   test("embedRecall ≡ collected-data recomputation; counts consistent") {
     import graft.ext.SampleOps.{A, B, P}
     val row = VectorOps.embedRecall(spark, sfDir)
