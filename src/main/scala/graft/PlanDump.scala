@@ -123,7 +123,10 @@ object PlanDump {
       "embed_lsh_mp" -> (() => ext.VectorOps.embedLshMultiProbe(spark, sf)),
       "bitext_recall" -> (() => ext.BitextOps.bitextRecall(spark, sf)),
       "semantic_dedup_abtt" ->
-        (() => ext.VectorOps.semanticDedupAbtt(spark, sf)))
+        (() => ext.VectorOps.semanticDedupAbtt(spark, sf)),
+      "hdr_quantiles" -> (() => ext.SketchOps.hdrQuantiles(spark, sf)),
+      "embed_anisotropy" ->
+        (() => ext.VectorOps.embedAnisotropy(spark, sf)))
     for ((n, mk) <- entries) {
       println(s"=== $n")
       val df =

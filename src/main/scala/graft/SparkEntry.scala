@@ -244,6 +244,11 @@ object SparkEntry {
     "q_hll_distinct" -> ((s, dir) => ext.SketchOps.hllDistinct(s, dir)),
     // four doc-shard sketches merged by pointwise max ≡ whole-corpus
     "q_hll_merged" -> ((s, dir) => ext.SketchOps.hllMerged(s, dir)),
+    // HDR-histogram mergeable quantile sketch + its merge-law proof
+    "q_hdr_quantiles" ->
+      ((s, dir) => ext.SketchOps.hdrQuantiles(s, dir)),
+    "q_hdr_merged" ->
+      ((s, dir) => ext.SketchOps.hdrQuantilesMerged(s, dir)),
     // precision/recall/F1 operating curve over the classifier deciles
     "q_classifier_pr" -> ((s, dir) => ext.ClassifierOps.classifierPr(s, dir)),
     // min-K% prob membership inference against the reference bigram LM
@@ -264,6 +269,8 @@ object SparkEntry {
     "q_pca_topk" -> ((s, dir) => ext.VectorOps.pcaTopk(s, dir)),
     "q_semantic_dedup_abtt" ->
       ((s, dir) => ext.VectorOps.semanticDedupAbtt(s, dir)),
+    "q_embed_anisotropy" ->
+      ((s, dir) => ext.VectorOps.embedAnisotropy(s, dir)),
     // sign-LSH recall vs exact cosine on a bounded hash sample
     "q_embed_recall" -> ((s, dir) => ext.VectorOps.embedRecall(s, dir)),
     // Hamming-1 multi-probe variant: ~9x candidates, measured lift
@@ -521,6 +528,9 @@ object SparkEntry {
     "q_hll_distinct" -> ext.SketchOps.hllDistinctOracle,
     // the merged sketch must equal the NEVER-sharded oracle
     "q_hll_merged" -> ext.SketchOps.hllDistinctOracle,
+    "q_hdr_quantiles" -> ext.SketchOps.hdrQuantilesOracle,
+    // the merged sketch must equal the NEVER-sharded oracle
+    "q_hdr_merged" -> ext.SketchOps.hdrQuantilesOracle,
     "q_classifier_pr" -> ext.ClassifierOps.classifierPrOracle,
     "q_min_k_prob" -> ext.LmOps.minKProbOracle,
     "q_lsh_cost" -> ext.DedupOps.lshCostCensusOracle,
@@ -531,6 +541,7 @@ object SparkEntry {
     "q_pca_top2" -> ext.VectorOps.pcaTop2Oracle,
     "q_pca_topk" -> ext.VectorOps.pcaTopkOracle,
     "q_semantic_dedup_abtt" -> ext.VectorOps.semanticDedupAbttOracle,
+    "q_embed_anisotropy" -> ext.VectorOps.embedAnisotropyOracle,
     "q_embed_recall" -> ext.VectorOps.embedRecallOracle,
     "q_embed_lsh_mp" -> ext.VectorOps.embedLshMultiProbeOracle,
     "q_embed_recall_mp" -> ext.VectorOps.embedRecallMultiProbeOracle,

@@ -534,4 +534,132 @@ object SketchOps {
        |UNION ALL
        |${hllGateArm("g1", 1)}""".stripMargin
   }
+
+  // ---- oracle-gated mergeable quantile sketch (HDR-histogram form) ----
+
+  /** Mantissa bits kept per bucket — relative quantile error is
+    * bounded by 2^-(mantissa+1) ≈ 1.6%.
+    */
+  val hdrMantissaBits = 5
+
+  /** Fixed-point quantization of the (positive) metric: cents. */
+  val hdrScale = 100L
+
+  /** Reported quantiles, in integer percent (exact rank predicate). */
+  val hdrPhis = Seq(50L, 90L, 99L)
+
+  /** Doc shards for the merge-law proof, the [[hllShards]] pattern. */
+  val hdrShards = 4
+
+  /** MERGEABLE QUANTILE SKETCH, oracle-gated — the quantile member of
+    * the sketch family beside [[hllDistinct]] (cardinality) and the
+    * CMS/Misra-Gries pair (frequency): the HDR-histogram construction
+    * (Tene's high-dynamic-range histogram; DDSketch's log buckets with
+    * base 2), kept EXACTLY twin-able by doing the logarithm in integer
+    * arithmetic — a value quantizes to q = floor(v·100), truncates to
+    * its top [[hdrMantissaBits]]+1 significant bits via the
+    * `length(bin(q))` bit-length identity (the [[hllDistinct]]
+    * discipline — no float log anywhere), and the truncation IS the
+    * bucket key: lb = (q >> sh) << sh, monotone in q, so per-group
+    * bucket counts plus one cumulative pass yield rank queries with
+    * relative error ≤ 2^-(mantissa+1).
+    *
+    * Why this matters at 100 TB: the exact percentile
+    * (EventOps.groupPercentiles) shuffles and sorts each group's FULL
+    * value list; this sketch's shuffle carries at most one row per
+    * (group, bucket) after map-side combine — bounded by the value
+    * RANGE (≤ ~64·2⁵ buckets), not the row count — and buckets merge
+    * by count addition, so shard/stream/partial sketches compose
+    * losslessly ([[hdrQuantilesMerged]] proves merged ≡ whole by
+    * sharing this oracle verbatim). Estimates are bucket midpoints:
+    * one double division at the very end.
+    *
+    * Output: (event_type, phi, n, n_buckets, est) — n_buckets rides
+    * along so the gated row itself shows the compression (10k values →
+    * dozens of buckets).
+    */
+  def hdrQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    hdrFromBuckets(spark, hdrBuckets(EventOps.events(spark, sfDir)))
+
+  /** Four doc-shard sketches merged by count addition ≡ the whole-
+    * corpus sketch — gated against [[hdrQuantilesOracle]] verbatim.
+    */
+  def hdrQuantilesMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = EventOps.events(spark, sfDir)
+    val shards = (0 until hdrShards).map(k =>
+      hdrBuckets(e.filter(col("event_id") % hdrShards === k)))
+    val merged = shards.reduce(_ unionByName _)
+      .groupBy("event_type", "lb").agg(sum("cnt").as("cnt"))
+    hdrFromBuckets(spark, merged)
+  }
+
+  /** The sketch itself: per (group, bucket-lower-bound) counts. */
+  private[ext] def hdrBuckets(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        floor(col("value") * hdrScale.toDouble).cast("long").as("q"))
+      .withColumn("sh",
+        expr(s"greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0)"))
+      .withColumn("lb", expr("shiftleft(shiftright(q, sh), sh)"))
+      .groupBy("event_type", "lb").agg(count(lit(1)).as("cnt"))
+
+  /** Rank extraction over a bucket table: cumulative counts in bucket
+    * order, smallest bucket whose cumulative count reaches the exact
+    * integer rank predicate 100·cum ≥ phi·n, midpoint estimate.
+    */
+  private def hdrFromBuckets(spark: SparkSession,
+                             buckets: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("event_type").orderBy(col("lb").asc)
+    val wAll = Window.partitionBy("event_type")
+    val cum = buckets
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("n_buckets", count(lit(1)).over(wAll))
+    val hit = cum.crossJoin(hdrPhis.toDF("phi"))
+      .filter(col("cum") * 100 >= col("phi") * col("n"))
+      .groupBy("event_type", "phi")
+      .agg(min("lb").as("lb"), max("n").as("n"),
+        max("n_buckets").as("n_buckets"))
+    Canon.canonicalize(hit
+      .withColumn("sh",
+        expr(s"greatest(length(bin(lb)) - 1 - $hdrMantissaBits, 0)"))
+      .withColumn("est",
+        expr(s"CAST(2 * lb + shiftleft(1, sh) - 1 AS DOUBLE)" +
+          s" / ${2 * hdrScale}.0")
+      )
+      .select("event_type", "phi", "n", "n_buckets", "est"))
+  }
+
+  val hdrQuantilesOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type, (q >> sh) << sh AS lb, count(*) AS cnt
+       |  FROM (
+       |    SELECT event_type, q,
+       |           greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0) AS sh
+       |    FROM (SELECT event_type,
+       |                 CAST(floor(value * $hdrScale) AS BIGINT) AS q
+       |          FROM events))
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, lb,
+       |         CAST(sum(cnt) OVER (PARTITION BY event_type
+       |                ORDER BY lb) AS BIGINT) AS cum,
+       |         CAST(sum(cnt) OVER (PARTITION BY event_type)
+       |                AS BIGINT) AS n,
+       |         CAST(count(*) OVER (PARTITION BY event_type)
+       |                AS BIGINT) AS n_buckets
+       |  FROM b),
+       |hit AS (
+       |  SELECT event_type, phi, min(lb) AS lb, max(n) AS n,
+       |         max(n_buckets) AS n_buckets
+       |  FROM c, (VALUES (${hdrPhis.mkString("), (")})) t(phi)
+       |  WHERE cum * 100 >= phi * n
+       |  GROUP BY 1, 2)
+       |SELECT event_type, CAST(phi AS BIGINT) AS phi, n, n_buckets,
+       |       CAST(2 * lb + (1 << greatest(length(bin(lb)) - 1
+       |              - $hdrMantissaBits, 0)) - 1 AS DOUBLE)
+       |         / ${2 * hdrScale}.0 AS est
+       |FROM hit""".stripMargin
 }

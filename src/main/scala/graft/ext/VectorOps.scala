@@ -859,6 +859,163 @@ object VectorOps {
        |FROM bucketed bk ANTI JOIN losers l ON bk.vec_id = l.doc_id""".stripMargin
   }
 
+  /** EMBEDDING ANISOTROPY TELEMETRY — the number that says whether
+    * [[semanticDedupAbtt]]'s whitening is doing anything: the corpus
+    * mean pairwise cosine of unit-normalized embeddings, before and
+    * after the all-but-the-top transform. Computed WITHOUT enumerating
+    * any pair via the sum identity
+    *
+    *   Σ_{i≠j} ûᵢ·ûⱼ = ‖Σᵢ ûᵢ‖² − Σᵢ ‖ûᵢ‖²
+    *
+    * over vectors quantized to floor(û·10⁶) — so both cross-row sums
+    * are EXACT integer arithmetic (order-independent where a float
+    * Σᵢ ûᵢ would depend on partition order; per-row normalization
+    * stays the deterministic in-row fold the cosine twins share), the
+    * wide squares ride DECIMAL(38,0)/HUGEINT, and the mean is two
+    * double divisions at the end. O(n) — one narrow pass per arm,
+    * 64-row shuffles; at 100 TB this costs two scans, versus the
+    * O(n²) the naive definition prices.
+    *
+    * A high raw mean cosine is the published anisotropy pathology
+    * (Ethayarajh 2019; Mu & Viswanath 2018) — all embeddings share a
+    * dominant common direction and cosine thresholds saturate; the
+    * `abtt` row shows how far top-2 removal moves the corpus toward
+    * isotropy (≈ 0).
+    */
+  def embedAnisotropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val models = pcaModels(spark, sfDir, 2)
+    val Seq((w1, n1, _), (w2, n2, _)) = models
+    // the model as a broadcastable 64-row table — keeps the whole arm
+    // in codegen'd scalar-column arithmetic (no array lambdas: a
+    // whiten-then-normalize-then-quantize lambda chain collapses into
+    // an exponentially nested expression tree — measured as a hung
+    // plan before this shape)
+    val comp = (0 until pcaDim).map(i =>
+        (i.toLong, w1(i), w2(i), w1(i).toDouble / n1, w2(i).toDouble / n2))
+      .toDF("dim", "w1", "w2", "c1", "c2")
+    val ex = embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(asDouble(col("embedding")))
+        .as(Seq("dim", "x")))
+      .repartition(col("vec_id"))
+      .withColumn("qx", floor(col("x") * lit(pcaScale.toDouble)))
+      .persist() // raw arm + projection pass + whitened arm
+    // integer projections (the pcaProject arithmetic, exploded form)
+    val dots = ex.join(broadcast(comp), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(sum(col("qx") * col("w1")).as("fp1"),
+        sum(col("qx") * col("w2")).as("fp2"))
+      .select(col("vec_id"),
+        (col("fp1").cast("double") / lit(n1 * pcaScale.toDouble))
+          .as("d1"),
+        (col("fp2").cast("double") / lit(n2 * pcaScale.toDouble))
+          .as("d2"))
+    val whiteEx = ex.join(dots, Seq("vec_id"))
+      .join(broadcast(comp), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        (col("x") - col("d1") * col("c1") - col("d2") * col("c2"))
+          .as("x"))
+      .withColumn("qx", floor(col("x") * lit(pcaScale.toDouble)))
+    // one arm: quantized-norm unit vectors, exact integer cross sums
+    def armRow(arm: String, df: DataFrame): DataFrame = {
+      val s2 = df.groupBy("vec_id")
+        .agg(sum(col("qx") * col("qx")).as("s2"))
+        .filter(col("s2") > 0)
+      val u = df.join(s2, Seq("vec_id"))
+        .select(col("dim"),
+          floor(col("qx").cast("double") * lit(pcaScale.toDouble) /
+            sqrt(col("s2").cast("double"))).as("u"))
+        .persist() // per-dim sums + diagonal/count
+      val sumA2 = u.groupBy("dim").agg(sum(col("u")).as("ad"))
+        .agg(sum(col("ad").cast(DecimalType(38, 0))
+          * col("ad").cast(DecimalType(38, 0))).as("sa2"))
+      val diag = u.agg(
+        sum((col("u") * col("u")).cast(DecimalType(38, 0))).as("t"),
+        (count(lit(1)) / lit(pcaDim)).cast("long").as("n"))
+      Canon.materialized(
+        sumA2.crossJoin(diag).select(lit(arm).as("arm"), col("n"),
+          ((col("sa2") - col("t")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double") /
+            lit(pcaScale.toDouble) / lit(pcaScale.toDouble))
+            .as("mean_cos")),
+        u)
+    }
+    Canon.materialized(
+      Canon.canonicalize(
+        armRow("raw", ex).unionByName(armRow("abtt", whiteEx))),
+      ex)
+  }
+
+  /** One arm's CTE chain over `$src` (vec_id, dim, qx) → `${pre}row`. */
+  private def anisoArmSql(pre: String, src: String, arm: String): String =
+    s"""${pre}s2 AS (
+       |  SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS s2
+       |  FROM $src GROUP BY 1 HAVING CAST(sum(qx * qx) AS BIGINT) > 0),
+       |${pre}u AS (
+       |  SELECT e.dim,
+       |         CAST(floor(CAST(e.qx AS DOUBLE) * $pcaScale.0 /
+       |           sqrt(CAST(s.s2 AS DOUBLE))) AS BIGINT) AS u
+       |  FROM $src e JOIN ${pre}s2 s USING (vec_id)),
+       |${pre}a AS (
+       |  SELECT dim, CAST(sum(u) AS BIGINT) AS ad
+       |  FROM ${pre}u GROUP BY 1),
+       |${pre}st AS (
+       |  SELECT CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS t,
+       |         CAST(count(*) / $pcaDim AS BIGINT) AS n
+       |  FROM ${pre}u),
+       |${pre}row AS (
+       |  SELECT '$arm' AS arm, n,
+       |         CAST((SELECT sum(CAST(ad AS HUGEINT) * ad)
+       |               FROM ${pre}a) - t AS DOUBLE)
+       |           / CAST(n * (n - 1) AS DOUBLE)
+       |           / ${pcaScale}.0 / ${pcaScale}.0 AS mean_cos
+       |  FROM ${pre}st)""".stripMargin
+
+  // lazy: textually precedes the ladder vals it composes (object vals
+  // initialize in declaration order)
+  lazy val embedAnisotropyOracle: String = {
+    val ladder = pcaLadderOracle(2)
+    val pcaChain = ladder
+      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
+      .stripSuffix(",")
+    s"""WITH ${pcaChain.stripSuffix(",")},
+       |exr AS MATERIALIZED (
+       |  SELECT em.vec_id, i AS dim,
+       |         CAST(em.embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x,
+       |         CAST(floor(CAST(em.embedding[CAST(i AS INT) + 1]
+       |           AS DOUBLE) * $pcaScale.0) AS BIGINT) AS qx
+       |  FROM embeddings em, range(0, $pcaDim) t(i)),
+       |adots AS (
+       |  SELECT e.vec_id,
+       |         CAST(sum(e.qx * pw.w) AS BIGINT) AS fp1,
+       |         CAST(sum(e.qx * qw.w) AS BIGINT) AS fp2
+       |  FROM exr e JOIN pw ON pw.dim = e.dim
+       |             JOIN qw ON qw.dim = e.dim
+       |  GROUP BY 1),
+       |wexr AS MATERIALIZED (
+       |  SELECT vec_id, dim, x,
+       |         CAST(floor(x * $pcaScale.0) AS BIGINT) AS qx
+       |  FROM (
+       |    SELECT e.vec_id, e.dim,
+       |           e.x
+       |             - (CAST(d.fp1 AS DOUBLE) /
+       |                  ((SELECT nrm FROM pnorm) * $pcaScale.0))
+       |               * (CAST(pw.w AS DOUBLE) / (SELECT nrm FROM pnorm))
+       |             - (CAST(d.fp2 AS DOUBLE) /
+       |                  ((SELECT nrm FROM qnorm) * $pcaScale.0))
+       |               * (CAST(qw.w AS DOUBLE) / (SELECT nrm FROM qnorm))
+       |             AS x
+       |    FROM exr e JOIN adots d USING (vec_id)
+       |               JOIN pw ON pw.dim = e.dim
+       |               JOIN qw ON qw.dim = e.dim)),
+       |${anisoArmSql("ar", "exr", "raw")},
+       |${anisoArmSql("aw", "wexr", "abtt")}
+       |SELECT arm, n, mean_cos FROM arrow
+       |UNION ALL
+       |SELECT arm, n, mean_cos FROM awrow""".stripMargin
+  }
+
   /** Shortlist multiplier for [[annIvfSq8]]'s exact-rescore stage. */
   val sqRerank = 3
 
@@ -2306,21 +2463,9 @@ object VectorOps {
     */
   def semanticDedupAbtt(spark: SparkSession, sfDir: String): DataFrame = {
     val models = pcaModels(spark, sfDir, 2)
-    val Seq((w1, n1, _), (w2, n2, _)) = models
     val bucketed = bucketedAssignments(spark, sfDir).persist()
-    def fpDot(w: Array[Long]): Column = expr(
-      (0 until pcaDim).map(i => s"qv[$i] * ${w(i)}L").mkString(" + "))
-    val whitened = bucketed
-      .withColumn("qv",
-        transform(col("v"), x => floor(x * lit(pcaScale.toDouble))))
-      .withColumn("d1",
-        fpDot(w1).cast("double") / lit(n1 * pcaScale.toDouble))
-      .withColumn("d2",
-        fpDot(w2).cast("double") / lit(n2 * pcaScale.toDouble))
-      .select(col("vec_id"), col("bucket"),
-        array((0 until pcaDim).map(i =>
-          col("v")(i) - col("d1") * lit(w1(i).toDouble / n1)
-            - col("d2") * lit(w2(i).toDouble / n2)): _*).as("v"))
+    val whitened = abttWhiten(bucketed, models)
+      .select("vec_id", "bucket", "v")
     val clusters =
       DedupOps.clustersFromPairs(spark, semanticPairs(whitened))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
@@ -2332,17 +2477,38 @@ object VectorOps {
       bucketed, clusters)
   }
 
-  val semanticDedupAbttOracle: String = {
-    val kmeans = ivfOraclePrefix(4).stripPrefix("WITH ")
-    val ladder = pcaLadderOracle(2)
-    // reuse the ladder's CTE chain (everything between WITH and the
-    // final component SELECT) inside this query's RECURSIVE block
-    val pcaChain = ladder
-      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
-      .stripSuffix(",")
-    s"""WITH RECURSIVE $kmeans,
-       |${pcaChain.stripSuffix(",")},
-       |wl AS (
+  /** All-but-the-top transform of a frame carrying `v` (array<double>):
+    * v′ = v − (v·ŵ₁)ŵ₁ − (v·ŵ₂)ŵ₂ with the [[pcaProject]] exact
+    * integer-dot arithmetic (one double division per direction), the
+    * per-element subtraction left-associated — identical in the SQL
+    * twin ([[abttWhiteSql]]). All other columns pass through.
+    */
+  private[ext] def abttWhiten(df: DataFrame,
+      models: Seq[(Array[Long], Double, Long)]): DataFrame = {
+    val Seq((w1, n1, _), (w2, n2, _)) = models
+    def fpDot(w: Array[Long]): Column = expr(
+      (0 until pcaDim).map(i => s"qv[$i] * ${w(i)}L").mkString(" + "))
+    val others = df.columns.filterNot(_ == "v").map(col).toSeq
+    df.withColumn("qv",
+        transform(col("v"), x => floor(x * lit(pcaScale.toDouble))))
+      .withColumn("d1",
+        fpDot(w1).cast("double") / lit(n1 * pcaScale.toDouble))
+      .withColumn("d2",
+        fpDot(w2).cast("double") / lit(n2 * pcaScale.toDouble))
+      .select(others :+ array((0 until pcaDim).map(i =>
+        col("v")(i) - col("d1") * lit(w1(i).toDouble / n1)
+          - col("d2") * lit(w2(i).toDouble / n2)): _*).as("v"): _*)
+  }
+
+  /** The whitening CTE chain over `$src` (vec_id, v, …): projections
+    * from the ladder's `pq`/`pw`/`qw`, ending at `white`
+    * (vec_id, [extra keep columns], v). Assumes the 2-component
+    * [[pcaLadderOracle]] chain precedes it.
+    */
+  private def abttWhiteSql(src: String, keep: Seq[String]): String = {
+    val keepB = keep.map(c => s"b.$c, ").mkString
+    val keepW = keep.map(c => s"$c, ").mkString
+    s"""wl AS (
        |  SELECT
        |    (SELECT list(CAST(w AS DOUBLE) / (SELECT nrm FROM pnorm)
        |       ORDER BY dim) FROM pw) AS c1,
@@ -2357,20 +2523,33 @@ object VectorOps {
        |    CAST(sum(qv[CAST(qw.dim AS INT) + 1] * qw.w) AS BIGINT) AS fp2
        |  FROM pq, qw GROUP BY 1),
        |whitepre AS (
-       |  SELECT b.vec_id, b.cent_id, b.v,
+       |  SELECT b.vec_id, $keepB b.v,
        |         CAST(pd.fp1 AS DOUBLE) /
        |           ((SELECT nrm FROM pnorm) * $pcaScale.0) AS d1,
        |         CAST(qd.fp2 AS DOUBLE) /
        |           ((SELECT nrm FROM qnorm) * $pcaScale.0) AS d2
-       |  FROM bucketed b JOIN pdots pd ON b.vec_id = pd.vec_id
+       |  FROM $src b JOIN pdots pd ON b.vec_id = pd.vec_id
        |                  JOIN qdots qd ON b.vec_id = qd.vec_id),
        |white AS MATERIALIZED (
-       |  SELECT vec_id, cent_id,
+       |  SELECT vec_id, $keepW
        |    list_transform(range(0, $pcaDim), i ->
        |      v[CAST(i AS INT) + 1]
        |        - d1 * c1[CAST(i AS INT) + 1]
        |        - d2 * c2[CAST(i AS INT) + 1]) AS v
-       |  FROM whitepre CROSS JOIN wl),
+       |  FROM whitepre CROSS JOIN wl)""".stripMargin
+  }
+
+  val semanticDedupAbttOracle: String = {
+    val kmeans = ivfOraclePrefix(4).stripPrefix("WITH ")
+    val ladder = pcaLadderOracle(2)
+    // reuse the ladder's CTE chain (everything between WITH and the
+    // final component SELECT) inside this query's RECURSIVE block
+    val pcaChain = ladder
+      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
+      .stripSuffix(",")
+    s"""WITH RECURSIVE $kmeans,
+       |${pcaChain.stripSuffix(",")},
+       |${abttWhiteSql("bucketed", Seq("cent_id"))},
        |spairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM white a JOIN white b

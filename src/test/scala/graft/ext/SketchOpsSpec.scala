@@ -176,4 +176,64 @@ class SketchOpsSpec extends SparkSpec {
         s"$lang: corrected=$corrected exact=$exact relErr=$relErr")
     }
   }
+
+  test("HDR quantile sketch ≡ recomputation; bucket-width error bound; " +
+      "shard-merge ≡ whole") {
+    val out = SketchOps.hdrQuantiles(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(out.nonEmpty)
+
+    // independent recomputation from collected values
+    val vals = EventOps.events(spark, sfDir)
+      .select("event_type", "value")
+      .as[(String, Double)].collect()
+    val m = SketchOps.hdrMantissaBits
+    def bucketLb(v: Double): Long = {
+      val q = math.floor(v * SketchOps.hdrScale).toLong
+      val sh = math.max(64 - java.lang.Long.numberOfLeadingZeros(q)
+        - 1 - m, 0)
+      (q >> sh) << sh
+    }
+    val want = vals.groupBy(_._1).flatMap { case (typ, vs) =>
+      val buckets = vs.map(v => bucketLb(v._2))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val n = vs.size.toLong
+      val nb = buckets.size.toLong
+      SketchOps.hdrPhis.map { phi =>
+        var cum = 0L
+        val lb = buckets.find { case (_, c) =>
+          cum += c; cum * 100 >= phi * n
+        }.get._1
+        val sh = math.max(64 - java.lang.Long.numberOfLeadingZeros(lb)
+          - 1 - m, 0)
+        val est = (2 * lb + (1L << sh) - 1).toDouble /
+          (2 * SketchOps.hdrScale).toDouble
+        (typ, phi, n, nb, est)
+      }
+    }.toSet
+    assert(out == want,
+      s"extra=${out.diff(want)} missing=${want.diff(out)}")
+
+    // the estimate brackets the EXACT lower quantile within the bucket
+    // width: relative error ≤ 2^-(m+1) plus the half-cent quantization
+    val exactQ = vals.groupBy(_._1).view.mapValues { vs =>
+      val sorted = vs.map(_._2).sorted
+      SketchOps.hdrPhis.map { phi =>
+        val r = math.ceil(phi * sorted.length / 100.0).toInt
+        phi -> sorted(math.max(r - 1, 0))
+      }.toMap
+    }.toMap
+    for ((typ, phi, _, _, est) <- out) {
+      val ex = exactQ(typ)(phi)
+      val bound = ex / math.pow(2.0, (m + 1).toDouble) + 0.01
+      assert(math.abs(est - ex) <= bound,
+        s"$typ p$phi: est=$est exact=$ex bound=$bound")
+    }
+
+    // merge law: four doc-shard sketches, merged, identical rows
+    val merged = SketchOps.hdrQuantilesMerged(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(merged == out)
+  }
 }

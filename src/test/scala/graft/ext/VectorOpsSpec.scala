@@ -647,6 +647,58 @@ class VectorOpsSpec extends SparkSpec {
     assert(out != plain, "whitening changed no dedup verdict — vacuous")
   }
 
+  test("embedAnisotropy ≡ pair-enumeration recomputation; abtt ≤ raw") {
+    val out = VectorOps.embedAnisotropy(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(out.keySet == Set("raw", "abtt"))
+
+    // brute-force: enumerate every pair of the SAME quantized unit
+    // vectors the operator uses, average — the identity under test
+    val models = VectorOps.pcaModels(spark, sfDir, 2)
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val sc = VectorOps.pcaScale.toDouble
+    def quantUnit(v: Seq[Double]): Option[Array[Long]] = {
+      val qx = v.map(x => math.floor(x * sc).toLong)
+      val s2 = qx.map(q => q * q).sum
+      if (s2 <= 0) None
+      else Some(qx.map(q =>
+        math.floor(q.toDouble * sc / math.sqrt(s2.toDouble)).toLong)
+        .toArray)
+    }
+    def whiten(v: Seq[Double]): Seq[Double] = {
+      val qx = v.map(x => math.floor(x * sc).toLong)
+      val ds = models.map { case (w, n, _) =>
+        qx.zip(w).map { case (a, b) => a * b }.sum.toDouble / (n * sc)
+      }
+      v.indices.map(i =>
+        v(i) - ds(0) * (models(0)._1(i).toDouble / models(0)._2)
+          - ds(1) * (models(1)._1(i).toDouble / models(1)._2))
+    }
+    def meanCos(us: Seq[Array[Long]]): Double = {
+      val n = us.length.toLong
+      var acc = BigInt(0)
+      for (i <- us.indices; j <- us.indices if i != j)
+        acc += BigInt(us(i).zip(us(j))
+          .map { case (a, b) => a * b }.sum)
+      acc.toDouble / (n * (n - 1)).toDouble / sc / sc
+    }
+    val rawU = vecs.flatMap(v => quantUnit(v._2)).toSeq
+    val abttU = vecs.flatMap(v => quantUnit(whiten(v._2))).toSeq
+    assert(out("raw")._1 == rawU.length.toLong)
+    assert(out("abtt")._1 == abttU.length.toLong)
+    assert(math.abs(out("raw")._2 - meanCos(rawU)) < 1e-12,
+      s"raw ${out("raw")._2} vs ${meanCos(rawU)}")
+    assert(math.abs(out("abtt")._2 - meanCos(abttU)) < 1e-12,
+      s"abtt ${out("abtt")._2} vs ${meanCos(abttU)}")
+    // removing common directions moves the corpus toward isotropy
+    assert(math.abs(out("abtt")._2) <= math.abs(out("raw")._2),
+      s"abtt ${out("abtt")._2} vs raw ${out("raw")._2}")
+  }
+
   test("embedRecall ≡ collected-data recomputation; counts consistent") {
     import graft.ext.SampleOps.{A, B, P}
     val row = VectorOps.embedRecall(spark, sfDir)
