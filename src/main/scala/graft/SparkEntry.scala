@@ -200,6 +200,8 @@ object SparkEntry {
     // DoReMi-lite: excess reference-LM loss -> multiplicative mix
     // reweighting in mixturePlan's contract
     "q_doremi_mix" -> ((s, dir) => ext.SampleOps.doremiMix(s, dir)),
+    // UniMax epoch-capped waterfill (uniform-with-caps mixture)
+    "q_unimax_mix" -> ((s, dir) => ext.SampleOps.unimaxMix(s, dir)),
     "q_wordpiece_encode" -> ((s, dir) => ext.BpeOps.wordpieceEncode(s, dir)),
     // byte-fallback encode against the digit-holed vocabulary: zero
     // UNK by construction, fallback exercised on real fixture words
@@ -267,6 +269,10 @@ object SparkEntry {
     // top-2 components via integer deflation of the Gram
     "q_pca_top2" -> ((s, dir) => ext.VectorOps.pcaTop2(s, dir)),
     "q_pca_topk" -> ((s, dir) => ext.VectorOps.pcaTopk(s, dir)),
+    // PCA lifecycle: shard-Gram merge law + exact algebraic unlearning
+    "q_pca_merged" -> ((s, dir) => ext.VectorOps.pcaMerged(s, dir)),
+    "q_pca_forgotten" ->
+      ((s, dir) => ext.VectorOps.pcaForgotten(s, dir)),
     "q_semantic_dedup_abtt" ->
       ((s, dir) => ext.VectorOps.semanticDedupAbtt(s, dir)),
     "q_embed_anisotropy" ->
@@ -486,6 +492,7 @@ object SparkEntry {
     "q_bpe_bytes_train" -> ext.BpeOps.bpeBytesTrainOracle,
     "q_bpe_bytes_encode" -> ext.BpeOps.bpeBytesEncodeOracle,
     "q_doremi_mix" -> ext.SampleOps.doremiMixOracle,
+    "q_unimax_mix" -> ext.SampleOps.unimaxMixOracle,
     "q_wordpiece_encode" -> ext.BpeOps.wordpieceEncodeOracle,
     "q_wordpiece_bytefallback" ->
       ext.BpeOps.wordpieceEncodeByteFallbackOracle,
@@ -540,6 +547,10 @@ object SparkEntry {
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,
     "q_pca_top2" -> ext.VectorOps.pcaTop2Oracle,
     "q_pca_topk" -> ext.VectorOps.pcaTopkOracle,
+    // the merged Gram must equal the NEVER-sharded oracle
+    "q_pca_merged" -> ext.VectorOps.pcaPowerOracle,
+    // forget gates against a never-existed retrain
+    "q_pca_forgotten" -> ext.VectorOps.pcaForgottenOracle,
     "q_semantic_dedup_abtt" -> ext.VectorOps.semanticDedupAbttOracle,
     "q_embed_anisotropy" -> ext.VectorOps.embedAnisotropyOracle,
     "q_embed_recall" -> ext.VectorOps.embedRecallOracle,

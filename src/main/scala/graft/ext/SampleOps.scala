@@ -989,4 +989,125 @@ object SampleOps {
        |  FROM bd)
        |SELECT doc_id, n_toks, quality_score
        |FROM bw, bt WHERE ctoks <= budget""".stripMargin
+
+  // ---- UniMax epoch-capped waterfill mixture ---------------------------
+
+  /** Per-language epoch cap — a language contributes at most this many
+    * passes over its own tokens (the UniMax knob; 1 = never repeat).
+    */
+  val unimaxEpochs = 1L
+
+  /** Training budget as a permille of the corpus token total — 800‰
+    * makes the uniform share exceed the small languages' caps on this
+    * fixture, so both waterfill branches (capped, surplus-fed) are
+    * exercised at every SF.
+    */
+  val unimaxBudgetPermille = 800L
+
+  /** UNIMAX MIXTURE — the epoch-capped waterfill allocator (Chung et
+    * al. 2023): split a token budget as uniformly as possible across
+    * languages, except no language may exceed [[unimaxEpochs]] passes
+    * over its own data; surplus from capped (low-resource) languages
+    * flows to the rest. Completes the mixture-family spectrum:
+    * [[mixturePlan]] (fixed shares) / [[temperatureMixOf]] (n^α
+    * smoothing) / [[doremiMix]] (reference-LM reweighting) /
+    * UniMax (uniform-with-caps).
+    *
+    * EXACT integer waterfill, closed form (no iteration): order
+    * languages by (cap asc, lang asc); language k is capped iff
+    * cap_k·(L−k+1) ≤ B − Σ_{j<k} cap_j (caps ascending ⇒ the capped
+    * set is a prefix, so one window pass finds K = max capped rank);
+    * the L−K uncapped languages each get
+    * q = (B − Σ_{j≤K} cap_j) div (L−K), the division remainder going
+    * +1 apiece to the first r of them in the same order — every token
+    * of the budget is placed deterministically (Σ alloc = B whenever
+    * B ≤ Σ cap). All BIGINT; the one double is the realized-epochs
+    * ratio. Token counts follow the [[TextOps.tokenCount]] convention
+    * (normText + wordPat), so the budget is denominated in the same
+    * unit the rest of the pipeline reports.
+    *
+    * Scale shape: one groupBy(lang) over the corpus; the waterfill
+    * itself runs on L rows (window over an ungrouped frame of
+    * language aggregates — driver-scale, like the mixture twins).
+    */
+  def unimaxMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = TextOps.documents(spark, sfDir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .groupBy("lang")
+      .agg(sum(regexp_count(col("norm"), lit(TextOps.wordPat)))
+        .as("n_tok"))
+      .withColumn("cap", col("n_tok") * unimaxEpochs)
+    val t = c.agg((sum(col("n_tok")) * unimaxBudgetPermille)
+      .as("bx"))
+      .select(expr("bx div 1000").as("b"))
+    val wOrd = Window.orderBy(col("cap").asc, col("lang").asc)
+    val r = c.crossJoin(t)
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("pre",
+        coalesce(sum("cap").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("l", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("capped",
+        col("cap") * (col("l") - col("k") + 1) <= col("b") - col("pre"))
+    val kRow = r.agg(
+      coalesce(max(when(col("capped"), col("k"))), lit(0L)).as("kk"),
+      coalesce(max(when(col("capped"), col("pre") + col("cap"))),
+        lit(0L)).as("prek"))
+    val out = r.crossJoin(broadcast(kRow))
+      .withColumn("q", expr(
+        "(b - prek) div greatest(l - kk, 1)"))
+      .withColumn("rem", expr(
+        "(b - prek) % greatest(l - kk, 1)"))
+      .withColumn("alloc", when(col("k") <= col("kk"), col("cap"))
+        .otherwise(col("q") +
+          when(col("k") - col("kk") <= col("rem"), lit(1L))
+            .otherwise(lit(0L))))
+      .select(col("lang"), col("n_tok"), col("cap"), col("alloc"),
+        (col("alloc").cast("double") / col("n_tok").cast("double"))
+          .as("epochs"))
+    Canon.canonicalize(out)
+  }
+
+  val unimaxMixOracle: String =
+    s"""WITH c AS (
+       |  SELECT lang,
+       |         CAST(sum(len(regexp_extract_all(${TextOps.normSql},
+       |           '${TextOps.wordPat}'))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1),
+       |cc AS (SELECT lang, n_tok, n_tok * $unimaxEpochs AS cap FROM c),
+       |t AS (SELECT CAST(sum(n_tok) * $unimaxBudgetPermille // 1000
+       |               AS BIGINT) AS b FROM c),
+       |r AS (
+       |  SELECT lang, n_tok, cap, b,
+       |         row_number() OVER w AS k,
+       |         CAST(coalesce(sum(cap) OVER (w ROWS BETWEEN UNBOUNDED
+       |           PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre,
+       |         CAST(count(*) OVER () AS BIGINT) AS l
+       |  FROM cc, t
+       |  WINDOW w AS (ORDER BY cap ASC, lang ASC)),
+       |rc AS (
+       |  SELECT *, cap * (l - k + 1) <= b - pre AS capped FROM r),
+       |kk AS (
+       |  SELECT CAST(coalesce(max(CASE WHEN capped THEN k END), 0)
+       |           AS BIGINT) AS kk,
+       |         CAST(coalesce(max(CASE WHEN capped THEN pre + cap END),
+       |           0) AS BIGINT) AS prek
+       |  FROM rc)
+       |SELECT lang, n_tok, cap,
+       |       CASE WHEN k <= kk THEN cap
+       |            ELSE (b - prek) // greatest(l - kk, 1)
+       |                 + CASE WHEN k - kk <=
+       |                     (b - prek) % greatest(l - kk, 1)
+       |                   THEN 1 ELSE 0 END
+       |       END AS alloc,
+       |       CAST(CASE WHEN k <= kk THEN cap
+       |            ELSE (b - prek) // greatest(l - kk, 1)
+       |                 + CASE WHEN k - kk <=
+       |                     (b - prek) % greatest(l - kk, 1)
+       |                   THEN 1 ELSE 0 END
+       |       END AS DOUBLE) / CAST(n_tok AS DOUBLE) AS epochs
+       |FROM rc, kk""".stripMargin
 }

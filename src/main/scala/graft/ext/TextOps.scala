@@ -177,7 +177,7 @@ object TextOps {
       |    || '</body></html>' AS html
       |  FROM documents)""".stripMargin
 
-  private val wordPat = "[a-z0-9]+"
+  private[ext] val wordPat = "[a-z0-9]+"
 
   /** Word-regex token count plus the ceil(chars/4) BPE-style estimate used
     * for budget planning when no tokenizer is available.

@@ -2107,8 +2107,33 @@ object VectorOps {
   private[ext] def pcaModelAt(spark: SparkSession, sfDir: String,
                               scale: Long)
       : (Array[Long], Array[Long], Double, Long) = {
+    val (g, nVecs, maxQ) = pcaGram(spark, embeddings(spark, sfDir), scale)
+    pcaCertify(nVecs, maxQ)
+    // model-sized driver arithmetic from here on (the centroid-sync rule)
+    val w = dominantVec(g)
+    val (norm, ray) = rayleighOf(g, w)
+    (g, w, norm, ray)
+  }
+
+  /** The exact post-hoc overflow certificate — see [[pcaModelAt]]. */
+  private def pcaCertify(nVecs: Long, maxQ: Long): Unit =
+    require(BigInt(nVecs) * maxQ * maxQ <= BigInt(Long.MaxValue / 2),
+      s"Gram certificate failed: $nVecs vectors at max|q|=$maxQ " +
+        s"could exceed Long range — retrain at a coarser scale " +
+        s"(pcaScaleCoarse = $pcaScaleCoarse buys 10^6x headroom)")
+
+  /** The one corpus-sized pass: the integer Gram of an arbitrary
+    * embeddings frame, plus the (row count, max |quantized component|)
+    * counters the certificate needs. Exposed per-frame so the
+    * merge/forget lifecycle can compose Grams ALGEBRAICALLY —
+    * integer Grams are additive, so shard merge is entrywise sum and
+    * unlearning is entrywise subtraction, both exact.
+    */
+  private[ext] def pcaGram(spark: SparkSession, e: DataFrame,
+                           scale: Long = pcaScale)
+      : (Array[Long], Long, Long) = {
     import spark.implicits._
-    val q = embeddings(spark, sfDir)
+    val q = e
       .select(transform(asDouble(col("embedding")),
         x => floor(x * scale.toDouble)).as("qv"))
       .as[Seq[Long]]
@@ -2130,21 +2155,12 @@ object VectorOps {
       }
       Iterator.single((acc, n, maxq))
     }
-    val (g, nVecs, maxQ) = partials.reduce { (x, y) =>
+    partials.reduce { (x, y) =>
       val merged = new Array[Long](pcaDim * pcaDim)
       var k = 0
       while (k < merged.length) { merged(k) = x._1(k) + y._1(k); k += 1 }
       (merged, x._2 + y._2, math.max(x._3, y._3))
     }
-    require(BigInt(nVecs) * maxQ * maxQ <= BigInt(Long.MaxValue / 2),
-      s"Gram certificate failed: $nVecs vectors at max|q|=$maxQ " +
-        s"could exceed Long range — retrain at a coarser scale " +
-        s"(pcaScaleCoarse = $pcaScaleCoarse buys 10^6x headroom)")
-
-    // model-sized driver arithmetic from here on (the centroid-sync rule)
-    val w = dominantVec(g)
-    val (norm, ray) = rayleighOf(g, w)
-    (g, w, norm, ray)
   }
 
   /** Squaring chain + final matvec + renormalization of any symmetric
@@ -2238,12 +2254,18 @@ object VectorOps {
        |    // (SELECT wtw FROM ${pre}norm) AS BIGINT) AS lam_fp)"""
       .stripMargin
 
-  private def pcaCtes: String = {
+  private def pcaCtes: String = pcaCtesWhere("")
+
+  /** [[pcaCtes]] over a filtered corpus — `$where` is appended to the
+    * quantization scan, so a never-existed retrain oracle is the same
+    * chain minus the forgotten rows.
+    */
+  private def pcaCtesWhere(where: String): String = {
     val sq = pcaChainSql("pg0", "p")
     s"""pq AS (
        |  SELECT vec_id, list_transform(embedding, x ->
        |    CAST(floor(CAST(x AS DOUBLE) * $pcaScale) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |pg0 AS MATERIALIZED (
        |  SELECT i, j, CAST(sum(qv[CAST(i AS INT) + 1]
        |                  * qv[CAST(j AS INT) + 1]) AS BIGINT) AS m
@@ -2255,6 +2277,75 @@ object VectorOps {
 
   val pcaPowerOracle: String =
     s"""WITH $pcaCtes
+       |SELECT pw.dim, pw.w,
+       |       CAST(pw.w AS DOUBLE) / pnorm.nrm AS component,
+       |       pray.lam_fp,
+       |       CAST(pray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
+       |FROM pw, pnorm, pray""".stripMargin
+
+  /** [[pcaPower]]'s output rows from an explicit Gram. */
+  private def pcaRowsOf(spark: SparkSession, g: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val w = dominantVec(g)
+    val (norm, ray) = rayleighOf(g, w)
+    val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
+    Canon.canonicalize(
+      (0 until pcaDim).map(i =>
+          (i.toLong, w(i), w(i).toDouble / norm, ray, lam))
+        .toDF("dim", "w", "component", "lam_fp", "lam"))
+  }
+
+  /** Doc shards for the PCA merge-law proof. */
+  val pcaShards = 4
+
+  /** Forgotten slice for [[pcaForgotten]]: vec_id ≡ 3 (mod 5). */
+  val pcaForgetMod = 5L
+  val pcaForgetRem = 3L
+
+  /** PCA MERGE LAW — four doc-shard Grams summed entrywise ≡ the
+    * whole-corpus Gram, so the downstream eigensolve is IDENTICAL (not
+    * approximately: integer addition is associative/commutative where
+    * float matrix accumulation is not — the reason the Gram is integer
+    * in the first place). Gated against [[pcaPowerOracle]] verbatim,
+    * the [[SketchOps.hllMerged]] pattern: shard sketches compose
+    * losslessly, so incremental/distributed training needs no
+    * re-scan.
+    */
+  def pcaMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val shards = (0 until pcaShards).map(k =>
+      pcaGram(spark, e.filter(col("vec_id") % pcaShards === k)))
+    val g = shards.map(_._1).reduce { (a, b) =>
+      Array.tabulate(pcaDim * pcaDim)(i => a(i) + b(i))
+    }
+    pcaCertify(shards.map(_._2).sum, shards.map(_._3).max)
+    pcaRowsOf(spark, g)
+  }
+
+  /** PCA EXACT UNLEARNING — the Gram is additive, so forgetting is
+    * entrywise SUBTRACTION of the forgotten rows' Gram: the result
+    * equals a from-scratch retrain on the surviving rows EXACTLY
+    * (same integers — not a bounded approximation), which is the
+    * strongest forget contract in the library; the LSH/LM/BPE/IVF
+    * forget paths re-derive, this one cancels algebraically. Gated
+    * against a NEVER-EXISTED oracle (the [[pcaPowerOracle]] chain
+    * with the forgotten vec_ids filtered out of the scan), the house
+    * forget pattern. The certificate re-checks with the surviving
+    * count and the conservative full-corpus max|q|.
+    */
+  def pcaForgotten(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val (gAll, nAll, maxAll) = pcaGram(spark, e)
+    val (gDel, nDel, _) = pcaGram(spark,
+      e.filter(col("vec_id") % pcaForgetMod === pcaForgetRem))
+    val g = Array.tabulate(pcaDim * pcaDim)(i => gAll(i) - gDel(i))
+    pcaCertify(nAll - nDel, maxAll)
+    pcaRowsOf(spark, g)
+  }
+
+  val pcaForgottenOracle: String =
+    s"""WITH ${pcaCtesWhere(
+        s"WHERE vec_id % $pcaForgetMod <> $pcaForgetRem")}
        |SELECT pw.dim, pw.w,
        |       CAST(pw.w AS DOUBLE) / pnorm.nrm AS component,
        |       pray.lam_fp,

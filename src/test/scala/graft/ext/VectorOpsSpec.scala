@@ -647,6 +647,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(out != plain, "whitening changed no dedup verdict — vacuous")
   }
 
+  test("pcaMerged ≡ pcaPower; pcaForgotten Gram ≡ retrain, output moves") {
+    // merge law: byte-identical rows (integer addition is exact)
+    val whole = VectorOps.pcaPower(spark, sfDir)
+      .as[(Long, Long, Double, Long, Double)].collect().toSet
+    val merged = VectorOps.pcaMerged(spark, sfDir)
+      .as[(Long, Long, Double, Long, Double)].collect().toSet
+    assert(merged == whole)
+
+    // forget law: subtraction Gram equals a from-scratch retrain Gram
+    // on the survivors, ENTRY FOR ENTRY
+    val e = VectorOps.embeddings(spark, sfDir)
+    val (gAll, _, _) = VectorOps.pcaGram(spark, e)
+    val (gDel, nDel, _) = VectorOps.pcaGram(spark,
+      e.filter(col("vec_id") % VectorOps.pcaForgetMod
+        === VectorOps.pcaForgetRem))
+    val (gKeep, nKeep, _) = VectorOps.pcaGram(spark,
+      e.filter(col("vec_id") % VectorOps.pcaForgetMod
+        =!= VectorOps.pcaForgetRem))
+    assert(nDel > 0 && nKeep > 0, "fixture slices non-empty")
+    assert(gAll.indices.forall(i => gAll(i) - gDel(i) == gKeep(i)),
+      "algebraic forget diverged from retrain")
+
+    // and the gated output actually changes (non-vacuous forget)
+    val forgotten = VectorOps.pcaForgotten(spark, sfDir)
+      .as[(Long, Long, Double, Long, Double)].collect().toSet
+    assert(forgotten != whole,
+      "forgetting 20% of rows should move the eigenpair")
+  }
+
   test("embedAnisotropy ≡ pair-enumeration recomputation; abtt ≤ raw") {
     val out = VectorOps.embedAnisotropy(spark, sfDir)
       .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3))
