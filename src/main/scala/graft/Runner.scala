@@ -266,6 +266,9 @@ object Runner {
           new java.io.File(s"$dir/$t/_SUCCESS").exists())))),
       "gc_hll_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
         ext.SketchOps.hllBaseDir(sfDir), gcKeep,
+        dir => new java.io.File(s"$dir/_SUCCESS").exists()))),
+      "gc_pca_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
+        ext.VectorOps.pcaBaseDir(sfDir), gcKeep,
         dir => new java.io.File(s"$dir/_SUCCESS").exists()))))
 
     val tasks = chain match {

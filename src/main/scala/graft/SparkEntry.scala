@@ -273,6 +273,9 @@ object SparkEntry {
     "q_pca_merged" -> ((s, dir) => ext.VectorOps.pcaMerged(s, dir)),
     "q_pca_forgotten" ->
       ((s, dir) => ext.VectorOps.pcaForgotten(s, dir)),
+    // streaming Gram fold, gated per generation vs from-scratch retrain
+    "q_pca_fold_gate" ->
+      ((s, dir) => ext.VectorOps.pcaFoldGate(s, dir)),
     "q_semantic_dedup_abtt" ->
       ((s, dir) => ext.VectorOps.semanticDedupAbtt(s, dir)),
     "q_embed_anisotropy" ->
@@ -551,6 +554,7 @@ object SparkEntry {
     "q_pca_merged" -> ext.VectorOps.pcaPowerOracle,
     // forget gates against a never-existed retrain
     "q_pca_forgotten" -> ext.VectorOps.pcaForgottenOracle,
+    "q_pca_fold_gate" -> ext.VectorOps.pcaFoldGateOracle,
     "q_semantic_dedup_abtt" -> ext.VectorOps.semanticDedupAbttOracle,
     "q_embed_anisotropy" -> ext.VectorOps.embedAnisotropyOracle,
     "q_embed_recall" -> ext.VectorOps.embedRecallOracle,

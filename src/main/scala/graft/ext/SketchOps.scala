@@ -594,7 +594,7 @@ object SketchOps {
   }
 
   /** The sketch itself: per (group, bucket-lower-bound) counts. */
-  private[ext] def hdrBuckets(events: DataFrame): DataFrame =
+  private[graft] def hdrBuckets(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
         floor(col("value") * hdrScale.toDouble).cast("long").as("q"))

@@ -2352,6 +2352,177 @@ object VectorOps {
        |       CAST(pray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
        |FROM pw, pnorm, pray""".stripMargin
 
+  // ---- streaming Gram fold (the admission-fold family, numerics arm) --
+
+  private[graft] def pcaBaseDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/embeddings.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"target/pca_index/${tag}_d${pcaDim}_s${pcaScale}_$fp"
+  }
+
+  private def gramDone(dir: String): Boolean =
+    new java.io.File(s"$dir/_SUCCESS").exists()
+
+  /** Gram rows ↔ driver arrays. The artifact stores (i, j, m) plus the
+    * certificate counters as constant columns — 4096 rows, KB-sized at
+    * ANY corpus size, which is what makes the fold cheap to persist
+    * per micro-batch.
+    */
+  private def gramToDf(spark: SparkSession, g: Array[Long], n: Long,
+                       maxq: Long): DataFrame = {
+    import spark.implicits._
+    (0 until pcaDim * pcaDim).map(k =>
+        (k / pcaDim, k % pcaDim, g(k), n, maxq))
+      .toDF("i", "j", "m", "n_vecs", "max_q")
+  }
+
+  private def dfToGram(df: DataFrame): (Array[Long], Long, Long) = {
+    val rows = df.select("i", "j", "m", "n_vecs", "max_q").collect()
+    val g = new Array[Long](pcaDim * pcaDim)
+    rows.foreach(r => g(r.getInt(0) * pcaDim + r.getInt(1)) = r.getLong(2))
+    (g, rows.head.getLong(3), rows.head.getLong(4))
+  }
+
+  /** Build-or-reuse the PERSISTED corpus Gram (SUCCESS-gated artifact
+    * tier — the [[SketchOps.hllIndex]] discipline).
+    */
+  def pcaIndex(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val dir = pcaBaseDir(sfDir)
+      if (!gramDone(dir)) {
+        val (g, n, maxq) = pcaGram(spark, embeddings(spark, sfDir))
+        gramToDf(spark, g, n, maxq).write.mode("overwrite").parquet(dir)
+      }
+      spark.read.parquet(dir)
+    }
+
+  private[ext] def pcaGenDir(base: String, feedTag: String)(
+      id: Long): String = s"${base}__feed_$feedTag/g$id"
+
+  /** STREAMING GRAM FOLD — each micro-batch's Gram ADDS onto the
+    * running artifact (exact integers: fold ≡ from-scratch retrain on
+    * corpus ∪ all batches, the strongest stream≡batch law in the
+    * library — same algebra as [[pcaMerged]]). Generation dirs are
+    * SUCCESS-gated and chain-checked like every admission fold; the
+    * per-batch return row reports the folded eigenpair plus its cosine
+    * against the base component — principal-axis DRIFT telemetry as
+    * data streams in.
+    */
+  def pcaFold(spark: SparkSession, sfDir: String, feedTag: String,
+              batch: DataFrame, batchId: Long): DataFrame = {
+    import spark.implicits._
+    require(feedTag.matches("[A-Za-z0-9_-]+"),
+      s"feedTag must be path-safe, got '$feedTag'")
+    pcaIndex(spark, sfDir)
+    val base = pcaBaseDir(sfDir)
+    val gen = pcaGenDir(base, feedTag) _
+    val prev = if (batchId == 0L) base else gen(batchId - 1)
+    require(gramDone(prev),
+      s"Gram chain broken before batch $batchId: $prev incomplete")
+    val out = gen(batchId)
+    if (!gramDone(out)) {
+      val (pg, pn, pmax) = dfToGram(spark.read.parquet(prev))
+      val (bg, bn, bmax) = pcaGram(spark, batch)
+      val g = Array.tabulate(pcaDim * pcaDim)(k => pg(k) + bg(k))
+      val n = pn + bn
+      val maxq = math.max(pmax, bmax)
+      pcaCertify(n, maxq)
+      gramToDf(spark, g, n, maxq).write.mode("overwrite").parquet(out)
+    }
+    val (g, n, _) = dfToGram(spark.read.parquet(out))
+    val (g0, _, _) = dfToGram(spark.read.parquet(base))
+    val w = dominantVec(g)
+    val (norm, ray) = rayleighOf(g, w)
+    val w0 = dominantVec(g0)
+    val norm0 = math.sqrt(w0.map(x => x.toDouble * x).sum)
+    val cosBase = math.abs((0 until pcaDim)
+      .map(i => (w(i).toDouble / norm) * (w0(i).toDouble / norm0)).sum)
+    Canon.canonicalize(Seq((batchId, n,
+        ray.toDouble / (pcaScale * pcaScale).toDouble, cosBase))
+      .toDF("batch_id", "n_vecs", "lam", "cos_base"))
+  }
+
+  /** Retire old Gram generations — the [[graft.io.Generations]]
+    * retention contract.
+    */
+  def pcaGc(sfDir: String, feedTag: String, keepLast: Int): Seq[Long] =
+    graft.io.Generations.gc(pcaBaseDir(sfDir), feedTag, keepLast,
+      gramDone)
+
+  /** Deterministic two-batch feed for [[pcaFold]]'s GATE: batch k is
+    * the vec_id ≡ k (mod 2) half of the corpus, vectors scaled by
+    * (k+2)·1.0 and ids offset — each batch genuinely moves the Gram.
+    */
+  private def pcaGateBatch(spark: SparkSession, sfDir: String,
+                           k: Int): DataFrame =
+    embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === k)
+      .select((col("vec_id") + lit(2000000000L + k)).as("vec_id"),
+        transform(asDouble(col("embedding")),
+          x => x * lit((k + 2).toDouble)).as("embedding"))
+
+  /** GATED twin of the streaming Gram fold ([[SketchOps.hllFoldGate]]
+    * pattern): two deterministic batches fold into the "gate" feed
+    * chain, and each generation's full component rows hash-compare
+    * against an oracle that RETRAINS from scratch on
+    * corpus ∪ batches≤b — valid exactly because of the additivity law
+    * the fold is built on. Output: (batch_id, dim, w, component,
+    * lam_fp, lam) per generation.
+    */
+  def pcaFoldGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = (0 to 1).map { b =>
+      pcaFold(spark, sfDir, "gate", pcaGateBatch(spark, sfDir, b),
+        b.toLong) // drive the chain (and its requires)
+      val gen = pcaGenDir(pcaBaseDir(sfDir), "gate")(b.toLong)
+      val (g, _, _) = dfToGram(spark.read.parquet(gen))
+      val w = dominantVec(g)
+      val (norm, ray) = rayleighOf(g, w)
+      val lam = ray.toDouble / (pcaScale * pcaScale).toDouble
+      (0 until pcaDim).map(i =>
+        (b.toLong, i.toLong, w(i), w(i).toDouble / norm, ray, lam))
+    }
+    Canon.canonicalize(rows.flatten
+      .toDF("batch_id", "dim", "w", "component", "lam_fp", "lam"))
+  }
+
+  lazy val pcaFoldGateOracle: String = {
+    def armSrc(b: Int): String = {
+      val batches = (0 to b).map(k =>
+        s"""SELECT vec_id + ${2000000000L + k} AS vec_id,
+           |  list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) * ${k + 2}.0) AS embedding
+           |FROM embeddings WHERE vec_id % 2 = $k""".stripMargin)
+      val corpus = "SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(x AS DOUBLE)) AS embedding FROM embeddings"
+      (corpus +: batches).mkString("\nUNION ALL\n")
+    }
+    def armCtes(b: Int, pre: String): String =
+      s"""${pre}pq AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * $pcaScale) AS BIGINT)) AS qv
+         |  FROM (${armSrc(b)})),
+         |${pre}g0 AS MATERIALIZED (
+         |  SELECT i, j, CAST(sum(qv[CAST(i AS INT) + 1]
+         |                  * qv[CAST(j AS INT) + 1]) AS BIGINT) AS m
+         |  FROM ${pre}pq, range(0, $pcaDim) t1(i), range(0, $pcaDim) t2(j)
+         |  GROUP BY 1, 2),
+         |${pcaChainSql(s"${pre}g0", pre)},
+         |${pcaTailSql(s"${pre}g0", pre)}""".stripMargin
+    def armSel(b: Int, pre: String): String =
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, ${pre}w.dim, ${pre}w.w,
+         |       CAST(${pre}w.w AS DOUBLE) / ${pre}norm.nrm AS component,
+         |       ${pre}ray.lam_fp,
+         |       CAST(${pre}ray.lam_fp AS DOUBLE)
+         |         / ${pcaScale * pcaScale}.0 AS lam
+         |FROM ${pre}w, ${pre}norm, ${pre}ray""".stripMargin
+    s"""WITH ${armCtes(0, "f0")},
+       |${armCtes(1, "f1")}
+       |${armSel(0, "f0")}
+       |UNION ALL
+       |${armSel(1, "f1")}""".stripMargin
+  }
+
   /** Per-document projection onto the dominant component — the
     * outlier-axis/decorrelation telemetry a curation dashboard reads
     * next to the component itself: proj = vᵀŵ in original embedding

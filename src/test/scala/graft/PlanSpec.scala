@@ -261,4 +261,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("min_by") || p.contains("max_by"), p.take(2000))
   }
 
+  test("hdrBuckets: map-side combine, pruned scan, no corpus sort") {
+    val p = plan(ext.SketchOps.hdrBuckets(
+      ext.EventOps.events(spark, sfDir)))
+    // the scale claim: the shuffle carries (group, bucket) partials,
+    // not raw values — partial_count must sit below the exchange
+    assert(p.contains("partial_count"),
+      "bucket agg lost its map-side combine:\n" + p.take(2000))
+    assert(!p.contains("Sort ") && !p.contains("Window"),
+      "sketch build should never sort the corpus:\n" + p.take(2000))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_type") &&
+      readSchema.contains("value") && !readSchema.contains("props"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("unimaxMix: one corpus pass with map-side combine; waterfill " +
+      "windows only the language frame") {
+    val p = plan(ext.SampleOps.unimaxMix(spark, sfDir))
+    assert(p.contains("partial_sum"),
+      "lang token agg lost its map-side combine:\n" + p.take(2000))
+    // exactly one exchange carries corpus data (the lang groupBy);
+    // everything after runs on the L-row aggregate frame
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("lang") && readSchema.contains("text") &&
+      !readSchema.contains("source"),
+      s"scan not pruned: $readSchema")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("embedAnisotropy: scalar-column arms, broadcast model, no " +
+      "nested-lambda collapse") {
+    val p = plan(ext.VectorOps.embedAnisotropy(spark, sfDir))
+    assert(p.contains("partial_sum"),
+      "cross-row sums lost map-side combine:\n" + p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // the 64-row model table joins broadcast; corpus never cartesians
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }

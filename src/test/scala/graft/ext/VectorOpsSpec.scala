@@ -676,6 +676,56 @@ class VectorOpsSpec extends SparkSpec {
       "forgetting 20% of rows should move the eigenpair")
   }
 
+  test("pcaFold: fold ≡ retrain-on-union; restart reads; chain breaks " +
+      "loudly; gc retires") {
+    val base = VectorOps.pcaBaseDir(sfDir)
+    val tag = "spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"${base}__feed_$tag"))
+
+    val e = VectorOps.embeddings(spark, sfDir)
+    def batch(k: Int) = e.filter(col("vec_id") % 2 === k)
+      .select((col("vec_id") + lit(3000000000L + k)).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit((k + 2).toDouble)).as("embedding"))
+
+    val r0 = VectorOps.pcaFold(spark, sfDir, tag, batch(0), 0L).collect()
+    val r1 = VectorOps.pcaFold(spark, sfDir, tag, batch(1), 1L).collect()
+    assert(r0.length == 1 && r1.length == 1)
+
+    // STREAM ≡ BATCH, exactly: the generation-1 Gram equals a
+    // from-scratch Gram of corpus ∪ batch0 ∪ batch1, entry for entry
+    val gen1 = spark.read.parquet(
+      s"${base}__feed_$tag/g1").select("i", "j", "m").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val union = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(batch(0)).unionByName(batch(1))
+    val (gU, _, _) = VectorOps.pcaGram(spark, union)
+    val d = VectorOps.pcaDim
+    assert((0 until d * d).forall(k =>
+      gen1((k / d, k % d)) == gU(k)), "fold diverged from retrain")
+
+    // restart: the SUCCESS-gated generation is read, output identical
+    val r1b = VectorOps.pcaFold(spark, sfDir, tag, batch(1), 1L).collect()
+    assert(r1b.toSeq == r1.toSeq)
+
+    // a gap in the chain fails loudly before any work
+    intercept[IllegalArgumentException] {
+      VectorOps.pcaFold(spark, sfDir, tag, batch(0), 3L)
+    }
+
+    // gc retires everything below the head; the head still folds on
+    val retired = VectorOps.pcaGc(sfDir, tag, 1)
+    assert(retired == Seq(0L), s"retired $retired")
+    val r2 = VectorOps.pcaFold(spark, sfDir, tag, batch(0), 2L).collect()
+    assert(r2.length == 1)
+    rm(new java.io.File(s"${base}__feed_$tag"))
+  }
+
   test("embedAnisotropy ≡ pair-enumeration recomputation; abtt ≤ raw") {
     val out = VectorOps.embedAnisotropy(spark, sfDir)
       .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3))
