@@ -276,6 +276,9 @@ object SparkEntry {
     // streaming Gram fold, gated per generation vs from-scratch retrain
     "q_pca_fold_gate" ->
       ((s, dir) => ext.VectorOps.pcaFoldGate(s, dir)),
+    // template-doc detector: top-k by common-direction energy capture
+    "q_pca_outliers" ->
+      ((s, dir) => ext.VectorOps.pcaOutliers(s, dir)),
     "q_semantic_dedup_abtt" ->
       ((s, dir) => ext.VectorOps.semanticDedupAbtt(s, dir)),
     "q_embed_anisotropy" ->
@@ -555,6 +558,7 @@ object SparkEntry {
     // forget gates against a never-existed retrain
     "q_pca_forgotten" -> ext.VectorOps.pcaForgottenOracle,
     "q_pca_fold_gate" -> ext.VectorOps.pcaFoldGateOracle,
+    "q_pca_outliers" -> ext.VectorOps.pcaOutliersOracle,
     "q_semantic_dedup_abtt" -> ext.VectorOps.semanticDedupAbttOracle,
     "q_embed_anisotropy" -> ext.VectorOps.embedAnisotropyOracle,
     "q_embed_recall" -> ext.VectorOps.embedRecallOracle,

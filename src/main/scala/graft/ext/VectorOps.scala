@@ -2352,6 +2352,85 @@ object VectorOps {
        |       CAST(pray.lam_fp AS DOUBLE) / ${pcaScale * pcaScale}.0 AS lam
        |FROM pw, pnorm, pray""".stripMargin
 
+  /** Output width of [[pcaOutliers]]. */
+  val pcaOutlierK = 50
+
+  /** PCA-ALIGNMENT OUTLIERS — the template-document detector the
+    * anisotropy row motivates: per document, the fraction of its
+    * (quantized) vector energy captured by the top-2 common
+    * directions, ratio = (p₁² + p₂²)/‖qv‖², and the corpus-wide top
+    * [[pcaOutlierK]] by that ratio. A document loading heavily on the
+    * directions EVERY document shares is boilerplate/templated
+    * content (the Mu & Viswanath reading of dominant components) —
+    * the curation queue this feeds reviews those first. Projections
+    * are the [[pcaProject]] exact integer dots; ‖qv‖² is an exact
+    * integer sum; the ratio is assembled from three doubles the twins
+    * share. Top-k runs as TakeOrderedAndProject (per-partition heaps,
+    * no global sort — the scale-correct global top-k primitive).
+    */
+  def pcaOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val models = pcaModels(spark, sfDir, 2)
+    val Seq((w1, n1, _), (w2, n2, _)) = models
+    def fpDot(w: Array[Long]): Column = expr(
+      (0 until pcaDim).map(i => s"qv[$i] * ${w(i)}L").mkString(" + "))
+    val s2Expr = expr(
+      (0 until pcaDim).map(i => s"qv[$i] * qv[$i]").mkString(" + "))
+    val scored = embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(asDouble(col("embedding")),
+          x => floor(x * lit(pcaScale.toDouble))).as("qv"))
+      .withColumn("s2", s2Expr)
+      .filter(col("s2") > 0)
+      .withColumn("p1", fpDot(w1).cast("double") / lit(n1))
+      .withColumn("p2", fpDot(w2).cast("double") / lit(n2))
+      .withColumn("ratio",
+        (col("p1") * col("p1") + col("p2") * col("p2")) /
+          col("s2").cast("double"))
+      .select("vec_id", "ratio")
+    val top = scored
+      .orderBy(col("ratio").desc, col("vec_id").asc).limit(pcaOutlierK)
+    Canon.canonicalize(top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ratio").desc, col("vec_id").asc)))
+      .select("rank", "vec_id", "ratio"))
+  }
+
+  lazy val pcaOutliersOracle: String = {
+    val ladder = pcaLadderOracle(2)
+    val pcaChain = ladder
+      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
+      .stripSuffix(",")
+    s"""WITH ${pcaChain.stripSuffix(",")},
+       |os2 AS (
+       |  SELECT vec_id, CAST(sum(qv[CAST(i AS INT) + 1]
+       |           * qv[CAST(i AS INT) + 1]) AS BIGINT) AS s2
+       |  FROM pq, range(0, $pcaDim) t(i) GROUP BY 1),
+       |odots AS (
+       |  SELECT pq.vec_id,
+       |         CAST(sum(qv[CAST(pw.dim AS INT) + 1] * pw.w) AS BIGINT)
+       |           AS fp1,
+       |         CAST(sum(qv[CAST(qw.dim AS INT) + 1] * qw.w) AS BIGINT)
+       |           AS fp2
+       |  FROM pq JOIN pw ON true JOIN qw ON pw.dim = qw.dim
+       |  GROUP BY 1),
+       |oratio AS (
+       |  SELECT s.vec_id,
+       |         (CAST(d.fp1 AS DOUBLE) / (SELECT nrm FROM pnorm))
+       |           * (CAST(d.fp1 AS DOUBLE) / (SELECT nrm FROM pnorm))
+       |         + (CAST(d.fp2 AS DOUBLE) / (SELECT nrm FROM qnorm))
+       |           * (CAST(d.fp2 AS DOUBLE) / (SELECT nrm FROM qnorm))
+       |           AS pp,
+       |         CAST(s.s2 AS DOUBLE) AS s2
+       |  FROM os2 s JOIN odots d ON s.vec_id = d.vec_id
+       |  WHERE s.s2 > 0)
+       |SELECT CAST(row_number() OVER (ORDER BY pp / s2 DESC,
+       |         vec_id ASC) AS BIGINT) AS rank,
+       |       vec_id, pp / s2 AS ratio
+       |FROM oratio
+       |ORDER BY ratio DESC, vec_id ASC LIMIT $pcaOutlierK""".stripMargin
+  }
+
   // ---- streaming Gram fold (the admission-fold family, numerics arm) --
 
   private[graft] def pcaBaseDir(sfDir: String): String = {

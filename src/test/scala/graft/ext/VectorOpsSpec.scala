@@ -726,6 +726,36 @@ class VectorOpsSpec extends SparkSpec {
     rm(new java.io.File(s"${base}__feed_$tag"))
   }
 
+  test("pcaOutliers ≡ full-ranking recomputation; ratios in [0,1]") {
+    val out = VectorOps.pcaOutliers(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.nonEmpty && out.length <= VectorOps.pcaOutlierK)
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0 + 1e-9),
+      "captured-variance ratio out of range")
+    assert(out.map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)), "ranking not descending")
+
+    val models = VectorOps.pcaModels(spark, sfDir, 2)
+    val vecs = VectorOps.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val sc = VectorOps.pcaScale.toDouble
+    val want = vecs.flatMap { case (id, v) =>
+      val qv = v.map(x => math.floor(x * sc).toLong)
+      val s2 = qv.map(q => q * q).sum
+      if (s2 <= 0) None
+      else {
+        val ps = models.map { case (w, n, _) =>
+          qv.zip(w).map { case (a, b) => a * b }.sum.toDouble / n
+        }
+        Some((id, (ps(0) * ps(0) + ps(1) * ps(1)) / s2.toDouble))
+      }
+    }.sortBy { case (id, r) => (-r, id) }.take(VectorOps.pcaOutlierK)
+    assert(out.map(r => (r._2, r._3)).toSeq == want.toSeq,
+      "top-k diverges from full ranking")
+  }
+
   test("embedAnisotropy ≡ pair-enumeration recomputation; abtt ≤ raw") {
     val out = VectorOps.embedAnisotropy(spark, sfDir)
       .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3))
