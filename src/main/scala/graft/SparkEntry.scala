@@ -32,6 +32,8 @@ object SparkEntry {
     // io micro-queries
     "q_jdbc_roundtrip" -> ((s, dir) => JdbcRoundTrip(s, dir)),
     "q_jsonl_roundtrip" -> ((s, dir) => JsonlRoundTrip(s, dir)),
+    // partitioned-layout join with runtime (dynamic) partition pruning
+    "q_dpp_join" -> ((s, dir) => io.Partitioned.dppJoin(s, dir)),
     // LLM-pipeline text operators over `documents`
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir)),
     "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
@@ -390,6 +392,7 @@ object SparkEntry {
     "q_ingest_customers" -> Ingestion.customersOracle,
     "q_ingest_sales" -> Ingestion.salesOracle,
     "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
+    "q_dpp_join" -> io.Partitioned.dppJoinOracle,
     "q_jsonl_roundtrip" -> JsonlRoundTrip.oracle,
     "q_dedup_exact" -> TextOps.dedupExactOracle,
     "q_text_stats" -> TextOps.textStatsOracle,

@@ -292,6 +292,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("dppJoin: fact scan carries a dynamic partition-pruning filter") {
+    val p = plan(io.Partitioned.dppJoin(spark, sfDir))
+    assert(p.contains("dynamicpruning"),
+      "DPP lost — the fact scan reads every partition:\n" + p.take(3000))
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("embedAnisotropy: scalar-column arms, broadcast model, no " +
       "nested-lambda collapse") {
     val p = plan(ext.VectorOps.embedAnisotropy(spark, sfDir))
