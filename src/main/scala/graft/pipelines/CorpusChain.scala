@@ -47,8 +47,17 @@ object CorpusChain {
       "train_split" -> ((s, d) => SampleOps.trainValTestSplit(s, d)),
       "shard_assign" -> ((s, d) => SampleOps.shardAssign(s, d)),
       // dataset-card statistics published WITH the corpus: gram-space
-      // cardinality (sketch + exact) and the k-anonymized source rollup
+      // cardinality (sketch + exact), value-distribution quantiles
+      // (mergeable HDR sketch), the embedding-space anisotropy /
+      // template-doc reports, the epoch-capped language plan, and the
+      // k-anonymized source rollup
       "hll_card" -> ((s, d) => graft.ext.SketchOps.hllDistinct(s, d)),
+      "hdr_quantiles" ->
+        ((s, d) => graft.ext.SketchOps.hdrQuantiles(s, d)),
+      "embed_anisotropy" ->
+        ((s, d) => graft.ext.VectorOps.embedAnisotropy(s, d)),
+      "pca_outliers" -> ((s, d) => graft.ext.VectorOps.pcaOutliers(s, d)),
+      "unimax_mix" -> ((s, d) => SampleOps.unimaxMix(s, d)),
       "kanon_release" ->
         ((s, d) => graft.ext.GovernanceOps.kanonRelease(s, d)))
 
