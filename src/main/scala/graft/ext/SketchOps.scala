@@ -632,6 +632,82 @@ object SketchOps {
       .select("event_type", "phi", "n", "n_buckets", "est"))
   }
 
+  /** PER-DAY VALUE-DISTRIBUTION DRIFT on the HDR bucket space — for
+    * each event day, the total variation distance between that day's
+    * bucket distribution and the corpus-wide one:
+    *
+    *   TVD(d) = ½ Σ_b |c_d(b)/n_d − c(b)/n|
+    *
+    * computed EXACTLY as Σ_b |c_d(b)·n − c(b)·n_d| over
+    * DECIMAL(38)/HUGEINT cross-products (integer, order-independent —
+    * a float Σ of per-bucket ratio gaps would be partition-order
+    * noise) with ONE double division by 2·n_d·n at the end. The
+    * drift-dashboard row for numeric metrics, beside the token-space
+    * corpus_drift gate: a day whose value distribution walks away
+    * from the corpus baseline is a pipeline incident (collector bug,
+    * currency change, bot flood) that per-day means alone smear out.
+    * Bucket-space work is (days × buckets) — bounded by the value
+    * RANGE, never the row count, so the comparison grid is
+    * dashboard-sized at any corpus scale.
+    */
+  def hdrDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val qb = EventOps.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        floor(col("value") * hdrScale.toDouble).cast("long").as("q"))
+      .withColumn("sh",
+        expr(s"greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0)"))
+      .withColumn("lb", expr("shiftleft(shiftright(q, sh), sh)"))
+      .persist() // day-bucket and corpus-bucket passes
+    val dayB = qb.groupBy("day", "lb").agg(count(lit(1)).as("cd"))
+    val allB = qb.groupBy("lb").agg(count(lit(1)).as("c"))
+    val dayN = dayB.groupBy("day").agg(sum("cd").as("nd"))
+    val nAll = allB.agg(sum("c").as("n"))
+    val grid = dayN.crossJoin(allB).crossJoin(nAll)
+      .join(dayB, Seq("day", "lb"), "left")
+      .withColumn("cdz", coalesce(col("cd"), lit(0L)))
+      .withColumn("term",
+        abs(col("cdz").cast(dec) * col("n") - col("c").cast(dec)
+          * col("nd")))
+    val out = grid.groupBy("day")
+      .agg(max("nd").as("n_events"), max("n").as("n_total"),
+        sum("term").as("s"))
+      .select(col("day"), col("n_events"),
+        (col("s").cast("double") /
+          (lit(2).cast(dec) * col("n_events") * col("n_total"))
+            .cast("double")).as("tvd"))
+    Canon.materialized(Canon.canonicalize(out), qb)
+  }
+
+  val hdrDriftOracle: String =
+    s"""WITH qb AS (
+       |  SELECT day, (q >> sh) << sh AS lb FROM (
+       |    SELECT day, q,
+       |           greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0) AS sh
+       |    FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |                 CAST(floor(value * $hdrScale) AS BIGINT) AS q
+       |          FROM events))),
+       |db AS (SELECT day, lb, count(*) AS cd FROM qb GROUP BY 1, 2),
+       |ab AS (SELECT lb, count(*) AS c FROM qb GROUP BY 1),
+       |dn AS (SELECT day, CAST(sum(cd) AS BIGINT) AS nd
+       |       FROM db GROUP BY 1),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ab),
+       |grid AS (
+       |  SELECT dn.day, dn.nd, t.n, ab.lb, ab.c,
+       |         coalesce(db.cd, 0) AS cd
+       |  FROM dn CROSS JOIN ab CROSS JOIN t
+       |  LEFT JOIN db ON db.day = dn.day AND db.lb = ab.lb),
+       |drift AS (
+       |  SELECT day, nd, n,
+       |         CAST(sum(abs(CAST(cd AS HUGEINT) * n
+       |                - CAST(c AS HUGEINT) * nd)) AS HUGEINT) AS s
+       |  FROM grid GROUP BY 1, 2, 3)
+       |SELECT day, nd AS n_events,
+       |       CAST(s AS DOUBLE) /
+       |         CAST(2 * CAST(nd AS HUGEINT) * n AS DOUBLE) AS tvd
+       |FROM drift""".stripMargin
+
   val hdrQuantilesOracle: String =
     s"""WITH b AS (
        |  SELECT event_type, (q >> sh) << sh AS lb, count(*) AS cnt

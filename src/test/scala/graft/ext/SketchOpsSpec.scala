@@ -236,4 +236,41 @@ class SketchOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].collect().toSet
     assert(merged == out)
   }
+
+  test("hdrDrift ≡ TVD recomputation; bounds hold; every day present") {
+    val out = SketchOps.hdrDrift(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0),
+      "TVD out of [0,1]")
+
+    import org.apache.spark.sql.functions.{col, date_format}
+    val rows = EventOps.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"))
+      .as[(String, Double)].collect()
+    val m = SketchOps.hdrMantissaBits
+    def lb(v: Double): Long = {
+      val q = math.floor(v * SketchOps.hdrScale).toLong
+      val sh = math.max(64 - java.lang.Long.numberOfLeadingZeros(q)
+        - 1 - m, 0)
+      (q >> sh) << sh
+    }
+    val all = rows.map(r => lb(r._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.length.toLong
+    val want = rows.groupBy(_._1).map { case (day, vs) =>
+      val db = vs.map(v => lb(v._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nd = vs.size.toLong
+      val s = all.map { case (b, c) =>
+        (BigInt(db.getOrElse(b, 0L)) * n - BigInt(c) * nd).abs
+      }.sum
+      (day, nd,
+        s.toDouble / (BigInt(2) * nd * n).toDouble)
+    }.toSet
+    assert(out.toSet == want,
+      s"extra=${out.toSet.diff(want).take(3)} " +
+        s"missing=${want.diff(out.toSet).take(3)}")
+    assert(out.length == rows.map(_._1).distinct.length)
+  }
 }
