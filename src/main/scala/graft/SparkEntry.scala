@@ -39,6 +39,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
     "q_dataset_card" -> ((s, dir) => TextOps.datasetCard(s, dir)),
     "q_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
+    "q_readability" -> ((s, dir) => TextOps.readability(s, dir)),
     "q_unicode_norm" -> ((s, dir) => TextOps.unicodeNormalize(s, dir)),
     // markup front-end: tag strip + entity decode ahead of normText
     "q_html_extract" -> ((s, dir) => TextOps.htmlExtract(s, dir)),
@@ -399,6 +400,7 @@ object SparkEntry {
     "q_text_stats" -> TextOps.textStatsOracle,
     "q_dataset_card" -> TextOps.datasetCardOracle,
     "q_token_count" -> TextOps.tokenCountOracle,
+    "q_readability" -> TextOps.readabilityOracle,
     "q_unicode_norm" -> TextOps.unicodeNormalizeOracle,
     "q_html_extract" -> TextOps.htmlExtractOracle,
     "q_model_score" -> ScoringOps.modelScoreOracle,

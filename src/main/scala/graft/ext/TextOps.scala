@@ -182,6 +182,60 @@ object TextOps {
   /** Word-regex token count plus the ceil(chars/4) BPE-style estimate used
     * for budget planning when no tokenizer is available.
     */
+  /** READABILITY — Flesch reading-ease per document, the classic
+    * curation signal the length/stopword/punct score
+    * ([[qualityScore]]) doesn't carry: word-per-sentence and
+    * syllable-per-word density,
+    *
+    *   flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    *
+    * with syllables approximated as VOWEL-GROUP RUNS (`[aeiouy]+` on
+    * the normalized text — the standard cheap heuristic; documented
+    * approximation, not hyphenation-grade) and sentences as
+    * terminal-punctuation runs on the RAW text. Everything is
+    * `regexp_count` + three double ops in a fixed order — pure
+    * projection, no shuffle, codegen'd; the same shared-RE2-subset
+    * discipline as the quality CTE. Clamps (≥1) keep degenerate docs
+    * (no punctuation, all digits) finite instead of NULL/∞.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+      .withColumn("norm", normText(col("text")))
+      .withColumn("w",
+        greatest(regexp_count(col("norm"), lit(wordPat)), lit(1))
+          .cast("double"))
+      .withColumn("s",
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("double"))
+      .withColumn("sy",
+        greatest(regexp_count(col("norm"), lit("[aeiouy]+")), lit(1))
+          .cast("double"))
+    Canon.canonicalize(d.select(
+      col("doc_id"),
+      col("w").cast("long").as("n_words"),
+      col("s").cast("long").as("n_sents"),
+      col("sy").cast("long").as("n_syll"),
+      (lit(206.835) - lit(1.015) * (col("w") / col("s"))
+        - lit(84.6) * (col("sy") / col("w"))).as("flesch")))
+  }
+
+  val readabilityOracle: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(regexp_extract_all($normSql, '$wordPat')),
+       |      1) AS DOUBLE) AS w,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')),
+       |      1) AS DOUBLE) AS s,
+       |    CAST(greatest(len(regexp_extract_all($normSql, '[aeiouy]+')),
+       |      1) AS DOUBLE) AS sy
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(w AS BIGINT) AS n_words,
+       |       CAST(s AS BIGINT) AS n_sents,
+       |       CAST(sy AS BIGINT) AS n_syll,
+       |       206.835 - 1.015 * (w / s) - 84.6 * (sy / w) AS flesch
+       |FROM r""".stripMargin
+
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
       .withColumn("norm", normText(col("text")))

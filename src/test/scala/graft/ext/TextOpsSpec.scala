@@ -413,4 +413,30 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
   }
 
+  test("readability ≡ regex recomputation over collected text") {
+    val out = TextOps.readability(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = TextOps.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextOps.normText(
+          org.apache.spark.sql.functions.col("text")).as("norm"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String, String)].collect()
+    assert(out.size == docs.length)
+    for ((id, norm, text) <- docs) {
+      val w = math.max("[a-z0-9]+".r.findAllIn(norm).size, 1)
+      val s = math.max("[.!?]+".r.findAllIn(text).size, 1)
+      val sy = math.max("[aeiouy]+".r.findAllIn(norm).size, 1)
+      val flesch = 206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (sy.toDouble / w.toDouble)
+      val row = out(id)
+      assert(row._2 == w && row._3 == s && row._4 == sy,
+        s"doc $id counts: $row vs ($w, $s, $sy)")
+      assert(row._5 == flesch, s"doc $id flesch ${row._5} vs $flesch")
+    }
+    // a document with more syllables per word must not score higher
+    // when words/sentence are equal — sanity of the formula's sign
+    assert(out.values.forall(r => r._5 <= 206.835))
+  }
 }
