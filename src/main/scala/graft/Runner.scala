@@ -269,6 +269,9 @@ object Runner {
         dir => new java.io.File(s"$dir/_SUCCESS").exists()))),
       "gc_pca_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
         ext.VectorOps.pcaBaseDir(sfDir), gcKeep,
+        dir => new java.io.File(s"$dir/_SUCCESS").exists()))),
+      "gc_hdr_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
+        ext.SketchOps.hdrBaseDir(sfDir), gcKeep,
         dir => new java.io.File(s"$dir/_SUCCESS").exists()))))
 
     val tasks = chain match {

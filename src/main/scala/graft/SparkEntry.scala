@@ -255,6 +255,8 @@ object SparkEntry {
     "q_hdr_merged" ->
       ((s, dir) => ext.SketchOps.hdrQuantilesMerged(s, dir)),
     "q_hdr_drift" -> ((s, dir) => ext.SketchOps.hdrDrift(s, dir)),
+    "q_hdr_fold_gate" ->
+      ((s, dir) => ext.SketchOps.hdrFoldGate(s, dir)),
     // precision/recall/F1 operating curve over the classifier deciles
     "q_classifier_pr" -> ((s, dir) => ext.ClassifierOps.classifierPr(s, dir)),
     // min-K% prob membership inference against the reference bigram LM
@@ -551,6 +553,7 @@ object SparkEntry {
     // the merged sketch must equal the NEVER-sharded oracle
     "q_hdr_merged" -> ext.SketchOps.hdrQuantilesOracle,
     "q_hdr_drift" -> ext.SketchOps.hdrDriftOracle,
+    "q_hdr_fold_gate" -> ext.SketchOps.hdrFoldGateOracle,
     "q_classifier_pr" -> ext.ClassifierOps.classifierPrOracle,
     "q_min_k_prob" -> ext.LmOps.minKProbOracle,
     "q_lsh_cost" -> ext.DedupOps.lshCostCensusOracle,

@@ -708,17 +708,21 @@ object SketchOps {
        |         CAST(2 * CAST(nd AS HUGEINT) * n AS DOUBLE) AS tvd
        |FROM drift""".stripMargin
 
-  val hdrQuantilesOracle: String =
-    s"""WITH b AS (
+  /** Bucket + rank-extraction CTE chain over `$srcSql` (event_type,
+    * value), prefixed `$pre`, ending at `${pre}hit` — shared by the
+    * standalone oracle and the fold gate's per-generation arms.
+    */
+  private def hdrSketchSql(pre: String, srcSql: String): String =
+    s"""${pre}b AS (
        |  SELECT event_type, (q >> sh) << sh AS lb, count(*) AS cnt
        |  FROM (
        |    SELECT event_type, q,
        |           greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0) AS sh
        |    FROM (SELECT event_type,
        |                 CAST(floor(value * $hdrScale) AS BIGINT) AS q
-       |          FROM events))
+       |          FROM ($srcSql)))
        |  GROUP BY 1, 2),
-       |c AS (
+       |${pre}c AS (
        |  SELECT event_type, lb,
        |         CAST(sum(cnt) OVER (PARTITION BY event_type
        |                ORDER BY lb) AS BIGINT) AS cum,
@@ -726,16 +730,123 @@ object SketchOps {
        |                AS BIGINT) AS n,
        |         CAST(count(*) OVER (PARTITION BY event_type)
        |                AS BIGINT) AS n_buckets
-       |  FROM b),
-       |hit AS (
+       |  FROM ${pre}b),
+       |${pre}hit AS (
        |  SELECT event_type, phi, min(lb) AS lb, max(n) AS n,
        |         max(n_buckets) AS n_buckets
-       |  FROM c, (VALUES (${hdrPhis.mkString("), (")})) t(phi)
+       |  FROM ${pre}c, (VALUES (${hdrPhis.mkString("), (")})) t(phi)
        |  WHERE cum * 100 >= phi * n
-       |  GROUP BY 1, 2)
-       |SELECT event_type, CAST(phi AS BIGINT) AS phi, n, n_buckets,
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def hdrHitSelect(pre: String, extra: String = ""): String =
+    s"""SELECT ${extra}event_type, CAST(phi AS BIGINT) AS phi, n,
+       |       n_buckets,
        |       CAST(2 * lb + (1 << greatest(length(bin(lb)) - 1
        |              - $hdrMantissaBits, 0)) - 1 AS DOUBLE)
        |         / ${2 * hdrScale}.0 AS est
-       |FROM hit""".stripMargin
+       |FROM ${pre}hit""".stripMargin
+
+  val hdrQuantilesOracle: String =
+    s"""WITH ${hdrSketchSql("", "SELECT event_type, value FROM events")}
+       |${hdrHitSelect("")}""".stripMargin
+
+  // ---- streaming HDR fold (the admission-fold family, quantile arm) --
+
+  private[graft] def hdrBaseDir(sfDir: String): String = {
+    val fp = graft.io.Fingerprint.ofPath(s"$sfDir/events.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+    s"target/hdr_index/${tag}_m${hdrMantissaBits}_s${hdrScale}_$fp"
+  }
+
+  private def hdrDone(dir: String): Boolean =
+    new java.io.File(s"$dir/_SUCCESS").exists()
+
+  /** Build-or-reuse the PERSISTED corpus bucket table — one row per
+    * (group, bucket), bounded by the value range at any corpus size.
+    */
+  def hdrIndex(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val dir = hdrBaseDir(sfDir)
+      if (!hdrDone(dir))
+        hdrBuckets(EventOps.events(spark, sfDir))
+          .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+
+  private[ext] def hdrGenDir(base: String, feedTag: String)(
+      id: Long): String = s"${base}__feed_$feedTag/g$id"
+
+  /** STREAMING BUCKET FOLD — each micro-batch's bucket counts ADD onto
+    * the running sketch (counts are additive, so fold ≡ from-scratch
+    * sketch of corpus ∪ batches — the HLL/PCA admission-fold law, on
+    * the quantile arm). SUCCESS-gated generations, loud chain check;
+    * the return value is the folded sketch's quantile rows stamped
+    * with the batch id.
+    */
+  def hdrFold(spark: SparkSession, sfDir: String, feedTag: String,
+              batch: DataFrame, batchId: Long): DataFrame = {
+    require(feedTag.matches("[A-Za-z0-9_-]+"),
+      s"feedTag must be path-safe, got '$feedTag'")
+    hdrIndex(spark, sfDir)
+    val base = hdrBaseDir(sfDir)
+    val gen = hdrGenDir(base, feedTag) _
+    val prev = if (batchId == 0L) base else gen(batchId - 1)
+    require(hdrDone(prev),
+      s"bucket chain broken before batch $batchId: $prev incomplete")
+    val out = gen(batchId)
+    if (!hdrDone(out))
+      spark.read.parquet(prev)
+        .unionByName(hdrBuckets(batch))
+        .groupBy("event_type", "lb").agg(sum("cnt").as("cnt"))
+        .write.mode("overwrite").parquet(out)
+    Canon.canonicalize(
+      hdrFromBuckets(spark, spark.read.parquet(out))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "event_type", "phi", "n", "n_buckets",
+          "est"))
+  }
+
+  /** Retire old bucket generations — the Generations contract. */
+  def hdrGc(sfDir: String, feedTag: String, keepLast: Int): Seq[Long] =
+    graft.io.Generations.gc(hdrBaseDir(sfDir), feedTag, keepLast,
+      hdrDone)
+
+  /** Deterministic two-batch feed for the GATE: batch k is the
+    * event_id ≡ k (mod 2) half with values scaled ×(k+2) — each batch
+    * genuinely moves the buckets and the quantiles.
+    */
+  private def hdrGateBatch(spark: SparkSession, sfDir: String,
+                           k: Int): DataFrame =
+    EventOps.events(spark, sfDir)
+      .filter(col("event_id") % 2 === k)
+      .select(col("event_type"),
+        (col("value") * lit((k + 2).toDouble)).as("value"))
+
+  /** GATED twin of the streaming bucket fold (the
+    * [[graft.ext.VectorOps.pcaFoldGate]] pattern): two deterministic
+    * batches fold into the "gate" feed chain; each generation's
+    * quantile rows hash-compare against an oracle that re-sketches
+    * corpus ∪ batches≤b from scratch — valid exactly because counts
+    * are additive.
+    */
+  def hdrFoldGate(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(
+      hdrFold(spark, sfDir, "gate", hdrGateBatch(spark, sfDir, 0), 0L)
+        .unionByName(
+          hdrFold(spark, sfDir, "gate", hdrGateBatch(spark, sfDir, 1),
+            1L)))
+
+  val hdrFoldGateOracle: String = {
+    def armSrc(b: Int): String =
+      (Seq("SELECT event_type, value FROM events") ++
+        (0 to b).map(k =>
+          s"SELECT event_type, value * ${k + 2}.0 AS value " +
+            s"FROM events WHERE event_id % 2 = $k"))
+        .mkString("\nUNION ALL\n")
+    s"""WITH ${hdrSketchSql("g0", armSrc(0))},
+       |${hdrSketchSql("g1", armSrc(1))}
+       |${hdrHitSelect("g0", "CAST(0 AS BIGINT) AS batch_id, ")}
+       |UNION ALL
+       |${hdrHitSelect("g1", "CAST(1 AS BIGINT) AS batch_id, ")}""".stripMargin
+  }
 }

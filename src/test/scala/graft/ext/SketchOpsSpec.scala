@@ -237,6 +237,50 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged == out)
   }
 
+  test("hdrFold: fold ≡ re-sketch on union; restart reads; chain " +
+      "breaks loudly; gc retires") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = SketchOps.hdrBaseDir(sfDir)
+    val tag = "spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"${base}__feed_$tag"))
+
+    val e = EventOps.events(spark, sfDir)
+    def batch(k: Int) = e.filter(col("event_id") % 2 === k)
+      .select(col("event_type"),
+        (col("value") * lit((k + 3).toDouble)).as("value"))
+
+    val r0 = SketchOps.hdrFold(spark, sfDir, tag, batch(0), 0L).collect()
+    val r1 = SketchOps.hdrFold(spark, sfDir, tag, batch(1), 1L).collect()
+    assert(r0.nonEmpty && r1.nonEmpty)
+
+    // fold ≡ from-scratch sketch of corpus ∪ b0 ∪ b1, bucket for bucket
+    val gen1 = spark.read.parquet(s"${base}__feed_$tag/g1")
+      .as[(String, Long, Long)].collect().toSet
+    val union = e.select(col("event_type"), col("value"))
+      .unionByName(batch(0)).unionByName(batch(1))
+    val want = SketchOps.hdrBuckets(union)
+      .as[(String, Long, Long)].collect().toSet
+    assert(gen1 == want, "fold diverged from re-sketch")
+
+    // restart reads the SUCCESS-gated generation; output identical
+    val r1b = SketchOps.hdrFold(spark, sfDir, tag, batch(1), 1L).collect()
+    assert(r1b.toSeq == r1.toSeq)
+
+    intercept[IllegalArgumentException] {
+      SketchOps.hdrFold(spark, sfDir, tag, batch(0), 3L)
+    }
+
+    val retired = SketchOps.hdrGc(sfDir, tag, 1)
+    assert(retired == Seq(0L), s"retired $retired")
+    val r2 = SketchOps.hdrFold(spark, sfDir, tag, batch(0), 2L).collect()
+    assert(r2.nonEmpty)
+    rm(new java.io.File(s"${base}__feed_$tag"))
+  }
+
   test("hdrDrift ≡ TVD recomputation; bounds hold; every day present") {
     val out = SketchOps.hdrDrift(spark, sfDir)
       .as[(String, Long, Double)].collect()
