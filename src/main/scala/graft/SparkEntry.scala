@@ -62,6 +62,8 @@ object SparkEntry {
       ((s, dir) => ext.ClassifierOps.classifierCalibration(s, dir)),
     "q_source_cap" -> ((s, dir) => TextOps.sourceCap(s, dir)),
     "q_domain_rollup" -> ((s, dir) => ext.DomainOps.domainRollup(s, dir)),
+    "q_domain_len_drift" ->
+      ((s, dir) => ext.DomainOps.domainLenDrift(s, dir)),
     "q_domain_cap" -> ((s, dir) => ext.DomainOps.domainCap(s, dir)),
     "q_domain_mix" -> ((s, dir) => ext.DomainOps.domainMix(s, dir)),
     // crawl front door: URL heuristics that run before any text exists
@@ -417,6 +419,7 @@ object SparkEntry {
       ext.ClassifierOps.qualityClassifierRefOracle,
     "q_source_cap" -> TextOps.sourceCapOracle,
     "q_domain_rollup" -> ext.DomainOps.domainRollupOracle,
+    "q_domain_len_drift" -> ext.DomainOps.domainLenDriftOracle,
     "q_domain_cap" -> ext.DomainOps.domainCapOracle,
     "q_domain_mix" -> ext.DomainOps.domainMixOracle,
     "q_url_filter" -> ext.DomainOps.urlFilterOracle,

@@ -414,4 +414,42 @@ object DomainOps {
        |  FROM qd)
        |SELECT doc_id, domain, quality_score
        |FROM r WHERE rn <= ${TextOps.sourceCapK}""".stripMargin
+  /** PER-DOMAIN LENGTH-DISTRIBUTION DRIFT — the [[SketchOps.tvdOf]]
+    * machinery pointed at crawl governance: for each registered
+    * domain, the total variation distance between its document-LENGTH
+    * distribution (char lengths on the HDR log-linear bucket space —
+    * integer bit-length truncation, no float log) and the corpus-wide
+    * one. A domain whose length profile stands far off the corpus is
+    * a template farm (all pages near-identical length), a listing
+    * site, or a truncation bug — the review queue beside the dup-rate
+    * rollup. Work: one corpus pass to (domain, bucket), then a
+    * (domains x buckets) grid; exact integer cross-products, one
+    * double division per domain.
+    */
+  def domainLenDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = SketchOps.hdrMantissaBits
+    val qb = TextOps.documents(spark, sfDir)
+      .select(registeredDomain(canonicalHost(urlOf)).as("domain"),
+        length(col("text")).cast("long").as("q"))
+      .withColumn("sh",
+        expr(s"greatest(length(bin(q)) - 1 - $m, 0)"))
+      .withColumn("lb", expr("shiftleft(shiftright(q, sh), sh)"))
+      .persist() // slice-bucket and corpus-bucket passes
+    graft.ops.Canon.materialized(
+      graft.ops.Canon.canonicalize(
+        SketchOps.tvdOf(qb, "domain", "n_docs")), qb)
+  }
+
+  val domainLenDriftOracle: String = {
+    val m = SketchOps.hdrMantissaBits
+    s"""WITH qb AS (
+       |  SELECT domain, (q >> sh) << sh AS lb FROM (
+       |    SELECT domain, q, greatest(length(bin(q)) - 1 - $m, 0) AS sh
+       |    FROM (SELECT
+       |            ${registeredDomainSql(canonicalHostSql(urlSql))}
+       |              AS domain,
+       |            CAST(length(text) AS BIGINT) AS q
+       |          FROM documents))),
+       |${SketchOps.tvdSql("domain", "n_docs")}""".stripMargin
+  }
 }

@@ -651,34 +651,70 @@ object SketchOps {
     * dashboard-sized at any corpus scale.
     */
   def hdrDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, 0)
     val qb = EventOps.events(spark, sfDir)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         floor(col("value") * hdrScale.toDouble).cast("long").as("q"))
       .withColumn("sh",
         expr(s"greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0)"))
       .withColumn("lb", expr("shiftleft(shiftright(q, sh), sh)"))
-      .persist() // day-bucket and corpus-bucket passes
-    val dayB = qb.groupBy("day", "lb").agg(count(lit(1)).as("cd"))
+      .persist() // slice-bucket and corpus-bucket passes
+    Canon.materialized(
+      Canon.canonicalize(tvdOf(qb, "day", "n_events")), qb)
+  }
+
+  /** Generic per-slice TVD core over a (`$key`, lb) frame — the
+    * integer-cross-product arithmetic shared by [[hdrDrift]] (slices
+    * = days) and [[DomainOps.domainLenDrift]] (slices = registered
+    * domains): one frame, two count passes, a (slices × buckets)
+    * comparison grid. Output (`$key`, `$nName`, tvd).
+    */
+  private[graft] def tvdOf(qb: DataFrame, key: String,
+                           nName: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val sliceB = qb.groupBy(key, "lb").agg(count(lit(1)).as("cd"))
     val allB = qb.groupBy("lb").agg(count(lit(1)).as("c"))
-    val dayN = dayB.groupBy("day").agg(sum("cd").as("nd"))
+    val sliceN = sliceB.groupBy(key).agg(sum("cd").as("nd"))
     val nAll = allB.agg(sum("c").as("n"))
-    val grid = dayN.crossJoin(allB).crossJoin(nAll)
-      .join(dayB, Seq("day", "lb"), "left")
+    val grid = sliceN.crossJoin(allB).crossJoin(nAll)
+      .join(sliceB, Seq(key, "lb"), "left")
       .withColumn("cdz", coalesce(col("cd"), lit(0L)))
       .withColumn("term",
         abs(col("cdz").cast(dec) * col("n") - col("c").cast(dec)
           * col("nd")))
-    val out = grid.groupBy("day")
-      .agg(max("nd").as("n_events"), max("n").as("n_total"),
+    grid.groupBy(key)
+      .agg(max("nd").as(nName), max("n").as("n_total"),
         sum("term").as("s"))
-      .select(col("day"), col("n_events"),
+      .select(col(key), col(nName),
         (col("s").cast("double") /
-          (lit(2).cast(dec) * col("n_events") * col("n_total"))
+          (lit(2).cast(dec) * col(nName) * col("n_total"))
             .cast("double")).as("tvd"))
-    Canon.materialized(Canon.canonicalize(out), qb)
   }
+
+  /** The TVD chain in SQL over a `qb` CTE exposing (`$key`, lb) —
+    * shared the same way; the caller supplies the qb CTE and appends
+    * this tail. Final SELECT emits (`$key`, `$nName`, tvd).
+    */
+  private[graft] def tvdSql(key: String, nName: String): String =
+    s"""db AS (SELECT $key, lb, count(*) AS cd FROM qb GROUP BY 1, 2),
+       |ab AS (SELECT lb, count(*) AS c FROM qb GROUP BY 1),
+       |dn AS (SELECT $key, CAST(sum(cd) AS BIGINT) AS nd
+       |       FROM db GROUP BY 1),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ab),
+       |grid AS (
+       |  SELECT dn.$key, dn.nd, t.n, ab.lb, ab.c,
+       |         coalesce(db.cd, 0) AS cd
+       |  FROM dn CROSS JOIN ab CROSS JOIN t
+       |  LEFT JOIN db ON db.$key = dn.$key AND db.lb = ab.lb),
+       |drift AS (
+       |  SELECT $key, nd, n,
+       |         CAST(sum(abs(CAST(cd AS HUGEINT) * n
+       |                - CAST(c AS HUGEINT) * nd)) AS HUGEINT) AS s
+       |  FROM grid GROUP BY 1, 2, 3)
+       |SELECT $key, nd AS $nName,
+       |       CAST(s AS DOUBLE) /
+       |         CAST(2 * CAST(nd AS HUGEINT) * n AS DOUBLE) AS tvd
+       |FROM drift""".stripMargin
 
   val hdrDriftOracle: String =
     s"""WITH qb AS (
@@ -688,25 +724,7 @@ object SketchOps {
        |    FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
        |                 CAST(floor(value * $hdrScale) AS BIGINT) AS q
        |          FROM events))),
-       |db AS (SELECT day, lb, count(*) AS cd FROM qb GROUP BY 1, 2),
-       |ab AS (SELECT lb, count(*) AS c FROM qb GROUP BY 1),
-       |dn AS (SELECT day, CAST(sum(cd) AS BIGINT) AS nd
-       |       FROM db GROUP BY 1),
-       |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ab),
-       |grid AS (
-       |  SELECT dn.day, dn.nd, t.n, ab.lb, ab.c,
-       |         coalesce(db.cd, 0) AS cd
-       |  FROM dn CROSS JOIN ab CROSS JOIN t
-       |  LEFT JOIN db ON db.day = dn.day AND db.lb = ab.lb),
-       |drift AS (
-       |  SELECT day, nd, n,
-       |         CAST(sum(abs(CAST(cd AS HUGEINT) * n
-       |                - CAST(c AS HUGEINT) * nd)) AS HUGEINT) AS s
-       |  FROM grid GROUP BY 1, 2, 3)
-       |SELECT day, nd AS n_events,
-       |       CAST(s AS DOUBLE) /
-       |         CAST(2 * CAST(nd AS HUGEINT) * n AS DOUBLE) AS tvd
-       |FROM drift""".stripMargin
+       |${tvdSql("day", "n_events")}""".stripMargin
 
   /** Bucket + rank-extraction CTE chain over `$srcSql` (event_type,
     * value), prefixed `$pre`, ending at `${pre}hit` — shared by the

@@ -121,4 +121,42 @@ class DomainOpsSpec extends SparkSpec {
         .forall(!_._5), "3-digit hosts stay")
     }
   }
+
+  test("domainLenDrift ≡ TVD recomputation over collected lengths") {
+    import org.apache.spark.sql.functions.{col, length}
+    val out = DomainOps.domainLenDrift(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+
+    // independent arithmetic over the same (domain, length) rows —
+    // the domain derivation itself is pinned by the handcrafted-URL
+    // tests above, so collect through the operator's seam
+    val rows = TextOps.documents(spark, sfDir)
+      .select(DomainOps.registeredDomain(
+          DomainOps.canonicalHost(DomainOps.urlOf)).as("domain"),
+        length(col("text")).cast("long").as("q"))
+      .as[(String, Long)].collect()
+    val m = SketchOps.hdrMantissaBits
+    def lb(q: Long): Long = {
+      val sh = math.max(64 - java.lang.Long.numberOfLeadingZeros(q)
+        - 1 - m, 0)
+      (q >> sh) << sh
+    }
+    val all = rows.map(r => lb(r._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.length.toLong
+    val want = rows.groupBy(_._1).map { case (dom, vs) =>
+      val db = vs.map(v => lb(v._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nd = vs.size.toLong
+      val s = all.map { case (b, c) =>
+        (BigInt(db.getOrElse(b, 0L)) * n - BigInt(c) * nd).abs
+      }.sum
+      (dom, nd, s.toDouble / (BigInt(2) * nd * n).toDouble)
+    }.toSet
+    assert(out.toSet == want,
+      s"extra=${out.toSet.diff(want).take(3)} " +
+        s"missing=${want.diff(out.toSet).take(3)}")
+  }
 }
