@@ -1037,6 +1037,11 @@ object SampleOps {
       .groupBy("lang")
       .agg(sum(regexp_count(col("norm"), lit(TextOps.wordPat)))
         .as("n_tok"))
+      // a language whose documents contain no word tokens has no
+      // epochs to report (0/0 would be NaN in Spark and a
+      // divide-by-zero in the twin) — dropped in BOTH twins; its
+      // n_tok=0 contributes nothing to the budget sum either way
+      .filter(col("n_tok") > 0)
       .withColumn("cap", col("n_tok") * unimaxEpochs)
     val t = c.agg((sum(col("n_tok")) * unimaxBudgetPermille)
       .as("bx"))
@@ -1077,7 +1082,8 @@ object SampleOps {
        |         CAST(sum(len(regexp_extract_all(${TextOps.normSql},
        |           '${TextOps.wordPat}'))) AS BIGINT) AS n_tok
        |  FROM documents GROUP BY 1),
-       |cc AS (SELECT lang, n_tok, n_tok * $unimaxEpochs AS cap FROM c),
+       |cc AS (SELECT lang, n_tok, n_tok * $unimaxEpochs AS cap
+       |       FROM c WHERE n_tok > 0),
        |t AS (SELECT CAST(sum(n_tok) * $unimaxBudgetPermille // 1000
        |               AS BIGINT) AS b FROM c),
        |r AS (

@@ -472,14 +472,25 @@ object SketchOps {
     * (the merge law the spec proves is what makes that equality
     * valid). SUCCESS-gated generations make re-runs byte-identical.
     */
+  /** Gate-batch definition constants, baked into [[hllGateTag]] so a
+    * persisted gate chain self-invalidates when the batch definition
+    * changes (stale SUCCESS-gated generations would otherwise keep
+    * serving the old chain until target/ is cleaned by hand).
+    */
+  private val hllGateMod = 2
+  private val hllGateIdOff = 2000000000L
+  private val hllGatePrefix = "hfgate"
+  private[graft] val hllGateTag: String =
+    s"gate-${hllGatePrefix}-m$hllGateMod-o$hllGateIdOff"
+
   def hllFoldGate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = TextOps.documents(spark, sfDir)
-    def batch(k: Int) = docs.filter(col("doc_id") % 2 === k)
-      .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"),
-        concat(lit(s"hfgate$k "), col("text")).as("text"))
+    def batch(k: Int) = docs.filter(col("doc_id") % hllGateMod === k)
+      .select((col("doc_id") + hllGateIdOff).as("doc_id"), col("lang"),
+        concat(lit(s"$hllGatePrefix$k "), col("text")).as("text"))
     Canon.canonicalize(
-      hllFold(spark, sfDir, "gate", batch(0), 0L)
-        .union(hllFold(spark, sfDir, "gate", batch(1), 1L)))
+      hllFold(spark, sfDir, hllGateTag, batch(0), 0L)
+        .union(hllFold(spark, sfDir, hllGateTag, batch(1), 1L)))
   }
 
   /** Register + summary CTE chain over a docs relation `$docsSql`
@@ -523,8 +534,8 @@ object SketchOps {
 
   val hllFoldGateOracle: String = {
     def feed(k: Int) =
-      s"""SELECT doc_id, lang, 'hfgate$k ' || text AS text
-         | FROM documents WHERE doc_id % 2 = $k""".stripMargin
+      s"""SELECT doc_id, lang, '$hllGatePrefix$k ' || text AS text
+         | FROM documents WHERE doc_id % $hllGateMod = $k""".stripMargin
     s"""WITH ${hllSummCtes("g0",
         s"SELECT doc_id, lang, text FROM documents UNION ALL ${feed(0)}")},
        |${hllSummCtes("g1",
@@ -593,9 +604,16 @@ object SketchOps {
     hdrFromBuckets(spark, merged)
   }
 
-  /** The sketch itself: per (group, bucket-lower-bound) counts. */
+  /** The sketch itself: per (group, bucket-lower-bound) counts.
+    * Supported value range is [0, 2^62/hdrScale): negative metrics
+    * would hit the 64-char two's-complement `bin` path and collapse
+    * into one bucket, so both twins FILTER them out explicitly; the
+    * upper bound keeps every shift exact in 64-bit arithmetic (both
+    * engines shift BIGINTs — no 32-bit literal wrap).
+    */
   private[graft] def hdrBuckets(events: DataFrame): DataFrame =
     events
+      .filter(col("value") >= 0)
       .select(col("event_type"),
         floor(col("value") * hdrScale.toDouble).cast("long").as("q"))
       .withColumn("sh",
@@ -626,8 +644,8 @@ object SketchOps {
       .withColumn("sh",
         expr(s"greatest(length(bin(lb)) - 1 - $hdrMantissaBits, 0)"))
       .withColumn("est",
-        expr(s"CAST(2 * lb + shiftleft(1, sh) - 1 AS DOUBLE)" +
-          s" / ${2 * hdrScale}.0")
+        expr(s"CAST(2 * lb + shiftleft(CAST(1 AS BIGINT), sh) - 1" +
+          s" AS DOUBLE) / ${2 * hdrScale}.0")
       )
       .select("event_type", "phi", "n", "n_buckets", "est"))
   }
@@ -652,6 +670,7 @@ object SketchOps {
     */
   def hdrDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val qb = EventOps.events(spark, sfDir)
+      .filter(col("value") >= 0) // hdrBuckets' supported-range guard
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         floor(col("value") * hdrScale.toDouble).cast("long").as("q"))
       .withColumn("sh",
@@ -723,7 +742,7 @@ object SketchOps {
        |           greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0) AS sh
        |    FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
        |                 CAST(floor(value * $hdrScale) AS BIGINT) AS q
-       |          FROM events))),
+       |          FROM events WHERE value >= 0))),
        |${tvdSql("day", "n_events")}""".stripMargin
 
   /** Bucket + rank-extraction CTE chain over `$srcSql` (event_type,
@@ -738,7 +757,7 @@ object SketchOps {
        |           greatest(length(bin(q)) - 1 - $hdrMantissaBits, 0) AS sh
        |    FROM (SELECT event_type,
        |                 CAST(floor(value * $hdrScale) AS BIGINT) AS q
-       |          FROM ($srcSql)))
+       |          FROM ($srcSql) WHERE value >= 0))
        |  GROUP BY 1, 2),
        |${pre}c AS (
        |  SELECT event_type, lb,
@@ -759,7 +778,8 @@ object SketchOps {
   private def hdrHitSelect(pre: String, extra: String = ""): String =
     s"""SELECT ${extra}event_type, CAST(phi AS BIGINT) AS phi, n,
        |       n_buckets,
-       |       CAST(2 * lb + (1 << greatest(length(bin(lb)) - 1
+       |       CAST(2 * lb + (CAST(1 AS BIGINT)
+       |              << greatest(length(bin(lb)) - 1
        |              - $hdrMantissaBits, 0)) - 1 AS DOUBLE)
        |         / ${2 * hdrScale}.0 AS est
        |FROM ${pre}hit""".stripMargin
@@ -829,16 +849,27 @@ object SketchOps {
     graft.io.Generations.gc(hdrBaseDir(sfDir), feedTag, keepLast,
       hdrDone)
 
+  /** Gate-batch definition constants, baked into [[hdrGateTag]] so a
+    * persisted gate chain self-invalidates when the batch definition
+    * changes (the [[hllGateTag]] discipline).
+    */
+  private val hdrGateMod = 2
+  private def hdrGateScale(k: Int): Int = k + 2
+  private[graft] val hdrGateTag: String =
+    s"gate-m$hdrGateMod-s" +
+      (0 until hdrGateMod).map(hdrGateScale).mkString("-")
+
   /** Deterministic two-batch feed for the GATE: batch k is the
-    * event_id ≡ k (mod 2) half with values scaled ×(k+2) — each batch
-    * genuinely moves the buckets and the quantiles.
+    * event_id ≡ k (mod [[hdrGateMod]]) half with values scaled
+    * ×[[hdrGateScale]](k) — each batch genuinely moves the buckets
+    * and the quantiles.
     */
   private def hdrGateBatch(spark: SparkSession, sfDir: String,
                            k: Int): DataFrame =
     EventOps.events(spark, sfDir)
-      .filter(col("event_id") % 2 === k)
+      .filter(col("event_id") % hdrGateMod === k)
       .select(col("event_type"),
-        (col("value") * lit((k + 2).toDouble)).as("value"))
+        (col("value") * lit(hdrGateScale(k).toDouble)).as("value"))
 
   /** GATED twin of the streaming bucket fold (the
     * [[graft.ext.VectorOps.pcaFoldGate]] pattern): two deterministic
@@ -849,17 +880,18 @@ object SketchOps {
     */
   def hdrFoldGate(spark: SparkSession, sfDir: String): DataFrame =
     Canon.canonicalize(
-      hdrFold(spark, sfDir, "gate", hdrGateBatch(spark, sfDir, 0), 0L)
+      hdrFold(spark, sfDir, hdrGateTag,
+          hdrGateBatch(spark, sfDir, 0), 0L)
         .unionByName(
-          hdrFold(spark, sfDir, "gate", hdrGateBatch(spark, sfDir, 1),
-            1L)))
+          hdrFold(spark, sfDir, hdrGateTag,
+            hdrGateBatch(spark, sfDir, 1), 1L)))
 
   val hdrFoldGateOracle: String = {
     def armSrc(b: Int): String =
       (Seq("SELECT event_type, value FROM events") ++
         (0 to b).map(k =>
-          s"SELECT event_type, value * ${k + 2}.0 AS value " +
-            s"FROM events WHERE event_id % 2 = $k"))
+          s"SELECT event_type, value * ${hdrGateScale(k)}.0 AS value " +
+            s"FROM events WHERE event_id % $hdrGateMod = $k"))
         .mkString("\nUNION ALL\n")
     s"""WITH ${hdrSketchSql("g0", armSrc(0))},
        |${hdrSketchSql("g1", armSrc(1))}

@@ -975,11 +975,7 @@ object VectorOps {
   // lazy: textually precedes the ladder vals it composes (object vals
   // initialize in declaration order)
   lazy val embedAnisotropyOracle: String = {
-    val ladder = pcaLadderOracle(2)
-    val pcaChain = ladder
-      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
-      .stripSuffix(",")
-    s"""WITH ${pcaChain.stripSuffix(",")},
+    s"""WITH ${pcaLadderCtes(2)},
        |exr AS MATERIALIZED (
        |  SELECT em.vec_id, i AS dim,
        |         CAST(em.embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x,
@@ -2397,11 +2393,7 @@ object VectorOps {
   }
 
   lazy val pcaOutliersOracle: String = {
-    val ladder = pcaLadderOracle(2)
-    val pcaChain = ladder
-      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
-      .stripSuffix(",")
-    s"""WITH ${pcaChain.stripSuffix(",")},
+    s"""WITH ${pcaLadderCtes(2)},
        |os2 AS (
        |  SELECT vec_id, CAST(sum(qv[CAST(i AS INT) + 1]
        |           * qv[CAST(i AS INT) + 1]) AS BIGINT) AS s2
@@ -2528,17 +2520,31 @@ object VectorOps {
     graft.io.Generations.gc(pcaBaseDir(sfDir), feedTag, keepLast,
       gramDone)
 
+  /** Gate-batch definition constants, baked into [[pcaGateTag]] so a
+    * persisted gate chain self-invalidates when the batch definition
+    * changes (stale SUCCESS-gated g0/g1 Grams would otherwise keep
+    * serving the old chain across code edits until target/ is cleaned
+    * by hand — the [[SketchOps.hllGateTag]] discipline).
+    */
+  private val pcaGateMod = 2
+  private val pcaGateIdOff = 2000000000L
+  private def pcaGateScale(k: Int): Int = k + 2
+  private[graft] val pcaGateTag: String =
+    s"gate-m$pcaGateMod-o$pcaGateIdOff-s" +
+      (0 until pcaGateMod).map(pcaGateScale).mkString("-")
+
   /** Deterministic two-batch feed for [[pcaFold]]'s GATE: batch k is
-    * the vec_id ≡ k (mod 2) half of the corpus, vectors scaled by
-    * (k+2)·1.0 and ids offset — each batch genuinely moves the Gram.
+    * the vec_id ≡ k (mod [[pcaGateMod]]) half of the corpus, vectors
+    * scaled by [[pcaGateScale]](k)·1.0 and ids offset — each batch
+    * genuinely moves the Gram.
     */
   private def pcaGateBatch(spark: SparkSession, sfDir: String,
                            k: Int): DataFrame =
     embeddings(spark, sfDir)
-      .filter(col("vec_id") % 2 === k)
-      .select((col("vec_id") + lit(2000000000L + k)).as("vec_id"),
+      .filter(col("vec_id") % pcaGateMod === k)
+      .select((col("vec_id") + lit(pcaGateIdOff + k)).as("vec_id"),
         transform(asDouble(col("embedding")),
-          x => x * lit((k + 2).toDouble)).as("embedding"))
+          x => x * lit(pcaGateScale(k).toDouble)).as("embedding"))
 
   /** GATED twin of the streaming Gram fold ([[SketchOps.hllFoldGate]]
     * pattern): two deterministic batches fold into the "gate" feed
@@ -2551,9 +2557,9 @@ object VectorOps {
   def pcaFoldGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = (0 to 1).map { b =>
-      pcaFold(spark, sfDir, "gate", pcaGateBatch(spark, sfDir, b),
+      pcaFold(spark, sfDir, pcaGateTag, pcaGateBatch(spark, sfDir, b),
         b.toLong) // drive the chain (and its requires)
-      val gen = pcaGenDir(pcaBaseDir(sfDir), "gate")(b.toLong)
+      val gen = pcaGenDir(pcaBaseDir(sfDir), pcaGateTag)(b.toLong)
       val (g, _, _) = dfToGram(spark.read.parquet(gen))
       val w = dominantVec(g)
       val (norm, ray) = rayleighOf(g, w)
@@ -2568,10 +2574,10 @@ object VectorOps {
   lazy val pcaFoldGateOracle: String = {
     def armSrc(b: Int): String = {
       val batches = (0 to b).map(k =>
-        s"""SELECT vec_id + ${2000000000L + k} AS vec_id,
+        s"""SELECT vec_id + ${pcaGateIdOff + k} AS vec_id,
            |  list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE) * ${k + 2}.0) AS embedding
-           |FROM embeddings WHERE vec_id % 2 = $k""".stripMargin)
+           |    x -> CAST(x AS DOUBLE) * ${pcaGateScale(k)}.0) AS embedding
+           |FROM embeddings WHERE vec_id % $pcaGateMod = $k""".stripMargin)
       val corpus = "SELECT vec_id, list_transform(embedding, x -> " +
         "CAST(x AS DOUBLE)) AS embedding FROM embeddings"
       (corpus +: batches).mkString("\nUNION ALL\n")
@@ -2756,7 +2762,13 @@ object VectorOps {
   /** The full k-component oracle: [[pcaCtes]] (component 1), then per
     * further component one deflation CTE + one squaring chain + tail.
     */
-  private def pcaLadderOracle(k: Int): String = {
+  /** The ladder's CTE chain alone (no `WITH`, no trailing comma, no
+    * final component SELECT) — exposed so dependent oracles
+    * (anisotropy, outliers, ABTT dedup) COMPOSE it directly instead
+    * of regex-stripping the assembled SQL, which silently broke if
+    * [[pcaCompSelect]]'s wording ever changed.
+    */
+  private[ext] def pcaLadderCtes(k: Int): String = {
     require(k <= pcaLadderPrefixes.length, s"no prefix for component $k")
     val extra = (2 to k).map { c =>
       val prev = pcaLadderPrefixes(c - 2)
@@ -2766,11 +2778,14 @@ object VectorOps {
          |${pcaChainSql(s"${p}g0", p)},
          |${pcaTailSql(s"${p}g0", p)}""".stripMargin
     }
+    s"$pcaCtes${if (extra.nonEmpty) ",\n" else ""}${extra.mkString(",\n")}"
+  }
+
+  private def pcaLadderOracle(k: Int): String = {
     val selects = (1 to k)
       .map(c => pcaCompSelect(c, pcaLadderPrefixes(c - 1)))
       .mkString("\nUNION ALL\n")
-    s"""WITH $pcaCtes${if (extra.nonEmpty) ",\n" else ""}${extra
-        .mkString(",\n")}
+    s"""WITH ${pcaLadderCtes(k)}
        |$selects""".stripMargin
   }
 
@@ -2882,14 +2897,9 @@ object VectorOps {
 
   val semanticDedupAbttOracle: String = {
     val kmeans = ivfOraclePrefix(4).stripPrefix("WITH ")
-    val ladder = pcaLadderOracle(2)
-    // reuse the ladder's CTE chain (everything between WITH and the
-    // final component SELECT) inside this query's RECURSIVE block
-    val pcaChain = ladder
-      .stripPrefix("WITH ").split("\nSELECT CAST\\(1")(0).trim
-      .stripSuffix(",")
+    // reuse the ladder's CTE chain inside this query's RECURSIVE block
     s"""WITH RECURSIVE $kmeans,
-       |${pcaChain.stripSuffix(",")},
+       |${pcaLadderCtes(2)},
        |${abttWhiteSql("bucketed", Seq("cent_id"))},
        |spairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
