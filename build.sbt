@@ -3,6 +3,10 @@ ThisBuild / version := "0.1.0"
 name := "kusuma_metamorphetlspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// plus the vendored public PostgreSQL JDBC driver (lib/README.md) for
+// the out-of-process DB fixture — loaded via DriverManager service
+// discovery only, never compiled against
+Compile / unmanagedJars += baseDirectory.value / "lib" / "postgresql-42.7.1.jar"
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

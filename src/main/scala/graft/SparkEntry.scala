@@ -31,6 +31,7 @@ object SparkEntry {
     "q_ingest_sales" -> ((s, dir) => Ingestion.sales(s, dir)),
     // io micro-queries
     "q_jdbc_roundtrip" -> ((s, dir) => JdbcRoundTrip(s, dir)),
+    "q_jdbc_pg_roundtrip" -> ((s, dir) => JdbcRoundTrip.pg(s, dir)),
     "q_jsonl_roundtrip" -> ((s, dir) => JsonlRoundTrip(s, dir)),
     // partitioned-layout join with runtime (dynamic) partition pruning
     "q_dpp_join" -> ((s, dir) => io.Partitioned.dppJoin(s, dir)),
@@ -398,6 +399,7 @@ object SparkEntry {
     "q_ingest_customers" -> Ingestion.customersOracle,
     "q_ingest_sales" -> Ingestion.salesOracle,
     "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
+    "q_jdbc_pg_roundtrip" -> JdbcRoundTrip.oracle,
     "q_dpp_join" -> io.Partitioned.dppJoinOracle,
     "q_jsonl_roundtrip" -> JsonlRoundTrip.oracle,
     "q_dedup_exact" -> TextOps.dedupExactOracle,

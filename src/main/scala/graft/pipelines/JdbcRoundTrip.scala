@@ -29,6 +29,27 @@ object JdbcRoundTrip {
     Canon.canonicalize(back)
   }
 
+  /** The same roundtrip through the OUT-OF-PROCESS PostgreSQL fixture
+    * ([[graft.io.PgFixture]]) — the reference's actual warehouse
+    * engine, reached over TCP by every executor process. Embedded
+    * Derby (above) keeps the zero-dependency in-JVM gate; this query
+    * is the one that stays green on a real multi-process cluster,
+    * where Derby's single-JVM design cannot. Table name carries the
+    * SF so concurrent gates at different scales never collide.
+    */
+  def pg(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = graft.io.PgFixture.ensure()
+    val table = "suppliers_rt_" +
+      new File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val suppliers = Retail.suppliers(spark, sfDir)
+    Jdbc.write(suppliers, url, table, SaveMode.Overwrite)
+    val hi = suppliers.count() // key range for the partitioned read
+    val back = Jdbc.read(spark, url, table,
+      partitionColumn = Some("SUPPLIER_ID"), bounds = Some((1L, hi.max(2L))),
+      numPartitions = 8)
+    Canon.canonicalize(back)
+  }
+
   val oracle: String =
     s"""WITH ${Retail.sql.suppliers}
        |SELECT SUPPLIER_ID, SUPPLIER_NAME, CONTACT_DETAILS, REGION

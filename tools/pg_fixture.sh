@@ -1,0 +1,51 @@
+#!/bin/bash
+# Idempotent out-of-process PostgreSQL fixture for the JDBC connector
+# gate (io/PgFixture.scala execs this). A REAL separate-process database
+# — unlike embedded Derby, executor JVMs (local, spark://, or a worker
+# inside another network namespace) reach it over TCP, so the JDBC
+# source/sink path is exercised across genuine process AND host
+# boundaries.
+#
+# Postgres refuses to run as root, so the fixture runs under a dedicated
+# throwaway OS user. Everything is test-fixture-grade by design: trust
+# auth, listen on all interfaces (the netns cluster workers connect via
+# the veth subnet), data dir under target/.
+set -euo pipefail
+
+PGBIN=${PGBIN:-/usr/lib/postgresql/15/bin}
+# /tmp, not target/: the fixture user cannot traverse /root/<repo>
+PGDATA=${SPARK_GRAFT_PGDATA:-/tmp/graft_pgfx/data}
+PGPORT=${SPARK_GRAFT_PGPORT:-54329}
+FXUSER=pgfx
+
+[ -x "$PGBIN/initdb" ] || { echo "pg_fixture: no postgres at $PGBIN" >&2; exit 3; }
+
+cd /
+if [ "$(id -u)" = 0 ]; then
+  id -u $FXUSER >/dev/null 2>&1 || useradd -M -s /bin/bash $FXUSER
+  run_as() { su -s /bin/bash $FXUSER -c "cd / && $1"; }
+else
+  run_as() { bash -c "$1"; }
+fi
+
+mkdir -p "$(dirname "$PGDATA")"
+if [ ! -f "$PGDATA/PG_VERSION" ]; then
+  mkdir -p "$PGDATA"
+  chmod 700 "$PGDATA"
+  [ "$(id -u)" = 0 ] && chown -R $FXUSER "$(dirname "$PGDATA")"
+  run_as "'$PGBIN/initdb' -D '$PGDATA' -U graft --auth=trust" >/dev/null
+  # fixture-grade auth: any host may connect as graft (sandboxed VM)
+  echo "host all all 0.0.0.0/0 trust" >> "$PGDATA/pg_hba.conf"
+  echo "host all all ::0/0 trust" >> "$PGDATA/pg_hba.conf"
+fi
+
+if ! run_as "'$PGBIN/pg_ctl' -D '$PGDATA' status" >/dev/null 2>&1; then
+  run_as "'$PGBIN/pg_ctl' -D '$PGDATA' -l '$PGDATA/server.log' \
+    -o '-p $PGPORT -k /tmp -c listen_addresses=*' -w start" >/dev/null
+fi
+
+if ! run_as "'$PGBIN/psql' -h /tmp -p $PGPORT -U graft -d postgres -Atc \
+    \"SELECT 1 FROM pg_database WHERE datname='graft'\"" | grep -q 1; then
+  run_as "'$PGBIN/createdb' -h /tmp -p $PGPORT -U graft graft"
+fi
+echo "pg_fixture: ready on port $PGPORT"
