@@ -166,6 +166,8 @@ object SparkEntry {
       ((s, dir) => DedupOps.minhashLshForgotten(s, dir)),
     "q_lsh_recall" -> ((s, dir) => DedupOps.lshRecall(s, dir)),
     "q_ann_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
+    "q_ann_ivf_spill" -> ((s, dir) => VectorOps.annIvfSpill(s, dir)),
+    "q_ann_recall_mp" -> ((s, dir) => VectorOps.annRecallMp(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_dup_spans_apply" -> ((s, dir) => DedupOps.dupSpansApply(s, dir)),
@@ -485,6 +487,8 @@ object SparkEntry {
     "q_minhash_lsh_forgotten" -> DedupOps.minhashLshForgottenOracle,
     "q_lsh_recall" -> DedupOps.lshRecallOracle,
     "q_ann_recall" -> VectorOps.annRecallOracle,
+    "q_ann_ivf_spill" -> VectorOps.annIvfSpillOracle,
+    "q_ann_recall_mp" -> VectorOps.annRecallMpOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
     "q_dup_spans_50" -> DedupOps.dupSpanRunsOracle,

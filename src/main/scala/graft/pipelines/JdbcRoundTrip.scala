@@ -41,12 +41,16 @@ object JdbcRoundTrip {
     val url = graft.io.PgFixture.ensure()
     val table = "suppliers_rt_" +
       new File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    // explicit driver class: under spark-submit the vendored jar rides
+    // in --jars (session classloader), where DriverManager's service
+    // discovery cannot see it — Spark's DriverRegistry can
+    val opts = Map("driver" -> "org.postgresql.Driver")
     val suppliers = Retail.suppliers(spark, sfDir)
-    Jdbc.write(suppliers, url, table, SaveMode.Overwrite)
+    Jdbc.write(suppliers, url, table, SaveMode.Overwrite, options = opts)
     val hi = suppliers.count() // key range for the partitioned read
     val back = Jdbc.read(spark, url, table,
       partitionColumn = Some("SUPPLIER_ID"), bounds = Some((1L, hi.max(2L))),
-      numPartitions = 8)
+      numPartitions = 8, options = opts)
     Canon.canonicalize(back)
   }
 
