@@ -168,6 +168,8 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     "q_ann_ivf_spill" -> ((s, dir) => VectorOps.annIvfSpill(s, dir)),
     "q_ann_recall_mp" -> ((s, dir) => VectorOps.annRecallMp(s, dir)),
+    "q_ann_ivf_white" -> ((s, dir) => VectorOps.annIvfWhite(s, dir)),
+    "q_ann_recall_white" -> ((s, dir) => VectorOps.annRecallWhite(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_dup_spans_apply" -> ((s, dir) => DedupOps.dupSpansApply(s, dir)),
@@ -489,6 +491,8 @@ object SparkEntry {
     "q_ann_recall" -> VectorOps.annRecallOracle,
     "q_ann_ivf_spill" -> VectorOps.annIvfSpillOracle,
     "q_ann_recall_mp" -> VectorOps.annRecallMpOracle,
+    "q_ann_ivf_white" -> VectorOps.annIvfWhiteOracle,
+    "q_ann_recall_white" -> VectorOps.annRecallWhiteOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
     "q_dup_spans_50" -> DedupOps.dupSpanRunsOracle,
