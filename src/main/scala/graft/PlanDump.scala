@@ -20,6 +20,10 @@ object PlanDump {
     // plan as it is built and keep one entry's failure from blanking
     // the whole dump
     val entries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "dpp_bucketed_join" ->
+        (() => io.Partitioned.dppBucketedJoin(spark, sf)),
+      "ann_ivf_spill" -> (() => ext.VectorOps.annIvfSpill(spark, sf)),
+      "ann_ivf_white" -> (() => ext.VectorOps.annIvfWhite(spark, sf)),
       "train_split" -> (() => ext.SampleOps.trainValTestSplit(spark, sf)),
       "sample_k" -> (() => ext.SampleOps.sampleKPerStratum(spark, sf)),
       "chunks" -> (() => ext.TextOps.docChunks(spark, sf)),

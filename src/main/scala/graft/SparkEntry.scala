@@ -35,6 +35,8 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> ((s, dir) => JsonlRoundTrip(s, dir)),
     // partitioned-layout join with runtime (dynamic) partition pruning
     "q_dpp_join" -> ((s, dir) => io.Partitioned.dppJoin(s, dir)),
+    "q_dpp_bucketed_join" ->
+      ((s, dir) => io.Partitioned.dppBucketedJoin(s, dir)),
     // LLM-pipeline text operators over `documents`
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir)),
     "q_text_stats" -> ((s, dir) => TextOps.textStats(s, dir)),
@@ -405,6 +407,7 @@ object SparkEntry {
     "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
     "q_jdbc_pg_roundtrip" -> JdbcRoundTrip.oracle,
     "q_dpp_join" -> io.Partitioned.dppJoinOracle,
+    "q_dpp_bucketed_join" -> io.Partitioned.dppBucketedJoinOracle,
     "q_jsonl_roundtrip" -> JsonlRoundTrip.oracle,
     "q_dedup_exact" -> TextOps.dedupExactOracle,
     "q_text_stats" -> TextOps.textStatsOracle,

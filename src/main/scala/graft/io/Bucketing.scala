@@ -66,4 +66,53 @@ object Bucketing {
     }
     spark.table(name)
   }
+
+  /** PARTITIONED **and** bucketed copy — the layout a 100 TB star-
+    * schema fact actually uses: Hive-style partitions on a
+    * low-cardinality pruning column (so selective dim joins prune the
+    * SCAN, statically or via DPP) and hash buckets on the join key
+    * inside every partition (so fact-to-fact joins run exchange-free).
+    * Within a partition each bucket is one file, but a bucket's data
+    * now spans one file PER partition, so the scan can no longer claim
+    * per-bucket sortedness — the exchange-free join partner for this
+    * layout is the shuffled-hash join (no sort required), not
+    * sort-merge; [[graft.io.Partitioned.dppBucketedJoin]] asserts
+    * exactly that plan.
+    */
+  def bucketedPartitioned(spark: SparkSession, sfDir: String,
+                          table: String, partCol: String,
+                          bucketCol: String): DataFrame = synchronized {
+    val name = s"graft_${table}_p${partCol}_${tag(sfDir)}"
+    if (!spark.catalog.tableExists(name)) {
+      val path = s"$root/${table}_p${partCol}_${tag(sfDir)}"
+      if (new File(path, "_SUCCESS").exists()) {
+        // files from a previous JVM: metadata-only re-registration;
+        // partition columns live in directory names, not the footer,
+        // so the DDL appends the partition column explicitly
+        val dataSchema = spark.read.parquet(path).schema
+        val ddl = dataSchema.filterNot(_.name == partCol)
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        val pType = dataSchema.find(_.name == partCol)
+          .map(_.dataType.sql).getOrElse("STRING")
+        spark.sql(
+          s"""CREATE TABLE $name ($ddl, $partCol $pType) USING parquet
+             |PARTITIONED BY ($partCol)
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+             |INTO $numBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE $name")
+      } else {
+        Tables.load(spark, sfDir, table)
+          .repartition(numBuckets, col(bucketCol))
+          .write.format("parquet")
+          .partitionBy(partCol)
+          .bucketBy(numBuckets, bucketCol)
+          .sortBy(bucketCol)
+          .option("path", path)
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+    }
+    spark.table(name)
+  }
 }

@@ -93,6 +93,78 @@ object Partitioned {
           .cast("double").as("total_value")))
   }
 
+  /** Return-flag dimension for the combined-layout query: flag →
+    * settlement class, tiny and broadcastable. */
+  val flagClasses: Seq[(String, String)] = Seq(
+    "A" -> "accepted", "N" -> "open", "R" -> "returned")
+
+  /** The dim as a real datasource scan (same LocalRelation trap as
+    * [[typeDim]]: a constant-folded dim leaves nothing for the
+    * PartitionPruning rule to key on). */
+  def flagDim(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      import spark.implicits._
+      val dir = s"${baseDir(sfDir)}__flagdim"
+      if (!new File(s"$dir/_SUCCESS").exists())
+        flagClasses.toDF("l_returnflag", "flag_class")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+
+  /** THE SECOND DPP SHAPE — fact-to-fact over the COMBINED layout
+    * ([[Bucketing.bucketedPartitioned]]): lineitem partitioned by
+    * l_returnflag AND bucketed by l_orderkey, orders bucketed by
+    * o_orderkey. One query exercises both layout wins at once, the way
+    * a 100 TB star schema actually runs:
+    *
+    *  - the broadcast dim filter (`flag_class = 'returned'`) reaches
+    *    the fact scan as a DYNAMIC partition filter — 1 of 3
+    *    partitions read, without the query naming a flag;
+    *  - the lineitem ⨝ orders leg runs on matching 32-bucket layouts
+    *    with ZERO exchange and ZERO sort. Partitioning makes a
+    *    bucket's rows span one file per partition, which voids the
+    *    per-bucket sort claim sort-merge would need — so the
+    *    exchange-free partner here is the SHUFFLED-HASH join (hinted;
+    *    no sort on either side, build side = the pruned stream's
+    *    per-bucket slice). PlanSpec pins dynamicpruningexpression in
+    *    PartitionFilters, the ShuffledHashJoin, and the absence of
+    *    shuffle exchanges and sorts — losing any of the three is the
+    *    invisible full-scan/full-shuffle regression at scale.
+    */
+  def dppBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Bucketing.bucketedPartitioned(spark, sfDir, "lineitem",
+      "l_returnflag", "l_orderkey")
+    val o = Bucketing.bucketed(spark, sfDir, "orders", "o_orderkey")
+    val dim = flagDim(spark, sfDir)
+      .filter(col("flag_class") === "returned")
+    Canon.canonicalize(li
+      .join(broadcast(dim), Seq("l_returnflag"))
+      .join(o.hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .withColumnRenamed("o_orderpriority", "priority"))
+  }
+
+  val dppBucketedJoinOracle: String = {
+    val dimRows = flagClasses
+      .map { case (f, c) => s"('$f', '$c')" }.mkString(", ")
+    s"""WITH dim AS (
+       |  SELECT * FROM (VALUES $dimRows) t(l_returnflag, flag_class)
+       |  WHERE flag_class = 'returned')
+       |SELECT o.o_orderpriority AS priority,
+       |       count(*) AS n_rows,
+       |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18, 2))) AS DOUBLE)
+       |         AS sum_qty
+       |FROM lineitem l
+       |JOIN dim USING (l_returnflag)
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY 1""".stripMargin
+  }
+
   val dppJoinOracle: String = {
     val dimRows = typeCategories
       .map { case (t, c) => s"('$t', '$c')" }.mkString(", ")

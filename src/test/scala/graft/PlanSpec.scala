@@ -292,6 +292,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("dppBucketedJoin: DPP in PartitionFilters AND exchange-free " +
+      "sort-free fact-fact join on the combined layout") {
+    val p = plan(io.Partitioned.dppBucketedJoin(spark, sfDir))
+    assert(p.contains("dynamicpruning"),
+      "DPP lost — the fact scan reads every partition:\n" + p.take(3000))
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    // the fact-fact leg: shuffled-hash on matching 32-bucket layouts —
+    // no shuffle exchange anywhere (broadcast of the dim is fine), and
+    // no sort (the partitioned layout voids the per-bucket sort claim,
+    // so a SortMergeJoin here would smuggle sorts back in)
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    // exactly ONE shuffle exchange in the whole plan: the final
+    // group-by (post partial-agg, dashboard-sized). The join subtree
+    // contributes none.
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1 &&
+      exchanges.head.contains("o_orderpriority"),
+      "bucketed fact-fact join still shuffles:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(_.matches("""\s*[:+]- Sort \[.*""")),
+      "combined-layout join sorts:\n" + p.take(3000))
+  }
+
   test("dppJoin: fact scan carries a dynamic partition-pruning filter") {
     val p = plan(io.Partitioned.dppJoin(spark, sfDir))
     assert(p.contains("dynamicpruning"),
