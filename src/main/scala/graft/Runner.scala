@@ -272,7 +272,10 @@ object Runner {
         dir => new java.io.File(s"$dir/_SUCCESS").exists()))),
       "gc_hdr_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
         ext.SketchOps.hdrBaseDir(sfDir), gcKeep,
-        dir => new java.io.File(s"$dir/_SUCCESS").exists()))))
+        dir => new java.io.File(s"$dir/_SUCCESS").exists()))),
+      "gc_ivf_feeds" -> (() => gcCount(graft.io.Generations.gcAll(
+        ext.VectorOps.ivfFoldBaseDir(sfDir), gcKeep,
+        dir => new java.io.File(s"$dir/postings/_SUCCESS").exists()))))
 
     val tasks = chain match {
       case "daily" => daily

@@ -172,6 +172,7 @@ object SparkEntry {
     "q_ann_recall_mp" -> ((s, dir) => VectorOps.annRecallMp(s, dir)),
     "q_ann_ivf_white" -> ((s, dir) => VectorOps.annIvfWhite(s, dir)),
     "q_ann_recall_white" -> ((s, dir) => VectorOps.annRecallWhite(s, dir)),
+    "q_ivf_fold_gate" -> ((s, dir) => VectorOps.ivfFoldGate(s, dir)),
     // gram-granular exact-substring duplication (cross-doc span overlap)
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(s, dir)),
     "q_dup_spans_apply" -> ((s, dir) => DedupOps.dupSpansApply(s, dir)),
@@ -496,6 +497,7 @@ object SparkEntry {
     "q_ann_recall_mp" -> VectorOps.annRecallMpOracle,
     "q_ann_ivf_white" -> VectorOps.annIvfWhiteOracle,
     "q_ann_recall_white" -> VectorOps.annRecallWhiteOracle,
+    "q_ivf_fold_gate" -> VectorOps.ivfFoldGateOracle,
     "q_dup_spans" -> DedupOps.dupSpansOracle,
     "q_dup_spans_apply" -> DedupOps.dupSpansApplyOracle,
     "q_dup_spans_50" -> DedupOps.dupSpanRunsOracle,

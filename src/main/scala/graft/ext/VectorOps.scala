@@ -482,7 +482,7 @@ object VectorOps {
     * ordering (cent_cos, −cent_id) reproduces the window's exact
     * tie-break, so results — and the oracles — are unchanged.
     */
-  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
+  private[ext] def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("cent_cos", cosine(col("cv"), col("v")))
       .groupBy("vec_id")
@@ -2293,6 +2293,147 @@ object VectorOps {
       }
       dir
     }
+
+  // ---- streaming IVF admission fold (admission-fold family, ANN arm) --
+
+  /** Base dir of the lifecycle IVF index (for the Runner GC sweep). */
+  private[graft] def ivfFoldBaseDir(sfDir: String): String = {
+    val fp = dataFingerprint(s"$sfDir/embeddings.parquet")
+    s"${ivfIndexDir(sfDir, fp)}_lc"
+  }
+
+  private def ivfPostingsDone(dir: String): Boolean =
+    new java.io.File(s"$dir/postings/_SUCCESS").exists()
+
+  private[ext] def ivfGenDir(base: String, feedTag: String)(
+      id: Long): String = s"${base}__feed_$feedTag/g$id"
+
+  /** STREAMING POSTINGS FOLD — the ANN arm of the admission-fold
+    * family (SHA/LSH/HLL/PCA/HDR already fold): each micro-batch is
+    * encoded under the FROZEN base codebook and its postings APPENDED
+    * onto the running index. Postings are per-vector state, so append
+    * IS the fold and fold ≡ from-scratch encode of base ∪ batches —
+    * the lifecycle law [[ivfIndexMerge]] rests on, made a streaming
+    * chain with SUCCESS-gated generations and a loud chain check.
+    * Returns the lifecycle probes' search results over the folded
+    * index, stamped with the batch id — the gate exercises the actual
+    * SEARCH, not just the bucket bookkeeping.
+    */
+  def ivfFold(spark: SparkSession, sfDir: String, feedTag: String,
+              batch: DataFrame, batchId: Long): DataFrame = {
+    require(feedTag.matches("[A-Za-z0-9_-]+"),
+      s"feedTag must be path-safe, got '$feedTag'")
+    val base = ivfIndex(spark, sfDir)
+    val gen = ivfGenDir(base, feedTag) _
+    val prev = if (batchId == 0L) base else gen(batchId - 1)
+    require(ivfPostingsDone(prev),
+      s"postings chain broken before batch $batchId: $prev incomplete")
+    val out = gen(batchId)
+    if (!ivfPostingsDone(out)) {
+      val cents = spark.read.parquet(s"$base/centroids")
+      spark.read.parquet(s"$prev/postings")
+        .union(assignNearest(batch, cents)
+          .select(col("vec_id"), col("v"), col("bucket")))
+        .write.mode("overwrite").parquet(s"$out/postings")
+    }
+    Canon.canonicalize(
+      probeIvfIndexTables(spark.read.parquet(s"$base/centroids"),
+        spark.read.parquet(s"$out/postings"),
+        lifecycleProbes(spark, sfDir))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "probe_id", "rank", "vec_id", "cos"))
+  }
+
+  /** Retire old postings generations — the Generations contract. */
+  def ivfGc(sfDir: String, feedTag: String, keepLast: Int): Seq[Long] =
+    graft.io.Generations.gc(ivfFoldBaseDir(sfDir), feedTag, keepLast,
+      ivfPostingsDone)
+
+  /** Gate-batch definition constants, baked into [[ivfGateTag]] so a
+    * persisted gate chain self-invalidates when the batch definition
+    * changes (the [[SketchOps.hllGateTag]] discipline). Batch k is the
+    * vec_id ≡ k (mod 2) half of the corpus with NEW ids (+off — the
+    * parity split already makes the two batches' id spaces DISJOINT;
+    * a per-k offset would fold odd+1 onto even and collide, which the
+    * oracle's one-pass assignment collapses while the per-batch fold
+    * appends — caught by the gate itself) and an exact
+    * direction-changing transform — k=0 reversed element order,
+    * k=1 negated — so each batch genuinely moves the probe results
+    * (a scaled copy would only add cosine ties).
+    */
+  private val ivfGateMod = 2
+  private val ivfGateIdOff = 3000000000L
+  private[graft] val ivfGateTag: String =
+    s"gate-m$ivfGateMod-o$ivfGateIdOff-t-rev-neg2"
+
+  private def ivfGateBatch(spark: SparkSession, sfDir: String,
+                           k: Int): DataFrame = {
+    val e = allVecs(spark, sfDir)
+      .filter(col("vec_id") % ivfGateMod === k)
+      .select((col("vec_id") + ivfGateIdOff).as("vec_id"), col("v"))
+    if (k == 0) e.select(col("vec_id"), reverse(col("v")).as("v"))
+    else e.select(col("vec_id"),
+      transform(col("v"), x => negate(x)).as("v"))
+  }
+
+  /** GATED twin of the streaming postings fold: two deterministic
+    * batches fold into the gate feed; each generation's probe results
+    * hash-compare against an oracle that re-encodes base ∪ batches≤b
+    * from scratch under the base-trained codebook — valid exactly
+    * because postings are per-vector state.
+    */
+  def ivfFoldGate(spark: SparkSession, sfDir: String): DataFrame =
+    Canon.canonicalize(
+      ivfFold(spark, sfDir, ivfGateTag,
+          ivfGateBatch(spark, sfDir, 0), 0L)
+        .unionByName(ivfFold(spark, sfDir, ivfGateTag,
+          ivfGateBatch(spark, sfDir, 1), 1L)))
+
+  lazy val ivfFoldGateOracle: String = {
+    val sb = DedupOps.sideBucketSql("vec_id")
+    def batchSql(k: Int): String = {
+      val xform =
+        if (k == 0) "list_reverse(v)"
+        else "list_transform(v, x -> -x)"
+      s"""SELECT vec_id + $ivfGateIdOff AS vec_id, $xform AS v
+         |FROM fb WHERE vec_id % $ivfGateMod = $k""".stripMargin
+    }
+    def armSrc(b: Int): String =
+      (Seq(s"SELECT vec_id, v FROM fb " +
+          s"WHERE $sb < ${DedupOps.incrementalCorpusPermille}") ++
+        (0 to b).map(batchSql)).mkString("\nUNION ALL\n")
+    val probesSql =
+      s"""SELECT vec_id AS probe_id, v AS pv FROM fb
+         |  WHERE $sb >= ${DedupOps.mergeProbePermille}
+         |  ORDER BY vec_id LIMIT $nProbes""".stripMargin
+    def armTail(pre: String, b: Int): String =
+      s"""${pre}scored AS (
+         |  SELECT pb.probe_id, b.vec_id, ${cosSql("pb.pv", "b.v")} AS cos
+         |  FROM (SELECT vec_id, v, cent_id AS bucket
+         |        FROM ${pre}bucketed) b
+         |  JOIN ${pre}pb pb ON b.bucket = pb.bucket
+         |  WHERE b.vec_id <> pb.probe_id),
+         |${pre}ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM ${pre}scored)""".stripMargin
+    def armSel(pre: String, b: Int): String =
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, probe_id, rank,
+         |       vec_id, cos
+         |FROM ${pre}ranked WHERE rank <= $topK""".stripMargin
+    s"""WITH fb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${ivfChainFrom(armSrc(0), 4, s"vec_id < $ivfGateIdOff", "TRUE",
+        probesSql, pre = "f0")},
+       |${ivfChainFrom(armSrc(1), 4, s"vec_id < $ivfGateIdOff", "TRUE",
+        probesSql, pre = "f1")},
+       |${armTail("f0", 0)},
+       |${armTail("f1", 1)}
+       |${armSel("f0", 0)}
+       |UNION ALL
+       |${armSel("f1", 1)}""".stripMargin
+  }
 
   /** Probe an EXPLICIT (centroids, postings) index pair — the shared
     * search tail every lifecycle state funnels through (the

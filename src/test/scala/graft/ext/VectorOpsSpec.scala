@@ -968,4 +968,55 @@ class VectorOpsSpec extends SparkSpec {
     info(f"recall white=$rw%.3f raw=$rr%.3f (isotropic fixture: " +
       "whitening deletes signal — the gated row records the verdict)")
   }
+
+  test("ivfFold: fold ≡ re-encode of base ∪ batches; restart reads; " +
+      "chain breaks loudly; gc retires") {
+    val base = VectorOps.ivfFoldBaseDir(sfDir)
+    val tag = "spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"${base}__feed_$tag"))
+
+    val e = VectorOps.embeddings(spark, sfDir)
+    def batch(k: Int) = e
+      .filter(col("vec_id") % 2 === k)
+      .select((col("vec_id") + lit(5000000000L)).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(-1.0))
+          .as("v"))
+
+    val r0 = VectorOps.ivfFold(spark, sfDir, tag, batch(0), 0L).collect()
+    val r1 = VectorOps.ivfFold(spark, sfDir, tag, batch(1), 1L).collect()
+    assert(r0.nonEmpty && r1.nonEmpty)
+
+    // STREAM ≡ BATCH: generation-1 postings equal a from-scratch
+    // encode of base-slice ∪ batch0 ∪ batch1 under the SAME frozen
+    // codebook (merge law made a chain fact)
+    val cents = spark.read.parquet(s"$base/centroids")
+    val baseSlice = spark.read.parquet(s"$base/postings")
+    val fresh = baseSlice.unionByName(
+      VectorOps.assignNearest(
+        batch(0).unionByName(batch(1)), cents))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toSet
+    val gen1 = spark.read.parquet(s"${base}__feed_$tag/g1/postings")
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toSet
+    assert(gen1 == fresh, "fold diverged from re-encode")
+
+    // restart: SUCCESS-gated generation read back, output identical
+    val r1b = VectorOps.ivfFold(spark, sfDir, tag, batch(1), 1L).collect()
+    assert(r1b.toSeq == r1.toSeq)
+
+    // a gap in the chain fails loudly before any work
+    intercept[IllegalArgumentException] {
+      VectorOps.ivfFold(spark, sfDir, tag, batch(0), 3L)
+    }
+
+    // gc retires everything below the head; the head still folds on
+    val retired = VectorOps.ivfGc(sfDir, tag, 1)
+    assert(retired == Seq(0L), s"retired $retired")
+    val r2 = VectorOps.ivfFold(spark, sfDir, tag, batch(0), 2L).collect()
+    assert(r2.nonEmpty)
+    rm(new java.io.File(s"${base}__feed_$tag"))
+  }
 }
