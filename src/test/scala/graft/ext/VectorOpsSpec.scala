@@ -1019,4 +1019,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(r2.nonEmpty)
     rm(new java.io.File(s"${base}__feed_$tag"))
   }
+
+  test("PQ spill arm: measured recall vs the single-assignment PQ and " +
+      "the exact top-k") {
+    val exact = VectorOps.cosineTopK(spark, sfDir)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("probe_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      s.intersect(exact).size.toDouble / exact.size
+    }
+    val rPq = recallOf(VectorOps.annIvfPq(spark, sfDir))
+    val rSp = recallOf(VectorOps.annIvfPqSpill(spark, sfDir))
+    info(f"PQ recall: single=$rPq%.3f spilled=$rSp%.3f")
+    // measured verdict (see annIvfPqSpill scaladoc): the lossy PQ
+    // shortlist, not the candidate set, binds end recall — the spill
+    // moves 0.63 -> 0.65 at sf0.01 and sits within noise at this SF.
+    // The floor pins "never meaningfully worse"; the ceiling lift
+    // lives in the flat arm's gated rows.
+    assert(rSp >= rPq - 0.02,
+      f"spilled PQ materially lost recall: $rSp%.3f < $rPq%.3f")
+  }
 }
