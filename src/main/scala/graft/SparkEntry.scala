@@ -315,6 +315,8 @@ object SparkEntry {
     // IVF-PQ: product-quantized codes, table-lookup coarse scan
     "q_ann_ivf_pq" -> ((s, dir) => VectorOps.annIvfPq(s, dir)),
     "q_ann_ivf_pq_spill" -> ((s, dir) => VectorOps.annIvfPqSpill(s, dir)),
+    "q_ann_pq_rerank_sweep" ->
+      ((s, dir) => VectorOps.annPqRerankSweep(s, dir)),
     // discovered-domain clusters + balanced-mixture repeat factors
     "q_domain_mixture" -> ((s, dir) => VectorOps.domainMixture(s, dir)),
     // embeddings data contract (dim, zero vectors, bidirectional FK)
@@ -554,6 +556,7 @@ object SparkEntry {
     "q_ann_ivf_sq8" -> VectorOps.annIvfSq8Oracle(),
     "q_ann_ivf_pq" -> VectorOps.annIvfPqOracle(),
     "q_ann_ivf_pq_spill" -> VectorOps.annIvfPqSpillOracle,
+    "q_ann_pq_rerank_sweep" -> VectorOps.annPqRerankSweepOracle,
     "q_domain_mixture" -> VectorOps.domainMixtureOracle,
     "q_embed_expectations" -> VectorOps.embedExpectationsOracle,
     "q_semantic_dedup" -> VectorOps.semanticDedupOracle,

@@ -1698,13 +1698,12 @@ object VectorOps {
       Canon.canonicalize(pqSearchTail(e, cand, codebooks)), e)
   }
 
-  /** The PQ search tail shared by the single-assignment and spilled
-    * arms: encode (vec → m codes), per-probe asymmetric distance
-    * table, table-lookup coarse score over `cand` (probe_id, vec_id),
-    * shortlist, exact rescore, per-probe top-k.
+  /** The PQ coarse score over `cand` (probe_id, vec_id): encode
+    * (vec → m codes), per-probe asymmetric distance table, table-
+    * lookup partial sums folded in j order → (probe_id, vec_id, qcos).
     */
-  private def pqSearchTail(e: DataFrame, cand: DataFrame,
-                           codebooks: DataFrame): DataFrame = {
+  private def pqCoarse(e: DataFrame, cand: DataFrame,
+                       codebooks: DataFrame): DataFrame = {
     // the stored index: (vec_id, j, code) — codes, not vectors
     val codes = subVectors(e.select(col("vec_id"), col("v")))
       .join(broadcast(codebooks), Seq("j"))
@@ -1728,7 +1727,7 @@ object VectorOps {
       fold(transform(col("pv"), x => x * x)).as("pnorm2"))
 
     // coarse scan: table-lookup partial sums, folded in j order
-    val coarse = cand
+    cand
       .join(codes, Seq("vec_id"))
       .join(broadcast(padt), Seq("probe_id", "j", "code"))
       .join(broadcast(pnorms), Seq("probe_id"))
@@ -1742,6 +1741,16 @@ object VectorOps {
       .withColumn("qcos",
         col("dot") / (sqrt(col("pnorm2")) * sqrt(col("rnorm2"))))
       .select("probe_id", "vec_id", "qcos")
+  }
+
+  /** The PQ search tail shared by the single-assignment and spilled
+    * arms: [[pqCoarse]], shortlist, exact rescore, per-probe top-k.
+    */
+  private def pqSearchTail(e: DataFrame, cand: DataFrame,
+                           codebooks: DataFrame): DataFrame = {
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val coarse = pqCoarse(e, cand, codebooks)
     val shortlist = TopK.perKey(coarse, Seq("probe_id"),
       Seq("qcos" -> TopK.Desc, "vec_id" -> TopK.Asc),
       sqRerank * topK)
@@ -1780,7 +1789,7 @@ object VectorOps {
     * subquery `candSql` (probe_id, vec_id, self-pairs excluded) —
     * shared by the single-assignment and spilled arms.
     */
-  private def pqOracleSql(prefix: String, candSql: String): String = {
+  private def pqOracleCtes(prefix: String, candSql: String): String = {
     val sd = s"(len(v) // $pqM)"
     val rounds = (0 until pqIters).map { r =>
       s"""pa${r + 1} AS (
@@ -1846,7 +1855,118 @@ object VectorOps {
        |qscored AS (
        |  SELECT probe_id, vec_id,
        |         dot / (sqrt(pnorm2) * sqrt(rnorm2)) AS qcos
-       |  FROM coarse),
+       |  FROM coarse)""".stripMargin
+  }
+
+  /** Rerank factors swept by [[annPqRerankSweep]] — shortlist widths
+    * f·topK around the deployed [[sqRerank]] = 3. */
+  val pqSweepFactors: Seq[Int] = Seq(1, 3, 10)
+
+  /** THE SHORTLIST-WIDTH CURVE — the gated row behind the
+    * [[annIvfPqSpill]] verdict that shortlist width, not probe shape,
+    * binds PQ recall: ONE coarse pass, [[pqSweepFactors]] shortlist
+    * widths carved from it, each exactly rescored, each arm's top-k
+    * overlap with the brute-force exact top-k summed across probes.
+    * Output (rerank_k, n_common, n_exact, recall) — three rows a
+    * deployment reads to price rerank width against recall, the same
+    * way the nprobe recall rows price probe count. Work shape: the
+    * sweep adds only shortlist-sized (≤ f·topK per probe) rescoring
+    * to the single coarse scan — the corpus is read once.
+    */
+  def annPqRerankSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist()
+    val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
+    val codebooks = cachedPqCodebooks(spark, sfDir, e)
+    val cand = assignNearest(e, centroids)
+      .select(col("vec_id"), col("bucket"))
+      .join(broadcast(
+        probeBuckets(e, centroids, 4).select("probe_id", "bucket")),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id")
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val coarse = pqCoarse(e, cand, codebooks).persist()
+    val exact = cosineTopK(spark, sfDir).select("probe_id", "vec_id")
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val arms = pqSweepFactors.map { f =>
+      val shortlist = TopK.perKey(coarse, Seq("probe_id"),
+        Seq("qcos" -> TopK.Desc, "vec_id" -> TopK.Asc), f * topK)
+      val rescored = e
+        .join(broadcast(shortlist.select("probe_id", "vec_id")),
+          Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .withColumn("cos", cosine(col("pv"), col("v")))
+        .select("probe_id", "vec_id", "cos")
+      TopK.perKey(rescored, Seq("probe_id"),
+          Seq("cos" -> TopK.Desc, "vec_id" -> TopK.Asc), topK)
+        .select("probe_id", "vec_id")
+        .join(exact, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .withColumn("rerank_k", lit(f.toLong * topK))
+    }
+    Canon.materialized(
+      Canon.canonicalize(arms.reduce(_ unionByName _)
+        .crossJoin(nExact)
+        .select(col("rerank_k"), col("n_common"), col("n_exact"),
+          (col("n_common").cast("double") /
+            col("n_exact").cast("double")).as("recall"))),
+      e, coarse)
+  }
+
+  lazy val annPqRerankSweepOracle: String = {
+    val baseCand =
+      s"""SELECT pb.probe_id, b.vec_id
+         |  FROM bucketed b JOIN pb ON b.cent_id = pb.bucket
+         |  WHERE b.vec_id <> pb.probe_id""".stripMargin
+    def arm(f: Int): String =
+      s"""sw$f AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY qcos DESC, vec_id ASC) AS srn
+         |    FROM qscored) WHERE srn <= ${f * topK}),
+         |sr$f AS (
+         |  SELECT s.probe_id, s.vec_id FROM (
+         |    SELECT s0.probe_id, s0.vec_id,
+         |           row_number() OVER (PARTITION BY s0.probe_id
+         |             ORDER BY ${cosSql("p.pv", "e.v")} DESC,
+         |                      s0.vec_id ASC) AS rank
+         |    FROM sw$f s0 JOIN e ON s0.vec_id = e.vec_id
+         |    JOIN probes p ON p.probe_id = s0.probe_id) s
+         |  WHERE s.rank <= $topK),
+         |sc$f AS (
+         |  SELECT CAST(${f * topK} AS BIGINT) AS rerank_k,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sr$f JOIN x ON sr$f.probe_id = x.probe_id
+         |                 AND sr$f.vec_id = x.vec_id)""".stripMargin
+    s"""${pqOracleCtes(ivfOraclePrefix(4), baseCand)},
+       |scoredF AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |         ${cosSql("p.v", "c.v")} AS cos
+       |  FROM e p, e c
+       |  WHERE p.vec_id < $nProbes AND c.vec_id <> p.vec_id),
+       |x AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM scoredF) WHERE rank <= $topK),
+       |xt AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x),
+       |${pqSweepFactors.map(arm).mkString(",\n")}
+       |SELECT rerank_k, n_common, n_exact,
+       |       CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |         AS recall
+       |FROM (${pqSweepFactors.map(f => s"SELECT * FROM sc$f")
+        .mkString("\nUNION ALL\n")}) arms
+       |CROSS JOIN xt""".stripMargin
+  }
+
+  /** Chain ends at `qscored` (probe_id, vec_id, qcos) — the sweep
+    * oracle grows several shortlist arms off it. */
+  private def pqOracleSql(prefix: String, candSql: String): String =
+    s"""${pqOracleCtes(prefix, candSql)},
        |short AS (
        |  SELECT probe_id, vec_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY probe_id
@@ -1862,7 +1982,6 @@ object VectorOps {
        |  FROM rescored)
        |SELECT probe_id, rank, vec_id, cos FROM rankedq
        |WHERE rank <= $topK""".stripMargin
-  }
 
   // ---- int8 symmetric quantization ------------------------------------
 
