@@ -24,6 +24,10 @@ object PlanDump {
         (() => io.Partitioned.dppBucketedJoin(spark, sf)),
       "ann_ivf_spill" -> (() => ext.VectorOps.annIvfSpill(spark, sf)),
       "ann_ivf_white" -> (() => ext.VectorOps.annIvfWhite(spark, sf)),
+      "ann_ivf_pq_spill" -> (() => ext.VectorOps.annIvfPqSpill(spark, sf)),
+      "ann_pq_rerank_sweep" ->
+        (() => ext.VectorOps.annPqRerankSweep(spark, sf)),
+      "ivf_fold_gate" -> (() => ext.VectorOps.ivfFoldGate(spark, sf)),
       "train_split" -> (() => ext.SampleOps.trainValTestSplit(spark, sf)),
       "sample_k" -> (() => ext.SampleOps.sampleKPerStratum(spark, sf)),
       "chunks" -> (() => ext.TextOps.docChunks(spark, sf)),
