@@ -6,7 +6,7 @@ unmanagedBase := file("/opt/spark/jars")
 // plus the vendored public PostgreSQL JDBC driver (lib/README.md) for
 // the out-of-process DB fixture — loaded via DriverManager service
 // discovery only, never compiled against
-Compile / unmanagedJars += baseDirectory.value / "lib" / "postgresql-42.7.1.jar"
+Compile / unmanagedJars += baseDirectory.value / "lib" / "postgresql-42.7.2.jar"
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -2501,12 +2501,17 @@ object VectorOps {
     require(ivfPostingsDone(prev),
       s"postings chain broken before batch $batchId: $prev incomplete")
     val out = gen(batchId)
-    if (!ivfPostingsDone(out)) {
-      val cents = spark.read.parquet(s"$base/centroids")
-      spark.read.parquet(s"$prev/postings")
-        .union(assignNearest(batch, cents)
-          .select(col("vec_id"), col("v"), col("bucket")))
-        .write.mode("overwrite").parquet(s"$out/postings")
+    // same lock as ivfIndex/ivfIndexMerge/ivfIndexForget: two
+    // concurrent calls for the same (feedTag, batchId) must not race
+    // between the done-check and the generation write
+    synchronized {
+      if (!ivfPostingsDone(out)) {
+        val cents = spark.read.parquet(s"$base/centroids")
+        spark.read.parquet(s"$prev/postings")
+          .union(assignNearest(batch, cents)
+            .select(col("vec_id"), col("v"), col("bucket")))
+          .write.mode("overwrite").parquet(s"$out/postings")
+      }
     }
     Canon.canonicalize(
       probeIvfIndexTables(spark.read.parquet(s"$base/centroids"),

@@ -34,11 +34,28 @@ object PgFixture {
     * JDBC url. Fails loudly — a silently-skipped fixture would turn
     * the connector gate into a no-op.
     */
+  /** Locate tools/pg_fixture.sh independent of the JVM working
+    * directory: SPARK_GRAFT_REPO env (set by the netns cluster's
+    * spark-submit wrapper) wins, then an upward walk from the cwd for
+    * a directory containing tools/pg_fixture.sh (the repo-root marker).
+    */
+  private[io] def fixtureScript: java.io.File = {
+    val fromEnv = sys.env.get("SPARK_GRAFT_REPO")
+      .map(r => new java.io.File(r, "tools/pg_fixture.sh"))
+    def walkUp: Option[java.io.File] =
+      Iterator.iterate(new java.io.File(".").getAbsoluteFile.getCanonicalFile)(_.getParentFile)
+        .takeWhile(_ != null).take(8)
+        .map(d => new java.io.File(d, "tools/pg_fixture.sh"))
+        .find(_.exists)
+    fromEnv.orElse(walkUp).getOrElse(new java.io.File("tools/pg_fixture.sh"))
+  }
+
   def ensure(): String = synchronized {
     if (!ensured) {
-      val script = new java.io.File("tools/pg_fixture.sh")
+      val script = fixtureScript
       require(script.exists,
-        s"pg fixture script missing: ${script.getAbsolutePath}")
+        s"pg fixture script missing: ${script.getAbsolutePath} " +
+          "(set SPARK_GRAFT_REPO to the repo root when launching from elsewhere)")
       val p = new ProcessBuilder("bash", script.getAbsolutePath)
         .redirectErrorStream(true).start()
       val out = new String(p.getInputStream.readAllBytes())

@@ -311,7 +311,7 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size == 1 &&
       exchanges.head.contains("o_orderpriority"),
       "bucketed fact-fact join still shuffles:\n" + p.take(3000))
-    assert(!p.linesIterator.exists(_.matches("""\s*[:+]- Sort \[.*""")),
+    assert(!p.contains("- Sort ["),
       "combined-layout join sorts:\n" + p.take(3000))
   }
 

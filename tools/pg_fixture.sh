@@ -8,8 +8,10 @@
 #
 # Postgres refuses to run as root, so the fixture runs under a dedicated
 # throwaway OS user. Everything is test-fixture-grade by design: trust
-# auth, listen on all interfaces (the netns cluster workers connect via
-# the veth subnet), data dir under target/.
+# auth, but bound ONLY to loopback and the netns veth address
+# (10.200.0.1), with pg_hba restricted to 127.0.0.1/32 and
+# 10.200.0.0/24 — the fixture is never reachable from outside the
+# machine even when verify/bench auto-launch it. Data dir under /tmp.
 set -euo pipefail
 
 PGBIN=${PGBIN:-/usr/lib/postgresql/15/bin}
@@ -34,14 +36,25 @@ if [ ! -f "$PGDATA/PG_VERSION" ]; then
   chmod 700 "$PGDATA"
   [ "$(id -u)" = 0 ] && chown -R $FXUSER "$(dirname "$PGDATA")"
   run_as "'$PGBIN/initdb' -D '$PGDATA' -U graft --auth=trust" >/dev/null
-  # fixture-grade auth: any host may connect as graft (sandboxed VM)
-  echo "host all all 0.0.0.0/0 trust" >> "$PGDATA/pg_hba.conf"
-  echo "host all all ::0/0 trust" >> "$PGDATA/pg_hba.conf"
+fi
+
+# Restrict trust auth to loopback + the netns veth subnet only (also
+# repairs data dirs initialised by the pre-r14 all-interfaces fixture).
+if ! grep -q "10.200.0.0/24" "$PGDATA/pg_hba.conf"; then
+  sed -i '/0\.0\.0\.0\/0\|::0\/0/d' "$PGDATA/pg_hba.conf"
+  echo "host all all 127.0.0.1/32 trust" >> "$PGDATA/pg_hba.conf"
+  echo "host all all 10.200.0.0/24 trust" >> "$PGDATA/pg_hba.conf"
+  # a server already running was started with the old all-interfaces
+  # listen config — stop it so the restart below applies the new one
+  run_as "'$PGBIN/pg_ctl' -D '$PGDATA' status" >/dev/null 2>&1 && \
+    run_as "'$PGBIN/pg_ctl' -D '$PGDATA' -m fast -w stop" >/dev/null 2>&1 || true
 fi
 
 if ! run_as "'$PGBIN/pg_ctl' -D '$PGDATA' status" >/dev/null 2>&1; then
+  # listen only on loopback + the veth host address; a missing
+  # 10.200.0.1 (cluster down) is a Postgres WARNING, not fatal
   run_as "'$PGBIN/pg_ctl' -D '$PGDATA' -l '$PGDATA/server.log' \
-    -o '-p $PGPORT -k /tmp -c listen_addresses=*' -w start" >/dev/null
+    -o '-p $PGPORT -k /tmp -c listen_addresses=localhost,10.200.0.1' -w start" >/dev/null
 fi
 
 if ! run_as "'$PGBIN/psql' -h /tmp -p $PGPORT -U graft -d postgres -Atc \
