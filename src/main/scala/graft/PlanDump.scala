@@ -27,6 +27,9 @@ object PlanDump {
       "ann_ivf_pq_spill" -> (() => ext.VectorOps.annIvfPqSpill(spark, sf)),
       "ann_pq_rerank_sweep" ->
         (() => ext.VectorOps.annPqRerankSweep(spark, sf)),
+      "ann_ivf_pqr" -> (() => ext.VectorOps.annIvfPqr(spark, sf)),
+      "ann_pqr_rerank_sweep" ->
+        (() => ext.VectorOps.annPqrRerankSweep(spark, sf)),
       "ivf_fold_gate" -> (() => ext.VectorOps.ivfFoldGate(spark, sf)),
       "train_split" -> (() => ext.SampleOps.trainValTestSplit(spark, sf)),
       "sample_k" -> (() => ext.SampleOps.sampleKPerStratum(spark, sf)),

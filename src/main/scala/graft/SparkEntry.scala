@@ -317,6 +317,10 @@ object SparkEntry {
     "q_ann_ivf_pq_spill" -> ((s, dir) => VectorOps.annIvfPqSpill(s, dir)),
     "q_ann_pq_rerank_sweep" ->
       ((s, dir) => VectorOps.annPqRerankSweep(s, dir)),
+    // IVF-PQ residual encoding (IVF-ADC proper) + its width curve
+    "q_ann_ivf_pqr" -> ((s, dir) => VectorOps.annIvfPqr(s, dir)),
+    "q_ann_pqr_rerank_sweep" ->
+      ((s, dir) => VectorOps.annPqrRerankSweep(s, dir)),
     // discovered-domain clusters + balanced-mixture repeat factors
     "q_domain_mixture" -> ((s, dir) => VectorOps.domainMixture(s, dir)),
     // embeddings data contract (dim, zero vectors, bidirectional FK)
@@ -557,6 +561,8 @@ object SparkEntry {
     "q_ann_ivf_pq" -> VectorOps.annIvfPqOracle(),
     "q_ann_ivf_pq_spill" -> VectorOps.annIvfPqSpillOracle,
     "q_ann_pq_rerank_sweep" -> VectorOps.annPqRerankSweepOracle,
+    "q_ann_ivf_pqr" -> VectorOps.annIvfPqrOracle(),
+    "q_ann_pqr_rerank_sweep" -> VectorOps.annPqrRerankSweepOracle,
     "q_domain_mixture" -> VectorOps.domainMixtureOracle,
     "q_embed_expectations" -> VectorOps.embedExpectationsOracle,
     "q_semantic_dedup" -> VectorOps.semanticDedupOracle,
