@@ -228,21 +228,25 @@ object Runner {
     val backfillDates = args.drop(2).headOption
       .map(_.split(",").toSeq).getOrElse(Seq(Ingestion.asOf))
     val backfill: Seq[(String, () => Long)] =
-      backfillDates.flatMap(d => Seq(
-        s"ingest_suppliers@$d" ->
-          (() => Ingestion.suppliers(spark, sfDir, d).count()),
-        s"ingest_products@$d" ->
-          (() => Ingestion.products(spark, sfDir, d).count()),
-        s"ingest_customers@$d" ->
-          (() => Ingestion.customers(spark, sfDir, d).count()),
-        s"ingest_sales@$d" ->
-          (() => Ingestion.sales(spark, sfDir, d).count()))) ++ Seq(
-        "supplier_performance" ->
-          (() => SupplierPerformance(spark, sfDir).count()),
-        "product_performance" ->
-          (() => ProductPerformance(spark, sfDir).count()),
-        "customer_sales_report" ->
-          (() => CustomerSalesReport(spark, sfDir).count()))
+      backfillDates.flatMap(ingestDay(spark, sfDir, _)) ++
+        martTasks(spark, sfDir)
+
+    // the SCHEDULER chain (Airflow's `@daily` + catchup=True,
+    // ingestion_dag.py:15, dag.py:27): compute the logical dates
+    // strictly after the persisted watermark up to `now` (argv[2],
+    // else the wall clock), replay the per-day ingestion unit once per
+    // missed tick oldest-first, commit the watermark after EACH day,
+    // rebuild marts once at the end. See [[runCatchup]].
+    val scheduler: Seq[(String, () => Long)] = Seq(
+      "daily_catchup" -> (() => {
+        val now = args.drop(2).headOption.map(java.time.LocalDate.parse)
+          .getOrElse(java.time.LocalDate.now())
+        val ran = runCatchup(now, schedulerWatermark(sfDir),
+          ingestDay(spark, sfDir, _), martTasks(spark, sfDir))
+        println(s"[runner] catchup ran ${ran.size} tick(s): " +
+          ran.mkString(","))
+        ran.size.toLong
+      }))
 
     // the MAINTENANCE chain: retire feed generations past the retention
     // depth across every admission-fold family (Generations contract:
@@ -283,11 +287,12 @@ object Runner {
       case "incremental" => incremental
       case "publish" => publish
       case "backfill" => backfill
+      case "scheduler" => scheduler
       case "maintenance" => maintenance
       case other =>
         System.err.println(s"[runner] unknown chain '$other' " +
           "(expected daily|corpus|incremental|publish|backfill|" +
-          "maintenance)")
+          "scheduler|maintenance)")
         spark.stop(); sys.exit(2); Seq.empty
     }
 
@@ -303,6 +308,84 @@ object Runner {
         sys.exit(1)
     }
     spark.stop()
+  }
+
+  /** The per-day ingestion unit (one DAY_DT dynamic-partition
+    * overwrite per entity — idempotent by the Sinks.doubleWrite
+    * contract, never touching neighboring days): the backfill chain's
+    * repeat unit, and the catchup scheduler's per-tick work. */
+  private[graft] def ingestDay(spark: SparkSession, sfDir: String,
+                               d: String): Seq[(String, () => Long)] = Seq(
+    s"ingest_suppliers@$d" ->
+      (() => Ingestion.suppliers(spark, sfDir, d).count()),
+    s"ingest_products@$d" ->
+      (() => Ingestion.products(spark, sfDir, d).count()),
+    s"ingest_customers@$d" ->
+      (() => Ingestion.customers(spark, sfDir, d).count()),
+    s"ingest_sales@$d" ->
+      (() => Ingestion.sales(spark, sfDir, d).count()))
+
+  private def martTasks(spark: SparkSession,
+                        sfDir: String): Seq[(String, () => Long)] = Seq(
+    "supplier_performance" ->
+      (() => SupplierPerformance(spark, sfDir).count()),
+    "product_performance" ->
+      (() => ProductPerformance(spark, sfDir).count()),
+    "customer_sales_report" ->
+      (() => CustomerSalesReport(spark, sfDir).count()))
+
+  /** Where the daily-cadence watermark lives for a dataset (under
+    * target/, keyed by fixture name — never inside the read-only
+    * data dir). */
+  private[graft] def schedulerWatermark(sfDir: String): java.io.File =
+    new java.io.File(
+      s"target/scheduler/daily_${new java.io.File(sfDir).getName}.tick")
+
+  /** The `@daily` tick arithmetic (Airflow cadence + catchup=True):
+    * every logical date STRICTLY AFTER the watermark, up to and
+    * including `now`, oldest first — Airflow's catchup execution
+    * order. First activation (no watermark) runs only `now`'s tick:
+    * there is no start_date older than the deployment. */
+  private[graft] def dueTicks(lastTick: Option[java.time.LocalDate],
+                              now: java.time.LocalDate)
+      : Seq[java.time.LocalDate] = lastTick match {
+    case None => Seq(now)
+    case Some(t) =>
+      Iterator.iterate(t.plusDays(1))(_.plusDays(1))
+        .takeWhile(!_.isAfter(now)).toSeq
+  }
+
+  /** CLOCK-FIRED CATCH-UP: run `dayChain` once per due tick (oldest
+    * first), COMMITTING THE WATERMARK AFTER EACH COMPLETED DAY — a
+    * crash mid-catchup resumes at the first unfinished tick, and an
+    * already-run tick can never re-fire (re-running a day would be
+    * harmless anyway: the per-day unit is an idempotent partition
+    * overwrite, drilled in RunnerSchedulingSpec). `tail` runs once
+    * after all ticks (the marts rebuild off the final snapshot,
+    * matching the backfill shape). Returns the dates run.
+    */
+  private[graft] def runCatchup(now: java.time.LocalDate,
+                                wmFile: java.io.File,
+                                dayChain: String => Seq[(String, () => Long)],
+                                tail: Seq[(String, () => Long)] = Seq.empty,
+                                log: String => Unit = println)
+      : Seq[String] = {
+    val last =
+      if (wmFile.exists())
+        Some(java.time.LocalDate.parse(
+          java.nio.file.Files.readString(wmFile.toPath).trim))
+      else None
+    val ticks = dueTicks(last, now)
+    if (ticks.isEmpty) log(s"[runner] catchup: watermark $last current, " +
+      s"nothing due at $now")
+    ticks.foreach { d =>
+      log(s"[runner] tick $d firing (watermark was $last)")
+      runChain(dayChain(d.toString), log = log)
+      wmFile.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(wmFile.toPath, d.toString)
+    }
+    if (ticks.nonEmpty) runChain(tail, log = log)
+    ticks.map(_.toString)
   }
 
   /** The chain loop with BOUNDED PER-TASK RETRY (the Airflow

@@ -76,4 +76,82 @@ class RunnerSchedulingSpec extends SparkSpec {
     assert(dayRows(d1) == r1, "neighbor partition modified by re-run")
     assert(dayRows(d2) == r2, "day re-run is not idempotent")
   }
+
+  private def ld(s: String) = java.time.LocalDate.parse(s)
+
+  test("dueTicks: strictly-after-watermark up to now, ordered; " +
+      "first activation fires only now; current watermark fires none") {
+    assert(Runner.dueTicks(None, ld("2024-07-10")) ==
+      Seq(ld("2024-07-10")))
+    assert(Runner.dueTicks(Some(ld("2024-07-07")), ld("2024-07-10")) ==
+      Seq(ld("2024-07-08"), ld("2024-07-09"), ld("2024-07-10")))
+    assert(Runner.dueTicks(Some(ld("2024-07-10")), ld("2024-07-10"))
+      .isEmpty)
+    assert(Runner.dueTicks(Some(ld("2024-07-11")), ld("2024-07-10"))
+      .isEmpty, "watermark ahead of the clock fires nothing")
+  }
+
+  test("catchup drill: 3 missed ticks fire 3 ordered day runs, " +
+      "tail once, watermark advances; re-fire is a no-op") {
+    val wm = new File("target/scheduler/spec_catchup.tick")
+    wm.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(wm.toPath, "2024-07-07")
+    val fired = Seq.newBuilder[String]
+    var tails = 0
+    def day(d: String): Seq[(String, () => Long)] =
+      Seq(s"unit@$d" -> (() => { fired += d; 1L }))
+    val ran = Runner.runCatchup(ld("2024-07-10"), wm, day,
+      tail = Seq("marts" -> (() => { tails += 1; 1L })),
+      log = _ => ())
+    assert(ran == Seq("2024-07-08", "2024-07-09", "2024-07-10"))
+    assert(fired.result() == ran, "ticks fire oldest-first, once each")
+    assert(tails == 1, "tail runs once after all ticks")
+    assert(java.nio.file.Files.readString(wm.toPath) == "2024-07-10")
+    // the clock hasn't moved: nothing due, tail does not re-run
+    val again = Runner.runCatchup(ld("2024-07-10"), wm, day,
+      tail = Seq("marts" -> (() => { tails += 1; 1L })), log = _ => ())
+    assert(again.isEmpty && tails == 1, "re-fire must be a no-op")
+  }
+
+  test("catchup crash mid-run: watermark holds the last COMPLETED " +
+      "tick; the rerun resumes at the first unfinished one") {
+    val wm = new File("target/scheduler/spec_crash.tick")
+    wm.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(wm.toPath, "2024-07-07")
+    val fired = Seq.newBuilder[String]
+    var crash = true
+    def day(d: String): Seq[(String, () => Long)] =
+      Seq(s"unit@$d" -> (() => {
+        if (crash && d == "2024-07-09") sys.error("executor lost")
+        fired += d; 1L
+      }))
+    intercept[RuntimeException] {
+      Runner.runCatchup(ld("2024-07-10"), wm, day, log = _ => ())
+    }
+    assert(java.nio.file.Files.readString(wm.toPath) == "2024-07-08",
+      "watermark must hold the last completed tick, not the crashed one")
+    crash = false
+    val resumed = Runner.runCatchup(ld("2024-07-10"), wm, day, log = _ => ())
+    assert(resumed == Seq("2024-07-09", "2024-07-10"), "resume point")
+    assert(fired.result() == Seq("2024-07-08", "2024-07-09", "2024-07-10"),
+      "every tick ran exactly once across crash + resume")
+  }
+
+  test("catchup over the real per-day ingest unit: 3 missed days land " +
+      "3 idempotent DAY_DT partitions") {
+    val wm = new File("target/scheduler/spec_ingest.tick")
+    wm.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(wm.toPath, "2024-06-09")
+    val legacy = s"target/ingest/${new File(sfDir).getName}/suppliers/legacy"
+    val ran = Runner.runCatchup(ld("2024-06-12"), wm,
+      Runner.ingestDay(spark, sfDir, _), log = _ => ())
+    assert(ran == Seq("2024-06-10", "2024-06-11", "2024-06-12"))
+    val byDay = spark.read.parquet(legacy)
+      .filter(col("DAY_DT").isin(ran: _*))
+      .groupBy(col("DAY_DT")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byDay.keySet == ran.toSet, s"partitions present: $byDay")
+    assert(byDay.values.toSet.size == 1 && byDay.values.head > 0,
+      s"same feed volume per day: $byDay")
+  }
 }
