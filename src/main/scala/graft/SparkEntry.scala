@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ext.{CurationOps, DedupOps, EventOps, GraphOps, MultimodalOps,
   SampleOps, ScoringOps, TextOps, VectorOps}
 import graft.pipelines.{CustomerSalesReport, Ingestion, JdbcRoundTrip,
-  JsonlRoundTrip,
-  MicroQueries, ProductPerformance, SupplierPerformance}
+  JsonlRoundTrip, MicroQueries, ObjectStoreRoundTrip, ProductPerformance,
+  SupplierPerformance}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator family from SURVEY.md §2 is a named query
@@ -31,6 +31,8 @@ object SparkEntry {
     "q_ingest_sales" -> ((s, dir) => Ingestion.sales(s, dir)),
     // io micro-queries
     "q_jdbc_roundtrip" -> ((s, dir) => JdbcRoundTrip(s, dir)),
+    "q_objstore_roundtrip" ->
+      ((s, dir) => ObjectStoreRoundTrip(s, dir)),
     "q_jdbc_pg_roundtrip" -> ((s, dir) => JdbcRoundTrip.pg(s, dir)),
     "q_jsonl_roundtrip" -> ((s, dir) => JsonlRoundTrip(s, dir)),
     // partitioned-layout join with runtime (dynamic) partition pruning
@@ -413,6 +415,7 @@ object SparkEntry {
     "q_ingest_customers" -> Ingestion.customersOracle,
     "q_ingest_sales" -> Ingestion.salesOracle,
     "q_jdbc_roundtrip" -> JdbcRoundTrip.oracle,
+    "q_objstore_roundtrip" -> ObjectStoreRoundTrip.oracle,
     "q_jdbc_pg_roundtrip" -> JdbcRoundTrip.oracle,
     "q_dpp_join" -> io.Partitioned.dppJoinOracle,
     "q_dpp_bucketed_join" -> io.Partitioned.dppBucketedJoinOracle,
