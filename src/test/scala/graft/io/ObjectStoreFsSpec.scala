@@ -16,6 +16,15 @@ class ObjectStoreFsSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val fs: FileSystem = {
+    // fresh bucket per suite run: leftover objects from a previous JVM
+    // would make the rename tests' targets exist (rename then correctly
+    // refuses and returns false)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(new java.io.File("target/objstore/specbucket"))
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.graftobj.impl", "graft.io.ObjectStoreFs")
     hc.set("fs.graftobj.root", "target/objstore")

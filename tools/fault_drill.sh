@@ -41,6 +41,11 @@ submit() { # $1 = outdir, $2 = eventlog subdir
     --conf spark.eventLog.dir=$EVDIR/$2 \
     --conf spark.eventLog.compress=true \
     --conf spark.executor.memory=4g \
+    --conf spark.network.timeout=60s \
+    --conf spark.shuffle.io.connectionCreationTimeout=20s \
+    --conf spark.shuffle.io.connectionTimeout=20s \
+    --conf spark.shuffle.io.maxRetries=2 \
+    --conf spark.shuffle.io.retryWait=5s \
     --jars $REPO/lib/postgresql-42.7.2.jar \
     --class graft.Verify "$JAR" "$SF" "$1" $QUERIES
 }
@@ -50,21 +55,37 @@ echo "== cluster up"
 "$REPO/tools/netns_cluster.sh" up
 
 echo "== run 1/2: no-fault reference"
-submit "$OUT/base" base > "$OUT/base.log" 2>&1
-grep "\[verify\].*failed" "$OUT/base.log" && { echo "BASE RUN RED"; exit 1; }
+if [ ! -d "$OUT/base/q_tfidf" ]; then
+  submit "$OUT/base" base > "$OUT/base.log" 2>&1
+  grep "\[verify\].*failed" "$OUT/base.log" && { echo "BASE RUN RED"; exit 1; }
+else
+  echo "   (reusing existing no-fault reference)"
+fi
 
 echo "== run 2/2: fault-injected"
 rm -rf "$OUT/fault"
 submit "$OUT/fault" fault > "$OUT/fault.log" 2>&1 &
 RUN=$!
 
+# kill only processes whose NETWORK namespace is worker B's: netns
+# does NOT isolate PIDs, so `ip netns exec $NS pkill -f pattern` scans
+# the whole machine and kills worker A's processes too (measured: the
+# second drill run killed BOTH workers this way and the app starved)
+kill_in_ns() { # $1 = cmdline pattern
+  for p in $(ip netns pids $NS 2>/dev/null); do
+    tr '\0' ' ' < /proc/$p/cmdline 2>/dev/null | grep -q "$1" \
+      && kill -9 $p 2>/dev/null
+  done
+  true
+}
+
 # fault 1: SIGKILL worker B's executor JVM once >=2 queries are done
 # (mid-run by construction, not by timing guesses)
-while [ "$(ls -d "$OUT"/fault/q_* 2>/dev/null | wc -l)" -lt 2 ]; do
+while [ "$(ls -d "$OUT"/fault/q_* 2>/dev/null | wc -l)" -lt "${THRESH1:-2}" ]; do
   kill -0 $RUN 2>/dev/null || break; sleep 2
 done
 echo "-- injecting: SIGKILL executor on worker B ($(ls -d "$OUT"/fault/q_* 2>/dev/null | wc -l) queries done)"
-ip netns exec $NS pkill -9 -f CoarseGrainedExecutorBackend || true
+kill_in_ns CoarseGrainedExecutorBackend
 date -u +"%T executor killed" >> "$OUT/injections.log"
 
 # fault 2: once >=6 queries are done, lose the ENTIRE worker-B host:
@@ -74,12 +95,12 @@ date -u +"%T executor killed" >> "$OUT/injections.log"
 # 10.200.0.1, the address the driver/master/worker A are bound to
 # (measured: the first drill run hung exactly this way; you cannot
 # "lose a host" by deleting the switch).
-while [ "$(ls -d "$OUT"/fault/q_* 2>/dev/null | wc -l)" -lt 6 ]; do
+while [ "$(ls -d "$OUT"/fault/q_* 2>/dev/null | wc -l)" -lt "${THRESH2:-6}" ]; do
   kill -0 $RUN 2>/dev/null || break; sleep 2
 done
 echo "-- injecting: killing worker-B host (all processes + wire down)"
-ip netns exec $NS pkill -9 -f "deploy.worker.Worker" || true
-ip netns exec $NS pkill -9 -f CoarseGrainedExecutorBackend || true
+kill_in_ns "deploy.worker.Worker"
+kill_in_ns CoarseGrainedExecutorBackend
 ip netns exec $NS ip link set veth-sgn down 2>/dev/null || true
 date -u +"%T worker-B processes killed + veth-sgn down" >> "$OUT/injections.log"
 
