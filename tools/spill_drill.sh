@@ -40,6 +40,9 @@ q_user_value_deltas q_video_neardup q_vocab_build q_weighted_sample \
 q_winsorize q_wordpiece_bytefallback q_wordpiece_encode q_zorder_key \
 q_ingest_funnel q_mmr_rerank q_dsir_sample q_ann_pq_rerank_sweep \
 q_minhash_lsh q_dedup_clusters_lsh q_dup_spans q_customer_sales_report"
+# override for targeted runs (e.g. the x10 heavy-family pressure run —
+# sf0.1 never pressures even a starved heap; measured zero spills)
+QUERIES=${SPILL_QUERIES:-$QUERIES}
 
 mkdir -p "$OUT" "$EVDIR"
 
