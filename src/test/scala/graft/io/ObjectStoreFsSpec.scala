@@ -128,4 +128,33 @@ class ObjectStoreFsSpec extends SparkSpec {
     intercept[FileNotFoundException](
       fs.getFileStatus(new Path("/commit/out/_temporary")))
   }
+
+  test("DAY_DT dynamic-partition overwrite (the double-write contract) " +
+      "holds on the object store: same-day rerun replaces, neighbor " +
+      "days untouched, reads prune partitions") {
+    val legacy = "graftobj://specbucket/legacy/sales"
+    val raw = "graftobj://specbucket/raw/sales_pre"
+    def feed(day: String, v: Long) =
+      Seq((1L, v, day), (2L, v + 1, day)).toDF("ID", "QTY", "DAY_DT")
+    Sinks.doubleWrite(feed("2024-06-01", 10L), raw, legacy)
+    Sinks.doubleWrite(feed("2024-06-02", 20L), raw, legacy)
+    def day(d: String): Seq[(Long, Long)] =
+      Sinks.readLegacyDay(spark, legacy, d)
+        .select($"ID", $"QTY").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(day("2024-06-01") == Seq((1L, 10L), (2L, 11L)))
+    assert(day("2024-06-02") == Seq((1L, 20L), (2L, 21L)))
+    // same-day rerun with changed rows: REPLACE, not append — the
+    // dynamic-overwrite staging + copy+delete rename must not
+    // duplicate or orphan objects
+    Sinks.doubleWrite(feed("2024-06-02", 40L), raw, legacy)
+    assert(day("2024-06-02") == Seq((1L, 40L), (2L, 41L)),
+      "same-day rerun must replace the partition")
+    assert(day("2024-06-01") == Seq((1L, 10L), (2L, 11L)),
+      "neighbor day modified by the rerun")
+    // the one-day read must partition-prune on the bucket listing
+    val plan = Sinks.readLegacyDay(spark, legacy, "2024-06-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("DAY_DT"), plan.take(1500))
+  }
 }
