@@ -139,12 +139,60 @@ object EventOps {
       percentile(col("value"), lit(0.99)).as("p99")))
   }
 
+  /** DuckDB CTEs for exact per-event_type percentiles stating SPARK'S
+    * interpolation arithmetic — `Percentile.getPercentile` computes
+    * `(higher − pos)·lo + (pos − lower)·hi` with `pos = p·(n−1)`,
+    * while DuckDB's `quantile_cont` uses a different expression shape;
+    * the two agree at sf0.1 but diverge in the LAST FLOAT BIT at ×10
+    * group sizes (caught by the round-14 full ×10 gate: p99 read
+    * 230.53 vs 230.53000000000003, and a winsorize `clipped` flag
+    * flipped on the boundary row). Stating the order statistics and
+    * Spark's exact formula makes the oracle n-independent. Both CASE
+    * weights multiply data values by doubles built from the same
+    * floor/ceil arithmetic Spark uses; the two-term sum is IEEE-
+    * commutative, so accumulation order is immaterial.
+    */
+  private def sparkPctCtes(name: String,
+                           ps: Seq[(String, Double)]): String = {
+    def pos(p: Double) = s"CAST($p AS DOUBLE) * nm1"
+    // order statistics at the bracketing ranks, one pair per p
+    val os = ps.map { case (a, p) =>
+      s"""max(CASE WHEN rn = floor(${pos(p)}) THEN value END) AS lo_$a,
+         |    max(CASE WHEN rn = ceil(${pos(p)}) THEN value END) AS hi_$a"""
+        .stripMargin
+    }.mkString(",\n    ")
+    // Spark's getPercentile INCLUDING its equal-keys guard: when the
+    // two order stats are equal (ties, or an integral position), it
+    // returns the value DIRECTLY — the weighted sum of two equal
+    // doubles is NOT a no-op ((w1+w2=1)·x round-trips differently;
+    // the ×10 finding was exactly this: 230.53 → 230.53000000000003)
+    val outs = ps.map { case (a, p) =>
+      s"""CASE WHEN lo_$a = hi_$a THEN lo_$a
+         |       ELSE (ceil(${pos(p)}) - ${pos(p)}) * lo_$a
+         |            + (${pos(p)} - floor(${pos(p)})) * hi_$a END AS $a"""
+        .stripMargin
+    }.mkString(",\n  ")
+    s"""${name}_src AS (
+       |  SELECT event_type, value,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |           ORDER BY value) - 1 AS DOUBLE) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY event_type) - 1
+       |           AS DOUBLE) AS nm1
+       |  FROM events),
+       |${name}_os AS (
+       |  SELECT event_type, nm1,
+       |    $os
+       |  FROM ${name}_src GROUP BY 1, 2),
+       |$name AS (
+       |  SELECT event_type,
+       |  $outs
+       |  FROM ${name}_os)""".stripMargin
+  }
+
   val groupPercentilesOracle: String =
-    """SELECT event_type,
-      |       quantile_cont(value, 0.5) AS p50,
-      |       quantile_cont(value, 0.9) AS p90,
-      |       quantile_cont(value, 0.99) AS p99
-      |FROM events GROUP BY 1""".stripMargin
+    s"""WITH ${sparkPctCtes("pct",
+         Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))}
+       |SELECT event_type, p50, p90, p99 FROM pct""".stripMargin
 
   /** Bounded-frame windows: per-user 3-event moving sum/average and a
     * running (unbounded-preceding) total — the sliding-frame family the
@@ -354,9 +402,10 @@ object EventOps {
   /** Percentile-based WINSORIZATION per event_type — the standard
     * numeric-cleaning pass (clip the tails instead of dropping rows):
     * values outside [p05, p95] of their group clamp to the bound, and
-    * `clipped` flags the affected rows. Spark's interpolated
-    * `percentile` and DuckDB's `quantile_cont` agree exactly (already
-    * relied on by q_percentiles), so the clamped values hash-match.
+    * `clipped` flags the affected rows. The oracle states SPARK's
+    * interpolation arithmetic via [[sparkPctCtes]] — `quantile_cont`
+    * agrees only up to the last float bit, which flipped a boundary
+    * row's `clipped` flag at ×10 (round-14 gate finding).
     *
     * Bounds strategy (the countDistinct/HLL pairing, applied to
     * quantiles): exact `percentile` is the oracle/default path, but it
@@ -396,11 +445,8 @@ object EventOps {
   }
 
   val winsorizeOracle: String =
-    s"""WITH b AS (
-       |  SELECT event_type,
-       |         quantile_cont(value, $winsorLo) AS lo,
-       |         quantile_cont(value, $winsorHi) AS hi
-       |  FROM events GROUP BY 1)
+    s"""WITH ${sparkPctCtes("b",
+         Seq(("lo", winsorLo), ("hi", winsorHi)))}
        |SELECT event_id, e.event_type, value,
        |       least(greatest(value, lo), hi) AS value_w,
        |       value < lo OR value > hi AS clipped
