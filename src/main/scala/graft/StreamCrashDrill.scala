@@ -78,7 +78,7 @@ object StreamCrashDrill {
   /** Events fixture → ts-ordered jsonl chunks with injected corrupt
     * lines. Deterministic: same fixture → byte-identical chunks.
     */
-  private def init(spark: SparkSession, sfDir: String, work: String,
+  private[graft] def init(spark: SparkSession, sfDir: String, work: String,
                    nChunks: Int): Unit = {
     import spark.implicits._
     val ev = graft.ext.EventOps.events(spark, sfDir)
@@ -127,7 +127,7 @@ object StreamCrashDrill {
       .start()
   }
 
-  private def serve(spark: SparkSession, work: String,
+  private[graft] def serve(spark: SparkSession, work: String,
                     feedIntervalMs: Long): Unit = {
     val landing = Paths.get(work, "landing")
     Files.createDirectories(landing)
@@ -191,7 +191,7 @@ object StreamCrashDrill {
     * compared across processes by their printed hashes. */
   private def corpusHash(df: DataFrame): String = {
     val cols = df.columns.sorted.map(c =>
-      coalesce(col(c).cast(StringType), lit(" null")))
+      coalesce(col(c).cast(StringType), lit("\u0000null")))
     val rows = df.select(concat_ws("", cols: _*).as("r"))
       .orderBy("r")
       .collect().map(_.getString(0))
@@ -204,7 +204,7 @@ object StreamCrashDrill {
   private def diffCount(a: DataFrame, b: DataFrame): Long =
     a.exceptAll(b).count() + b.exceptAll(a).count()
 
-  private def check(spark: SparkSession, work: String): Int = {
+  private[graft] def check(spark: SparkSession, work: String): Int = {
     val landing = s"$work/landing"
     val ref = spark.read
       .schema(feedSchema.add(corruptCol, StringType))
