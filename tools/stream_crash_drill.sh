@@ -97,16 +97,88 @@ submit check "$CR" > "$OUT/cr_check.log" 2>&1
 CR_RC=$?
 grep '\[drill\]' "$OUT/cr_check.log" | tail -6
 
+# ---- arm 3 (CLUSTER=1, default): executor loss during streaming ----------
+# serve runs on the netns two-"host" cluster and worker B's executor JVM
+# is SIGKILLed mid-stream — the failure mode the driver-kill arms cannot
+# reach: streaming STATE-STORE partitions die with the executor and the
+# replacement tasks must reload them from the checkpoint, inside a live
+# query, with no driver restart. Evidence from the event logs
+# (fault_report.py) + the same exactly-once/hash verdicts.
+CLUSTER=${CLUSTER:-1}
+EX_RC=0
+H_EX=""
+if [ "$CLUSTER" = 1 ]; then
+  EX=$OUT/execloss
+  NS=sparkw2
+  echo "== executor-loss arm (netns cluster)"
+  "$REPO/tools/netns_cluster.sh" down >/dev/null 2>&1
+  "$REPO/tools/netns_cluster.sh" up >/dev/null 2>&1 \
+    || { echo "netns cluster failed to start"; exit 1; }
+  mkdir -p "$EX/events"
+  submit_cluster() { # $1 = phase, extra args after
+    local phase=$1; shift
+    SPARK_GRAFT_MASTER=spark://10.200.0.1:7077 \
+    SPARK_GRAFT_REPO=$REPO SPARK_GRAFT_CPUS=16 \
+    SPARK_LOCAL_HOSTNAME=10.200.0.1 \
+    /opt/spark/bin/spark-submit --master spark://10.200.0.1:7077 \
+      --conf spark.driver.host=10.200.0.1 \
+      --conf spark.executor.memory=4g \
+      --conf spark.eventLog.enabled=true \
+      --conf spark.eventLog.dir=$EX/events \
+      --conf spark.eventLog.compress=true \
+      --class graft.StreamCrashDrill "$JAR" "$phase" "$SF" "$EX" "$@"
+  }
+  kill_in_ns() { # kill only PIDs whose network namespace is worker B's
+    for p in $(ip netns pids $NS 2>/dev/null); do
+      tr '\0' ' ' < /proc/$p/cmdline 2>/dev/null | grep -q "$1" \
+        && kill -9 "$p" 2>/dev/null
+    done
+    true
+  }
+  submit_cluster init > "$OUT/ex_init.log" 2>&1
+  submit_cluster serve "$FEED_MS" > "$OUT/ex_serve.log" 2>&1 &
+  EPID=$!
+  for _ in $(seq 1 600); do
+    [ -f "$EX/SERVED" ] && break
+    CUR=$(ls "$EX/ck_good/offsets" 2>/dev/null | wc -l)
+    [ "$CUR" -ge 2 ] && break
+    sleep 0.2
+  done
+  if [ -f "$EX/SERVED" ]; then
+    echo "WARN: cluster serve finished before the executor kill"
+  else
+    kill_in_ns CoarseGrainedExecutorBackend
+    echo "executor on worker B SIGKILLed mid-stream" \
+         "(ck_good offsets: $(ls "$EX/ck_good/offsets" | wc -l))"
+  fi
+  wait "$EPID"; EX_SERVE_RC=$?
+  [ -f "$EX/SERVED" ] || { echo "cluster serve never completed"; EX_SERVE_RC=1; }
+  echo "executor-loss batches: $(batches "$EX")"
+  # check runs locally — the sinks/checkpoints are plain local FS paths
+  submit "check" "$EX" > "$OUT/ex_check.log" 2>&1
+  EX_RC=$?
+  [ "$EX_SERVE_RC" = 0 ] || EX_RC=1
+  grep '\[drill\]' "$OUT/ex_check.log" | tail -6
+  python3 "$REPO/tools/fault_report.py" "$EX/events" \
+    | tee "$OUT/ex_fault_report.json"
+  "$REPO/tools/netns_cluster.sh" down >/dev/null 2>&1
+  H_EX=$(grep -o 'hash [a-z]*=[0-9a-f]*' "$OUT/ex_check.log" | sort)
+fi
+
 # ---- verdict -------------------------------------------------------------
-# exactly-once vs batch reference in both arms, and the two streaming runs
+# exactly-once vs batch reference in every arm, and all streaming runs
 # byte-agree with each other (sink content is crash-invariant)
 H_NF=$(grep -o 'hash [a-z]*=[0-9a-f]*' "$OUT/nf_check.log" | sort)
 H_CR=$(grep -o 'hash [a-z]*=[0-9a-f]*' "$OUT/cr_check.log" | sort)
-if [ "$NF_RC" = 0 ] && [ "$CR_RC" = 0 ] && [ -n "$H_NF" ] \
-   && [ "$H_NF" = "$H_CR" ]; then
-  echo "STREAM CRASH DRILL PASS: exactly-once after $KILLED SIGKILLs;" \
-       "fault ≡ no-fault (3/3 sink hashes equal)"
+HASH_EQ=yes
+[ "$H_NF" = "$H_CR" ] || HASH_EQ=no
+if [ "$CLUSTER" = 1 ] && [ "$H_NF" != "$H_EX" ]; then HASH_EQ=no; fi
+if [ "$NF_RC" = 0 ] && [ "$CR_RC" = 0 ] && [ "$EX_RC" = 0 ] \
+   && [ -n "$H_NF" ] && [ "$HASH_EQ" = yes ]; then
+  echo "STREAM CRASH DRILL PASS: exactly-once after $KILLED driver" \
+       "SIGKILLs$([ "$CLUSTER" = 1 ] && echo ' + 1 executor kill on the cluster');" \
+       "all arms hash-equal (3/3 sinks)"
 else
-  echo "STREAM CRASH DRILL FAIL: nf_rc=$NF_RC cr_rc=$CR_RC hash_eq=$([ "$H_NF" = "$H_CR" ] && echo yes || echo no)"
+  echo "STREAM CRASH DRILL FAIL: nf_rc=$NF_RC cr_rc=$CR_RC ex_rc=$EX_RC hash_eq=$HASH_EQ"
   exit 1
 fi
