@@ -1868,7 +1868,7 @@ object VectorOps {
        |               AND adt.j = x.j AND adt.code = x.code
        |  JOIN pn ON pn.probe_id = cm.probe_id
        |  GROUP BY cm.probe_id, x.vec_id),
-       |qscored AS (
+       |qscored AS MATERIALIZED (
        |  SELECT probe_id, vec_id,
        |         dot / (sqrt(pnorm2) * sqrt(rnorm2)) AS qcos
        |  FROM coarse)""".stripMargin
@@ -1985,7 +1985,7 @@ object VectorOps {
        |         ${cosSql("p.v", "c.v")} AS cos
        |  FROM e p, e c
        |  WHERE p.vec_id < $nProbes AND c.vec_id <> p.vec_id),
-       |x AS (
+       |x AS MATERIALIZED (
        |  SELECT probe_id, vec_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY probe_id
        |              ORDER BY cos DESC, vec_id ASC) AS rank
@@ -2260,7 +2260,7 @@ object VectorOps {
        |              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
        |  FROM bucketed, UNNEST(range(0, len(v))) t(i)
        |  GROUP BY 1, 2),
-       |mu AS (
+       |mu AS MATERIALIZED (
        |  SELECT bucket, list(m ORDER BY pos) AS mv FROM mu0
        |  GROUP BY bucket),
        |res AS (
@@ -2328,7 +2328,7 @@ object VectorOps {
        |  JOIN cnb ON cnb.bucket = cm.bucket
        |  JOIN pn ON pn.probe_id = cm.probe_id
        |  GROUP BY cm.probe_id, x.vec_id),
-       |qscored AS (
+       |qscored AS MATERIALIZED (
        |  SELECT probe_id, vec_id,
        |         dot / (sqrt(pnorm2) * sqrt(rnorm2)) AS qcos
        |  FROM coarse)""".stripMargin
