@@ -28,6 +28,7 @@ object PlanDump {
       "ann_pq_rerank_sweep" ->
         (() => ext.VectorOps.annPqRerankSweep(spark, sf)),
       "ann_ivf_pqr" -> (() => ext.VectorOps.annIvfPqr(spark, sf)),
+      "ann_filtered" -> (() => ext.VectorOps.annIvfFiltered(spark, sf)),
       "ann_pqr_rerank_sweep" ->
         (() => ext.VectorOps.annPqrRerankSweep(spark, sf)),
       "ivf_fold_gate" -> (() => ext.VectorOps.ivfFoldGate(spark, sf)),

@@ -323,6 +323,11 @@ object SparkEntry {
     "q_ann_ivf_pqr" -> ((s, dir) => VectorOps.annIvfPqr(s, dir)),
     "q_ann_pqr_rerank_sweep" ->
       ((s, dir) => VectorOps.annPqrRerankSweep(s, dir)),
+    // filtered ANN: metadata predicate served off the shared index,
+    // candidate-count-targeted adaptive probing + 3-arm decision row
+    "q_ann_filtered" -> ((s, dir) => VectorOps.annIvfFiltered(s, dir)),
+    "q_ann_filtered_recall" ->
+      ((s, dir) => VectorOps.annFilteredRecall(s, dir)),
     // discovered-domain clusters + balanced-mixture repeat factors
     "q_domain_mixture" -> ((s, dir) => VectorOps.domainMixture(s, dir)),
     // embeddings data contract (dim, zero vectors, bidirectional FK)
@@ -566,6 +571,8 @@ object SparkEntry {
     "q_ann_pq_rerank_sweep" -> VectorOps.annPqRerankSweepOracle,
     "q_ann_ivf_pqr" -> VectorOps.annIvfPqrOracle(),
     "q_ann_pqr_rerank_sweep" -> VectorOps.annPqrRerankSweepOracle,
+    "q_ann_filtered" -> VectorOps.annIvfFilteredOracle,
+    "q_ann_filtered_recall" -> VectorOps.annFilteredRecallOracle,
     "q_domain_mixture" -> VectorOps.domainMixtureOracle,
     "q_embed_expectations" -> VectorOps.embedExpectationsOracle,
     "q_semantic_dedup" -> VectorOps.semanticDedupOracle,

@@ -1068,4 +1068,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(rSp >= rPq - 0.02,
       f"spilled PQ materially lost recall: $rSp%.3f < $rPq%.3f")
   }
+
+  test("filtered ANN: predicate holds on every hit; adaptive never " +
+      "probes shallower than fixed; decision-row arithmetic consistent") {
+    val lab = VectorOps.embeddings(spark, sfDir)
+      .filter(col("label") === VectorOps.filterLabel)
+      .select("vec_id").as[Long].collect().toSet
+    // every returned hit satisfies the predicate (the point of the op)
+    val hits = VectorOps.annIvfFiltered(spark, sfDir)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+    assert(hits.nonEmpty)
+    for ((p, v) <- hits)
+      assert(lab.contains(v), s"probe $p returned unfiltered vec $v")
+    val rows = VectorOps.annFilteredRecall(spark, sfDir)
+      .select("arm", "n_common", "n_exact", "recall", "n_scanned")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("post", "fixed", "adaptive"))
+    for ((_, (arm, c, x, r, s)) <- rows) {
+      assert(c <= x && r == c.toDouble / x, s"$arm row inconsistent")
+      assert(s > 0, s"$arm scanned nothing")
+    }
+    // the nprobe floor: the adaptive prefix contains the fixed prefix,
+    // so adaptive recall can never regress below fixed (it deepens
+    // under a starving filter, never shallows under a permissive one)
+    assert(rows("adaptive")._4 >= rows("fixed")._4,
+      s"adaptive ${rows("adaptive")._4} < fixed ${rows("fixed")._4}")
+    assert(rows("adaptive")._5 >= rows("fixed")._5)
+  }
 }
