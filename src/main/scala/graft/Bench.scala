@@ -46,6 +46,41 @@ object Bench {
     "q_vocab_build", "q_weighted_sample", "q_winsorize",
     "q_wordpiece_bytefallback", "q_wordpiece_encode", "q_zorder_key")
 
+  /** Cumulative cluster-wide byte counters, fed by stage-completion
+    * events. Snapshot deltas around a query attribute its shuffle
+    * read/write and scan input volume — the per-round telemetry that
+    * makes "does this operator shuffle more than it must" a recorded
+    * number instead of a plan-reading exercise.
+    */
+  private final class BytesListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val input = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        input.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def snap: (Long, Long, Long) = (shufRead.get, shufWrite.get, input.get)
+    /** Listener events arrive async; wait until the counters stop moving
+      * (bounded) so trailing stages aren't billed to the next query. */
+    def settled: (Long, Long, Long) = {
+      var prev = snap
+      var i = 0
+      while (i < 10) {
+        Thread.sleep(60)
+        val cur = snap
+        if (cur == prev) i = 10 else { prev = cur; i += 1 }
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,6 +104,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // MACHINE CALIBRATION: a fixed synthetic workload (hash-reduce over
+    // spark.range — no I/O, no library code, identical every round)
+    // timed as the median of 3, emitted as `calib_sec`. Cross-round
+    // bench deltas on this shared VM swing ±40% under external load;
+    // dividing totals by the calibration factor separates "the code got
+    // slower" from "the machine was busy" — previously a judgment call.
+    val calib = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, col}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // modulo bounds the addend: a 100M-row sum of full-range hashes
+        // overflows Long under ANSI mode
+        spark.range(0, 100000000L, 1, cpus.toInt)
+          .select(fsum(xxhash64(col("id")) % 997)).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT/codegen warm
+      Seq(once(), once(), once()).sorted.apply(1)
+    }
+
     // Warmup: run everything once, ignore timing (and errors — they are
     // caught again, visibly, in the measured pass).
     queries.foreach { case (_, fn) =>
@@ -77,16 +133,32 @@ object Bench {
 
     val runsN = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val bytesL = new BytesListener
+    spark.sparkContext.addSparkListener(bytesL)
+    // per-query (shuffle read, shuffle write, scan input) MB, measured on
+    // the final pass only (bytes are plan-determined; the settle wait
+    // happens OUTSIDE the timed window and is excluded from timings)
+    var bytesMb = Map.empty[String, (Double, Double, Double)]
     var errors = List.empty[(String, String)]
-    val perRun: Seq[Map[String, Double]] = (1 to runsN).map { _ =>
+    val perRun: Seq[Map[String, Double]] = (1 to runsN).map { run =>
       queries.map { case (name, fn) =>
         // queries persist intermediate frames; drop them between runs so a
         // query's timing never pays for (or benefits from) a sibling's cache
         spark.catalog.clearCache()
+        val lastRun = run == runsN
+        val before = if (lastRun) bytesL.settled else null
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (lastRun) {
+            val after = bytesL.settled
+            def mb(a: Long, b: Long) =
+              math.round((a - b) / 1e6 * 10) / 10.0
+            bytesMb += name -> ((mb(after._1, before._1),
+              mb(after._2, before._2), mb(after._3, before._3)))
+          }
+          name -> dt
         } catch {
           case e: Throwable =>
             if (!errors.exists(_._1 == name))
@@ -117,8 +189,14 @@ object Bench {
     val subsetRows = results.filter(r => frozenSubset.contains(r._1))
     val subsetJson =
       s"""{"n":${subsetRows.size},"total":${subsetRows.map(_._2).sum}}"""
+    // final-pass per-query bytes: [shuffle_read_mb, shuffle_write_mb,
+    // scan_input_mb] — the shuffle-volume telemetry beside each timing
+    val bytesJson = results.map { case (k, _) =>
+      val (r, w, in) = bytesMb.getOrElse(k, (0.0, 0.0, 0.0))
+      s"${q(k)}:[$r,$w,$in]"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runsN,"artifact_tier":${graft.io.Artifacts.sharedTier},"subset":$subsetJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runsN,"artifact_tier":${graft.io.Artifacts.sharedTier},"subset":$subsetJson,"bytes_mb":$bytesJson,"calib_sec":$calib,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a stdout tail, which truncates the
     // per-query map once enough queries exist; persist the full record
