@@ -216,25 +216,37 @@ object DedupOps {
   }
 
   /** Shared CTE chain ending in `jpairs` — used by the jaccard oracle and
-    * the clustering oracle.
+    * the clustering oracle. n_common is computed by the LINEAR exploded
+    * shingle join (group common shingles per pair), not a per-pair
+    * `list_intersect`: the two are equivalent BECAUSE shingles are
+    * list_distinct per doc, and the per-pair intersect is
+    * O(|sh|²·pairs) — at ×10 fixture scale (replica-densified blocks:
+    * 16.2M candidate pairs vs sf0.1's 159k) it ground the full-gate
+    * DuckDB run past an hour on this one chain; the exploded form
+    * passes. Division operand shapes kept bit-identical to the engine.
     */
   private val jaccardBlockedCte: String =
-    s"""d AS (
+    s"""d AS MATERIALIZED (
        |  SELECT doc_id, lang, source, $shinglesSql AS sh
        |  FROM (SELECT doc_id, lang, source,
        |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
        |        FROM documents)),
+       |dn AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
+       |ds AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, s FROM d, UNNEST(sh) t(s)),
        |p AS (
        |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS n_common,
-       |         len(a.sh) AS na, len(b.sh) AS nb
-       |  FROM d a JOIN d b
-       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+       |         CAST(count(*) AS DOUBLE) AS n_common
+       |  FROM ds a JOIN ds b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
        |jpairs AS (
-       |  SELECT lang, source, id_a, id_b,
-       |         n_common / (na + nb - n_common) AS jaccard
-       |  FROM p
-       |  WHERE n_common / (na + nb - n_common) >= $jaccardThreshold)""".stripMargin
+       |  SELECT p.lang, p.source, id_a, id_b,
+       |         n_common / (na.n + nb.n - n_common) AS jaccard
+       |  FROM p JOIN dn na ON p.id_a = na.doc_id
+       |         JOIN dn nb ON p.id_b = nb.doc_id
+       |  WHERE n_common / (na.n + nb.n - n_common) >= $jaccardThreshold)""".stripMargin
 
   val jaccardBlockedOracle: String =
     s"""WITH $jaccardBlockedCte
