@@ -289,18 +289,22 @@ object Runner {
       case "backfill" => backfill
       case "scheduler" => scheduler
       case "maintenance" => maintenance
+      case "mapped" => Seq.empty // runs through runMapped below
       case other =>
         System.err.println(s"[runner] unknown chain '$other' " +
           "(expected daily|corpus|incremental|publish|backfill|" +
-          "scheduler|maintenance)")
+          "scheduler|maintenance|mapped)")
         spark.stop(); sys.exit(2); Seq.empty
     }
 
+    val retries = sys.env.getOrElse("SPARK_GRAFT_TASK_RETRIES", "0").toInt
+    val backoff = sys.env.getOrElse("SPARK_GRAFT_RETRY_BACKOFF_MS", "0")
+      .toLong
     try {
-      runChain(tasks,
-        maxRetries = sys.env.getOrElse("SPARK_GRAFT_TASK_RETRIES", "0").toInt,
-        backoffMs = sys.env.getOrElse("SPARK_GRAFT_RETRY_BACKOFF_MS", "0")
-          .toLong)
+      if (chain == "mapped")
+        runMapped(mappedSteps(spark, sfDir),
+          maxRetries = retries, backoffMs = backoff)
+      else runChain(tasks, maxRetries = retries, backoffMs = backoff)
     } catch {
       case e: Throwable =>
         System.err.println(s"[runner] FAILED: $e")
@@ -386,6 +390,176 @@ object Runner {
     }
     if (ticks.nonEmpty) runChain(tail, log = log)
     ticks.map(_.toString)
+  }
+
+  // ---- dynamic task mapping + XCom + dataset outlets (the remaining
+  // Airflow scheduler semantics, exampledag.py:40–99) ----
+
+  /** XCom analogue (exampledag.py:75–77 `ti.xcom_push`): the per-run,
+    * key-addressed value channel between tasks in one chain. Values
+    * stay driver-side and SMALL by contract — task lists, counts,
+    * paths — exactly Airflow's XCom discipline (row data flows through
+    * the engine, never through the channel). A pull of a never-pushed
+    * key fails loudly with the pushed keys listed, the fail-fast
+    * equivalent of Airflow's "upstream returned no value".
+    */
+  final class XCom {
+    private val store =
+      scala.collection.concurrent.TrieMap.empty[String, Any]
+    def push(key: String, value: Any): Unit = { store.put(key, value); () }
+    def pull[T](key: String): T = store.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None => throw new NoSuchElementException(
+        s"xcom: no value pushed for key '$key' " +
+          s"(pushed: ${store.keys.toSeq.sorted.mkString(",")})")
+    }
+    def keys: Set[String] = store.keySet.toSet
+  }
+
+  /** One step of a dynamically-mapped chain. */
+  sealed trait Step
+  /** A plain task with channel access; the Long return is the chain
+    * log's row count (pushes to the channel are explicit — the typed,
+    * honest form of TaskFlow's implicit return_value XCom). */
+  final case class Task(name: String, run: XCom => Long) extends Step
+  /** Dynamic task mapping (exampledag.py:96–99
+    * `.partial(greeting=...).expand(person_in_space=...)`): one task
+    * instance per element of the Seq a PRIOR task pushed under
+    * `sourceKey`, named `name[i]` (Airflow's map_index), run in element
+    * order under the chain's retry/fail-fast rules. An empty source
+    * expands to ZERO instances and the chain continues — Airflow marks
+    * the mapped task skipped. Fixed arguments (`partial`) are plain
+    * closure captures of `run`. */
+  final case class Expand(name: String, sourceKey: String,
+                          run: (XCom, Any, Int) => Long) extends Step
+
+  /** Run a mapped chain: expansion happens only when the Expand step is
+    * REACHED — after every upstream task ran — so the instance list is
+    * runtime data, not DAG-authoring data (the whole point of dynamic
+    * mapping). Each instance is an ordinary task under [[runChain]]'s
+    * bounded-retry fail-fast loop: instance `name[2]` failing aborts
+    * `name[3..]` and every later step, like any chain task. Returns the
+    * channel so callers (and specs) can read what the run published.
+    */
+  private[graft] def runMapped(steps: Seq[Step], xcom: XCom = new XCom,
+                               maxRetries: Int = 0, backoffMs: Long = 0L,
+                               log: String => Unit = println): XCom = {
+    steps.foreach {
+      case Task(name, run) =>
+        runChain(Seq(name -> (() => run(xcom))), maxRetries, backoffMs, log)
+      case Expand(name, key, run) =>
+        val items = xcom.pull[Seq[Any]](key)
+        if (items.isEmpty)
+          log(s"[runner] $name: source '$key' is empty — " +
+            "0 mapped instances (skipped)")
+        runChain(items.zipWithIndex.map { case (item, i) =>
+          s"$name[$i]" -> (() => run(xcom, item, i))
+        }, maxRetries, backoffMs, log)
+    }
+    xcom
+  }
+
+  /** Data-aware scheduling (Airflow Dataset outlets,
+    * exampledag.py:40–42): a completing task APPENDS an event to its
+    * outlet dataset (a monotonic per-dataset sequence persisted under
+    * `base`, so triggering survives restarts like the scheduler
+    * watermark); a consumer chain is DUE iff EVERY inlet dataset has an
+    * event newer than what the consumer last consumed — Airflow's
+    * all-of dataset trigger. Consuming records the current sequence per
+    * inlet in the consumer's watermark file (`name=seq` lines). */
+  private[graft] def datasetEvent(base: java.io.File, name: String): Long = {
+    base.mkdirs()
+    val f = new java.io.File(base, s"$name.seq")
+    val next = datasetSeq(base, name) + 1
+    java.nio.file.Files.writeString(f.toPath, next.toString)
+    next
+  }
+
+  private[graft] def datasetSeq(base: java.io.File, name: String): Long = {
+    val f = new java.io.File(base, s"$name.seq")
+    if (f.exists())
+      java.nio.file.Files.readString(f.toPath).trim.toLong
+    else 0L
+  }
+
+  private[graft] def consumedSeqs(wm: java.io.File): Map[String, Long] =
+    if (!wm.exists()) Map.empty
+    else java.nio.file.Files.readString(wm.toPath).linesIterator
+      .filter(_.contains('='))
+      .map { l =>
+        val Array(n, s) = l.split("=", 2); n -> s.trim.toLong
+      }.toMap
+
+  private[graft] def datasetsDue(base: java.io.File, inlets: Seq[String],
+                                 wm: java.io.File): Boolean = {
+    val seen = consumedSeqs(wm)
+    inlets.nonEmpty &&
+      inlets.forall(n => datasetSeq(base, n) > seen.getOrElse(n, 0L))
+  }
+
+  private[graft] def consumeDatasets(base: java.io.File, inlets: Seq[String],
+                                     wm: java.io.File): Unit = {
+    wm.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(wm.toPath,
+      inlets.map(n => s"$n=${datasetSeq(base, n)}").mkString("\n"))
+  }
+
+  /** Which feed entities are present in this fixture dir — the runtime
+    * list the mapped chain expands over (the astronaut-list analogue,
+    * exampledag.py:43–77: the upstream task returns a list whose length
+    * the DAG author cannot know). Probes each feed's source fixture;
+    * DAG order (ingestion_dag.py:28) is preserved among those found. */
+  private[graft] def discoverFeeds(sfDir: String): Seq[String] = {
+    val probe = Map(
+      "suppliers" -> "supplier.parquet", "products" -> "part.parquet",
+      "customers" -> "customer.parquet", "sales" -> "lineitem.parquet")
+    Seq("suppliers", "products", "customers", "sales")
+      .filter(e => new java.io.File(sfDir, probe(e)).exists())
+  }
+
+  private[graft] def datasetBase(sfDir: String): java.io.File =
+    new java.io.File(
+      s"target/scheduler/datasets_${new java.io.File(sfDir).getName}")
+
+  /** The DYNAMIC-MAPPING chain (reference exampledag.py end-to-end):
+    * discover the feeds present at runtime → one mapped ingestion
+    * instance per feed, each firing its `raw_<feed>` dataset outlet on
+    * completion → a data-aware consumer that rebuilds the marts only if
+    * EVERY raw dataset has a fresh event, then consumes them (a re-run
+    * with no new outlet events is a recorded no-op). */
+  private[graft] def mappedSteps(spark: SparkSession,
+                                 sfDir: String): Seq[Step] = {
+    val base = datasetBase(sfDir)
+    val martsWm = new java.io.File(base, "consumer_marts.wm")
+    val ingest: Map[String, () => Long] = Map(
+      "suppliers" -> (() => Ingestion.suppliers(spark, sfDir).count()),
+      "products" -> (() => Ingestion.products(spark, sfDir).count()),
+      "customers" -> (() => Ingestion.customers(spark, sfDir).count()),
+      "sales" -> (() => Ingestion.sales(spark, sfDir).count()))
+    Seq(
+      Task("discover_feeds", x => {
+        val feeds = discoverFeeds(sfDir)
+        x.push("feeds", feeds)
+        x.push("n_feeds", feeds.size)
+        feeds.size.toLong
+      }),
+      Expand("ingest_feed", "feeds", (_, feed, _) => {
+        val n = ingest(feed.asInstanceOf[String])()
+        datasetEvent(base, s"raw_$feed")
+        n
+      }),
+      Task("marts_if_fresh", x => {
+        val inlets = x.pull[Seq[String]]("feeds").map("raw_" + _)
+        if (datasetsDue(base, inlets, martsWm)) {
+          runChain(martTasks(spark, sfDir))
+          consumeDatasets(base, inlets, martsWm)
+          x.pull[Int]("n_feeds").toLong
+        } else {
+          println(s"[runner] marts_if_fresh: no new events on " +
+            s"${inlets.mkString(",")} — skipping mart rebuild")
+          0L
+        }
+      }))
   }
 
   /** The chain loop with BOUNDED PER-TASK RETRY (the Airflow

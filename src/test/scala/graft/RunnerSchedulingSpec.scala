@@ -137,6 +137,133 @@ class RunnerSchedulingSpec extends SparkSpec {
       "every tick ran exactly once across crash + resume")
   }
 
+  // ---- dynamic task mapping + XCom + dataset outlets (§2.12,
+  // reference exampledag.py:40–99) ----
+
+  test("xcom: push/pull round-trips; missing key fails loudly naming " +
+      "the pushed keys") {
+    val x = new Runner.XCom
+    x.push("feeds", Seq("a", "b"))
+    x.push("n", 2)
+    assert(x.pull[Seq[String]]("feeds") == Seq("a", "b"))
+    assert(x.pull[Int]("n") == 2)
+    val e = intercept[NoSuchElementException](x.pull[Int]("absent"))
+    assert(e.getMessage.contains("absent") &&
+      e.getMessage.contains("feeds,n"), e.getMessage)
+  }
+
+  test("expand: one instance per runtime element, map_index naming, " +
+      "element order, partial capture fixed") {
+    val logs = Seq.newBuilder[String]
+    val seen = Seq.newBuilder[(String, Int)]
+    val greeting = "hello" // the .partial() analogue: a closure capture
+    Runner.runMapped(Seq(
+      Runner.Task("discover", x => {
+        x.push("items", Seq("ann", "bob", "cy")); 3L
+      }),
+      Runner.Expand("greet", "items", (_, item, i) => {
+        seen += ((s"$greeting ${item.asInstanceOf[String]}", i)); 1L
+      })), log = logs += _)
+    assert(seen.result() ==
+      Seq(("hello ann", 0), ("hello bob", 1), ("hello cy", 2)))
+    val names = logs.result().filter(_.contains(" ok "))
+    assert(names.exists(_.contains("greet[0] ok")) &&
+      names.exists(_.contains("greet[2] ok")), names.toString)
+  }
+
+  test("expand over an empty source: zero instances, chain continues; " +
+      "expand before its source pushed fails loudly") {
+    var after = false
+    val logs = Seq.newBuilder[String]
+    Runner.runMapped(Seq(
+      Runner.Task("discover", x => { x.push("items", Seq.empty[String]); 0L }),
+      Runner.Expand("mapped", "items", (_, _, _) => sys.error("never")),
+      Runner.Task("tail", _ => { after = true; 1L })), log = logs += _)
+    assert(after, "empty expansion must not block the chain")
+    assert(logs.result().exists(_.contains("0 mapped instances")))
+    intercept[NoSuchElementException] {
+      Runner.runMapped(Seq(
+        Runner.Expand("orphan", "unpushed", (_, _, _) => 1L)), log = _ => ())
+    }
+  }
+
+  test("mapped instance failure aborts later instances and steps " +
+      "fail-fast; per-instance retry honors the budget") {
+    val ran = Seq.newBuilder[Int]
+    var tail = false
+    intercept[RuntimeException] {
+      Runner.runMapped(Seq(
+        Runner.Task("discover", x => { x.push("items", Seq(0, 1, 2)); 3L }),
+        Runner.Expand("work", "items", (_, _, i) => {
+          if (i == 1) sys.error("instance down")
+          ran += i; 1L
+        }),
+        Runner.Task("tail", _ => { tail = true; 1L })), log = _ => ())
+    }
+    assert(ran.result() == Seq(0), "instances after a failure must not run")
+    assert(!tail, "steps after a failed expansion must not run")
+    // same chain with a retry budget: a once-flaky instance recovers
+    var flaky = true
+    val attempts = Seq.newBuilder[Int]
+    Runner.runMapped(Seq(
+      Runner.Task("discover", x => { x.push("items", Seq(0, 1)); 2L }),
+      Runner.Expand("work", "items", (_, _, i) => {
+        attempts += i
+        if (i == 1 && flaky) { flaky = false; sys.error("transient") }
+        1L
+      })), maxRetries = 1, log = _ => ())
+    assert(attempts.result() == Seq(0, 1, 1), "instance retried in place")
+  }
+
+  test("dataset outlets: consumer due iff EVERY inlet has a fresh " +
+      "event; consume resets; partial updates stay not-due") {
+    val base = new File("target/scheduler/spec_datasets")
+    val wm = new File(base, "consumer.wm")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val inlets = Seq("raw_a", "raw_b")
+    assert(!Runner.datasetsDue(base, inlets, wm), "no events yet")
+    Runner.datasetEvent(base, "raw_a")
+    assert(!Runner.datasetsDue(base, inlets, wm),
+      "one of two inlets updated — Airflow's all-of trigger stays closed")
+    Runner.datasetEvent(base, "raw_b")
+    assert(Runner.datasetsDue(base, inlets, wm))
+    Runner.consumeDatasets(base, inlets, wm)
+    assert(!Runner.datasetsDue(base, inlets, wm), "consumed — not due")
+    // a new event on every inlet re-opens the trigger; seqs are
+    // monotonic so stale consumption can never mask a newer event
+    inlets.foreach(Runner.datasetEvent(base, _))
+    assert(Runner.datasetsDue(base, inlets, wm))
+    assert(Runner.datasetSeq(base, "raw_a") == 2L)
+  }
+
+  test("mapped chain end-to-end over the real feeds: discovery finds " +
+      "all four, mapped ingests land, marts fire once then no-op") {
+    val feeds = Runner.discoverFeeds(sfDir)
+    assert(feeds == Seq("suppliers", "products", "customers", "sales"),
+      s"fixture dir must expose all four feeds: $feeds")
+    assert(Runner.discoverFeeds("/nonexistent").isEmpty,
+      "no fixtures, no feeds — the runtime list is really runtime")
+    val base = Runner.datasetBase(sfDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val logs = Seq.newBuilder[String]
+    val x = Runner.runMapped(Runner.mappedSteps(spark, sfDir),
+      log = logs += _)
+    assert(x.pull[Int]("n_feeds") == 4)
+    val out = logs.result()
+    assert(out.exists(_.contains("ingest_feed[3] ok")), out.toString)
+    assert(Runner.datasetSeq(base, "raw_sales") == 1L)
+    assert(out.exists(_.contains("marts_if_fresh ok rows=4")),
+      "data-aware consumer must have rebuilt the marts: " + out.toString)
+    // re-run without new outlet events: the consumer is a recorded no-op
+    val logs2 = Seq.newBuilder[String]
+    Runner.runMapped(Seq(Runner.mappedSteps(spark, sfDir).last),
+      { val x2 = new Runner.XCom
+        x2.push("feeds", feeds); x2.push("n_feeds", feeds.size); x2 },
+      log = logs2 += _)
+    assert(logs2.result().exists(_.contains("marts_if_fresh ok rows=0")),
+      logs2.result().toString)
+  }
+
   test("catchup over the real per-day ingest unit: 3 missed days land " +
       "3 idempotent DAY_DT partitions") {
     val wm = new File("target/scheduler/spec_ingest.tick")
