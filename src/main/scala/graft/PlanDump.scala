@@ -32,6 +32,7 @@ object PlanDump {
       "ann_pqr_rerank_sweep" ->
         (() => ext.VectorOps.annPqrRerankSweep(spark, sf)),
       "ivf_fold_gate" -> (() => ext.VectorOps.ivfFoldGate(spark, sf)),
+      "dp_release" -> (() => ext.GovernanceOps.dpRelease(spark, sf)),
       "train_split" -> (() => ext.SampleOps.trainValTestSplit(spark, sf)),
       "sample_k" -> (() => ext.SampleOps.sampleKPerStratum(spark, sf)),
       "chunks" -> (() => ext.TextOps.docChunks(spark, sf)),

@@ -277,6 +277,9 @@ object SparkEntry {
     "q_lsh_cost" -> ((s, dir) => ext.DedupOps.lshCostCensus(s, dir)),
     // k-anonymity release: under-k source cells fold into __other__
     "q_kanon_release" -> ((s, dir) => ext.GovernanceOps.kanonRelease(s, dir)),
+    // ε-DP release: discrete-Laplace noise via an all-integer md5
+    // threshold ladder, noisy sub-τ cells fold into __suppressed__
+    "q_dp_release" -> ((s, dir) => ext.GovernanceOps.dpRelease(s, dir)),
     // the streaming cardinality fold itself, oracle-gated via a
     // deterministic two-batch feed
     "q_hll_fold_gate" -> ((s, dir) => ext.SketchOps.hllFoldGate(s, dir)),
@@ -597,6 +600,7 @@ object SparkEntry {
     "q_min_k_prob" -> ext.LmOps.minKProbOracle,
     "q_lsh_cost" -> ext.DedupOps.lshCostCensusOracle,
     "q_kanon_release" -> ext.GovernanceOps.kanonReleaseOracle,
+    "q_dp_release" -> ext.GovernanceOps.dpReleaseOracle,
     "q_hll_fold_gate" -> ext.SketchOps.hllFoldGateOracle,
     "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,

@@ -242,4 +242,148 @@ object GovernanceOps {
        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        |       CAST(count(*) AS BIGINT) AS n_cells
        |FROM kc GROUP BY 1, 2""".stripMargin
+
+  // ---- differentially-private release (discrete Laplace) --------------
+
+  /** Privacy parameter ε of [[dpRelease]]. Counts have sensitivity 1
+    * (a document lives in exactly one (lang, source) cell), so the
+    * geometric decay is α = e^(-ε) per unit of noise.
+    */
+  val dpEps = 1.0
+
+  /** Noise clamp: the ladder maps every hash to a z with |z| ≤ dpZMax.
+    * On the 2^32 lattice the realized tail is already zero past |z|≈22
+    * for ε=1 (the CDF moves by less than one lattice step), so the
+    * clamp's privacy cost is the lattice discretization itself: total
+    * variation vs the exact discrete Laplace ≤ 2·(2·dpZMax+1)·2⁻³² ≈
+    * 2.4e-8 — the release is (ε, δ)-DP with that δ.
+    */
+  val dpZMax = 25
+
+  /** Suppression threshold on the NOISY count: a cell is released by
+    * name only if its noisy count clears τ; the rest fold,
+    * noisy-mass-conserving, into one [[dpSuppressed]] row per lang
+    * (the [[kanonRelease]] discipline — post-processing of a DP
+    * release is DP, so the fold row is free).
+    */
+  val dpTau = 10L
+
+  /** Label of the per-lang fold row for suppressed cells. */
+  val dpSuppressed = "__suppressed__"
+
+  /** Release tag folded into the noise seed: the noise is a PURE
+    * FUNCTION of (cell identity, tag), so re-running the same release
+    * reuses the same noise — the privacy budget is spent once per tag,
+    * not once per execution (re-drawing fresh noise per run would leak
+    * the true count through averaging). A new release epoch bumps the
+    * tag and spends fresh budget.
+    */
+  val dpTag = "graft_dp_v1"
+
+  /** Integer thresholds of the discrete-Laplace CDF on the 2^32
+    * lattice: T(z) = floor(F(z)·2^32) for z ∈ [-ZMax, ZMax), where
+    * F(z) = α^(−z)/(1+α) below zero and 1 − α^(z+1)/(1+α) at/above.
+    * THE LADDER IS THE MECHANISM: the realized probability of z is the
+    * exact lattice measure (T(z) − T(z−1))/2^32, and z is a pure
+    * integer function of the hash — computed once here in the JVM,
+    * emitted as integer literals into BOTH engines' SQL, so the twin
+    * is bit-exact by construction with no ln() anywhere near the
+    * compared output (the repo-wide no-cross-engine-ln rule, see
+    * TextOps.tfIdf).
+    */
+  private[ext] val dpThresholds: Seq[(Int, Long)] = {
+    val alpha = math.exp(-dpEps)
+    def cdf(z: Int): Double =
+      if (z < 0) math.pow(alpha, -z) / (1 + alpha)
+      else 1.0 - math.pow(alpha, z + 1) / (1 + alpha)
+    (-dpZMax until dpZMax)
+      .map(z => z -> math.floor(cdf(z) * 4294967296.0).toLong)
+  }
+
+  /** The noise seed: cell identity + release tag (see [[dpTag]]). */
+  private[ext] val dpKeySql: String = s"lang || '|' || source || '|$dpTag'"
+
+  /** Fold the first 8 md5 hex digits of the seed to a BIGINT in
+    * [0, 2^32) — md5 is the repo's one cross-engine string hash and
+    * the digit fold keeps the draw a pure integer function of the hex
+    * (the [[SampleOps.dsirBucketSql]] pattern, widened to 8 digits for
+    * a 2^32 lattice). The leading CAST keeps Spark's INT instr
+    * arithmetic from overflowing at 16^8.
+    */
+  private[ext] def dpFoldSql(keySql: String): String = {
+    def d(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5($keySql), $i, 1)) - 1)"
+    (2 to 8).map(d).foldLeft(s"CAST(${d(1)} AS BIGINT)")(
+      (acc, di) => s"($acc * 16 + $di)")
+  }
+
+  /** The CASE ladder mapping a lattice draw to its noise value. Equal
+    * and zero thresholds (the zero-measure far tail) are trimmed —
+    * those branches can never fire. `foldSql` should name a
+    * precomputed column so the hash is evaluated once per cell.
+    */
+  private[ext] def dpNoiseSql(foldSql: String): String = {
+    val ladder = dpThresholds.filter(_._2 > 0L)
+      .foldLeft(Vector.empty[(Int, Long)]) { case (acc, (z, t)) =>
+        if (acc.nonEmpty && acc.last._2 == t) acc else acc :+ (z -> t)
+      }
+    "(CASE " + ladder.map { case (z, t) =>
+      s"WHEN $foldSql < $t THEN ($z)"
+    }.mkString(" ") + s" ELSE $dpZMax END)"
+  }
+
+  /** DIFFERENTIALLY-PRIVATE RELEASE of the per-(lang, source) document
+    * counts — the other half of the dataset-card privacy story beside
+    * [[kanonRelease]]: k-anonymity hides small cells, DP bounds what
+    * ANY released number reveals about any single document's presence
+    * (ε = [[dpEps]], δ from the lattice, see [[dpZMax]]).
+    *
+    * Mechanism: discrete Laplace (two-sided geometric — Ghosh et al.,
+    * the canonical integer mechanism for counts), sampled by inverse
+    * CDF over a 2^32 lattice whose draw is the md5 fold of the cell
+    * identity + release tag. Everything the two engines compare is
+    * integer arithmetic on shared literals. Cells whose noisy count
+    * clears [[dpTau]] are released by name; the rest fold into one
+    * [[dpSuppressed]] row per lang (noisy mass conserved, n_cells
+    * saying how many sources it hides).
+    *
+    * Scale shape: one keyed aggregation over the corpus, then a
+    * metadata-sized projection (≤ |langs|·|sources| cells) carrying
+    * the hash + ladder; nothing downstream is corpus-scaled.
+    */
+  def dpRelease(spark: SparkSession, sfDir: String,
+                tag: String = dpTag): DataFrame = {
+    val keySql = s"lang || '|' || source || '|$tag'"
+    val noisy = TextOps.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("fold", expr(dpFoldSql(keySql)))
+      .withColumn("n_noisy", col("n_docs") + expr(dpNoiseSql("fold")))
+    val released = noisy
+      .withColumn("rel_source",
+        when(col("n_noisy") >= dpTau, col("source"))
+          .otherwise(lit(dpSuppressed)))
+      .groupBy(col("lang"), col("rel_source").as("source"))
+      .agg(sum("n_noisy").as("n_released"),
+        count(lit(1)).as("n_cells"))
+    Canon.canonicalize(released)
+  }
+
+  val dpReleaseOracle: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*) AS n_docs
+       |  FROM documents GROUP BY 1, 2),
+       |folded AS (
+       |  SELECT lang, source, n_docs,
+       |         ${dpFoldSql(dpKeySql)} AS fold
+       |  FROM cells),
+       |noisy AS (
+       |  SELECT lang, source,
+       |         n_docs + ${dpNoiseSql("fold")} AS n_noisy
+       |  FROM folded)
+       |SELECT lang,
+       |       CASE WHEN n_noisy >= $dpTau THEN source
+       |            ELSE '$dpSuppressed' END AS source,
+       |       CAST(sum(n_noisy) AS BIGINT) AS n_released,
+       |       CAST(count(*) AS BIGINT) AS n_cells
+       |FROM noisy GROUP BY 1, 2""".stripMargin
 }

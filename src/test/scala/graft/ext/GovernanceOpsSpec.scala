@@ -149,4 +149,98 @@ class GovernanceOpsSpec extends SparkSpec {
     // both paths live on the fixture
     assert(named.nonEmpty && rel.exists(_._2 == GovernanceOps.kAnonOther))
   }
+
+  test("dp ladder realizes the discrete-Laplace lattice measure exactly") {
+    val t = GovernanceOps.dpThresholds
+    assert(t.map(_._2) == t.map(_._2).sorted, "CDF must be nondecreasing")
+    assert(t.last._2 <= 4294967296L)
+    // per-z lattice measure vs the closed form, within one lattice step
+    val alpha = math.exp(-GovernanceOps.dpEps)
+    val byZ = t.toMap
+    def measure(z: Int): Long =
+      byZ(z) - (if (z == -GovernanceOps.dpZMax) 0L else byZ(z - 1))
+    for (z <- -GovernanceOps.dpZMax + 1 until GovernanceOps.dpZMax - 1) {
+      val want = (1 - alpha) / (1 + alpha) * math.pow(alpha, math.abs(z))
+      assert(math.abs(measure(z) - want * 4294967296.0) <= 1.0,
+        s"z=$z lattice measure off: ${measure(z)}")
+    }
+    // total measure = the whole lattice (ELSE branch takes the rest)
+    val rest = 4294967296L - byZ(GovernanceOps.dpZMax - 1)
+    assert((t.map(_._1).map(measure).sum + rest) == 4294967296L)
+    // the far tail has zero realized measure (the clamp's honest δ)
+    assert(measure(-GovernanceOps.dpZMax + 1) == 0L,
+      "lattice tail should vanish before the clamp for eps=1")
+  }
+
+  private def releasedSet(named: Array[(String, String, Long, Long)],
+                          k: (String, String)): Boolean =
+    named.exists(r => (r._1, r._2) == k)
+
+  test("dp release: deterministic, noise-bounded, suppression folds " +
+      "noisy mass exactly, tag change redraws") {
+    import spark.implicits._
+    val cells = TextOps.documents(spark, sfDir)
+      .groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+      .map(c => (c._1, c._2) -> c._3).toMap
+    val rel = GovernanceOps.dpRelease(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+    val rel2 = GovernanceOps.dpRelease(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+    assert(rel.sortBy(r => (r._1, r._2)).toSeq ==
+      rel2.sortBy(r => (r._1, r._2)).toSeq, "same tag, same noise")
+
+    val named = rel.filter(_._2 != GovernanceOps.dpSuppressed)
+    assert(named.nonEmpty && named.forall(_._4 == 1L))
+    assert(named.forall(_._3 >= GovernanceOps.dpTau),
+      "released-by-name cells must clear the noisy threshold")
+    assert(named.forall(r =>
+      math.abs(r._3 - cells(r._1 -> r._2)) <= GovernanceOps.dpZMax),
+      "noise must respect the clamp")
+    // noise is non-degenerate on this fixture: some cell really moved
+    assert(named.exists(r => r._3 != cells(r._1 -> r._2)),
+      "every released count equals its true count — ladder inert?")
+
+    // independent JVM recomputation of the whole mechanism: md5 via
+    // MessageDigest + the same ladder — cross-checks Spark's md5/instr
+    // path against plain Scala, cell by cell
+    def jvmNoise(lang: String, source: String,
+                 tag: String = GovernanceOps.dpTag): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$lang|$source|$tag".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val fold = java.lang.Long.parseLong(hex.take(8), 16)
+      GovernanceOps.dpThresholds.find(fold < _._2).map(_._1.toLong)
+        .getOrElse(GovernanceOps.dpZMax.toLong)
+    }
+    val noisyCells = cells.map { case ((l, s), n) =>
+      (l, s) -> (n + jvmNoise(l, s)) }
+    for (r <- named)
+      assert(r._3 == noisyCells(r._1 -> r._2),
+        s"${r._1}/${r._2}: engine noisy count != JVM recomputation")
+    assert(noisyCells.forall { case (k, noisy) =>
+      (noisy >= GovernanceOps.dpTau) == releasedSet(named, k)
+    }, "release decision must be exactly noisy >= tau")
+
+    // fold rows: count of hidden cells + exact noisy-mass conservation
+    val releasedKeys = named.map(r => r._1 -> r._2).toSet
+    for ((lang, fold) <-
+           rel.filter(_._2 == GovernanceOps.dpSuppressed).map(r => r._1 -> r)) {
+      val hidden = cells.keys.filter(k =>
+        k._1 == lang && !releasedKeys.contains(k)).toSeq
+      assert(fold._4 == hidden.size.toLong, s"$lang fold n_cells")
+      assert(fold._3 == hidden.map(noisyCells).sum,
+        s"$lang fold row must carry exactly the hidden cells' noisy mass")
+    }
+    assert(rel.map(_._4).sum == cells.size.toLong,
+      "every cell lands exactly once, named or folded")
+
+    // a new release tag spends fresh budget: at least one draw differs
+    val rel3 = GovernanceOps.dpRelease(spark, sfDir, tag = "graft_dp_v2")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(named.exists(r => rel3.get(r._1 -> r._2).exists(_ != r._3)) ||
+      named.exists(r => !rel3.contains(r._1 -> r._2)),
+      "tag change must redraw the noise")
+  }
 }
