@@ -280,6 +280,15 @@ object GovernanceOps {
     */
   val dpTag = "graft_dp_v1"
 
+  /** Per-document CONTRIBUTION CLIP for the released token sums: a
+    * document adds at most dpClip tokens to its cell, so the sum's
+    * sensitivity is dpClip and the discrete-Laplace noise is
+    * dpClip·z — the standard bounded-contribution construction for
+    * DP sums (a clip is mandatory: an unclipped sum has unbounded
+    * sensitivity and NO finite noise privatizes it).
+    */
+  val dpClip = 1000L
+
   /** Integer thresholds of the discrete-Laplace CDF on the 2^32
     * lattice: T(z) = floor(F(z)·2^32) for z ∈ [-ZMax, ZMax), where
     * F(z) = α^(−z)/(1+α) below zero and 1 − α^(z+1)/(1+α) at/above.
@@ -345,7 +354,10 @@ object GovernanceOps {
     * integer arithmetic on shared literals. Cells whose noisy count
     * clears [[dpTau]] are released by name; the rest fold into one
     * [[dpSuppressed]] row per lang (noisy mass conserved, n_cells
-    * saying how many sources it hides).
+    * saying how many sources it hides). Beside the count, each cell
+    * releases its token sum under per-document contribution clipping
+    * ([[dpClip]]; noise dpClip·z from an INDEPENDENT draw — the seed
+    * gets a `:tok` suffix, so the two statistics don't share noise).
     *
     * Scale shape: one keyed aggregation over the corpus, then a
     * metadata-sized projection (≤ |langs|·|sources| cells) carrying
@@ -354,36 +366,52 @@ object GovernanceOps {
   def dpRelease(spark: SparkSession, sfDir: String,
                 tag: String = dpTag): DataFrame = {
     val keySql = s"lang || '|' || source || '|$tag'"
+    val keyTokSql = s"lang || '|' || source || '|$tag:tok'"
     val noisy = TextOps.documents(spark, sfDir)
-      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .repartition(col("doc_id"))
+      .select(col("lang"), col("source"),
+        least(size(CurationOps.toksCol).cast("long"), lit(dpClip))
+          .as("n_tok"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
       .withColumn("fold", expr(dpFoldSql(keySql)))
+      .withColumn("fold_tok", expr(dpFoldSql(keyTokSql)))
       .withColumn("n_noisy", col("n_docs") + expr(dpNoiseSql("fold")))
+      .withColumn("tok_noisy",
+        col("n_tok") + lit(dpClip) * expr(dpNoiseSql("fold_tok")))
     val released = noisy
       .withColumn("rel_source",
         when(col("n_noisy") >= dpTau, col("source"))
           .otherwise(lit(dpSuppressed)))
       .groupBy(col("lang"), col("rel_source").as("source"))
       .agg(sum("n_noisy").as("n_released"),
+        sum("tok_noisy").as("n_tokens_released"),
         count(lit(1)).as("n_cells"))
     Canon.canonicalize(released)
   }
 
   val dpReleaseOracle: String =
     s"""WITH cells AS (
-       |  SELECT lang, source, count(*) AS n_docs
+       |  SELECT lang, source, count(*) AS n_docs,
+       |         CAST(sum(least(len(${CurationOps.toksSql}), $dpClip))
+       |              AS BIGINT) AS n_tok
        |  FROM documents GROUP BY 1, 2),
        |folded AS (
-       |  SELECT lang, source, n_docs,
-       |         ${dpFoldSql(dpKeySql)} AS fold
+       |  SELECT lang, source, n_docs, n_tok,
+       |         ${dpFoldSql(dpKeySql)} AS fold,
+       |         ${dpFoldSql(s"lang || '|' || source || '|$dpTag:tok'")}
+       |           AS fold_tok
        |  FROM cells),
        |noisy AS (
        |  SELECT lang, source,
-       |         n_docs + ${dpNoiseSql("fold")} AS n_noisy
+       |         n_docs + ${dpNoiseSql("fold")} AS n_noisy,
+       |         n_tok + $dpClip * ${dpNoiseSql("fold_tok")} AS tok_noisy
        |  FROM folded)
        |SELECT lang,
        |       CASE WHEN n_noisy >= $dpTau THEN source
        |            ELSE '$dpSuppressed' END AS source,
        |       CAST(sum(n_noisy) AS BIGINT) AS n_released,
+       |       CAST(sum(tok_noisy) AS BIGINT) AS n_tokens_released,
        |       CAST(count(*) AS BIGINT) AS n_cells
        |FROM noisy GROUP BY 1, 2""".stripMargin
 }

@@ -172,7 +172,7 @@ class GovernanceOpsSpec extends SparkSpec {
       "lattice tail should vanish before the clamp for eps=1")
   }
 
-  private def releasedSet(named: Array[(String, String, Long, Long)],
+  private def releasedSet(named: Array[(String, String, Long, Long, Long)],
                           k: (String, String)): Boolean =
     named.exists(r => (r._1, r._2) == k)
 
@@ -180,47 +180,64 @@ class GovernanceOpsSpec extends SparkSpec {
       "noisy mass exactly, tag change redraws") {
     import spark.implicits._
     val cells = TextOps.documents(spark, sfDir)
-      .groupBy("lang", "source").count()
-      .as[(String, String, Long)].collect()
-      .map(c => (c._1, c._2) -> c._3).toMap
+      .select(col("lang"), col("source"),
+        least(size(CurationOps.toksCol).cast("long"),
+          lit(GovernanceOps.dpClip)).as("n_tok"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("t"))
+      .as[(String, String, Long, Long)].collect()
+      .map(c => (c._1, c._2) -> (c._3, c._4)).toMap
     val rel = GovernanceOps.dpRelease(spark, sfDir)
-      .as[(String, String, Long, Long)].collect()
+      .as[(String, String, Long, Long, Long)].collect()
     val rel2 = GovernanceOps.dpRelease(spark, sfDir)
-      .as[(String, String, Long, Long)].collect()
+      .as[(String, String, Long, Long, Long)].collect()
     assert(rel.sortBy(r => (r._1, r._2)).toSeq ==
       rel2.sortBy(r => (r._1, r._2)).toSeq, "same tag, same noise")
 
     val named = rel.filter(_._2 != GovernanceOps.dpSuppressed)
-    assert(named.nonEmpty && named.forall(_._4 == 1L))
+    assert(named.nonEmpty && named.forall(_._5 == 1L))
     assert(named.forall(_._3 >= GovernanceOps.dpTau),
       "released-by-name cells must clear the noisy threshold")
     assert(named.forall(r =>
-      math.abs(r._3 - cells(r._1 -> r._2)) <= GovernanceOps.dpZMax),
-      "noise must respect the clamp")
+      math.abs(r._3 - cells(r._1 -> r._2)._1) <= GovernanceOps.dpZMax),
+      "count noise must respect the clamp")
+    assert(named.forall(r =>
+      math.abs(r._4 - cells(r._1 -> r._2)._2) <=
+        GovernanceOps.dpClip * GovernanceOps.dpZMax),
+      "token noise must respect clip*clamp")
     // noise is non-degenerate on this fixture: some cell really moved
-    assert(named.exists(r => r._3 != cells(r._1 -> r._2)),
+    assert(named.exists(r => r._3 != cells(r._1 -> r._2)._1),
       "every released count equals its true count — ladder inert?")
 
     // independent JVM recomputation of the whole mechanism: md5 via
     // MessageDigest + the same ladder — cross-checks Spark's md5/instr
     // path against plain Scala, cell by cell
-    def jvmNoise(lang: String, source: String,
-                 tag: String = GovernanceOps.dpTag): Long = {
+    def jvmNoise(lang: String, source: String, suffix: String = ""): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$lang|$source|$tag".getBytes("UTF-8"))
+        .digest(s"$lang|$source|${GovernanceOps.dpTag}$suffix"
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val fold = java.lang.Long.parseLong(hex.take(8), 16)
       GovernanceOps.dpThresholds.find(fold < _._2).map(_._1.toLong)
         .getOrElse(GovernanceOps.dpZMax.toLong)
     }
-    val noisyCells = cells.map { case ((l, s), n) =>
-      (l, s) -> (n + jvmNoise(l, s)) }
-    for (r <- named)
-      assert(r._3 == noisyCells(r._1 -> r._2),
+    val noisyCells = cells.map { case ((l, s), (n, t)) =>
+      (l, s) -> (n + jvmNoise(l, s),
+        t + GovernanceOps.dpClip * jvmNoise(l, s, ":tok")) }
+    for (r <- named) {
+      assert(r._3 == noisyCells(r._1 -> r._2)._1,
         s"${r._1}/${r._2}: engine noisy count != JVM recomputation")
-    assert(noisyCells.forall { case (k, noisy) =>
+      assert(r._4 == noisyCells(r._1 -> r._2)._2,
+        s"${r._1}/${r._2}: engine noisy token sum != JVM recomputation")
+    }
+    assert(noisyCells.forall { case (k, (noisy, _)) =>
       (noisy >= GovernanceOps.dpTau) == releasedSet(named, k)
     }, "release decision must be exactly noisy >= tau")
+    // the two statistics draw independent noise: the z values differ
+    // somewhere on this fixture (same z everywhere = shared seed bug)
+    assert(cells.keys.exists { case (l, s) =>
+      jvmNoise(l, s) != jvmNoise(l, s, ":tok") },
+      "count and token draws must be independent")
 
     // fold rows: count of hidden cells + exact noisy-mass conservation
     val releasedKeys = named.map(r => r._1 -> r._2).toSet
@@ -228,16 +245,18 @@ class GovernanceOpsSpec extends SparkSpec {
            rel.filter(_._2 == GovernanceOps.dpSuppressed).map(r => r._1 -> r)) {
       val hidden = cells.keys.filter(k =>
         k._1 == lang && !releasedKeys.contains(k)).toSeq
-      assert(fold._4 == hidden.size.toLong, s"$lang fold n_cells")
-      assert(fold._3 == hidden.map(noisyCells).sum,
+      assert(fold._5 == hidden.size.toLong, s"$lang fold n_cells")
+      assert(fold._3 == hidden.map(noisyCells(_)._1).sum,
         s"$lang fold row must carry exactly the hidden cells' noisy mass")
+      assert(fold._4 == hidden.map(noisyCells(_)._2).sum,
+        s"$lang fold row must carry exactly the hidden noisy token mass")
     }
-    assert(rel.map(_._4).sum == cells.size.toLong,
+    assert(rel.map(_._5).sum == cells.size.toLong,
       "every cell lands exactly once, named or folded")
 
     // a new release tag spends fresh budget: at least one draw differs
     val rel3 = GovernanceOps.dpRelease(spark, sfDir, tag = "graft_dp_v2")
-      .as[(String, String, Long, Long)].collect()
+      .as[(String, String, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(named.exists(r => rel3.get(r._1 -> r._2).exists(_ != r._3)) ||
       named.exists(r => !rel3.contains(r._1 -> r._2)),
