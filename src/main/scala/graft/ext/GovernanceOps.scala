@@ -390,6 +390,65 @@ object GovernanceOps {
     Canon.canonicalize(released)
   }
 
+  /** Total ε a dataset may spend across release epochs before the
+    * accountant refuses further releases.
+    */
+  val dpBudget = 10.0
+
+  /** One release epoch's spend: two statistics (count + clipped token
+    * sum) over the SAME rows is sequential composition, so the epoch
+    * costs 2ε (the independent seeds buy unbiased noise, not parallel
+    * composition — that would need disjoint data).
+    */
+  val dpEpochSpend: Double = 2 * dpEps
+
+  /** Where a dataset's budget ledger lives (append-only `tag=eps`
+    * lines, the Runner-watermark discipline: under target/, keyed by
+    * fixture name, never inside the read-only data dir).
+    */
+  private[graft] def dpLedgerFile(sfDir: String): java.io.File =
+    new java.io.File(
+      s"target/dp_ledger/${new java.io.File(sfDir).getName}.ledger")
+
+  /** Cumulative ε already spent, by tag. */
+  private[graft] def dpSpent(ledger: java.io.File): Map[String, Double] =
+    if (!ledger.exists()) Map.empty
+    else java.nio.file.Files.readString(ledger.toPath).linesIterator
+      .filter(_.contains('=')).map { l =>
+        val Array(t, e) = l.split("=", 2); t -> e.trim.toDouble
+      }.toMap
+
+  /** PRIVACY-BUDGET ACCOUNTANT around [[dpRelease]]: a release epoch
+    * (tag) is charged [[dpEpochSpend]] ONCE — re-running an already
+    * charged tag is free, because the noise is a pure function of the
+    * tag and re-serving the same numbers reveals nothing new (the
+    * [[dpTag]] reuse discipline, now enforced rather than assumed). A
+    * NEW tag that would push the cumulative spend past [[dpBudget]]
+    * throws BEFORE any data is read — the fail-fast gate shape every
+    * admission fold uses (drift/recall/dup gates): the chain stops at
+    * the accountant, not after the leak.
+    */
+  def dpReleaseAccounted(spark: SparkSession, sfDir: String,
+                         tag: String = dpTag,
+                         ledger: java.io.File = null): DataFrame = {
+    val lf = Option(ledger).getOrElse(dpLedgerFile(sfDir))
+    val spent = dpSpent(lf)
+    if (!spent.contains(tag)) {
+      val total = spent.values.sum
+      if (total + dpEpochSpend > dpBudget)
+        throw new IllegalStateException(
+          f"dp budget exhausted: spent ε=$total%.1f of ${dpBudget}%.1f, " +
+            f"epoch '$tag' needs ${dpEpochSpend}%.1f more — refusing the " +
+            "release (raise dpBudget deliberately or reuse a spent tag)")
+      lf.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(lf.toPath,
+        spent.map { case (t, e) => s"$t=$e" }
+          .mkString("", "\n", if (spent.isEmpty) "" else "\n") +
+          s"$tag=$dpEpochSpend")
+    }
+    dpRelease(spark, sfDir, tag)
+  }
+
   val dpReleaseOracle: String =
     s"""WITH cells AS (
        |  SELECT lang, source, count(*) AS n_docs,

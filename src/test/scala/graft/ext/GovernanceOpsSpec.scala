@@ -262,4 +262,35 @@ class GovernanceOpsSpec extends SparkSpec {
       named.exists(r => !rel3.contains(r._1 -> r._2)),
       "tag change must redraw the noise")
   }
+
+  test("dp budget accountant: a tag is charged once, re-release is " +
+      "free, exhaustion refuses BEFORE reading data") {
+    val ledger = new File("target/dp_ledger/spec.ledger")
+    org.apache.commons.io.FileUtils.deleteQuietly(ledger)
+    GovernanceOps.dpReleaseAccounted(spark, sfDir, ledger = ledger).count()
+    assert(GovernanceOps.dpSpent(ledger) ==
+      Map(GovernanceOps.dpTag -> GovernanceOps.dpEpochSpend))
+    // re-running the same epoch re-serves, never re-charges
+    GovernanceOps.dpReleaseAccounted(spark, sfDir, ledger = ledger).count()
+    assert(GovernanceOps.dpSpent(ledger).values.sum ==
+      GovernanceOps.dpEpochSpend, "same tag must not double-charge")
+    // fresh tags accumulate until the budget gate trips
+    val epochs = (GovernanceOps.dpBudget / GovernanceOps.dpEpochSpend).toInt
+    for (i <- 2 to epochs)
+      GovernanceOps.dpReleaseAccounted(spark, sfDir, tag = s"epoch_$i",
+        ledger = ledger).count()
+    assert(GovernanceOps.dpSpent(ledger).values.sum ==
+      GovernanceOps.dpBudget, "budget fully allocated")
+    val e = intercept[IllegalStateException] {
+      GovernanceOps.dpReleaseAccounted(spark, sfDir, tag = "one_too_many",
+        ledger = ledger)
+    }
+    assert(e.getMessage.contains("budget exhausted"), e.getMessage)
+    assert(!GovernanceOps.dpSpent(ledger).contains("one_too_many"),
+      "a refused epoch must not be charged")
+    // the spent set survives the refusal intact: replaying any charged
+    // tag still serves
+    GovernanceOps.dpReleaseAccounted(spark, sfDir, tag = "epoch_2",
+      ledger = ledger).count()
+  }
 }
