@@ -289,11 +289,12 @@ object Runner {
       case "backfill" => backfill
       case "scheduler" => scheduler
       case "maintenance" => maintenance
+      case "serve" => serveTasks(spark, sfDir)
       case "mapped" => Seq.empty // runs through runMapped below
       case other =>
         System.err.println(s"[runner] unknown chain '$other' " +
           "(expected daily|corpus|incremental|publish|backfill|" +
-          "scheduler|maintenance|mapped)")
+          "scheduler|maintenance|serve|mapped)")
         spark.stop(); sys.exit(2); Seq.empty
     }
 
@@ -502,6 +503,45 @@ object Runner {
     wm.getParentFile.mkdirs()
     java.nio.file.Files.writeString(wm.toPath,
       inlets.map(n => s"$n=${datasetSeq(base, n)}").mkString("\n"))
+  }
+
+  /** The SERVING chain's tasks (the reference's BI handoff: transform
+    * tasks land the marts in the Postgres warehouse that Superset then
+    * reads — transform_utils.py:110–129 + the Superset Dockerfile):
+    * publish each mart to the out-of-process PostgreSQL fixture over
+    * TCP, then verify the warehouse copy row-for-row (read back through
+    * the same partition-capable JDBC source, anti-join both ways —
+    * count equality alone would pass a corrupted row). Overwrite per
+    * table = an idempotent re-serve, the mart-refresh cadence. The BI
+    * TOOL stays out of scope; the warehouse tables it queries are
+    * these. Table names carry the fixture tag so concurrent serves at
+    * different SFs never collide.
+    */
+  private[graft] def serveTasks(spark: SparkSession,
+                                sfDir: String): Seq[(String, () => Long)] = {
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val opts = Map("driver" -> "org.postgresql.Driver")
+    val tag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    def one(name: String,
+            mart: => DataFrame): (String, () => Long) =
+      s"serve_$name" -> (() => {
+        val url = graft.io.PgFixture.ensure()
+        val table = s"mart_${name}_$tag"
+        val frame = mart
+        graft.io.Jdbc.write(frame, url, table, SaveMode.Overwrite,
+          options = opts)
+        val back = graft.io.Jdbc.read(spark, url, table, options = opts)
+        val missing = frame.exceptAll(back).count()
+        val phantom = back.exceptAll(frame).count()
+        if (missing + phantom != 0) throw new IllegalStateException(
+          s"serve $table: warehouse copy diverges from the mart " +
+            s"($missing mart rows missing, $phantom phantom rows)")
+        back.count()
+      })
+    Seq(
+      one("supplier_performance", SupplierPerformance(spark, sfDir)),
+      one("product_performance", ProductPerformance(spark, sfDir)),
+      one("customer_sales_report", CustomerSalesReport(spark, sfDir)))
   }
 
   /** Which feed entities are present in this fixture dir — the runtime

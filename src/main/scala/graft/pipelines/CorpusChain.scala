@@ -59,7 +59,12 @@ object CorpusChain {
       "pca_outliers" -> ((s, d) => graft.ext.VectorOps.pcaOutliers(s, d)),
       "unimax_mix" -> ((s, d) => SampleOps.unimaxMix(s, d)),
       "kanon_release" ->
-        ((s, d) => graft.ext.GovernanceOps.kanonRelease(s, d)))
+        ((s, d) => graft.ext.GovernanceOps.kanonRelease(s, d)),
+      // the ε-DP twin of the k-anon rollup, budget-accounted: the
+      // publish chain is exactly the "release epoch" the accountant
+      // meters (a re-publish re-serves the charged tag's noise free)
+      "dp_release" ->
+        ((s, d) => graft.ext.GovernanceOps.dpReleaseAccounted(s, d)))
 
   private def sfTag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
