@@ -61,7 +61,16 @@ class ObjectStoreFs extends FileSystem {
     setConf(conf)
     fsUri = java.net.URI.create(
       s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("default")}")
-    val root = conf.get("fs.graftobj.root", "target/objstore")
+    // a RELATIVE root is anchored at the repo (env) when available:
+    // executors resolve relative paths against their own work dirs,
+    // which splits the store across processes — the conf writer
+    // (ObjectStoreRoundTrip) ships an absolute path, this is the
+    // defense for conf carrying the bare default
+    val rootRaw = conf.get("fs.graftobj.root", "target/objstore")
+    val root =
+      if (new File(rootRaw).isAbsolute) rootRaw
+      else sys.env.get("SPARK_GRAFT_REPO")
+        .map(r => s"$r/$rootRaw").getOrElse(rootRaw)
     bucketDir = new File(root, Option(uri.getAuthority).getOrElse("default"))
     bucketDir.mkdirs()
     new File(bucketDir, MultipartDir).mkdirs()

@@ -23,8 +23,16 @@ object ObjectStoreRoundTrip {
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.graftobj.impl", "graft.io.ObjectStoreFs")
+    // ABSOLUTE backing root: the hadoop conf ships to executors, and a
+    // relative path would resolve against each executor's own work dir
+    // — a split-brain store on any multi-process cluster (found by the
+    // round-14 netns full-gate run: worker B's task attempts landed in
+    // its work dir, the read back saw an empty bucket). The fixture's
+    // multi-host contract is a host-shared mount, the local analogue
+    // of the object store being one shared service.
     if (hc.get("fs.graftobj.root") == null)
-      hc.set("fs.graftobj.root", "target/objstore")
+      hc.set("fs.graftobj.root",
+        new File("target/objstore").getAbsolutePath)
     val bucket = "meta-morph-rt-" +
       new File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "-")
     val out = s"graftobj://$bucket/suppliers_rt"

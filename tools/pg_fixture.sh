@@ -50,6 +50,19 @@ if ! grep -q "10.200.0.0/24" "$PGDATA/pg_hba.conf"; then
     run_as "'$PGBIN/pg_ctl' -D '$PGDATA' -m fast -w stop" >/dev/null 2>&1 || true
 fi
 
+# a server started while the veth was DOWN bound only loopback (the
+# 10.200.0.1 bind failed as a warning); if the veth address exists now
+# but the server is not reachable on it, restart so the bind list is
+# re-evaluated — found by the round-14 netns full-gate run (a local
+# serve-chain run had started the fixture before the cluster came up,
+# and executors' TCP connects to 10.200.0.1:$PGPORT were refused)
+if ip -o addr show 2>/dev/null | grep -q "10\.200\.0\.1/" && \
+   run_as "'$PGBIN/pg_ctl' -D '$PGDATA' status" >/dev/null 2>&1 && \
+   ! run_as "'$PGBIN/psql' -h 10.200.0.1 -p $PGPORT -U graft -d postgres \
+       -Atc 'SELECT 1'" >/dev/null 2>&1; then
+  run_as "'$PGBIN/pg_ctl' -D '$PGDATA' -m fast -w stop" >/dev/null 2>&1 || true
+fi
+
 if ! run_as "'$PGBIN/pg_ctl' -D '$PGDATA' status" >/dev/null 2>&1; then
   # listen only on loopback + the veth host address; a missing
   # 10.200.0.1 (cluster down) is a Postgres WARNING, not fatal
