@@ -1914,6 +1914,41 @@ object VectorOps {
       .toDF("j", "cent_id", "cv")
   }
 
+  /** Encode the corpus against `codebooks`: (vec_id, j, code) — one
+    * argmin per (vector, sub-space). Shared by the raw arm (over the
+    * vectors themselves) and the residual arm (over v − μ_bucket).
+    */
+  private def pqEncode(e: DataFrame, codebooks: DataFrame): DataFrame =
+    subVectors(e.select(col("vec_id"), col("v")))
+      .join(broadcast(codebooks), Seq("j"))
+      .withColumn("d", l2(col("sv"), col("cv")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
+        .as("code"))
+
+  /** The PERSISTED code table — the stored index of an IVF-PQ
+    * deployment: codes, not vectors, are what it keeps. Until round 14
+    * every probe call RE-ENCODED the corpus (m·k interpreted-lambda L2
+    * argmins per vector — measured 38 s cold / ~3 s per warm bench
+    * pass at sf0.1); encoding is now a SUCCESS-gated one-time artifact
+    * under the same fingerprint-stamped index dir as centroids and
+    * codebooks (the annIvf discipline), and probe calls READ codes.
+    * Corpus-sized, so it stays parquet — never collected or memoized
+    * driver-side, unlike the codebook tier.
+    */
+  private def cachedPqCodes(spark: SparkSession, sfDir: String,
+                            name: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val fp = dataFingerprint(s"$sfDir/embeddings.parquet")
+      val dir = s"${ivfIndexDir(sfDir, fp)}/$name"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+
+  private def pqCodesName = s"pqcodes_${pqM}_${pqK}_$pqIters"
+  private def pqrCodesName = s"pqrcodes_${pqM}_${pqK}_$pqIters"
+
   def annIvfPq(spark: SparkSession, sfDir: String,
                nprobe: Int = 4): DataFrame = {
     import spark.implicits._
@@ -1930,7 +1965,7 @@ object VectorOps {
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id")
     Canon.materialized(
-      Canon.canonicalize(pqSearchTail(e, cand, codebooks)), e)
+      Canon.canonicalize(pqSearchTail(spark, sfDir, e, cand, codebooks)), e)
   }
 
   /** SPILLED-ASSIGNMENT MULTI-PROBE FOR THE PQ ARM — the [[annIvfSpill]]
@@ -1958,7 +1993,7 @@ object VectorOps {
     val cand = spillCands(e, cents, centroids)
       .select("probe_id", "vec_id")
     Canon.materialized(
-      Canon.canonicalize(pqSearchTail(e, cand, codebooks)), e)
+      Canon.canonicalize(pqSearchTail(spark, sfDir, e, cand, codebooks)), e)
   }
 
   /** The PQ coarse score over `cand` (probe_id, vec_id): encode
@@ -1966,15 +2001,8 @@ object VectorOps {
     * lookup partial sums folded in j order → (probe_id, vec_id, qcos).
     */
   private def pqCoarse(e: DataFrame, cand: DataFrame,
-                       codebooks: DataFrame): DataFrame = {
-    // the stored index: (vec_id, j, code) — codes, not vectors
-    val codes = subVectors(e.select(col("vec_id"), col("v")))
-      .join(broadcast(codebooks), Seq("j"))
-      .withColumn("d", l2(col("sv"), col("cv")))
-      .groupBy("vec_id", "j")
-      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
-        .as("code"))
-
+                       codebooks: DataFrame,
+                       codes: DataFrame): DataFrame = {
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
 
@@ -2009,9 +2037,11 @@ object VectorOps {
   /** The PQ search tail shared by the single-assignment and spilled
     * arms: [[pqCoarse]], shortlist, exact rescore, per-probe top-k.
     */
-  private def pqSearchTail(e: DataFrame, cand: DataFrame,
+  private def pqSearchTail(spark: SparkSession, sfDir: String,
+                           e: DataFrame, cand: DataFrame,
                            codebooks: DataFrame): DataFrame =
-    pqRescoreTail(e, pqCoarse(e, cand, codebooks))
+    pqRescoreTail(e, pqCoarse(e, cand, codebooks,
+      cachedPqCodes(spark, sfDir, pqCodesName)(pqEncode(e, codebooks))))
 
   /** Shortlist → exact broadcast rescore → per-probe top-k over any
     * coarse (probe_id, vec_id, qcos) frame — shared by the raw-PQ,
@@ -2166,7 +2196,9 @@ object VectorOps {
         Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id")
-    val coarse = pqCoarse(e, cand, codebooks).persist()
+    val coarse = pqCoarse(e, cand, codebooks,
+      cachedPqCodes(spark, sfDir, pqCodesName)(pqEncode(e, codebooks)))
+      .persist()
     pqSweepOverCoarse(spark, sfDir, e, coarse)
   }
 
@@ -2362,17 +2394,9 @@ object VectorOps {
     * single-assignment arm), which selects its cross-term rows.
     */
   private def pqrCoarse(e: DataFrame, centroids: DataFrame,
-                        cand: DataFrame, codebooks: DataFrame): DataFrame = {
+                        cand: DataFrame, codebooks: DataFrame,
+                        codes: DataFrame): DataFrame = {
     val mu = bucketMeans(e, centroids)
-
-    // the stored index: (vec_id, j, code) over RESIDUAL sub-vectors
-    val codes = subVectors(residualVecs(e, centroids, mu)
-        .select(col("vec_id"), col("v")))
-      .join(broadcast(codebooks), Seq("j"))
-      .withColumn("d", l2(col("sv"), col("cv")))
-      .groupBy("vec_id", "j")
-      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id")))
-        .as("code"))
 
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
@@ -2464,9 +2488,13 @@ object VectorOps {
       .persist()
     val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
     val codebooks = cachedPqrCodebooks(spark, sfDir, e, centroids)
+    val codes = cachedPqCodes(spark, sfDir, pqrCodesName)(pqEncode(
+      residualVecs(e, centroids, bucketMeans(e, centroids))
+        .select(col("vec_id"), col("v")), codebooks))
     Canon.materialized(
       Canon.canonicalize(pqRescoreTail(e,
-        pqrCoarse(e, centroids, pqrCand(e, centroids, nprobe), codebooks))),
+        pqrCoarse(e, centroids, pqrCand(e, centroids, nprobe), codebooks,
+          codes))),
       e)
   }
 
@@ -2483,8 +2511,12 @@ object VectorOps {
       .persist()
     val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
     val codebooks = cachedPqrCodebooks(spark, sfDir, e, centroids)
+    val codes = cachedPqCodes(spark, sfDir, pqrCodesName)(pqEncode(
+      residualVecs(e, centroids, bucketMeans(e, centroids))
+        .select(col("vec_id"), col("v")), codebooks))
     val coarse =
-      pqrCoarse(e, centroids, pqrCand(e, centroids, 4), codebooks).persist()
+      pqrCoarse(e, centroids, pqrCand(e, centroids, 4), codebooks, codes)
+        .persist()
     pqSweepOverCoarse(spark, sfDir, e, coarse)
   }
 
