@@ -280,6 +280,9 @@ object SparkEntry {
     // ε-DP release: discrete-Laplace noise via an all-integer md5
     // threshold ladder, noisy sub-τ cells fold into __suppressed__
     "q_dp_release" -> ((s, dir) => ext.GovernanceOps.dpRelease(s, dir)),
+    // the curator-side cost-of-privacy row: per-lang suppression split
+    // + total absolute injected noise for both released statistics
+    "q_dp_utility" -> ((s, dir) => ext.GovernanceOps.dpUtility(s, dir)),
     // the streaming cardinality fold itself, oracle-gated via a
     // deterministic two-batch feed
     "q_hll_fold_gate" -> ((s, dir) => ext.SketchOps.hllFoldGate(s, dir)),
@@ -601,6 +604,7 @@ object SparkEntry {
     "q_lsh_cost" -> ext.DedupOps.lshCostCensusOracle,
     "q_kanon_release" -> ext.GovernanceOps.kanonReleaseOracle,
     "q_dp_release" -> ext.GovernanceOps.dpReleaseOracle,
+    "q_dp_utility" -> ext.GovernanceOps.dpUtilityOracle,
     "q_hll_fold_gate" -> ext.SketchOps.hllFoldGateOracle,
     "q_pca_power" -> ext.VectorOps.pcaPowerOracle,
     "q_pca_project" -> ext.VectorOps.pcaProjectOracle,

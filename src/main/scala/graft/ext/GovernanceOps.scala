@@ -449,6 +449,69 @@ object GovernanceOps {
     dpRelease(spark, sfDir, tag)
   }
 
+  /** THE COST-OF-PRIVACY ROW: per-lang accounting of what [[dpRelease]]
+    * gave up — how many cells were released by name vs folded, and the
+    * TOTAL ABSOLUTE NOISE injected into each statistic (|z| summed for
+    * counts, clip·|z₂| for token sums). This is the curator's internal
+    * telemetry (the data owner knows the truth; only the release is
+    * public) — the standard way a DP deployment prices ε against
+    * utility before committing a budget. All exact integers: the noise
+    * is the same pure ladder function of (cell, tag), so the row is a
+    * bit-deterministic twin with zero extra privacy spend (it is never
+    * published).
+    */
+  def dpUtility(spark: SparkSession, sfDir: String): DataFrame = {
+    val noisy = TextOps.documents(spark, sfDir)
+      .repartition(col("doc_id"))
+      .select(col("lang"), col("source"),
+        least(size(CurationOps.toksCol).cast("long"), lit(dpClip))
+          .as("n_tok"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+      .withColumn("fold", expr(dpFoldSql(dpKeySql)))
+      .withColumn("fold_tok", expr(dpFoldSql(
+        s"lang || '|' || source || '|$dpTag:tok'")))
+      .withColumn("z", expr(dpNoiseSql("fold")).cast("long"))
+      .withColumn("z_tok", expr(dpNoiseSql("fold_tok")).cast("long"))
+    Canon.canonicalize(noisy
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("n_docs") + col("z") >= dpTau, 1L).otherwise(0L))
+          .as("n_named"),
+        sum(when(col("n_docs") + col("z") >= dpTau, 0L).otherwise(1L))
+          .as("n_suppressed"),
+        sum(abs(col("z"))).as("abs_err_docs"),
+        sum(abs(col("z_tok")) * dpClip).as("abs_err_tokens")))
+  }
+
+  val dpUtilityOracle: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |         CAST(sum(least(len(${CurationOps.toksSql}), $dpClip))
+       |              AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1, 2),
+       |folded AS (
+       |  SELECT lang, source, n_docs,
+       |         ${dpFoldSql(dpKeySql)} AS fold,
+       |         ${dpFoldSql(s"lang || '|' || source || '|$dpTag:tok'")}
+       |           AS fold_tok
+       |  FROM cells),
+       |noisy AS (
+       |  SELECT lang,
+       |         n_docs + ${dpNoiseSql("fold")} AS n_noisy,
+       |         ${dpNoiseSql("fold")} AS z,
+       |         ${dpNoiseSql("fold_tok")} AS z_tok
+       |  FROM folded)
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_cells,
+       |       CAST(sum(CASE WHEN n_noisy >= $dpTau THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_named,
+       |       CAST(sum(CASE WHEN n_noisy >= $dpTau THEN 0 ELSE 1 END)
+       |            AS BIGINT) AS n_suppressed,
+       |       CAST(sum(abs(z)) AS BIGINT) AS abs_err_docs,
+       |       CAST(sum(abs(z_tok) * $dpClip) AS BIGINT) AS abs_err_tokens
+       |FROM noisy GROUP BY 1""".stripMargin
+
   val dpReleaseOracle: String =
     s"""WITH cells AS (
        |  SELECT lang, source, count(*) AS n_docs,

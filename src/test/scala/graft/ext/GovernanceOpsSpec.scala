@@ -263,6 +263,29 @@ class GovernanceOpsSpec extends SparkSpec {
       "tag change must redraw the noise")
   }
 
+  test("dp utility row agrees with the release, cell by cell") {
+    import spark.implicits._
+    val rel = GovernanceOps.dpRelease(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect()
+    val util = GovernanceOps.dpUtility(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(u => u._1 -> u).toMap
+    val namedByLang = rel.filter(_._2 != GovernanceOps.dpSuppressed)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    for ((lang, u) <- util) {
+      assert(u._3 == namedByLang.getOrElse(lang, 0L),
+        s"$lang: n_named must equal the release's named-row count")
+      assert(u._2 == u._3 + u._4, s"$lang: cells = named + suppressed")
+      assert(u._5 <= u._2 * GovernanceOps.dpZMax &&
+        u._6 <= u._2 * GovernanceOps.dpClip * GovernanceOps.dpZMax,
+        s"$lang: absolute noise must respect the clamp")
+    }
+    assert(util.values.map(_._2).sum == rel.map(_._5).sum,
+      "utility and release must see the same cell population")
+    assert(util.values.exists(_._5 > 0L),
+      "zero injected noise across every lang — ladder inert?")
+  }
+
   test("dp budget accountant: a tag is charged once, re-release is " +
       "free, exhaustion refuses BEFORE reading data") {
     val ledger = new File("target/dp_ledger/spec.ledger")
