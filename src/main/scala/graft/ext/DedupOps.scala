@@ -194,6 +194,10 @@ object DedupOps {
     val d = shingleSets(docs, Seq("lang", "source"))
       .withColumn("nsh", size(col("sh")))
       .persist() // narrow pair sides + both array attaches — shingle once
+    d.count() // EAGER (r14): the two salted pair sides and the two
+    // array attaches are FOUR independent stages — unmaterialized they
+    // race on the cache and re-run the shingle pass (bytes telemetry:
+    // 59 MB scanned ≈ 4× the corpus)
     val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
       col("nsh").as("n_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
@@ -1825,7 +1829,7 @@ object DedupOps {
     val samp = graft.plans.TopK.perKey(keyed, Seq("lang"),
         Seq("h" -> graft.plans.TopK.Asc, "doc_id" -> graft.plans.TopK.Asc),
         k = lshRecallPerLang)
-      .select(col("doc_id"), col("norm"))
+      .select(col("doc_id"), col("norm")).persist()
     val sSets = shingleSets(samp).persist()
     val exact = sSets.as("x").join(sSets.as("y"),
         col("x.doc_id") < col("y.doc_id"))
@@ -1849,7 +1853,8 @@ object DedupOps {
       when(col("n_exact") > 0,
         col("n_common").cast("double") / col("n_exact").cast("double"))
         .otherwise(lit(1.0)).as("recall"))
-    Canon.materialized(Canon.canonicalize(out), sSets, exact, lshPairs)
+    Canon.materialized(Canon.canonicalize(out), samp, sSets, exact,
+      lshPairs)
   }
 
   /** Exact-side qualifying bar for the recall GATE (not the telemetry
@@ -2284,7 +2289,11 @@ object DedupOps {
     Canon.materialized(Canon.canonicalize(out), samp, exact, banded)
   }
 
-  val simhashRecallOracle: String = {
+  // lazy: references other objects' constants — a strict val here
+  // evaluates during THIS object's init, where a circular init order
+  // can read defaults (the r14 LIMIT-0 finding; belt to the
+  // final-val-inlining braces on audioRecallSample)
+  lazy val simhashRecallOracle: String = {
     val (sA, sB, sP) = (SampleOps.A, SampleOps.B, SampleOps.P)
     val sampleN = graft.ext.MultimodalOps.audioRecallSample
     s"""WITH $simhashChainCtes,

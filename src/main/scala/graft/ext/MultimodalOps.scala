@@ -343,7 +343,14 @@ object MultimodalOps {
        |$chunkBandTailSql""".stripMargin
 
   /** Deterministic sample size of the audio recall telemetry. */
-  val audioRecallSample = 256
+  /** `final` is load-bearing: a compile-time constant INLINES at every
+    * cross-object use site. As a plain `val`, DedupOps' strict
+    * `simhashRecallOracle` init could read it MID-MultimodalOps-init
+    * (circular object initialization) and bake `LIMIT 0` into the
+    * oracle SQL — an init-ORDER-dependent oracle, caught in r14 when a
+    * query subset touched MultimodalOps first.
+    */
+  final val audioRecallSample = 256
 
   /** RECALL TELEMETRY for the audio near-dup banding — the
     * [[graft.ext.DedupOps.lshRecall]] shape for the Hamming-LSH
@@ -482,6 +489,9 @@ object MultimodalOps {
                    bucketCap: Int = videoFrameBucketCap): DataFrame = {
     val f = frameSamples(spark, sfDir)
       .select("doc_id", "frame_md5").distinct().persist()
+    f.count() // EAGER (r14): per-doc counts, the cap census and both
+    // pair-join sides are independent stages — unmaterialized they
+    // race on the cache and re-run the frame fingerprint chain ×4
     val perDoc = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val keptHashes = f.groupBy("frame_md5").agg(count(lit(1)).as("c"))
       .filter(col("c") <= bucketCap).select("frame_md5")
