@@ -593,7 +593,7 @@ object SampleOps {
   private[graft] def dsirWeightsFrom(documents: DataFrame,
                                      approxBounds: Boolean = false)
       : DataFrame = {
-    val (pd, hist) = dsirDocWeights(documents)
+    val (pd, inter) = dsirDocWeights(documents)
     val thr =
       if (approxBounds) pd.agg(percentile_approx(col("mean_ratio"),
         lit(dsirKeepQuantile), lit(SketchOps.percentileAccuracy)).as("t"))
@@ -602,18 +602,18 @@ object SampleOps {
     val out = Canon.canonicalize(pd.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_grams"), col("mean_ratio"),
         (col("mean_ratio") >= col("t")).as("selected")))
-    Canon.materialized(out, hist)
+    Canon.materialized(out, inter: _*)
   }
 
   /** The shared DSIR per-doc weight frame (doc_id, w, n_grams,
-    * mean_ratio) plus the persisted gram histogram the caller must
+    * mean_ratio) plus the persisted intermediates the caller must
     * release ([[graft.ops.Canon.materialized]]) — the seam
     * [[dsirWeightsFrom]] (quantile cut) and [[dsirSample]]
     * (proportional resample) both read, so the λ arithmetic exists
     * exactly once.
     */
   private[graft] def dsirDocWeights(documents: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, Seq[DataFrame]) = {
     val dt = documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), CurationOps.toksCol.as("toks"))
@@ -631,19 +631,22 @@ object SampleOps {
     val hist = dg.select(col("doc_id"),
         graft.functions.Md5Bucket(col("g"), dsirBuckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("n")).persist()
-    hist.count() // EAGER: four downstream subtrees read this frame; an
+    hist.count() // EAGER: the downstream subtrees read this frame; an
     // unmaterialized cache lets them race and recompute the gram scan
-    val raw = hist.groupBy("b").agg(sum("n").as("c_r"))
-    val tgt = hist.filter(col("doc_id") % LmOps.lmRefMod === 0)
-      .groupBy("b").agg(sum("n").as("c_t"))
-    val tot = raw.agg(sum("c_r").as("t_r"))
-    val ttot = tgt.agg(sum("c_t").as("t_t"))
-    // t_t (and t_r) coalesce to 0: Spark's sum over an EMPTY target
-    // slice is NULL where the DuckDB twin's count(*) is 0 — without the
-    // coalesce an all-nontarget fixture would make every λ, weight and
-    // `selected` NULL instead of matching the oracle's finite ratios
-    val lam = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(tot).crossJoin(ttot)
+    // r14 (guide §2.3/§2.4): raw + target bucket counts were two
+    // separate aggregations over hist, and their totals re-ran each
+    // subtree again — four histogram passes inside one job. One fused
+    // conditional aggregation (c_t = Σ n over the target slice; the
+    // empty-slice sum is 0 where the old left join gave NULL, which
+    // the λ expression already coalesced to 0 — same integers out)
+    // plus totals over the persisted [[dsirBuckets]]-row table.
+    val byB = hist.groupBy("b").agg(
+        sum("n").as("c_r"),
+        sum(when(col("doc_id") % LmOps.lmRefMod === 0, col("n"))
+          .otherwise(0L)).as("c_t"))
+      .persist() // ≤ dsirBuckets rows; totals + the λ select read it
+    val tots = byB.agg(sum("c_r").as("t_r"), sum("c_t").as("t_t"))
+    val lam = byB.crossJoin(tots)
       .select(col("b"), expr(
         s"""(coalesce(c_t, 0L) + 1L) * (coalesce(t_r, 0L) + $dsirBuckets)
            | * $dsirScale
@@ -655,7 +658,7 @@ object SampleOps {
       .withColumn("mean_ratio",
         col("w").cast("double") /
           (col("n_grams") * dsirScale).cast("double"))
-    (pd, hist)
+    (pd, Seq(hist, byB))
   }
 
   /** DSIR importance RESAMPLING — the weights ACTED on, proportionally:
@@ -677,7 +680,7 @@ object SampleOps {
     * did (ClassifierOps, round-10 overflow fix).
     */
   def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val (pd, hist) = dsirDocWeights(TextOps.documents(spark, sfDir))
+    val (pd, inter) = dsirDocWeights(TextOps.documents(spark, sfDir))
     val best = pd
       .orderBy(col("mean_ratio").desc, col("doc_id").asc).limit(1)
       .select(col("w").as("w_max"), col("n_grams").as("n_max"))
@@ -685,7 +688,7 @@ object SampleOps {
       .select(col("doc_id"), col("n_grams"), col("mean_ratio"),
         (bucket(col("doc_id")) * col("n_grams") * col("w_max") <
           lit(buckets.toLong) * col("w") * col("n_max")).as("accepted")))
-    Canon.materialized(out, hist)
+    Canon.materialized(out, inter: _*)
   }
 
   /** The shared DSIR CTE chain (dt → … → pd → sc) — the SQL twin of
