@@ -328,11 +328,25 @@ object SketchOps {
 
   def hllMerged(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = hllGrams(TextOps.documents(spark, sfDir))
-      .persist() // four shard register passes + the exact pass
-    val merged = (0 until hllShards)
-      .map(s => registersOfGrams(
-        grams.filter(col("doc_id") % hllShards === s)))
-      .reduce(_ union _)
+      .persist() // the sharded register pass + the exact pass
+    grams.count() // EAGER: before r14 the 4 shard subtrees + the exact
+    // pass raced on the unmaterialized cache and re-ran the gram scan
+    // (bench telemetry: 101 MB scanned = 3× the corpus)
+    // r14 (guide §2.4): the four per-shard register tables are ONE
+    // keyed aggregation keyed by (lang, shard, idx) — filter+union of
+    // disjoint doc_id%4 slices computed the same rows in four passes
+    // over the gram stream; max is associative, so shard-then-merge is
+    // unchanged row for row and the pointwise-max merge law is still
+    // what the oracle gate proves.
+    val shardRegs = grams
+      .select(col("lang"), (col("doc_id") % hllShards).as("shard"),
+        md5(col("gram")).as("gh"))
+      .select(col("lang"), col("shard"), expr(hllIdxSql("gh")).as("idx"),
+        expr(hllV40Sql("gh")).as("v"))
+      .withColumn("rank", when(col("v") === 0L, lit(hllMaxRank))
+        .otherwise(lit(hllMaxRank) - length(bin(col("v")))))
+      .groupBy("lang", "shard", "idx").agg(max("rank").as("rank"))
+    val merged = shardRegs
       .groupBy("lang", "idx").agg(max("rank").as("rank"))
     Canon.materialized(
       Canon.canonicalize(hllSummary(merged, hllExact(grams))),
