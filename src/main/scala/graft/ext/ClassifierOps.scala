@@ -48,13 +48,14 @@ import graft.ops.Canon
   *    classifiers add exactly this feature), and held-out
   *    generalization is what the spec pins.
   *
-  * The trained weights are a 2·[[qcBuckets]]-row TABLE; the scoring
-  * pass ships them through the production [[ScoringOps.batchScore]]
-  * seam (collect is bounded by 2·D rows — the k-means centroid-sync
-  * pattern), so the "swap a real model into the seam" path is the one
-  * under test: open() receives learned weights, scoreBatch re-derives
-  * the same features JVM-side, and the DuckDB oracle reproduces
-  * feature extraction, training AND inference end-to-end.
+  * The trained weights are a 2·[[qcBuckets]]-row TABLE (collect is
+  * bounded by 2·D rows — the k-means centroid-sync pattern). The gated
+  * queries score via the histogram × broadcast-λ join (one codegen
+  * feature pass; r14 optimization) — s = Σ_b n·λ[b], bit-identical to
+  * the [[TrainedQualityModel]] seam, which scoreBatch re-derives
+  * JVM-side with the operator's exact tokenization rule and
+  * ClassifierOpsSpec pins; the DuckDB oracle reproduces feature
+  * extraction, training AND inference end-to-end.
   *
   * Scale shape: training is one corpus-sized gram pass folding into a
   * 2·D-row model (map-side combined keyed aggs — the DSIR histogram
@@ -94,12 +95,25 @@ object ClassifierOps {
     * generalization spec drives it).
     */
   private[ext] def trainWeightsOn(spark: SparkSession, y: DataFrame,
-                                  db: DataFrame): Map[Int, Long] = {
+                                  db: DataFrame): Map[Int, Long] =
+    trainWeightsOnHist(spark, y,
+      db.groupBy("doc_id", "b").agg(count(lit(1)).as("n")))
+
+  /** Training core over the per-doc bucket HISTOGRAM (doc_id, b, n)
+    * instead of the raw occurrence stream — same counts by weighted
+    * sum (c1 = Σ n over y=1 docs), so λ is bit-identical; the join and
+    * shuffle touch ≤ D·n_docs rows instead of one row per gram
+    * occurrence (guide §2.3: aggregate before you shuffle). The
+    * histogram is the frame [[scoredLabeled]] persists and scores
+    * from, so feature extraction runs ONCE per query.
+    */
+  private[ext] def trainWeightsOnHist(spark: SparkSession, y: DataFrame,
+                                      hist: DataFrame): Map[Int, Long] = {
     import spark.implicits._
-    val byB = db.join(y, Seq("doc_id"))
+    val byB = hist.join(y, Seq("doc_id"))
       .groupBy("b").agg(
-        sum(when(col("y") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("y") === 0, 1L).otherwise(0L)).as("c0"))
+        sum(when(col("y") === 1, col("n")).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, col("n")).otherwise(0L)).as("c0"))
       .persist()
     val (t0, t1) = byB.agg(sum("c0"), sum("c1"))
       .as[(Option[Long], Option[Long])].head() match {
@@ -221,29 +235,51 @@ object ClassifierOps {
     * the LmOps output convention) and the integer-exact prediction
     * `pred = s ≥ n·S` (mean Bayes factor at least 1).
     */
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
-    Canon.canonicalize(scoredLabeled(spark, sfDir)
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val (sl, inter) = scoredLabeled(spark, sfDir)
+    Canon.materialized(Canon.canonicalize(sl
       .select(col("doc_id"), col("y").cast("long").as("label"),
         col("n_grams"),
         (col("s").cast("double") /
           (col("n_grams") * qcScale).cast("double")).as("mean_ratio"),
-        (col("s") >= col("n_grams") * qcScale).as("pred")))
+        (col("s") >= col("n_grams") * qcScale).as("pred"))), inter: _*)
+  }
 
   /** Trained scores joined to the distilled labels — the shared core of
-    * [[qualityClassifier]] and [[classifierCalibration]] (one training +
-    * scoring pass, two reports).
+    * [[qualityClassifier]], [[classifierCalibration]] and
+    * [[classifierPr]] (one feature pass, one training sync, one scoring
+    * join; three reports). Returns the scored frame plus the persisted
+    * intermediates the caller must release (the
+    * [[SampleOps.dsirDocWeights]] convention).
+    *
+    * r14 optimization (guide §1.2 step 1 / §4.1): the original scoring
+    * pass re-tokenized and re-hashed the whole corpus through the
+    * per-row [[TrainedQualityModel]] JVM closure behind a full text
+    * repartition — a third corpus text pass (labels, gram features,
+    * scoreBatch) and a non-codegen hot path. Scoring is now the
+    * histogram × broadcast-λ join: s = Σ_b n·λ[b] — the SAME
+    * order-independent integer sum the seam computes (bit-identical
+    * output; the seam itself stays pinned by ClassifierOpsSpec and
+    * exercised by q_model_score). One corpus feature pass total, no
+    * text shuffle, everything codegen.
     */
   private def scoredLabeled(spark: SparkSession, sfDir: String)
-      : DataFrame = {
+      : (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
-    val w = trainWeights(spark, sfDir)
-    val in = TextOps.documents(spark, sfDir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    ScoringOps.batchScore(in, TrainedQualityModel(w))
-      .toDF("doc_id", "n_grams", "s")
+    val hist = gramBuckets(spark, sfDir)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n")).persist()
+    // no eager count needed: trainWeightsOnHist's driver collect is
+    // itself an action that materializes the hist and y caches BEFORE
+    // the scoring join is built — consumers are sequential, not racing
+    val y = labels(spark, sfDir).persist() // training + the final join
+    val w = trainWeightsOnHist(spark, y, hist)
+    val lam = w.toSeq.toDF("b", "lam")
+    val scored = hist.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("lam")).as("s"), sum("n").as("n_grams"))
       .filter(col("n_grams") > 0)
-      .join(labels(spark, sfDir), Seq("doc_id"))
+      .join(y, Seq("doc_id"))
+    (scored, Seq(hist, y))
   }
 
   /** Calibration probability bins. */
@@ -273,14 +309,15 @@ object ClassifierOps {
     */
   def classifierCalibration(spark: SparkSession, sfDir: String)
       : DataFrame = {
-    val withP = scoredLabeled(spark, sfDir)
+    val (sl, inter) = scoredLabeled(spark, sfDir)
+    val withP = sl
       .withColumn("p_fp", expr(
         s"""CAST(CAST(s AS DECIMAL(38,0)) * $calibScale
            | div (CAST(s AS DECIMAL(38,0))
            |      + CAST(n_grams AS DECIMAL(38,0)) * $qcScale)
            | AS BIGINT)""".stripMargin.replace("\n", "")))
       .withColumn("bucket", expr(s"p_fp * $calibBuckets div $calibScale"))
-    Canon.canonicalize(withP.groupBy("bucket").agg(
+    Canon.materialized(Canon.canonicalize(withP.groupBy("bucket").agg(
         count(lit(1)).as("n_docs"),
         sum("p_fp").as("conf_fp"),
         sum(col("y").cast("long")).as("n_pos"))
@@ -292,7 +329,7 @@ object ClassifierOps {
         abs(col("conf_fp").cast("double") /
             (col("n_docs") * calibScale).cast("double") -
           col("n_pos").cast("double") / col("n_docs").cast("double"))
-          .as("abs_gap")))
+          .as("abs_gap"))), inter: _*)
   }
 
   /** PRECISION-RECALL threshold sweep — the operating-curve row that
@@ -313,7 +350,8 @@ object ClassifierOps {
     * mirrored in both twins.
     */
   def classifierPr(spark: SparkSession, sfDir: String): DataFrame = {
-    val withP = scoredLabeled(spark, sfDir)
+    val (sl, inter) = scoredLabeled(spark, sfDir)
+    val withP = sl
       .withColumn("p_fp", expr(
         s"""CAST(CAST(s AS DECIMAL(38,0)) * $calibScale
            | div (CAST(s AS DECIMAL(38,0))
@@ -347,7 +385,7 @@ object ClassifierOps {
         (col("tpa") - col("tp")).as("fn"),
         (col("td") - col("n_above")).as("tn"),
         col("precision"), col("recall"), col("f1"))),
-      byBucket)
+      (byBucket +: inter): _*)
   }
 
   /** q_quality_classifier_ref: the INDEPENDENT-signal variant — same
@@ -370,15 +408,21 @@ object ClassifierOps {
   def qualityClassifierRef(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = TextOps.documents(spark, sfDir)
-    val w = trainWeightsOn(spark, refLabelsFrom(docs), gramBucketsFrom(docs))
-    val in = docs
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    val scored = ScoringOps.batchScore(in, TrainedQualityModel(w))
-      .toDF("doc_id", "n_grams", "s")
+    // r14: one feature pass — the histogram feeds training AND scoring
+    // (the scoredLabeled restructure; s = Σ_b n·λ[b] is bit-identical
+    // to the per-row seam, which ClassifierOpsSpec pins separately)
+    val hist = gramBucketsFrom(docs)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n")).persist()
+    // training's driver collect materializes the cache (see
+    // scoredLabeled) — consumers are sequential, no eager needed
+    val w = trainWeightsOnHist(spark, refLabelsFrom(docs), hist)
+    val lam = w.toSeq.toDF("b", "lam")
+    val scored = hist.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("lam")).as("s"), sum("n").as("n_grams"))
       .filter(col("n_grams") > 0)
     val m = LmOps.lmRefMod
-    Canon.canonicalize(scored
+    Canon.materialized(Canon.canonicalize(scored
       .select(col("doc_id"),
         when(col("doc_id") % m === 0, "ref")
           .when(col("doc_id") % m === 1, "neg")
@@ -386,7 +430,7 @@ object ClassifierOps {
         col("n_grams"),
         (col("s").cast("double") /
           (col("n_grams") * qcScale).cast("double")).as("mean_ratio"),
-        (col("s") >= col("n_grams") * qcScale).as("pred")))
+        (col("s") >= col("n_grams") * qcScale).as("pred"))), hist)
   }
 
   // ---- language ID: trained char-n-gram Naive Bayes -------------------
