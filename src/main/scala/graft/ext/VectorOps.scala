@@ -837,8 +837,12 @@ object VectorOps {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .persist()
     val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
+    // r14: the assignment pass is persisted — it feeds the filtered
+    // slice AND the post-filter arm's scan (it was recomputed before).
+    // No eager count: `exact.count()` below is the first action and
+    // materializes this cache transitively before any consumer races.
     val bucketed = assignNearest(e, centroids)
-      .select(col("vec_id"), col("v"), col("bucket"))
+      .select(col("vec_id"), col("v"), col("bucket")).persist()
     val fids = filteredIds(spark, sfDir)
     val bucketedF = bucketed.join(fids, Seq("vec_id"), "left_semi")
       .persist()
@@ -855,6 +859,7 @@ object VectorOps {
       .select("probe_id", "vec_id", "cos")
     val exact = rankTop(scored(bucketedF.crossJoin(broadcast(probes))))
       .select("probe_id", "vec_id").persist()
+    exact.count() // EAGER (r14): joined by all three arm rows
 
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("cent_cos").desc, col("cent_id").asc)
@@ -864,29 +869,37 @@ object VectorOps {
       .filter(col("crank") <= 4)
       .select(col("probe_id"), col("pv"), col("cent_id").as("bucket")))
 
-    // arm candidate sets (pre-topk scans; n_scanned = their row counts)
+    // arm candidate sets — persisted, and the materializing count IS
+    // n_scanned (r14: each scan was computed twice — once under the
+    // top-k, once for the n_scanned aggregate)
     val postScan = scored(fixedBuckets.join(bucketed, Seq("bucket")))
+      .persist()
+    val nPostScan = postScan.count()
     val postTop = rankTop(postScan)
       .join(fids, Seq("vec_id"), "left_semi").select("probe_id", "vec_id")
     val fixedScan = scored(fixedBuckets.join(bucketedF, Seq("bucket")))
+      .persist()
+    val nFixedScan = fixedScan.count()
     val adaptScan = scored(
       adaptiveBuckets(probes, centroids, bucketedF)
         .join(bucketedF, Seq("bucket")))
+      .persist()
+    val nAdaptScan = adaptScan.count()
 
-    def armRow(name: String, top: DataFrame, scan: DataFrame): DataFrame =
+    def armRow(name: String, top: DataFrame, nScanned: Long): DataFrame =
       top.join(exact, Seq("probe_id", "vec_id"))
         .agg(count(lit(1)).as("n_common"))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(scan.agg(count(lit(1)).as("n_scanned")))
         .select(lit(name).as("arm"), col("n_common"), col("n_exact"),
           (col("n_common").cast("double") / col("n_exact").cast("double"))
-            .as("recall"), col("n_scanned"))
-    val out = armRow("post", postTop, postScan)
+            .as("recall"), lit(nScanned).as("n_scanned"))
+    val out = armRow("post", postTop, nPostScan)
       .unionByName(armRow("fixed",
-        rankTop(fixedScan).select("probe_id", "vec_id"), fixedScan))
+        rankTop(fixedScan).select("probe_id", "vec_id"), nFixedScan))
       .unionByName(armRow("adaptive",
-        rankTop(adaptScan).select("probe_id", "vec_id"), adaptScan))
-    Canon.materialized(Canon.canonicalize(out), e, bucketedF, exact)
+        rankTop(adaptScan).select("probe_id", "vec_id"), nAdaptScan))
+    Canon.materialized(Canon.canonicalize(out), e, bucketed, bucketedF,
+      exact, postScan, fixedScan, adaptScan)
   }
 
   val annFilteredRecallOracle: String =
@@ -2332,7 +2345,17 @@ object VectorOps {
     * division, identical in both engines; C rows.
     */
   private def bucketMeans(e: DataFrame, centroids: DataFrame): DataFrame =
-    assignNearest(e, centroids)
+    bucketMeansOf(assignNearest(e, centroids))
+
+  /** Bucket means over a pre-computed assignment (vec_id, bucket, v) —
+    * the r14 seam that lets [[annIvfPqr]]/[[annPqrRerankSweep]] run
+    * [[assignNearest]]'s corpus × C pass ONCE for the candidate set
+    * and the residual means (guide §2.4: don't compute the same
+    * subtree twice). DECIMAL sums are order-independent, so means off
+    * a persisted assignment are bit-identical to the recomputed path.
+    */
+  private def bucketMeansOf(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("bucket", "pos")
       .agg((sum(col("x").cast(DecimalType(30, 15))).cast("double") /
@@ -2393,11 +2416,9 @@ object VectorOps {
     * candidate's ASSIGNED cell (= the probed cell in the
     * single-assignment arm), which selects its cross-term rows.
     */
-  private def pqrCoarse(e: DataFrame, centroids: DataFrame,
+  private def pqrCoarse(e: DataFrame, mu: DataFrame,
                         cand: DataFrame, codebooks: DataFrame,
                         codes: DataFrame): DataFrame = {
-    val mu = bucketMeans(e, centroids)
-
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
 
@@ -2453,10 +2474,11 @@ object VectorOps {
   }
 
   /** Candidate set with the assigned bucket kept (the residual arm
-    * needs it to select cross-term rows). */
-  private def pqrCand(e: DataFrame, centroids: DataFrame,
-                      nprobe: Int): DataFrame =
-    assignNearest(e, centroids)
+    * needs it to select cross-term rows) — over the SHARED assignment
+    * frame (see [[bucketMeansOf]]). */
+  private def pqrCand(assigned: DataFrame, e: DataFrame,
+                      centroids: DataFrame, nprobe: Int): DataFrame =
+    assigned
       .select(col("vec_id"), col("bucket"))
       .join(broadcast(
         probeBuckets(e, centroids, nprobe).select("probe_id", "bucket")),
@@ -2488,14 +2510,18 @@ object VectorOps {
       .persist()
     val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
     val codebooks = cachedPqrCodebooks(spark, sfDir, e, centroids)
+    // r14: ONE corpus × C assignment pass, shared by the candidate set
+    // and the residual bucket means (was two assignNearest subtrees)
+    val assigned = assignNearest(e, centroids).persist()
+    val mu = bucketMeansOf(assigned)
     val codes = cachedPqCodes(spark, sfDir, pqrCodesName)(pqEncode(
       residualVecs(e, centroids, bucketMeans(e, centroids))
         .select(col("vec_id"), col("v")), codebooks))
     Canon.materialized(
       Canon.canonicalize(pqRescoreTail(e,
-        pqrCoarse(e, centroids, pqrCand(e, centroids, nprobe), codebooks,
-          codes))),
-      e)
+        pqrCoarse(e, mu, pqrCand(assigned, e, centroids, nprobe),
+          codebooks, codes))),
+      e, assigned)
   }
 
   /** THE RESIDUAL WIDTH CURVE — [[annPqRerankSweep]]'s twin over the
@@ -2511,13 +2537,18 @@ object VectorOps {
       .persist()
     val centroids = cachedCentroids(spark, sfDir, e).toDF("cent_id", "cv")
     val codebooks = cachedPqrCodebooks(spark, sfDir, e, centroids)
+    // r14: shared assignment pass (see annIvfPqr)
+    val assigned = assignNearest(e, centroids).persist()
+    val mu = bucketMeansOf(assigned)
     val codes = cachedPqCodes(spark, sfDir, pqrCodesName)(pqEncode(
       residualVecs(e, centroids, bucketMeans(e, centroids))
         .select(col("vec_id"), col("v")), codebooks))
     val coarse =
-      pqrCoarse(e, centroids, pqrCand(e, centroids, 4), codebooks, codes)
-        .persist()
-    pqSweepOverCoarse(spark, sfDir, e, coarse)
+      pqrCoarse(e, mu, pqrCand(assigned, e, centroids, 4), codebooks,
+        codes).persist()
+    val out = pqSweepOverCoarse(spark, sfDir, e, coarse)
+    assigned.unpersist(false)
+    out
   }
 
   /** Single-assignment candidates with bucket, oracle side. */
