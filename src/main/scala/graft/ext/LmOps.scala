@@ -312,6 +312,9 @@ object LmOps {
       .join(broadcast(voc), Seq("lang")) // inner: unscorable langs drop
       .select(col("doc_id"), col("lang"), inv.as("inv"))
       .persist() // rank pass + per-doc count pass
+    bg.count() // EAGER (r14): the rank window and the per-doc count
+    // agg are independent stages — unmaterialized they race on the
+    // cache and re-run the bigram scoring chain ×2
     val ranked = bg.withColumn("r", row_number().over(
       Window.partitionBy("doc_id").orderBy(col("inv").desc)))
     val perDoc = bg.groupBy("doc_id", "lang")

@@ -579,8 +579,12 @@ object EventStream {
     val accepted = deduped
       .join(fluent, Seq("doc_id"), "left_semi")
       .persist()
-    val (nIn, nQ, nD, nA) =
-      (batch.count(), qPassed.count(), deduped.count(), accepted.count())
+    // r14 (guide §1.5/§2.6 job-count discipline): ONE deep action
+    // materializes the whole persisted chain (qPassed → deduped →
+    // lmScored → accepted), then every stage-drop count is a single
+    // fused pass over the now-cached tiers instead of five sequential
+    // driver actions. Values are unchanged — same frames, same counts.
+    val nA = accepted.count()
     // docs whose lang has NO reference model — rejected not because
     // they scored badly but because nothing could score them; surfaced
     // as their own stat so a new-language feed is visible in telemetry
@@ -592,11 +596,19 @@ object EventStream {
     // documents.lang is absent from voc, no tokenizability requirement),
     // so the twins agree for ANY caller-supplied qualityMin, not just
     // thresholds that happen to exclude zero-token docs.
-    val nUnscored = deduped
+    val unscored = deduped
       .join(broadcast(voc.select("lang")), Seq("lang"), "left_anti")
-      .count()
     val spark = batch.sparkSession
     import spark.implicits._
+    val tierCounts = batch.select(lit("in").as("k"))
+      .unionByName(qPassed.select(lit("q").as("k")))
+      .unionByName(deduped.select(lit("d").as("k")))
+      .unionByName(unscored.select(lit("u").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val (nIn, nQ, nD, nUnscored) =
+      (tierCounts.getOrElse("in", 0L), tierCounts.getOrElse("q", 0L),
+        tierCounts.getOrElse("d", 0L), tierCounts.getOrElse("u", 0L))
     // TOKENIZER-AT-ADMISSION: tokens are what the training budget is
     // denominated in, so the funnel reports what it just admitted in
     // token units, not only doc units — accepted docs' words segmented
